@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 inventory) to DataFrame
+  * plans over the driver's parquet tables; `oracleSql` gives the DuckDB
+  * equivalent for the hash-match correctness gate. Column names are kept
+  * identical on both sides (the driver sorts columns by name and hashes
+  * values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map[String, Q](
+    "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
+    "q2_filter_project"   -> (Relational.q2FilterProject _),
+    "q3_join_agg"         -> (Relational.q3JoinAgg _),
+    "q4_semi_join"        -> (Relational.q4SemiJoin _),
+    "q5_anti_join"        -> (Relational.q5AntiJoin _),
+    "q6_latest_per_key"   -> (Relational.q6LatestPerKey _),
+    "q7_running_window"   -> (Relational.q7RunningWindow _),
+    "q8_topk"             -> (Relational.q8TopK _),
+    "q9_set_ops"          -> (Relational.q9SetOps _),
+    "q10_distinct"        -> (Relational.q10Distinct _),
+    "q11_hash_multiset"   -> (Relational.q11HashMultiset _),
+    "q12_conditional_agg" -> (Relational.q12ConditionalAgg _),
+    "q13_rollup"          -> (Relational.q13Rollup _),
+    "q14_event_windows"   -> (Relational.q14EventWindows _),
+    "q15_sessionize"      -> (Relational.q15Sessionize _),
+    "q16_star_join"       -> (Relational.q16StarJoin _),
+    "q17_asof_join"       -> (Relational.q17AsOfJoin _),
+    "q18_keyset_page"     -> (Relational.q18KeysetPage _),
+    "q19_range_pred_join" -> (Relational.q19RangePredJoin _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         round(l_extendedprice*l_discount,2) AS disc_amount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount >= 0.05 AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey=o_orderkey AND l_quantity>=45)
+         GROUP BY 1 ORDER BY 1""",
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey=c_custkey
+                             AND year(o_orderdate)=2001)
+         ORDER BY c_custkey""",
+    "q6_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders) t
+         WHERE rn=1 ORDER BY o_custkey""",
+    "q7_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
+           AS running_spend,
+         round(coalesce(lag(o_totalprice,1) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),0.0),2)
+           AS prev_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q8_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q9_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+         ORDER BY o_custkey""",
+    "q10_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY 1,2""",
+    "q11_hash_multiset" ->
+      """SELECT l_orderkey,
+         string_agg(line_hash, ',' ORDER BY line_hash) AS sig,
+         count(*) AS n_chunks
+         FROM (SELECT l_orderkey,
+                 sha256(l_orderkey || '|' || l_linenumber || '|' ||
+                        l_partkey || '|' || l_suppkey) AS line_hash
+               FROM lineitem) t
+         GROUP BY 1 ORDER BY 1""",
+    "q12_conditional_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         count(*) FILTER (WHERE event_type='error') AS n_errors,
+         count(*) FILTER (WHERE event_type='click') AS n_clicks,
+         round(sum(CASE WHEN event_type='purchase' THEN value
+                        ELSE 0.0 END),2) AS purchase_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q14_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n,
+         round(sum(value),2) AS total_value,
+         round(min(value),2) AS min_value,
+         round(max(value),2) AS max_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q15_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts::TIMESTAMP)
+                       - epoch_us((lag(ts) OVER w)::TIMESTAMP) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, value,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value),2) AS session_value
+         FROM s GROUP BY 1,2 ORDER BY 1,2""",
+    "q16_star_join" ->
+      """SELECT r_name, round(sum(o_totalprice),2) AS revenue,
+         count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey=c_custkey
+         JOIN nation ON c_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q17_asof_join" ->
+      """SELECT c.event_id, c.user_id, round(e.value,2) AS prior_error_value
+         FROM (SELECT * FROM events WHERE event_type='click') c
+         ASOF JOIN (SELECT * FROM events WHERE event_type='error') e
+           ON c.user_id = e.user_id AND e.ts < c.ts
+         ORDER BY c.event_id""",
+    "q18_keyset_page" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_totalprice
+         FROM orders WHERE o_orderkey < 500
+         ORDER BY o_orderkey DESC LIMIT 25""",
+    "q19_range_pred_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+         round(avg(l_extendedprice),2) AS avg_price
+         FROM lineitem JOIN part
+           ON l_partkey=p_partkey AND l_extendedprice > p_retailprice*20
+         GROUP BY 1 ORDER BY 1"""
+  )
 }

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.10).
+  *
+  * Each method is one entry in `SparkEntry.queries`, with a matching DuckDB
+  * oracle in `SparkEntry.oracleSql`. Declarative DataFrame plans only —
+  * Catalyst handles pushdown/pruning; broadcast hints are applied where one
+  * side is a dimension table (scale-safe at 100 TB: dims stay small).
+  *
+  * Determinism rules (driver hashes values after sorting columns by name):
+  *   - every query ends in an explicit orderBy on a unique key set
+  *   - double aggregates are rounded so float summation order can't flip
+  *     the hash between Spark and DuckDB
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: multi-aggregate groupBy.
+    * Reference analog: per-source run-counter sums (types.ts:158-178).
+    * Scale: map-side partial aggregation; shuffle carries only
+    * (flag,status) groups — constant-size regardless of input rows. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection with parquet pushdown (SURVEY §2.10 filters;
+    * reference: extension/date/size filters, doc2vec.ts:938-977). */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice") * col("l_discount"), 2).as("disc_amount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 3-way star join + aggregation: revenue per market segment.
+    * customer is the small side → broadcast (no shuffle of lineitem on
+    * the dim key at scale; only the orders⋈lineitem shuffle remains,
+    * co-partitioned on orderkey). */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-semi join (EXISTS): orders having at least one high-quantity
+    * line, counted by priority. Reference analog: allowedFiles gating
+    * (content-processor.ts:1910-1913). */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigLines = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. Reference
+    * analog: obsolete-chunk cleanup, stored ANTI JOIN visited
+    * (database.ts:533-542). Dim side broadcast-able at scale when the
+    * visited set is small; here anti-join keys are orders (large) so the
+    * shuffle is on custkey — correct co-partitioning either way. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 2001)
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Window: latest order per customer (row_number over desc order).
+    * Reference analog: DISTINCT ON (config_id) latest-run
+    * (controller/store.ts:196-199). */
+  def q6LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .orderBy("o_custkey")
+  }
+
+  /** Window: running revenue + previous-order delta per customer (lag +
+    * cumulative sum frame). Reference analog: tail-start-seq lag math
+    * (controller/store.ts:253-259). */
+  def q7RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("prev_price",
+        round(lag(col("o_totalprice"), 1, 0.0).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"),
+        col("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-K: 20 most valuable orders (TakeOrderedAndProject — no global
+    * sort at scale, each partition keeps K then the driver merges).
+    * Reference analog: KNN ORDER BY distance LIMIT k
+    * (mcp/src/server.ts:460-462). */
+  def q8TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+
+  /** Set ops: customers seen in 1995 EXCEPT 1996, plus INTERSECT count.
+    * Reference analog: previous-file-list diff (doc2vec.ts:1066,1283). */
+  def q9SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val y95 = ord.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
+    val y96 = ord.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey"))
+    y95.except(y96).orderBy("o_custkey")
+  }
+
+  /** Distinct projection. Reference analog: queue dedupe/visited sets
+    * (content-processor.ts:565-571). */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** The reference's URL-level diff signature: sorted multiset of chunk
+    * hashes per document (doc2vec.ts:1936-1944) — here per order: the
+    * sorted list of line-level content hashes, joined to a comma string
+    * so the oracle (string_agg ORDER BY) matches byte-for-byte. */
+  def q11HashMultiset(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("line_hash",
+        sha2(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")), 256))
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(sort_array(collect_list(col("line_hash"))), ",")
+        .as("sig"), count(lit(1)).as("n_chunks"))
+      .orderBy("l_orderkey")
+
+  /** Conditional aggregation by day/status: count_if + filtered sums.
+    * Reference analog: daily run stats GROUP BY day,status with FILTER
+    * (controller/store.ts:293-317). */
+  def q12ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("purchase_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+
+  /** Grouping sets (ROLLUP): order counts by (status, priority) with
+    * subtotals — Catalyst Expand operator; DuckDB ROLLUP oracle. */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Tumbling-window aggregation over the event stream (batch analog of
+    * the Structured Streaming path in graft.streaming): hourly windows.
+    */
+  def q14EventWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: per-user session ids from >30-minute gaps (lag +
+    * cumulative conditional sum), then session stats. The batch analog
+    * of stateful streaming sessionization; scale-safe (one shuffle on
+    * user_id, windows run within partitions). */
+  def q15Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapMicros = 30L * 60 * 1000000 // integer µs: engine-portable gap test
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros,
+          1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Full star join through region→nation→customer→orders with broadcast
+    * dims: revenue by region name. At 100 TB the fact table never
+    * shuffles on dim keys — all three dims broadcast. */
+  def q16StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir)
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  /** As-of join: for every click event, the most recent prior error
+    * value of the same user. Spark composition: union-tag + last(...)
+    * ignoreNulls window — one shuffle on user_id, no range explosion
+    * (vs. the naive theta-join which is O(n²) per user). DuckDB oracle:
+    * ASOF JOIN. */
+  def q17AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("err_value",
+        when(col("event_type") === "error", col("value")))
+      .withColumn("err_ts",
+        when(col("event_type") === "error", col("ts")))
+      .withColumn("last_err_value", last(col("err_value"), ignoreNulls = true).over(w))
+      .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click" && col("last_err_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("last_err_value"), 2).as("prior_error_value"))
+      .orderBy("event_id")
+  }
+
+  /** Keyset pagination: page 3 of orders ordered by key descending
+    * (id < cursor LIMIT n). Reference: controller/store.ts:181-189. */
+  def q18KeysetPage(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 500)
+      .orderBy(col("o_orderkey").desc)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .limit(25)
+
+  /** Join with non-equi range predicate: lines priced above their part's
+    * retail price (range/theta condition on top of the equi key —
+    * Catalyst keeps it a hash join with residual filter). */
+  def q19RangePredJoin(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey") &&
+        col("l_extendedprice") > col("p_retailprice") * 20)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy("p_brand")
+  }
+}
