@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{DocPipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,7 +38,12 @@ object SparkEntry {
     "q16_star_join"       -> (Relational.q16StarJoin _),
     "q17_asof_join"       -> (Relational.q17AsOfJoin _),
     "q18_keyset_page"     -> (Relational.q18KeysetPage _),
-    "q19_range_pred_join" -> (Relational.q19RangePredJoin _)
+    "q19_range_pred_join" -> (Relational.q19RangePredJoin _),
+    "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
+    "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
+    "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
+      DocPipeline.getChunks(s, d)),
+    "doc_binary_meta"     -> (DocPipeline.binaryMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -178,6 +183,65 @@ object SparkEntry {
          round(avg(l_extendedprice),2) AS avg_price
          FROM lineitem JOIN part
            ON l_partkey=p_partkey AND l_extendedprice > p_retailprice*20
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "doc_chunk_markdown" ->
+      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+         CAST(1 AS BIGINT) AS total_chunks, lang AS section,
+         sha256(content) AS chunk_id, content,
+         source||' > '||lang AS breadcrumb, source AS product_name
+         FROM (SELECT *,
+           '[Topic: '||source||' > '||lang||']'||chr(10)||
+           '# '||source||chr(10)||chr(10)||
+           '## '||lang||chr(10)||chr(10)||text AS content
+           FROM documents) t
+         ORDER BY url, chunk_index""",
+    "doc_chunk_token" ->
+      """WITH idx AS (
+           SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+           FROM documents
+         ), w AS (
+           SELECT doc_id, i,
+             trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+           FROM idx
+         ), kept AS (
+           SELECT doc_id, piece,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY doc_id) AS total_chunks
+           FROM w WHERE piece <> ''
+         )
+         SELECT 'doc://'||doc_id AS url, chunk_index, total_chunks,
+           sha256('doc://'||doc_id||'::'||piece) AS chunk_id,
+           piece AS content
+         FROM kept ORDER BY url, chunk_index""",
+    "doc_get_chunks" ->
+      """WITH idx AS (
+           SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+           FROM documents
+         ), w AS (
+           SELECT doc_id, i,
+             trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+           FROM idx
+         ), kept AS (
+           SELECT doc_id, piece,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY doc_id) AS total_chunks
+           FROM w WHERE piece <> ''
+         )
+         SELECT 'doc://'||doc_id AS url, chunk_index, total_chunks,
+           sha256('doc://'||doc_id||'::'||piece) AS chunk_id,
+           piece AS content
+         FROM kept
+         WHERE doc_id = 42 AND chunk_index BETWEEN 0 AND 2
+         ORDER BY chunk_index""",
+    "doc_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS content_sha,
+         'application/octet-stream' AS mime
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Scalar text utilities mirroring the reference's Utils
+  * (reference: utils.ts:6-15, 110-149). JVM strings are UTF-16 like JS,
+  * so the surrogate-hygiene semantics port code-unit-for-code-unit.
+  */
+object TextUtil {
+
+  /** SHA-256 hex of UTF-8 bytes (reference: utils.ts:6-8). */
+  def sha256Hex(content: String): String = {
+    val d = MessageDigest.getInstance("SHA-256")
+      .digest(content.getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** MD5("metadata_"+key) formatted as a v4-style UUID
+    * (reference: utils.ts:10-15). */
+  def metadataUuid(key: String): String = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"metadata_$key".getBytes(StandardCharsets.UTF_8))
+    val h = d.map(b => f"${b & 0xff}%02x").mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-4${h.substring(13, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
+  }
+
+  @inline private def isHigh(c: Char): Boolean = c >= 0xd800 && c <= 0xdbff
+  @inline private def isLow(c: Char): Boolean = c >= 0xdc00 && c <= 0xdfff
+
+  /** Drop unpaired UTF-16 surrogates (reference: utils.ts:118-124).
+    * Keeps valid pairs; removes a high surrogate not followed by a low,
+    * and a low surrogate not preceded by a high. */
+  def stripLoneSurrogates(text: String): String = {
+    val n = text.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isHigh(c)) {
+        if (i + 1 < n && isLow(text.charAt(i + 1))) {
+          sb.append(c).append(text.charAt(i + 1)); i += 2
+        } else i += 1 // lone high: drop
+      } else if (isLow(c)) {
+        i += 1 // lone low (a preceding high would have consumed it): drop
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Slice without splitting a surrogate pair (reference: utils.ts:135-149).
+    * Both boundaries are nudged the same way: a straddled pair always
+    * travels with the *following* slice, so consecutive slices are lossless.
+    */
+  def sliceSafe(text: String, start: Int, end: Int): String = {
+    def straddles(index: Int): Boolean =
+      index > 0 && index < text.length &&
+        isHigh(text.charAt(index - 1)) && isLow(text.charAt(index))
+    var from = math.max(0, math.min(start, text.length))
+    var to = math.max(from, math.min(text.length, end))
+    if (straddles(from)) from -= 1
+    if (to > from && straddles(to)) to -= 1
+    text.substring(from, to)
+  }
+}

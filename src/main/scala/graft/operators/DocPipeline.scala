@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Chunk, Tables}
+
+/** Input projection of the documents table (top-level: Spark encoders
+  * need public classes for codegen). */
+case class DocIn(doc_id: Long, text: String, lang: String, source: String)
+
+/** Document-pipeline operators exposed over the driver's `documents` table
+  * (SURVEY.md §2.3 as Spark operators).
+  *
+  * Chunking is a pure per-document flatMap: no shuffle, embarrassingly
+  * parallel, scales linearly with executors. The only ordering guarantee
+  * needed (chunk_index within a url) is produced inside the per-document
+  * function, not by any global sort.
+  */
+object DocPipeline {
+
+  /** documents row → synthetic markdown page (deterministic), so the
+    * heading-aware chunker exercises hierarchy + breadcrumb logic.
+    */
+  private def toMarkdown(d: DocIn): String =
+    s"# ${d.source}\n\n## ${d.lang}\n\n${d.text}"
+
+  private def docUrl(id: Long): String = s"doc://$id"
+
+  /** Heading-aware markdown chunking over the documents table.
+    * One output row per chunk with the store schema of FIXTURES.md §2
+    * (hierarchy joined to a breadcrumb string for oracle comparison). */
+  def chunkMarkdownDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source").as[DocIn]
+      .flatMap { d =>
+        Chunker.chunkMarkdown(toMarkdown(d), d.source, "1.0", docUrl(d.doc_id))
+      }
+      .select(col("url"), col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("section"), col("chunk_id"), col("content"),
+        array_join(col("heading_hierarchy"), " > ").as("breadcrumb"),
+        col("product_name"))
+      .orderBy("url", "chunk_index")
+  }
+
+  /** Fixed-size (128-char) token chunking — multi-chunk per document, so
+    * chunk_index / total_chunks bookkeeping is exercised end-to-end. */
+  def chunkTokenDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source").as[DocIn]
+      .flatMap { d =>
+        val url = docUrl(d.doc_id)
+        Chunker.chunkCode(d.text, d.source, "1.0", url,
+          filePath = "", chunkSize = 128)
+      }
+      .select(col("url"), col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("chunk_id"), col("content"))
+      .orderBy("url", "chunk_index")
+  }
+
+  /** Page reconstruction (reference `get_chunks`, mcp/src/server.ts:343-397):
+    * all chunks of one url ordered by chunk_index within an index range. */
+  def getChunks(s: SparkSession, dir: String, url: String = "doc://42",
+      fromIdx: Int = 0, toIdx: Int = 2): DataFrame =
+    chunkTokenDocs(s, dir)
+      .filter(col("url") === url &&
+        col("chunk_index").between(fromIdx, toIdx))
+      .orderBy("chunk_index")
+
+  /** Binary/multimodal plumbing (builder-prompt multimodal requirement):
+    * treat content as an opaque binary column with typed metadata. The
+    * decode/feature-extract step is a stub (no media libs in this build);
+    * the Spark-side schema, batching and metadata extraction are real. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        sha2(col("blob"), 256).as("content_sha"),
+        lit("application/octet-stream").as("mime"))
+      .orderBy("doc_id")
+}
