@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DocPipeline, Relational}
+import graft.operators.{DocPipeline, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,7 +43,11 @@ object SparkEntry {
     "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
       DocPipeline.getChunks(s, d)),
-    "doc_binary_meta"     -> (DocPipeline.binaryMeta _)
+    "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
+    "doc_langid"          -> (TextAnalysis.langId _),
+    "doc_quality"         -> (TextAnalysis.qualityScore _),
+    "doc_token_count"     -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint"     -> (TextAnalysis.fingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,7 +61,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-         round(l_extendedprice*l_discount,2) AS disc_amount
+         l_extendedprice*l_discount AS disc_amount
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -96,8 +100,8 @@ object SparkEntry {
            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
            AS running_spend,
-         round(coalesce(lag(o_totalprice,1) OVER
-           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),0.0),2)
+         coalesce(lag(o_totalprice,1) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),0.0)
            AS prev_price
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q8_topk" ->
@@ -168,7 +172,7 @@ object SparkEntry {
          JOIN region ON n_regionkey=r_regionkey
          GROUP BY 1 ORDER BY 1""",
     "q17_asof_join" ->
-      """SELECT c.event_id, c.user_id, round(e.value,2) AS prior_error_value
+      """SELECT c.event_id, c.user_id, e.value AS prior_error_value
          FROM (SELECT * FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type='error') e
            ON c.user_id = e.user_id AND e.ts < c.ts
@@ -242,6 +246,80 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          sha256(text) AS content_sha,
          'application/octet-stream' AS mime
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "doc_langid" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text,' '), w ->
+               list_contains(['the','a','and','of','to','is','in','it'], w)))
+               AS BIGINT) AS en_hits,
+             CAST(len(list_filter(string_split(text,' '), w ->
+               list_contains(['el','la','los','de','que','y','un','es'], w)))
+               AS BIGINT) AS es_hits,
+             CAST(len(list_filter(string_split(text,' '), w ->
+               list_contains(['der','die','das','und','ist','ein','zu','nicht'], w)))
+               AS BIGINT) AS de_hits,
+             CAST(len(list_filter(string_split(text,' '), w ->
+               list_contains(['le','la','les','et','est','une','que','des'], w)))
+               AS BIGINT) AS fr_hits
+           FROM documents)
+         SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+           CASE WHEN greatest(en_hits,es_hits,de_hits,fr_hits)=0 THEN 'und'
+                WHEN en_hits = greatest(en_hits,es_hits,de_hits,fr_hits) THEN 'en'
+                WHEN es_hits = greatest(en_hits,es_hits,de_hits,fr_hits) THEN 'es'
+                WHEN de_hits = greatest(en_hits,es_hits,de_hits,fr_hits) THEN 'de'
+                ELSE 'fr' END AS predicted_lang,
+           (CASE WHEN greatest(en_hits,es_hits,de_hits,fr_hits)=0 THEN 'und'
+                WHEN en_hits = greatest(en_hits,es_hits,de_hits,fr_hits) THEN 'en'
+                WHEN es_hits = greatest(en_hits,es_hits,de_hits,fr_hits) THEN 'es'
+                WHEN de_hits = greatest(en_hits,es_hits,de_hits,fr_hits) THEN 'de'
+                ELSE 'fr' END) = lang AS matches_label
+         FROM h ORDER BY doc_id""",
+    "doc_quality" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+             AS n_distinct_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(text,' '), w ->
+             list_contains(['the','a','and','of','to','is','in','it'], w)))
+             AS BIGINT) AS stop_hits,
+           round(CAST(length(text) AS DOUBLE) /
+             len(string_split(text,' ')), 4) AS avg_word_len,
+           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000
+             // CAST(len(string_split(text,' ')) AS BIGINT)
+             AS distinct_permille,
+           (len(string_split(text,' ')) >= 20 AND length(text) >= 100 AND
+            (CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000
+             // CAST(len(string_split(text,' ')) AS BIGINT)) >= 300) AS keep
+         FROM documents ORDER BY doc_id""",
+    "doc_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+           CAST(ceil(CAST(length(text) AS DOUBLE)/4) AS BIGINT)
+             AS est_bpe_tokens,
+           CAST(len(regexp_extract_all(text,'[a-z]+')) AS BIGINT)
+             AS alpha_tokens,
+           (length(text) > 32764) AS over_embed_cap
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      """WITH grams AS (
+           SELECT doc_id,
+             unnest(range(1, greatest(1, length(text)-7)+1)) AS i, text
+           FROM documents
+         ), hashed AS (
+           SELECT doc_id, i,
+             ('0x'||substr(sha256(substring(text, CAST(i AS INT), 8)),1,12))::BIGINT AS h
+           FROM grams
+         ), wins AS (
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+           FROM hashed)
+         SELECT doc_id,
+           CAST(count(DISTINCT win_min) AS BIGINT) AS n_fingerprints,
+           array_to_string(list_sort(list_distinct(list(win_min))), ',')
+             AS fp_sig
+         FROM wins GROUP BY doc_id ORDER BY doc_id"""
   )
 }

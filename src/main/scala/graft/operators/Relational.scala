@@ -42,8 +42,10 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      // raw product, not rounded: a single IEEE multiply is bit-identical
+      // across engines, while round() half-way behavior is not
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        round(col("l_extendedprice") * col("l_discount"), 2).as("disc_amount"))
+        (col("l_extendedprice") * col("l_discount")).as("disc_amount"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** 3-way star join + aggregation: revenue per market segment.
@@ -113,11 +115,13 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(s, dir)
+      // rounded: windowed sums are not order-deterministic across engines
+      // (DuckDB aggregates window frames via segment trees); the true sum
+      // is 2-decimal exact, so rounding at 2 decimals is boundary-safe
       .withColumn("running_spend",
         round(sum(col("o_totalprice"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
-      .withColumn("prev_price",
-        round(lag(col("o_totalprice"), 1, 0.0).over(w), 2))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1, 0.0).over(w))
       .select(col("o_custkey"), col("o_orderkey"), col("running_spend"),
         col("prev_price"))
       .orderBy("o_custkey", "o_orderkey")
@@ -260,7 +264,7 @@ object Relational {
       .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "click" && col("last_err_ts").isNotNull)
       .select(col("event_id"), col("user_id"),
-        round(col("last_err_value"), 2).as("prior_error_value"))
+        col("last_err_value").as("prior_error_value"))
       .orderBy("event_id")
   }
 
