@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DocPipeline, Relational, TextAnalysis}
+import graft.operators.{Dedup, DocPipeline, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,7 +47,14 @@ object SparkEntry {
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
     "doc_token_count"     -> (TextAnalysis.tokenCount _),
-    "doc_fingerprint"     -> (TextAnalysis.fingerprint _)
+    "doc_fingerprint"     -> (TextAnalysis.fingerprint _),
+    "dedup_exact"         -> (Dedup.exactDedup _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_sig"   -> (Dedup.minhashSignatures _),
+    "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "dedup_embedding"     -> (Dedup.embeddingPairs _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -320,6 +327,116 @@ object SparkEntry {
            CAST(count(DISTINCT win_min) AS BIGINT) AS n_fingerprints,
            array_to_string(list_sort(list_distinct(list(win_min))), ',')
              AS fp_sig
-         FROM wins GROUP BY doc_id ORDER BY doc_id"""
+         FROM wins GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id, text FROM documents)
+         SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM u GROUP BY 1 ORDER BY content_hash""",
+    "dedup_ngram_jaccard" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1,2)
+         SELECT doc_a, doc_b, inter,
+           ca.n_sh + cb.n_sh - inter AS union_size
+         FROM inter
+         JOIN cnt ca ON ca.doc_id=doc_a JOIN cnt cb ON cb.doc_id=doc_b
+         WHERE inter*2 >= ca.n_sh + cb.n_sh - inter
+         ORDER BY doc_a, doc_b""",
+    "dedup_minhash_sig" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,7))::BIGINT AS x FROM sh),
+         perms(j, a, b) AS (VALUES ${Dedup.perms.map {
+           case (j, a, b) => s"($j,$a,$b)" }.mkString(",")}),
+         t AS (SELECT doc_id, j, min((a*x+b) % 2147483647) AS h
+               FROM x CROSS JOIN perms GROUP BY 1,2)
+         SELECT doc_id, string_agg(h, ',' ORDER BY j) AS sig
+         FROM t GROUP BY 1 ORDER BY doc_id""",
+    "dedup_minhash_pairs" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,7))::BIGINT AS x FROM sh),
+         perms(j, a, b) AS (VALUES ${Dedup.perms.map {
+           case (j, a, b) => s"($j,$a,$b)" }.mkString(",")}),
+         t AS (SELECT doc_id, j, min((a*x+b) % 2147483647) AS h
+               FROM x CROSS JOIN perms GROUP BY 1,2)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS agree
+         FROM t a JOIN t b
+           ON a.j=b.j AND a.h=b.h AND a.doc_id < b.doc_id
+         GROUP BY 1,2 HAVING count(*) >= ${Dedup.NumPerms / 2}
+         ORDER BY doc_a, doc_b""",
+    "dedup_simhash_sig" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
+         bits AS (SELECT unnest(range(0,32)) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s
+                 FROM x CROSS JOIN bits GROUP BY 1,2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                         ELSE 0 END) AS BIGINT) AS simhash
+         FROM sgn GROUP BY 1 ORDER BY doc_id""",
+    "dedup_simhash_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
+         bits AS (SELECT unnest(range(0,32)) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s
+                 FROM x CROSS JOIN bits GROUP BY 1,2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sgn GROUP BY 1)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         ORDER BY doc_a, doc_b""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.emb, b.emb) /
+           (sqrt(list_dot_product(a.emb, a.emb)) *
+            sqrt(list_dot_product(b.emb, b.emb))) > 0.4
+         ORDER BY 1,2"""
   )
 }
