@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPipeline, Relational, TextAnalysis}
+import graft.operators.{Dedup, DocPipeline, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,7 +54,14 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
-    "dedup_embedding"     -> (Dedup.embeddingPairs _)
+    "dedup_embedding"     -> (Dedup.embeddingPairs _),
+    "emb_embed_sig"       -> (DocPipeline.embedDocs _),
+    "emb_knn_exact"       -> ((s: SparkSession, d: String) =>
+      Similarity.knnExact(s, d)),
+    "emb_ann_lsh"         -> ((s: SparkSession, d: String) =>
+      Similarity.annTopK(s, d)),
+    "q_query_documentation" -> (Similarity.queryDocumentation _),
+    "q_query_code_diag"   -> (Similarity.queryCodeDiagnostics _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -437,6 +444,129 @@ object SparkEntry {
          WHERE list_dot_product(a.emb, b.emb) /
            (sqrt(list_dot_product(a.emb, a.emb)) *
             sqrt(list_dot_product(b.emb, b.emb))) > 0.4
-         ORDER BY 1,2"""
+         ORDER BY 1,2""",
+    "emb_embed_sig" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split(substring(text,1,32764),' '), w -> w <> '')) AS w
+           FROM documents
+         ), h AS (
+           SELECT doc_id, ('0x'||substr(sha256(w),1,8))::BIGINT AS x FROM tok
+         ), sums AS (
+           SELECT doc_id, x % 64 AS idx,
+             CAST(sum(CASE WHEN (x >> 6) & 1 = 1 THEN 1 ELSE -1 END)
+               AS BIGINT) AS v
+           FROM h GROUP BY 1,2
+         ), filled AS (
+           SELECT d.doc_id, g.idx, coalesce(s.v, 0) AS v
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           CROSS JOIN (SELECT unnest(range(0,64)) AS idx) g
+           LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.idx = g.idx
+         )
+         SELECT doc_id, string_agg(v, ',' ORDER BY idx) AS acc_sig
+         FROM filled GROUP BY 1 ORDER BY doc_id""",
+    "emb_knn_exact" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, emb AS cv FROM e
+               WHERE vec_id >= 5),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+               AS cosine
+           FROM q CROSS JOIN c),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "emb_ann_lsh" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+           FROM embeddings
+         ), proj AS (
+           SELECT vec_id, i.i AS i,
+             sum(CAST(v AS DOUBLE) *
+               (CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13) % 2 != 0
+                     THEN 1 ELSE -1 END)) AS proj
+           FROM dims CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
+           GROUP BY 1,2
+         ), sig AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN i < 4 AND proj > 0
+               THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket0,
+             CAST(sum(CASE WHEN i >= 4 AND proj > 0
+               THEN (1::BIGINT << CAST(i-4 AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket1
+           FROM proj GROUP BY 1
+         ),
+         q AS (SELECT s.vec_id AS query_id, bucket0 AS qb0, bucket1 AS qb1,
+                 emb AS qv
+               FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id < 5),
+         c AS (SELECT s.vec_id AS neighbor_id, bucket0, bucket1, emb AS cv
+               FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id >= 5),
+         cand AS (
+           SELECT query_id, neighbor_id, qv, cv FROM c JOIN q
+             ON c.bucket0 = q.qb0
+           UNION
+           SELECT query_id, neighbor_id, qv, cv FROM c JOIN q
+             ON c.bucket1 = q.qb1
+         ), scored AS (
+           SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+               AS cosine
+           FROM cand),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_query_documentation" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         store AS (SELECT d.doc_id, d.lang, d.source, d.text, e.emb
+                   FROM documents d JOIN e ON d.doc_id = e.vec_id),
+         scored AS (
+           SELECT doc_id, source,
+             1.0 - list_dot_product(qv, emb) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
+               AS distance
+           FROM store CROSS JOIN qv
+           WHERE doc_id <> 0 AND lang = 'en'
+             AND source LIKE 'src1%' AND length(text) > 0),
+         ranked AS (
+           SELECT doc_id, source,
+             row_number() OVER (ORDER BY distance, doc_id) AS rank
+           FROM scored)
+         SELECT rank, doc_id, 'doc://'||doc_id AS url, source
+         FROM ranked WHERE rank <= 4 ORDER BY rank""",
+    "q_query_code_diag" ->
+      """WITH files AS (
+           SELECT doc_id, text, source,
+             CASE WHEN lang='en' THEN '.py' WHEN lang='es' THEN '.go'
+                  WHEN lang='de' THEN '.rs' WHEN lang='fr' THEN '.ts'
+                  ELSE '.md' END AS ext
+           FROM documents)
+         SELECT count(*) AS raw_count,
+           count(*) FILTER (WHERE length(text) = 0) AS empty_content_count,
+           least(count(*), 4) AS returned
+         FROM files
+         WHERE (source||'/'||doc_id||ext) LIKE 'src1%'
+           AND ext IN ('.py', '.go')"""
   )
 }

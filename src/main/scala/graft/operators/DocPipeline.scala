@@ -70,6 +70,21 @@ object DocPipeline {
         col("chunk_index").between(fromIdx, toIdx))
       .orderBy("chunk_index")
 
+  /** Deterministic embedding operator (graft.functions.Embedder) over the
+    * documents table — a per-partition map, no shuffle; the integer
+    * accumulator signature is emitted so the oracle can check the exact
+    * hashing-trick projection (the L2 normalize is a trivial epilogue,
+    * unit-tested). */
+  def embedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source").as[DocIn]
+      .map(d => (d.doc_id,
+        graft.functions.Embedder.accumulate(d.text).mkString(",")))
+      .toDF("doc_id", "acc_sig")
+      .orderBy("doc_id")
+  }
+
   /** Binary/multimodal plumbing (builder-prompt multimodal requirement):
     * treat content as an opaque binary column with typed metadata. The
     * decode/feature-extract step is a stub (no media libs in this build);

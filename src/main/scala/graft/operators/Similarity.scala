@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity-search operators over the embeddings table: exact cosine
+  * top-k (the reference's KNN retrieval semantics, mcp/src/server.ts:
+  * 448-474) and a deterministic random-hyperplane LSH ANN path for scale.
+  *
+  * Scale design (100 TB):
+  *   - exact top-k per query is a broadcast of the (small) query set
+  *     against a full scan — one pass, no pairwise shuffle; the per-query
+  *     top-k is a windowed rank, computed map-side per partition before
+  *     the final merge.
+  *   - the LSH path buckets vectors by 8 hyperplane signs (two 4-bit
+  *     bands); candidate generation is an equi-join on band signature —
+  *     shuffle ∝ bucket sizes, not corpus². Hyperplane entries are a
+  *     deterministic ±1 integer hash so the DuckDB oracle reproduces the
+  *     exact same buckets.
+  */
+object Similarity {
+
+  /** cosine(a, b) in double precision with a left-to-right fold (matches
+    * the oracle's list_dot_product accumulation). */
+  private def cosineExpr(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"""
+      .stripMargin)
+
+  /** Exact brute-force cosine top-k: queries = vec_id < 5, corpus =
+    * vec_id >= 5; top 10 per query (cosine desc, vec_id tie-break). */
+  def knnExact(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosineExpr("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The reference's `query_documentation` semantics (mcp/src/server.ts:
+    * 197-257) over documents⋈embeddings: embed-free variant using the
+    * stored vector of doc 0 as the query; equality filter (lang ≅
+    * product_name), url-prefix post-filter, empty-content drop, limit 4;
+    * cosine *distance* ordering (1 - similarity). */
+  def queryDocumentation(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val docs = Tables.documents(s, dir)
+    val store = docs.join(e, col("doc_id") === col("vec_id"))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val w = Window.orderBy(col("distance"), col("doc_id"))
+    store.crossJoin(broadcast(qv))
+      .filter(col("doc_id") =!= 0)
+      .filter(col("lang") === "en")                // metadata equality filter
+      .filter(col("source").startsWith("src1"))    // urlPathPrefix post-filter
+      .filter(length(col("text")) > 0)             // empty-content drop
+      .withColumn("distance", lit(1.0) - cosineExpr("qv", "embedding"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        concat(lit("doc://"), col("doc_id")).as("url"), col("source"))
+      .orderBy("rank")
+  }
+
+  /** The reference's `query_code` diagnostics (mcp/src/server.ts:259-341):
+    * repo/extension/prefix filters + {rawCount, emptyContentCount}. Files
+    * are synthesized deterministically from documents (ext by lang). */
+  def queryCodeDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(s, dir)
+      .withColumn("ext",
+        when(col("lang") === "en", ".py").when(col("lang") === "es", ".go")
+          .when(col("lang") === "de", ".rs").when(col("lang") === "fr", ".ts")
+          .otherwise(".md"))
+      .withColumn("path",
+        concat(col("source"), lit("/"), col("doc_id"), col("ext")))
+    files
+      .filter(col("path").startsWith("src1"))      // filePathPrefix
+      .filter(col("ext").isin(".py", ".go"))       // extensions filter
+      .agg(count(lit(1)).as("raw_count"),
+        count(when(length(col("text")) === 0, 1)).as("empty_content_count"),
+        least(count(lit(1)), lit(4L)).as("returned"))
+  }
+
+  // ── Deterministic random-hyperplane LSH ───────────────────────────────
+  // Hyperplane i, dimension d has sign +1 iff bit 13 of
+  // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both
+  // engines compute identically; no RNG, no stored model.
+
+  private val signExpr =
+    "CASE WHEN (((i*37 + d*101) * 2654435761) >> 13) % 2 != 0 THEN 1 ELSE -1 END"
+
+  /** (vec_id, label, bucket0, bucket1): two 4-bit LSH band signatures
+    * per vector. */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .crossJoin(broadcast(
+        s.range(8).select(col("id").cast("int").as("i"))))
+      .groupBy(col("vec_id"), col("label"), col("i"))
+      .agg(sum(expr(s"CAST(v AS DOUBLE) * ($signExpr)")).as("proj"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(when(col("i") < 4 && col("proj") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L))
+          .as("bucket0"),
+        sum(when(col("i") >= 4 && col("proj") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), i-4)")).otherwise(0L))
+          .as("bucket1"))
+
+  /** ANN top-k: candidates share an LSH band with the query (OR of two
+    * bands — classic banding), then exact cosine rerank, top-5. */
+  def annTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val b = lshBuckets(s, dir)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val withVec = b.join(e, "vec_id")
+    val queries = withVec.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("bucket0").as("qb0"),
+        col("bucket1").as("qb1"), col("embedding").as("qv"))
+    val corpus = withVec.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("bucket0"),
+        col("bucket1"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // classic banding: one equi-join per band, unioned, deduped — keeps
+    // the candidate generation hash-joinable (an OR condition would force
+    // a nested-loop join)
+    val cand0 = corpus.join(broadcast(queries), col("bucket0") === col("qb0"))
+    val cand1 = corpus.join(broadcast(queries), col("bucket1") === col("qb1"))
+    cand0.unionByName(cand1)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosineExpr("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+}
