@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.ChunkStore
+import graft.streaming.EventStream
+
+/** Runnable walkthrough of the library surface that is not covered by
+  * SparkEntry.queries: the chunk store's upsert/cleanup disciplines, the
+  * Structured Streaming path, and the multimodal binary pipeline.
+  * `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // chunk store: upsert-by-url + guarded cleanup
+    val stored = Seq(("doc://a", "h1"), ("doc://a", "h2"), ("doc://b", "h3"))
+      .toDF("url", "chunk_id")
+    val incoming = Seq(("doc://b", "h9")).toDF("url", "chunk_id")
+    println("UPSERT -> " + ChunkStore.upsertByUrl(stored, incoming)
+      .orderBy("url", "chunk_id").collect().mkString(" "))
+    println("CLEANUP guarded (network errors) -> " +
+      ChunkStore.cleanupObsolete(stored, Seq("doc://a").toDF("url"),
+        hasNetworkErrors = true, scanIncomplete = false).count() + " rows kept")
+    println("CLEANUP clean scan -> " +
+      ChunkStore.cleanupObsolete(stored, Seq("doc://a").toDF("url"),
+        hasNetworkErrors = false, scanIncomplete = false).count() + " rows kept")
+
+    // structured streaming over a staged slice of the events table
+    val tmp = java.nio.file.Files.createTempDirectory("ev").toString
+    Tables.events(spark, "/root/testdata/sf0.001").limit(300)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val q = EventStream.windowedCounts(EventStream.readEvents(spark, tmp))
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    println("STREAM state rows -> " +
+      q.lastProgress.stateOperators.head.numRowsTotal)
+    q.stop()
+
+    // multimodal binary pipeline (stub decode, real plumbing)
+    val bins = Seq(("a.png", "image/png", "0123456789abcdef".getBytes("UTF-8")))
+      .toDF("path", "mime", "content")
+    println("MULTIMODAL -> " +
+      Multimodal.extractFeatures(spark, bins).collect().head)
+
+    spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPipeline, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DocPipeline, Relational, Similarity, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,7 +61,12 @@ object SparkEntry {
     "emb_ann_lsh"         -> ((s: SparkSession, d: String) =>
       Similarity.annTopK(s, d)),
     "q_query_documentation" -> (Similarity.queryDocumentation _),
-    "q_query_code_diag"   -> (Similarity.queryCodeDiagnostics _)
+    "q_query_code_diag"   -> (Similarity.queryCodeDiagnostics _),
+    "sync_url_diff"       -> (Sync.urlDiff _),
+    "sync_chunk_delta"    -> (Sync.chunkDelta _),
+    "sync_cleanup"        -> (Sync.cleanup _),
+    "sync_watermark"      -> (Sync.watermark _),
+    "sync_run_counters"   -> (Sync.runCounters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -567,6 +572,96 @@ object SparkEntry {
            least(count(*), 4) AS returned
          FROM files
          WHERE (source||'/'||doc_id||ext) LIKE 'src1%'
-           AND ext IN ('.py', '.go')"""
+           AND ext IN ('.py', '.go')""",
+    "sync_url_diff" -> (syncCtes +
+      """SELECT i.url,
+           CASE WHEN s.sig IS NULL THEN 'new'
+                WHEN i.sig <> s.sig THEN 'updated'
+                ELSE 'unchanged' END AS status,
+           i.n AS n_chunks
+         FROM i_sig i LEFT JOIN s_sig s ON i.url = s.url
+         ORDER BY i.url"""),
+    "sync_chunk_delta" -> (syncCtes +
+      """SELECT url, count(*) AS chunks_to_embed
+         FROM i_chunks c
+         WHERE NOT EXISTS (SELECT 1 FROM s_chunks s
+                           WHERE s.chunk_id = c.chunk_id)
+         GROUP BY 1 ORDER BY url"""),
+    "sync_cleanup" -> (syncCtes +
+      """SELECT url, count(*) AS chunks_deleted
+         FROM s_chunks c
+         WHERE NOT EXISTS (SELECT 1 FROM i_docs d
+                           WHERE 'doc://'||d.doc_id = c.url)
+         GROUP BY 1 ORDER BY url"""),
+    "sync_watermark" ->
+      """SELECT '2024-01-10 00:00:00' AS watermark_old,
+           count(*) AS n_processed,
+           count(*) FILTER (WHERE event_type='error') AS n_failures,
+           strftime(max(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f')
+             AS candidate_watermark,
+           CASE WHEN count(*) FILTER (WHERE event_type='error') = 0
+                THEN strftime(max(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f')
+                ELSE '2024-01-10 00:00:00' END AS watermark_new
+         FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'""",
+    "sync_run_counters" -> (syncCtes +
+      """, j AS (
+           SELECT coalesce(i.url, s.url) AS url,
+             CASE WHEN i.sig IS NULL THEN 'deleted'
+                  WHEN s.sig IS NULL THEN 'new'
+                  WHEN i.sig <> s.sig THEN 'updated'
+                  ELSE 'unchanged' END AS status,
+             coalesce(i.n, 0) AS n_chunks, coalesce(s.n, 0) AS stored_chunks
+           FROM i_sig i FULL OUTER JOIN s_sig s ON i.url = s.url)
+         SELECT
+           count(*) FILTER (WHERE status='new') AS items_new,
+           count(*) FILTER (WHERE status='updated') AS items_updated,
+           count(*) FILTER (WHERE status='unchanged') AS items_unchanged,
+           count(*) FILTER (WHERE status='deleted') AS items_deleted,
+           CAST(sum(CASE WHEN status IN ('new','updated') THEN n_chunks
+                    ELSE 0 END) AS BIGINT) AS chunks_added,
+           CAST(sum(CASE WHEN status IN ('updated','deleted')
+                    THEN stored_chunks ELSE 0 END) AS BIGINT)
+             AS chunks_deleted
+         FROM j""")
   )
+
+  /** Shared CTE stack for the sync oracles: deterministic stored/incoming
+    * corpora + 128-char token chunks + per-url hash-multiset signatures. */
+  private val syncCtes: String =
+    """WITH s_docs AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+       i_docs AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN text || ' updated marker tokens'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0),
+       s_chunks AS (
+         SELECT 'doc://'||doc_id AS url,
+           sha256('doc://'||doc_id||'::'||piece) AS chunk_id
+         FROM (SELECT doc_id,
+                 trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+               FROM (SELECT doc_id, text,
+                       unnest(range(0,
+                         CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                     FROM s_docs) t1) t2
+         WHERE piece <> ''),
+       i_chunks AS (
+         SELECT 'doc://'||doc_id AS url,
+           sha256('doc://'||doc_id||'::'||piece) AS chunk_id
+         FROM (SELECT doc_id,
+                 trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+               FROM (SELECT doc_id, text,
+                       unnest(range(0,
+                         CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                     FROM i_docs) t1) t2
+         WHERE piece <> ''),
+       s_sig AS (
+         SELECT url, string_agg(chunk_id, ',' ORDER BY chunk_id) AS sig,
+           count(*) AS n
+         FROM s_chunks GROUP BY 1),
+       i_sig AS (
+         SELECT url, string_agg(chunk_id, ',' ORDER BY chunk_id) AS sig,
+           count(*) AS n
+         FROM i_chunks GROUP BY 1)
+    """
 }

@@ -10,9 +10,11 @@ import java.security.MessageDigest
 object TextUtil {
 
   /** SHA-256 hex of UTF-8 bytes (reference: utils.ts:6-8). */
-  def sha256Hex(content: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(content.getBytes(StandardCharsets.UTF_8))
+  def sha256Hex(content: String): String =
+    sha256HexBytes(content.getBytes(StandardCharsets.UTF_8))
+
+  def sha256HexBytes(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
     val sb = new StringBuilder(d.length * 2)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental-sync differential operators (SURVEY.md §2.5) — the
+  * reference's 4-layer change-detection pipeline re-expressed as joins:
+  *
+  *   - URL-level diff: per-document sorted multiset of chunk hashes
+  *     (doc2vec.ts:1915-2000) → groupBy(url) signature compare.
+  *   - Chunk-level hash skip (doc2vec.ts:515-553) → left-anti join on
+  *     chunk_id before the expensive embed stage.
+  *   - Obsolete cleanup (database.ts:522-547) → stored ANTI JOIN visited.
+  *   - Watermark advance/hold (doc2vec.ts:584-591): advanced only when the
+  *     batch had zero failures; otherwise held for re-processing.
+  *
+  * Scale: every layer is one hash-partitioned join/aggregate keyed on url
+  * or chunk_id. The expensive downstream stage (embedding) consumes only
+  * the surviving delta — the reference's cost model, preserved.
+  *
+  * The sync scenario is simulated deterministically from the documents
+  * table so the DuckDB oracle can replay it:
+  *   stored   = docs with doc_id % 13 != 0  (rest appear as "new")
+  *   incoming = docs with doc_id % 11 != 0  (rest appear as "deleted"),
+  *              text modified when doc_id % 10 == 0 ("updated")
+  */
+object Sync {
+
+  private val ChunkSize = 128
+
+  /** (url, chunk_index, chunk_id, piece) token chunks of a corpus. */
+  private def chunksOf(docs: DataFrame): DataFrame = {
+    val idx = docs
+      .withColumn("i", explode(sequence(lit(0),
+        ceil(length(col("text")).cast("double") / ChunkSize).cast("int") - 1)))
+      .withColumn("piece",
+        trim(expr(s"substring(text, i*$ChunkSize+1, $ChunkSize)")))
+      .filter(col("piece") =!= "")
+    idx
+      .withColumn("url", concat(lit("doc://"), col("doc_id")))
+      .withColumn("chunk_id",
+        sha2(concat(col("url"), lit("::"), col("piece")), 256))
+      .select("url", "i", "chunk_id", "piece")
+  }
+
+  private def storedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 13 =!= 0)
+
+  private def incomingDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" updated marker tokens")))
+          .otherwise(col("text")))
+
+  /** Per-url signature: sorted multiset of chunk hashes joined to one
+    * string (the reference's diff unit, doc2vec.ts:1936-1944). */
+  private def signatures(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("url"))
+      .agg(array_join(sort_array(collect_list(col("chunk_id"))), ",")
+        .as("sig"), count(lit(1)).as("n_chunks"))
+
+  /** URL-level diff: status ∈ {new, updated, unchanged} for every
+    * incoming url. */
+  def urlDiff(s: SparkSession, dir: String): DataFrame = {
+    val stored = signatures(chunksOf(storedDocs(s, dir)))
+      .withColumnRenamed("sig", "stored_sig")
+      .withColumnRenamed("n_chunks", "stored_chunks")
+    val incoming = signatures(chunksOf(incomingDocs(s, dir)))
+    incoming.join(stored, Seq("url"), "left")
+      .withColumn("status",
+        when(col("stored_sig").isNull, "new")
+          .when(col("sig") =!= col("stored_sig"), "updated")
+          .otherwise("unchanged"))
+      .select(col("url"), col("status"), col("n_chunks"))
+      .orderBy("url")
+  }
+
+  /** Chunk-level skip: incoming chunks that must be embedded — those
+    * whose chunk_id is not already stored (anti-join placed *before*
+    * the expensive embed stage). */
+  def chunkDelta(s: SparkSession, dir: String): DataFrame = {
+    val stored = chunksOf(storedDocs(s, dir)).select("chunk_id")
+    chunksOf(incomingDocs(s, dir))
+      .join(stored, Seq("chunk_id"), "left_anti")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("chunks_to_embed"))
+      .orderBy("url")
+  }
+
+  /** Obsolete cleanup: stored urls no longer present in the incoming
+    * (visited) set (reference: delete stored chunks whose url ∉ visited,
+    * database.ts:533-542). */
+  def cleanup(s: SparkSession, dir: String): DataFrame = {
+    val visited = incomingDocs(s, dir)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+    chunksOf(storedDocs(s, dir))
+      .join(visited, Seq("url"), "left_anti")
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("chunks_deleted"))
+      .orderBy("url")
+  }
+
+  /** Watermark advance/hold over the events "source": the watermark
+    * advances to max(ts) only when the batch contains zero failures
+    * (error events); otherwise it holds at the old value. Both outcomes
+    * are emitted. */
+  def watermark(s: SparkSession, dir: String): DataFrame = {
+    val old = "2024-01-10 00:00:00"
+    val batch = Tables.events(s, dir)
+      .filter(col("ts") > lit(old).cast("timestamp"))
+    batch.agg(
+      lit(old).as("watermark_old"),
+      count(lit(1)).as("n_processed"),
+      count(when(col("event_type") === "error", 1)).as("n_failures"),
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("candidate_watermark"))
+      .withColumn("watermark_new",
+        when(col("n_failures") === 0, col("candidate_watermark"))
+          .otherwise(col("watermark_old")))
+  }
+
+  /** Per-run counters (reference SourceRunStats, types.ts:158-190):
+    * items_new/updated/unchanged/deleted + chunks_added/deleted. */
+  def runCounters(s: SparkSession, dir: String): DataFrame = {
+    val stored = signatures(chunksOf(storedDocs(s, dir)))
+      .withColumnRenamed("sig", "stored_sig")
+      .withColumnRenamed("n_chunks", "stored_chunks")
+    val incoming = signatures(chunksOf(incomingDocs(s, dir)))
+    val joined = incoming.join(stored, Seq("url"), "full_outer")
+      .withColumn("status",
+        when(col("sig").isNull, "deleted")
+          .when(col("stored_sig").isNull, "new")
+          .when(col("sig") =!= col("stored_sig"), "updated")
+          .otherwise("unchanged"))
+    joined.agg(
+      count(when(col("status") === "new", 1)).as("items_new"),
+      count(when(col("status") === "updated", 1)).as("items_updated"),
+      count(when(col("status") === "unchanged", 1)).as("items_unchanged"),
+      count(when(col("status") === "deleted", 1)).as("items_deleted"),
+      sum(when(col("status").isin("new", "updated"), col("n_chunks"))
+        .otherwise(0L)).as("chunks_added"),
+      sum(when(col("status").isin("updated", "deleted"),
+        col("stored_chunks")).otherwise(0L)).as("chunks_deleted"))
+  }
+}

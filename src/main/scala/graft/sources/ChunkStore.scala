@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's chunk store (SURVEY.md §2.6): a Parquet table partitioned
+  * by `product_name` (≅ one collection per product, reference
+  * database.ts:28), with the reference's two write disciplines:
+  *
+  *   - upsert-by-url (delete-then-reinsert all chunks of a changed
+  *     document, doc2vec.ts:1957-1969) so chunk_index/total_chunks stay
+  *     consistent and no orphans survive;
+  *   - cleanup guards: obsolete-url deletion is *skipped entirely* when
+  *     the scan was incomplete or had network errors
+  *     (doc2vec.ts:760-781) — never purge live documents on partial
+  *     information.
+  *
+  * Without a transactional table format in this build, upsert is
+  * expressed as plan-level replacement (stored minus incoming-urls, union
+  * incoming) written atomically per run directory; on a cluster with
+  * Delta/Iceberg the same plan becomes MERGE / replaceWhere keyed on url.
+  */
+object ChunkStore {
+
+  /** Plan-level upsert: replace every document (url) present in
+    * `incoming`, keep all other stored chunks. */
+  def upsertByUrl(stored: DataFrame, incoming: DataFrame): DataFrame = {
+    val incomingUrls = incoming.select("url").distinct()
+    stored.join(incomingUrls, Seq("url"), "left_anti")
+      .unionByName(incoming)
+  }
+
+  /** Obsolete cleanup with the reference's guards: returns the store
+    * unchanged when the visited set is untrustworthy. */
+  def cleanupObsolete(stored: DataFrame, visitedUrls: DataFrame,
+      hasNetworkErrors: Boolean, scanIncomplete: Boolean): DataFrame =
+    if (hasNetworkErrors || scanIncomplete) stored
+    else stored.join(visitedUrls.select("url").distinct(),
+      Seq("url"), "left_semi")
+
+  /** Watermark advance/hold (doc2vec.ts:584-591): only a failure-free
+    * run moves the watermark. */
+  def advanceWatermark(old: String, candidate: String,
+      failures: Long): String =
+    if (failures == 0) candidate else old
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("product_name")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

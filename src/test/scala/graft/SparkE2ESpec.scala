@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Chunker, Multimodal}
+import graft.sources.ChunkStore
+import graft.streaming.EventStream
+
+/** End-to-end incremental-sync scenarios over a local SparkSession —
+  * the Spark port of the reference's e2e sync-count oracles
+  * (reference: tests/e2e.test.ts:165-480). */
+class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def chunkCorpus(docs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("url", "markdown").as[(String, String)]
+      .flatMap { case (url, md) =>
+        Chunker.chunkMarkdown(md, "TestProduct", "1.0", url)
+      }.toDF()
+  }
+
+  private val run1Docs = Seq(
+    "doc://a" -> ("# A\n\n" + "alpha content. " * 60),
+    "doc://b" -> ("# B\n\n" + "beta content. " * 60),
+    "doc://c" -> ("# C\n\n" + "gamma content. " * 60))
+
+  test("run1 stores all chunks; run2 re-embeds only the modified doc") {
+    val stored = chunkCorpus(run1Docs)
+    // run 2: doc b modified, a and c untouched
+    val run2Docs = run1Docs.map {
+      case (u, md) if u == "doc://b" => u -> (md + "\n\nnew paragraph.")
+      case other => other
+    }
+    val incoming = chunkCorpus(run2Docs)
+
+    // chunk-level skip: only b's chunks survive the anti-join
+    val delta = incoming.join(stored.select("chunk_id"),
+      Seq("chunk_id"), "left_anti")
+    val deltaUrlsDf = delta.select("url").distinct()
+    assert(deltaUrlsDf.collect().map(_.getString(0)).toSet == Set("doc://b"))
+
+    // url-level diff counters (items_unchanged == N-1)
+    def sig(df: DataFrame) = df.groupBy("url")
+      .agg(sort_array(collect_list(col("chunk_id"))).as("sig"))
+    val joined = sig(incoming).as("i")
+      .join(sig(stored).as("s"), Seq("url"), "left")
+      .withColumn("unchanged", col("i.sig") === col("s.sig"))
+    assert(joined.filter(col("unchanged")).count() == 2)
+    assert(joined.filter(!col("unchanged")).count() == 1)
+
+    // upsert keeps store consistent: same urls, b fully replaced
+    val upserted = ChunkStore.upsertByUrl(stored,
+      incoming.join(deltaUrlsDf, Seq("url"), "left_semi"))
+    assert(upserted.select("url").distinct().count() == 3)
+    val bChunks = upserted.filter(col("url") === "doc://b")
+    val expectedB = incoming.filter(col("url") === "doc://b")
+    assert(bChunks.count() == expectedB.count())
+    assert(bChunks.join(expectedB.select("chunk_id"), Seq("chunk_id"),
+      "left_anti").count() == 0)
+  }
+
+  test("cleanup removes unvisited urls but is skipped on partial scans") {
+    import spark.implicits._
+    val stored = chunkCorpus(run1Docs)
+    val visited = Seq("doc://a", "doc://b").toDF("url") // c was deleted
+
+    val cleaned = ChunkStore.cleanupObsolete(stored, visited,
+      hasNetworkErrors = false, scanIncomplete = false)
+    assert(cleaned.select("url").distinct().collect().map(_.getString(0))
+      .toSet == Set("doc://a", "doc://b"))
+
+    // guard: network errors ⇒ nothing is purged
+    val guarded = ChunkStore.cleanupObsolete(stored, visited,
+      hasNetworkErrors = true, scanIncomplete = false)
+    assert(guarded.count() == stored.count())
+    val guarded2 = ChunkStore.cleanupObsolete(stored, visited,
+      hasNetworkErrors = false, scanIncomplete = true)
+    assert(guarded2.count() == stored.count())
+  }
+
+  test("watermark advances only on failure-free runs") {
+    assert(ChunkStore.advanceWatermark("t0", "t1", failures = 0) == "t1")
+    assert(ChunkStore.advanceWatermark("t0", "t1", failures = 3) == "t0")
+  }
+
+  test("streaming windowed aggregation over the events table") {
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    // stage a small slice of real events as the stream input
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(500).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    val q = EventStream.windowedCounts(
+        EventStream.readEvents(spark, tmp))
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; verify state machinery ran
+      assert(q.lastProgress != null)
+      val stateRows = q.lastProgress.stateOperators
+      assert(stateRows.nonEmpty && stateRows.head.numRowsTotal > 0)
+    } finally q.stop()
+  }
+
+  test("multimodal binary pipeline: metadata + batched feature extraction") {
+    import spark.implicits._
+    val binaries = Seq(
+      ("img/a.png", "image/png", "fake-png-bytes-a".getBytes("UTF-8")),
+      ("img/b.png", "image/png", "fake-png-bytes-bb".getBytes("UTF-8")),
+      ("aud/c.wav", "audio/wav", "fake-wav-bytes-ccc".getBytes("UTF-8")))
+      .toDF("path", "mime", "content")
+    val out = Multimodal.extractFeatures(spark, binaries).collect()
+    assert(out.length == 3)
+    val row = out.find(_.getString(0) == "img/a.png").get
+    assert(row.getLong(2) == 16L) // n_bytes
+    assert(row.getInt(4) >= 64 && row.getInt(5) >= 64) // stub dims
+    assert(row.getSeq[Float](7).length == Multimodal.FeatureDim)
+    // deterministic: same bytes → same features
+    val again = Multimodal.extractFeatures(spark, binaries).collect()
+      .find(_.getString(0) == "img/a.png").get
+    assert(row.getSeq[Float](7) == again.getSeq[Float](7))
+  }
+}
