@@ -9,15 +9,29 @@ import java.security.MessageDigest
   */
 object TextUtil {
 
+  // one digest instance per thread: getInstance() per call dominates the
+  // hash cost when the chunker/embedder hashes hundreds of thousands of
+  // tokens per partition
+  private val sha256Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   /** SHA-256 hex of UTF-8 bytes (reference: utils.ts:6-8). */
   def sha256Hex(content: String): String =
     sha256HexBytes(content.getBytes(StandardCharsets.UTF_8))
 
   def sha256HexBytes(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
-    val sb = new StringBuilder(d.length * 2)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** MD5("metadata_"+key) formatted as a v4-style UUID

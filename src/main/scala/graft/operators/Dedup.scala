@@ -47,6 +47,15 @@ object Dedup {
         expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("shingle"))
 
+  /** Distinct word-3-gram shingles, JVM-side (for the per-doc signature
+    * kernels — same output as the `shingles` plan). */
+  private def shingleSet(text: String): Iterator[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < 3) Iterator.empty
+    else ws.iterator.sliding(3).withPartial(false)
+      .map(_.mkString(" ")).distinct
+  }
+
   /** Exact deduplication over a simulated re-crawl (stored ∪ incoming):
     * group by content hash, keep the smallest doc_id. */
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
@@ -81,15 +90,34 @@ object Dedup {
   }
 
   /** (doc_id, j, h) minhash triples: h_j = min over shingles of
-    * (a_j*x + b_j) mod p, x = 28-bit sha256-prefix of the shingle. */
+    * (a_j*x + b_j) mod p, x = 28-bit sha256-prefix of the shingle.
+    * Computed as a per-document kernel in one typed pass (zero shuffle;
+    * the relational form — shingle explode × 16 permutations × two
+    * groupBys — moves 16× the postings through a shuffle for the same
+    * arithmetic). */
   private def minhashTriples(s: SparkSession, dir: String): DataFrame = {
-    val permDf = s.createDataFrame(perms).toDF("j", "a", "b")
-    shingles(s, dir)
-      .withColumn("x",
-        conv(substring(sha2(col("shingle"), 256), 1, 7), 16, 10).cast("long"))
-      .crossJoin(broadcast(permDf))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min((col("a") * col("x") + col("b")) % P).as("h"))
+    import s.implicits._
+    val permArr = perms.toArray
+    Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val mins = Array.fill(permArr.length)(Long.MaxValue)
+        var any = false
+        shingleSet(text).foreach { sh =>
+          any = true
+          val x = java.lang.Long.parseLong(
+            graft.functions.TextUtil.sha256Hex(sh).substring(0, 7), 16)
+          var j = 0
+          while (j < permArr.length) {
+            val h = (permArr(j)._2 * x + permArr(j)._3) % P
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else mins.iterator.zipWithIndex.map { case (h, j) => (docId, j, h) }
+      }
+      .toDF("doc_id", "j", "h")
   }
 
   /** Per-document MinHash signature (16 permutations, comma-joined in
@@ -117,48 +145,78 @@ object Dedup {
 
   /** (doc_id, simhash): 32-bit SimHash over distinct word-3-gram
     * shingles (hash bits weighted ±1, bit set where the sum is
-    * positive). */
+    * positive). Per-document kernel in one typed pass — the relational
+    * form (shingles × 32 bit-rows through two shuffled groupBys) moves
+    * 32× the postings for the same arithmetic. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bits = s.createDataFrame((0 until 32).map(Tuple1(_))).toDF("b")
-    shingles(s, dir)
-      .withColumn("w32",
-        conv(substring(sha2(col("shingle"), 256), 1, 8), 16, 10).cast("long"))
-      .crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(expr("2 * ((w32 >> b) & 1) - 1")).as("sgn"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("sgn") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .as("simhash"))
+    Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val sums = new Array[Long](32)
+        var any = false
+        shingleSet(text).foreach { sh =>
+          any = true
+          val w32 = java.lang.Long.parseLong(
+            graft.functions.TextUtil.sha256Hex(sh).substring(0, 8), 16)
+          var b = 0
+          while (b < 32) {
+            sums(b) += 2 * ((w32 >> b) & 1L) - 1
+            b += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else {
+          var sig = 0L
+          var b = 0
+          while (b < 32) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
+          Iterator.single((docId, sig))
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 6 over all pairs (exact
-    * baseline; band the signature at extreme scale). */
+  /** SimHash near-dup pairs: Hamming distance ≤ 6. Candidate generation
+    * is banded, not quadratic: the 32-bit signature splits into 7 bands
+    * (5+5+5+5+4+4+4 bits); ≤6 differing bits can corrupt at most 6
+    * bands, so every qualifying pair matches exactly on ≥1 band
+    * (pigeonhole) — output identical to the all-pairs scan, but the join
+    * is a hash join on (band, value) whose cost follows bucket sizes,
+    * not corpus². */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(s, dir)
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long"))
-      .filter(col("hamming") <= 6)
+    // (doc_id, simhash, band, value)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        expr("simhash & 31"), expr("(simhash >> 5) & 31"),
+        expr("(simhash >> 10) & 31"), expr("(simhash >> 15) & 31"),
+        expr("(simhash >> 20) & 15"), expr("(simhash >> 24) & 15"),
+        expr("(simhash >> 28) & 15"))).as(Seq("band", "value")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.value") === col("b.value") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming"))
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding near-dup pairs: exact cosine > 0.4 over all pairs,
-    * computed in double (zip_with fold — same accumulation order as the
-    * oracle). Brute-force baseline; the approximate path is
-    * Similarity.annTopK. */
+  /** Embedding near-dup pairs: exact cosine > 0.4 over all pairs.
+    * Hot path: the codegen'd `dot_f` expression (tight primitive loop,
+    * same left-to-right double accumulation as the oracle) with norms
+    * precomputed once per vector *before* the self-join — the naive form
+    * recomputes two norms per pair, tripling the dominant cost. */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val dot = "aggregate(zip_with(a.embedding, b.embedding, " +
-      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    val norm = (side: String) =>
-      s"sqrt(aggregate($side.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+      .withColumn("norm", expr("sqrt(dot_f(embedding, embedding))"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", expr(s"$dot / (${norm("a")} * ${norm("b")})"))
+      .withColumn("cosine",
+        expr("dot_f(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
       .filter(col("cosine") > 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .orderBy("vec_a", "vec_b")

@@ -22,18 +22,16 @@ import graft.Tables
   */
 object Similarity {
 
-  /** cosine(a, b) in double precision with a left-to-right fold (matches
-    * the oracle's list_dot_product accumulation). */
-  private def cosineExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"""
-      .stripMargin)
+  /** cosine(a, b) in double precision via the codegen'd dot_f expression
+    * (left-to-right accumulation, matching the oracle's
+    * list_dot_product). */
+  private def cosineExpr(a: String, b: String): Column =
+    expr(s"dot_f($a, $b) / (sqrt(dot_f($a, $a)) * sqrt(dot_f($b, $b)))")
 
   /** Exact brute-force cosine top-k: queries = vec_id < 5, corpus =
     * vec_id >= 5; top 10 per query (cosine desc, vec_id tie-break). */
   def knnExact(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -56,6 +54,7 @@ object Similarity {
     * product_name), url-prefix post-filter, empty-content drop, limit 4;
     * cosine *distance* ordering (1 - similarity). */
   def queryDocumentation(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir)
     val docs = Tables.documents(s, dir)
     val store = docs.join(e, col("doc_id") === col("vec_id"))
@@ -124,6 +123,7 @@ object Similarity {
   /** ANN top-k: candidates share an LSH band with the query (OR of two
     * bands — classic banding), then exact cosine rerank, top-5. */
   def annTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     val b = lshBuckets(s, dir)
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val withVec = b.join(e, "vec_id")
