@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPipeline, Relational, Similarity, Sync, TextAnalysis}
+import graft.operators.{Dedup, DocPipeline, Ingest, Relational, Similarity, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,7 +66,15 @@ object SparkEntry {
     "sync_chunk_delta"    -> (Sync.chunkDelta _),
     "sync_cleanup"        -> (Sync.cleanup _),
     "sync_watermark"      -> (Sync.watermark _),
-    "sync_run_counters"   -> (Sync.runCounters _)
+    "sync_run_counters"   -> (Sync.runCounters _),
+    "ingest_html"         -> (Ingest.ingestHtml _),
+    "ingest_render_issue" -> (Ingest.renderIssues _),
+    "crawl_frontier"      -> (Ingest.crawlFrontier _),
+    "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
+    "sync_etag_skip"      -> (Ingest.etagSkip _),
+    "ctl_overlap_detect"  -> (Ingest.overlapDetect _),
+    "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
+      Similarity.annMllib(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -622,7 +630,118 @@ object SparkEntry {
            CAST(sum(CASE WHEN status IN ('updated','deleted')
                     THEN stored_chunks ELSE 0 END) AS BIGINT)
              AS chunks_deleted
-         FROM j""")
+         FROM j"""),
+    "ingest_html" ->
+      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+         CAST(1 AS BIGINT) AS total_chunks, lang AS section,
+         sha256(content) AS chunk_id, content
+         FROM (SELECT *,
+           '[Topic: '||source||' > '||lang||']'||chr(10)||
+           '# '||source||chr(10)||chr(10)||
+           '## '||lang||chr(10)||chr(10)||text AS content
+           FROM documents) t
+         ORDER BY url, chunk_index""",
+    "ingest_render_issue" ->
+      """WITH e AS (
+           SELECT event_id AS id, user_id, event_type AS etype,
+             strftime(ts::TIMESTAMP, '%a %b %d %Y') AS d
+           FROM events WHERE event_id < 100),
+         md AS (
+           SELECT id,
+             '# ' || (CASE WHEN id % 5 = 0 THEN 'PR' ELSE 'Issue' END) ||
+             ' #' || id || ': Event ' || etype || ' ' || id ||
+             chr(10) || chr(10) ||
+             '- **Type:** ' ||
+               (CASE WHEN id % 5 = 0 THEN 'Pull request' ELSE 'Issue' END) ||
+               chr(10) ||
+             '- **Author:** user' || user_id || chr(10) ||
+             '- **State:** ' ||
+               (CASE WHEN etype='error' THEN 'closed' ELSE 'open' END) ||
+               chr(10) ||
+             '- **Created on:** ' || d || chr(10) ||
+             '- **Updated on:** ' || d || chr(10) ||
+             '- **Labels:** ' ||
+               (CASE WHEN etype='click' THEN '`ui`, `p1`' ELSE 'None' END) ||
+               chr(10) || chr(10) ||
+             '## Description' || chr(10) || chr(10) ||
+             'Body for event ' || id || '.' || chr(10) || chr(10) ||
+             '## Comments' || chr(10) || chr(10) ||
+             '_No comments._' || chr(10) AS markdown
+           FROM e)
+         SELECT id AS issue_id, markdown, sha256(markdown) AS md_hash
+         FROM md ORDER BY issue_id""",
+    "crawl_frontier" ->
+      """WITH RECURSIVE
+         edges AS (
+           SELECT 'doc://'||doc_id AS src,
+             'doc://'||((doc_id*7+1) % (SELECT count(*) FROM documents))
+               AS dst
+           FROM documents
+           UNION ALL
+           SELECT 'doc://'||doc_id,
+             'doc://'||((doc_id*13+5) % (SELECT count(*) FROM documents))
+           FROM documents),
+         bfs AS (
+           SELECT 'doc://0' AS url, 0 AS depth
+           UNION
+           SELECT e.dst, b.depth + 1
+           FROM bfs b JOIN edges e ON e.src = b.url
+           WHERE b.depth < 25)
+         SELECT url, CAST(min(depth) AS BIGINT) AS depth
+         FROM bfs GROUP BY 1 ORDER BY url""",
+    "sitemap_prefix_lastmod" ->
+      """WITH prefixes(prefix, lastmod) AS (VALUES
+           ('doc://','2024-01-16'),
+           ('doc://0','2024-01-17'),('doc://1','2024-01-17'),
+           ('doc://2','2024-01-17'),('doc://3','2024-01-17'),
+           ('doc://4','2024-01-17'),('doc://5','2024-01-17'),
+           ('doc://6','2024-01-17'),('doc://7','2024-01-17'),
+           ('doc://8','2024-01-17'),('doc://9','2024-01-17')),
+         urls AS (SELECT 'doc://'||doc_id AS url FROM documents),
+         ranked AS (
+           SELECT url, prefix, lastmod,
+             row_number() OVER (PARTITION BY url
+               ORDER BY length(prefix) DESC, prefix) AS rn
+           FROM urls JOIN prefixes ON url LIKE prefix||'%')
+         SELECT url, prefix, lastmod FROM ranked WHERE rn = 1
+         ORDER BY url""",
+    "sync_etag_skip" ->
+      """WITH current AS (
+           SELECT 'doc://'||doc_id AS url, sha256(text) AS etag, doc_id
+           FROM documents),
+         stored AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 3 = 0 THEN sha256(text)
+                  ELSE sha256(text||'stale') END AS stored_etag
+           FROM documents WHERE doc_id % 3 <> 2)
+         SELECT c.url,
+           CASE WHEN s.stored_etag IS NULL THEN 'fetch_new'
+                WHEN s.stored_etag = c.etag THEN 'skip'
+                ELSE 'fetch_changed' END AS decision
+         FROM current c LEFT JOIN stored s ON c.url = s.url
+         ORDER BY c.url""",
+    "ctl_overlap_detect" ->
+      """WITH r AS (
+           SELECT event_id, user_id,
+             epoch_us(ts::TIMESTAMP) AS start_us,
+             epoch_us(ts::TIMESTAMP)
+               + CAST(floor(value*1000000) AS BIGINT) AS end_us
+           FROM events),
+         marked AS (
+           SELECT user_id,
+             CASE WHEN max(end_us) OVER
+                 (PARTITION BY user_id ORDER BY start_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 IS NOT NULL
+               AND start_us < max(end_us) OVER
+                 (PARTITION BY user_id ORDER BY start_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 'skipped' ELSE 'run' END AS status
+           FROM r)
+         SELECT user_id,
+           count(*) FILTER (WHERE status='skipped') AS n_skipped,
+           count(*) FILTER (WHERE status='run') AS n_run
+         FROM marked GROUP BY 1 ORDER BY user_id"""
   )
 
   /** Shared CTE stack for the sync oracles: deterministic stored/incoming

@@ -1,0 +1,201 @@
+package graft.functions
+
+import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+/** HTML → Markdown normalization (SURVEY.md §2.2), the reference's
+  * sanitize-allowlist + Turndown pipeline (content-processor.ts:142-275)
+  * re-implemented as a dependency-free pure function (no jsoup in this
+  * build). Scope: the sanitized tag subset the reference allows —
+  * headings, paragraphs, links, emphasis, inline/fenced code (with
+  * min-indent dedent and blank-line collapse), lists, tables (with `|`
+  * escaping, empty-cell preservation and THEAD separators), blockquotes,
+  * line breaks. Disallowed containers are unwrapped; script/style
+  * subtrees are dropped, matching sanitize-html semantics.
+  *
+  * Used inside `mapPartitions`/`flatMap` ingestion — a pure per-document
+  * transform with no shuffle.
+  */
+object HtmlToMarkdown {
+
+  private val allowed = Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "a",
+    "ul", "ol", "li", "b", "i", "strong", "em", "code", "pre", "div",
+    "span", "table", "thead", "tbody", "tr", "th", "td", "blockquote", "br")
+  private val dropWithContent = Set("script", "style", "head", "noscript",
+    "template", "iframe")
+  private val voidTags = Set("br", "hr", "img", "input", "meta", "link")
+
+  private sealed trait Node
+  private case class Elem(tag: String, attrs: Map[String, String],
+      children: ListBuffer[Node] = ListBuffer()) extends Node
+  private case class Text(s: String) extends Node
+
+  private val tagRe =
+    """(?s)<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>"']|"[^"]*"|'[^']*')*?)(/?)>""".r
+  private val attrRe =
+    """([a-zA-Z-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
+
+  private def unescape(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&#39;", "'")
+    .replace("&nbsp;", " ").replace("&amp;", "&")
+
+  /** Parse an HTML fragment into a tree (forgiving: unclosed tags close
+    * at their parent's boundary; unknown structure degrades to text). */
+  private def parse(html: String): Elem = {
+    val root = Elem("root", Map.empty)
+    var stack = List[Elem](root)
+    var pos = 0
+    for (m <- tagRe.findAllMatchIn(html)) {
+      if (m.start > pos) {
+        val t = html.substring(pos, m.start)
+        if (t.nonEmpty) stack.head.children += Text(unescape(t))
+      }
+      pos = m.end
+      val closing = m.group(1) == "/"
+      val tag = m.group(2).toLowerCase
+      val selfClose = m.group(4) == "/" || voidTags.contains(tag)
+      if (closing) {
+        // close nearest matching open element
+        val idx = stack.indexWhere(_.tag == tag)
+        if (idx >= 0) stack = stack.drop(idx + 1) match {
+          case Nil => List(root)
+          case rest => rest
+        }
+      } else {
+        val attrs = attrRe.findAllMatchIn(m.group(3)).map { am =>
+          val v = Option(am.group(3)).orElse(Option(am.group(4)))
+            .getOrElse(Option(am.group(5)).getOrElse(""))
+          am.group(1).toLowerCase -> unescape(v)
+        }.toMap
+        val el = Elem(tag, attrs)
+        stack.head.children += el
+        if (!selfClose) stack = el :: stack
+      }
+    }
+    if (pos < html.length) {
+      val t = html.substring(pos)
+      if (t.nonEmpty) stack.head.children += Text(unescape(t))
+    }
+    root
+  }
+
+  private def textContent(n: Node): String = n match {
+    case Text(s) => s
+    case e: Elem =>
+      if (dropWithContent.contains(e.tag)) ""
+      else e.children.map(textContent).mkString
+  }
+
+  /** The reference's PRE rule: inner <code> text (else own text),
+    * min-indent dedent over non-blank lines, outer trim, blank-line
+    * collapse, plain fence. */
+  private def renderPre(e: Elem): String = {
+    val codeChild = e.children.collectFirst {
+      case c: Elem if c.tag == "code" => c
+    }
+    val raw = codeChild.map(textContent).getOrElse(textContent(e))
+    val lines = raw.split("\n", -1)
+    val minIndent = lines.filter(_.trim.nonEmpty)
+      .map(l => l.takeWhile(c => c == ' ' || c == '\t').length)
+      .reduceOption(math.min).getOrElse(0)
+    val cleaned = lines.map(l => l.substring(math.min(minIndent, l.length)))
+      .mkString("\n")
+      .replaceAll("^\\s+|\\s+$", "")
+      .replaceAll("\n{2,}", "\n")
+    s"\n```\n$cleaned\n```\n"
+  }
+
+  /** Table-cell content: joined <p> texts when present, else inline
+    * content; `|` escaped; empty cells preserved as ` |`. */
+  private def renderCell(e: Elem): String = {
+    val ps = e.children.collect { case c: Elem if c.tag == "p" => c }
+    val content =
+      if (ps.nonEmpty) ps.map(p => textContent(p).trim).mkString(" ").trim
+      else inline(e).trim
+    if (content.isEmpty) " |" else s" ${content.replace("|", "\\|")} |"
+  }
+
+  private def renderRow(e: Elem, inThead: Boolean): String = {
+    val cells = e.children.collect {
+      case c: Elem if c.tag == "th" || c.tag == "td" => c
+    }
+    val body = "|" + cells.map(renderCell).mkString.reverse
+      .dropWhile(_ == ' ').reverse
+    if (inThead) body + "\n|" + cells.map(_ => "---").mkString(" | ") + "|\n"
+    else body + "\n"
+  }
+
+  private def renderTable(e: Elem): String = {
+    val sb = new StringBuilder
+    def rows(n: Elem, inThead: Boolean): Unit = n.children.foreach {
+      case c: Elem if c.tag == "tr" => sb.append(renderRow(c, inThead))
+      case c: Elem if c.tag == "thead" => rows(c, inThead = true)
+      case c: Elem if c.tag == "tbody" => rows(c, inThead = false)
+      case _ =>
+    }
+    rows(e, inThead = false)
+    "\n" + sb.toString.replaceAll("\n+", "\n").trim + "\n"
+  }
+
+  /** Inline rendering (whitespace collapsed, emphasis/links/code). */
+  private def inline(n: Node): String = n match {
+    case Text(s) => s.replaceAll("\\s+", " ")
+    case e: Elem => e.tag match {
+      case t if dropWithContent.contains(t) => ""
+      case "br" => "\n"
+      case "a" =>
+        val body = e.children.map(inline).mkString.trim
+        e.attrs.get("href") match {
+          case Some(h) if body.nonEmpty => s"[$body]($h)"
+          case _ => body
+        }
+      case "strong" | "b" =>
+        val body = e.children.map(inline).mkString.trim
+        if (body.isEmpty) "" else s"**$body**"
+      case "em" | "i" =>
+        val body = e.children.map(inline).mkString.trim
+        if (body.isEmpty) "" else s"*$body*"
+      case "code" =>
+        val body = textContent(e).trim
+        if (body.isEmpty) "" else s"`$body`"
+      case _ => e.children.map(inline).mkString
+    }
+  }
+
+  private def block(n: Node, listDepth: Int): String = n match {
+    case t: Text => inline(t)
+    case e: Elem => e.tag match {
+      case tag if dropWithContent.contains(tag) => ""
+      case h if h.length == 2 && h.charAt(0) == 'h' && h.charAt(1).isDigit =>
+        val level = h.charAt(1) - '0'
+        s"\n\n${"#" * level} ${e.children.map(inline).mkString.trim}\n\n"
+      case "p" => s"\n\n${e.children.map(inline).mkString.trim}\n\n"
+      case "pre" => renderPre(e)
+      case "table" => renderTable(e)
+      case "blockquote" =>
+        val body = e.children.map(block(_, listDepth)).mkString
+          .trim.split("\n").map(l => s"> $l").mkString("\n")
+        s"\n\n$body\n\n"
+      case "ul" | "ol" =>
+        val items = e.children.collect { case c: Elem if c.tag == "li" => c }
+        val rendered = items.zipWithIndex.map { case (li, i) =>
+          val marker = if (e.tag == "ol") s"${i + 1}." else "-"
+          val body = li.children.map(block(_, listDepth + 1)).mkString
+            .trim.replaceAll("\n{2,}", "\n")
+          "  " * listDepth + s"$marker $body"
+        }
+        s"\n\n${rendered.mkString("\n")}\n\n"
+      case "br" => "\n"
+      case _ => e.children.map(block(_, listDepth)).mkString
+    }
+  }
+
+  /** Convert an HTML fragment to Markdown; empty/blank input → "". */
+  def convert(html: String): String = {
+    if (html == null || html.trim.isEmpty) return ""
+    block(parse(html), 0)
+      .replaceAll("[ \t]+\n", "\n")
+      .replaceAll("\n{3,}", "\n\n")
+      .trim
+  }
+}

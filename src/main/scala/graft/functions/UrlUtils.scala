@@ -1,0 +1,54 @@
+package graft.functions
+
+import java.net.URI
+
+/** URL scalar functions (SURVEY.md §2.8; reference utils.ts:17-108). */
+object UrlUtils {
+
+  /** origin + pathname (strip query + fragment); input returned verbatim
+    * when unparseable (reference behavior). */
+  def getUrlPrefix(url: String): String =
+    try {
+      val u = new URI(url)
+      val port = if (u.getPort >= 0) s":${u.getPort}" else ""
+      s"${u.getScheme}://${u.getHost}$port${Option(u.getPath).getOrElse("")}"
+    } catch { case _: Exception => url }
+
+  /** Strip fragment and query. */
+  def normalizeUrl(url: String): String = {
+    val noHash = url.indexOf('#') match {
+      case -1 => url
+      case i  => url.substring(0, i)
+    }
+    noHash.indexOf('?') match {
+      case -1 => noHash
+      case i  => noHash.substring(0, i)
+    }
+  }
+
+  /** Resolve a possibly-relative href against a base URL. */
+  def buildUrl(href: String, base: String): String =
+    try new URI(base).resolve(href).toString
+    catch { case _: Exception => href }
+
+  /** Crawl-eligibility check (reference utils.ts:48-69): .html/.htm/.pdf,
+    * directory URLs, or extension-less paths. */
+  def shouldProcessUrl(url: String): Boolean = {
+    val path = normalizeUrl(url)
+    val last = path.substring(path.lastIndexOf('/') + 1)
+    last.isEmpty || !last.contains('.') ||
+      last.endsWith(".html") || last.endsWith(".htm") || last.endsWith(".pdf")
+  }
+
+  def isPdfUrl(url: String): Boolean =
+    normalizeUrl(url).toLowerCase.endsWith(".pdf")
+
+  /** RFC 5988 Link-header rel=next extraction (utils.ts:92-108). */
+  def parseNextLink(linkHeader: String): Option[String] = {
+    if (linkHeader == null) return None
+    val re = """<([^>]+)>\s*;\s*rel\s*=\s*"?next"?""".r
+    linkHeader.split(',').iterator
+      .flatMap(part => re.findFirstMatchIn(part).map(_.group(1).trim))
+      .nextOption()
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.HtmlToMarkdown
+import graft.sources.{Crawler, Renderers}
+
+/** Ingestion-layer operators (SURVEY.md §2.1/§2.2): HTML normalization,
+  * API-record rendering, crawl frontier, sitemap prefix inheritance,
+  * ETag skip — each over deterministic constructions from the driver
+  * tables so the DuckDB oracle can replay them.
+  */
+object Ingest {
+
+  /** HTML page ingest: documents → synthetic HTML → HtmlToMarkdown →
+    * heading-aware chunker. End-to-end §2.2 normalization through the
+    * pipeline (pure per-row, no shuffle). */
+  def ingestHtml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source").as[DocIn]
+      .flatMap { d =>
+        val html = s"<html><head><title>x</title><script>bad()</script></head>" +
+          s"<body><h1>${d.source}</h1><div><h2>${d.lang}</h2>" +
+          s"<p>${d.text}</p></div></body></html>"
+        val md = HtmlToMarkdown.convert(html)
+        Chunker.chunkMarkdown(md, d.source, "1.0", s"doc://${d.doc_id}")
+      }
+      .select(col("url"), col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("section"), col("chunk_id"), col("content"))
+      .orderBy("url", "chunk_index")
+  }
+
+  /** GitHub-issue rendering: events rows as synthetic issues (event_id →
+    * number, event_type → state vocabulary) rendered through the
+    * reference template; emits the markdown and its hash. */
+  def renderIssues(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String, String)]
+      .map { case (id, user, etype, iso) =>
+        val issue = Renderers.Issue(
+          number = id, title = s"Event $etype $id", author = s"user$user",
+          state = if (etype == "error") "closed" else "open",
+          createdAt = iso, updatedAt = iso,
+          labels = if (etype == "click") Seq("ui", "p1") else Seq.empty,
+          body = Some(s"Body for event $id."),
+          isPullRequest = id % 5 == 0,
+          comments = Seq.empty)
+        val md = Renderers.renderIssue(issue)
+        (id, md, graft.functions.TextUtil.sha256Hex(md))
+      }
+      .toDF("issue_id", "markdown", "md_hash")
+      .orderBy("issue_id")
+  }
+
+  /** Crawl frontier: BFS over a deterministic link graph (doc i links
+    * to (7i+1) mod N and (13i+5) mod N) from seed doc 0 → (url, depth).
+    * Oracle: DuckDB recursive CTE with min-depth aggregation. */
+  def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val links = docs.select(
+        concat(lit("doc://"), col("doc_id")).as("src"),
+        concat(lit("doc://"), (col("doc_id") * 7 + 1) % n).as("dst"))
+      .unionByName(docs.select(
+        concat(lit("doc://"), col("doc_id")).as("src"),
+        concat(lit("doc://"), (col("doc_id") * 13 + 5) % n).as("dst")))
+    val seeds = s.createDataFrame(Seq(Tuple1("doc://0"))).toDF("url")
+    Crawler.frontierFixpoint(links, seeds).orderBy("url")
+  }
+
+  /** Sitemap lastmod inheritance: each url inherits the lastmod of its
+    * longest matching sitemap prefix (reference
+    * content-processor.ts:393-436). Prefixes broadcast; longest match
+    * via ranked startswith. */
+  def prefixLastmod(s: SparkSession, dir: String): DataFrame = {
+    val prefixes = s.createDataFrame(
+        ("doc://" +: (0 to 9).map(d => s"doc://$d")).map(p =>
+          (p, s"2024-01-${10 + p.length}")))
+      .toDF("prefix", "lastmod")
+    val urls = Tables.documents(s, dir)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+    val w = Window.partitionBy(col("url"))
+      .orderBy(length(col("prefix")).desc, col("prefix"))
+    urls.join(broadcast(prefixes), col("url").startsWith(col("prefix")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("url", "prefix", "lastmod")
+      .orderBy("url")
+  }
+
+  /** ETag skip layer (reference content-processor.ts:608-742): compare
+    * the stored etag against the current content hash; equal → skip the
+    * page without fetching. */
+  def etagSkip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val current = docs.select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      sha2(col("text"), 256).as("etag"))
+    // stored etags: a third of pages unchanged, a third stale, a third new
+    val stored = docs.filter(col("doc_id") % 3 =!= 2).select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      when(col("doc_id") % 3 === 0, sha2(col("text"), 256))
+        .otherwise(sha2(concat(col("text"), lit("stale")), 256))
+        .as("stored_etag"))
+    current.join(stored, Seq("url"), "left")
+      .withColumn("decision",
+        when(col("stored_etag").isNull, "fetch_new")
+          .when(col("stored_etag") === col("etag"), "skip")
+          .otherwise("fetch_changed"))
+      .select("url", "decision")
+      .orderBy("url")
+  }
+
+  /** Controller overlap detection (reference job-runner.ts:71-95): a
+    * run is `skipped` when its config (user) still has an earlier run
+    * in flight (start < running max of previous ends). Integer-µs
+    * arithmetic for engine parity. */
+  def overlapDetect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("start_us", unix_micros(col("ts")))
+      // floor before the integer cast: DuckDB's double→BIGINT cast
+      // rounds while Spark's truncates — floor() agrees everywhere
+      .withColumn("end_us",
+        col("start_us") + floor(col("value") * 1000000d).cast("long"))
+      .withColumn("prev_max_end", max(col("end_us")).over(w))
+      .withColumn("status",
+        when(col("prev_max_end").isNotNull &&
+          col("start_us") < col("prev_max_end"), "skipped")
+          .otherwise("run"))
+      .groupBy(col("user_id"))
+      .agg(count(when(col("status") === "skipped", 1)).as("n_skipped"),
+        count(when(col("status") === "run", 1)).as("n_run"))
+      .orderBy("user_id")
+  }
+}

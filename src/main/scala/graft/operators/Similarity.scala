@@ -93,6 +93,30 @@ object Similarity {
         least(count(lit(1)), lit(4L)).as("returned"))
   }
 
+  /** MLlib scale path: BucketedRandomProjectionLSH approximate
+    * neighbors of vector 0 (seeded model — deterministic within Spark,
+    * but not reproducible in SQL, so this query has a rows-only check).
+    */
+  def annMllib(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+      .fit(vecs)
+    val key = vecs.filter(col("vec_id") === 0)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), key, k)
+      .select(col("vec_id"), col("distCol").as("distance"))
+      .orderBy("distance", "vec_id")
+      .select(col("vec_id"))
+  }
+
   // ── Deterministic random-hyperplane LSH ───────────────────────────────
   // Hyperplane i, dimension d has sign +1 iff bit 13 of
   // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{HtmlToMarkdown, UrlUtils}
+import graft.sources.Renderers
+
+/** Golden tests for the normalization layer, ported from the reference's
+  * converter/renderer contracts (tests/content-processor.test.ts:20-142;
+  * doc2vec.ts:441-465 template). */
+class IngestSpec extends AnyFunSuite {
+
+  test("headings, paragraphs, emphasis") {
+    val md = HtmlToMarkdown.convert(
+      "<h1>Title</h1><p>Hello <strong>bold</strong> and <em>it</em>.</p>")
+    assert(md == "# Title\n\nHello **bold** and *it*.")
+  }
+
+  test("links render as markdown links") {
+    val md = HtmlToMarkdown.convert(
+      """<p>See <a href="https://x.io/docs">the docs</a> now.</p>""")
+    assert(md == "See [the docs](https://x.io/docs) now.")
+  }
+
+  test("pre/code blocks dedent and collapse blank lines") {
+    val html =
+      "<pre><code>    def f():\n        return 1\n\n\n    f()</code></pre>"
+    val md = HtmlToMarkdown.convert(html)
+    assert(md == "```\ndef f():\n    return 1\nf()\n```")
+  }
+
+  test("pre without code child uses own text") {
+    assert(HtmlToMarkdown.convert("<pre>  x = 1\n  y = 2</pre>") ==
+      "```\nx = 1\ny = 2\n```")
+  }
+
+  test("inline code") {
+    assert(HtmlToMarkdown.convert("<p>run <code>ls -la</code> here</p>") ==
+      "run `ls -la` here")
+  }
+
+  test("tables with header separator, pipe escaping, empty cells") {
+    val html = """<table><thead><tr><th>Name</th><th>Val</th></tr></thead>
+      <tbody><tr><td>a|b</td><td></td></tr></tbody></table>"""
+    val md = HtmlToMarkdown.convert(html)
+    assert(md.contains("| Name | Val |"))
+    assert(md.contains("|--- | ---|"))
+    assert(md.contains("| a\\|b | |"))
+  }
+
+  test("table cells with paragraphs join their text") {
+    val html =
+      "<table><tbody><tr><td><p>one</p><p>two</p></td></tr></tbody></table>"
+    assert(HtmlToMarkdown.convert(html).contains("| one two |"))
+  }
+
+  test("lists: unordered and ordered") {
+    assert(HtmlToMarkdown.convert("<ul><li>a</li><li>b</li></ul>") ==
+      "- a\n- b")
+    assert(HtmlToMarkdown.convert("<ol><li>x</li><li>y</li></ol>") ==
+      "1. x\n2. y")
+  }
+
+  test("script/style/head subtrees are dropped, divs unwrap") {
+    val md = HtmlToMarkdown.convert(
+      "<head><title>T</title></head><script>evil()</script>" +
+        "<div><p>kept</p></div><style>.x{}</style>")
+    assert(md == "kept")
+  }
+
+  test("blockquote") {
+    assert(HtmlToMarkdown.convert("<blockquote><p>wise words</p></blockquote>")
+      == "> wise words")
+  }
+
+  test("empty and blank input") {
+    assert(HtmlToMarkdown.convert("") == "")
+    assert(HtmlToMarkdown.convert("   ") == "")
+    assert(HtmlToMarkdown.convert(null) == "")
+  }
+
+  test("entities are unescaped") {
+    assert(HtmlToMarkdown.convert("<p>a &amp; b &lt;c&gt;&nbsp;d</p>") ==
+      "a & b <c> d")
+  }
+
+  // ── renderers ───────────────────────────────────────────────────────
+  test("issue renderer matches the reference template") {
+    val issue = Renderers.Issue(42, "Crash on load", "octocat", "open",
+      "2024-03-05T10:00:00Z", "2024-03-06T11:00:00Z",
+      Seq("bug", "p1"), Some("It crashes."), isPullRequest = false,
+      comments = Seq(Renderers.IssueComment("alice",
+        "2024-03-06T09:00:00Z", "Repro attached.")))
+    val md = Renderers.renderIssue(issue)
+    assert(md.startsWith("# Issue #42: Crash on load\n\n"))
+    assert(md.contains("- **Type:** Issue\n"))
+    assert(md.contains("- **Created on:** Tue Mar 05 2024\n"))
+    assert(md.contains("- **Labels:** `bug`, `p1`\n\n"))
+    assert(md.contains("## Description\n\nIt crashes.\n\n## Comments\n\n"))
+    assert(md.contains("### alice - Wed Mar 06 2024\n\nRepro attached.\n\n---\n\n"))
+  }
+
+  test("PR label and empty fallbacks") {
+    val pr = Renderers.Issue(7, "Add feature", "bob", "closed",
+      "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", Seq.empty, None,
+      isPullRequest = true, comments = Seq.empty)
+    val md = Renderers.renderIssue(pr)
+    assert(md.startsWith("# PR #7: Add feature"))
+    assert(md.contains("- **Type:** Pull request\n"))
+    assert(md.contains("- **Labels:** None\n\n"))
+    assert(md.contains("_No description._"))
+    assert(md.endsWith("## Comments\n\n_No comments._\n"))
+  }
+
+  test("ticket renderer skips internal comments by default") {
+    val t = Renderers.Ticket(9, "Login broken", "open", None, None,
+      101L, None, "2024-02-01T00:00:00Z", "2024-02-02T00:00:00Z",
+      Seq("auth"), Some("Cannot log in."),
+      comments = Seq(
+        Renderers.TicketComment(5, "2024-02-01T01:00:00Z",
+          isPublic = true, "Public&nbsp;note"),
+        Renderers.TicketComment(6, "2024-02-01T02:00:00Z",
+          isPublic = false, "Internal note")))
+    val md = Renderers.renderTicket(t)
+    assert(md.contains("- **Assignee:** Unassigned\n"))
+    assert(md.contains("- **Tags:** `auth`\n"))
+    assert(md.contains("Public note")) // &nbsp; cleaned
+    assert(!md.contains("Internal note"))
+    val mdAll = Renderers.renderTicket(t, includeInternal = true)
+    assert(mdAll.contains("Internal note"))
+    assert(mdAll.contains(" (internal)"))
+  }
+
+  // ── url utils ───────────────────────────────────────────────────────
+  test("url scalars") {
+    assert(UrlUtils.getUrlPrefix("https://a.io/x/y?q=1#f") == "https://a.io/x/y")
+    assert(UrlUtils.normalizeUrl("https://a.io/p?q=1#frag") == "https://a.io/p")
+    assert(UrlUtils.buildUrl("../z", "https://a.io/x/y/") == "https://a.io/x/z")
+    assert(UrlUtils.shouldProcessUrl("https://a.io/docs/"))
+    assert(UrlUtils.shouldProcessUrl("https://a.io/docs/page.html"))
+    assert(UrlUtils.shouldProcessUrl("https://a.io/docs/guide"))
+    assert(!UrlUtils.shouldProcessUrl("https://a.io/img/logo.png"))
+    assert(UrlUtils.isPdfUrl("https://a.io/m.PDF?v=2"))
+    assert(UrlUtils.parseNextLink(
+      """<https://api.x.io/p?page=2>; rel="next", <https://api.x.io/p?page=9>; rel="last"""")
+      .contains("https://api.x.io/p?page=2"))
+    assert(UrlUtils.parseNextLink(null).isEmpty)
+  }
+}
