@@ -46,6 +46,26 @@ object Demo {
       q.lastProgress.stateOperators.head.numRowsTotal)
     q.stop()
 
+    // local-directory source: scan → dispatch → chunk
+    val ldir = java.nio.file.Files.createTempDirectory("demo-docs")
+    java.nio.file.Files.writeString(ldir.resolve("guide.md"),
+      "# Demo Guide\n\n" + "Useful words here. " * 40)
+    java.nio.file.Files.writeString(ldir.resolve("app.py"),
+      "def main():\n    return 42\n")
+    val files = graft.sources.LocalDirectory.readFiles(spark, ldir.toString)
+    val chunks = graft.sources.LocalDirectory
+      .chunkFiles(spark, files, "Demo", "1.0").collect()
+    println("LOCALDIR -> " + chunks.map(c =>
+      s"${c.url.split('/').last}:${c.section}").mkString(" "))
+
+    // staged-API source: JSON issues → rendered markdown → chunks
+    val ijson = ldir.resolve("issues.jsonl")
+    java.nio.file.Files.writeString(ijson,
+      """{"number":1,"title":"Demo bug","user_login":"alice","state":"open","created_at":"2024-01-10T00:00:00Z","updated_at":"2024-02-01T00:00:00Z","labels":["bug"],"body":"Broken.","is_pull_request":false,"html_url":"https://gh.io/r/issues/1"}""")
+    val issueChunks = graft.sources.ApiSources
+      .ingestIssues(spark, ijson.toString, "Demo", "1.0").collect()
+    println("APISRC -> " + issueChunks.head.content.linesIterator.next())
+
     // multimodal binary pipeline (stub decode, real plumbing)
     val bins = Seq(("a.png", "image/png", "0123456789abcdef".getBytes("UTF-8")))
       .toDF("path", "mime", "content")

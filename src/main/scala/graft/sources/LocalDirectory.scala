@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Chunk
+import graft.functions.HtmlToMarkdown
+import graft.operators.Chunker
+
+/** Local-directory / code-directory source (SURVEY.md §2.1, reference
+  * content-processor.ts:1696-1947): a `binaryFile` scan with
+  * extension/size filters, format dispatch (markdown/html pass through
+  * the normalizers, known code extensions route to the code chunker,
+  * unknown text falls back to character windows), producing the chunk
+  * table.
+  *
+  * Scale: the binaryFile source parallelizes over files; conversion and
+  * chunking are per-file kernels (no shuffle). `modificationTime` from
+  * the source feeds the mtime-cutoff incremental layer
+  * (content-processor.ts:1812-1947) as a plain filter.
+  */
+object LocalDirectory {
+
+  val DefaultMaxBytes: Long = 10L * 1024 * 1024
+
+  case class FileDoc(path: String, modTimeMs: Long, content: Array[Byte])
+
+  /** Scan a directory tree as (path, modificationTime, content). */
+  def readFiles(spark: SparkSession, dir: String,
+      includeExtensions: Seq[String] = Seq.empty,
+      excludeExtensions: Seq[String] = Seq.empty,
+      maxBytes: Long = DefaultMaxBytes,
+      mtimeCutoffMs: Option[Long] = None): DataFrame = {
+    var df = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), unix_millis(col("modificationTime")).as("mod_ms"),
+        col("length"), col("content"))
+      .filter(col("length") <= maxBytes) // size cap before conversion
+    val ext = lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1))
+    if (includeExtensions.nonEmpty)
+      df = df.filter(ext.isin(includeExtensions.map(_.toLowerCase): _*))
+    if (excludeExtensions.nonEmpty)
+      df = df.filter(!ext.isin(excludeExtensions.map(_.toLowerCase): _*))
+    mtimeCutoffMs.foreach(cut => df = df.filter(col("mod_ms") > cut))
+    df.select("path", "mod_ms", "content")
+  }
+
+  private def extOf(path: String): String = {
+    val slash = math.max(path.lastIndexOf('/'), path.lastIndexOf('\\'))
+    val dot = path.lastIndexOf('.')
+    if (dot > slash) path.substring(dot).toLowerCase else ""
+  }
+
+  /** Format dispatch + chunking: one pass, no shuffle. */
+  def chunkFiles(spark: SparkSession, files: DataFrame,
+      productName: String, version: String): Dataset[Chunk] = {
+    import spark.implicits._
+    files.select("path", "mod_ms", "content").as[(String, Long, Array[Byte])]
+      .flatMap { case (path, _, bytes) =>
+        val url = if (path.startsWith("file:")) path else s"file://$path"
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        extOf(path) match {
+          case ".md" | ".markdown" =>
+            Chunker.chunkMarkdown(text, productName, version, url)
+          case ".html" | ".htm" =>
+            Chunker.chunkMarkdown(HtmlToMarkdown.convert(text),
+              productName, version, url)
+          case ".txt" | "" =>
+            Chunker.chunkMarkdown(text, productName, version, url)
+          case _ =>
+            // known code language or binary-ish: code chunker handles
+            // dispatch + character-window fallback
+            Chunker.chunkCode(text, productName, version, url,
+              filePath = path.substring(path.lastIndexOf('/') + 1) match {
+                case _ => path.replaceFirst("^file:/*", "/")
+              })
+        }
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sources.LocalDirectory
+
+/** Local-directory source: binaryFile scan, extension/size filters,
+  * converter dispatch (reference contract:
+  * content-processor.ts:1696-1947). */
+class LocalDirectorySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("localdir")
+    val sub = Files.createDirectory(d.resolve("sub"))
+    Files.writeString(d.resolve("guide.md"),
+      "# Guide\n\n" + "Useful words here. " * 40)
+    Files.writeString(d.resolve("page.html"),
+      "<h1>Page</h1><p>" + "web content " * 40 + "</p>")
+    Files.writeString(sub.resolve("app.py"),
+      "def main():\n    return 42\n")
+    Files.writeString(d.resolve("notes.txt"), "plain text notes " * 40)
+    Files.writeString(d.resolve("logo.png"), "not-really-a-png")
+    Files.writeString(d.resolve("huge.md"), "x" * 2048)
+    d.toString
+  }
+
+  test("extension include/exclude and size-cap filters") {
+    val all = LocalDirectory.readFiles(spark, dir)
+    assert(all.count() == 6)
+    val docsOnly = LocalDirectory.readFiles(spark, dir,
+      includeExtensions = Seq(".md", ".html", ".txt"))
+    assert(docsOnly.count() == 4)
+    val noPng = LocalDirectory.readFiles(spark, dir,
+      excludeExtensions = Seq(".png"))
+    assert(noPng.count() == 5)
+    val small = LocalDirectory.readFiles(spark, dir, maxBytes = 1024)
+    assert(small.count() == 5) // huge.md dropped before conversion
+  }
+
+  test("mtime cutoff filters unchanged files (incremental layer)") {
+    val none = LocalDirectory.readFiles(spark, dir,
+      mtimeCutoffMs = Some(System.currentTimeMillis() + 60000))
+    assert(none.count() == 0)
+    val allNew = LocalDirectory.readFiles(spark, dir,
+      mtimeCutoffMs = Some(0L))
+    assert(allNew.count() == 6)
+  }
+
+  test("dispatch: md/html/txt chunk as markdown, code gets [File:] ids") {
+    val files = LocalDirectory.readFiles(spark, dir,
+      excludeExtensions = Seq(".png"))
+    val chunks = LocalDirectory.chunkFiles(spark, files, "TestProd", "1.0")
+      .collect()
+    val byUrl = chunks.groupBy(_.url)
+
+    val md = byUrl.keys.find(_.endsWith("guide.md")).get
+    assert(byUrl(md).head.heading_hierarchy == Seq("Guide"))
+    assert(byUrl(md).head.content.startsWith("[Topic: Guide]\n"))
+
+    val html = byUrl.keys.find(_.endsWith("page.html")).get
+    assert(byUrl(html).head.heading_hierarchy == Seq("Page"))
+
+    val py = byUrl.keys.find(_.endsWith("app.py")).get
+    val pyChunk = byUrl(py).head
+    assert(pyChunk.content.startsWith("[File: "))
+    assert(pyChunk.chunk_id ==
+      graft.functions.TextUtil.sha256Hex(s"$py::${pyChunk.content}"))
+
+    val txt = byUrl.keys.find(_.endsWith("notes.txt")).get
+    assert(byUrl(txt).head.section == "Introduction")
+  }
+}
