@@ -39,7 +39,11 @@ object SparkEntry {
     "q17_asof_join"       -> (Relational.q17AsOfJoin _),
     "q18_keyset_page"     -> (Relational.q18KeysetPage _),
     "q19_range_pred_join" -> (Relational.q19RangePredJoin _),
+    "q20_percentiles"     -> (Relational.q20Percentiles _),
+    "q21_intersect"       -> (Relational.q21Intersect _),
+    "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
+    "doc_chunk_overlap"   -> (DocPipeline.chunkOverlapDocs _),
     "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
       DocPipeline.getChunks(s, d)),
@@ -215,6 +219,40 @@ object SparkEntry {
          FROM lineitem JOIN part
            ON l_partkey=p_partkey AND l_extendedprice > p_retailprice*20
          GROUP BY 1 ORDER BY 1""",
+    "q20_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+         count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q21_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+         ORDER BY o_custkey""",
+    "q22_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "doc_chunk_overlap" ->
+      """WITH b AS (
+           SELECT doc_id,
+             rtrim(repeat(text||' ',
+               CAST(floor(4500/(length(text)+1)) AS INT) + 2)) AS big
+           FROM documents),
+         sl AS (
+           SELECT doc_id, big,
+             unnest(range(0, CAST(ceil(length(big)/3600.0) AS BIGINT))) AS i
+           FROM b),
+         ch AS (
+           SELECT doc_id, i,
+             trim(substring(big, CAST(i*3600+1 AS INT), 4000)) AS content
+           FROM sl)
+         SELECT 'doc://'||doc_id AS url, i AS chunk_index,
+           count(*) OVER (PARTITION BY doc_id) AS total_chunks,
+           sha256(content) AS chunk_id, content
+         FROM ch ORDER BY url, chunk_index""",
     "doc_chunk_markdown" ->
       """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
          CAST(1 AS BIGINT) AS total_chunks, lang AS section,

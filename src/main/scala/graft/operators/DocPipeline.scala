@@ -61,6 +61,25 @@ object DocPipeline {
       .orderBy("url", "chunk_index")
   }
 
+  /** Overlap-splitting through the real chunker at query scale: each
+    * document is tiled past 4000 chars so the safety-valve flush and the
+    * 10%-overlap splitter (stride 3600) run on every row — the oracle
+    * recomputes the slices arithmetically. */
+  def chunkOverlapDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("big",
+        expr("rtrim(repeat(concat(text, ' '), CAST(floor(4500/(length(text)+1)) AS INT) + 2))"))
+      .select("doc_id", "big").as[(Long, String)]
+      .flatMap { case (id, big) =>
+        Chunker.chunkMarkdown(big, "p", "1.0", docUrl(id))
+      }
+      .select(col("url"), col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("chunk_id"), col("content"))
+      .orderBy("url", "chunk_index")
+  }
+
   /** Page reconstruction (reference `get_chunks`, mcp/src/server.ts:343-397):
     * all chunks of one url ordered by chunk_index within an index range. */
   def getChunks(s: SparkSession, dir: String, url: String = "doc://42",

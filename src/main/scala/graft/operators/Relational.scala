@@ -279,6 +279,37 @@ object Relational {
         col("o_totalprice"))
       .limit(25)
 
+  /** Exact percentiles (median/p90/p99) of order value per status —
+    * Spark `percentile` and DuckDB `quantile_cont` both linearly
+    * interpolate on the sorted values; rounded for interpolation-ulp
+    * safety. */
+  def q20Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** INTERSECT: customers active in both 1995 and 1996. */
+  def q21Intersect(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      .intersect(ord.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** CUBE over (status, priority): all grouping-set combinations. */
+  def q22Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Join with non-equi range predicate: lines priced above their part's
     * retail price (range/theta condition on top of the equi key —
     * Catalyst keeps it a hash join with residual filter). */
