@@ -66,6 +66,23 @@ object Demo {
       .ingestIssues(spark, ijson.toString, "Demo", "1.0").collect()
     println("APISRC -> " + issueChunks.head.content.linesIterator.next())
 
+    // Zendesk-style tickets: status filter + deleted purge list
+    val tjson = ldir.resolve("tickets.jsonl")
+    java.nio.file.Files.writeString(tjson,
+      """{"id":10,"subject":"Demo ticket","status":"open","priority":"high","type":"incident","requester_id":101,"assignee_id":7,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-02T00:00:00Z","tags":["auth"],"description":"Broken.","comments":[{"author_id":5,"created_at":"2024-02-01T01:00:00Z","public":true,"body":"On it."}]}""" +
+        "\n" +
+        """{"id":11,"subject":"Gone","status":"deleted","priority":null,"type":null,"requester_id":102,"assignee_id":null,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-03T00:00:00Z","tags":[],"description":null,"comments":[]}""")
+    val (tchunks, tdeleted) = graft.sources.ApiSources
+      .ingestTickets(spark, tjson.toString, "Support", "1.0")
+    println("TICKETS -> " + tchunks.collect().head.content.linesIterator.next() +
+      " | purge: " + tdeleted.collect().map(_.getString(0)).mkString(","))
+
+    // WAI-ARIA tab flattening through the HTML normalizer
+    println("TABS -> " + graft.functions.HtmlToMarkdown.convert(
+      """<button role="tab" aria-controls="p1">Linux</button>
+        |<div role="tabpanel" id="p1"><p>apt install foo</p></div>""".stripMargin)
+      .replace("\n", " / "))
+
     // multimodal binary pipeline (stub decode, real plumbing)
     val bins = Seq(("a.png", "image/png", "0123456789abcdef".getBytes("UTF-8")))
       .toDF("path", "mime", "content")

@@ -190,10 +190,53 @@ object HtmlToMarkdown {
     }
   }
 
+  /** WAI-ARIA tab flattening (reference preprocessTabs,
+    * content-processor.ts:1307-1399): each [role=tab] button's label is
+    * injected as a `**Label:**` paragraph before its panel (matched via
+    * aria-controls → id, else positionally); panels are kept (unhidden),
+    * tab buttons removed. */
+  private def preprocessTabs(root: Elem): Unit = {
+    def collect(e: Elem, pred: Elem => Boolean): Seq[Elem] = {
+      val self = if (pred(e)) Seq(e) else Seq.empty
+      self ++ e.children.collect { case c: Elem => c }.flatMap(collect(_, pred))
+    }
+    val tabs = collect(root, _.attrs.get("role").contains("tab"))
+    if (tabs.isEmpty) return
+    val panels = collect(root, _.attrs.get("role").contains("tabpanel"))
+    val panelById = panels.flatMap(p => p.attrs.get("id").map(_ -> p)).toMap
+    val seen = scala.collection.mutable.Set[Elem]()
+    tabs.zipWithIndex.foreach { case (tab, i) =>
+      val label = textContent(tab).trim
+      val panel = tab.attrs.get("aria-controls").flatMap(panelById.get)
+        .orElse(panels.lift(i))
+      panel.filterNot(seen.contains).foreach { p =>
+        seen += p
+        if (label.nonEmpty) {
+          val strong = Elem("strong", Map.empty)
+          strong.children += Text(s"$label:")
+          val para = Elem("p", Map.empty)
+          para.children += strong
+          para +=: p.children
+        }
+      }
+    }
+    // remove tab buttons from the tree
+    def prune(e: Elem): Unit = {
+      e.children.filterInPlace {
+        case c: Elem => !c.attrs.get("role").contains("tab")
+        case _ => true
+      }
+      e.children.foreach { case c: Elem => prune(c); case _ => }
+    }
+    prune(root)
+  }
+
   /** Convert an HTML fragment to Markdown; empty/blank input → "". */
   def convert(html: String): String = {
     if (html == null || html.trim.isEmpty) return ""
-    block(parse(html), 0)
+    val tree = parse(html)
+    preprocessTabs(tree)
+    block(tree, 0)
       .replaceAll("[ \t]+\n", "\n")
       .replaceAll("\n{3,}", "\n\n")
       .trim

@@ -43,6 +43,20 @@ object TextUtil {
     s"${h.substring(0, 8)}-${h.substring(8, 12)}-4${h.substring(13, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
   }
 
+  /** sha-prefix → UUID layout with version-5 / variant-8 nibbles
+    * (reference: utils.ts:76-86) — deterministic chunk-id → point-id
+    * mapping for stores that require UUID keys. */
+  def hashToUuid(hash: String): String = {
+    val h = (hash + "0" * 32).substring(0, 32)
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-5${h.substring(13, 16)}-8${h.substring(17, 20)}-${h.substring(20, 32)}"
+  }
+
+  private val uuidRe =
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+
+  def isValidUuid(s: String): Boolean =
+    s != null && uuidRe.matches(s.toLowerCase)
+
   @inline private def isHigh(c: Char): Boolean = c >= 0xd800 && c <= 0xdbff
   @inline private def isLow(c: Char): Boolean = c >= 0xdc00 && c <= 0xdfff
 

@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.Chunk
 import graft.operators.Chunker
 
+/** Staged-JSON ticket shapes (top-level for encoder codegen; `public`
+  * is a Java keyword, so the JSON field is remapped to is_public). */
+case class TicketCommentIn(author_id: Long, created_at: String,
+    is_public: Boolean, body: String)
+case class TicketIn(id: Long, subject: String, status: String,
+    priority: Option[String], ticket_type: Option[String],
+    requester_id: Long, assignee_id: Option[Long], created_at: String,
+    updated_at: String, tags: Option[Seq[String]],
+    description: Option[String], comments: Option[Seq[TicketCommentIn]])
+
 /** API-shaped sources (SURVEY.md §2.1): GitHub issues / Zendesk tickets
   * land as JSON-lines, are filtered by the `updated_at > watermark`
   * incremental predicate, rendered to Markdown with the reference
@@ -39,6 +49,43 @@ object ApiSources {
           state, created, updated, labels, body, isPr, Seq.empty))
         Chunker.chunkMarkdown(md, productName, version, url)
       }
+  }
+
+  /** Staged Zendesk tickets (JSON lines; comments as a nested array) →
+    * chunk table with status filtering and deleted-ticket purge list
+    * (doc2vec.ts:1540-1789 semantics: `deleted` tickets produce no
+    * chunks — the caller deletes their urls). */
+  def ingestTickets(spark: SparkSession, jsonPath: String,
+      productName: String, version: String,
+      statuses: Seq[String] = Seq("open", "pending", "solved", "closed"),
+      includeInternal: Boolean = false): (Dataset[Chunk], DataFrame) = {
+    import spark.implicits._
+    val df = spark.read.json(jsonPath)
+    val deleted = df.filter(col("status") === "deleted")
+      .select(concat(lit("zendesk://ticket/"), col("id")).as("url"))
+    val chunks = df
+      .filter(col("status").isin(statuses: _*))
+      .select(col("id").cast("long"), col("subject"), col("status"),
+        col("priority"), col("type").as("ticket_type"),
+        col("requester_id").cast("long"),
+        col("assignee_id").cast("long"), col("created_at"),
+        col("updated_at"), col("tags"), col("description"),
+        expr("""transform(comments, c -> struct(
+                c.author_id AS author_id, c.created_at AS created_at,
+                c.public AS is_public, c.body AS body))""").as("comments"))
+      .as[TicketIn]
+      .flatMap { t =>
+        val ticket = Renderers.Ticket(t.id, t.subject, t.status,
+          t.priority, t.ticket_type, t.requester_id, t.assignee_id,
+          t.created_at, t.updated_at, t.tags.getOrElse(Seq.empty),
+          t.description,
+          t.comments.getOrElse(Seq.empty).map(c =>
+            Renderers.TicketComment(c.author_id, c.created_at,
+              c.is_public, c.body)))
+        Chunker.chunkMarkdown(Renderers.renderTicket(ticket, includeInternal),
+          productName, version, s"zendesk://ticket/${t.id}")
+      }
+    (chunks, deleted)
   }
 
   /** Watermark for the next run: max(updated_at) of the batch, held at

@@ -45,6 +45,32 @@ class ApiSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.map(_.url).distinct.length == 2) // issue 3 skipped
   }
 
+  private lazy val ticketsPath: String = {
+    val d = Files.createTempDirectory("tickets")
+    val lines = Seq(
+      """{"id":10,"subject":"Login broken","status":"open","priority":"high","type":"incident","requester_id":101,"assignee_id":7,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-02T00:00:00Z","tags":["auth"],"description":"Cannot log in.","comments":[{"author_id":5,"created_at":"2024-02-01T01:00:00Z","public":true,"body":"Looking into it."},{"author_id":6,"created_at":"2024-02-01T02:00:00Z","public":false,"body":"Internal escalation"}]}""",
+      """{"id":11,"subject":"Gone","status":"deleted","priority":null,"type":null,"requester_id":102,"assignee_id":null,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-03T00:00:00Z","tags":[],"description":null,"comments":[]}""",
+      """{"id":12,"subject":"Spam","status":"spam","priority":null,"type":null,"requester_id":103,"assignee_id":null,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-03T00:00:00Z","tags":[],"description":"buy now","comments":[]}""")
+    Files.writeString(d.resolve("tickets.jsonl"), lines.mkString("\n"))
+    d.resolve("tickets.jsonl").toString
+  }
+
+  test("tickets: status filter, internal-comment skip, deleted purge list") {
+    val (chunks, deleted) = ApiSources.ingestTickets(spark, ticketsPath,
+      "Support", "1.0")
+    val rows = chunks.collect()
+    assert(rows.map(_.url).distinct.toSeq == Seq("zendesk://ticket/10"))
+    val md = rows.head.content
+    assert(md.contains("# Ticket #10: Login broken"))
+    assert(md.contains("Looking into it."))
+    assert(!md.contains("Internal escalation"))
+    assert(deleted.collect().map(_.getString(0)).toSeq ==
+      Seq("zendesk://ticket/11"))
+    val (withInternal, _) = ApiSources.ingestTickets(spark, ticketsPath,
+      "Support", "1.0", includeInternal = true)
+    assert(withInternal.collect().head.content.contains("Internal escalation"))
+  }
+
   test("watermark advances on success and holds on failure") {
     val batch = spark.read.json(jsonPath)
     assert(ApiSources.nextWatermark(batch, "2024-01-01T00:00:00Z", 0) ==

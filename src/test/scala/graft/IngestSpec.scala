@@ -83,6 +83,43 @@ class IngestSpec extends AnyFunSuite {
       "a & b <c> d")
   }
 
+  test("WAI-ARIA tabs flatten into labelled panels") {
+    val html =
+      """<div role="tablist">
+        |<button role="tab" aria-controls="p1">Linux</button>
+        |<button role="tab" aria-controls="p2">macOS</button>
+        |</div>
+        |<div role="tabpanel" id="p1"><p>apt install foo</p></div>
+        |<div role="tabpanel" id="p2"><p>brew install foo</p></div>""".stripMargin
+    val md = HtmlToMarkdown.convert(html)
+    assert(md.contains("**Linux:**"))
+    assert(md.contains("apt install foo"))
+    assert(md.contains("**macOS:**"))
+    assert(md.contains("brew install foo"))
+    assert(md.indexOf("**Linux:**") < md.indexOf("apt install foo"))
+    assert(!md.toLowerCase.contains("tablist"))
+  }
+
+  test("positional tab-panel matching when aria-controls is missing") {
+    val html =
+      """<button role="tab">A</button><button role="tab">B</button>
+        |<div role="tabpanel"><p>first</p></div>
+        |<div role="tabpanel"><p>second</p></div>""".stripMargin
+    val md = HtmlToMarkdown.convert(html)
+    assert(md.indexOf("**A:**") < md.indexOf("first"))
+    assert(md.indexOf("**B:**") < md.indexOf("second"))
+  }
+
+  test("uuid scalars") {
+    import graft.functions.TextUtil
+    val u = TextUtil.hashToUuid(TextUtil.sha256Hex("chunk-content"))
+    assert(TextUtil.isValidUuid(u))
+    assert(u.charAt(14) == '5' && u.charAt(19) == '8') // version/variant
+    assert(TextUtil.hashToUuid("abc").length == 36) // short hash padded
+    assert(!TextUtil.isValidUuid("not-a-uuid"))
+    assert(TextUtil.metadataUuid("repo-x") == TextUtil.metadataUuid("repo-x"))
+  }
+
   // ── renderers ───────────────────────────────────────────────────────
   test("issue renderer matches the reference template") {
     val issue = Renderers.Issue(42, "Crash on load", "octocat", "open",
