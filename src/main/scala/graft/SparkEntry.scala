@@ -76,6 +76,9 @@ object SparkEntry {
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
     "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
     "sync_etag_skip"      -> (Ingest.etagSkip _),
+    "sync_lastmod_skip"   -> ((s: SparkSession, d: String) =>
+      Ingest.lastmodSkip(s, d)),
+    "crawl_broken_links"  -> (Ingest.brokenLinks _),
     "ctl_overlap_detect"  -> (Ingest.overlapDetect _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d))
@@ -758,6 +761,39 @@ object SparkEntry {
                 ELSE 'fetch_changed' END AS decision
          FROM current c LEFT JOIN stored s ON c.url = s.url
          ORDER BY c.url""",
+    "sync_lastmod_skip" ->
+      """WITH sitemap AS (
+           SELECT 'doc://'||doc_id AS url,
+             '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS lastmod
+           FROM documents),
+         stored AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 4 = 0 THEN '2023-12-31'
+                  ELSE '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+             END AS stored_lastmod
+           FROM documents WHERE doc_id % 9 <> 0)
+         SELECT s.url,
+           CASE WHEN t.stored_lastmod IS NULL THEN 'fetch_new'
+                WHEN t.stored_lastmod = s.lastmod THEN 'skip'
+                ELSE 'fetch_changed' END AS decision
+         FROM sitemap s LEFT JOIN stored t ON s.url = t.url
+         ORDER BY s.url""",
+    "crawl_broken_links" ->
+      """WITH links AS (
+           SELECT 'doc://'||doc_id AS source,
+             'doc://'||((doc_id*7+1) % (SELECT count(*) FROM documents))
+               AS target
+           FROM documents
+           UNION ALL
+           SELECT 'doc://'||doc_id,
+             'doc://'||((doc_id*13+5) % (SELECT count(*) FROM documents))
+           FROM documents),
+         notfound AS (
+           SELECT 'doc://'||doc_id AS target FROM documents
+           WHERE doc_id % 13 = 0)
+         SELECT DISTINCT source, target
+         FROM links WHERE target IN (SELECT target FROM notfound)
+         ORDER BY source, target""",
     "ctl_overlap_detect" ->
       """WITH r AS (
            SELECT event_id, user_id,

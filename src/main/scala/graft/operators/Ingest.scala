@@ -119,6 +119,53 @@ object Ingest {
       .orderBy("url")
   }
 
+  /** Sitemap-lastmod skip layer (reference content-processor.ts:579-606):
+    * a page whose sitemap lastmod equals the stored value is skipped with
+    * zero HTTP work; forceFullSync bypasses the layer. */
+  def lastmodSkip(s: SparkSession, dir: String,
+      forceFullSync: Boolean = false): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sitemap = docs.select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      concat(lit("2024-01-"), lpad((col("doc_id") % 28 + 1).cast("string"),
+        2, "0")).as("lastmod"))
+    // stored lastmods: stale for every 4th doc, missing for every 9th
+    val stored = docs.filter(col("doc_id") % 9 =!= 0).select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      when(col("doc_id") % 4 === 0, lit("2023-12-31"))
+        .otherwise(concat(lit("2024-01-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+        .as("stored_lastmod"))
+    sitemap.join(stored, Seq("url"), "left")
+      .withColumn("decision",
+        when(lit(forceFullSync), "fetch_forced")
+          .when(col("stored_lastmod").isNull, "fetch_new")
+          .when(col("stored_lastmod") === col("lastmod"), "skip")
+          .otherwise("fetch_changed"))
+      .select("url", "decision")
+      .orderBy("url")
+  }
+
+  /** Broken-links report (reference doc2vec.ts:786-821): deduped
+    * (source, target) pairs sorted by source then target. Links whose
+    * target hits the synthetic 404 set (doc_id % 13 == 0) are broken. */
+  def brokenLinks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val links = docs.select(
+        concat(lit("doc://"), col("doc_id")).as("source"),
+        concat(lit("doc://"), (col("doc_id") * 7 + 1) % n).as("target"))
+      .unionByName(docs.select(
+        concat(lit("doc://"), col("doc_id")).as("source"),
+        concat(lit("doc://"), (col("doc_id") * 13 + 5) % n).as("target")))
+    val notFound = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat(lit("doc://"), col("doc_id")).as("target"))
+    links.join(notFound, Seq("target"), "left_semi")
+      .dropDuplicates("source", "target")
+      .select("source", "target")
+      .orderBy("source", "target")
+  }
+
   /** Controller overlap detection (reference job-runner.ts:71-95): a
     * run is `skipped` when its config (user) still has an earlier run
     * in flight (start < running max of previous ends). Integer-µs

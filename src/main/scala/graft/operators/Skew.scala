@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities (builder-prompt scale requirement).
+  *
+  * At 100 TB a handful of hot keys (one viral document's url, one huge
+  * repo) can stall a shuffle join on a single reducer. Two standard
+  * remedies, composable with any equi-join in this engine:
+  *
+  *   - AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+  *     set in Verify/Bench sessions) handles it at runtime when
+  *     statistics catch it;
+  *   - explicit salting handles it deterministically when the skew is
+  *     known or AQE can't see it (e.g., the build side is an
+  *     aggregation output): the big side gets a random-but-deterministic
+  *     salt in [0, n); the small side is replicated n times; the join
+  *     key becomes (key, salt), fanning each hot key across n reducers.
+  */
+object Skew {
+
+  /** Salted inner equi-join: `big ⋈ small ON key` with the big side's
+    * rows deterministically salted (hash of all columns mod n — no RNG,
+    * so retries/speculation see identical data) and the small side
+    * replicated n-fold. Result equals the plain join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int = 8): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-k hot keys of a prospective join column — the sensing half of a
+    * manual skew mitigation (run cheaply via sampling at scale). */
+  def hotKeys(df: DataFrame, key: String, k: Int = 10): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+}
