@@ -83,6 +83,33 @@ class IngestSpec extends AnyFunSuite {
       "a & b <c> d")
   }
 
+  test("strips disallowed tags (img, script) but keeps text") {
+    val md = HtmlToMarkdown.convert(
+      """<p>Text</p><img src="test.png"/><script>alert("xss")</script>""")
+    assert(!md.contains("<img"))
+    assert(!md.contains("script"))
+    assert(!md.contains("alert"))
+    assert(md.contains("Text"))
+  }
+
+  test("headings at all six levels") {
+    val md = HtmlToMarkdown.convert(
+      "<h1>H1</h1><h2>H2</h2><h3>H3</h3><h4>H4</h4><h5>H5</h5><h6>H6</h6>")
+    assert(md == "# H1\n\n## H2\n\n### H3\n\n#### H4\n\n##### H5\n\n###### H6")
+  }
+
+  test("blockquote with bare text") {
+    assert(HtmlToMarkdown.convert("<blockquote>Quoted text</blockquote>") ==
+      "> Quoted text")
+  }
+
+  test("code block indentation cleanup (reference golden)") {
+    val md = HtmlToMarkdown.convert("<pre>    line1\n    line2\n    line3</pre>")
+    assert(md.contains("line1"))
+    assert(!md.linesIterator.exists(_.startsWith("    line1")))
+    assert(md == "```\nline1\nline2\nline3\n```")
+  }
+
   test("WAI-ARIA tabs flatten into labelled panels") {
     val html =
       """<div role="tablist">
