@@ -70,7 +70,9 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via inverted-index join; integer
     * arithmetic only (2*inter >= union ⇔ J >= 0.5). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    // checkpointed once: the postings feed both join sides and the
+    // per-doc counts — without it the shingle explode runs three times
+    val sh = shingles(s, dir).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -133,7 +135,7 @@ object Dedup {
   /** Candidate near-dup pairs from MinHash agreement: bucket join on
     * (permutation, value), pairs agreeing on ≥8/16 (Ĵ ≥ 0.5). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val t = minhashTriples(s, dir)
+    val t = minhashTriples(s, dir).localCheckpoint(true) // both join sides
     t.as("a").join(t.as("b"),
         col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -185,7 +187,7 @@ object Dedup {
     * is a hash join on (band, value) whose cost follows bucket sizes,
     * not corpus². */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(s, dir)
+    val sig = simhashSignatures(s, dir).localCheckpoint(true) // reused 2×
     // (doc_id, simhash, band, value)
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array(

@@ -150,7 +150,7 @@ object Similarity {
     graft.functions.VectorExprs.register(s)
     val b = lshBuckets(s, dir)
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val withVec = b.join(e, "vec_id")
+    val withVec = b.join(e, "vec_id").localCheckpoint(true) // reused 2×
     val queries = withVec.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("bucket0").as("qb0"),
         col("bucket1").as("qb1"), col("embedding").as("qv"))
