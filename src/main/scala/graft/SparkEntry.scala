@@ -40,6 +40,10 @@ object SparkEntry {
     "q18_keyset_page"     -> (Relational.q18KeysetPage _),
     "q19_range_pred_join" -> (Relational.q19RangePredJoin _),
     "q20_percentiles"     -> (Relational.q20Percentiles _),
+    "q23_rank_functions"  -> (Relational.q23RankFunctions _),
+    "q24_string_funcs"    -> (Relational.q24StringFuncs _),
+    "q25_json_funcs"      -> (Relational.q25JsonFuncs _),
+    "q26_date_funcs"      -> (Relational.q26DateFuncs _),
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
@@ -229,6 +233,45 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
          count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q23_rank_functions" ->
+      """SELECT o_orderstatus, o_orderkey,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+         percent_rank() OVER w AS pct_rank
+         FROM orders WHERE o_orderkey < 2000
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey""",
+    "q24_string_funcs" ->
+      """SELECT c_custkey,
+         upper(c_name) AS up, lower(c_mktsegment) AS lo,
+         CAST(length(c_name) AS BIGINT) AS len,
+         substring(c_name, 1, 8) AS pre,
+         regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+         lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+         c_mktsegment||'-'||c_custkey AS joined,
+         string_split(c_name, '#')[1] AS head_part,
+         reverse(c_mktsegment) AS rev
+         FROM customer ORDER BY c_custkey""",
+    "q25_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+           AS sum_k,
+         min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+         max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q26_date_funcs" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+         CAST(datediff('day', o_orderdate::DATE, DATE '2002-01-01')
+           AS BIGINT) AS days_to_2002,
+         CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
     "q21_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
          INTERSECT

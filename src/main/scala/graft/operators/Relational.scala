@@ -310,6 +310,68 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Ranking-function battery: rank / dense_rank / ntile / percent_rank
+    * over order value per status (percent_rank is a single int division
+    * → bit-identical across engines). */
+  def q23RankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 2000)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("tile4", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        col("rnk").cast("long").as("rnk"),
+        col("drnk").cast("long").as("drnk"),
+        col("tile4").cast("long").as("tile4"), col("pct_rank"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  /** String scalar battery (§2.8 mapping at the query surface). */
+  def q24StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        length(col("c_name")).cast("long").as("len"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("joined"),
+        split(col("c_name"), "#").getItem(0).as("head_part"),
+        reverse(col("c_mktsegment")).as("rev"))
+      .orderBy("c_custkey")
+
+  /** JSON extraction over the events props column. */
+  def q25JsonFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Date arithmetic battery over order dates. */
+  def q26DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_2002"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+
   /** Join with non-equi range predicate: lines priced above their part's
     * retail price (range/theta condition on top of the equi key —
     * Catalyst keeps it a hash join with residual filter). */
