@@ -95,6 +95,21 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ChunkStore.advanceWatermark("t0", "t1", failures = 3) == "t0")
   }
 
+  test("chunk store writes partitioned parquet and reads back losslessly") {
+    import spark.implicits._
+    val chunks = chunkCorpus(run1Docs)
+    val tmp = java.nio.file.Files.createTempDirectory("store").toString + "/chunks"
+    ChunkStore.write(chunks.toDF(), tmp)
+    // physical layout: one directory per product partition
+    val partDirs = new java.io.File(tmp).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(partDirs.exists(_.startsWith("product_name=")))
+    val back = ChunkStore.read(spark, tmp)
+    assert(back.count() == chunks.count())
+    assert(back.select("chunk_id").except(
+      chunks.toDF().select("chunk_id")).count() == 0)
+  }
+
   test("streaming windowed aggregation over the events table") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage a small slice of real events as the stream input
