@@ -122,27 +122,40 @@ object Similarity {
   // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both
   // engines compute identically; no RNG, no stored model.
 
-  private val signExpr =
-    "CASE WHEN (((i*37 + d*101) * 2654435761) >> 13) % 2 != 0 THEN 1 ELSE -1 END"
-
   /** (vec_id, label, bucket0, bucket1): two 4-bit LSH band signatures
-    * per vector. */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    * per vector. Per-vector typed kernel (zero shuffle) — the relational
+    * form exploded 64 dims × 8 planes through two grouped shuffles for
+    * the same arithmetic. Oracle note: the kernel sums dimensions in
+    * ascending order, matching the SQL `GROUP BY (vec, plane)` sum over
+    * `generate_subscripts` order. */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("d", "v")))
-      .crossJoin(broadcast(
-        s.range(8).select(col("id").cast("int").as("i"))))
-      .groupBy(col("vec_id"), col("label"), col("i"))
-      .agg(sum(expr(s"CAST(v AS DOUBLE) * ($signExpr)")).as("proj"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(
-        sum(when(col("i") < 4 && col("proj") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L))
-          .as("bucket0"),
-        sum(when(col("i") >= 4 && col("proj") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), i-4)")).otherwise(0L))
-          .as("bucket1"))
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])]
+      .map { case (vecId, label, emb) =>
+        var b0 = 0L
+        var b1 = 0L
+        var i = 0
+        while (i < 8) {
+          var proj = 0.0
+          var d = 0
+          while (d < emb.length) {
+            val sign =
+              if ((((i * 37 + d * 101).toLong * 2654435761L) >> 13) % 2 != 0) 1
+              else -1
+            proj += emb(d).toDouble * sign
+            d += 1
+          }
+          if (proj > 0) {
+            if (i < 4) b0 |= (1L << i) else b1 |= (1L << (i - 4))
+          }
+          i += 1
+        }
+        (vecId, label, b0, b1)
+      }
+      .toDF("vec_id", "label", "bucket0", "bucket1")
+  }
 
   /** ANN top-k: candidates share an LSH band with the query (OR of two
     * bands — classic banding), then exact cosine rerank, top-5. */

@@ -51,4 +51,17 @@ object ChunkStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed variant: 8 buckets on url, sorted by chunk_index within
+    * each bucket. At scale this co-locates all of a document's chunks
+    * (and two bucketed tables joined on url skip the shuffle entirely —
+    * the right layout for the url-diff joins of §2.5). Bucketing
+    * requires a managed table (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String,
+      nBuckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "url")
+      .sortBy("url", "chunk_index")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -26,22 +26,41 @@ object Crawler {
     * driver heap — the canonical iterative-DataFrame failure mode. */
   def frontierFixpoint(links: DataFrame, seeds: DataFrame,
       maxDepth: Int = 25): DataFrame = {
+    // materialize the edge list once — every hop joins against it, and
+    // an unmaterialized links plan would re-run its scans per hop
+    val edges = links.localCheckpoint(true)
     var visited = seeds.select(col("url"), lit(0L).as("depth"))
       .localCheckpoint(true)
     var frontier = visited
     var depth = 0L
     var done = false
-    while (!done && depth < maxDepth) {
-      depth += 1
-      val next = frontier.join(links, col("url") === col("src"))
+
+    def hop(from: DataFrame, seen: DataFrame, d: Long): DataFrame =
+      from.join(edges, col("url") === col("src"))
         .select(col("dst").as("url")).distinct()
-        .join(visited, Seq("url"), "left_anti")
-        .withColumn("depth", lit(depth))
+        .join(seen, Seq("url"), "left_anti")
+        .withColumn("depth", lit(d))
         .localCheckpoint(true)
-      if (next.count() == 0) done = true
+
+    // two BFS levels per round: halves the number of Spark jobs paid as
+    // fixed per-round overhead; min-depth semantics preserved because n2
+    // anti-joins against visited ∪ n1 (a depth+1-reachable node can never
+    // re-enter at depth+2)
+    while (!done && depth < maxDepth) {
+      val n1 = hop(frontier, visited, depth + 1)
+      if (n1.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint(true)
-        frontier = next
+        val v1 = visited.unionByName(n1).localCheckpoint(true)
+        if (depth + 2 > maxDepth) { visited = v1; depth += 1; done = true }
+        else {
+          val n2 = hop(n1, v1, depth + 2)
+          if (n2.isEmpty) { visited = v1; done = true }
+          else {
+            visited = v1.unionByName(n2).localCheckpoint(true)
+            frontier = n2
+            depth += 2
+          }
+        }
       }
     }
     visited
