@@ -51,29 +51,31 @@ object LocalDirectory {
     if (dot > slash) path.substring(dot).toLowerCase else ""
   }
 
-  /** Format dispatch + chunking: one pass, no shuffle. */
+  /** Format dispatch + chunking: one pass, no shuffle. Document formats
+    * (md/txt/html/pdf/doc/docx) route through DocumentConverters to
+    * markdown; everything else goes to the code chunker (which itself
+    * dispatches by language with a character-window fallback). */
   def chunkFiles(spark: SparkSession, files: DataFrame,
       productName: String, version: String): Dataset[Chunk] = {
     import spark.implicits._
     files.select("path", "mod_ms", "content").as[(String, Long, Array[Byte])]
       .flatMap { case (path, _, bytes) =>
         val url = if (path.startsWith("file:")) path else s"file://$path"
-        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         extOf(path) match {
-          case ".md" | ".markdown" =>
-            Chunker.chunkMarkdown(text, productName, version, url)
-          case ".html" | ".htm" =>
-            Chunker.chunkMarkdown(HtmlToMarkdown.convert(text),
+          case "" =>
+            Chunker.chunkMarkdown(
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
               productName, version, url)
-          case ".txt" | "" =>
-            Chunker.chunkMarkdown(text, productName, version, url)
           case _ =>
-            // known code language or binary-ish: code chunker handles
-            // dispatch + character-window fallback
-            Chunker.chunkCode(text, productName, version, url,
-              filePath = path.substring(path.lastIndexOf('/') + 1) match {
-                case _ => path.replaceFirst("^file:/*", "/")
-              })
+            DocumentConverters.convertFileToMarkdown(path, bytes) match {
+              case Some(md) =>
+                Chunker.chunkMarkdown(md, productName, version, url)
+              case None =>
+                Chunker.chunkCode(
+                  new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+                  productName, version, url,
+                  filePath = path.replaceFirst("^file:/*", "/"))
+            }
         }
       }
   }

@@ -194,6 +194,24 @@ class IngestSpec extends AnyFunSuite {
     assert(mdAll.contains(" (internal)"))
   }
 
+  test("converter dispatcher routes by format with page-shaped stubs") {
+    import graft.sources.DocumentConverters._
+    assert(convertFileToMarkdown("a/readme.md", "# Hi".getBytes)
+      .contains("# Hi"))
+    assert(convertFileToMarkdown("p.html", "<h1>T</h1>".getBytes)
+      .contains("# T"))
+    val pdf = convertFileToMarkdown("docs/guide.pdf",
+      Array.fill[Byte](3000)(7)).get
+    assert(pdf.startsWith("# guide\n\n"))
+    assert(pdf.contains("## Page 1") && pdf.contains("## Page 3"))
+    val doc = convertFileToMarkdown("spec.docx", "x".getBytes).get
+    assert(doc.startsWith("# spec\n\n"))
+    assert(convertFileToMarkdown("img.png", Array[Byte](1)).isEmpty)
+    // deterministic: same bytes, same stub output
+    assert(convertFileToMarkdown("docs/guide.pdf", Array.fill[Byte](3000)(7))
+      .get == pdf)
+  }
+
   // ── url utils ───────────────────────────────────────────────────────
   test("url scalars") {
     assert(UrlUtils.getUrlPrefix("https://a.io/x/y?q=1#f") == "https://a.io/x/y")
