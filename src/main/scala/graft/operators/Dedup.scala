@@ -200,9 +200,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
+      // distance filter BEFORE the dedup shuffle: band-duplicates carry
+      // the same Hamming distance, so filtering first is order-safe and
+      // shrinks the dropDuplicates exchange from millions of candidate
+      // rows to the handful of qualifying pairs
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= 6)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
