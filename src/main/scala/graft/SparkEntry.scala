@@ -44,6 +44,7 @@ object SparkEntry {
     "q24_string_funcs"    -> (Relational.q24StringFuncs _),
     "q25_json_funcs"      -> (Relational.q25JsonFuncs _),
     "q26_date_funcs"      -> (Relational.q26DateFuncs _),
+    "q27_hll_sketch"      -> (Relational.q27HllSketch _),
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),

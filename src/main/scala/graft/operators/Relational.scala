@@ -372,6 +372,21 @@ object Relational {
         dayofweek(col("o_orderdate")).cast("long").as("dow"))
       .orderBy("o_orderkey")
 
+  /** Sketch-based approximate distinct (HLL++): per-day approximate vs
+    * exact user counts plus the relative error. The sketch value is
+    * implementation-specific, so this query carries a rows-only check —
+    * the point is exercising the sketch aggregation path at scale
+    * (mergeable state, no distinct shuffle). */
+  def q27HllSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .withColumn("rel_err_permille",
+        expr("abs(approx_users - exact_users) * 1000 div exact_users"))
+      .orderBy("day")
+
   /** Join with non-equi range predicate: lines priced above their part's
     * retail price (range/theta condition on top of the equi key —
     * Catalyst keeps it a hash join with residual filter). */

@@ -45,6 +45,30 @@ object LocalDirectory {
     df.select("path", "mod_ms", "content")
   }
 
+  /** S3 source (SURVEY.md §2.1, reference processS3 doc2vec.ts:898-1103):
+    * the binaryFile source reads `s3a://bucket/prefix` identically to a
+    * local path — listing, mtime skip, and size cap are the same plain
+    * filters. Kept as a named entry point for the source inventory. */
+  def readS3(spark: SparkSession, bucket: String, prefix: String,
+      includeExtensions: Seq[String] = Seq.empty,
+      maxBytes: Long = DefaultMaxBytes,
+      lastSyncMs: Option[Long] = None): DataFrame =
+    readFiles(spark, s"s3a://$bucket/$prefix", includeExtensions,
+      Seq.empty, maxBytes, lastSyncMs)
+
+  /** Deleted-object detection (reference doc2vec.ts:1062-1095): the
+    * previous run's file list anti-joined against the current listing.
+    */
+  def deletedFiles(previous: DataFrame, current: DataFrame): DataFrame =
+    previous.select("path").join(current.select("path"), Seq("path"),
+      "left_anti")
+
+  /** Git-diff gating (reference allowedFiles,
+    * content-processor.ts:1910-1913): restrict the scan to the changed
+    * set via a semi-join. */
+  def restrictToAllowed(files: DataFrame, allowed: DataFrame): DataFrame =
+    files.join(allowed.select("path"), Seq("path"), "left_semi")
+
   private def extOf(path: String): String = {
     val slash = math.max(path.lastIndexOf('/'), path.lastIndexOf('\\'))
     val dot = path.lastIndexOf('.')

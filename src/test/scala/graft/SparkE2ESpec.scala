@@ -110,6 +110,38 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       chunks.toDF().select("chunk_id")).count() == 0)
   }
 
+  test("markdown store upsert and 404 cleanup") {
+    import spark.implicits._
+    val stored = Seq(
+      ("u1", "P", "# old one", "2024-01-01"),
+      ("u2", "P", "# two", "2024-01-01"),
+      ("u3", "P", "# three", "2024-01-01"))
+      .toDF("url", "product_name", "markdown", "updated_at")
+    val incoming = Seq(("u1", "P", "# new one", "2024-02-01"))
+      .toDF("url", "product_name", "markdown", "updated_at")
+    val upserted = graft.sources.MarkdownStore.upsert(stored, incoming)
+    assert(upserted.count() == 3)
+    assert(upserted.filter(col("url") === "u1")
+      .head().getAs[String]("markdown") == "# new one")
+    val cleaned = graft.sources.MarkdownStore.deleteNotFound(
+      upserted, Seq("u3").toDF("url"))
+    assert(cleaned.select("url").collect().map(_.getString(0)).toSet ==
+      Set("u1", "u2"))
+  }
+
+  test("file-list diff and allowedFiles gating") {
+    import spark.implicits._
+    val previous = Seq("a.md", "b.md", "c.md").toDF("path")
+    val current = Seq("a.md", "c.md", "d.md").toDF("path")
+    assert(graft.sources.LocalDirectory.deletedFiles(previous, current)
+      .collect().map(_.getString(0)).toSeq == Seq("b.md"))
+    val files = Seq(("a.md", 1L), ("c.md", 2L), ("d.md", 3L))
+      .toDF("path", "mod_ms")
+    val allowed = Seq("c.md").toDF("path")
+    assert(graft.sources.LocalDirectory.restrictToAllowed(files, allowed)
+      .collect().map(_.getString(0)).toSeq == Seq("c.md"))
+  }
+
   test("streaming windowed aggregation over the events table") {
     val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage a small slice of real events as the stream input
