@@ -1,8 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Per-user session state for the stateful path (top-level for encoder
+  * codegen). */
+case class UserSessionState(userId: Long, nEvents: Long,
+    totalValue: Double, lastTsMicros: Long)
+case class SessionUpdate(user_id: Long, n_events: Long,
+    total_value: Double)
 
 /** Structured Streaming surface (SURVEY.md §2.10 "Streaming"): the
   * reference is batch-with-watermarks, so streaming is the engine's
@@ -36,4 +44,39 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Custom stateful processing: per-user running session state via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset extension point
+    * the reference's batch-only design leaves open).
+    *
+    * Timeout note: production deployments bound idle state with
+    * EventTimeTimeout + a watermark. ProcessingTimeTimeout is avoided
+    * here because it makes the query schedule timeout-only batches
+    * indefinitely — `processAllAvailable()` (the test/CI drive) then
+    * never quiesces. */
+  def sessionStates(spark: SparkSession,
+      events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[UserSessionState]) => {
+          val prev = state.getOption
+            .getOrElse(UserSessionState(userId, 0L, 0.0, 0L))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          var lastTs = prev.lastTsMicros
+          rows.foreach { case (_, tsUs, v) =>
+            n += 1; total += v; if (tsUs > lastTs) lastTs = tsUs
+          }
+          val next = UserSessionState(userId, n, total, lastTs)
+          state.update(next)
+          Iterator.single(SessionUpdate(userId, n, total))
+        })
+  }
 }

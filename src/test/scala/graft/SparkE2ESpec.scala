@@ -161,6 +161,30 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stateful streaming: per-user session state via flatMapGroupsWithState") {
+    val tmp = java.nio.file.Files.createTempDirectory("evstate").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(400).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val q = EventStream.sessionStates(spark,
+        EventStream.readEvents(spark, tmp))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+      assert(out.count() > 0)
+      // state accumulated per user: counts must equal the batch truth
+      val truth = Tables.events(spark, "/root/testdata/sf0.001")
+        .limit(400).groupBy("user_id").count()
+      val got = out.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+      val joined = truth.join(got, "user_id")
+        .filter(org.apache.spark.sql.functions.col("count") =!=
+          org.apache.spark.sql.functions.col("n"))
+      assert(joined.count() == 0)
+    } finally q.stop()
+  }
+
   test("multimodal binary pipeline: metadata + batched feature extraction") {
     import spark.implicits._
     val binaries = Seq(
