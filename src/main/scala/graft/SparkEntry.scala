@@ -194,10 +194,10 @@ object SparkEntry {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          s AS (
            SELECT user_id, value,
-             sum(new_session) OVER
+             CAST(sum(new_session) OVER
                (PARTITION BY user_id ORDER BY ts
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
            round(sum(value),2) AS session_value
@@ -536,12 +536,44 @@ object SparkEntry {
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-           FROM embeddings)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_dot_product(a.emb, b.emb) /
-           (sqrt(list_dot_product(a.emb, a.emb)) *
-            sqrt(list_dot_product(b.emb, b.emb))) > 0.4
+           FROM embeddings),
+         dims AS (
+           SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS d
+           FROM embeddings
+         ), proj AS (
+           SELECT vec_id, i.i AS i,
+             sum(CAST(v AS DOUBLE) *
+               (CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13) % 2 != 0
+                     THEN 1 ELSE -1 END)) AS proj
+           FROM dims CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
+           GROUP BY 1,2
+         ), sig AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN i < 4 AND proj > 0
+               THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket0,
+             CAST(sum(CASE WHEN i >= 4 AND proj > 0
+               THEN (1::BIGINT << CAST(i-4 AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket1
+           FROM proj GROUP BY 1
+         ),
+         v AS (SELECT s.vec_id, bucket0, bucket1, emb
+               FROM sig s JOIN e ON e.vec_id = s.vec_id),
+         cand AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.emb AS ea, b.emb AS eb
+           FROM v a JOIN v b
+             ON a.bucket0 = b.bucket0 AND a.vec_id < b.vec_id
+           UNION ALL
+           SELECT a.vec_id, b.vec_id, a.emb, b.emb
+           FROM v a JOIN v b
+             ON a.bucket1 = b.bucket1 AND a.vec_id < b.vec_id
+         )
+         SELECT DISTINCT vec_a, vec_b FROM cand
+         WHERE list_dot_product(ea, eb) /
+           (sqrt(list_dot_product(ea, ea)) *
+            sqrt(list_dot_product(eb, eb))) > 0.4
          ORDER BY 1,2""",
     "emb_embed_sig" ->
       """WITH tok AS (

@@ -211,20 +211,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding near-dup pairs: exact cosine > 0.4 over all pairs.
-    * Hot path: the codegen'd `dot_f` expression (tight primitive loop,
-    * same left-to-right double accumulation as the oracle) with norms
-    * precomputed once per vector *before* the self-join — the naive form
-    * recomputes two norms per pair, tripling the dominant cost. */
+  /** Embedding near-dup pairs: banded-LSH candidate generation (the same
+    * deterministic hyperplane buckets as `Similarity.lshBuckets`) with an
+    * exact cosine > 0.4 re-rank over candidates only.
+    *
+    * Scale design: candidates come from two equi-joins on the 4-bit band
+    * signatures — shuffle ∝ bucket sizes, never corpus². The previous
+    * all-pairs triangle join (`a.vec_id < b.vec_id`) was a cartesian:
+    * 5·10¹⁵ pairs at 100M vectors. Norms are precomputed once per vector
+    * before the join; the codegen'd `dot_f` keeps the re-rank in
+    * whole-stage codegen with the oracle's left-to-right accumulation.
+    * The cosine filter runs BEFORE the pair dedup (band duplicates carry
+    * identical cosine, so filtering first is order-safe and shrinks the
+    * dropDuplicates exchange). */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       .withColumn("norm", expr("sqrt(dot_f(embedding, embedding))"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val withB = Similarity.lshBuckets(s, dir)
+      .select("vec_id", "bucket0", "bucket1")
+      .join(e, "vec_id")
+      .localCheckpoint(true) // feeds both sides of both band joins
+    val a = withB.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm").as("na"), col("bucket0").as("a0"), col("bucket1").as("a1"))
+    val b = withB.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("norm").as("nb"), col("bucket0").as("b0"), col("bucket1").as("b1"))
+    // one equi-join per band, unioned — an OR condition would force a
+    // nested-loop join; equi-joins stay hash-partitioned
+    val cand0 = a.join(b, col("a0") === col("b0") && col("vec_a") < col("vec_b"))
+    val cand1 = a.join(b, col("a1") === col("b1") && col("vec_a") < col("vec_b"))
+    cand0.unionByName(cand1)
       .withColumn("cosine",
-        expr("dot_f(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
+        expr("dot_f(ea, eb)") / (col("na") * col("nb")))
       .filter(col("cosine") > 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
 }

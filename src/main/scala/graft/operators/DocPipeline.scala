@@ -44,11 +44,12 @@ object DocPipeline {
       .orderBy("url", "chunk_index")
   }
 
-  /** Fixed-size (128-char) token chunking — multi-chunk per document, so
-    * chunk_index / total_chunks bookkeeping is exercised end-to-end. */
-  def chunkTokenDocs(s: SparkSession, dir: String): DataFrame = {
+  /** Fixed-size (128-char) token chunking over an arbitrary documents
+    * projection — callers filter the scan FIRST so predicates reach
+    * parquet (Catalyst cannot push a filter through a typed flatMap). */
+  private def tokenChunks(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select("doc_id", "text", "lang", "source").as[DocIn]
       .flatMap { d =>
         val url = docUrl(d.doc_id)
@@ -58,8 +59,13 @@ object DocPipeline {
       .select(col("url"), col("chunk_index").cast("long").as("chunk_index"),
         col("total_chunks").cast("long").as("total_chunks"),
         col("chunk_id"), col("content"))
-      .orderBy("url", "chunk_index")
   }
+
+  /** Fixed-size (128-char) token chunking — multi-chunk per document, so
+    * chunk_index / total_chunks bookkeeping is exercised end-to-end. */
+  def chunkTokenDocs(s: SparkSession, dir: String): DataFrame =
+    tokenChunks(s, Tables.documents(s, dir))
+      .orderBy("url", "chunk_index")
 
   /** Overlap-splitting through the real chunker at query scale: each
     * document is tiled past 4000 chars so the safety-valve flush and the
@@ -81,13 +87,20 @@ object DocPipeline {
   }
 
   /** Page reconstruction (reference `get_chunks`, mcp/src/server.ts:343-397):
-    * all chunks of one url ordered by chunk_index within an index range. */
+    * all chunks of one url ordered by chunk_index within an index range.
+    *
+    * Scale: the doc_id filter is applied to the documents SCAN, before
+    * the chunking flatMap — `PushedFilters: [EqualTo(doc_id,…)]` reaches
+    * parquet, so one page lookup reads one row group, not the corpus.
+    * (The url→doc_id parse happens driver-side: the url is a query
+    * parameter, not data.) */
   def getChunks(s: SparkSession, dir: String, url: String = "doc://42",
-      fromIdx: Int = 0, toIdx: Int = 2): DataFrame =
-    chunkTokenDocs(s, dir)
-      .filter(col("url") === url &&
-        col("chunk_index").between(fromIdx, toIdx))
+      fromIdx: Int = 0, toIdx: Int = 2): DataFrame = {
+    val docId = url.stripPrefix("doc://").toLong
+    tokenChunks(s, Tables.documents(s, dir).filter(col("doc_id") === docId))
+      .filter(col("chunk_index").between(fromIdx, toIdx))
       .orderBy("chunk_index")
+  }
 
   /** Deterministic embedding operator (graft.functions.Embedder) over the
     * documents table — a per-partition map, no shuffle; the integer

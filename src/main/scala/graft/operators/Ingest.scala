@@ -14,6 +14,15 @@ import graft.sources.{Crawler, Renderers}
   */
 object Ingest {
 
+  /** Corpus size for the synthetic modular link graph, memoized per data
+    * directory — crawlFrontier and brokenLinks both need it, and an
+    * uncached `docs.count()` is a full extra scan job per query. */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate(dir,
+      Tables.documents(s, dir).select("doc_id").count())
+
   /** HTML page ingest: documents → synthetic HTML → HtmlToMarkdown →
     * heading-aware chunker. End-to-end §2.2 normalization through the
     * pipeline (pure per-row, no shuffle). */
@@ -65,7 +74,7 @@ object Ingest {
     * Oracle: DuckDB recursive CTE with min-depth aggregation. */
   def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
+    val n = docCount(s, dir)
     val links = docs.select(
         concat(lit("doc://"), col("doc_id")).as("src"),
         concat(lit("doc://"), (col("doc_id") * 7 + 1) % n).as("dst"))
@@ -151,7 +160,7 @@ object Ingest {
     * target hits the synthetic 404 set (doc_id % 13 == 0) are broken. */
   def brokenLinks(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
+    val n = docCount(s, dir)
     val links = docs.select(
         concat(lit("doc://"), col("doc_id")).as("source"),
         concat(lit("doc://"), (col("doc_id") * 7 + 1) % n).as("target"))

@@ -60,15 +60,22 @@ object Similarity {
     val store = docs.join(e, col("doc_id") === col("vec_id"))
     val qv = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
-    val w = Window.orderBy(col("distance"), col("doc_id"))
+    // Top-4-of-all via orderBy+limit → TakeOrderedAndProject: each
+    // partition serves its local top-4 map-side, the driver merges 4-row
+    // heaps. The previous global Window.orderBy funneled every scored row
+    // through a single partition. row_number over the surviving 4 rows is
+    // then trivially cheap.
     store.crossJoin(broadcast(qv))
       .filter(col("doc_id") =!= 0)
       .filter(col("lang") === "en")                // metadata equality filter
       .filter(col("source").startsWith("src1"))    // urlPathPrefix post-filter
       .filter(length(col("text")) > 0)             // empty-content drop
       .withColumn("distance", lit(1.0) - cosineExpr("qv", "embedding"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 4)
+      .select(col("distance"), col("doc_id"), col("source"))
+      .orderBy(col("distance"), col("doc_id"))
+      .limit(4)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("distance"), col("doc_id"))))
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         concat(lit("doc://"), col("doc_id")).as("url"), col("source"))
       .orderBy("rank")
