@@ -78,6 +78,7 @@ object SparkEntry {
     "sync_run_counters"   -> (Sync.runCounters _),
     "ingest_html"         -> (Ingest.ingestHtml _),
     "ingest_render_issue" -> (Ingest.renderIssues _),
+    "ingest_render_article" -> (Ingest.renderArticles _),
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
     "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
     "sync_etag_skip"      -> (Ingest.etagSkip _),
@@ -787,6 +788,30 @@ object SparkEntry {
            FROM e)
          SELECT id AS issue_id, markdown, sha256(markdown) AS md_hash
          FROM md ORDER BY issue_id""",
+    "ingest_render_article" ->
+      """WITH e AS (
+           SELECT event_id AS id, user_id, event_type AS etype,
+             strftime(ts::TIMESTAMP, '%a %b %d %Y') AS d
+           FROM events WHERE event_id < 100),
+         md AS (
+           SELECT id,
+             '# Article ' || etype || ' ' || id || chr(10) || chr(10) ||
+             '- **Author:** ' || user_id || chr(10) ||
+             '- **Section:** ' || (id % 7) || chr(10) ||
+             '- **Created:** ' || d || chr(10) ||
+             '- **Updated:** ' || d || chr(10) ||
+             '- **Vote Sum:** ' || (id % 11 - 3) || chr(10) ||
+             '- **Vote Count:** ' || (id % 11) || chr(10) ||
+             (CASE WHEN etype='click'
+                   THEN '- **Labels:** `howto`, `faq`' || chr(10)
+                   ELSE '' END) ||
+             chr(10) || '## Content' || chr(10) || chr(10) ||
+             (CASE WHEN id % 7 = 0 THEN '_No content._'
+                   ELSE 'Article body for event ' || id || '.' END) ||
+             chr(10) AS markdown
+           FROM e)
+         SELECT id AS article_id, markdown, sha256(markdown) AS md_hash
+         FROM md ORDER BY article_id""",
     "crawl_frontier" ->
       """WITH RECURSIVE
          edges AS (

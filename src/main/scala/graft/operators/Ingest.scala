@@ -69,6 +69,32 @@ object Ingest {
       .orderBy("issue_id")
   }
 
+  /** Zendesk article rendering: events rows as synthetic help-center
+    * articles through the reference template (doc2vec.ts:1825-1854).
+    * Every 7th article has a blank body (→ `_No content._`); `click`
+    * events carry labels so the optional label bullet is exercised both
+    * ways. Emits the markdown and its hash. */
+  def renderArticles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String, String)]
+      .map { case (id, user, etype, iso) =>
+        val article = Renderers.Article(
+          id = id, title = s"Article $etype $id", authorId = user,
+          sectionId = id % 7, createdAt = iso, updatedAt = iso,
+          voteSum = id % 11 - 3, voteCount = id % 11,
+          labelNames = if (etype == "click") Seq("howto", "faq") else Seq.empty,
+          body = if (id % 7 == 0) None else Some(s"Article body for event $id."))
+        val md = Renderers.renderArticle(article)
+        (id, md, graft.functions.TextUtil.sha256Hex(md))
+      }
+      .toDF("article_id", "markdown", "md_hash")
+      .orderBy("article_id")
+  }
+
   /** Crawl frontier: BFS over a deterministic link graph (doc i links
     * to (7i+1) mod N and (13i+5) mod N) from seed doc 0 → (url, depth).
     * Oracle: DuckDB recursive CTE with min-depth aggregation. */

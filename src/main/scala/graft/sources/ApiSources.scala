@@ -9,6 +9,13 @@ import graft.operators.Chunker
   * is a Java keyword, so the JSON field is remapped to is_public). */
 case class TicketCommentIn(author_id: Long, created_at: String,
     is_public: Boolean, body: String)
+/** Staged-JSON help-center article shape. */
+case class ArticleIn(id: Long, title: String, author_id: Long,
+    section_id: Long, created_at: String, updated_at: String,
+    vote_sum: Option[Long], vote_count: Option[Long],
+    label_names: Option[Seq[String]], body: Option[String],
+    html_url: Option[String])
+
 case class TicketIn(id: Long, subject: String, status: String,
     priority: Option[String], ticket_type: Option[String],
     requester_id: Long, assignee_id: Option[Long], created_at: String,
@@ -86,6 +93,33 @@ object ApiSources {
           productName, version, s"zendesk://ticket/${t.id}")
       }
     (chunks, deleted)
+  }
+
+  /** Staged Zendesk help-center articles (JSON lines) → chunk table
+    * through the reference article template (doc2vec.ts:1825-1854).
+    * Incremental on `updated_at > watermark`; fetch_articles defaults to
+    * true in the reference (doc2vec.ts:1525), so this path runs for
+    * every Zendesk source unless disabled. */
+  def ingestArticles(spark: SparkSession, jsonPath: String,
+      productName: String, version: String,
+      updatedAfter: Option[String] = None): Dataset[Chunk] = {
+    import spark.implicits._
+    var df = spark.read.json(jsonPath)
+    updatedAfter.foreach(w => df = df.filter(col("updated_at") > lit(w)))
+    df.select(col("id").cast("long"), col("title"),
+        col("author_id").cast("long"), col("section_id").cast("long"),
+        col("created_at"), col("updated_at"),
+        col("vote_sum").cast("long"), col("vote_count").cast("long"),
+        col("label_names"), col("body"), col("html_url"))
+      .as[ArticleIn]
+      .flatMap { a =>
+        val md = Renderers.renderArticle(Renderers.Article(a.id, a.title,
+          a.author_id, a.section_id, a.created_at, a.updated_at,
+          a.vote_sum.getOrElse(0L), a.vote_count.getOrElse(0L),
+          a.label_names.getOrElse(Seq.empty), a.body))
+        Chunker.chunkMarkdown(md, productName, version,
+          a.html_url.getOrElse(s"zendesk://article/${a.id}"))
+      }
   }
 
   /** Watermark for the next run: max(updated_at) of the batch, held at

@@ -18,6 +18,11 @@ object Renderers {
       labels: Seq[String], body: Option[String], isPullRequest: Boolean,
       comments: Seq[IssueComment])
 
+  case class Article(id: Long, title: String, authorId: Long,
+      sectionId: Long, createdAt: String, updatedAt: String,
+      voteSum: Long, voteCount: Long, labelNames: Seq[String],
+      body: Option[String])
+
   case class TicketComment(authorId: Long, createdAt: String,
       isPublic: Boolean, body: String)
   case class Ticket(id: Long, subject: String, status: String,
@@ -52,6 +57,34 @@ object Renderers {
     else i.comments.foreach { c =>
       sb.append(s"### ${c.author} - ${toDateString(c.createdAt)}\n\n${c.body}\n\n---\n\n")
     }
+    sb.toString
+  }
+
+  /** Zendesk help-center article → Markdown (reference
+    * `generateMarkdownForArticle`, doc2vec.ts:1825-1854): title heading,
+    * author/section/created/updated/vote bullets, optional backticked
+    * label list, then the body under `## Content` — HTML bodies go
+    * through the HTML→Markdown converter, plain text passes through,
+    * blank bodies render `_No content._`. */
+  def renderArticle(a: Article): String = {
+    val sb = new StringBuilder
+    sb.append(s"# ${a.title}\n\n")
+    sb.append(s"- **Author:** ${a.authorId}\n")
+    sb.append(s"- **Section:** ${a.sectionId}\n")
+    sb.append(s"- **Created:** ${toDateString(a.createdAt)}\n")
+    sb.append(s"- **Updated:** ${toDateString(a.updatedAt)}\n")
+    sb.append(s"- **Vote Sum:** ${a.voteSum}\n")
+    sb.append(s"- **Vote Count:** ${a.voteCount}\n")
+    if (a.labelNames.nonEmpty)
+      sb.append(
+        s"- **Labels:** ${a.labelNames.map(l => s"`$l`").mkString(", ")}\n")
+    val body = a.body.getOrElse("")
+    val clean =
+      if (body.trim.isEmpty) "_No content._"
+      else if (body.contains("<"))
+        graft.functions.HtmlToMarkdown.convert(body)
+      else body
+    sb.append(s"\n## Content\n\n$clean\n")
     sb.toString
   }
 

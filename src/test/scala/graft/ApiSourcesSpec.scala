@@ -71,6 +71,66 @@ class ApiSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withInternal.collect().head.content.contains("Internal escalation"))
   }
 
+  test("article renderer matches the reference template byte-for-byte") {
+    import graft.sources.Renderers
+    val a = Renderers.Article(201, "Getting started", 42, 7,
+      "2024-03-01T10:00:00Z", "2024-03-05T11:00:00Z", 5, 9,
+      Seq("howto", "faq"), Some("Plain text body."))
+    assert(Renderers.renderArticle(a) ==
+      "# Getting started\n\n" +
+      "- **Author:** 42\n" +
+      "- **Section:** 7\n" +
+      "- **Created:** Fri Mar 01 2024\n" +
+      "- **Updated:** Tue Mar 05 2024\n" +
+      "- **Vote Sum:** 5\n" +
+      "- **Vote Count:** 9\n" +
+      "- **Labels:** `howto`, `faq`\n" +
+      "\n## Content\n\nPlain text body.\n")
+  }
+
+  test("article renderer: blank body, no labels, HTML body branch") {
+    import graft.sources.Renderers
+    def art(id: Long, body: Option[String]) = Renderers.Article(id, "T", 1,
+      1, "2024-01-01T00:00:00Z", "2024-01-01T00:00:00Z", 0, 0,
+      Seq.empty, body)
+    val blank = Renderers.renderArticle(art(1, None))
+    assert(blank.contains("\n## Content\n\n_No content._\n"))
+    assert(!blank.contains("**Labels:**"))
+    val ws = Renderers.renderArticle(art(2, Some("   ")))
+    assert(ws.contains("_No content._"))
+    val html = Renderers.renderArticle(
+      art(3, Some("<p>Hello <strong>world</strong></p>")))
+    assert(html.contains("Hello **world**"))
+  }
+
+  private lazy val articlesPath: String = {
+    val d = Files.createTempDirectory("articles")
+    val lines = Seq(
+      """{"id":301,"title":"Install guide","author_id":42,"section_id":7,"created_at":"2024-03-01T10:00:00Z","updated_at":"2024-03-05T11:00:00Z","vote_sum":5,"vote_count":9,"label_names":["howto"],"body":"<p>Run the <code>installer</code>.</p>","html_url":"https://x.zendesk.com/hc/articles/301"}""",
+      """{"id":302,"title":"Empty one","author_id":43,"section_id":8,"created_at":"2024-01-01T00:00:00Z","updated_at":"2024-01-02T00:00:00Z","vote_sum":null,"vote_count":null,"label_names":[],"body":null,"html_url":null}""")
+    Files.writeString(d.resolve("articles.jsonl"), lines.mkString("\n"))
+    d.resolve("articles.jsonl").toString
+  }
+
+  test("staged articles render and chunk; vote/url defaults applied") {
+    val rows = ApiSources.ingestArticles(spark, articlesPath, "HC", "1.0")
+      .collect()
+    assert(rows.map(_.url).distinct.sorted.toSeq ==
+      Seq("https://x.zendesk.com/hc/articles/301", "zendesk://article/302"))
+    val a301 = rows.find(_.url.endsWith("/301")).get.content
+    assert(a301.contains("# Install guide"))
+    assert(a301.contains("- **Labels:** `howto`"))
+    assert(a301.contains("Run the `installer`."))
+    val a302 = rows.find(_.url == "zendesk://article/302").get.content
+    assert(a302.contains("- **Vote Sum:** 0"))
+    assert(a302.contains("- **Vote Count:** 0"))
+    assert(a302.contains("_No content._"))
+    val fresh = ApiSources.ingestArticles(spark, articlesPath, "HC", "1.0",
+      updatedAfter = Some("2024-02-01T00:00:00Z")).collect()
+    assert(fresh.map(_.url).distinct.toSeq ==
+      Seq("https://x.zendesk.com/hc/articles/301"))
+  }
+
   test("watermark advances on success and holds on failure") {
     val batch = spark.read.json(jsonPath)
     assert(ApiSources.nextWatermark(batch, "2024-01-01T00:00:00Z", 0) ==
