@@ -81,6 +81,7 @@ object SparkEntry {
     "ingest_render_article" -> (Ingest.renderArticles _),
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
     "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
+    "sitemap_parse"       -> (Ingest.sitemapParse _),
     "sync_etag_skip"      -> (Ingest.etagSkip _),
     "sync_lastmod_skip"   -> ((s: SparkSession, d: String) =>
       Ingest.lastmodSkip(s, d)),
@@ -831,6 +832,19 @@ object SparkEntry {
            WHERE b.depth < 25)
          SELECT url, CAST(min(depth) AS BIGINT) AS depth
          FROM bfs GROUP BY 1 ORDER BY url""",
+    "sitemap_parse" ->
+      """WITH u AS (
+           SELECT 'doc://home' AS url, '2024-01-01' AS lastmod,
+             'sitemap://index' AS sitemap_url, CAST(0 AS BIGINT) AS depth
+           UNION ALL
+           SELECT 'doc://'||doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE '2024-01-'||
+                    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END,
+             'sitemap://part'||(doc_id % 4),
+             CAST(1 AS BIGINT)
+           FROM documents)
+         SELECT url, lastmod, sitemap_url, depth FROM u ORDER BY url""",
     "sitemap_prefix_lastmod" ->
       """WITH prefixes(prefix, lastmod) AS (VALUES
            ('doc://','2024-01-16'),

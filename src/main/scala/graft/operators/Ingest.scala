@@ -111,6 +111,41 @@ object Ingest {
     Crawler.frontierFixpoint(links, seeds).orderBy("url")
   }
 
+  /** Sitemap XML parse + index recursion (reference `parseSitemap`,
+    * content-processor.ts:277-319): documents staged as four `<urlset>`
+    * part sitemaps behind one `<sitemapindex>` (which also carries a
+    * direct `<url>` entry, exercising the mixed-file path); every 3rd
+    * url omits `<lastmod>` (→ NULL, the reference's `|| undefined`). */
+  def sitemapParse(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val parts = docs
+      .withColumn("part", col("doc_id") % 4)
+      .withColumn("entry", concat(
+        lit("<url><loc>doc://"), col("doc_id"), lit("</loc>"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit("<lastmod>2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        lit("</url>")))
+      .groupBy(col("part"))
+      .agg(concat(lit("<urlset>"), concat_ws("", collect_list(col("entry"))),
+        lit("</urlset>")).as("xml"))
+      .select(concat(lit("sitemap://part"), col("part")).as("sitemap_url"),
+        col("xml"))
+    val index = s.createDataFrame(Seq((
+        "sitemap://index",
+        "<sitemapindex>" +
+          (0 to 3).map(k => s"<sitemap><loc>sitemap://part$k</loc></sitemap>")
+            .mkString +
+          "</sitemapindex>" +
+          "<urlset><url><loc>doc://home</loc>" +
+          "<lastmod>2024-01-01</lastmod></url></urlset>")))
+      .toDF("sitemap_url", "xml")
+    graft.sources.Sitemap
+      .resolve(s, parts.unionByName(index), "sitemap://index")
+      .orderBy("url")
+  }
+
   /** Sitemap lastmod inheritance: each url inherits the lastmod of its
     * longest matching sitemap prefix (reference
     * content-processor.ts:393-436). Prefixes broadcast; longest match
