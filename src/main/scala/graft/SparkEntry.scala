@@ -53,6 +53,7 @@ object SparkEntry {
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
       DocPipeline.getChunks(s, d)),
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
+    "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
     "doc_token_count"     -> (TextAnalysis.tokenCount _),
@@ -789,6 +790,43 @@ object SparkEntry {
            FROM e)
          SELECT id AS issue_id, markdown, sha256(markdown) AS md_hash
          FROM md ORDER BY issue_id""",
+    "doc_pdf_lines" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(ws) AS str,
+             generate_subscripts(ws, 1) - 1 AS i
+           FROM words),
+         it AS (
+           SELECT doc_id, (i % 2) + 1 AS page, i // 2 AS j, str
+           FROM tok WHERE i < 12),
+         piece AS (
+           SELECT doc_id, page, j,
+             (CASE WHEN j = 0 THEN ''
+                   WHEN j % 2 = 0 OR j % 3 = 0 THEN ' ' ELSE '' END)
+               || str AS piece
+           FROM it),
+         pages AS (
+           SELECT doc_id, page, string_agg(piece, '' ORDER BY j) AS ptext
+           FROM piece GROUP BY 1,2),
+         np AS (SELECT doc_id, max(page) AS num_pages
+                FROM pages GROUP BY 1),
+         md AS (
+           SELECT p.doc_id,
+             '# doc_' || p.doc_id || chr(10) || chr(10) ||
+             string_agg(
+               (CASE WHEN n.num_pages > 1
+                     THEN '## Page ' || p.page || chr(10) || chr(10)
+                     ELSE '' END)
+               || trim(p.ptext) || chr(10) || chr(10), '' ORDER BY p.page)
+               AS raw
+           FROM pages p JOIN np n ON n.doc_id = p.doc_id
+           WHERE length(trim(p.ptext)) > 0
+           GROUP BY p.doc_id)
+         SELECT doc_id, rtrim(raw, chr(10) || ' ') AS markdown
+         FROM md ORDER BY doc_id""",
     "ingest_render_article" ->
       """WITH e AS (
            SELECT event_id AS id, user_id, event_type AS etype,

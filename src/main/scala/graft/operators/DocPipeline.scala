@@ -102,6 +102,50 @@ object DocPipeline {
       .orderBy("chunk_index")
   }
 
+  /** PDF text-item → markdown reconstruction over a staged text-run
+    * TABLE (doc_id, page, j, str, width, y) — the reference's Y-delta
+    * line-break algorithm (content-processor.ts:1489-1567) as a Spark
+    * operator. One shuffle groups runs per document (the shape a 100 TB
+    * staged extraction needs anyway); reconstruction is a per-group
+    * kernel, ordered by (page, item index) inside the group. */
+  def pdfFromRuns(s: SparkSession, runs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.sources.DocumentConverters
+    runs.select(col("doc_id").cast("long"), col("page").cast("int"),
+        col("j").cast("int"), col("str"),
+        col("width").cast("double"), col("y").cast("double"))
+      .as[(Long, Int, Int, String, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val sorted = it.toSeq.sortBy(r => (r._2, r._3))
+        val pages = sorted.groupBy(_._2).toSeq.map { case (p, rs) =>
+          (p, rs.map(r => DocumentConverters.PdfRun(r._4, r._5, r._6)))
+        }
+        (docId, DocumentConverters.pdfMarkdown(s"doc_$docId", pages))
+      }
+      .toDF("doc_id", "markdown")
+  }
+
+  /** Oracle-checked drive of `pdfFromRuns`: a deterministic run table
+    * from the documents words (first 12 words, two interleaved pages,
+    * three items per visual line with Δy=10, alternating zero/positive
+    * widths — so the width-space rule, the Y-delta line break, and the
+    * whitespace collapse are all observable in the output). */
+  def pdfLines(s: SparkSession, dir: String): DataFrame = {
+    val runs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), w -> w != '')"))
+          .as(Seq("i", "str")))
+      .filter(col("i") < 12)
+      .select(col("doc_id"),
+        (col("i") % 2 + 1).as("page"),
+        expr("i div 2").as("j"),
+        col("str"),
+        (expr("i div 2") % 2).cast("double").as("width"),
+        (lit(100) - lit(10) * expr("(i div 2) div 3")).cast("double").as("y"))
+    pdfFromRuns(s, runs).orderBy("doc_id")
+  }
+
   /** Deterministic embedding operator (graft.functions.Embedder) over the
     * documents table — a per-partition map, no shuffle; the integer
     * accumulator signature is emitted so the oracle can check the exact

@@ -5,14 +5,14 @@ import graft.functions.{HtmlToMarkdown, TextUtil}
 /** File-format → Markdown conversion dispatcher (SURVEY.md §2.2,
   * reference convertFileToMarkdown content-processor.ts:1569-1597).
   *
-  * Text-borne formats (md/txt/html) convert for real. The binary
-  * formats (pdf/doc/docx) are STUBS — the JVM decode libraries
-  * (PDFBox/POI) are not in this build — but they preserve the
-  * reference's output *shape*: the filename becomes the `# title`
-  * heading, PDF pages appear as `## Page N` sections (the reference's
-  * Y-delta line-break extraction reduced to a deterministic page split).
-  * Swapping a real extractor in changes no downstream plumbing: the
-  * dispatcher's contract is bytes → markdown.
+  * Text-borne formats (md/txt/html) convert for real, and so does every
+  * piece of the binary formats' DEFINING logic: the PDF text-item →
+  * line reconstruction (`pdfPageText`/`pdfMarkdown`, the reference's
+  * Y-delta heuristic over a pre-extracted text-run table) and the
+  * DOC/DOCX body normalization (`docBodyMarkdown`/`docxHtmlMarkdown`).
+  * Only the byte-level decode step (PDF.js / word-extractor / mammoth —
+  * native or JS libraries not in this offline build) is stubbed; a real
+  * decoder slots in front of these functions with no downstream change.
   */
 object DocumentConverters {
 
@@ -21,6 +21,66 @@ object DocumentConverters {
     val dot = base.lastIndexOf('.')
     if (dot > 0) base.substring(0, dot) else base
   }
+
+  /** One extracted PDF text item: the subset of PDF.js's `TextItem` the
+    * reconstruction reads (str, width, transform[5]=y). */
+  final case class PdfRun(str: String, width: Double, y: Double)
+
+  /** Page text from ordered text runs — the reference's Y-delta
+    * line-break reconstruction (content-processor.ts:1521-1549),
+    * byte-faithful including its cleanup order: a line break is inserted
+    * when |Δy| > 5, a space after any run with width > 0, and the final
+    * `\s+`→' ' collapse turns those breaks into separators — so the
+    * Y-delta logic is what keeps two width-0 runs on different lines
+    * from concatenating. */
+  def pdfPageText(items: Seq[PdfRun]): String = {
+    val sb = new StringBuilder
+    var currentY = -1.0
+    items.foreach { it =>
+      if (currentY != -1 && math.abs(it.y - currentY) > 5) sb.append('\n')
+      sb.append(it.str)
+      if (it.width > 0) sb.append(' ')
+      currentY = it.y
+    }
+    sb.toString
+      .replaceAll("\\s+", " ")
+      .replaceAll("\n\\s+", "\n") // (dead after the collapse — kept to match the reference)
+      .trim
+  }
+
+  /** Whole-document markdown from per-page runs (reference
+    * content-processor.ts:1489-1567): `# title`, `## Page N` headings
+    * only for multi-page documents, empty pages skipped, `\n{3,}`
+    * collapsed, trimmed. */
+  def pdfMarkdown(title: String, pages: Seq[(Int, Seq[PdfRun])]): String = {
+    val numPages = if (pages.isEmpty) 0 else pages.map(_._1).max
+    val sb = new StringBuilder(s"# $title\n\n")
+    pages.sortBy(_._1).foreach { case (p, items) =>
+      val pageText = pdfPageText(items)
+      if (pageText.nonEmpty) {
+        if (numPages > 1) sb.append(s"## Page $p\n\n")
+        sb.append(pageText).append("\n\n")
+      }
+    }
+    sb.toString.replaceAll("\n{3,}", "\n\n").trim
+  }
+
+  /** DOC body → markdown (reference content-processor.ts:1411-1440):
+    * filename title + body with line endings normalized and excessive
+    * breaks collapsed. Everything after word-extractor's `getBody()`. */
+  def docBodyMarkdown(fileName: String, body: String): String = {
+    val cleaned = body.replace("\r\n", "\n")
+      .replaceAll("\n{3,}", "\n\n").trim
+    s"# ${titleOf(fileName)}\n\n$cleaned"
+  }
+
+  /** DOCX (mammoth-emitted HTML) → markdown (reference
+    * content-processor.ts:1442-1487): filename title + sanitize/turndown
+    * conversion + break collapse. Everything after mammoth's
+    * convertToHtml. */
+  def docxHtmlMarkdown(fileName: String, html: String): String =
+    (s"# ${titleOf(fileName)}\n\n" + HtmlToMarkdown.convert(html))
+      .replaceAll("\n{3,}", "\n\n").trim
 
   /** STUB PDF text extraction: deterministic page content derived from
     * the payload hash, one `## Page N` section per simulated page

@@ -212,6 +212,41 @@ class IngestSpec extends AnyFunSuite {
       .get == pdf)
   }
 
+  test("pdf Y-delta line reconstruction matches the reference algorithm") {
+    import graft.sources.DocumentConverters.{PdfRun, pdfPageText, pdfMarkdown}
+    // same line (|dy|<=5): no break; width>0 adds a space
+    assert(pdfPageText(Seq(PdfRun("Hello", 30, 100), PdfRun("world", 0, 102)))
+      == "Hello world")
+    // width-0 runs on the SAME line concatenate...
+    assert(pdfPageText(Seq(PdfRun("foo", 0, 100), PdfRun("bar", 0, 100)))
+      == "foobar")
+    // ...but the Y-delta break separates them across lines (the inserted
+    // \n collapses to a single space)
+    assert(pdfPageText(Seq(PdfRun("foo", 0, 100), PdfRun("bar", 0, 90)))
+      == "foo bar")
+    // trailing width-space is trimmed; internal runs collapse to one space
+    assert(pdfPageText(Seq(PdfRun("a", 5, 100), PdfRun("b", 5, 80),
+      PdfRun("c", 5, 80))) == "a b c")
+    assert(pdfPageText(Seq.empty) == "")
+    // multi-page: headings only when numPages > 1; empty pages skipped
+    assert(pdfMarkdown("guide", Seq(
+      (1, Seq(PdfRun("One", 1, 10))),
+      (2, Seq.empty),
+      (3, Seq(PdfRun("Three", 1, 10))))) ==
+      "# guide\n\n## Page 1\n\nOne\n\n## Page 3\n\nThree")
+    assert(pdfMarkdown("single", Seq((1, Seq(PdfRun("Only", 1, 10))))) ==
+      "# single\n\nOnly")
+  }
+
+  test("doc/docx body normalization") {
+    import graft.sources.DocumentConverters.{docBodyMarkdown, docxHtmlMarkdown}
+    assert(docBodyMarkdown("a/spec.doc", "Line1\r\n\r\n\r\n\r\nLine2\r\n") ==
+      "# spec\n\nLine1\n\nLine2")
+    assert(docxHtmlMarkdown("rep.docx",
+      "<h2>Section</h2><p>Body <strong>text</strong>.</p>") ==
+      "# rep\n\n## Section\n\nBody **text**.")
+  }
+
   // ── url utils ───────────────────────────────────────────────────────
   test("url scalars") {
     assert(UrlUtils.getUrlPrefix("https://a.io/x/y?q=1#f") == "https://a.io/x/y")
