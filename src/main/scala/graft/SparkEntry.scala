@@ -78,6 +78,7 @@ object SparkEntry {
     "sync_watermark"      -> (Sync.watermark _),
     "sync_run_counters"   -> (Sync.runCounters _),
     "ingest_html"         -> (Ingest.ingestHtml _),
+    "ingest_page"         -> (Ingest.ingestPage _),
     "ingest_render_issue" -> (Ingest.renderIssues _),
     "ingest_render_article" -> (Ingest.renderArticles _),
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
@@ -761,6 +762,17 @@ object SparkEntry {
            '## '||lang||chr(10)||chr(10)||text AS content
            FROM documents) t
          ORDER BY url, chunk_index""",
+    "ingest_page" ->
+      """SELECT 'doc://'||doc_id AS url, md AS markdown,
+           '/home,/about,doc://next' AS links_csv,
+           CAST(3 AS BIGINT) AS n_links, sha256(md) AS md_hash
+         FROM (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN '# '||source||' guide'
+                 ELSE '# Site' END)
+           ||chr(10)||chr(10)||'## '||lang||chr(10)||chr(10)||
+           trim(text||' [Next](doc://next)') AS md
+           FROM documents) t
+         ORDER BY url""",
     "ingest_render_issue" ->
       """WITH e AS (
            SELECT event_id AS id, user_id, event_type AS etype,

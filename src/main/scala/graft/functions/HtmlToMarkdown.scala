@@ -190,6 +190,84 @@ object HtmlToMarkdown {
     }
   }
 
+  private def collectElems(e: Elem, pred: Elem => Boolean): Seq[Elem] = {
+    val self = if (pred(e)) Seq(e) else Seq.empty
+    self ++ e.children.collect { case c: Elem => c }
+      .flatMap(collectElems(_, pred))
+  }
+
+  private def hasClass(e: Elem, c: String): Boolean =
+    e.attrs.get("class").exists(_.split("\\s+").contains(c))
+
+  /** Main-content selector cascade (reference processPage,
+    * content-processor.ts:1089-1101): `.docs-content` > `.doc-content` >
+    * `.markdown-body` > `article` > `div[role=main].document` > `main` >
+    * `body`, first match in document order; whole fragment when none
+    * match. */
+  private def selectMain(root: Elem): Elem =
+    findFirst(root, hasClass(_, "docs-content"))
+      .orElse(findFirst(root, hasClass(_, "doc-content")))
+      .orElse(findFirst(root, hasClass(_, "markdown-body")))
+      .orElse(findFirst(root, _.tag == "article"))
+      .orElse(findFirst(root, e => e.tag == "div" &&
+        e.attrs.get("role").contains("main") && hasClass(e, "document")))
+      .orElse(findFirst(root, _.tag == "main"))
+      .orElse(findFirst(root, _.tag == "body"))
+      .getOrElse(root)
+
+  private def findFirst(root: Elem, pred: Elem => Boolean): Option[Elem] =
+    collectElems(root, pred).headOption
+
+  /** Full rendered-page processing (reference processPage,
+    * content-processor.ts:987-1237): link harvest over the FULL DOM
+    * (before any content filtering), main-content selector cascade, tab
+    * flattening, H1 save (the reference marks them `original-h1` so
+    * Readability's chrome-stripping can be undone) and page-title
+    * injection when the converted markdown doesn't already open with it.
+    * Readability's scoring prune itself is not ported (no DOM library in
+    * this build) — the allowlist/unwrap conversion plays its extraction
+    * role; the H1 restore is therefore the identity here, and the
+    * observable contract is the injected title.
+    *
+    * Returns (markdown, links). */
+  def processPage(html: String): (String, Seq[String]) = {
+    if (html == null || html.trim.isEmpty) return ("", Seq.empty)
+    val full = parse(html)
+    // links from the entire document, not just the main content area
+    val links = collectElems(full, e => e.tag == "a" &&
+        e.attrs.get("href").exists(h =>
+          h.nonEmpty && !h.startsWith("#") && !h.startsWith("mailto:")))
+      .map(_.attrs("href"))
+    val main = selectMain(full)
+    preprocessTabs(main)
+    // H1s extracted BEFORE conversion; empty/icon-only ones skipped
+    val h1s = collectElems(main, _.tag == "h1")
+      .map(e => textContent(e).trim)
+      .filter(t => t.length > 3 && !t.matches("(?i)^(link|#|menu|close)$"))
+    val md0 = block(main, 0)
+      .replaceAll("[ \t]+\n", "\n")
+      .replaceAll("\n{3,}", "\n\n")
+      .trim
+    // fallback title: the document <title> (the reference's article.title)
+    val docTitle = findFirst(full, _.tag == "title")
+      .map(e => e.children.collect { case Text(s) => s }.mkString.trim)
+      .getOrElse("")
+    val pageTitle = h1s.headOption.getOrElse(docTitle)
+    val markdown =
+      if (pageTitle.isEmpty) md0
+      else {
+        val normalizedTitle = pageTitle.replaceAll("\\s+", " ")
+        val firstLine = md0.split("\n", 2)(0)
+        val h1Re = "^#\\s+(.+)$".r
+        firstLine match {
+          case h1Re(t)
+            if t.replaceAll("\\s+", " ").trim == normalizedTitle => md0
+          case _ => s"# $pageTitle\n\n$md0"
+        }
+      }
+    (markdown, links)
+  }
+
   /** WAI-ARIA tab flattening (reference preprocessTabs,
     * content-processor.ts:1307-1399): each [role=tab] button's label is
     * injected as a `**Label:**` paragraph before its panel (matched via

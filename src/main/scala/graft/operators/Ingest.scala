@@ -43,6 +43,35 @@ object Ingest {
       .orderBy("url", "chunk_index")
   }
 
+  /** Full-page ingest through the selector cascade (reference
+    * processPage, content-processor.ts:987-1237): chrome-bearing pages
+    * (head/title/script, nav with fragment/mailto links, an h1 OUTSIDE
+    * the main content) where `<article>` is the cascade target. Links
+    * harvest from the full DOM (fragment + mailto dropped); even docs
+    * carry their own `<h1>` (no injection), odd docs get the document
+    * title injected. */
+  def ingestPage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source").as[DocIn]
+      .map { d =>
+        val h1 =
+          if (d.doc_id % 2 == 0) s"<h1>${d.source} guide</h1>" else ""
+        val html =
+          "<html><head><title>Site</title><script>nav()</script></head>" +
+            "<body><nav><a href=\"/home\">Home</a><a href=\"#frag\">Skip</a>" +
+            "<a href=\"mailto:x@y\">Mail</a><a href=\"/about\">About</a></nav>" +
+            "<h1>Portal navigation</h1>" +
+            s"<article>$h1<h2>${d.lang}</h2><p>${d.text} " +
+            "<a href=\"doc://next\">Next</a></p></article></body></html>"
+        val (md, links) = HtmlToMarkdown.processPage(html)
+        (s"doc://${d.doc_id}", md, links.mkString(","),
+          links.length.toLong, graft.functions.TextUtil.sha256Hex(md))
+      }
+      .toDF("url", "markdown", "links_csv", "n_links", "md_hash")
+      .orderBy("url")
+  }
+
   /** GitHub-issue rendering: events rows as synthetic issues (event_id →
     * number, event_type → state vocabulary) rendered through the
     * reference template; emits the markdown and its hash. */

@@ -212,6 +212,49 @@ class IngestSpec extends AnyFunSuite {
       .get == pdf)
   }
 
+  test("processPage: selector cascade picks main content, links from full DOM") {
+    import graft.functions.HtmlToMarkdown.processPage
+    val html =
+      """<html><head><title>Docs Portal</title><script>x()</script></head>
+        |<body><nav><a href="/home">Home</a><a href="#top">Top</a>
+        |<a href="mailto:a@b">Mail</a></nav>
+        |<h1>Portal navigation</h1>
+        |<main><h2>Install</h2><p>Run it. <a href="/next">Next</a></p></main>
+        |</body></html>""".stripMargin
+    val (md, links) = processPage(html)
+    // nav text and the chrome h1 are outside <main> -> excluded
+    assert(!md.contains("Home") && !md.contains("Portal navigation"))
+    // no h1 inside main -> the document <title> is injected
+    assert(md == "# Docs Portal\n\n## Install\n\nRun it. [Next](/next)")
+    // links come from the FULL dom; fragment + mailto dropped
+    assert(links == Seq("/home", "/next"))
+  }
+
+  test("processPage: cascade priority and no double title injection") {
+    import graft.functions.HtmlToMarkdown.processPage
+    // .docs-content outranks <article>
+    val (md, _) = processPage(
+      """<body><article><p>wrong</p></article>
+        |<div class="x docs-content"><h1>Real title</h1><p>Body.</p></div>
+        |</body>""".stripMargin)
+    assert(md == "# Real title\n\nBody.")
+    // markdown already opens with the extracted h1 -> no second injection
+    assert(!md.contains("# Real title\n\n# Real title"))
+    // icon-only / short h1s are skipped as title candidates
+    val (md2, _) = processPage(
+      "<body><main><h1>#</h1><h1>menu</h1><p>text</p></main></body>")
+    assert(md2 == "# #\n\n# menu\n\ntext")
+  }
+
+  test("processPage: body fallback and h1 restore path") {
+    import graft.functions.HtmlToMarkdown.processPage
+    val (md, _) = processPage(
+      "<body><h1>Guide to X</h1><p>Alpha.</p></body>")
+    assert(md == "# Guide to X\n\nAlpha.")
+    val (empty, links) = processPage("")
+    assert(empty == "" && links.isEmpty)
+  }
+
   test("pdf Y-delta line reconstruction matches the reference algorithm") {
     import graft.sources.DocumentConverters.{PdfRun, pdfPageText, pdfMarkdown}
     // same line (|dy|<=5): no break; width>0 adds a space
