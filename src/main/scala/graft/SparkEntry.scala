@@ -277,6 +277,12 @@ object SparkEntry {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "q27_hll_sketch" ->
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+         count(DISTINCT user_id) AS exact_users,
+         CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+           * 1000 <= count(DISTINCT user_id) * 50 AS BIGINT) AS hll_ok
+         FROM events GROUP BY 1 ORDER BY day""",
     "q21_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
          INTERSECT

@@ -382,9 +382,14 @@ object Relational {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-      .withColumn("rel_err_permille",
-        expr("abs(approx_users - exact_users) * 1000 div exact_users"))
+        // rsd 0.005 → the 50‰ bound below is ~10σ: the boolean is stable
+        // even though the two engines' HLL estimates differ
+        approx_count_distinct(col("user_id"), 0.005).as("approx_users"))
+      // hashed surface is engine-agnostic: exact count + a bound both
+      // engines' sketches satisfy (integer math, no division rounding)
+      .select(col("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * 1000 <=
+          col("exact_users") * 50).cast("long").as("hll_ok"))
       .orderBy("day")
 
   /** Join with non-equi range predicate: lines priced above their part's

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.operators.{Chunker, Multimodal}
+import graft.operators.{Chunker, Multimodal, Similarity}
 import graft.sources.ChunkStore
 import graft.streaming.EventStream
 
@@ -183,6 +183,18 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
           org.apache.spark.sql.functions.col("n"))
       assert(joined.count() == 0)
     } finally q.stop()
+  }
+
+  test("MLlib ANN recall >= 0.8 against exact KNN") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val approx = Similarity.annMllib(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.size == 10)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8: got $approx vs $exact")
   }
 
   test("multimodal binary pipeline: metadata + batched feature extraction") {
