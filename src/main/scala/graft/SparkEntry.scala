@@ -59,7 +59,8 @@ object SparkEntry {
     "doc_token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"     -> (TextAnalysis.fingerprint _),
     "dedup_exact"         -> (Dedup.exactDedup _),
-    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccard(s, d)),
     "dedup_minhash_sig"   -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),

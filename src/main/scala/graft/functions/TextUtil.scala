@@ -57,6 +57,28 @@ object TextUtil {
   def isValidUuid(s: String): Boolean =
     s != null && uuidRe.matches(s.toLowerCase)
 
+  /** Whitespace-preserving tokenization (reference Utils.tokenize,
+    * utils.ts:88-90): split on whitespace runs but KEEP them as tokens,
+    * so the concatenation of all tokens reproduces the input exactly. */
+  def tokenize(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val m = java.util.regex.Pattern.compile("\\s+").matcher(text)
+    var last = 0
+    while (m.find()) {
+      if (m.start > last) out += text.substring(last, m.start)
+      out += m.group()
+      last = m.end
+    }
+    if (last < text.length) out += text.substring(last)
+    out.toSeq
+  }
+
+  /** Neutralise LIKE wildcards so a keyword search stays a literal
+    * substring match (reference controller/store.ts:22-24). */
+  def escapeLike(value: String): String =
+    value.replaceAll("([\\\\%_])", "\\\\$1")
+
   @inline private def isHigh(c: Char): Boolean = c >= 0xd800 && c <= 0xdbff
   @inline private def isLow(c: Char): Boolean = c >= 0xdc00 && c <= 0xdfff
 

@@ -51,4 +51,23 @@ object UrlUtils {
       .flatMap(part => re.findFirstMatchIn(part).map(_.group(1).trim))
       .nextOption()
   }
+
+  /** Retry-After header → delay in milliseconds (reference
+    * parseRetryAfter, content-processor.ts:1274-1291): numeric seconds
+    * first, then an HTTP-date relative to `nowMs`; both floor at
+    * 1000 ms; None when missing or unparseable. `nowMs` is a parameter
+    * (not a clock read) so the scalar stays deterministic. */
+  def parseRetryAfter(headerValue: String,
+      nowMs: Long = 0L): Option[Long] = {
+    if (headerValue == null || headerValue.isEmpty) return None
+    val trimmed = headerValue.trim
+    val asSeconds = trimmed.toDoubleOption
+    if (asSeconds.exists(d => !d.isNaN && !d.isInfinite))
+      return Some(math.max(1000L, math.round(asSeconds.get * 1000)))
+    try {
+      val date = java.time.ZonedDateTime.parse(trimmed,
+        java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+      Some(math.max(1000L, date.toInstant.toEpochMilli - nowMs))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
 }

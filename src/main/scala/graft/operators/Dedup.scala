@@ -38,14 +38,37 @@ object Dedup {
     (j, (2654435761L * (j + 1)) % P, (1013904223L * (j + 1)) % P)
   }
 
-  /** documents → (doc_id, shingle) distinct word-3-gram pairs. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** (doc_id, text) → (doc_id, shingle) distinct word-3-gram pairs. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("shingle"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
+
+  /** Postings with the optional document-frequency cap applied: shingles
+    * present in more than `maxDocFreq` documents are dropped before any
+    * join (the standard hot-postings cut — one viral shingle otherwise
+    * sends its whole postings list through a single reducer). */
+  def cappedShingles(docs: DataFrame,
+      maxDocFreq: Option[Long]): DataFrame = {
+    val all = shinglesOf(docs)
+    maxDocFreq match {
+      case None => all
+      case Some(cap) =>
+        // df per shingle is map-side combinable; the semi-join back onto
+        // the postings is a hash join on the shingle key
+        val rare = all.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("shingle")
+        all.join(rare, Seq("shingle"), "left_semi")
+    }
+  }
 
   /** Distinct word-3-gram shingles, JVM-side (for the per-doc signature
     * kernels — same output as the `shingles` plan). */
@@ -68,11 +91,30 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup pairs via inverted-index join; integer
-    * arithmetic only (2*inter >= union ⇔ J >= 0.5). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * arithmetic only (2*inter >= union ⇔ J >= 0.5).
+    *
+    * `maxDocFreq` (off by default, so the oracle query is unchanged) is
+    * the standard hot-postings cut: shingles appearing in more than
+    * that many documents are dropped BEFORE the self-join. At 100 TB a
+    * single viral shingle otherwise lands its entire postings list on
+    * one reducer and the join explodes quadratically in its length;
+    * capping document frequency bounds every join bucket at
+    * maxDocFreq², while near-identical pairs (which share many rare
+    * shingles) keep their candidates. Note per-doc counts are computed
+    * from the CAPPED postings, keeping the intersection and union sizes
+    * consistent under the same filtered universe. */
+  def ngramJaccard(s: SparkSession, dir: String,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    ngramJaccardDocs(
+      Tables.documents(s, dir).select("doc_id", "text"), maxDocFreq)
+
+  /** DataFrame-input form of [[ngramJaccard]] (testable on synthetic
+    * hot-shingle corpora). */
+  def ngramJaccardDocs(docs: DataFrame,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     // checkpointed once: the postings feed both join sides and the
     // per-doc counts — without it the shingle explode runs three times
-    val sh = shingles(s, dir).localCheckpoint(true)
+    val sh = cappedShingles(docs, maxDocFreq).localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")

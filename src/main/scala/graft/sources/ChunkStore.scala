@@ -52,6 +52,30 @@ object ChunkStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Chunk inspector (reference controller/chunk-inspector.ts:42-206):
+    * all chunks of one url, created_at attached via LEFT JOIN on
+    * chunk_id when a dates table exists (NULL otherwise), capped at
+    * `maxChunks` (the reference's MAX_CHUNKS=500), default-ordered by
+    * (chunk_index with nulls last, chunk_id).
+    *
+    * Scale: the url filter lands on the chunks scan before the join,
+    * and orderBy+limit compiles to TakeOrderedAndProject — a page
+    * inspection reads one url's chunks, never the store. */
+  def inspectChunks(chunks: DataFrame, dates: Option[DataFrame],
+      url: String, maxChunks: Int = 500): DataFrame = {
+    val page = chunks.filter(col("url") === url)
+    val withDates = dates match {
+      case Some(d) =>
+        page.join(d.select(col("chunk_id"), col("created_at")),
+          Seq("chunk_id"), "left")
+      case None => page.withColumn("created_at", lit(null).cast("string"))
+    }
+    withDates
+      .orderBy(coalesce(col("chunk_index").cast("long"),
+        lit(Long.MaxValue)).asc, col("chunk_id"))
+      .limit(maxChunks)
+  }
+
   /** Bucketed variant: 8 buckets on url, sorted by chunk_index within
     * each bucket. At scale this co-locates all of a document's chunks
     * (and two bucketed tables joined on url skip the shuffle entirely —

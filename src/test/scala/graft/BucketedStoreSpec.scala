@@ -46,4 +46,51 @@ class BucketedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange hashpartitioning(url"),
       s"unexpected shuffle on bucketed join:\n$plan")
   }
+
+  test("chunk inspector: created_at join, null-last order, 500 cap") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("c3", "doc://p", Some(2), "third"),
+      ("c1", "doc://p", Some(0), "first"),
+      ("c2", "doc://p", Some(1), "second"),
+      ("c9", "doc://p", None, "indexless"),
+      ("cx", "doc://other", Some(0), "other page"))
+      .toDF("chunk_id", "url", "chunk_index", "content")
+    val dates = Seq(("c1", "2024-01-01"), ("c2", "2024-01-02"))
+      .toDF("chunk_id", "created_at")
+    val out = ChunkStore.inspectChunks(chunks, Some(dates), "doc://p")
+      .collect()
+    assert(out.map(_.getAs[String]("chunk_id")).toSeq ==
+      Seq("c1", "c2", "c3", "c9")) // index order, null index last
+    assert(out.map(r => Option(r.getAs[String]("created_at"))).toSeq ==
+      Seq(Some("2024-01-01"), Some("2024-01-02"), None, None))
+    // no dates table -> NULL created_at column still present
+    val bare = ChunkStore.inspectChunks(chunks, None, "doc://p").collect()
+    assert(bare.length == 4 && bare.forall(_.isNullAt(
+      bare.head.fieldIndex("created_at"))))
+    // cap
+    assert(ChunkStore.inspectChunks(chunks, None, "doc://p", maxChunks = 2)
+      .count() == 2)
+  }
+
+  test("sync_complete flag: interrupted run forces full sync, clean run clears it") {
+    import graft.sources.SyncState
+    val metaPath =
+      java.nio.file.Files.createTempDirectory("syncmeta").toString + "/kv"
+    val prefix = "https://docs.example.com"
+    // never synced -> force
+    assert(SyncState.forceFullSync(spark, metaPath, prefix))
+    // run 1 dies mid-crawl (flag never written) -> still force
+    assert(SyncState.forceFullSync(spark, metaPath, prefix))
+    // run 2 finishes but saw network errors -> flag withheld -> force
+    SyncState.markSyncComplete(spark, metaPath, prefix, runId = 2,
+      hasNetworkErrors = true)
+    assert(SyncState.forceFullSync(spark, metaPath, prefix))
+    // run 3 clean -> flag set -> normal caching from now on
+    SyncState.markSyncComplete(spark, metaPath, prefix, runId = 3,
+      hasNetworkErrors = false)
+    assert(!SyncState.forceFullSync(spark, metaPath, prefix))
+    // independent prefixes don't interfere
+    assert(SyncState.forceFullSync(spark, metaPath, "https://other.site"))
+  }
 }

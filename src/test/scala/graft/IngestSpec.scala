@@ -290,6 +290,39 @@ class IngestSpec extends AnyFunSuite {
       "# rep\n\n## Section\n\nBody **text**.")
   }
 
+  test("tokenize keeps whitespace runs as tokens (lossless)") {
+    import graft.functions.TextUtil.tokenize
+    assert(tokenize("a  b\tc") == Seq("a", "  ", "b", "\t", "c"))
+    assert(tokenize("  lead") == Seq("  ", "lead"))
+    assert(tokenize("trail ") == Seq("trail", " "))
+    assert(tokenize("") == Seq.empty)
+    val s = "x  y \n z"
+    assert(tokenize(s).mkString == s)
+  }
+
+  test("escapeLike neutralises wildcards") {
+    import graft.functions.TextUtil.escapeLike
+    assert(escapeLike("100%_done\\x") == "100\\%\\_done\\\\x")
+    assert(escapeLike("plain") == "plain")
+  }
+
+  test("parseRetryAfter: seconds, http-date, floors and failures") {
+    import graft.functions.UrlUtils.parseRetryAfter
+    assert(parseRetryAfter("120").contains(120000L))
+    assert(parseRetryAfter("1.5").contains(1500L))
+    assert(parseRetryAfter("0").contains(1000L))     // floor at 1s
+    assert(parseRetryAfter("-5").contains(1000L))
+    val now = 1700000000000L
+    assert(parseRetryAfter("Wed, 15 Nov 2023 12:00:00 GMT", now)
+      .contains(math.max(1000L, 1700049600000L - now)))
+    // past date floors at 1s
+    assert(parseRetryAfter("Wed, 01 Jan 2020 00:00:00 GMT", now)
+      .contains(1000L))
+    assert(parseRetryAfter("soon").isEmpty)
+    assert(parseRetryAfter(null).isEmpty)
+    assert(parseRetryAfter("").isEmpty)
+  }
+
   // ── url utils ───────────────────────────────────────────────────────
   test("url scalars") {
     assert(UrlUtils.getUrlPrefix("https://a.io/x/y?q=1#f") == "https://a.io/x/y")

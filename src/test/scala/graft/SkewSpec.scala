@@ -32,6 +32,41 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.nonEmpty)
   }
 
+  test("ngram doc-frequency cap bounds postings buckets, keeps true near-dups") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // every doc opens with the same viral 5-word boilerplate; docs 1 and
+    // 2 share an identical tail, every other doc's tail is unique
+    val docs = (1 to 20).map { i =>
+      val tail =
+        if (i <= 2) "alpha beta gamma delta epsilon"
+        else s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+      (i.toLong, s"the quick brown fox jumps $tail")
+    }.toDF("doc_id", "text")
+
+    // uncapped: the three boilerplate shingles each post to all 20 docs
+    val dfUncapped = Dedup.cappedShingles(docs, None)
+      .groupBy("shingle").count()
+    assert(dfUncapped.agg(max("count")).head().getLong(0) == 20L)
+
+    // capped at 5: every surviving shingle's postings bucket is bounded
+    val capped = Dedup.cappedShingles(docs, Some(5L))
+    val maxDf = capped.groupBy("shingle").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDf <= 5L)
+
+    // the true near-dup pair survives the cut (its evidence is the rare
+    // shared tail, not the boilerplate), spurious pairs stay absent
+    val pairs = Dedup.ngramJaccardDocs(docs, Some(5L))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // and the capped output equals the uncapped output on this corpus
+    // (the boilerplate never carried enough weight to pass J >= 0.5)
+    val uncappedPairs = Dedup.ngramJaccardDocs(docs, None)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncappedPairs.toSeq == pairs.toSeq)
+  }
+
   test("hotKeys surfaces the dominant key") {
     import spark.implicits._
     val big = (1 to 500).map(i =>
