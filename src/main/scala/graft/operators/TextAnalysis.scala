@@ -91,27 +91,45 @@ object TextAnalysis {
   /** Document fingerprinting by winnowing: k-gram (k=8) rolling hashes
     * (sha256-prefix integers), window (w=4) minima, distinct minima form
     * the fingerprint set. Standard winnowing as in Schleimer et al.
-    * (SIGMOD'03), with a cross-engine-deterministic hash. */
+    * (SIGMOD'03), with a cross-engine-deterministic hash.
+    *
+    * Computed as a per-document typed kernel in one pass — the
+    * relational form exploded one row PER CHARACTER through a
+    * partition-by-doc window and a grouped aggregation (O(chars) rows
+    * shuffled twice) for arithmetic that is local to each document.
+    * Output is bit-identical to the SQL oracle's window formulation. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val k = 8
     val w = 4
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("i",
-        explode(sequence(lit(1),
-          greatest(lit(1), length(col("text")) - (k - 1)))))
-      .withColumn("gram", substring(col("text"), col("i"), lit(k)))
-      .withColumn("h",
-        conv(substring(sha2(col("gram"), 256), 1, 12), 16, 10).cast("long"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("win_min", min(col("h")).over(win))
-      .groupBy(col("doc_id"))
-      .agg(
-        countDistinct(col("win_min")).as("n_fingerprints"),
-        array_join(sort_array(array_distinct(collect_list(col("win_min")))),
-          ",").as("fp_sig"))
+    Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (docId, text) =>
+        // gram i (1-based like the SQL `sequence(1, len-k+1)`) is
+        // text.substring(i-1, i-1+k); a doc shorter than k yields one
+        // truncated gram, matching SQL substring semantics
+        val n = math.max(1, text.length - (k - 1))
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val gram = text.substring(i, math.min(text.length, i + k))
+          hs(i) = java.lang.Long.parseLong(
+            graft.functions.TextUtil.sha256Hex(gram).substring(0, 12), 16)
+          i += 1
+        }
+        val minima = scala.collection.mutable.SortedSet.empty[Long]
+        i = 0
+        while (i < n) {
+          var m = hs(i)
+          var j = i + 1
+          val end = math.min(n, i + w)
+          while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+          minima += m
+          i += 1
+        }
+        (docId, minima.size.toLong, minima.mkString(","))
+      }
+      .toDF("doc_id", "n_fingerprints", "fp_sig")
       .orderBy("doc_id")
   }
 }

@@ -2,65 +2,71 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Crawl-frontier fixpoint (SURVEY.md §2.1 "website crawler" Spark
-  * shape): BFS over a link graph as iterative DataFrame rounds — each
-  * round joins the frontier against the edge list, anti-joins the
-  * visited set, and unions the remainder in at depth+1, until empty or
-  * the depth cap.
+  * shape): BFS over a link graph as iterative DataFrame rounds.
   *
-  * Scale: each round is one shuffle keyed on the join column; the
-  * visited set is persisted so rounds don't recompute lineage (the
-  * classic iterative-algorithm pitfall — unpersisted loops re-execute
-  * all previous rounds each iteration).
+  * Scale design: the dominant cost of iterative BFS on Spark is not the
+  * per-round shuffle but the fixed per-round job overhead (scheduling,
+  * checkpoint, empty-check) × the graph diameter. This implementation
+  * advances `stride` levels per round using a one-time edge expansion:
+  * E¹ ∪ … ∪ E^stride tagged with their hop count (min hop per (src,dst)
+  * pair). Each round is then ONE equi-join + min-depth aggregation +
+  * anti-join + checkpoint, and the number of synchronization rounds
+  * drops from `diameter` to `diameter / stride`.
+  *
+  * The tradeoff is explicit: the expanded edge table grows ~Σ d^i for
+  * mean out-degree d, so stride-k is for low-degree graphs (site link
+  * graphs, d small); on a high-degree web graph set stride = 1-2. Every
+  * round still ends in an eager localCheckpoint — without lineage
+  * truncation the union-of-unions plan grows superlinearly and Catalyst
+  * re-analysis eventually exhausts the driver heap (the canonical
+  * iterative-DataFrame failure mode).
   */
 object Crawler {
 
+  /** Tagged multi-hop edges: (src, dst, hop) for 1 ≤ hop ≤ stride with
+    * the minimal hop kept per pair. Built once; every round reuses it. */
+  private def expandEdges(edges: DataFrame, stride: Int): DataFrame = {
+    var cur = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var all = cur.withColumn("hop", lit(1L))
+    for (h <- 2 to stride) {
+      cur = cur.as("a")
+        .join(edges.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+        .localCheckpoint(true) // feeds both the union and the next power
+      all = all.unionByName(cur.withColumn("hop", lit(h.toLong)))
+    }
+    all.groupBy(col("src"), col("dst")).agg(min(col("hop")).as("hop"))
+      .localCheckpoint(true)
+  }
+
   /** BFS from seeds over links(src,dst) → (url, depth) with min-depth
-    * semantics (first arrival wins via the anti-join).
-    *
-    * Each round ends in an eager localCheckpoint: without lineage
-    * truncation the union-of-unions plan grows superlinearly across
-    * iterations and Catalyst re-analysis/codegen eventually exhausts the
-    * driver heap — the canonical iterative-DataFrame failure mode. */
+    * semantics. The frontier rows carry their own depth, so a round's
+    * new distance is min over (frontier depth + edge hop) — exact BFS
+    * distance, because every shortest path to a new node passes through
+    * a node discovered within the last `stride` levels. */
   def frontierFixpoint(links: DataFrame, seeds: DataFrame,
-      maxDepth: Int = 25): DataFrame = {
-    // materialize the edge list once — every hop joins against it, and
-    // an unmaterialized links plan would re-run its scans per hop
-    val edges = links.localCheckpoint(true)
+      maxDepth: Int = 25, stride: Int = 4): DataFrame = {
+    val ek = expandEdges(links, math.max(1, stride))
     var visited = seeds.select(col("url"), lit(0L).as("depth"))
       .localCheckpoint(true)
     var frontier = visited
-    var depth = 0L
     var done = false
-
-    def hop(from: DataFrame, seen: DataFrame, d: Long): DataFrame =
-      from.join(edges, col("url") === col("src"))
-        .select(col("dst").as("url")).distinct()
-        .join(seen, Seq("url"), "left_anti")
-        .withColumn("depth", lit(d))
+    while (!done) {
+      val next = frontier.join(ek, col("url") === col("src"))
+        .select(col("dst").as("url"),
+          (col("depth") + col("hop")).as("depth"))
+        .groupBy(col("url")).agg(min(col("depth")).as("depth"))
+        .filter(col("depth") <= maxDepth)
+        .join(visited, Seq("url"), "left_anti")
         .localCheckpoint(true)
-
-    // two BFS levels per round: halves the number of Spark jobs paid as
-    // fixed per-round overhead; min-depth semantics preserved because n2
-    // anti-joins against visited ∪ n1 (a depth+1-reachable node can never
-    // re-enter at depth+2)
-    while (!done && depth < maxDepth) {
-      val n1 = hop(frontier, visited, depth + 1)
-      if (n1.isEmpty) done = true
+      if (next.isEmpty) done = true
       else {
-        val v1 = visited.unionByName(n1).localCheckpoint(true)
-        if (depth + 2 > maxDepth) { visited = v1; depth += 1; done = true }
-        else {
-          val n2 = hop(n1, v1, depth + 2)
-          if (n2.isEmpty) { visited = v1; done = true }
-          else {
-            visited = v1.unionByName(n2).localCheckpoint(true)
-            frontier = n2
-            depth += 2
-          }
-        }
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
       }
     }
     visited
