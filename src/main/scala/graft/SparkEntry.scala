@@ -37,6 +37,7 @@ object SparkEntry {
     "q15_sessionize"      -> (Relational.q15Sessionize _),
     "q16_star_join"       -> (Relational.q16StarJoin _),
     "q17_asof_join"       -> (Relational.q17AsOfJoin _),
+    "q17_asof_custom"     -> (Relational.q17AsOfCustom _),
     "q18_keyset_page"     -> (Relational.q18KeysetPage _),
     "q19_range_pred_join" -> (Relational.q19RangePredJoin _),
     "q20_percentiles"     -> (Relational.q20Percentiles _),
@@ -216,6 +217,12 @@ object SparkEntry {
          JOIN region ON n_regionkey=r_regionkey
          GROUP BY 1 ORDER BY 1""",
     "q17_asof_join" ->
+      """SELECT c.event_id, c.user_id, e.value AS prior_error_value
+         FROM (SELECT * FROM events WHERE event_type='click') c
+         ASOF JOIN (SELECT * FROM events WHERE event_type='error') e
+           ON c.user_id = e.user_id AND e.ts < c.ts
+         ORDER BY c.event_id""",
+    "q17_asof_custom" ->
       """SELECT c.event_id, c.user_id, e.value AS prior_error_value
          FROM (SELECT * FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type='error') e

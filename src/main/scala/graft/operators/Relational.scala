@@ -268,6 +268,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the engine's CUSTOM Catalyst
+    * operator (graft.plans.AsOfJoinPlan/AsOfJoinExec, registered via
+    * extraStrategies): one forward merge pass per partition with O(1)
+    * candidate state, instead of moving both inputs through a window
+    * sort. Same DuckDB ASOF JOIN oracle as q17. */
+  def q17AsOfCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "value")
+    graft.plans.AsOf.join(clicks, errors, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("r_value").as("prior_error_value"))
+      .orderBy("event_id")
+  }
+
   /** Keyset pagination: page 3 of orders ordered by key descending
     * (id < cursor LIMIT n). Reference: controller/store.ts:181-189. */
   def q18KeysetPage(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class Catalyst operator — logical node +
+  * planner strategy + sort-merge physical exec, registered through
+  * `SparkSessionExtensions`/`experimental.extraStrategies`.
+  *
+  * Semantics (inner, strict): for every left row, the single right row
+  * with the same key and the greatest right time STRICTLY BEFORE the
+  * left time; left rows with no prior right row are dropped. This is
+  * the reference KNN pipeline's "state at event time" lookup and
+  * matches DuckDB's `ASOF JOIN ... ON l.k = r.k AND r.t < l.t`.
+  *
+  * Scale design: both sides hash-cluster on the key and sort by
+  * (key, time) — exactly a sort-merge join's requirements, satisfied by
+  * Exchange + Sort that EnsureRequirements inserts. The merge itself is
+  * a single forward pass per partition holding ONE buffered right row
+  * (the current as-of candidate): no per-key buffering of the right
+  * side, no range explosion — memory O(1) per partition regardless of
+  * key cardinality or time density, shuffle identical to an equi-join.
+  * (The composed alternative — union + last(ignoreNulls) window — moves
+  * BOTH inputs through one window sort; this exec keeps the two inputs
+  * in their own exchanges and never materializes the union.)
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val outAttrs = output
+    val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lkEval = BindReferences.bindReference(lk, leftOut)
+      val ltEval = BindReferences.bindReference(lt, leftOut)
+      val rkEval = BindReferences.bindReference(rk, rightOut)
+      val rtEval = BindReferences.bindReference(rt, rightOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(lk.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(lt.dataType)
+      val proj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+      // the single as-of candidate: latest right row seen with
+      // time < current left time, for key candKey
+      var cand: InternalRow = null
+      var candKey: Any = null
+      new Iterator[InternalRow] {
+        private var ready: InternalRow = null
+        private def advance(): Unit = {
+          while (ready == null && lIt.hasNext) {
+            val lrow = lIt.next()
+            val lkv = lkEval.eval(lrow)
+            if (lkv != null) {
+              val ltv = ltEval.eval(lrow)
+              var cont = true
+              while (cont && rBuf.hasNext) {
+                val rkv = rkEval.eval(rBuf.head)
+                if (rkv == null) rBuf.next()
+                else {
+                  val c = keyOrd.compare(rkv, lkv)
+                  if (c < 0) { rBuf.next(); cand = null; candKey = null }
+                  else if (c == 0) {
+                    val rtv = rtEval.eval(rBuf.head)
+                    if (rtv == null) rBuf.next()
+                    else if (timeOrd.compare(rtv, ltv) < 0) {
+                      cand = rBuf.next().copy(); candKey = rkv
+                    } else cont = false
+                  } else cont = false
+                }
+              }
+              if (cand != null && candKey != null &&
+                  keyOrd.compare(candKey, lkv) == 0)
+                ready = proj(joined(lrow, cand))
+            }
+          }
+        }
+        override def hasNext: Boolean = { if (ready == null) advance(); ready != null }
+        override def next(): InternalRow = {
+          if (ready == null) advance()
+          val r = ready; ready = null; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API + strategy registration. */
+object AsOf {
+
+  def register(s: SparkSession): Unit =
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** For each `left` row, attach the most recent `right` row of the same
+    * `key` strictly before the left time (inner semantics). Right-side
+    * columns are re-aliased with `rightPrefix` (fresh expression ids) so
+    * self-joins stay unambiguous. */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, rightPrefix + a.name)()), rAnalyzed)
+    def find(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${out.map(_.name)}"))
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      find(lPlan.output, key), find(rPlan.output, rightPrefix + key),
+      find(lPlan.output, leftTime), find(rPlan.output, rightPrefix + rightTime)))
+  }
+}
