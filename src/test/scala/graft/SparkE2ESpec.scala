@@ -185,6 +185,31 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("run-summary event channel: stats shape, JSON event, JSONL roundtrip") {
+    import graft.operators.{RunSummary, Sync}
+    val counters = Sync.runCounters(spark, "/root/testdata/sf0.001")
+    val stats = RunSummary.sourceStats(counters, "DocsSite", "website",
+      "1.0", durationMs = 1234L, ok = true)
+    val row = stats.head()
+    assert(row.getAs[String]("product_name") == "DocsSite")
+    assert(row.getAs[Boolean]("ok"))
+    assert(row.isNullAt(row.fieldIndex("error")))
+    val ev = RunSummary.eventJson(stats, "2024-03-01T00:00:00Z")
+    assert(ev.startsWith("""{"event":"run-summary","ts":"2024-03-01T00:00:00Z","sources":["""))
+    assert(ev.contains(""""counters":{"""))
+    // durable channel reads back as a table, appends accumulate
+    val dir = java.nio.file.Files.createTempDirectory("runlog").toString + "/log"
+    RunSummary.appendJsonl(stats, dir)
+    RunSummary.appendJsonl(RunSummary.sourceStats(counters, "DocsSite",
+      "website", "1.0", 2000L, ok = false, error = Some("net")), dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.filter(col("ok") === false).head()
+      .getAs[String]("error") == "net")
+    assert(back.select("counters.items_new").head().getLong(0) ==
+      counters.head().getAs[Long]("items_new"))
+  }
+
   test("MLlib ANN recall >= 0.8 against exact KNN") {
     val dir = "/root/testdata/sf0.001"
     val exact = Similarity.knnExact(spark, dir, k = 10)
