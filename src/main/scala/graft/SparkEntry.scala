@@ -92,7 +92,9 @@ object SparkEntry {
     "crawl_broken_links"  -> (Ingest.brokenLinks _),
     "ctl_overlap_detect"  -> (Ingest.overlapDetect _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
-      Similarity.annMllib(s, d))
+      Similarity.annMllib(s, d)),
+    "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
+      Similarity.annIvf(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -124,6 +124,55 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH: a seeded MLlib KMeans coarse-quantizes the corpus into
+    * `nlist` cells; a query probes its `nprobe` nearest centroids and
+    * exact cosine re-ranks only those cells' vectors.
+    *
+    * Scale: cell assignment is one pass (model broadcast by MLlib);
+    * the probe is a partition-pruning filter on the cell id, so
+    * candidate volume ∝ nprobe/nlist of the corpus — at 100 TB the
+    * assigned table would be written partitioned by cell id and a probe
+    * reads nprobe partitions. Like the MLlib LSH entry, the seeded
+    * model is not SQL-reproducible → rows-only driver check + a recall
+    * assertion against exact KNN in SparkE2ESpec. */
+  def annIvf(s: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val vecs = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    // a coarse quantizer needs rough centroids, not convergence — 5
+    // iterations; the corpus pass count is the real cost at scale
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs.cache())
+    val assigned = model.transform(vecs)
+    val queryVec = vecs.filter(col("vec_id") === 0)
+      .head().getAs[Vector]("features")
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, Vectors.sqdist(c, queryVec))
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    assigned
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id")
+      .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+  }
+
   // ── Deterministic random-hyperplane LSH ───────────────────────────────
   // Hyperplane i, dimension d has sign +1 iff bit 13 of
   // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both

@@ -52,6 +52,17 @@ object ChunkStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Collection routing (reference chunk-inspector.ts:59-62 +
+    * database.ts): the Qdrant collection name is the lowercased product
+    * with whitespace collapsed to `_`, suffixed `_version`. */
+  def collectionName(product: String, version: String): String =
+    product.toLowerCase.replaceAll("\\s+", "_") + "_" + version
+
+  /** SQLite path routing (reference chunk-inspector.ts:48-50): product
+    * with whitespace → `_` (case preserved), `-version.db` suffix. */
+  def sqliteDbName(product: String, version: String): String =
+    product.replaceAll("\\s+", "_") + "-" + version + ".db"
+
   /** Chunk inspector (reference controller/chunk-inspector.ts:42-206):
     * all chunks of one url, created_at attached via LEFT JOIN on
     * chunk_id when a dates table exists (NULL otherwise), capped at

@@ -222,6 +222,43 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall $recall below 0.8: got $approx vs $exact")
   }
 
+  test("IVF ANN recall >= 0.8 against exact KNN; probes a cell subset") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+      .filter(col("query_id") === 0)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // the synthetic embeddings are weakly clustered, so hitting 0.8
+    // recall needs wide probing (nprobe=10 of nlist=16); on corpora with
+    // real cluster structure the default nprobe=4 is the scale setting
+    val ivf = Similarity.annIvf(spark, dir, k = 10, nprobe = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+  }
+
+  test("streaming dedup within watermark drops re-delivered events") {
+    val tmp = java.nio.file.Files.createTempDirectory("evdup").toString
+    val slice = Tables.events(spark, "/root/testdata/sf0.001").limit(300)
+    // every event delivered twice (the at-least-once re-delivery case)
+    slice.unionAll(slice).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val q = EventStream.dedupWithinWatermark(
+        EventStream.readEvents(spark, tmp))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == slice.count())
+    } finally q.stop()
+  }
+
+  test("collection and sqlite-path routing") {
+    import graft.sources.ChunkStore
+    assert(ChunkStore.collectionName("My Product", "2.1") ==
+      "my_product_2.1")
+    assert(ChunkStore.sqliteDbName("My Product", "2.1") ==
+      "My_Product-2.1.db")
+  }
+
   test("multimodal binary pipeline: metadata + batched feature extraction") {
     import spark.implicits._
     val binaries = Seq(
