@@ -48,6 +48,51 @@ object Multimodal {
     else acc.map(v => (v / norm).toFloat)
   }
 
+  /** STUB resize kernel: records the target geometry and a
+    * deterministic content hash of the "resized" payload (real impl:
+    * decode → resample → re-encode inside the same batch). */
+  def resizeStub(bytes: Array[Byte], sha: String, targetW: Int,
+      targetH: Int): String =
+    TextUtil.sha256Hex(s"$sha:${targetW}x$targetH:${bytes.length}")
+
+  /** Image resize over a binary corpus: per-partition batches, output
+    * keeps the original path plus target geometry and the resized
+    * payload hash. A real decoder swaps into `resizeStub` with no plan
+    * change (pure per-row map, zero shuffle). */
+  def resizeImages(s: SparkSession, binaries: DataFrame,
+      targetW: Int = 224, targetH: Int = 224): DataFrame = {
+    import s.implicits._
+    binaries.select("path", "mime", "content")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { case (path, mime, bytes) =>
+            val sha = TextUtil.sha256HexBytes(bytes)
+            (path, mime, targetW, targetH, resizeStub(bytes, sha, targetW, targetH))
+          }
+        }
+      }.toDF("path", "mime", "width", "height", "resized_sha")
+  }
+
+  /** Video frame sampling: one output row per sampled frame (every
+    * `everyN`-th of a stub frame count derived from payload size; real
+    * impl: container demux). The one-to-many explode is the shape that
+    * matters — at scale each video row fans out to its sampled frames
+    * with no shuffle, and downstream feature extraction batches them. */
+  def sampleFrames(s: SparkSession, binaries: DataFrame,
+      everyN: Int = 30, fps: Int = 30): DataFrame = {
+    import s.implicits._
+    binaries.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val nFrames = math.max(1, bytes.length / 256) // STUB frame count
+        (0 until nFrames by everyN).iterator.map { f =>
+          (path, f.toLong, f * 1000L / fps)
+        }
+      }
+      .toDF("path", "frame_idx", "ts_ms")
+  }
+
   /** Binary corpus → typed metadata + feature vectors, batched per
     * partition (batch boundaries never cross partitions — same contract
     * as mapInPandas batches). */

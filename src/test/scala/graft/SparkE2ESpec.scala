@@ -277,4 +277,23 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .find(_.getString(0) == "img/a.png").get
     assert(row.getSeq[Float](7) == again.getSeq[Float](7))
   }
+
+  test("multimodal resize and frame sampling shapes") {
+    import spark.implicits._
+    val binaries = Seq(
+      ("img/a.png", "image/png", Array.fill[Byte](600)(3)),
+      ("vid/b.mp4", "video/mp4", Array.fill[Byte](25600)(7)))
+      .toDF("path", "mime", "content")
+    val resized = Multimodal.resizeImages(spark, binaries).collect()
+    assert(resized.length == 2)
+    val r = resized.find(_.getString(0) == "img/a.png").get
+    assert(r.getInt(2) == 224 && r.getInt(3) == 224)
+    assert(r.getString(4).length == 64) // sha of the resized payload
+    // video: 25600/256 = 100 stub frames, every 30th -> frames 0,30,60,90
+    val frames = Multimodal.sampleFrames(spark,
+        binaries.filter($"path".startsWith("vid/")))
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 30L, 60L, 90L))
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1000L, 2000L, 3000L))
+  }
 }
