@@ -20,7 +20,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q2_filter_project", "q3_join_agg", "q8_topk",
         "q16_star_join", "doc_chunk_markdown", "dedup_embedding",
-        "emb_knn_exact")
+        "emb_knn_exact", "doc_get_chunks", "q_query_documentation",
+        "q17_asof_custom", "sitemap_parse", "doc_pdf_lines")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -45,6 +45,29 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked stream-stream interval join: each click joins error
+    * events of the same user from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds the event-time range, so
+    * state on BOTH sides is evicted as the watermark advances — the
+    * scale-correct form of a streaming enrichment join (an unbounded
+    * condition would buffer both streams forever). */
+  def clickErrorJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("value").as("err_value"))
+      .withWatermark("err_ts", "10 minutes")
+    clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("err_ts") < col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("err_ts"), col("err_value"))
+  }
+
   /** Streaming exact dedup with BOUNDED state: event_id-keyed
     * dropDuplicatesWithinWatermark — duplicate events arriving within
     * the watermark delay are dropped, and state for keys older than the

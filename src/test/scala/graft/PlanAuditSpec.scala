@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Locks in the plan shapes the round-2 rewrites bought: these queries
+  * hash-match the oracle regardless, but at 100 TB their PLANS are the
+  * difference between working and melting down — so the shapes are
+  * asserted, not just eyeballed in PLANS.md. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dedup_embedding has no cartesian / nested-loop join") {
+    val p = planOf("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("doc_get_chunks pushes the doc filter into the parquet scan") {
+    val p = planOf("doc_get_chunks")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(doc_id,42)"),
+      p.take(2000))
+  }
+
+  test("q_query_documentation serves top-4 via TakeOrderedAndProject") {
+    val p = planOf("q_query_documentation")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q17_asof_custom plans the custom AsOfJoin exec") {
+    val p = planOf("q17_asof_custom")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q2 filters reach the lineitem scan") {
+    val p = planOf("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+}

@@ -236,6 +236,29 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val tmp = java.nio.file.Files.createTempDirectory("evjoin").toString
+    val slice = Tables.events(spark, "/root/testdata/sf0.001").limit(600)
+    slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val q = EventStream.clickErrorJoin(EventStream.readEvents(spark, tmp))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join").count()
+      val clicks = slice.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val errors = slice.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      val batch = clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("err_ts") < col("click_ts")).count()
+      assert(streamed == batch && batch > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     val tmp = java.nio.file.Files.createTempDirectory("evdup").toString
     val slice = Tables.events(spark, "/root/testdata/sf0.001").limit(300)
