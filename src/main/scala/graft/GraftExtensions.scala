@@ -16,5 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+    // the custom AS-OF JOIN: planner strategy + left-side filter pushdown
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }

@@ -40,6 +40,39 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push filter conjuncts that reference only the LEFT
+  * side of an AsOfJoinPlan below the join — Catalyst's
+  * PushPredicateThroughJoin only knows `Join`, so a custom operator
+  * must bring its own pushdown or every predicate runs above the merge.
+  * Left-side predicates are semantics-preserving (each output row
+  * embeds its left row unchanged) and continue down to the scan, where
+  * they prune the exchange and sort inputs.
+  *
+  * Right-side predicates are deliberately NOT pushed: for an as-of
+  * join, a filter above the join drops matched output rows, while the
+  * same predicate below the join changes WHICH right row matches (an
+  * earlier eligible one) — not equivalent. A caller who wants
+  * "most recent eligible row" filters the right input before the join. */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (leftOnly, rest) = conjuncts.partition(
+        _.references.subsetOf(AttributeSet(j.left.output)))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = j.copy(left =
+          Filter(leftOnly.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -133,10 +166,14 @@ case class AsOfJoinExec(
 /** DataFrame-level API + strategy registration. */
 object AsOf {
 
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!s.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
+  }
 
   /** For each `left` row, attach the most recent `right` row of the same
     * `key` strictly before the left time (inner semantics). Right-side

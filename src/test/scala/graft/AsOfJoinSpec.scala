@@ -52,6 +52,43 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 
+  test("left-side filters push below the as-of join; right-side filters don't") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "value")
+    val joined = AsOf.join(clicks, errors, "user_id", "ts", "ts")
+
+    // left-only predicate: pushed below the join, all the way to the scan
+    val leftFiltered = joined.filter(col("event_id") < 100)
+    val opt = leftFiltered.queryExecution.optimizedPlan.toString
+    val asofIdx = opt.indexOf("AsOfJoin")
+    assert(asofIdx >= 0)
+    assert(opt.indexOf("Filter") > asofIdx, // filter line BELOW the join node
+      s"left filter not pushed below AsOfJoin:\n$opt")
+    val phys = leftFiltered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") && phys.contains("LessThan(event_id,100)"),
+      s"filter did not reach the scan:\n$phys")
+    // results identical to filtering the input
+    val viaInput = AsOf.join(clicks.filter(col("event_id") < 100), errors,
+      "user_id", "ts", "ts")
+    assert(leftFiltered.count() == viaInput.count())
+
+    // right-only predicate must stay ABOVE the join (semantics: drops
+    // matched rows, does not re-match earlier eligible rows)
+    val rightFiltered = joined.filter(col("r_value") > 2.0)
+    val opt2 = rightFiltered.queryExecution.optimizedPlan.toString
+    val asofIdx2 = opt2.indexOf("AsOfJoin")
+    val filtIdx2 = opt2.indexOf("Filter")
+    assert(filtIdx2 >= 0 && filtIdx2 < asofIdx2,
+      s"right filter should remain above AsOfJoin:\n$opt2")
+    // and the semantics differ from pre-filtering the right input
+    val prefilteredRight = AsOf.join(clicks,
+      errors.filter(col("value") > 2.0), "user_id", "ts", "ts")
+    assert(rightFiltered.count() <= prefilteredRight.count())
+  }
+
   test("matches the composed window form on real events (self as-of)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
