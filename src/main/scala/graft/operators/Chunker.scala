@@ -189,12 +189,19 @@ object Chunker {
   // The reference itself falls back to plain character windows when the
   // AST path fails, and so do we.
 
-  private case class BlockNode(start: Int, end: Int, children: Seq[BlockNode])
+  /** Language-agnostic parse tree for structure-aware chunking: byte
+    * spans + children, the shape a tree-sitter front-end produces. The
+    * built-in brace/indent block parser feeds it by default; a real
+    * grammar-backed parser (a native dep, absent in this offline build)
+    * plugs into `chunkTreeTexts` with no algorithm change — the descent
+    * and merge below are the reference's, byte for byte
+    * (code-chunker.ts:125-182). */
+  case class CodeTree(start: Int, end: Int, children: Seq[CodeTree])
 
   /** Parse a source string into a block tree: top level = runs of lines
     * separated at zero nesting depth boundaries; children = brace-delimited
     * sub-blocks (or indent groups for indent-structured languages). */
-  private def parseBlocks(source: String): BlockNode = {
+  private def parseBlocks(source: String): CodeTree = {
     // Split into top-level segments at lines where brace depth is zero and
     // a new declaration starts after a blank line or closing brace.
     val n = source.length
@@ -220,14 +227,14 @@ object Chunker {
     }
     val starts = segStarts.distinct.sorted
     val children = starts.zipAll(starts.drop(1), 0, n).map {
-      case (s, e) => BlockNode(s, e, subBlocks(source, s, e))
+      case (s, e) => CodeTree(s, e, subBlocks(source, s, e))
     }
-    BlockNode(0, n, children.toSeq)
+    CodeTree(0, n, children.toSeq)
   }
 
   /** Children of a segment: the body of its outermost brace pair split at
     * depth-1 line boundaries. */
-  private def subBlocks(source: String, start: Int, end: Int): Seq[BlockNode] = {
+  private def subBlocks(source: String, start: Int, end: Int): Seq[CodeTree] = {
     val open = source.indexOf('{', start)
     if (open < 0 || open >= end) return Seq.empty
     // find matching close
@@ -255,15 +262,15 @@ object Chunker {
       i += 1
     }
     val ps = parts.distinct.sorted
-    val header = BlockNode(start, bodyStart, Seq.empty)
-    val tail = BlockNode(close, end, Seq.empty)
+    val header = CodeTree(start, bodyStart, Seq.empty)
+    val tail = CodeTree(close, end, Seq.empty)
     val mids = ps.zipAll(ps.drop(1), 0, close).collect {
-      case (s, e) if e > s => BlockNode(s, e, Seq.empty)
+      case (s, e) if e > s => CodeTree(s, e, Seq.empty)
     }
     (header +: mids :+ tail).toSeq
   }
 
-  private def recursiveChunk(node: BlockNode, source: String,
+  private def recursiveChunk(node: CodeTree, source: String,
       chunkSize: Int, out: ArrayBuffer[String]): Unit = {
     val text = source.substring(node.start, node.end)
     if (text.length <= chunkSize || node.children.isEmpty) {
@@ -294,12 +301,24 @@ object Chunker {
     * content-processor.ts:2096-2100). */
   def codeChunkTexts(code: String, chunkSize: Int = CodeChunkSize): Seq[String] =
     try {
-      val out = ArrayBuffer[String]()
-      recursiveChunk(parseBlocks(code), code, chunkSize, out)
-      val merged = mergeChunks(out.toSeq, chunkSize)
-      if (merged.isEmpty && code.strip().nonEmpty) tokenChunk(code, chunkSize)
-      else merged
+      chunkTreeTexts(code, parseBlocks(code), chunkSize)
     } catch { case _: Throwable => tokenChunk(code, chunkSize) }
+
+  /** The reference's recursive-descent + greedy-merge chunking over an
+    * EXTERNALLY supplied parse tree (tree-sitter spans, or the built-in
+    * block tree): a node that fits chunkSize (or is a leaf) is emitted
+    * whole; an oversized node recurses; when recursion emits nothing the
+    * node is emitted whole anyway; adjacent chunks then merge greedily
+    * with a '\n' separator. Falls back to character windows when the
+    * tree yields nothing for non-blank code. */
+  def chunkTreeTexts(code: String, tree: CodeTree,
+      chunkSize: Int = CodeChunkSize): Seq[String] = {
+    val out = ArrayBuffer[String]()
+    recursiveChunk(tree, code, chunkSize, out)
+    val merged = mergeChunks(out.toSeq, chunkSize)
+    if (merged.isEmpty && code.strip().nonEmpty) tokenChunk(code, chunkSize)
+    else merged
+  }
 
   /** Full code-chunk dispatch (reference: content-processor.ts:2045-2149):
     * `.md` → markdown chunker re-prefixed with `[File: path]` and rehashed

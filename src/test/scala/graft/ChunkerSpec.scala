@@ -241,4 +241,41 @@ class ChunkerSpec extends AnyFunSuite {
     // consecutive slices are lossless
     assert(TextUtil.sliceSafe(s, 0, 3) + TextUtil.sliceSafe(s, 3, s.length) == s)
   }
+
+  test("chunkTreeTexts runs the reference descent over an external tree") {
+    import graft.operators.Chunker.CodeTree
+    // a hand-built tree mirroring tree-sitter's program →
+    // [function_declaration, function_declaration] spans
+    val code =
+      "function add(a, b) {\n  return a + b;\n}\n" + "\n" +
+      "function mul(a, b) {\n  return a * b;\n}\n"
+    // tree-sitter spans end at the closing brace (exclusive end = '}'+1)
+    val f1End = code.indexOf("}") + 1
+    val f2Start = code.indexOf("function", f1End)
+    val f2End = code.lastIndexOf("}") + 1
+    val f1 = CodeTree(0, f1End, Seq.empty)
+    val f2 = CodeTree(f2Start, f2End, Seq.empty)
+    val program = CodeTree(0, code.length, Seq(f1, f2))
+    // chunkSize 40: program oversized -> descend; each function (38
+    // chars) fits -> emitted whole; merge: 38+1+38 > 40 -> two chunks
+    assert(Chunker.chunkTreeTexts(code, program, chunkSize = 40) == Seq(
+      code.substring(0, f1End), code.substring(f2Start, f2End)))
+    // chunkSize 100: the program node itself fits -> emitted whole,
+    // no descent (reference: tokenCount <= chunkSize short-circuits)
+    assert(Chunker.chunkTreeTexts(code, program, chunkSize = 100) ==
+      Seq(code))
+    // chunkSize 78: program (79) oversized -> descend; the two 38-char
+    // functions then greedily merge with a \n separator (38+1+38 = 77)
+    assert(Chunker.chunkTreeTexts(code, program, chunkSize = 78) == Seq(
+      code.substring(0, f1End) + "\n" + code.substring(f2Start, f2End)))
+    // oversized leaf with no children is emitted whole (reference rule)
+    val leafOnly = CodeTree(0, code.length, Seq.empty)
+    assert(Chunker.chunkTreeTexts(code, leafOnly, chunkSize = 10) ==
+      Seq(code))
+    // blank-only nodes emit nothing; the non-blank source falls back to
+    // character windows (reference fallback contract)
+    val blankTree = CodeTree(f1End, f1End + 1, Seq.empty) // "\n" only
+    assert(Chunker.chunkTreeTexts(code, blankTree, chunkSize = 40)
+      .nonEmpty) // falls back to tokenChunk windows over the full code
+  }
 }
