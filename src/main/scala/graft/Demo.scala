@@ -89,6 +89,38 @@ object Demo {
     println("MULTIMODAL -> " +
       Multimodal.extractFeatures(spark, bins).collect().head)
 
+    // custom Catalyst AS-OF JOIN: trades pick up the latest prior quote
+    val quotes = Seq(("A", 1L, 10.0), ("A", 5L, 11.0))
+      .toDF("sym", "t", "px")
+    val trades = Seq(("A", 4L, 100L), ("A", 9L, 200L))
+      .toDF("sym", "t", "qty")
+    println("ASOF -> " + graft.plans.AsOf
+      .join(trades, quotes, "sym", "t", "t")
+      .select("sym", "t", "qty", "r_px").orderBy("t")
+      .collect().mkString(" "))
+
+    // sitemap tree resolution (index recursion + nested override)
+    val staged = Seq(
+      ("idx", "<sitemapindex><sitemap><loc>child</loc></sitemap></sitemapindex>"),
+      ("child", "<urlset><url><loc>https://a/1</loc>" +
+        "<lastmod>2024-06-06</lastmod></url></urlset>"))
+      .toDF("sitemap_url", "xml")
+    println("SITEMAP -> " + graft.sources.Sitemap
+      .resolve(spark, staged, "idx").collect().mkString(" "))
+
+    // article template render (Zendesk help-center)
+    println("ARTICLE -> " + graft.sources.Renderers.renderArticle(
+      graft.sources.Renderers.Article(1, "Demo article", 42, 7,
+        "2024-03-01T00:00:00Z", "2024-03-01T00:00:00Z", 3, 5,
+        Seq("howto"), Some("Body text."))).linesIterator.next())
+
+    // run-summary structured event
+    val counters = graft.operators.Sync
+      .runCounters(spark, "/root/testdata/sf0.001")
+    println("RUNSUMMARY -> " + graft.operators.RunSummary.eventJson(
+      graft.operators.RunSummary.sourceStats(counters, "Demo", "website",
+        "1.0", 1000L, ok = true), "2024-03-01T00:00:00Z").take(120) + "…")
+
     spark.stop()
   }
 }
