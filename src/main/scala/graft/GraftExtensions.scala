@@ -16,8 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
-    // the custom AS-OF JOIN: planner strategy + left-side filter pushdown
+    // the custom AS-OF JOIN: planner strategy + left-side filter
+    // pushdown + column pruning through the join
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinColumnPruning)
   }
 }

@@ -73,6 +73,33 @@ object AsOfJoinFilterPushdown
   }
 }
 
+/** Optimizer rule: column pruning through the as-of join — Catalyst's
+  * ColumnPruning also only knows built-in nodes. When a Project above
+  * the join uses a subset of child columns, insert Projects below the
+  * join keeping only (used ∪ key ∪ time) attributes per side, so the
+  * pruned schema continues down to the scan (`ReadSchema` shrinks). The
+  * node's output re-derives from its children, and the guard keeps the
+  * rule convergent. */
+object AsOfJoinColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(p.references) ++
+        j.leftKey.references ++ j.rightKey.references ++
+        j.leftTime.references ++ j.rightTime.references
+      val keepLeft = j.left.output.filter(needed.contains)
+      val keepRight = j.right.output.filter(needed.contains)
+      if (keepLeft.length == j.left.output.length &&
+          keepRight.length == j.right.output.length) p
+      else p.copy(child = j.copy(
+        left = Project(keepLeft, j.left),
+        right = Project(keepRight, j.right)))
+  }
+}
+
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -173,6 +200,9 @@ object AsOf {
     if (!s.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
+    if (!s.experimental.extraOptimizations.contains(AsOfJoinColumnPruning))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ AsOfJoinColumnPruning
   }
 
   /** For each `left` row, attach the most recent `right` row of the same

@@ -89,6 +89,25 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rightFiltered.count() <= prefilteredRight.count())
   }
 
+  test("column pruning pushes through the join to the scans") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // events has 6 columns; the final select uses 2 left + 1 right
+    val clicks = ev.filter(col("event_type") === "click")
+    val errors = ev.filter(col("event_type") === "error")
+    val narrow = AsOf.join(clicks, errors, "user_id", "ts", "ts")
+      .select("event_id", "user_id", "r_value")
+    val phys = narrow.queryExecution.executedPlan.toString
+    // right scan must not read the wide columns (props, r_event_type is
+    // needed for its filter but props never)
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(phys).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("props")),
+      s"props column not pruned:\n${readSchemas.mkString("\n")}")
+    // and results are unchanged by pruning
+    assert(narrow.count() ==
+      AsOf.join(clicks, errors, "user_id", "ts", "ts").count())
+  }
+
   test("matches the composed window form on real events (self as-of)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
