@@ -65,7 +65,11 @@ object Crawler {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        // plain union: every leaf under it is already checkpointed, so
+        // lineage stays flat and the union needs no re-materialization —
+        // re-checkpointing here would rescan the whole visited set every
+        // round (O(V · rounds) wasted IO)
+        visited = visited.unionByName(next)
         frontier = next
       }
     }
