@@ -57,6 +57,7 @@ object SparkEntry {
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
+    "doc_quality_filter"  -> (TextAnalysis.qualityFilter _),
     "doc_token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"     -> (TextAnalysis.fingerprint _),
     "dedup_exact"         -> (Dedup.exactDedup _),
@@ -287,6 +288,51 @@ object SparkEntry {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "doc_quality_filter" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' ' || repeat('x', 1000)
+                  WHEN doc_id % 10 = 0 THEN text ||
+                    repeat(' #', len(string_split(text, ' ')) // 10 + 1)
+                  ELSE text END AS text
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, string_split(text, ' ') AS ws,
+             CAST(length(text) AS BIGINT) AS n_chars
+           FROM t),
+         x AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             n_chars - (CAST(len(ws) AS BIGINT) - 1) AS letters,
+             CAST(n_chars - length(replace(text, '#', '')) AS BIGINT)
+               AS hash_cnt,
+             CAST((n_chars - length(replace(text, '...', ''))) // 3
+               AS BIGINT) AS ellipsis_cnt,
+             CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS stop_present
+           FROM m),
+         r AS (
+           SELECT *,
+             CASE WHEN n_words < 30 OR n_words > 100000 THEN 'word_count'
+                  WHEN letters < n_words * 3 OR letters > n_words * 10
+                    THEN 'mean_word_length'
+                  WHEN (hash_cnt + ellipsis_cnt) * 10 > n_words
+                    THEN 'symbol_ratio'
+                  WHEN stop_present < 1 THEN 'stopword_absence'
+                  ELSE NULL END AS drop_reason
+           FROM x)
+         SELECT doc_id, n_words, letters, hash_cnt, ellipsis_cnt,
+           stop_present, drop_reason,
+           CAST(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+         FROM r ORDER BY doc_id""",
     "q27_hll_sketch" ->
       """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
          count(DISTINCT user_id) AS exact_users,

@@ -72,6 +72,53 @@ object TextAnalysis {
         "stop_hits", "avg_word_len", "distinct_permille", "keep")
       .orderBy("doc_id")
 
+  /** Gopher-style quality-filter cascade (Rae et al. 2021, §A1.1,
+    * adapted to integer engine-portable arithmetic; the line-structure
+    * rules are omitted — this corpus is single-line): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, required
+    * stopwords. Emits keep + the FIRST failing rule as drop_reason —
+    * the shape a 100 TB pretraining filter wants (filter + audit
+    * column in one codegen pass, zero shuffle). */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Tables.documents(s, dir)
+      // deterministic perturbations so every cascade branch is exercised
+      // on the synthetic corpus: every 13th doc gains one 1000-char word
+      // (mean-word-length breach), every 10th a '#' run ≥ words/10
+      // (symbol-ratio breach)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" "), expr("repeat('x', 1000)")))
+          .when(col("doc_id") % 10 === 0,
+            concat(col("text"), expr(
+              "repeat(' #', CAST(size(split(text, ' ')) div 10 AS INT) + 1)")))
+          .otherwise(col("text")))
+      .withColumn("n_words", size(words(col("text"))).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      // letters = chars minus the single-space separators
+      .withColumn("letters", col("n_chars") - (col("n_words") - 1))
+      .withColumn("hash_cnt",
+        (col("n_chars") - length(regexp_replace(col("text"), "#", "")))
+          .cast("long"))
+      .withColumn("ellipsis_cnt",
+        expr("CAST((n_chars - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("stop_present",
+        size(filter(array(required.map(lit): _*),
+          w => array_contains(words(col("text")), w))).cast("long"))
+      .withColumn("drop_reason",
+        when(col("n_words") < 30 || col("n_words") > 100000, "word_count")
+          .when(col("letters") < col("n_words") * 3 ||
+            col("letters") > col("n_words") * 10, "mean_word_length")
+          .when((col("hash_cnt") + col("ellipsis_cnt")) * 10 >
+            col("n_words"), "symbol_ratio")
+          .when(col("stop_present") < 1, "stopword_absence")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull.cast("long"))
+      .select("doc_id", "n_words", "letters", "hash_cnt", "ellipsis_cnt",
+        "stop_present", "drop_reason", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish ~4-chars/token
     * estimate (the reference's embedding-cap rule, doc2vec.ts:2002-2008),
     * and regex word tokens. */
