@@ -253,6 +253,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTERING — the dedup endgame: pair evidence →
+    * connected components → one canonical (minimum doc_id) per cluster.
+    * Pairs alone can't drive deletion (near-dup is not transitive, but
+    * retention policy must be: if A~B and B~C, keeping A and C but
+    * dropping B is arbitrary); components make the keep-set well
+    * defined.
+    *
+    * Scale: min-label propagation with POINTER JUMPING as DataFrame
+    * rounds. Each round does (a) neighbor-min — one equi-join along
+    * edges + a min-aggregate — then (b) label-of-label contraction
+    * (l(v) ← l(l(v)), a self-join on the label), which halves chain
+    * lengths, so convergence takes O(log diameter) rounds instead of
+    * O(diameter) (plain propagation paid a full join round per hop of
+    * the longest near-dup chain). Labels only decrease toward the min
+    * reachable doc id — exactly the SQL oracle's recursive-CTE closure.
+    * Every document is a vertex, so singletons cluster as themselves.
+    * Each round localCheckpoints (iterative-loop lineage discipline, as
+    * in Crawler). */
+  def clusters(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // joined every round
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    // labels are monotonically non-increasing, so Σ(labels) strictly
+    // decreases exactly while anything changes — convergence is a
+    // scalar aggregate per round, not a join (decimal sum: no overflow
+    // at any corpus size)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (changed) {
+      // (a) neighbor-min
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val neighborMin = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // (b) pointer jump: l(v) ← l(l(v)) — labels are doc ids, so the
+      // jump is a self-join on cluster_id = doc_id, halving chain
+      // lengths per round (convergence in O(log diameter) rounds)
+      val next = neighborMin.as("a")
+        .join(neighborMin.as("b"), col("a.cluster_id") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          col("b.cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val s2 = labelSum(next)
+      changed = s2.compareTo(prevSum) < 0
+      prevSum = s2
+      labels = next
+    }
+    labels
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Clusters over the SimHash pair evidence (deterministic on both
+    * engines — the oracle recomputes the same pairs and closes them
+    * with a recursive CTE). */
+  def simhashClusters(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir, simhashPairs(s, dir))
+
   /** Embedding near-dup pairs: banded-LSH candidate generation (the same
     * deterministic hyperplane buckets as `Similarity.lshBuckets`) with an
     * exact cosine > 0.4 re-rank over candidates only.
