@@ -49,6 +49,47 @@ object ChunkStore {
       .partitionBy("product_name")
       .parquet(path)
 
+  // ── Versioned store: the MERGE pattern without a transactional table
+  // format. Data lives in `root/v<N>`; `root/LATEST` names the current
+  // version. An upsert reads the current version, merges at plan level,
+  // writes v<N+1> COMPLETELY, then flips the pointer — readers never
+  // observe a half-written version, and a crashed writer leaves the
+  // store on the old version (the new directory is simply orphaned).
+  // On a cluster with Delta/Iceberg this whole block becomes MERGE.
+
+  private def latestFile(root: String) = new java.io.File(root, "LATEST")
+
+  /** Current version number, or -1 when the store is empty. */
+  def latestVersion(root: String): Long = {
+    val f = latestFile(root)
+    if (f.exists) java.nio.file.Files.readString(f.toPath).trim.toLong
+    else -1L
+  }
+
+  /** Current contents, or None for an empty store. */
+  def readLatest(spark: SparkSession, root: String): Option[DataFrame] = {
+    val v = latestVersion(root)
+    if (v < 0) None else Some(spark.read.parquet(s"$root/v$v"))
+  }
+
+  /** Upsert-by-url into the versioned store; returns the new version.
+    * Idempotent per incoming batch (re-running the same batch rewrites
+    * the same urls to the same contents), which is exactly what an
+    * at-least-once streaming sink needs. */
+  def upsertVersioned(spark: SparkSession, root: String,
+      incoming: DataFrame): Long = {
+    val next = latestVersion(root) + 1
+    val merged = readLatest(spark, root) match {
+      case Some(stored) => upsertByUrl(stored, incoming)
+      case None => incoming
+    }
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
+    val f = latestFile(root)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, next.toString)
+    next
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -45,6 +45,24 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming upsert sink: each micro-batch merges into the versioned
+    * chunk store through `foreachBatch` — the same plan-level
+    * upsert-by-url the batch path uses, applied per batch. Because the
+    * upsert is idempotent per url-set, at-least-once re-delivery of a
+    * batch converges to the same store state (the streaming-sink
+    * contract without a transactional table format). Returns the
+    * started query; callers own its lifecycle. */
+  def upsertStream(chunks: DataFrame, storeRoot: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    chunks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ChunkStore.upsertVersioned(
+          batch.sparkSession, storeRoot, batch)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: each click joins error
     * events of the same user from the preceding hour. Both sides carry
     * watermarks and the join condition bounds the event-time range, so

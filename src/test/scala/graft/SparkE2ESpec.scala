@@ -236,6 +236,41 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("streaming upsert sink: micro-batches merge into the versioned store") {
+    import spark.implicits._
+    import graft.sources.ChunkStore
+    val base = java.nio.file.Files.createTempDirectory("upsink")
+    val in = base.resolve("in").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(in).mkdirs()
+    def stage(name: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("url", "content").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    // batch 1: two documents
+    stage("b1", Seq("doc://a" -> "a1", "doc://b" -> "b1"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStream.upsertStream(stream, store, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(ChunkStore.readLatest(spark, store).get.count() == 2)
+      // batch 2: doc a updated, doc c new -> store merges to 3 urls
+      stage("b2", Seq("doc://a" -> "a2", "doc://c" -> "c1"))
+      q.processAllAvailable()
+      val after = ChunkStore.readLatest(spark, store).get
+        .orderBy("url").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(after.toSeq == Seq("doc://a" -> "a2", "doc://b" -> "b1",
+        "doc://c" -> "c1"))
+      assert(ChunkStore.latestVersion(store) >= 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val tmp = java.nio.file.Files.createTempDirectory("evjoin").toString
     val slice = Tables.events(spark, "/root/testdata/sf0.001").limit(600)
