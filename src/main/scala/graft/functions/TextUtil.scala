@@ -79,6 +79,26 @@ object TextUtil {
   def escapeLike(value: String): String =
     value.replaceAll("([\\\\%_])", "\\\\$1")
 
+  /** `${VAR}` substitution in config content (reference doc2vec.ts:
+    * 129-137, mirrored in controller/chunk-inspector.ts:75-77): known
+    * variables expand, unknown ones stay verbatim. The environment is a
+    * parameter (not a process read) so the scalar stays deterministic. */
+  def substituteEnvVars(content: String,
+      env: Map[String, String]): String = {
+    if (content == null) return null
+    val m = java.util.regex.Pattern.compile("\\$\\{([^}]+)\\}")
+      .matcher(content)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(content.substring(last, m.start))
+      sb.append(env.getOrElse(m.group(1), m.group()))
+      last = m.end
+    }
+    sb.append(content.substring(last))
+    sb.toString
+  }
+
   @inline private def isHigh(c: Char): Boolean = c >= 0xd800 && c <= 0xdbff
   @inline private def isLow(c: Char): Boolean = c >= 0xdc00 && c <= 0xdfff
 

@@ -58,20 +58,65 @@ object ApiSources {
       }
   }
 
+  /** Resolve excluded-organization NAMES to ids against a staged orgs
+    * table (reference doc2vec.ts:1694-1714): an unresolvable name FAILS
+    * the run — silently skipping nothing is the reference's contract
+    * (a typo must not quietly disable the exclusion). */
+  def resolveExcludedOrgs(orgs: DataFrame,
+      excludedNames: Seq[String]): Seq[Long] = {
+    if (excludedNames.isEmpty) return Seq.empty
+    val found = orgs
+      .filter(col("name").isin(excludedNames: _*))
+      .select(col("name"), col("id").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = excludedNames.filterNot(found.contains)
+    require(missing.isEmpty,
+      s"excluded organizations not resolvable: ${missing.mkString(", ")}")
+    excludedNames.map(found)
+  }
+
   /** Staged Zendesk tickets (JSON lines; comments as a nested array) →
-    * chunk table with status filtering and deleted-ticket purge list
-    * (doc2vec.ts:1540-1789 semantics: `deleted` tickets produce no
-    * chunks — the caller deletes their urls). */
+    * chunk table with status filtering, excluded-organization drop, and
+    * deleted-ticket purge list (doc2vec.ts:1540-1789 semantics:
+    * `deleted` tickets produce no chunks — the caller deletes their
+    * urls). Comment bodies take the reference's
+    * plain_body || html_body || body preference (doc2vec.ts:1604). */
   def ingestTickets(spark: SparkSession, jsonPath: String,
       productName: String, version: String,
       statuses: Seq[String] = Seq("open", "pending", "solved", "closed"),
-      includeInternal: Boolean = false): (Dataset[Chunk], DataFrame) = {
+      includeInternal: Boolean = false,
+      excludedOrgIds: Seq[Long] = Seq.empty): (Dataset[Chunk], DataFrame) = {
     import spark.implicits._
     val df = spark.read.json(jsonPath)
     val deleted = df.filter(col("status") === "deleted")
       .select(concat(lit("zendesk://ticket/"), col("id")).as("url"))
-    val chunks = df
+    val orgFiltered =
+      if (excludedOrgIds.isEmpty) df
+      // excluded ids are a tiny dim — an isin predicate (≅ broadcast
+      // anti-join) that pushes into the scan
+      else df.filter(!col("organization_id").isin(excludedOrgIds: _*) ||
+        col("organization_id").isNull)
+    // normalize comments to a fixed schema so the body-preference
+    // coalesce works whether or not the staged JSON carried the
+    // plain_body/html_body variants
+    val commentSchema = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("author_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("created_at",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("public",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("plain_body",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("html_body",
+          org.apache.spark.sql.types.StringType))))
+    val chunks = orgFiltered
       .filter(col("status").isin(statuses: _*))
+      .withColumn("comments",
+        from_json(to_json(col("comments")), commentSchema))
       .select(col("id").cast("long"), col("subject"), col("status"),
         col("priority"), col("type").as("ticket_type"),
         col("requester_id").cast("long"),
@@ -79,7 +124,9 @@ object ApiSources {
         col("updated_at"), col("tags"), col("description"),
         expr("""transform(comments, c -> struct(
                 c.author_id AS author_id, c.created_at AS created_at,
-                c.public AS is_public, c.body AS body))""").as("comments"))
+                c.public AS is_public,
+                coalesce(c.plain_body, c.html_body, c.body) AS body))""")
+          .as("comments"))
       .as[TicketIn]
       .flatMap { t =>
         val ticket = Renderers.Ticket(t.id, t.subject, t.status,

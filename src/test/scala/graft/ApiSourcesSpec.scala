@@ -131,6 +131,47 @@ class ApiSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("https://x.zendesk.com/hc/articles/301"))
   }
 
+  test("excluded organizations: name resolution fails fast, ids drop tickets") {
+    import spark.implicits._
+    val orgs = Seq((101L, "Acme"), (102L, "Globex")).toDF("id", "name")
+    assert(ApiSources.resolveExcludedOrgs(orgs, Seq("Acme")) == Seq(101L))
+    intercept[IllegalArgumentException] {
+      ApiSources.resolveExcludedOrgs(orgs, Seq("Acme", "NoSuchOrg"))
+    }
+    val d = Files.createTempDirectory("orgtickets")
+    Files.writeString(d.resolve("t.jsonl"), Seq(
+      """{"id":20,"subject":"In scope","status":"open","priority":null,"type":null,"requester_id":1,"assignee_id":null,"organization_id":102,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-01T00:00:00Z","tags":[],"description":"x","comments":[]}""",
+      """{"id":21,"subject":"Excluded","status":"open","priority":null,"type":null,"requester_id":2,"assignee_id":null,"organization_id":101,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-01T00:00:00Z","tags":[],"description":"y","comments":[]}""",
+      """{"id":22,"subject":"No org","status":"open","priority":null,"type":null,"requester_id":3,"assignee_id":null,"organization_id":null,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-01T00:00:00Z","tags":[],"description":"z","comments":[]}""")
+      .mkString("\n"))
+    val (chunks, _) = ApiSources.ingestTickets(spark,
+      d.resolve("t.jsonl").toString, "S", "1.0",
+      excludedOrgIds = Seq(101L))
+    assert(chunks.collect().map(_.url).distinct.sorted.toSeq ==
+      Seq("zendesk://ticket/20", "zendesk://ticket/22"))
+  }
+
+  test("comment body preference: plain_body > html_body > body") {
+    val d = Files.createTempDirectory("bodytickets")
+    Files.writeString(d.resolve("t.jsonl"),
+      """{"id":30,"subject":"Pref","status":"open","priority":null,"type":null,"requester_id":1,"assignee_id":null,"created_at":"2024-02-01T00:00:00Z","updated_at":"2024-02-01T00:00:00Z","tags":[],"description":"d","comments":[{"author_id":1,"created_at":"2024-02-01T01:00:00Z","public":true,"plain_body":"PLAIN","html_body":"<p>HTML</p>","body":"RAW"},{"author_id":2,"created_at":"2024-02-01T02:00:00Z","public":true,"html_body":"<p>H2</p>","body":"RAW2"}]}""")
+    val (chunks, _) = ApiSources.ingestTickets(spark,
+      d.resolve("t.jsonl").toString, "S", "1.0")
+    val md = chunks.collect().head.content
+    assert(md.contains("PLAIN") && !md.contains("RAW"))
+    assert(md.contains("<p>H2</p>") && !md.contains("RAW2"))
+  }
+
+  test("env-var substitution: known vars expand, unknown stay verbatim") {
+    import graft.functions.TextUtil.substituteEnvVars
+    val env = Map("TOKEN" -> "abc", "DIR" -> "/data")
+    assert(substituteEnvVars("key: ${TOKEN} path: ${DIR}/x", env) ==
+      "key: abc path: /data/x")
+    assert(substituteEnvVars("keep ${UNSET} as-is", env) ==
+      "keep ${UNSET} as-is")
+    assert(substituteEnvVars("no vars", env) == "no vars")
+  }
+
   test("watermark advances on success and holds on failure") {
     val batch = spark.read.json(jsonPath)
     assert(ApiSources.nextWatermark(batch, "2024-01-01T00:00:00Z", 0) ==
