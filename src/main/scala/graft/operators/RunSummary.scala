@@ -44,4 +44,16 @@ object RunSummary {
     * directory back as a table. */
   def appendJsonl(runs: DataFrame, path: String): Unit =
     runs.write.mode(SaveMode.Append).json(path)
+
+  /** Orphaned-run fail-over (reference controller/store.ts:85-94): on
+    * controller restart, every run still marked `running` belongs to a
+    * dead process — flip it to `failed` with the marker error. */
+  def failOrphans(runs: DataFrame): DataFrame =
+    runs
+      .withColumn("error",
+        when(col("status") === "running", lit("orphaned by restart"))
+          .otherwise(col("error")))
+      .withColumn("status",
+        when(col("status") === "running", lit("failed"))
+          .otherwise(col("status")))
 }

@@ -26,17 +26,21 @@ import org.apache.spark.sql.functions._
 object Crawler {
 
   /** Tagged multi-hop edges: (src, dst, hop) for 1 ≤ hop ≤ stride with
-    * the minimal hop kept per pair. Built once; every round reuses it. */
+    * the minimal hop kept per pair. Built once as ONE plan (the powers
+    * union under a single min-hop aggregate) and checkpointed once —
+    * checkpointing each power separately cost a materialization job per
+    * power; letting the joins pipeline into one DAG is cheaper even
+    * though the lower powers are re-derived inside it. Every round of
+    * the fixpoint reuses the result. */
   private def expandEdges(edges: DataFrame, stride: Int): DataFrame = {
-    var cur = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    var all = cur.withColumn("hop", lit(1L))
+    val e1 = edges.select(col("src"), col("dst")).distinct()
+    var cur = e1
+    var all = e1.withColumn("hop", lit(1L))
     for (h <- 2 to stride) {
       cur = cur.as("a")
         .join(edges.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .distinct()
-        .localCheckpoint(true) // feeds both the union and the next power
       all = all.unionByName(cur.withColumn("hop", lit(h.toLong)))
     }
     all.groupBy(col("src"), col("dst")).agg(min(col("hop")).as("hop"))

@@ -210,6 +210,21 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       counters.head().getAs[Long]("items_new"))
   }
 
+  test("orphaned runs fail over on restart") {
+    import spark.implicits._
+    val runs = Seq(
+      (1L, "ok", null.asInstanceOf[String]),
+      (2L, "running", null.asInstanceOf[String]),
+      (3L, "failed", "net")).toDF("run_id", "status", "error")
+    val after = graft.operators.RunSummary.failOrphans(runs)
+      .orderBy("run_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(after.toSeq == Seq(
+      (1L, "ok", None),
+      (2L, "failed", Some("orphaned by restart")),
+      (3L, "failed", Some("net"))))
+  }
+
   test("MLlib ANN recall >= 0.8 against exact KNN") {
     val dir = "/root/testdata/sf0.001"
     val exact = Similarity.knnExact(spark, dir, k = 10)
