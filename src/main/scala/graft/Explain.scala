@@ -21,7 +21,8 @@ object Explain {
       else Seq("q2_filter_project", "q3_join_agg", "q8_topk",
         "q16_star_join", "doc_chunk_markdown", "dedup_embedding",
         "emb_knn_exact", "doc_get_chunks", "q_query_documentation",
-        "q17_asof_custom", "sitemap_parse", "doc_pdf_lines")
+        "q17_asof_custom", "sitemap_parse", "doc_pdf_lines",
+        "doc_quality_filter")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
