@@ -67,6 +67,24 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncappedPairs.toSeq == pairs.toSeq)
   }
 
+  test("cluster paths agree: driver union-find == distributed label propagation") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Dedup.simhashPairs(spark, dir)
+    def collectClusters(threshold: Long) =
+      Dedup.clusters(spark, dir, pairs, driverThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaUnionFind = collectClusters(Long.MaxValue)
+    val viaPropagation = collectClusters(0L) // force the distributed loop
+    assert(viaUnionFind.nonEmpty)
+    assert(viaUnionFind.sameElements(viaPropagation))
+    // canonical = min id of its cluster; singletons self-cluster
+    viaUnionFind.foreach { case (doc, cluster, canon) =>
+      assert(cluster <= doc)
+      assert((canon == 1L) == (doc == cluster))
+    }
+  }
+
   test("hotKeys surfaces the dominant key") {
     import spark.implicits._
     val big = (1 to 500).map(i =>
