@@ -58,6 +58,7 @@ object SparkEntry {
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
     "doc_quality_filter"  -> (TextAnalysis.qualityFilter _),
+    "doc_pii_redact"      -> (TextAnalysis.piiRedact _),
     "doc_token_count"     -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"     -> (TextAnalysis.fingerprint _),
     "dedup_exact"         -> (Dedup.exactDedup _),
@@ -289,6 +290,30 @@ object SparkEntry {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "doc_pii_redact" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               (CASE WHEN doc_id % 5 = 0
+                     THEN text || ' contact user' || doc_id || '@example.com'
+                     ELSE text END)
+               || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+             WHEN doc_id % 5 = 0
+               THEN text || ' contact user' || doc_id || '@example.com'
+             ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ips,
+           sha256(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             AS scrubbed_hash
+         FROM t ORDER BY doc_id""",
     "doc_quality_filter" ->
       """WITH t AS (
            SELECT doc_id,

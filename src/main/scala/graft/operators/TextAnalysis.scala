@@ -119,6 +119,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing (builder-prompt training-data hygiene): redact
+    * emails and IPv4 literals with typed placeholders and emit per-doc
+    * audit counts + the scrubbed-content hash — one codegen pass, zero
+    * shuffle. Patterns stay in the RE2 ∩ java.util.regex dialect so the
+    * DuckDB oracle applies the identical automaton. Deterministic
+    * injections (every 5th doc an email, every 7th an IP) make both
+    * redaction branches observable on the synthetic corpus. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    Tables.documents(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" from 10.0."), col("doc_id") % 256,
+            lit(".") , col("doc_id") % 100))
+          .otherwise(col("text")))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+          .cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+          ip, "[IP]"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        sha2(col("scrubbed"), 256).as("scrubbed_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish ~4-chars/token
     * estimate (the reference's embedding-cap rule, doc2vec.ts:2002-2008),
     * and regex word tokens. */
