@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Service-mode embedding operator (reference `createEmbeddings`,
+  * doc2vec.ts:2010-2041 + the retry loop at doc2vec.ts:275-356): the
+  * batched-HTTP path the hermetic `Embedder` stands in for. The
+  * transport is a pluggable function so the operator is testable
+  * offline; a real client (HTTP pool per partition) drops into the
+  * same slot.
+  *
+  * Contract preserved from the reference:
+  *   - 32 764-char pre-truncation safety net before any call;
+  *   - micro-batches of `batchSize` texts per call (the reference
+  *     embedded ONE chunk per call, doc2vec.ts:1980 — batching is the
+  *     documented improvement);
+  *   - rate-limit replies carry a Retry-After delay; the batch retries
+  *     up to `maxRetries` with that delay (parseRetryAfter semantics:
+  *     floor 1s);
+  *   - a batch that still fails emits EMPTY vectors for its chunks —
+  *     skipped-but-logged, never a poisoned job (doc2vec.ts:2036-2040).
+  *
+  * Scale: one transport instance per partition (`mapPartitions`), batch
+  * boundaries never cross partitions; throughput scales with executors
+  * × batchSize and the expensive stage sees only the chunk delta the
+  * sync layers let through.
+  */
+object ServiceEmbedder {
+
+  /** One call outcome: vectors for the batch, a rate-limit with a
+    * retry delay, or a hard failure. */
+  sealed trait Reply
+  final case class Vectors(vecs: Seq[Array[Float]]) extends Reply
+  final case class RateLimited(retryAfterMs: Long) extends Reply
+  final case class Failed(reason: String) extends Reply
+
+  type Transport = Seq[String] => Reply
+
+  /** (id, text) → (id, embedding, ok): batched per partition through
+    * `transport`; `sleep` is injectable so tests run without waiting. */
+  def embedBatched(s: SparkSession, input: Dataset[(Long, String)],
+      transport: Transport, batchSize: Int = 32, maxRetries: Int = 3,
+      sleep: Long => Unit = ms => Thread.sleep(ms)): DataFrame = {
+    import s.implicits._
+    input.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map { case (_, t) =>
+          if (t.length > Embedder.MaxChars) t.substring(0, Embedder.MaxChars)
+          else t
+        }
+        var attempt = 0
+        var result: Option[Seq[Array[Float]]] = None
+        var done = false
+        while (!done) {
+          transport(texts) match {
+            case Vectors(vs) => result = Some(vs); done = true
+            case RateLimited(ms) if attempt < maxRetries =>
+              attempt += 1
+              sleep(math.max(1000L, ms)) // reference floor: 1s
+            case _ => done = true // Failed, or retries exhausted
+          }
+        }
+        result match {
+          case Some(vs) =>
+            batch.zip(vs).map { case ((id, _), v) => (id, v, true) }
+          case None =>
+            // failed batch: empty vectors, chunk skipped but visible
+            batch.map { case (id, _) => (id, Array.empty[Float], false) }
+        }
+      }
+    }.toDF("id", "embedding", "ok")
+  }
+}

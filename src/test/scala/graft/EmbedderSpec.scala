@@ -49,3 +49,76 @@ class EmbedderSpec extends AnyFunSuite {
     assert(cos(base, near) > cos(base, far))
   }
 }
+
+class ServiceEmbedderSpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import graft.functions.ServiceEmbedder
+  import graft.functions.ServiceEmbedder._
+
+  lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("batches embed; poison batch skips with empty vectors; truncation net") {
+    import spark.implicits._
+    val transport: Transport = texts =>
+      if (texts.exists(_.contains("poison"))) Failed("boom")
+      else Vectors(texts.map(t =>
+        Array(t.length.toFloat, if (t.isEmpty) 0f else t.head.toFloat)))
+    val in = Seq(
+      (1L, "alpha"), (2L, "beta"),
+      (3L, "gamma"), (4L, "poison pill"),
+      (5L, "x" * (graft.functions.Embedder.MaxChars + 50))).toDS()
+      .repartition(1) // single partition: batch grouping deterministic
+    val out = ServiceEmbedder.embedBatched(spark, in, transport,
+        batchSize = 2, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList,
+        r.getBoolean(2))).sortBy(_._1)
+    assert(out(0) == ((1L, List(5f, 'a'.toFloat), true)))
+    // batch (3,4): poison fails the CALL -> whole batch skipped-but-visible
+    assert(!out(2)._3 && out(2)._2.isEmpty)
+    assert(!out(3)._3 && out(3)._2.isEmpty)
+    // truncation net applied before the call
+    assert(out(4)._2.head == graft.functions.Embedder.MaxChars.toFloat)
+    assert(out(4)._3)
+  }
+
+  test("rate-limited batch retries with the server delay (floored at 1s)") {
+    import spark.implicits._
+    val in = Seq((7L, "eventually fine")).toDS().repartition(1)
+    // transport rate-limits on the first call of each JVM-global epoch
+    ServiceEmbedderState.calls.set(0)
+    ServiceEmbedderState.slept.set(0)
+    val transport: Transport = texts =>
+      if (ServiceEmbedderState.calls.getAndIncrement() == 0)
+        RateLimited(5000L)
+      else Vectors(texts.map(t => Array(t.length.toFloat)))
+    val out = ServiceEmbedder.embedBatched(spark, in, transport,
+        batchSize = 4,
+        sleep = ms => { ServiceEmbedderState.slept.addAndGet(ms); () })
+      .collect()
+    assert(out.length == 1 && out.head.getBoolean(2))
+    assert(ServiceEmbedderState.slept.get() == 5000L)
+    // retries exhausted -> skip
+    ServiceEmbedderState.calls.set(0)
+    val alwaysLimited: Transport = _ => RateLimited(10L)
+    val skipped = ServiceEmbedder.embedBatched(spark, in, alwaysLimited,
+        batchSize = 4, maxRetries = 2,
+        sleep = ms => { ServiceEmbedderState.slept.addAndGet(ms); () })
+      .collect()
+    assert(!skipped.head.getBoolean(2))
+    // the 10ms reply floors to the reference's 1s minimum, twice
+    assert(ServiceEmbedderState.slept.get() == 5000L + 2000L)
+  }
+}
+
+/** JVM-global mutable state for the service-embedder tests (executor
+  * threads share the JVM in local mode). */
+object ServiceEmbedderState {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val slept = new java.util.concurrent.atomic.AtomicLong(0L)
+}
