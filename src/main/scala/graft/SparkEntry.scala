@@ -662,17 +662,16 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
            FROM embeddings),
-         dims AS (
-           SELECT vec_id, unnest(embedding) AS v,
-             generate_subscripts(embedding, 1) - 1 AS d
-           FROM embeddings
-         ), proj AS (
-           SELECT vec_id, i.i AS i,
-             sum(CAST(v AS DOUBLE) *
-               (CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13) % 2 != 0
-                     THEN 1 ELSE -1 END)) AS proj
-           FROM dims CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
-           GROUP BY 1,2
+         proj AS (
+           -- ordered accumulation via list_dot_product (an unordered
+           -- sum() over doubles could flip a near-zero projection's
+           -- sign between engines)
+           SELECT e.vec_id, i.i AS i,
+             list_dot_product(e.emb,
+               list_transform(range(0, len(e.emb)), d ->
+                 CAST(CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13)
+                        % 2 != 0 THEN 1 ELSE -1 END AS DOUBLE))) AS proj
+           FROM e CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
          ), sig AS (
            SELECT vec_id,
              CAST(sum(CASE WHEN i < 4 AND proj > 0
@@ -744,17 +743,16 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
            FROM embeddings),
-         dims AS (
-           SELECT vec_id, unnest(embedding) AS v,
-             generate_subscripts(embedding, 1) - 1 AS d
-           FROM embeddings
-         ), proj AS (
-           SELECT vec_id, i.i AS i,
-             sum(CAST(v AS DOUBLE) *
-               (CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13) % 2 != 0
-                     THEN 1 ELSE -1 END)) AS proj
-           FROM dims CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
-           GROUP BY 1,2
+         proj AS (
+           -- ordered accumulation via list_dot_product (an unordered
+           -- sum() over doubles could flip a near-zero projection's
+           -- sign between engines)
+           SELECT e.vec_id, i.i AS i,
+             list_dot_product(e.emb,
+               list_transform(range(0, len(e.emb)), d ->
+                 CAST(CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13)
+                        % 2 != 0 THEN 1 ELSE -1 END AS DOUBLE))) AS proj
+           FROM e CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
          ), sig AS (
            SELECT vec_id,
              CAST(sum(CASE WHEN i < 4 AND proj > 0

@@ -53,7 +53,12 @@ object ServiceEmbedder {
         var done = false
         while (!done) {
           transport(texts) match {
-            case Vectors(vs) => result = Some(vs); done = true
+            // a partial reply (fewer vectors than texts) is a transport
+            // bug: treat as failed — zip would silently DROP the tail,
+            // violating the skipped-but-visible contract
+            case Vectors(vs) if vs.length == batch.length =>
+              result = Some(vs); done = true
+            case Vectors(_) => done = true
             case RateLimited(ms) if attempt < maxRetries =>
               attempt += 1
               sleep(math.max(1000L, ms)) // reference floor: 1s

@@ -275,13 +275,13 @@ object Dedup {
   def clusters(s: SparkSession, dir: String, pairs: DataFrame,
       driverThreshold: Long = 10000000L): DataFrame = {
     import s.implicits._
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs
-        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // joined every round / collected once
+    // materialize the (expensive) candidate-generation plan exactly
+    // once; both routing branches read from this checkpoint
+    val pairsCk = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint(true)
     val docs = Tables.documents(s, dir).select(col("doc_id"))
-    if (edges.count() / 2 <= driverThreshold) {
+    if (pairsCk.count() <= driverThreshold) {
       // union-find over the collected pair list; only docs appearing in
       // pairs enter the structure, everything else stays a singleton
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -294,8 +294,7 @@ object Dedup {
         }
         r
       }
-      pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .as[(Long, Long)].collect()
+      pairsCk.as[(Long, Long)].collect()
         .foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) {
@@ -313,6 +312,11 @@ object Dedup {
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy("doc_id")
     }
+    val edges = pairsCk
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairsCk
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // joined every round
     var labels = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)

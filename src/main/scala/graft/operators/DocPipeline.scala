@@ -96,8 +96,13 @@ object DocPipeline {
     * parameter, not data.) */
   def getChunks(s: SparkSession, dir: String, url: String = "doc://42",
       fromIdx: Int = 0, toIdx: Int = 2): DataFrame = {
-    val docId = url.stripPrefix("doc://").toLong
-    tokenChunks(s, Tables.documents(s, dir).filter(col("doc_id") === docId))
+    // a url outside the doc://<n> scheme addresses no document: empty
+    // result (the pre-pushdown contract), never a parse exception
+    val docFilter = url.stripPrefix("doc://").toLongOption match {
+      case Some(id) => col("doc_id") === id
+      case None => lit(false)
+    }
+    tokenChunks(s, Tables.documents(s, dir).filter(docFilter))
       .filter(col("chunk_index").between(fromIdx, toIdx))
       .orderBy("chunk_index")
   }

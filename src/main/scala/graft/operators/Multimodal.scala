@@ -55,22 +55,20 @@ object Multimodal {
       targetH: Int): String =
     TextUtil.sha256Hex(s"$sha:${targetW}x$targetH:${bytes.length}")
 
-  /** Image resize over a binary corpus: per-partition batches, output
-    * keeps the original path plus target geometry and the resized
-    * payload hash. A real decoder swaps into `resizeStub` with no plan
-    * change (pure per-row map, zero shuffle). */
+  /** Image resize over a binary corpus: output keeps the original path
+    * plus target geometry and the resized payload hash. A pure per-row
+    * map, zero shuffle — a real decoder swaps into `resizeStub` with no
+    * plan change (and would batch internally if its library wants
+    * vectorized input; nothing here consumes a batch as a unit, so no
+    * grouped buffering). */
   def resizeImages(s: SparkSession, binaries: DataFrame,
       targetW: Int = 224, targetH: Int = 224): DataFrame = {
     import s.implicits._
     binaries.select("path", "mime", "content")
       .as[(String, String, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.map { case (path, mime, bytes) =>
-            val sha = TextUtil.sha256HexBytes(bytes)
-            (path, mime, targetW, targetH, resizeStub(bytes, sha, targetW, targetH))
-          }
-        }
+      .map { case (path, mime, bytes) =>
+        val sha = TextUtil.sha256HexBytes(bytes)
+        (path, mime, targetW, targetH, resizeStub(bytes, sha, targetW, targetH))
       }.toDF("path", "mime", "width", "height", "resized_sha")
   }
 

@@ -152,8 +152,11 @@ case class AsOfJoinExec(
           while (ready == null && lIt.hasNext) {
             val lrow = lIt.next()
             val lkv = lkEval.eval(lrow)
-            if (lkv != null) {
-              val ltv = ltEval.eval(lrow)
+            // null key or null time: no match possible (DuckDB ASOF
+            // produces nothing for them) — and a null time must never
+            // reach the ordering (unboxing NPE)
+            val ltv = if (lkv == null) null else ltEval.eval(lrow)
+            if (lkv != null && ltv != null) {
               var cont = true
               while (cont && rBuf.hasNext) {
                 val rkv = rkEval.eval(rBuf.head)
@@ -165,7 +168,11 @@ case class AsOfJoinExec(
                     val rtv = rtEval.eval(rBuf.head)
                     if (rtv == null) rBuf.next()
                     else if (timeOrd.compare(rtv, ltv) < 0) {
-                      cand = rBuf.next().copy(); candKey = rkv
+                      cand = rBuf.next().copy()
+                      // copy the KEY too: for buffer-backed types
+                      // (UTF8String) the eval result points into
+                      // sorter-reused memory and would mutate under us
+                      candKey = InternalRow.copyValue(rkv)
                     } else cont = false
                   } else cont = false
                 }

@@ -59,11 +59,26 @@ object ChunkStore {
 
   private def latestFile(root: String) = new java.io.File(root, "LATEST")
 
-  /** Current version number, or -1 when the store is empty. */
+  /** Current version number, or -1 when the store is empty. The
+    * pointer is authoritative; a missing or unreadable pointer falls
+    * back to scanning the version directories (so a reader racing the
+    * pointer flip, or a store whose pointer write died, still resolves
+    * the newest COMPLETE version — versions are only ever written
+    * before the pointer). Local/HDFS-style rename semantics assumed; on
+    * an object store this whole layout is replaced by a transactional
+    * table format (see class doc). */
   def latestVersion(root: String): Long = {
     val f = latestFile(root)
-    if (f.exists) java.nio.file.Files.readString(f.toPath).trim.toLong
-    else -1L
+    val fromPointer: Option[Long] =
+      if (!f.exists) None
+      else scala.util.Try(
+        java.nio.file.Files.readString(f.toPath).trim.toLong).toOption
+    fromPointer.getOrElse {
+      val vs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+        .filter(d => d.isDirectory && d.getName.matches("v\\d+"))
+        .map(_.getName.substring(1).toLong)
+      if (vs.isEmpty) -1L else vs.max
+    }
   }
 
   /** Current contents, or None for an empty store. */
@@ -84,9 +99,17 @@ object ChunkStore {
       case None => incoming
     }
     merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
+    // atomic pointer flip: write a temp file, then ATOMIC_MOVE over
+    // LATEST — a reader never observes a truncated pointer (and the
+    // directory-scan fallback in latestVersion covers a writer that
+    // died between the data write and the flip)
     val f = latestFile(root)
     f.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(f.toPath, next.toString)
+    val tmp = new java.io.File(root, s"LATEST.tmp$next")
+    java.nio.file.Files.writeString(tmp.toPath, next.toString)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
   }
 

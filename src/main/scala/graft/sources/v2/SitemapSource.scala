@@ -80,20 +80,21 @@ class SitemapScan(path: String, urlFilters: Seq[String])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(
-      org.apache.spark.sql.SparkSession.active
-        .sessionState.newHadoopConf())
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val fs = hadoopPath.getFileSystem(conf)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val files = fs.listStatus(hadoopPath).filter(_.isFile)
       .map(_.getPath)
     // file name (minus extension) is the sitemap_url key — the pushed
-    // equality filter prunes files HERE, before any read
+    // equality filters prune files HERE, before any read. The filters
+    // arrive as a CONJUNCTION, so a file must match EVERY pushed value
+    // (two different equalities ⇒ empty scan, not a union)
     files
       .map(p => (p.toString, sitemapUrlOf(p)))
-      .filter { case (_, u) =>
-        urlFilters.isEmpty || urlFilters.contains(u)
-      }
+      .filter { case (_, u) => urlFilters.forall(_ == u) }
       .map { case (p, u) =>
-        SitemapInputPartition(p, u): InputPartition
+        SitemapInputPartition(p, u, serConf): InputPartition
       }
   }
   private def sitemapUrlOf(p: Path): String = {
@@ -105,22 +106,27 @@ class SitemapScan(path: String, urlFilters: Seq[String])
     new SitemapReaderFactory
 }
 
-case class SitemapInputPartition(file: String, sitemapUrl: String)
+case class SitemapInputPartition(file: String, sitemapUrl: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends InputPartition
 
 class SitemapReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SitemapInputPartition]
-    new SitemapPartitionReader(p.file, p.sitemapUrl)
+    new SitemapPartitionReader(p.file, p.sitemapUrl, p.conf)
   }
 }
 
-class SitemapPartitionReader(file: String, sitemapUrl: String)
+class SitemapPartitionReader(file: String, sitemapUrl: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the session's Hadoop conf travels with the partition — a bare
+    // Configuration() would lose credentials/filesystem settings on
+    // executors for non-local roots
+    val fs = path.getFileSystem(conf.value)
     val in = fs.open(path)
     val xml = try {
       new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
