@@ -85,6 +85,16 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MinHash Aggregator equals the per-document kernel signatures") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val kernel = Dedup.minhashSignatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val agg = Dedup.minhashSignaturesAgg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kernel.nonEmpty && kernel.sameElements(agg))
+  }
+
   test("hotKeys surfaces the dominant key") {
     import spark.implicits._
     val big = (1 to 500).map(i =>
