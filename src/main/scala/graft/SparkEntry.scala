@@ -787,6 +787,45 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "emb_ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         cells AS (SELECT unnest(range(0,16)) AS c),
+         -- projection of every vector onto the 16 hash-direction
+         -- centroids; list_dot_product accumulates left-to-right, the
+         -- same order as the Scala kernel, so the doubles (and thus the
+         -- argmax below) are bit-identical across engines
+         proj AS (
+           SELECT e.vec_id, c.c,
+             list_dot_product(e.emb,
+               list_transform(range(0, len(e.emb)), d ->
+                 CAST(CASE WHEN (((c.c*53 + d*193) * 2654435761) >> 11)
+                        % 2 != 0 THEN 1 ELSE -1 END AS DOUBLE))) AS proj
+           FROM e CROSS JOIN cells c),
+         assigned AS (
+           SELECT vec_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+         qcells AS (
+           SELECT c AS cell FROM (
+             SELECT c, row_number() OVER (ORDER BY proj DESC, c) AS rn
+             FROM proj WHERE vec_id = 0) WHERE rn <= 4),
+         qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         cand AS (
+           SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
+           WHERE a.vec_id != 0),
+         scored AS (
+           SELECT c.vec_id,
+             list_dot_product(qv, emb) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
+               AS cosine
+           FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv),
+         topk AS (
+           SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+             AS rank
+           FROM scored)
+         SELECT rank, vec_id FROM topk WHERE rank <= 10 ORDER BY rank""",
     "q_query_documentation" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb

@@ -124,53 +124,121 @@ object Similarity {
       .select(col("vec_id"))
   }
 
-  /** IVF (inverted-file) ANN — the other classic scale path next to
-    * LSH: a seeded MLlib KMeans coarse-quantizes the corpus into
-    * `nlist` cells; a query probes its `nprobe` nearest centroids and
-    * exact cosine re-ranks only those cells' vectors.
-    *
-    * Scale: cell assignment is one pass (model broadcast by MLlib);
-    * the probe is a partition-pruning filter on the cell id, so
-    * candidate volume ∝ nprobe/nlist of the corpus — at 100 TB the
-    * assigned table would be written partitioned by cell id and a probe
-    * reads nprobe partitions. Like the MLlib LSH entry, the seeded
-    * model is not SQL-reproducible → rows-only driver check + a recall
-    * assertion against exact KNN in SparkE2ESpec. */
-  def annIvf(s: SparkSession, dir: String, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
+  // ── IVF (inverted-file) ANN with a deterministic coarse quantizer ────
+  // Centroid c (0..nlist-1) is the ±1 hash-direction vector
+  // h_c[d] = +1 iff bit 11 of ((c*53 + d*193) * 2654435761) is set.
+  // cell(v) = argmax_c dot(v, h_c), ties → lowest c. Both engines
+  // accumulate the dot product left-to-right over exact ±float doubles,
+  // so the projections — and therefore the argmax — are bit-identical,
+  // which is what lets the DuckDB oracle reproduce cell assignment
+  // exactly (same trick as the LSH planes above, extended from a sign
+  // test to a cross-cell comparison).
+
+  private[graft] def ivfSign(c: Int, d: Int): Int =
+    if ((((c * 53 + d * 193).toLong * 2654435761L) >> 11) % 2 != 0) 1
+    else -1
+
+  /** Projection of `emb` onto each of the `nlist` hash directions,
+    * accumulated in ascending-dimension order (oracle parity). */
+  private[graft] def cellProjections(
+      emb: Array[Float], nlist: Int): Array[Double] = {
+    val out = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var p = 0.0
+      var d = 0
+      while (d < emb.length) { p += emb(d).toDouble * ivfSign(c, d); d += 1 }
+      out(c) = p
+      c += 1
+    }
+    out
+  }
+
+  /** Coarse-quantizer cell for one vector: argmax projection, lowest
+    * cell id on ties (strict `>` keeps the first maximum). */
+  private[graft] def argmaxCell(emb: Array[Float], nlist: Int): Int = {
+    val proj = cellProjections(emb, nlist)
+    var best = 0
+    var c = 1
+    while (c < nlist) { if (proj(c) > proj(best)) best = c; c += 1 }
+    best
+  }
+
+  /** (vec_id, cell): one typed-kernel pass assigning every vector to
+    * its quantizer cell — zero shuffle, no model fit. */
+  def ivfAssign(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
     import s.implicits._
-    graft.functions.VectorExprs.register(s)
-    val vecs = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
-      .toDF("vec_id", "features")
-    // a coarse quantizer needs rough centroids, not convergence — 5
-    // iterations; the corpus pass count is the real cost at scale
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(vecs.cache())
-    val assigned = model.transform(vecs)
-    val queryVec = vecs.filter(col("vec_id") === 0)
-      .head().getAs[Vector]("features")
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, Vectors.sqdist(c, queryVec))
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
-    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
-    assigned
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
-      .filter(col("vec_id") =!= 0)
-      .select("vec_id")
-      .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), "vec_id")
+      .map { case (id, emb) => (id, argmaxCell(emb, nlist)) }
+      .toDF("vec_id", "cell")
+  }
+
+  /** One-time IVF index build: the corpus written partitioned by cell
+    * id, so a probe is a partition-pruned read of `nprobe` directories —
+    * candidate I/O ∝ nprobe/nlist of the corpus. At 100 TB this is the
+    * scale path: build once, probe many times; no per-query fit, no
+    * cached blocks to leak. */
+  def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
+      nlist: Int = 16): Unit = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, label, emb) =>
+        (id, label, emb, argmaxCell(emb, nlist)) }
+      .toDF("vec_id", "label", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+  }
+
+  /** Probe a built IVF index: select the query's `nprobe` best cells on
+    * the driver (16 dot products — pure math, no corpus pass), read only
+    * those partitions, exact cosine re-rank. The cell filter is a
+    * partition filter on the scan (asserted in PlanAuditSpec). */
+  def probeIvf(s: SparkSession, indexDir: String, queryVec: Array[Float],
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val cells = cellProjections(queryVec, nlist).zipWithIndex
+      .sortBy { case (p, c) => (-p, c) }.take(nprobe).map(_._2)
+    val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
+    s.read.parquet(indexDir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineExpr("qv", "embedding"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
-      .select("vec_id")
+      .select("vec_id", "cosine")
+  }
+
+  /** IVF ANN as one declarative plan (the oracle-checked entry):
+    * assign cells, pick the query's `nprobe` best cells in-plan (16
+    * rows — broadcast), filter candidates, exact cosine top-k. No
+    * KMeans fit, no driver collect, nothing cached: the quantizer is
+    * pure arithmetic both engines reproduce bit-for-bit. */
+  def annIvf(s: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val assigned = ivfAssign(s, dir, nlist)
+    val qcells = e.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]]
+      .flatMap { emb =>
+        cellProjections(emb, nlist).zipWithIndex
+          .sortBy { case (p, c) => (-p, c) }.take(nprobe).map(_._2)
+      }.toDF("cell")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    assigned.join(broadcast(qcells), "cell")
+      .filter(col("vec_id") =!= 0)
+      .join(e.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("rank").cast("long").as("rank"), col("vec_id"))
+      .orderBy("rank")
   }
 
   // ── Deterministic random-hyperplane LSH ───────────────────────────────

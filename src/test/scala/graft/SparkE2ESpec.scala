@@ -246,9 +246,32 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     // recall needs wide probing (nprobe=10 of nlist=16); on corpora with
     // real cluster structure the default nprobe=4 is the scale setting
     val ivf = Similarity.annIvf(spark, dir, k = 10, nprobe = 10)
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(_.getAs[Long]("vec_id")).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+  }
+
+  test("IVF build/probe: partition-pruned probe matches the inline plan") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(spark, dir, idx)
+    val qv = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .toArray
+    val probe = Similarity.probeIvf(spark, idx, qv, k = 10)
+      .filter(col("vec_id") =!= 0)
+    // the cell filter must prune partitions at the scan, not post-filter
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(2000))
+    val got = probe.collect().map(_.getAs[Long]("vec_id")).toSet
+    val want = Similarity.annIvf(spark, dir, k = 11)  // inline incl. id 0 slot
+      .filter(col("vec_id") =!= 0).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.nonEmpty && (got & want).size >= 9,
+      s"probe $got diverges from inline $want")
   }
 
   test("streaming upsert sink: micro-batches merge into the versioned store") {
