@@ -791,18 +791,18 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
            FROM embeddings),
-         cells AS (SELECT unnest(range(0,16)) AS c),
-         -- projection of every vector onto the 16 hash-direction
-         -- centroids; list_dot_product accumulates left-to-right, the
-         -- same order as the Scala kernel, so the doubles (and thus the
-         -- argmax below) are bit-identical across engines
+         -- data-adaptive centroids: the embeddings of seed vectors
+         -- vec_id 1..16 (cell c = seed vec_id c+1). list_dot_product
+         -- accumulates left-to-right, the same order as the Scala
+         -- kernel, so the doubles (and thus the argmax below) are
+         -- bit-identical across engines
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND 16),
          proj AS (
-           SELECT e.vec_id, c.c,
-             list_dot_product(e.emb,
-               list_transform(range(0, len(e.emb)), d ->
-                 CAST(CASE WHEN (((c.c*53 + d*193) * 2654435761) >> 11)
-                        % 2 != 0 THEN 1 ELSE -1 END AS DOUBLE))) AS proj
-           FROM e CROSS JOIN cells c),
+           SELECT e.vec_id, s.c,
+             list_dot_product(e.emb, s.cv) AS proj
+           FROM e CROSS JOIN seeds s),
          assigned AS (
            SELECT vec_id, c AS cell FROM (
              SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id

@@ -124,30 +124,45 @@ object Similarity {
       .select(col("vec_id"))
   }
 
-  // ── IVF (inverted-file) ANN with a deterministic coarse quantizer ────
-  // Centroid c (0..nlist-1) is the ±1 hash-direction vector
-  // h_c[d] = +1 iff bit 11 of ((c*53 + d*193) * 2654435761) is set.
-  // cell(v) = argmax_c dot(v, h_c), ties → lowest c. Both engines
-  // accumulate the dot product left-to-right over exact ±float doubles,
-  // so the projections — and therefore the argmax — are bit-identical,
-  // which is what lets the DuckDB oracle reproduce cell assignment
-  // exactly (same trick as the LSH planes above, extended from a sign
-  // test to a cross-cell comparison).
+  // ── IVF (inverted-file) ANN with a data-adaptive, SQL-reproducible
+  // coarse quantizer ────────────────────────────────────────────────────
+  // Centroid c (0..nlist-1) is the embedding of seed vector
+  // vec_id = c+1: data-adaptive (the seeds lie in the corpus
+  // distribution — the ±1 hash directions they replaced cost 0.2 recall
+  // on the suite's own gate) yet exactly reproducible in SQL.
+  // cell(v) = argmax_c dot(v, seed_c), ties → lowest c. Both engines
+  // accumulate the dot product left-to-right over exact float→double
+  // widenings, so the projections — and therefore the argmax — are
+  // bit-identical; DuckDB mirrors the assignment with list_dot_product
+  // against the same seed rows. (The corpus embeddings are
+  // unit-normalized, so raw dot IS cosine; no normalization step to
+  // drift on.)
 
-  private[graft] def ivfSign(c: Int, d: Int): Int =
-    if ((((c * 53 + d * 193).toLong * 2654435761L) >> 11) % 2 != 0) 1
-    else -1
+  /** Seed-vector centroids: the embeddings of vec_id 1..nlist in
+    * vec_id order (cell c ↔ seed vec_id c+1). A 16-row collect — this
+    * is index *metadata*, not data motion; the seeds then ride the task
+    * closure exactly like a broadcast variable. */
+  private[graft] def ivfSeeds(s: SparkSession, dir: String,
+      nlist: Int): Array[Array[Float]] = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id").between(1, nlist))
+      .orderBy("vec_id")
+      .select("embedding").as[Array[Float]]
+      .collect()
+  }
 
-  /** Projection of `emb` onto each of the `nlist` hash directions,
+  /** Projection of `emb` onto each seed centroid, each dot product
     * accumulated in ascending-dimension order (oracle parity). */
   private[graft] def cellProjections(
-      emb: Array[Float], nlist: Int): Array[Double] = {
-    val out = new Array[Double](nlist)
+      emb: Array[Float], seeds: Array[Array[Float]]): Array[Double] = {
+    val out = new Array[Double](seeds.length)
     var c = 0
-    while (c < nlist) {
+    while (c < seeds.length) {
+      val sv = seeds(c)
       var p = 0.0
       var d = 0
-      while (d < emb.length) { p += emb(d).toDouble * ivfSign(c, d); d += 1 }
+      while (d < emb.length) { p += emb(d).toDouble * sv(d).toDouble; d += 1 }
       out(c) = p
       c += 1
     }
@@ -156,21 +171,29 @@ object Similarity {
 
   /** Coarse-quantizer cell for one vector: argmax projection, lowest
     * cell id on ties (strict `>` keeps the first maximum). */
-  private[graft] def argmaxCell(emb: Array[Float], nlist: Int): Int = {
-    val proj = cellProjections(emb, nlist)
+  private[graft] def argmaxCell(
+      emb: Array[Float], seeds: Array[Array[Float]]): Int = {
+    val proj = cellProjections(emb, seeds)
     var best = 0
     var c = 1
-    while (c < nlist) { if (proj(c) > proj(best)) best = c; c += 1 }
+    while (c < proj.length) { if (proj(c) > proj(best)) best = c; c += 1 }
     best
   }
+
+  /** The query's `nprobe` nearest cells: projection desc, cell asc. */
+  private[graft] def topCells(emb: Array[Float],
+      seeds: Array[Array[Float]], nprobe: Int): Array[Int] =
+    cellProjections(emb, seeds).zipWithIndex
+      .sortBy { case (p, c) => (-p, c) }.take(nprobe).map(_._2)
 
   /** (vec_id, cell): one typed-kernel pass assigning every vector to
     * its quantizer cell — zero shuffle, no model fit. */
   def ivfAssign(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
     import s.implicits._
+    val seeds = ivfSeeds(s, dir, nlist)
     Tables.embeddings(s, dir)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .map { case (id, emb) => (id, argmaxCell(emb, nlist)) }
+      .map { case (id, emb) => (id, argmaxCell(emb, seeds)) }
       .toDF("vec_id", "cell")
   }
 
@@ -178,31 +201,44 @@ object Similarity {
     * id, so a probe is a partition-pruned read of `nprobe` directories —
     * candidate I/O ∝ nprobe/nlist of the corpus. At 100 TB this is the
     * scale path: build once, probe many times; no per-query fit, no
-    * cached blocks to leak. */
+    * cached blocks to leak. The seed centroids are persisted beside the
+    * index (`<indexDir>.centroids`) so probes don't need the source
+    * table. */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
       nlist: Int = 16): Unit = {
     import s.implicits._
+    val seeds = ivfSeeds(s, dir, nlist)
     Tables.embeddings(s, dir)
       .select("vec_id", "label", "embedding")
       .as[(Long, Int, Array[Float])]
       .map { case (id, label, emb) =>
-        (id, label, emb, argmaxCell(emb, nlist)) }
+        (id, label, emb, argmaxCell(emb, seeds)) }
       .toDF("vec_id", "label", "embedding", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    seeds.zipWithIndex.map { case (emb, c) => (c, emb) }.toSeq
+      .toDF("cell", "embedding")
+      .write.mode("overwrite").parquet(indexDir + ".centroids")
   }
 
-  /** Probe a built IVF index: select the query's `nprobe` best cells on
-    * the driver (16 dot products — pure math, no corpus pass), read only
-    * those partitions, exact cosine re-rank. The cell filter is a
-    * partition filter on the scan (asserted in PlanAuditSpec). */
+  /** Probe a built IVF index: rank the persisted centroids against the
+    * query on the driver (nlist dot products — pure math, no corpus
+    * pass), read only the `nprobe` best partitions, exact cosine
+    * re-rank. The cell filter is a partition filter on the scan
+    * (asserted in SparkE2ESpec "partition-pruned probe"). Pass
+    * `excludeId` to drop a known self-match *before* the limit so all
+    * `k` result slots are real neighbors. */
   def probeIvf(s: SparkSession, indexDir: String, queryVec: Array[Float],
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nprobe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    import s.implicits._
     graft.functions.VectorExprs.register(s)
-    val cells = cellProjections(queryVec, nlist).zipWithIndex
-      .sortBy { case (p, c) => (-p, c) }.take(nprobe).map(_._2)
+    val seeds = s.read.parquet(indexDir + ".centroids")
+      .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    val cells = topCells(queryVec, seeds, nprobe)
     val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
-    s.read.parquet(indexDir)
+    val scan = s.read.parquet(indexDir)
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    excludeId.fold(scan)(id => scan.filter(col("vec_id") =!= id))
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineExpr("qv", "embedding"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -211,22 +247,21 @@ object Similarity {
   }
 
   /** IVF ANN as one declarative plan (the oracle-checked entry):
-    * assign cells, pick the query's `nprobe` best cells in-plan (16
-    * rows — broadcast), filter candidates, exact cosine top-k. No
-    * KMeans fit, no driver collect, nothing cached: the quantizer is
-    * pure arithmetic both engines reproduce bit-for-bit. */
+    * assign cells, pick the query's `nprobe` best cells, filter
+    * candidates, exact cosine top-k. No KMeans fit, nothing cached; the
+    * only driver work is the 16-row seed fetch, and the quantizer
+    * arithmetic is reproduced bit-for-bit by the DuckDB oracle. */
   def annIvf(s: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir)
+    val seeds = ivfSeeds(s, dir, nlist)
     val assigned = ivfAssign(s, dir, nlist)
     val qcells = e.filter(col("vec_id") === 0)
       .select("embedding").as[Array[Float]]
-      .flatMap { emb =>
-        cellProjections(emb, nlist).zipWithIndex
-          .sortBy { case (p, c) => (-p, c) }.take(nprobe).map(_._2)
-      }.toDF("cell")
+      .flatMap(emb => topCells(emb, seeds, nprobe))
+      .toDF("cell")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     assigned.join(broadcast(qcells), "cell")
       .filter(col("vec_id") =!= 0)

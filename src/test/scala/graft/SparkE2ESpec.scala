@@ -243,8 +243,9 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("query_id") === 0)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     // the synthetic embeddings are weakly clustered, so hitting 0.8
-    // recall needs wide probing (nprobe=10 of nlist=16); on corpora with
-    // real cluster structure the default nprobe=4 is the scale setting
+    // recall needs wide probing (nprobe=10 of nlist=16) even with the
+    // data-adaptive seed centroids; on corpora with real cluster
+    // structure the default nprobe=4 is the scale setting
     val ivf = Similarity.annIvf(spark, dir, k = 10, nprobe = 10)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
@@ -259,18 +260,20 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("vec_id") === 0)
       .select("embedding").head().getAs[scala.collection.Seq[Float]](0)
       .toArray
-    val probe = Similarity.probeIvf(spark, idx, qv, k = 10)
-      .filter(col("vec_id") =!= 0)
+    // excludeId drops the query's self-match before the limit, so all
+    // 10 probe slots are real neighbors, directly comparable to annIvf
+    // (which excludes vec_id 0 internally)
+    val probe = Similarity.probeIvf(spark, idx, qv, k = 10,
+      excludeId = Some(0L))
     // the cell filter must prune partitions at the scan, not post-filter
     val scan = probe.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")
     assert(scan.contains("PartitionFilters") && scan.contains("cell"),
       scan.take(2000))
     val got = probe.collect().map(_.getAs[Long]("vec_id")).toSet
-    val want = Similarity.annIvf(spark, dir, k = 11)  // inline incl. id 0 slot
-      .filter(col("vec_id") =!= 0).limit(10)
+    val want = Similarity.annIvf(spark, dir, k = 10)
       .collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(got.nonEmpty && (got & want).size >= 9,
+    assert(got.size == 10 && got == want,
       s"probe $got diverges from inline $want")
   }
 
