@@ -298,10 +298,15 @@ object Chunker {
 
   /** Structure-aware code chunking with character-window fallback
     * (reference contract: code-chunker.ts:125-182 + fallback
-    * content-processor.ts:2096-2100). */
-  def codeChunkTexts(code: String, chunkSize: Int = CodeChunkSize): Seq[String] =
+    * content-processor.ts:2096-2100). With a known language the
+    * grammar-family span parser supplies the tree (CodeParsers);
+    * otherwise the generic brace/indent block tree stands in. */
+  def codeChunkTexts(code: String, chunkSize: Int = CodeChunkSize,
+      lang: Option[String] = None): Seq[String] =
     try {
-      chunkTreeTexts(code, parseBlocks(code), chunkSize)
+      val tree = lang.flatMap(CodeParsers.parse(_, code))
+        .getOrElse(parseBlocks(code))
+      chunkTreeTexts(code, tree, chunkSize)
     } catch { case _: Throwable => tokenChunk(code, chunkSize) }
 
   /** The reference's recursive-descent + greedy-merge chunking over an
@@ -348,7 +353,7 @@ object Chunker {
     }
 
     val pieces = lang match {
-      case Some(_) => codeChunkTexts(code, chunkSize)
+      case Some(l) => codeChunkTexts(code, chunkSize, Some(l))
       case None    => tokenChunk(code, chunkSize)
     }
     val hierarchy = if (normalizedPath.nonEmpty) Seq(normalizedPath) else Seq.empty

@@ -1,0 +1,346 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+import graft.operators.Chunker.CodeTree
+
+/** Grammar-aware span parsers producing the tree-sitter-shaped
+  * `CodeTree` that `Chunker.chunkTreeTexts` consumes (the reference
+  * parses with real tree-sitter grammars, code-chunker.ts:68-118; a JVM
+  * tree-sitter binding is a native dependency this offline build
+  * excludes, so these recursive-descent parsers reproduce the node
+  * spans the chunker actually depends on: one node per declaration /
+  * statement, from its first to its last token, with members of a
+  * brace or indent suite as children).
+  *
+  * Two families cover the reference's chunking contract
+  * (tests/code-chunker.test.ts):
+  *   - brace languages (typescript, javascript, go, rust, java, …):
+  *     statements are line groups that return to bracket depth 0,
+  *     tracked outside strings and comments; a statement containing a
+  *     brace suite gets header / members / closer children.
+  *   - python: statements are indent suites (decorators attach to the
+  *     following definition, like tree-sitter's decorated_definition);
+  *     a compound statement gets header + body-statement children.
+  *
+  * Parsing is per-document and runs inside row kernels — no state, no
+  * driver work, safe to call from any executor thread.
+  */
+object CodeParsers {
+
+  /** Languages handled by the bracket-depth statement parser. */
+  private val braceLangs = Set(
+    "typescript", "javascript", "go", "rust", "java", "kotlin",
+    "c", "cpp", "csharp", "scala", "swift", "php",
+    "css", "scss", "json")
+
+  /** Parse `source` for `lang`; None when no grammar family covers the
+    * language (callers fall back to the generic block tree). */
+  def parse(lang: String, source: String): Option[CodeTree] = lang match {
+    case "python" =>
+      val mask = codeMask(source, python = true)
+      val stmts = pyStatements(source, mask, 0, source.length)
+        .map { case (s, e) => pyNode(source, mask, s, e) }
+      Some(CodeTree(0, source.length, stmts))
+    case l if braceLangs(l) =>
+      val mask = codeMask(source, python = false)
+      val stmts = braceStatements(source, mask, 0, source.length)
+        .map { case (s, e) => braceNode(source, mask, s, e) }
+      Some(CodeTree(0, source.length, stmts))
+    case _ => None
+  }
+
+  // ── Lexical mask ──────────────────────────────────────────────────────
+
+  /** mask(i) = char i is live code — not inside a string literal or
+    * comment. Bracket counting and quote-aware statement splitting only
+    * consult live chars, so a brace in a template literal or a `#` in a
+    * Python string can't derail the spans. Newlines always stay live
+    * (line structure is what statements are built from). */
+  private[operators] def codeMask(src: String,
+      python: Boolean): Array[Boolean] = {
+    val n = src.length
+    val mask = Array.fill(n)(true)
+    var i = 0
+    var state = 0 // 0 code, 1 line comment, 2 block comment, 3 string
+    var quote = ' '
+    var triple = false
+    while (i < n) {
+      val c = src.charAt(i)
+      state match {
+        case 0 =>
+          if (!python && c == '/' && i + 1 < n) {
+            val d = src.charAt(i + 1)
+            if (d == '/') { state = 1; mask(i) = false }
+            else if (d == '*') { state = 2; mask(i) = false }
+          } else if (python && c == '#') {
+            state = 1; mask(i) = false
+          } else if (c == '"' || c == '\'' || (!python && c == '`')) {
+            quote = c
+            triple = python && i + 2 < n &&
+              src.charAt(i + 1) == c && src.charAt(i + 2) == c
+            state = 3
+            if (triple) {
+              mask(i + 1) = false; mask(i + 2) = false; i += 2
+            }
+          }
+        case 1 => // line comment: dies at newline (newline stays live)
+          if (c == '\n') state = 0 else mask(i) = false
+        case 2 => // block comment (newlines stay live)
+          if (c != '\n') mask(i) = false
+          if (c == '*' && i + 1 < n && src.charAt(i + 1) == '/') {
+            mask(i + 1) = false; i += 1; state = 0
+          }
+        case 3 => // string literal
+          if (c == '\n') {
+            // single-line strings can't span lines; triple (and
+            // backtick template) strings can
+            if (!triple && quote != '`') state = 0
+          } else mask(i) = false
+          if (state == 3 && c == '\\' && i + 1 < n) {
+            if (src.charAt(i + 1) != '\n') mask(i + 1) = false
+            i += 1
+          } else if (state == 3 && c == quote) {
+            if (!triple) state = 0
+            else if (i + 2 < n && src.charAt(i + 1) == quote &&
+              src.charAt(i + 2) == quote) {
+              mask(i + 1) = false; mask(i + 2) = false; i += 2; state = 0
+            } else if (i + 2 >= n) state = 0
+          }
+      }
+      i += 1
+    }
+    mask
+  }
+
+  // ── Brace family ──────────────────────────────────────────────────────
+
+  /** Split [from, to) into statement spans: line groups that return to
+    * combined bracket depth 0 at a line end. Spans run from the first to
+    * the last non-whitespace char (tree-sitter nodes cover tokens, not
+    * the blank lines between them). */
+  private[operators] def braceStatements(src: String, mask: Array[Boolean],
+      from: Int, to: Int): Seq[(Int, Int)] = {
+    val out = ArrayBuffer[(Int, Int)]()
+    var depth = 0
+    var stmtStart = -1
+    var lastNonWs = -1
+    var i = from
+    while (i < to) {
+      val c = src.charAt(i)
+      if (c == '\n') {
+        if (stmtStart >= 0 && depth <= 0) {
+          out += ((stmtStart, lastNonWs + 1)); stmtStart = -1; depth = 0
+        }
+      } else {
+        if (mask(i)) {
+          if (c == '{' || c == '(' || c == '[') depth += 1
+          else if (c == '}' || c == ')' || c == ']') depth -= 1
+        }
+        if (!c.isWhitespace) {
+          if (stmtStart < 0) stmtStart = i
+          lastNonWs = i
+        }
+      }
+      i += 1
+    }
+    if (stmtStart >= 0) out += ((stmtStart, lastNonWs + 1))
+    out.toSeq
+  }
+
+  /** One brace-family statement: if it carries a multi-member brace
+    * suite, children = header (through the opening brace), each member
+    * statement (recursively parsed), and the closer (the closing brace
+    * through any trailing `;`). Otherwise a leaf. */
+  private def braceNode(src: String, mask: Array[Boolean],
+      start: Int, end: Int): CodeTree = {
+    // first '{' at combined bracket depth 0 — e.g. past the parameter
+    // list of `func f(a int) int {`
+    var i = start
+    var d = 0
+    var open = -1
+    while (i < end && open < 0) {
+      if (mask(i)) {
+        val c = src.charAt(i)
+        if (c == '(' || c == '[') d += 1
+        else if (c == ')' || c == ']') d -= 1
+        else if (c == '{' && d == 0) open = i
+      }
+      i += 1
+    }
+    if (open < 0) return CodeTree(start, end, Seq.empty)
+    var bd = 0
+    var close = -1
+    i = open
+    while (i < end && close < 0) {
+      if (mask(i)) {
+        val c = src.charAt(i)
+        if (c == '{') bd += 1
+        else if (c == '}') { bd -= 1; if (bd == 0) close = i }
+      }
+      i += 1
+    }
+    if (close < 0) return CodeTree(start, end, Seq.empty)
+    val body = braceStatements(src, mask, open + 1, close)
+      .map { case (s, e) => braceNode(src, mask, s, e) }
+    if (body.isEmpty) CodeTree(start, end, Seq.empty)
+    else CodeTree(start, end,
+      CodeTree(start, open + 1, Seq.empty) +: body :+
+        CodeTree(close, end, Seq.empty))
+  }
+
+  // ── Python ────────────────────────────────────────────────────────────
+
+  /** Indent of a line (expanded position of its first non-ws char), or
+    * -1 for blank lines. Tabs count as 1 — the fixtures and reference
+    * corpus are space-indented. */
+  private def lineIndent(src: String, lineStart: Int, to: Int): Int = {
+    var i = lineStart
+    while (i < to && src.charAt(i) != '\n') {
+      if (!src.charAt(i).isWhitespace) return i - lineStart
+      i += 1
+    }
+    -1
+  }
+
+  /** Split [from, to) into python statement spans at the block's base
+    * indent. A line at base indent starts a new statement unless the
+    * current statement is still an open decorator group (tree-sitter's
+    * decorated_definition spans decorators AND the following def) or a
+    * bracket continuation. Deeper-indented and blank lines attach to
+    * the current statement; trailing blanks are excluded from spans. */
+  private[operators] def pyStatements(src: String, mask: Array[Boolean],
+      from: Int, to: Int): Seq[(Int, Int)] = {
+    val out = ArrayBuffer[(Int, Int)]()
+    // base indent = indent of the first non-blank line
+    var probe = from
+    var base = -1
+    while (probe < to && base < 0) {
+      base = lineIndent(src, probe, to)
+      if (base < 0) {
+        while (probe < to && src.charAt(probe) != '\n') probe += 1
+        probe += 1
+      }
+    }
+    if (base < 0) return Seq.empty
+    var i = from
+    var depth = 0
+    var stmtStart = -1
+    var lastNonWs = -1
+    var decoratorPending = false
+    while (i < to) {
+      val ind = lineIndent(src, i, to)
+      val lineEnd = {
+        var j = i
+        while (j < to && src.charAt(j) != '\n') j += 1
+        j
+      }
+      if (ind >= 0) {
+        val firstChar = src.charAt(i + ind)
+        val startsNew = depth == 0 && ind <= base &&
+          (stmtStart < 0 || !decoratorPending)
+        if (startsNew) {
+          if (stmtStart >= 0) out += ((stmtStart, lastNonWs + 1))
+          stmtStart = i + ind
+          decoratorPending = firstChar == '@'
+        } else if (decoratorPending && depth == 0 && ind <= base) {
+          // the def/class line the decorators were waiting for
+          if (firstChar != '@') decoratorPending = false
+        }
+        var j = i + ind
+        while (j < lineEnd) {
+          if (mask(j)) {
+            val c = src.charAt(j)
+            if (c == '(' || c == '[' || c == '{') depth += 1
+            else if (c == ')' || c == ']' || c == '}')
+              depth = math.max(0, depth - 1)
+          }
+          if (!src.charAt(j).isWhitespace) lastNonWs = j
+          j += 1
+        }
+      }
+      i = lineEnd + 1
+    }
+    if (stmtStart >= 0) out += ((stmtStart, lastNonWs + 1))
+    out.toSeq
+  }
+
+  /** One python statement: decorator lines become leading leaf children
+    * with the decorated definition as the last child; a compound
+    * statement (header line ending in ':') gets header + body-statement
+    * children; everything else is a leaf. */
+  private def pyNode(src: String, mask: Array[Boolean],
+      start: Int, end: Int): CodeTree = {
+    if (src.charAt(start) == '@') {
+      // split decorator lines (bracket-aware) from the definition
+      val decos = ArrayBuffer[(Int, Int)]()
+      var i = start
+      var depth = 0
+      var lineStart = start
+      var defStart = -1
+      while (i < end && defStart < 0) {
+        val c = src.charAt(i)
+        if (mask(i)) {
+          if (c == '(' || c == '[' || c == '{') depth += 1
+          else if (c == ')' || c == ']' || c == '}')
+            depth = math.max(0, depth - 1)
+        }
+        if (c == '\n' && depth == 0) {
+          var j = i + 1
+          while (j < end && src.charAt(j).isWhitespace) j += 1
+          if (j < end) {
+            decos += ((lineStart, i))
+            if (src.charAt(j) == '@') lineStart = j
+            else defStart = j
+            i = j - 1
+          }
+        }
+        i += 1
+      }
+      if (defStart < 0) return CodeTree(start, end, Seq.empty)
+      val kids = decos.map { case (s, e) =>
+        CodeTree(s, trimEnd(src, s, e), Seq.empty) }.toSeq :+
+        pyNode(src, mask, defStart, end)
+      return CodeTree(start, end, kids)
+    }
+    // compound statement: header runs to the first depth-0 line end
+    // whose last live char is ':'
+    var i = start
+    var depth = 0
+    var lastLive = ' '
+    var lastLivePos = -1
+    var headerEnd = -1
+    while (i < end && headerEnd < 0) {
+      val c = src.charAt(i)
+      if (c == '\n') {
+        if (depth == 0) {
+          if (lastLive == ':') headerEnd = lastLivePos + 1
+          else return CodeTree(start, end, Seq.empty) // simple multi-line
+        }
+      } else if (mask(i)) {
+        if (c == '(' || c == '[' || c == '{') depth += 1
+        else if (c == ')' || c == ']' || c == '}')
+          depth = math.max(0, depth - 1)
+        if (!c.isWhitespace) { lastLive = c; lastLivePos = i }
+      }
+      i += 1
+    }
+    if (headerEnd < 0) return CodeTree(start, end, Seq.empty)
+    val bodyStart = {
+      var j = headerEnd
+      while (j < end && src.charAt(j) != '\n') j += 1
+      j + 1
+    }
+    if (bodyStart >= end) return CodeTree(start, end, Seq.empty)
+    val body = pyStatements(src, mask, bodyStart, end)
+      .map { case (s, e) => pyNode(src, mask, s, e) }
+    if (body.isEmpty) CodeTree(start, end, Seq.empty)
+    else CodeTree(start, end,
+      CodeTree(start, headerEnd, Seq.empty) +: body)
+  }
+
+  private def trimEnd(src: String, start: Int, end: Int): Int = {
+    var e = end
+    while (e > start && src.charAt(e - 1).isWhitespace) e -= 1
+    e
+  }
+}

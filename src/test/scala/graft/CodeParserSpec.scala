@@ -1,0 +1,713 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Chunker, CodeParsers}
+
+/** Golden replication of the reference's code-chunker contract
+  * (/root/reference/tests/code-chunker.test.ts) through the
+  * grammar-family span parsers + Chunker.chunkTreeTexts. Fixture code
+  * and assertions mirror the reference suite: boundary integrity (every
+  * chunk containing a construct's opening also contains its closing),
+  * merge behavior, size limits, and edge cases — with the reference's
+  * default char-count tokenCounter (tokens = text.length). */
+class CodeParserSpec extends AnyFunSuite {
+
+  private def chunk(lang: String, code: String, chunkSize: Int): Seq[String] =
+    Chunker.chunkTreeTexts(code,
+      CodeParsers.parse(lang, code).getOrElse(fail(s"no parser for $lang")),
+      chunkSize)
+
+  /** Reference assertBoundaryIntegrity: chunking must actually happen
+    * (chunks > 1), each opening pattern appears somewhere, and every
+    * chunk containing an opening also contains the matching closing. */
+  private def assertBoundaryIntegrity(chunks: Seq[String],
+      constructs: Seq[(String, String, String)]): Unit = {
+    assert(chunks.length > 1, s"chunking must happen: $chunks")
+    for ((name, opening, closing) <- constructs) {
+      val matching = chunks.filter(_.contains(opening))
+      assert(matching.nonEmpty, s"$name: no chunk contains '$opening'")
+      for (c <- matching)
+        assert(c.contains(closing),
+          s"$name: chunk with '$opening' lacks '$closing':\n$c")
+    }
+  }
+
+  private def assertBoundaryIntegrityRe(chunks: Seq[String],
+      constructs: Seq[(String, String, scala.util.matching.Regex)]): Unit = {
+    assert(chunks.length > 1, s"chunking must happen: $chunks")
+    for ((name, opening, closing) <- constructs) {
+      val matching = chunks.filter(_.contains(opening))
+      assert(matching.nonEmpty, s"$name: no chunk contains '$opening'")
+      for (c <- matching)
+        assert(closing.findFirstIn(c).isDefined,
+          s"$name: chunk with '$opening' lacks /$closing/:\n$c")
+    }
+  }
+
+  // ─── chunk basics (reference "chunk" describe) ──────────────────────
+
+  test("empty and whitespace-only input produce no chunks") {
+    assert(chunk("typescript", "", 512).isEmpty)
+    assert(chunk("typescript", "   \n\n  \t  ", 512).isEmpty)
+  }
+
+  test("small input is a single chunk at the default size") {
+    assert(chunk("typescript", "const x = 1;", 512).length == 1)
+  }
+
+  test("chunks TypeScript interface/function/class code") {
+    val code = """
+interface User {
+    name: string;
+    age: number;
+}
+
+function greet(user: User): string {
+    return `Hello, ${user.name}!`;
+}
+
+class UserService {
+    private users: User[] = [];
+
+    addUser(user: User): void {
+        this.users.push(user);
+    }
+
+    getUsers(): User[] {
+        return this.users;
+    }
+}
+"""
+    val chunks = chunk("typescript", code, 100)
+    assert(chunks.nonEmpty)
+    chunks.foreach(c => assert(c.strip().nonEmpty))
+  }
+
+  test("respects chunkSize limit within the reference's 1.5x bound") {
+    val code = (0 until 20).map(i =>
+      s"function fn$i(a: number, b: number): number {\n  return a + b + $i;\n}\n")
+      .mkString("\n")
+    val chunks = chunk("typescript", code, 200)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 300), chunks.map(_.length))
+  }
+
+  test("preserves code content across chunks (no data loss)") {
+    val code = "const x = 1;\nconst y = 2;\nconst z = 3;"
+    val joined = chunk("typescript", code, 50).mkString("\n")
+    assert(joined.contains("const x = 1"))
+    assert(joined.contains("const y = 2"))
+    assert(joined.contains("const z = 3"))
+  }
+
+  // ─── merge behavior ─────────────────────────────────────────────────
+
+  test("merges small adjacent chunks up to chunkSize") {
+    assert(chunk("typescript",
+      "const a = 1;\nconst b = 2;\nconst c = 3;", 500).length == 1)
+  }
+
+  test("does not merge past chunkSize") {
+    val code = "const variable_one = \"hello\";\n" +
+      "const variable_two = \"world\";\nconst variable_three = \"test\";"
+    assert(chunk("typescript", code, 30).length > 1)
+  }
+
+  test("whitespace-heavy code yields no empty chunks") {
+    val chunks = chunk("typescript",
+      "\n\n\n// comment\n\n\nconst x = 1;\n\n\n", 500)
+    chunks.foreach(c => assert(c.strip().nonEmpty))
+  }
+
+  test("indivisible oversized leaf is still returned") {
+    val code =
+      "const veryLongVariableName = \"a very long string value that exceeds chunk size\";"
+    assert(chunk("typescript", code, 5).nonEmpty)
+  }
+
+  test("mismatched language still produces output") {
+    assert(chunk("python", "interface Foo { bar: string; }", 200).nonEmpty)
+  }
+
+  // ─── TypeScript boundary integrity ──────────────────────────────────
+
+  test("TS: standalone functions stay intact") {
+    val code = """
+function add(a: number, b: number): number {
+    const result = a + b;
+    return result;
+}
+
+function multiply(x: number, y: number): number {
+    const product = x * y;
+    return product;
+}
+
+function greet(name: string): string {
+    const greeting = `Hello, ${name}!`;
+    return greeting;
+}
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 200), Seq(
+      ("add", "function add(", "return result;\n}"),
+      ("multiply", "function multiply(", "return product;\n}"),
+      ("greet", "function greet(", "return greeting;\n}")))
+  }
+
+  test("TS: arrow functions stay intact") {
+    val code = """
+const double = (x: number): number => {
+    const result = x * 2;
+    return result;
+};
+
+const triple = (x: number): number => {
+    const result = x * 3;
+    return result;
+};
+
+const quadruple = (x: number): number => {
+    const result = x * 4;
+    return result;
+};
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 150), Seq(
+      ("double", "const double =", "return result;\n};"),
+      ("triple", "const triple =", "return result;\n};"),
+      ("quadruple", "const quadruple =", "return result;\n};")))
+  }
+
+  test("TS: interfaces stay intact") {
+    val code = """
+interface User {
+    id: number;
+    name: string;
+    email: string;
+    createdAt: Date;
+}
+
+interface Product {
+    sku: string;
+    title: string;
+    price: number;
+    inStock: boolean;
+}
+
+interface Order {
+    orderId: string;
+    userId: number;
+    total: number;
+    status: string;
+}
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 120), Seq(
+      ("User", "interface User {", "createdAt: Date;\n}"),
+      ("Product", "interface Product {", "inStock: boolean;\n}"),
+      ("Order", "interface Order {", "status: string;\n}")))
+  }
+
+  test("TS: class methods stay intact when the class is split") {
+    val code = """
+class Calculator {
+    private history: number[] = [];
+
+    add(a: number, b: number): number {
+        const result = a + b;
+        this.history.push(result);
+        return result;
+    }
+
+    subtract(a: number, b: number): number {
+        const result = a - b;
+        this.history.push(result);
+        return result;
+    }
+
+    getHistory(): number[] {
+        return [...this.history];
+    }
+}
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 150), Seq(
+      ("add", "add(a: number, b: number)", "return result;\n    }"),
+      ("subtract", "subtract(a: number, b: number)", "return result;\n    }"),
+      ("getHistory", "getHistory()", "return [...this.history];\n    }")))
+  }
+
+  test("TS: async functions stay intact") {
+    val code = """
+async function fetchUser(id: number): Promise<User> {
+    const response = await fetch(`/api/users/${id}`);
+    const data = await response.json();
+    return data as User;
+}
+
+async function fetchProducts(): Promise<Product[]> {
+    const response = await fetch('/api/products');
+    const data = await response.json();
+    return data as Product[];
+}
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 250), Seq(
+      ("fetchUser", "async function fetchUser(", "return data as User;\n}"),
+      ("fetchProducts", "async function fetchProducts(",
+        "return data as Product[];\n}")))
+  }
+
+  test("TS: enum declarations stay intact") {
+    val code = """
+enum Direction {
+    Up = "UP",
+    Down = "DOWN",
+    Left = "LEFT",
+    Right = "RIGHT",
+}
+
+enum Color {
+    Red = 0,
+    Green = 1,
+    Blue = 2,
+}
+
+enum Status {
+    Pending = "PENDING",
+    Active = "ACTIVE",
+    Inactive = "INACTIVE",
+    Archived = "ARCHIVED",
+}
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 130), Seq(
+      ("Direction", "enum Direction {", "Right = \"RIGHT\",\n}"),
+      ("Color", "enum Color {", "Blue = 2,\n}"),
+      ("Status", "enum Status {", "Archived = \"ARCHIVED\",\n}")))
+  }
+
+  // ─── JavaScript ─────────────────────────────────────────────────────
+
+  test("JS: functions stay intact") {
+    val code = """
+function fibonacci(n) {
+    if (n <= 1) return n;
+    let a = 0, b = 1;
+    for (let i = 2; i <= n; i++) {
+        const temp = a + b;
+        a = b;
+        b = temp;
+    }
+    return b;
+}
+
+function factorial(n) {
+    if (n <= 1) return 1;
+    let result = 1;
+    for (let i = 2; i <= n; i++) {
+        result *= i;
+    }
+    return result;
+}
+"""
+    assertBoundaryIntegrity(chunk("javascript", code, 250), Seq(
+      ("fibonacci", "function fibonacci(n)", "return b;\n}"),
+      ("factorial", "function factorial(n)", "return result;\n}")))
+  }
+
+  test("JS: class methods stay intact when the class is split") {
+    val code = """
+class EventEmitter {
+    constructor() {
+        this.listeners = {};
+    }
+
+    on(event, callback) {
+        if (!this.listeners[event]) {
+            this.listeners[event] = [];
+        }
+        this.listeners[event].push(callback);
+    }
+
+    emit(event, ...args) {
+        const callbacks = this.listeners[event] || [];
+        callbacks.forEach(cb => cb(...args));
+    }
+}
+"""
+    assertBoundaryIntegrityRe(chunk("javascript", code, 200), Seq(
+      ("constructor", "constructor()",
+        """this\.listeners = \{\};\n    \}""".r),
+      ("on", "on(event, callback)",
+        """this\.listeners\[event\]\.push\(callback\);\n\s+\}""".r),
+      ("emit", "emit(event, ...args)",
+        """callbacks\.forEach\(cb => cb\(\.\.\.args\)\);\n\s+\}""".r)))
+  }
+
+  // ─── Python ─────────────────────────────────────────────────────────
+
+  test("PY: function definitions stay intact") {
+    val code = """
+def binary_search(arr, target):
+    low = 0
+    high = len(arr) - 1
+    while low <= high:
+        mid = (low + high) // 2
+        if arr[mid] == target:
+            return mid
+        elif arr[mid] < target:
+            low = mid + 1
+        else:
+            high = mid - 1
+    return -1
+
+def merge_sort(arr):
+    if len(arr) <= 1:
+        return arr
+    mid = len(arr) // 2
+    left = merge_sort(arr[:mid])
+    right = merge_sort(arr[mid:])
+    return merge(left, right)
+"""
+    assertBoundaryIntegrity(chunk("python", code, 350), Seq(
+      ("binary_search", "def binary_search(", "return -1"),
+      ("merge_sort", "def merge_sort(", "return merge(left, right)")))
+  }
+
+  test("PY: class methods stay intact when the class is split") {
+    val code = """
+class Stack:
+    def __init__(self):
+        self.items = []
+
+    def push(self, item):
+        self.items.append(item)
+        return self
+
+    def pop(self):
+        if self.is_empty():
+            raise IndexError("pop from empty stack")
+        return self.items.pop()
+
+    def peek(self):
+        if self.is_empty():
+            raise IndexError("peek from empty stack")
+        return self.items[-1]
+
+    def is_empty(self):
+        return len(self.items) == 0
+
+    def size(self):
+        return len(self.items)
+"""
+    assertBoundaryIntegrity(chunk("python", code, 200), Seq(
+      ("__init__", "def __init__(self)", "self.items = []"),
+      ("push", "def push(self, item)", "return self"),
+      ("pop", "def pop(self)", "return self.items.pop()"),
+      ("is_empty", "def is_empty(self)", "return len(self.items) == 0")))
+  }
+
+  test("PY: decorated functions stay intact") {
+    val code = """
+def decorator(func):
+    def wrapper(*args, **kwargs):
+        print("Before")
+        result = func(*args, **kwargs)
+        print("After")
+        return result
+    return wrapper
+
+@decorator
+def say_hello(name):
+    message = f"Hello, {name}!"
+    print(message)
+    return message
+
+@decorator
+def say_goodbye(name):
+    message = f"Goodbye, {name}!"
+    print(message)
+    return message
+"""
+    assertBoundaryIntegrity(chunk("python", code, 200), Seq(
+      ("decorator", "def decorator(func)", "return wrapper"),
+      ("say_hello", "def say_hello(name)", "return message"),
+      ("say_goodbye", "def say_goodbye(name)", "return message")))
+  }
+
+  // ─── Go ─────────────────────────────────────────────────────────────
+
+  test("GO: function definitions stay intact") {
+    val code = """
+package main
+
+import "fmt"
+
+func fibonacci(n int) int {
+	if n <= 1 {
+		return n
+	}
+	a, b := 0, 1
+	for i := 2; i <= n; i++ {
+		a, b = b, a+b
+	}
+	return b
+}
+
+func isPrime(n int) bool {
+	if n < 2 {
+		return false
+	}
+	for i := 2; i*i <= n; i++ {
+		if n%i == 0 {
+			return false
+		}
+	}
+	return true
+}
+
+func main() {
+	fmt.Println(fibonacci(10))
+	fmt.Println(isPrime(17))
+}
+"""
+    assertBoundaryIntegrityRe(chunk("go", code, 250), Seq(
+      ("fibonacci", "func fibonacci(n int) int {", """return b\n\}""".r),
+      ("isPrime", "func isPrime(n int) bool {", """return true\n\}""".r),
+      ("main", "func main() {", """isPrime\(17\)\)\n\}""".r)))
+  }
+
+  test("GO: struct methods stay intact") {
+    val code = """
+package main
+
+type Point struct {
+	X float64
+	Y float64
+}
+
+func (p Point) Distance(other Point) float64 {
+	dx := p.X - other.X
+	dy := p.Y - other.Y
+	return dx*dx + dy*dy
+}
+
+func (p *Point) Translate(dx, dy float64) {
+	p.X += dx
+	p.Y += dy
+}
+
+func NewPoint(x, y float64) Point {
+	return Point{X: x, Y: y}
+}
+"""
+    assertBoundaryIntegrityRe(chunk("go", code, 250), Seq(
+      ("Distance", "func (p Point) Distance(",
+        """return dx\*dx \+ dy\*dy\n\}""".r),
+      ("Translate", "func (p *Point) Translate(", """p\.Y \+= dy\n\}""".r),
+      ("NewPoint", "func NewPoint(",
+        """return Point\{X: x, Y: y\}\n\}""".r)))
+  }
+
+  // ─── Rust ───────────────────────────────────────────────────────────
+
+  test("RS: function definitions stay intact") {
+    val code = """
+fn gcd(mut a: u64, mut b: u64) -> u64 {
+    while b != 0 {
+        let temp = b;
+        b = a % b;
+        a = temp;
+    }
+    a
+}
+
+fn lcm(a: u64, b: u64) -> u64 {
+    let g = gcd(a, b);
+    (a / g) * b
+}
+
+fn is_palindrome(s: &str) -> bool {
+    let bytes = s.as_bytes();
+    let len = bytes.len();
+    for i in 0..len / 2 {
+        if bytes[i] != bytes[len - 1 - i] {
+            return false;
+        }
+    }
+    true
+}
+"""
+    assertBoundaryIntegrityRe(chunk("rust", code, 250), Seq(
+      ("gcd", "fn gcd(", """a\n\}""".r),
+      ("lcm", "fn lcm(", """\(a / g\) \* b\n\}""".r),
+      ("is_palindrome", "fn is_palindrome(", """true\n\}""".r)))
+  }
+
+  test("RS: impl methods stay intact when the impl is split") {
+    val code = """
+struct Rectangle {
+    width: f64,
+    height: f64,
+}
+
+impl Rectangle {
+    fn new(width: f64, height: f64) -> Self {
+        Rectangle { width, height }
+    }
+
+    fn area(&self) -> f64 {
+        self.width * self.height
+    }
+
+    fn perimeter(&self) -> f64 {
+        2.0 * (self.width + self.height)
+    }
+
+    fn is_square(&self) -> bool {
+        (self.width - self.height).abs() < f64::EPSILON
+    }
+}
+"""
+    assertBoundaryIntegrityRe(chunk("rust", code, 200), Seq(
+      ("new", "fn new(width", """Rectangle \{ width, height \}\n\s+\}""".r),
+      ("area", "fn area(&self)", """self\.width \* self\.height\n\s+\}""".r),
+      ("perimeter", "fn perimeter(&self)",
+        """2\.0 \* \(self\.width \+ self\.height\)\n\s+\}""".r)))
+  }
+
+  // ─── Java ───────────────────────────────────────────────────────────
+
+  test("JAVA: methods stay intact when the class is split") {
+    val code = """
+public class MathUtils {
+    public static int factorial(int n) {
+        if (n <= 1) return 1;
+        int result = 1;
+        for (int i = 2; i <= n; i++) {
+            result *= i;
+        }
+        return result;
+    }
+
+    public static boolean isPrime(int n) {
+        if (n < 2) return false;
+        for (int i = 2; i * i <= n; i++) {
+            if (n % i == 0) return false;
+        }
+        return true;
+    }
+
+    public static int[] fibonacci(int count) {
+        int[] fib = new int[count];
+        fib[0] = 0;
+        fib[1] = 1;
+        for (int i = 2; i < count; i++) {
+            fib[i] = fib[i-1] + fib[i-2];
+        }
+        return fib;
+    }
+}
+"""
+    assertBoundaryIntegrityRe(chunk("java", code, 250), Seq(
+      ("factorial", "public static int factorial(",
+        """return result;\n\s+\}""".r),
+      ("isPrime", "public static boolean isPrime(",
+        """return true;\n\s+\}""".r),
+      ("fibonacci", "public static int[] fibonacci(",
+        """return fib;\n\s+\}""".r)))
+  }
+
+  // ─── Kotlin ─────────────────────────────────────────────────────────
+
+  test("KT: function definitions stay intact") {
+    val code = """
+fun fibonacci(n: Int): Long {
+    if (n <= 1) return n.toLong()
+    var a = 0L
+    var b = 1L
+    for (i in 2..n) {
+        val temp = a + b
+        a = b
+        b = temp
+    }
+    return b
+}
+
+fun isPalindrome(s: String): Boolean {
+    val cleaned = s.lowercase().filter { it.isLetterOrDigit() }
+    return cleaned == cleaned.reversed()
+}
+
+fun gcd(a: Int, b: Int): Int {
+    var x = a
+    var y = b
+    while (y != 0) {
+        val temp = y
+        y = x % y
+        x = temp
+    }
+    return x
+}
+"""
+    assertBoundaryIntegrityRe(chunk("kotlin", code, 300), Seq(
+      ("fibonacci", "fun fibonacci(", """return b\n\}""".r),
+      ("isPalindrome", "fun isPalindrome(",
+        """return cleaned == cleaned\.reversed\(\)\n\}""".r),
+      ("gcd", "fun gcd(", """return x\n\}""".r)))
+  }
+
+  // ─── JSON / CSS ─────────────────────────────────────────────────────
+
+  test("JSON objects chunk without loss") {
+    val code =
+      "{\n  \"name\": \"test\",\n  \"version\": \"1.0\",\n  \"dependencies\": {\n    \"a\": \"1.0\",\n    \"b\": \"2.0\"\n  }\n}"
+    val chunks = chunk("json", code, 100)
+    assert(chunks.nonEmpty)
+    assert(chunks.mkString("\n").contains("\"dependencies\""))
+  }
+
+  test("CSS rules chunk without loss") {
+    val code = """
+body { margin: 0; padding: 0; }
+.container { max-width: 1200px; margin: 0 auto; }
+h1 { font-size: 2em; color: #333; }
+"""
+    val chunks = chunk("css", code, 100)
+    assert(chunks.nonEmpty)
+    assert(chunks.mkString("\n").contains(".container"))
+  }
+
+  // ─── Lexical robustness (strings/comments can't derail spans) ───────
+
+  test("braces inside strings and comments do not affect statement spans") {
+    val code = """
+function a() {
+    const s = "not a brace: } {";
+    // stray } in comment
+    return s;
+}
+
+function b() {
+    const t = `template ${x} with } brace`;
+    /* block } comment */
+    return t;
+}
+"""
+    assertBoundaryIntegrity(chunk("typescript", code, 120), Seq(
+      ("a", "function a()", "return s;\n}"),
+      ("b", "function b()", "return t;\n}")))
+  }
+
+  test("python strings with colons and hashes do not derail the parser") {
+    val code = """
+def f():
+    s = "text with # not a comment and : colon"
+    return s
+
+def g():
+    t = '''triple
+    with : and # inside'''
+    return t
+"""
+    assertBoundaryIntegrity(chunk("python", code, 80), Seq(
+      ("f", "def f()", "return s"),
+      ("g", "def g()", "return t")))
+  }
+}
