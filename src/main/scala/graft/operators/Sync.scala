@@ -2,7 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
+
+/** One stored/embedded chunk row — the versioned chunk store's schema
+  * for full sync runs (url-keyed, with the reference's
+  * chunk_index/total_chunks bookkeeping). */
+final case class StoredChunk(url: String, chunk_index: Int,
+    total_chunks: Int, chunk_id: String, content: String,
+    embedding: Array[Float])
 
 /** Incremental-sync differential operators (SURVEY.md §2.5) — the
   * reference's 4-layer change-detection pipeline re-expressed as joins:
@@ -119,6 +127,111 @@ object Sync {
       .withColumn("watermark_new",
         when(col("n_failures") === 0, col("candidate_watermark"))
           .otherwise(col("watermark_old")))
+  }
+
+  /** Token chunks with chunk_index/total_chunks bookkeeping for an
+    * arbitrary (url, text) corpus — the store-facing variant of
+    * chunksOf. */
+  private def chunksOfUrls(docs: DataFrame, chunkSize: Int): DataFrame = {
+    val idx = docs
+      .withColumn("i", explode(sequence(lit(0),
+        ceil(length(col("text")).cast("double") / chunkSize).cast("int") - 1)))
+      .withColumn("content",
+        trim(expr(s"substring(text, i*$chunkSize+1, $chunkSize)")))
+      .filter(col("content") =!= "")
+    idx
+      .withColumn("chunk_index",
+        row_number().over(Window.partitionBy("url").orderBy("i")) - 1)
+      .withColumn("total_chunks",
+        count(lit(1)).over(Window.partitionBy("url")).cast("int"))
+      .withColumn("chunk_id",
+        sha2(concat(col("url"), lit("::"), col("content")), 256))
+      .select("url", "chunk_index", "total_chunks", "chunk_id", "content")
+  }
+
+  /** One complete incremental sync run — the reference's per-source run
+    * loop (doc2vec.ts:675-790) composed from the operators above and the
+    * versioned store:
+    *
+    *   1. chunk the incoming (url, text) batch;
+    *   2. URL-diff its per-url signatures against the current store
+    *      version → new/updated/unchanged/deleted statuses;
+    *   3. pick urls to process: new+updated, or ALL incoming when the
+    *      previous run never marked `sync_complete` (forceFullSync,
+    *      doc2vec.ts:700-712) — the interrupted-sync recovery bypass;
+    *   4. chunk-level skip: chunks whose chunk_id is already stored
+    *      reuse their stored embedding; only genuinely new chunk
+    *      content reaches the embedder (doc2vec.ts:515-553);
+    *   5. upsert-by-url + guarded obsolete cleanup, written as the next
+    *      complete store version (atomic pointer flip);
+    *   6. mark sync complete only on a clean run (hasNetworkErrors
+    *      false), so a failed run leaves the force-bypass armed.
+    *
+    * Returns a one-row counters frame (reference SourceRunStats):
+    * run_id, force_full_sync, items_new/updated/unchanged/deleted,
+    * urls_processed, chunks_embedded, store_version.
+    *
+    * Scale: the diff/skip/upsert layers are url- and chunk_id-keyed
+    * joins (hash-partitioned, no driver data motion); the driver-side
+    * work is the two scalar counts and the version-pointer flip. */
+  def syncRun(s: SparkSession, incoming: DataFrame, storeRoot: String,
+      statePath: String, runId: Long, urlPrefix: String = "",
+      hasNetworkErrors: Boolean = false, scanIncomplete: Boolean = false,
+      chunkSize: Int = 128): DataFrame = {
+    import s.implicits._
+    import graft.sources.{ChunkStore, SyncState}
+    val force = SyncState.forceFullSync(s, statePath, urlPrefix)
+    val inChunks = chunksOfUrls(incoming, chunkSize).localCheckpoint(true)
+    val storedChunks = ChunkStore.readLatest(s, storeRoot)
+      .getOrElse(s.emptyDataset[StoredChunk].toDF())
+
+    val storedSig = signatures(storedChunks)
+      .withColumnRenamed("sig", "stored_sig")
+      .withColumnRenamed("n_chunks", "stored_chunks")
+    val joined = signatures(inChunks)
+      .join(storedSig, Seq("url"), "full_outer")
+      .withColumn("status",
+        when(col("sig").isNull, "deleted")
+          .when(col("stored_sig").isNull, "new")
+          .when(col("sig") =!= col("stored_sig"), "updated")
+          .otherwise("unchanged"))
+      .localCheckpoint(true)
+
+    val processUrls =
+      if (force) inChunks.select("url").distinct()
+      else joined.filter(col("status").isin("new", "updated")).select("url")
+    val prepared = inChunks
+      .join(processUrls, Seq("url"), "left_semi")
+      .join(storedChunks.select("chunk_id", "embedding")
+        .dropDuplicates("chunk_id"), Seq("chunk_id"), "left")
+      .select(col("url"), col("chunk_index"), col("total_chunks"),
+        col("chunk_id"), col("content"), col("embedding"))
+    val chunksEmbedded = prepared.filter(col("embedding").isNull).count()
+    val newRows = prepared
+      .as[(String, Int, Int, String, String, Option[Array[Float]])]
+      .map { case (u, i, t, id, c, e) =>
+        StoredChunk(u, i, t, id, c,
+          e.getOrElse(graft.functions.Embedder.embed(c)))
+      }.toDF().localCheckpoint(true)
+    val urlsProcessed = processUrls.count()
+
+    val merged = ChunkStore.upsertByUrl(storedChunks, newRows)
+    val cleaned = ChunkStore.cleanupObsolete(merged,
+      incoming.select("url"), hasNetworkErrors, scanIncomplete)
+    val version = ChunkStore.writeVersion(s, storeRoot, cleaned)
+    SyncState.markSyncComplete(s, statePath, urlPrefix, runId,
+      hasNetworkErrors)
+
+    joined.agg(
+      count(when(col("status") === "new", 1)).as("items_new"),
+      count(when(col("status") === "updated", 1)).as("items_updated"),
+      count(when(col("status") === "unchanged", 1)).as("items_unchanged"),
+      count(when(col("status") === "deleted", 1)).as("items_deleted"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("force_full_sync", lit(force))
+      .withColumn("urls_processed", lit(urlsProcessed))
+      .withColumn("chunks_embedded", lit(chunksEmbedded))
+      .withColumn("store_version", lit(version))
   }
 
   /** Per-run counters (reference SourceRunStats, types.ts:158-190):

@@ -93,12 +93,21 @@ object ChunkStore {
     * at-least-once streaming sink needs. */
   def upsertVersioned(spark: SparkSession, root: String,
       incoming: DataFrame): Long = {
-    val next = latestVersion(root) + 1
     val merged = readLatest(spark, root) match {
       case Some(stored) => upsertByUrl(stored, incoming)
       case None => incoming
     }
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
+    writeVersion(spark, root, merged)
+  }
+
+  /** Write `contents` as the next complete version and flip the
+    * pointer. The building block under upsertVersioned; callers that
+    * compute their own merge (e.g. a sync run that also deletes
+    * obsolete urls) use this directly. */
+  def writeVersion(spark: SparkSession, root: String,
+      contents: DataFrame): Long = {
+    val next = latestVersion(root) + 1
+    contents.write.mode(SaveMode.Overwrite).parquet(s"$root/v$next")
     // atomic pointer flip: write a temp file, then ATOMIC_MOVE over
     // LATEST — a reader never observes a truncated pointer (and the
     // directory-scan fallback in latestVersion covers a writer that
