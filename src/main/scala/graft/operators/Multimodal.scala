@@ -8,12 +8,16 @@ import graft.functions.TextUtil
   * opaque binary columns with typed metadata, processed by batched
   * per-partition operators.
   *
-  * The decode step is a clearly-marked STUB — no media libraries ship in
-  * this build — but the Spark-side plumbing is real and tested: binary
+  * Image metadata (width/height/channels) is decoded for real from the
+  * container headers — PNG, GIF, BMP, JPEG — with zero dependencies;
+  * payloads without a recognizable header (audio/video containers,
+  * arbitrary blobs) fall back to a clearly-marked deterministic stub.
+  * Pixel decode / resampling stays stubbed (no media codecs ship in
+  * this build), but the Spark-side plumbing is real and tested: binary
   * schema, partition-local batching (the JVM analog of a Pandas-UDF
   * batch), deterministic feature extraction, and metadata projection.
-  * Swapping `decodeStub` for a real decoder (javacv / pdfbox / soundfile
-  * behind mapInPandas on PySpark) changes no plan shape.
+  * Swapping the stubs for a real codec (javacv / soundfile behind
+  * mapInPandas on PySpark) changes no plan shape.
   */
 object Multimodal {
 
@@ -24,9 +28,86 @@ object Multimodal {
   val FeatureDim = 32
   private val BatchSize = 64
 
-  /** STUB decoder: derives deterministic fake dimensions from the
-    * payload hash. A real implementation would decode the image header
-    * here; everything downstream is agnostic to the difference. */
+  // ── Image header decode (dependency-free) ─────────────────────────────
+  // Real width/height/channels from the container header bytes for the
+  // formats whose headers are trivially parseable without a codec:
+  // PNG (IHDR), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER
+  // family), JPEG (SOF frame marker). Pixel decode stays out of scope —
+  // metadata extraction never needs it.
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def i32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def i32le(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  /** (width, height, channels) from a PNG/GIF/BMP/JPEG header, or None
+    * for payloads with no recognizable image container. */
+  def decodeImageHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    // PNG: 8-byte signature, then the IHDR chunk — width/height are
+    // big-endian u32 at offsets 16/20, color type at 25
+    if (b.length >= 26 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G' && b(12) == 'I' && b(13) == 'H' &&
+      b(14) == 'D' && b(15) == 'R') {
+      val channels = b(25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette-indexed
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => 3
+      }
+      return Some((i32be(b, 16), i32be(b, 20), channels))
+    }
+    // GIF87a/89a: logical screen width/height, little-endian u16 at 6/8
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      return Some((u16le(b, 6), u16le(b, 8), 3))
+    // BMP: "BM", DIB header at 14. BITMAPCOREHEADER (size 12) has u16
+    // dims; the BITMAPINFOHEADER family (40/52/56/108/124) has i32 dims
+    // (height may be negative = top-down) and a u16 bit count
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dib = i32le(b, 14)
+      if (dib == 12)
+        return Some((u16le(b, 18), u16le(b, 20), 3))
+      if (dib >= 40 && b.length >= 30) {
+        val bits = u16le(b, 28)
+        val channels = math.max(1, bits / 8)
+        return Some((i32le(b, 18), math.abs(i32le(b, 22)), channels))
+      }
+    }
+    // JPEG: walk the marker stream to the first SOFn frame header
+    // (height/width big-endian u16 at +5/+7, component count at +9)
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // corrupt marker stream
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          val len = u16be(b, i + 2)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof)
+            return Some((u16be(b, i + 7), u16be(b, i + 5), b(i + 9) & 0xff))
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      return None
+    }
+    None
+  }
+
+  /** Fallback for payloads without a recognizable image header:
+    * deterministic fake dimensions from the payload hash, so non-image
+    * media (audio, video containers) still flow through the metadata
+    * pipeline with stable values. */
   def decodeStub(bytes: Array[Byte], sha: String): (Int, Int, Int) = {
     val w = 64 + (java.lang.Long.parseLong(sha.substring(0, 4), 16) % 1024).toInt
     val h = 64 + (java.lang.Long.parseLong(sha.substring(4, 8), 16) % 1024).toInt
@@ -104,7 +185,8 @@ object Multimodal {
         // one "batch" = the unit a real decoder would vectorize over
         batch.iterator.map { case (path, mime, bytes) =>
           val sha = TextUtil.sha256HexBytes(bytes)
-          val (w, h, c) = decodeStub(bytes, sha)
+          val (w, h, c) = decodeImageHeader(bytes)
+            .getOrElse(decodeStub(bytes, sha))
           (path, mime, bytes.length.toLong, sha, w, h, c,
             featuresStub(bytes))
         }

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Real header decode on hand-built fixture bytes for each supported
+  * container (PNG IHDR, GIF screen descriptor, BMP core/info headers,
+  * JPEG SOF marker walk) plus rejection of non-image payloads. */
+class ImageHeaderSpec extends AnyFunSuite {
+
+  private def be32(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+
+  private def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  private def bmpInfo(w: Int, h: Int, bits: Int): Array[Byte] =
+    "BM".getBytes ++ le32(0) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bits) ++
+      Array.fill[Byte](24)(0)
+
+  private def bmpCore(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ le32(0) ++ le32(0) ++ le32(26) ++
+      le32(12) ++ le16(w) ++ le16(h) ++ le16(1) ++ le16(24)
+
+  private def jpeg(w: Int, h: Int, comps: Int): Array[Byte] =
+    Array(0xff, 0xd8).map(_.toByte) ++                     // SOI
+      Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++       // APP0, len 16
+      Array.fill[Byte](14)(0) ++
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++       // SOF0, len 17
+      Array(8.toByte) ++ be16(h) ++ be16(w) ++
+      Array(comps.toByte) ++ Array.fill[Byte](3 * comps)(0)
+
+  test("PNG IHDR: dimensions and channels per color type") {
+    assert(Multimodal.decodeImageHeader(png(640, 480, 2))
+      .contains((640, 480, 3)))
+    assert(Multimodal.decodeImageHeader(png(1, 1, 0))
+      .contains((1, 1, 1)))
+    assert(Multimodal.decodeImageHeader(png(3000, 2000, 6))
+      .contains((3000, 2000, 4)))
+    assert(Multimodal.decodeImageHeader(png(16, 16, 3))
+      .contains((16, 16, 1)))
+    assert(Multimodal.decodeImageHeader(png(8, 8, 4))
+      .contains((8, 8, 2)))
+  }
+
+  test("GIF logical screen descriptor") {
+    assert(Multimodal.decodeImageHeader(gif(320, 200))
+      .contains((320, 200, 3)))
+    assert(Multimodal.decodeImageHeader(gif(65535, 1))
+      .contains((65535, 1, 3)))
+  }
+
+  test("BMP BITMAPINFOHEADER: dims, bit depth, top-down height") {
+    assert(Multimodal.decodeImageHeader(bmpInfo(800, 600, 24))
+      .contains((800, 600, 3)))
+    assert(Multimodal.decodeImageHeader(bmpInfo(100, -100, 32))
+      .contains((100, 100, 4))) // negative height = top-down scanlines
+    assert(Multimodal.decodeImageHeader(bmpInfo(64, 64, 8))
+      .contains((64, 64, 1)))
+  }
+
+  test("BMP BITMAPCOREHEADER (OS/2, u16 dims)") {
+    assert(Multimodal.decodeImageHeader(bmpCore(320, 240))
+      .contains((320, 240, 3)))
+  }
+
+  test("JPEG SOF marker walk past APP segments") {
+    assert(Multimodal.decodeImageHeader(jpeg(1920, 1080, 3))
+      .contains((1920, 1080, 3)))
+    assert(Multimodal.decodeImageHeader(jpeg(256, 128, 1))
+      .contains((256, 128, 1)))
+  }
+
+  test("non-image payloads are rejected (stub fallback territory)") {
+    assert(Multimodal.decodeImageHeader("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array[Byte](0x42)).isEmpty)
+    // truncated PNG signature only
+    assert(Multimodal.decodeImageHeader(
+      Array(0x89, 'P', 'N', 'G').map(_.toByte)).isEmpty)
+    // JPEG SOI followed by garbage (no valid marker)
+    assert(Multimodal.decodeImageHeader(
+      Array(0xff, 0xd8, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00).map(_.toByte)).isEmpty)
+  }
+}

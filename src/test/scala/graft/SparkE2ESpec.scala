@@ -360,13 +360,22 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("multimodal binary pipeline: metadata + batched feature extraction") {
     import spark.implicits._
+    // a real PNG header (IHDR 640x480 truecolor) rides the decode path;
+    // headerless payloads fall back to the deterministic stub
+    val realPng = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 2, 0, 0, 0).map(_.toByte)
     val binaries = Seq(
       ("img/a.png", "image/png", "fake-png-bytes-a".getBytes("UTF-8")),
+      ("img/real.png", "image/png", realPng),
       ("img/b.png", "image/png", "fake-png-bytes-bb".getBytes("UTF-8")),
       ("aud/c.wav", "audio/wav", "fake-wav-bytes-ccc".getBytes("UTF-8")))
       .toDF("path", "mime", "content")
     val out = Multimodal.extractFeatures(spark, binaries).collect()
-    assert(out.length == 3)
+    assert(out.length == 4)
+    val real = out.find(_.getString(0) == "img/real.png").get
+    assert(real.getInt(4) == 640 && real.getInt(5) == 480 &&
+      real.getInt(6) == 3) // decoded from the IHDR, not the stub
     val row = out.find(_.getString(0) == "img/a.png").get
     assert(row.getLong(2) == 16L) // n_bytes
     assert(row.getInt(4) >= 64 && row.getInt(5) >= 64) // stub dims
