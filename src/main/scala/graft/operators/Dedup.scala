@@ -320,9 +320,14 @@ object Dedup {
     * (l(v) ← l(l(v)) self-join halves chain lengths per round) takes
     * over. Both paths produce the min-reachable-doc labels of the SQL
     * oracle's recursive-CTE closure; every document is a vertex, so
-    * singletons cluster as themselves. */
+    * singletons cluster as themselves.
+    *
+    * The default threshold is 1M edges ≈ 16 MB of longs (~50 MB with
+    * boxing overhead while building the map) — comfortably inside a
+    * default 1 GB driver with headroom for the LongMap; raise it only
+    * with a driver sized for the collect. */
   def clusters(s: SparkSession, dir: String, pairs: DataFrame,
-      driverThreshold: Long = 10000000L): DataFrame = {
+      driverThreshold: Long = 1000000L): DataFrame = {
     import s.implicits._
     // materialize the (expensive) candidate-generation plan exactly
     // once; both routing branches read from this checkpoint

@@ -107,6 +107,26 @@ object DocPipeline {
       .orderBy("chunk_index")
   }
 
+  /** `get_chunks` over an existing chunk store, with the reference's
+    * backward-compatible fallback (mcp/src/server.ts:551-606): a legacy
+    * store whose schema predates `chunk_index` gets the reduced
+    * projection with the range filter and index ordering DROPPED —
+    * never an analysis failure (the Spark analog of SQLite's "no such
+    * column" retry; schema inspection replaces the error probe). */
+  def getChunksFromStore(chunks: DataFrame, url: String,
+      range: Option[(Int, Int)] = None): DataFrame = {
+    val page = chunks.filter(col("url") === url)
+    if (chunks.columns.contains("chunk_index")) {
+      range.fold(page) { case (a, b) =>
+        page.filter(col("chunk_index").between(a, b)) }
+        .orderBy("chunk_index")
+    } else {
+      val legacy = Seq("chunk_id", "content", "url", "section",
+        "heading_hierarchy").filter(chunks.columns.contains)
+      page.select(legacy.map(col): _*)
+    }
+  }
+
   /** PDF text-item → markdown reconstruction over a staged text-run
     * TABLE (doc_id, page, j, str, width, y) — the reference's Y-delta
     * line-break algorithm (content-processor.ts:1489-1567) as a Spark

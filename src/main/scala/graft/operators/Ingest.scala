@@ -16,12 +16,28 @@ object Ingest {
 
   /** Corpus size for the synthetic modular link graph, memoized per data
     * directory — crawlFrontier and brokenLinks both need it, and an
-    * uncached `docs.count()` is a full extra scan job per query. */
+    * uncached `docs.count()` is a full extra scan job per query. The
+    * cache key includes a file-listing fingerprint (names, lengths,
+    * mtimes) of the documents table, so rewriting the data under the
+    * same path invalidates the entry instead of serving a stale count. */
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def docCount(s: SparkSession, dir: String): Long =
-    docCountCache.getOrElseUpdate(dir,
+  private def docCount(s: SparkSession, dir: String): Long = {
+    val key = s"$dir@${tableFingerprint(s, dir)}"
+    docCountCache.getOrElseUpdate(key,
       Tables.documents(s, dir).select("doc_id").count())
+  }
+  private def tableFingerprint(s: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    try {
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(path).foldLeft(0L) { (h, st) =>
+        var x = h * 1000003L + st.getPath.getName.hashCode
+        x = x * 1000003L + st.getLen
+        x * 1000003L + st.getModificationTime
+      }
+    } catch { case _: java.io.IOException => 0L }
+  }
 
   /** HTML page ingest: documents → synthetic HTML → HtmlToMarkdown →
     * heading-aware chunker. End-to-end §2.2 normalization through the

@@ -228,8 +228,20 @@ object AsOf {
     def find(out: Seq[Attribute], n: String): Attribute =
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${out.map(_.name)}"))
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      find(lPlan.output, key), find(rPlan.output, rightPrefix + key),
-      find(lPlan.output, leftTime), find(rPlan.output, rightPrefix + rightTime)))
+    val (lKey, rKey) = (find(lPlan.output, key),
+      find(rPlan.output, rightPrefix + key))
+    val (lTime, rTime) = (find(lPlan.output, leftTime),
+      find(rPlan.output, rightPrefix + rightTime))
+    // the physical exec compares keys with == and times with <: a type
+    // mismatch would silently match nothing (or miscompare), so fail
+    // loudly at plan time instead
+    require(lKey.dataType == rKey.dataType,
+      s"as-of join key type mismatch: $key is ${lKey.dataType} on the " +
+        s"left but ${rKey.dataType} on the right")
+    require(lTime.dataType == rTime.dataType,
+      s"as-of join time type mismatch: $leftTime is ${lTime.dataType} " +
+        s"but $rightTime is ${rTime.dataType}")
+    GraftSqlBridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime))
   }
 }

@@ -90,7 +90,14 @@ object ChunkStore {
   /** Upsert-by-url into the versioned store; returns the new version.
     * Idempotent per incoming batch (re-running the same batch rewrites
     * the same urls to the same contents), which is exactly what an
-    * at-least-once streaming sink needs. */
+    * at-least-once streaming sink needs.
+    *
+    * SINGLE-WRITER assumed: two concurrent upserts would both read
+    * version N and race writing v(N+1) — last pointer flip wins and the
+    * other batch's rows are silently dropped. The reference has the
+    * same discipline (one sync process per collection); under a
+    * multi-writer scheduler, serialize per store root or use a
+    * transactional table format (Delta/Iceberg MERGE). */
   def upsertVersioned(spark: SparkSession, root: String,
       incoming: DataFrame): Long = {
     val merged = readLatest(spark, root) match {
@@ -140,7 +147,10 @@ object ChunkStore {
     * all chunks of one url, created_at attached via LEFT JOIN on
     * chunk_id when a dates table exists (NULL otherwise), capped at
     * `maxChunks` (the reference's MAX_CHUNKS=500), default-ordered by
-    * (chunk_index with nulls last, chunk_id).
+    * (chunk_index with nulls last, chunk_id). A legacy store whose
+    * schema predates chunk_index falls back to chunk_id order instead
+    * of failing (the reference's backward-compatible retry,
+    * mcp/src/server.ts:558-592).
     *
     * Scale: the url filter lands on the chunks scan before the join,
     * and orderBy+limit compiles to TakeOrderedAndProject — a page
@@ -154,10 +164,12 @@ object ChunkStore {
           Seq("chunk_id"), "left")
       case None => page.withColumn("created_at", lit(null).cast("string"))
     }
-    withDates
-      .orderBy(coalesce(col("chunk_index").cast("long"),
-        lit(Long.MaxValue)).asc, col("chunk_id"))
-      .limit(maxChunks)
+    val order =
+      if (chunks.columns.contains("chunk_index"))
+        Seq(coalesce(col("chunk_index").cast("long"),
+          lit(Long.MaxValue)).asc, col("chunk_id").asc)
+      else Seq(col("chunk_id").asc)
+    withDates.orderBy(order: _*).limit(maxChunks)
   }
 
   /** Bucketed variant: 8 buckets on url, sorted by chunk_index within

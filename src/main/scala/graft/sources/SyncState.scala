@@ -28,15 +28,13 @@ object SyncState {
   /** Latest value for a key (highest run_id), if any. */
   def getMetadata(s: SparkSession, path: String,
       key: String): Option[String] = {
-    val exists = try {
-      s.read.parquet(path); true
-    } catch { case _: org.apache.spark.sql.AnalysisException => false }
-    if (!exists) None
-    else s.read.parquet(path)
-      .filter(col("key") === key)
+    val log = try {
+      Some(s.read.parquet(path))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    log.flatMap(_.filter(col("key") === key)
       .orderBy(col("run_id").desc)
       .limit(1)
-      .collect().headOption.map(_.getAs[String]("value"))
+      .collect().headOption.map(_.getAs[String]("value")))
   }
 
   /** True until a full sync has ever completed for this prefix

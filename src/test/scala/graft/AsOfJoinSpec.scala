@@ -42,6 +42,21 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("A", 99L, 4L, 12.0)))
   }
 
+  test("key/time dtype mismatches fail loudly at plan time") {
+    import spark.implicits._
+    val left = Seq(("A", 1L, 1)).toDF("k", "t", "v")
+    val rightBadKey = Seq((1, 1L, 1.0)).toDF("k", "t", "px") // k: int
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightBadKey, "k", "t", "t")
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    val rightBadTime = Seq(("A", "1", 1.0)).toDF("k", "t", "px") // t: str
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightBadTime, "k", "t", "t")
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
+
   test("physical plan uses AsOfJoinExec (no window, no cartesian)") {
     import spark.implicits._
     val l = Seq(("A", 2L, 1L)).toDF("k", "t", "v")

@@ -73,6 +73,39 @@ class BucketedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 2)
   }
 
+  test("legacy store without chunk_index: inspector and get_chunks degrade") {
+    import spark.implicits._
+    import graft.operators.DocPipeline
+    // a store written before the chunk_index column existed
+    // (reference mcp/src/server.ts:558-592 backward-compat retry)
+    val legacy = Seq(
+      ("c2", "doc://p", "second", "S"),
+      ("c1", "doc://p", "first", "S"),
+      ("cx", "doc://other", "other", "S"))
+      .toDF("chunk_id", "url", "content", "section")
+    // inspector: chunk_id order instead of an analysis failure
+    val inspected = ChunkStore.inspectChunks(legacy, None, "doc://p")
+      .collect()
+    assert(inspected.map(_.getAs[String]("chunk_id")).toSeq ==
+      Seq("c1", "c2"))
+    // get_chunks: range filter + index ordering dropped, reduced
+    // projection, all of the url's chunks returned
+    val got = DocPipeline.getChunksFromStore(legacy, "doc://p",
+      range = Some((0, 1))).collect()
+    assert(got.length == 2)
+    assert(got.head.schema.fieldNames.toSeq ==
+      Seq("chunk_id", "content", "url", "section"))
+    // a modern store keeps the ranged, ordered behavior
+    val modern = Seq(
+      ("c3", "doc://p", 2, "third"),
+      ("c1", "doc://p", 0, "first"),
+      ("c2", "doc://p", 1, "second"))
+      .toDF("chunk_id", "url", "chunk_index", "content")
+    val ranged = DocPipeline.getChunksFromStore(modern, "doc://p",
+      range = Some((0, 1))).collect()
+    assert(ranged.map(_.getAs[String]("chunk_id")).toSeq == Seq("c1", "c2"))
+  }
+
   test("sync_complete flag: interrupted run forces full sync, clean run clears it") {
     import graft.sources.SyncState
     val metaPath =
