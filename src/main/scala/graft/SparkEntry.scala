@@ -94,6 +94,12 @@ object SparkEntry {
       Ingest.lastmodSkip(s, d)),
     "crawl_broken_links"  -> (Ingest.brokenLinks _),
     "ctl_overlap_detect"  -> (Ingest.overlapDetect _),
+    "ctl_log_level_counts" -> (Ingest.logLevelCounts _),
+    "ctl_log_tail_seq"    -> ((s: SparkSession, d: String) =>
+      Ingest.logTailStartSeq(s, d)),
+    "ctl_log_retention"   -> ((s: SparkSession, d: String) =>
+      Ingest.logRetention(s, d)),
+    "sync_metadata_exclusion" -> (Sync.metadataExclusion _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -1138,7 +1144,46 @@ object SparkEntry {
          SELECT user_id,
            count(*) FILTER (WHERE status='skipped') AS n_skipped,
            count(*) FILTER (WHERE status='run') AS n_run
-         FROM marked GROUP BY 1 ORDER BY user_id"""
+         FROM marked GROUP BY 1 ORDER BY user_id""",
+    "ctl_log_level_counts" ->
+      """SELECT user_id AS run_id, event_type AS level,
+           count(*) AS n_lines
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ctl_log_tail_seq" ->
+      """WITH r AS (
+           SELECT user_id AS run_id, event_id AS seq,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT run_id,
+           coalesce(max(seq) FILTER (WHERE rn = 21), 0) AS tail_start_seq
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "ctl_log_retention" ->
+      """WITH fin AS (
+           SELECT user_id AS run_id, max(ts) AS finished_at
+           FROM events GROUP BY 1)
+         SELECT e.user_id AS run_id, count(*) AS logs_pruned
+         FROM events e JOIN fin f ON e.user_id = f.run_id
+         WHERE f.finished_at < TIMESTAMP '2024-01-29 12:00:00'
+         GROUP BY 1 ORDER BY 1"""
+  ) ++ Map(
+    "sync_metadata_exclusion" -> (syncCtes +
+      """, meta AS (
+           SELECT 'metadata://etag:doc://'||doc_id AS url
+           FROM documents WHERE doc_id % 25 = 0),
+         del AS (
+           SELECT 'deleted' AS category, url, count(*) AS n_points
+           FROM s_chunks c
+           WHERE NOT EXISTS (SELECT 1 FROM i_docs d
+                             WHERE 'doc://'||d.doc_id = c.url)
+           GROUP BY 2),
+         kept AS (
+           SELECT 'kept_metadata' AS category, url,
+             CAST(1 AS BIGINT) AS n_points
+           FROM meta)
+         SELECT category, url, n_points
+         FROM (SELECT * FROM del UNION ALL SELECT * FROM kept)
+         ORDER BY category, url""")
   )
 
   /** Shared CTE stack for the sync oracles: deterministic stored/incoming

@@ -305,4 +305,56 @@ object Ingest {
         count(when(col("status") === "run", 1)).as("n_run"))
       .orderBy("user_id")
   }
+
+  // ── Controller log pipeline (reference controller/store.ts:240-281)
+  // over the events table: run_id ≅ user_id, seq ≅ event_id,
+  // level ≅ event_type. Each query is one hash-partitioned aggregate or
+  // window keyed on run_id — the viewer's per-run lookups become
+  // partition-local work at any corpus size.
+
+  /** Per-level line totals per run — the log viewer's filter chips
+    * (countLogsByLevel, store.ts:262-271), computed for every run in
+    * one groupBy instead of one query per run. */
+  def logLevelCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").as("run_id"),
+        col("event_type").as("level"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("run_id", "level")
+
+  /** Seq to replay from so only the last `tail` lines follow: the seq
+    * of the (tail+1)-th newest line, 0 when the run is shorter
+    * (getTailStartSeq, store.ts:253-259) — for every run at once via a
+    * descending row_number instead of OFFSET/LIMIT per run. */
+  def logTailStartSeq(s: SparkSession, dir: String,
+      tail: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("run_id")).orderBy(col("seq").desc)
+    Tables.events(s, dir)
+      .select(col("user_id").as("run_id"), col("event_id").as("seq"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("run_id"))
+      .agg(coalesce(max(when(col("rn") === tail + 1, col("seq"))), lit(0L))
+        .as("tail_start_seq"))
+      .orderBy("run_id")
+  }
+
+  /** Retention pruning (pruneOldLogs, store.ts:273-281): drop the logs
+    * of runs that finished before the cutoff; reports lines pruned per
+    * run (the reference returns the total rowCount — sum the column).
+    * The run-end table is derived (max ts per run) and broadcast into
+    * the semi-join side; the delete itself is the anti-join rewrite of
+    * this same plan. */
+  def logRetention(s: SparkSession, dir: String,
+      cutoff: String = "2024-01-29 12:00:00"): DataFrame = {
+    val finished = Tables.events(s, dir)
+      .groupBy(col("user_id").as("run_id"))
+      .agg(max(col("ts")).as("finished_at"))
+      .filter(col("finished_at") < lit(cutoff).cast("timestamp"))
+    Tables.events(s, dir)
+      .select(col("user_id").as("run_id"))
+      .join(broadcast(finished.select("run_id")), Seq("run_id"))
+      .groupBy(col("run_id"))
+      .agg(count(lit(1)).as("logs_pruned"))
+      .orderBy("run_id")
+  }
 }

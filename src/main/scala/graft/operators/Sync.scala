@@ -234,6 +234,39 @@ object Sync {
       .withColumn("store_version", lit(version))
   }
 
+  /** Qdrant metadata-point exclusion parity (reference
+    * database.ts:192-215 metadata upsert; 566-574 `must_not
+    * is_metadata` on every cleanup scroll): sync metadata (etag /
+    * lastmod / sync_complete state) lives in the SAME collection as the
+    * data points — zero-vector rows flagged `is_metadata`, under
+    * `metadata://` urls that never appear in any visited set — so every
+    * scan and cleanup must exclude them or a sync would purge its own
+    * state and force-reprocess forever. The staged mixed store is
+    * deterministic from the documents table; the output is the cleanup
+    * verdict per point class: obsolete DATA urls get deleted, metadata
+    * points are kept even though their urls look obsolete. */
+  def metadataExclusion(s: SparkSession, dir: String): DataFrame = {
+    val dataPoints = chunksOf(storedDocs(s, dir))
+      .select(col("url")).withColumn("is_metadata", lit(false))
+    val metaPoints = Tables.documents(s, dir)
+      .filter(col("doc_id") % 25 === 0)
+      .select(concat(lit("metadata://etag:doc://"), col("doc_id")).as("url"))
+      .withColumn("is_metadata", lit(true))
+    val store = dataPoints.unionByName(metaPoints)
+    val visited = incomingDocs(s, dir)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+    val deleted = store.filter(!col("is_metadata")) // must_not is_metadata
+      .join(visited, Seq("url"), "left_anti")
+      .groupBy(col("url")).agg(count(lit(1)).as("n_points"))
+      .withColumn("category", lit("deleted"))
+    val kept = store.filter(col("is_metadata"))
+      .groupBy(col("url")).agg(count(lit(1)).as("n_points"))
+      .withColumn("category", lit("kept_metadata"))
+    deleted.unionByName(kept)
+      .select("category", "url", "n_points")
+      .orderBy("category", "url")
+  }
+
   /** Per-run counters (reference SourceRunStats, types.ts:158-190):
     * items_new/updated/unchanged/deleted + chunks_added/deleted. */
   def runCounters(s: SparkSession, dir: String): DataFrame = {
