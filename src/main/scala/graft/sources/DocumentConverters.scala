@@ -8,12 +8,14 @@ import graft.functions.{HtmlToMarkdown, TextUtil}
   * Text-borne formats (md/txt/html) convert for real, and so does every
   * piece of the binary formats' DEFINING logic: the PDF text-item →
   * line reconstruction (`pdfPageText`/`pdfMarkdown`, the reference's
-  * Y-delta heuristic over a pre-extracted text-run table) and the
-  * DOC/DOCX body normalization (`docBodyMarkdown`/`docxHtmlMarkdown`).
-  * Only the byte-level decode step (PDF.js / word-extractor / mammoth —
-  * native or JS libraries not in this offline build) is stubbed; a real
-  * decoder slots in front of these functions with no downstream change.
-  */
+  * Y-delta heuristic over a text-run table) and the DOC/DOCX body
+  * normalization (`docBodyMarkdown`/`docxHtmlMarkdown`). PDF byte
+  * decode is real for the format core (`PdfExtract`: object graph,
+  * FlateDecode, BT…ET text operators), with the labeled stub as the
+  * fallback for documents that yield no runs; DOC/DOCX byte decode
+  * (word-extractor / mammoth — JS libraries not in this offline build)
+  * stays stubbed, and a real decoder slots in front of these functions
+  * with no downstream change. */
 object DocumentConverters {
 
   private def titleOf(fileName: String): String = {
@@ -82,9 +84,11 @@ object DocumentConverters {
     (s"# ${titleOf(fileName)}\n\n" + HtmlToMarkdown.convert(html))
       .replaceAll("\n{3,}", "\n\n").trim
 
-  /** STUB PDF text extraction: deterministic page content derived from
-    * the payload hash, one `## Page N` section per simulated page
-    * (reference page headings: content-processor.ts:1489-1567). */
+  /** STUB PDF text extraction — the fallback when `PdfExtract` finds no
+    * text runs (encrypted/imagelike documents): deterministic page
+    * content derived from the payload hash, one `## Page N` section per
+    * simulated page (reference page headings:
+    * content-processor.ts:1489-1567). */
   def pdfToMarkdownStub(fileName: String, bytes: Array[Byte]): String = {
     val sha = TextUtil.sha256HexBytes(bytes)
     val pages = 1 + (bytes.length / 1024).min(4)
@@ -112,7 +116,9 @@ object DocumentConverters {
       lower.endsWith(".txt")) Some(text())
     else if (lower.endsWith(".html") || lower.endsWith(".htm"))
       Some(HtmlToMarkdown.convert(text()))
-    else if (lower.endsWith(".pdf")) Some(pdfToMarkdownStub(fileName, bytes))
+    else if (lower.endsWith(".pdf"))
+      Some(PdfExtract.pdfToMarkdown(fileName, bytes)
+        .getOrElse(pdfToMarkdownStub(fileName, bytes)))
     else if (lower.endsWith(".doc") || lower.endsWith(".docx"))
       Some(docToMarkdownStub(fileName, bytes))
     else None

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DocumentConverters, PdfExtract}
+
+/** Real PDF text extraction on hand-built documents: object graph +
+  * page tree + content-stream interpretation, uncompressed and
+  * FlateDecode, through the reference's Y-delta markdown
+  * reconstruction. */
+class PdfExtractSpec extends AnyFunSuite {
+
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    val in = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Assemble a minimal PDF: catalog, page tree, one page per content
+    * stream; `flate` compresses the streams. */
+  private def buildPdf(contents: Seq[String], flate: Boolean): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    val nPages = contents.length
+    val kidRefs = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w(s"2 0 obj << /Type /Pages /Kids [$kidRefs] /Count $nPages >> endobj\n")
+    contents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 3 + 2 * i
+      val streamNum = pageNum + 1
+      w(s"$pageNum 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/Contents $streamNum 0 R >> endobj\n")
+      val data =
+        if (flate) deflate(content)
+        else content.getBytes(latin1)
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      w(s"$streamNum 0 obj << /Length ${data.length}$filter >> stream\n")
+      out.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private val page1 =
+    """BT /F1 12 Tf 72 720 Td (Installation Guide) Tj
+      |0 -20 Td (Follow these steps to install.) Tj
+      |0 -20 Td (Then restart the service.) Tj ET""".stripMargin
+  private val page2 =
+    """BT 1 0 0 1 72 700 Tm (Second page content here.) Tj
+      |T* (Line after T-star.) Tj ET""".stripMargin
+
+  test("uncompressed two-page PDF extracts real text with page headings") {
+    val pdf = buildPdf(Seq(page1, page2), flate = false)
+    val md = DocumentConverters.convertFileToMarkdown("docs/guide.pdf", pdf)
+    assert(md.isDefined)
+    val m = md.get
+    assert(m.startsWith("# guide"))
+    assert(m.contains("## Page 1") && m.contains("## Page 2"))
+    assert(m.contains("Installation Guide"))
+    assert(m.contains("Follow these steps to install."))
+    assert(m.contains("Second page content here."))
+    assert(!m.contains("stub-extracted")) // the real path, not the stub
+  }
+
+  test("FlateDecode streams inflate via the JVM codec") {
+    val pdf = buildPdf(Seq(page1), flate = true)
+    val md = DocumentConverters.convertFileToMarkdown("a/b/x.pdf", pdf)
+    assert(md.isDefined && md.get.contains("Installation Guide"))
+    assert(!md.get.contains("## Page")) // single page: no page headings
+  }
+
+  test("Y-delta reconstruction separates lines; same-y runs join") {
+    // two runs at the same y (|dy|<=5) then one 20 below
+    val content =
+      "BT 72 700 Td (Hello) Tj 0 -2 Td (world) Tj 0 -20 Td (Next line) Tj ET"
+    val pdf = buildPdf(Seq(content), flate = false)
+    val runs = PdfExtract.extractRuns(pdf)
+    assert(runs.length == 1)
+    val text = DocumentConverters.pdfPageText(runs.head._2)
+    // pdfPageText collapses \s+ to ' ' after inserting breaks
+    assert(text == "Hello world Next line")
+  }
+
+  test("TJ arrays, escapes, and hex strings decode") {
+    val content =
+      """BT 72 700 Td [(Kerned ) -120 (pair)] TJ
+        |0 -20 Td (Escaped \(parens\) and \134 backslash) Tj
+        |0 -20 Td <48657821> Tj ET""".stripMargin
+    val pdf = buildPdf(Seq(content), flate = false)
+    val md = PdfExtract.pdfToMarkdown("t.pdf", pdf).get
+    assert(md.contains("Kerned pair"))
+    assert(md.contains("Escaped (parens) and \\ backslash"))
+    assert(md.contains("Hex!"))
+  }
+
+  test("non-PDF and textless payloads fall back to the stub") {
+    val junk = "not a pdf at all".getBytes
+    assert(PdfExtract.pdfToMarkdown("x.pdf", junk).isEmpty)
+    val md = DocumentConverters.convertFileToMarkdown("x.pdf", junk)
+    assert(md.isDefined && md.get.contains("stub-extracted"))
+    // structurally a PDF but no text operators -> stub path too
+    val empty = buildPdf(Seq("0 0 m 100 100 l S"), flate = false)
+    assert(PdfExtract.pdfToMarkdown("y.pdf", empty).isEmpty)
+  }
+}
