@@ -11,11 +11,11 @@ import graft.functions.{HtmlToMarkdown, TextUtil}
   * Y-delta heuristic over a text-run table) and the DOC/DOCX body
   * normalization (`docBodyMarkdown`/`docxHtmlMarkdown`). PDF byte
   * decode is real for the format core (`PdfExtract`: object graph,
-  * FlateDecode, BT…ET text operators), with the labeled stub as the
-  * fallback for documents that yield no runs; DOC/DOCX byte decode
-  * (word-extractor / mammoth — JS libraries not in this offline build)
-  * stays stubbed, and a real decoder slots in front of these functions
-  * with no downstream change. */
+  * FlateDecode, BT…ET text operators) and so is DOCX (`DocxExtract`:
+  * ZIP + word/document.xml through the mammoth-core tag mapping), each
+  * with the labeled stub as fallback for undecodable payloads; only
+  * legacy binary .doc (word-extractor's OLE2 walk) stays stubbed, and
+  * a real decoder slots in with no downstream change. */
 object DocumentConverters {
 
   private def titleOf(fileName: String): String = {
@@ -119,8 +119,10 @@ object DocumentConverters {
     else if (lower.endsWith(".pdf"))
       Some(PdfExtract.pdfToMarkdown(fileName, bytes)
         .getOrElse(pdfToMarkdownStub(fileName, bytes)))
-    else if (lower.endsWith(".doc") || lower.endsWith(".docx"))
-      Some(docToMarkdownStub(fileName, bytes))
+    else if (lower.endsWith(".docx"))
+      Some(DocxExtract.docxToMarkdown(fileName, bytes)
+        .getOrElse(docToMarkdownStub(fileName, bytes)))
+    else if (lower.endsWith(".doc")) Some(docToMarkdownStub(fileName, bytes))
     else None
   }
 }
