@@ -100,6 +100,7 @@ object SparkEntry {
     "ctl_log_retention"   -> ((s: SparkSession, d: String) =>
       Ingest.logRetention(s, d)),
     "sync_metadata_exclusion" -> (Sync.metadataExclusion _),
+    "ctl_run_stats"       -> (Ingest.runStatsDaily _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -1158,6 +1159,11 @@ object SparkEntry {
          SELECT run_id,
            coalesce(max(seq) FILTER (WHERE rn = 21), 0) AS tail_start_seq
          FROM r GROUP BY 1 ORDER BY 1""",
+    "ctl_run_stats" ->
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+           event_type AS status, count(*) AS n_runs,
+           round(avg(value), 4) AS avg_duration_s
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "ctl_log_retention" ->
       """WITH fin AS (
            SELECT user_id AS run_id, max(ts) AS finished_at

@@ -41,6 +41,11 @@ object CodeParsers {
       val stmts = pyStatements(source, mask, 0, source.length)
         .map { case (s, e) => pyNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
+    case "ruby" =>
+      val mask = codeMask(source, python = true) // #-comments, '"' strings
+      val stmts = rubyStatements(source, mask, 0, source.length)
+        .map { case (s, e) => rubyNode(source, mask, s, e) }
+      Some(CodeTree(0, source.length, stmts))
     case l if braceLangs(l) =>
       val mask = codeMask(source, python = false)
       val stmts = braceStatements(source, mask, 0, source.length)
@@ -342,5 +347,101 @@ object CodeParsers {
     var e = end
     while (e > start && src.charAt(e - 1).isWhitespace) e -= 1
     e
+  }
+
+  // ── Ruby (end-delimited suites) ───────────────────────────────────────
+
+  private val rubyAlwaysOpen = Set("def", "class", "module", "begin", "case")
+  private val rubyFirstOpen = Set("if", "unless", "while", "until", "for")
+
+  /** Net block-depth change of one line: `end` tokens close, opener
+    * keywords open (if/unless/while/until only in statement position —
+    * Ruby's modifier forms `x if cond` don't open a block), and a
+    * trailing-or-infix `do` opens its block. Tokens come from the
+    * lexical mask, so strings and comments can't shift depth. */
+  private def rubyLineDelta(masked: String): Int = {
+    val tokens = """[A-Za-z_]\w*[?!]?""".r.findAllIn(masked).toSeq
+    var delta = 0
+    tokens.zipWithIndex.foreach { case (t, idx) =>
+      t match {
+        case "end" => delta -= 1
+        case "do" => delta += 1
+        case k if rubyAlwaysOpen(k) => delta += 1
+        case k if rubyFirstOpen(k) && idx == 0 => delta += 1
+        case _ => ()
+      }
+    }
+    delta
+  }
+
+  /** Masked text of the line starting at `i` (masked-out chars become
+    * spaces), plus the line-end offset. */
+  private def maskedLine(src: String, mask: Array[Boolean], i: Int,
+      to: Int): (String, Int) = {
+    var j = i
+    val sb = new StringBuilder
+    while (j < to && src.charAt(j) != '\n') {
+      sb.append(if (mask(j)) src.charAt(j) else ' ')
+      j += 1
+    }
+    (sb.toString, j)
+  }
+
+  /** Split [from, to) into ruby statement spans: line groups that
+    * return to keyword-block depth 0 at a line end. */
+  private[operators] def rubyStatements(src: String, mask: Array[Boolean],
+      from: Int, to: Int): Seq[(Int, Int)] = {
+    val out = ArrayBuffer[(Int, Int)]()
+    var depth = 0
+    var stmtStart = -1
+    var lastNonWs = -1
+    var i = from
+    while (i < to) {
+      val (line, lineEnd) = maskedLine(src, mask, i, to)
+      var k = i
+      while (k < lineEnd) {
+        if (!src.charAt(k).isWhitespace) {
+          if (stmtStart < 0) stmtStart = k
+          lastNonWs = k
+        }
+        k += 1
+      }
+      depth += rubyLineDelta(line)
+      if (stmtStart >= 0 && depth <= 0) {
+        out += ((stmtStart, lastNonWs + 1)); stmtStart = -1; depth = 0
+      }
+      i = lineEnd + 1
+    }
+    if (stmtStart >= 0) out += ((stmtStart, lastNonWs + 1))
+    out.toSeq
+  }
+
+  /** One ruby statement: a multi-line keyword suite closed by a final
+    * `end` line gets header / body-statement / closer children. */
+  private def rubyNode(src: String, mask: Array[Boolean],
+      start: Int, end: Int): CodeTree = {
+    val (firstLine, firstEnd) = maskedLine(src, mask, start, end)
+    val word0 = """[A-Za-z_]\w*""".r.findFirstIn(firstLine)
+    val opens = word0.exists(w => rubyAlwaysOpen(w) || rubyFirstOpen(w))
+    if (!opens || firstEnd >= end) return CodeTree(start, end, Seq.empty)
+    // the final line must be the matching `end`
+    var lastLineStart = end - 1
+    while (lastLineStart > start && src.charAt(lastLineStart - 1) != '\n')
+      lastLineStart -= 1
+    val lastFirstWord = """[A-Za-z_]\w*""".r
+      .findFirstIn(maskedLine(src, mask, lastLineStart, end)._1)
+    if (!lastFirstWord.contains("end")) return CodeTree(start, end, Seq.empty)
+    val bodyStart = firstEnd + 1
+    // span of `end` starts at its first non-ws char (indent excluded)
+    var closerStart = lastLineStart
+    while (closerStart < end && src.charAt(closerStart).isWhitespace)
+      closerStart += 1
+    if (bodyStart >= lastLineStart) return CodeTree(start, end, Seq.empty)
+    val body = rubyStatements(src, mask, bodyStart, lastLineStart)
+      .map { case (s, e) => rubyNode(src, mask, s, e) }
+    if (body.isEmpty) CodeTree(start, end, Seq.empty)
+    else CodeTree(start, end,
+      CodeTree(start, firstEnd, Seq.empty) +: body :+
+        CodeTree(closerStart, end, Seq.empty))
   }
 }

@@ -338,6 +338,18 @@ object Ingest {
       .orderBy("run_id")
   }
 
+  /** Daily run counts by status + duration stats — the config stats
+    * page (getConfigStats daily, store.ts:285-299) for every day/status
+    * at once. avg is rounded to 4 decimals on both engines (double
+    * aggregate parity). */
+  def runStatsDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type").as("status"))
+      .agg(count(lit(1)).as("n_runs"),
+        round(avg(col("value")), 4).as("avg_duration_s"))
+      .orderBy("day", "status")
+
   /** Retention pruning (pruneOldLogs, store.ts:273-281): drop the logs
     * of runs that finished before the cutoff; reports lines pruned per
     * run (the reference returns the total rowCount — sum the column).

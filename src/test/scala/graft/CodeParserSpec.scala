@@ -653,6 +653,108 @@ fun gcd(a: Int, b: Int): Int {
       ("gcd", "fun gcd(", """return x\n\}""".r)))
   }
 
+  // ─── Ruby ───────────────────────────────────────────────────────────
+
+  test("RB: method definitions stay intact") {
+    val code = """
+def binary_search(arr, target)
+  low = 0
+  high = arr.length - 1
+  while low <= high
+    mid = (low + high) / 2
+    if arr[mid] == target
+      return mid
+    elsif arr[mid] < target
+      low = mid + 1
+    else
+      high = mid - 1
+    end
+  end
+  -1
+end
+
+def quick_sort(arr)
+  return arr if arr.length <= 1
+  pivot = arr[0]
+  left = arr[1..].select { |x| x <= pivot }
+  right = arr[1..].select { |x| x > pivot }
+  quick_sort(left) + [pivot] + quick_sort(right)
+end
+"""
+    assertBoundaryIntegrityRe(chunk("ruby", code, 400), Seq(
+      ("binary_search", "def binary_search(", """-1\nend""".r),
+      ("quick_sort", "def quick_sort(", """quick_sort\(right\)\nend""".r)))
+  }
+
+  test("RB: class methods stay intact when the class is split") {
+    val code = """
+class LinkedList
+  def initialize
+    @head = nil
+    @size = 0
+  end
+
+  def push(value)
+    node = Node.new(value, @head)
+    @head = node
+    @size += 1
+    self
+  end
+
+  def pop
+    raise "empty list" if @head.nil?
+    value = @head.value
+    @head = @head.next
+    @size -= 1
+    value
+  end
+
+  def length
+    @size
+  end
+end
+"""
+    assertBoundaryIntegrityRe(chunk("ruby", code, 200), Seq(
+      ("initialize", "def initialize", """@size = 0\n  end""".r),
+      ("push", "def push(value)", """self\n  end""".r),
+      ("pop", "def pop", """value\n  end""".r)))
+  }
+
+  // ─── C ──────────────────────────────────────────────────────────────
+
+  test("C: function definitions stay intact") {
+    val code = """
+#include <stdio.h>
+
+int factorial(int n) {
+    if (n <= 1) return 1;
+    int result = 1;
+    for (int i = 2; i <= n; i++) {
+        result *= i;
+    }
+    return result;
+}
+
+void swap(int *a, int *b) {
+    int temp = *a;
+    *a = *b;
+    *b = temp;
+}
+
+int main() {
+    printf("%d\n", factorial(5));
+    int x = 3, y = 7;
+    swap(&x, &y);
+    printf("%d %d\n", x, y);
+    return 0;
+}
+"""
+    assertBoundaryIntegrityRe(chunk("c", code, 250), Seq(
+      ("factorial", "int factorial(int n) {", """return result;\n\}""".r),
+      ("swap", "void swap(int *a, int *b) {", """\*b = temp;\n\}""".r),
+      ("main", "int main() {", """return 0;\n\}""".r)))
+  }
+
   // ─── JSON / CSS ─────────────────────────────────────────────────────
 
   test("JSON objects chunk without loss") {
