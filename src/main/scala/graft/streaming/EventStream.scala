@@ -45,6 +45,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Gap-based session windows per user — the streaming analog of the
+    * q15 batch sessionization: `session_window` merges events whose
+    * gaps stay under `gap` into one growing window, and the watermark
+    * closes (and evicts) sessions once event time passes their end —
+    * bounded state at any input volume, where a groupBy over a derived
+    * session id would buffer users forever. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming upsert sink: each micro-batch merges into the versioned
     * chunk store through `foreachBatch` — the same plan-level
     * upsert-by-url the batch path uses, applied per batch. Because the

@@ -48,6 +48,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("ctl_log_tail_seq reuses one exchange for window + aggregate") {
+    // row_number partitions by run_id and the groupBy keys on run_id:
+    // the aggregate must ride the window's hash partitioning, not add
+    // a second shuffle of the events table
+    val p = planOf("ctl_log_tail_seq")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${p.take(3000)}")
+  }
+
+  test("ctl_log_retention broadcasts the run-end dimension") {
+    val p = planOf("ctl_log_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("sync_metadata_exclusion has no cartesian join") {
+    val p = planOf("sync_metadata_exclusion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("emb_ann_ivf touches no KMeans/MLlib stage (pure arithmetic quantizer)") {
+    val p = planOf("emb_ann_ivf")
+    assert(!p.toLowerCase.contains("kmeans"), p.take(2000))
+  }
+
   test("q2 filters reach the lineitem scan") {
     val p = planOf("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))

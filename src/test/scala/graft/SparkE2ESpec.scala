@@ -161,6 +161,24 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap-merged sessions with bounded state") {
+    val tmp = java.nio.file.Files.createTempDirectory("evsess").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(500).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val q = EventStream.sessionWindows(
+        EventStream.readEvents(spark, tmp), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // session-window state machinery ran and holds bounded rows
+      assert(q.lastProgress != null)
+      val ops = q.lastProgress.stateOperators
+      assert(ops.nonEmpty && ops.head.operatorName.contains("sessionWindow"),
+        ops.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful streaming: per-user session state via flatMapGroupsWithState") {
     val tmp = java.nio.file.Files.createTempDirectory("evstate").toString
     Tables.events(spark, "/root/testdata/sf0.001")
