@@ -85,6 +85,75 @@ class ChunkerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grammar parsers: valid span trees and no content loss (all families)") {
+    import graft.operators.CodeParsers
+    import graft.operators.Chunker.CodeTree
+
+    def validTree(t: CodeTree, lo: Int, hi: Int): Unit = {
+      assert(t.start >= lo && t.end <= hi && t.start <= t.end,
+        s"span out of bounds: ${t.start}..${t.end} in $lo..$hi")
+      t.children.foreach(c => validTree(c, t.start, t.end))
+      // children are ordered and non-overlapping
+      t.children.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end <= b.start, s"overlap $a $b")
+        case _ => ()
+      }
+    }
+    def noWs(s: String): String = s.replaceAll("\\s+", "")
+
+    val braceGen: Gen[String] = Gen.chooseNum(1, 8).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1, 99)
+        b <- Gen.chooseNum(1, 4)
+      } yield s"function f$k() {\n" +
+        (1 to b).map(i => s"  const v$i = $i + $k;").mkString("\n") +
+        s"\n  return v1;\n}")
+    }.map(_.mkString("\n\n"))
+
+    val pyGen: Gen[String] = Gen.chooseNum(1, 8).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1, 99)
+        b <- Gen.chooseNum(1, 4)
+      } yield s"def f$k(x):\n" +
+        (1 to b).map(i => s"    y$i = x + $i").mkString("\n") +
+        "\n    return y1")
+    }.map(_.mkString("\n\n"))
+
+    val rbGen: Gen[String] = Gen.chooseNum(1, 8).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1, 99)
+        b <- Gen.chooseNum(1, 4)
+      } yield s"def f$k(x)\n" +
+        (1 to b).map(i => s"  y$i = x + $i").mkString("\n") +
+        "\n  y1\nend")
+    }.map(_.mkString("\n\n"))
+
+    for ((lang, gen) <- Seq(("typescript", braceGen), ("python", pyGen),
+      ("ruby", rbGen))) {
+      forAll(gen, n = 40) { code =>
+        val tree = CodeParsers.parse(lang, code).get
+        validTree(tree, 0, code.length)
+        for (size <- Seq(20, 60, 200, 5000)) {
+          val joined = Chunker.chunkTreeTexts(code, tree, size).mkString("\n")
+          assert(noWs(joined) == noWs(code),
+            s"$lang/$size lost content:\n$code\n----\n$joined")
+        }
+      }
+    }
+  }
+
+  test("grammar parsers survive arbitrary input without crashing") {
+    import graft.operators.CodeParsers
+    forAll(Gen.asciiPrintableStr, n = 150) { junk =>
+      for (lang <- Seq("typescript", "python", "ruby", "go", "json")) {
+        val tree = CodeParsers.parse(lang, junk)
+        assert(tree.isDefined)
+        // descent over the junk tree still terminates and emits
+        Chunker.chunkTreeTexts(junk, tree.get, 32)
+      }
+    }
+  }
+
   test("code chunker preserves every source line across pieces") {
     val codeGen: Gen[String] = Gen.chooseNum(1, 12).flatMap { n =>
       Gen.listOfN(n, Gen.chooseNum(1, 8).map { k =>
