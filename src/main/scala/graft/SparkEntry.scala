@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DocPipeline, Ingest, Relational, Similarity, Sync, TextAnalysis}
+import graft.operators.{Curation, Dedup, DocPipeline, Ingest, Relational, Similarity, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -104,7 +104,16 @@ object SparkEntry {
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
-      Similarity.annIvf(s, d))
+      Similarity.annIvf(s, d)),
+    "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
+      Similarity.annPq(s, d)),
+    "dedup_spans"         -> (Curation.spanDedup _),
+    "dedup_decontaminate" -> (Curation.decontaminate _),
+    "doc_rep_ngrams"      -> (Curation.repetitionSignals _),
+    "doc_domain_stats"    -> (Curation.domainMixture _),
+    "doc_sample_stratified" -> (Curation.stratifiedSample _),
+    "doc_pack_sequences"  -> (Curation.packSequences _),
+    "emb_quantize_int8"   -> (Similarity.quantizeInt8 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1190,6 +1199,176 @@ object SparkEntry {
          SELECT category, url, n_points
          FROM (SELECT * FROM del UNION ALL SELECT * FROM kept)
          ORDER BY category, url""")
+  ) ++ Map(
+    // ── Curation operators (pretraining dataset curation layer) ──────
+    "dedup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                     FROM documents),
+         p AS (SELECT doc_id, ws,
+                 unnest(range((len(ws)+${Curation.SpanWords - 1})
+                              //${Curation.SpanWords})) AS pos
+               FROM w),
+         segs AS (SELECT doc_id, pos,
+                    array_to_string(ws[pos*${Curation.SpanWords}+1 :
+                      pos*${Curation.SpanWords}+${Curation.SpanWords}],
+                      ' ') AS span
+                  FROM p),
+         h AS (SELECT doc_id, pos, span,
+                 ('0x'||substr(sha256(span),1,14))::BIGINT AS h FROM segs),
+         r AS (SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, pos) AS rn
+               FROM h)
+         SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           sha256(coalesce(string_agg(CASE WHEN rn=1 THEN span END,
+             ' ' ORDER BY pos), '')) AS kept_hash
+         FROM r GROUP BY 1 ORDER BY doc_id""",
+    "dedup_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= ${Curation.ContamN}),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(0, len(ws)-${Curation.ContamN - 1}),
+                 i -> array_to_string(ws[i+1 : i+${Curation.ContamN}],
+                   ' ')))) AS gram
+               FROM w),
+         e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         t AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM t JOIN e USING (gram) GROUP BY 1 ORDER BY doc_id""",
+    "doc_rep_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents
+                    WHERE len(string_split(text,' ')) >= 2),
+         g AS (SELECT doc_id, unnest(list_transform(range(0, len(ws)-1),
+                 i -> array_to_string(ws[i+1 : i+2], ' '))) AS gram
+               FROM w),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1,2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           (max(c) * 1000) // CAST(sum(c) AS BIGINT)
+             AS top_bigram_permille,
+           (count(*) * 1000) // CAST(sum(c) AS BIGINT)
+             AS distinct_bigram_permille,
+           ((max(c) * 1000) // CAST(sum(c) AS BIGINT)) <= 60 AS keep
+         FROM c GROUP BY 1 ORDER BY doc_id""",
+    "doc_domain_stats" ->
+      """WITH d AS (SELECT source, lang, (length(text)+3)//4 AS tok
+                    FROM documents),
+         p AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(tok) AS BIGINT) AS total_tokens,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+               FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(tok) AS BIGINT) AS grand_total FROM d)
+         SELECT source, n_docs, total_tokens, n_langs,
+           (total_tokens * 1000) // grand_total AS weight_permille
+         FROM p CROSS JOIN t ORDER BY source""",
+    "doc_sample_stratified" ->
+      """WITH x AS (SELECT doc_id, source,
+           CAST(CASE WHEN CAST(substr(source,4) AS INT) < 5 THEN 800
+                     WHEN CAST(substr(source,4) AS INT) < 15 THEN 300
+                     ELSE 100 END AS BIGINT) AS rate_permille,
+           ('0x'||substr(sha256('smp:'||doc_id),1,12))::BIGINT % 1000
+             AS bucket
+         FROM documents)
+         SELECT doc_id, source, rate_permille, bucket FROM x
+         WHERE bucket < rate_permille ORDER BY doc_id""",
+    "doc_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS n_tokens
+                     FROM documents),
+         w AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY doc_id) AS BIGINT) AS end_off
+               FROM d)
+         SELECT doc_id, source, n_tokens,
+           end_off - n_tokens AS start_off,
+           (end_off - n_tokens) // ${Curation.SeqLen} AS seq_first,
+           (end_off - 1) // ${Curation.SeqLen} AS seq_last,
+           (end_off - 1) // ${Curation.SeqLen}
+             - (end_off - n_tokens) // ${Curation.SeqLen} + 1 AS n_seqs
+         FROM w ORDER BY doc_id""",
+    "emb_ann_pq" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         -- codebooks: subvectors of the 16 seed embeddings (vec_id
+         -- 1..16), 8 subspaces x 8 dims. Every distance is
+         -- (dot(a,a) - 2*dot(a,b)) + dot(b,b) over list_dot_product's
+         -- left-to-right accumulation, and the ADC total is the
+         -- explicitly left-associated 8-term chain — bit-identical to
+         -- the Scala kernel's ascending loops (grouped sum() would be
+         -- order-unspecified and near-dup vectors share codes).
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND 16),
+         ms AS (SELECT unnest(range(0,8)) AS m),
+         d AS (
+           SELECT e.vec_id, ms.m, s.c,
+             (list_dot_product(e.emb[ms.m*8+1 : ms.m*8+8],
+                               e.emb[ms.m*8+1 : ms.m*8+8])
+              - 2 * list_dot_product(e.emb[ms.m*8+1 : ms.m*8+8],
+                                     s.cv[ms.m*8+1 : ms.m*8+8]))
+             + list_dot_product(s.cv[ms.m*8+1 : ms.m*8+8],
+                                s.cv[ms.m*8+1 : ms.m*8+8]) AS d2
+           FROM e CROSS JOIN ms CROSS JOIN seeds s),
+         codes AS (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d2 ASC, c) AS rn
+             FROM d WHERE vec_id != 0) WHERE rn = 1),
+         p AS (
+           SELECT vec_id,
+             max(CASE WHEN m=0 THEN c END) AS c0,
+             max(CASE WHEN m=1 THEN c END) AS c1,
+             max(CASE WHEN m=2 THEN c END) AS c2,
+             max(CASE WHEN m=3 THEN c END) AS c3,
+             max(CASE WHEN m=4 THEN c END) AS c4,
+             max(CASE WHEN m=5 THEN c END) AS c5,
+             max(CASE WHEN m=6 THEN c END) AS c6,
+             max(CASE WHEN m=7 THEN c END) AS c7
+           FROM codes GROUP BY 1),
+         t AS (SELECT m, c, d2 FROM d WHERE vec_id = 0),
+         adc AS (
+           SELECT p.vec_id,
+             ((((((t0.d2 + t1.d2) + t2.d2) + t3.d2) + t4.d2)
+               + t5.d2) + t6.d2) + t7.d2 AS adc
+           FROM p
+             JOIN t t0 ON t0.m=0 AND t0.c=p.c0
+             JOIN t t1 ON t1.m=1 AND t1.c=p.c1
+             JOIN t t2 ON t2.m=2 AND t2.c=p.c2
+             JOIN t t3 ON t3.m=3 AND t3.c=p.c3
+             JOIN t t4 ON t4.m=4 AND t4.c=p.c4
+             JOIN t t5 ON t5.m=5 AND t5.c=p.c5
+             JOIN t t6 ON t6.m=6 AND t6.c=p.c6
+             JOIN t t7 ON t7.m=7 AND t7.c=p.c7),
+         short AS (
+           SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id)
+               AS rn FROM adc) WHERE rn <= 50),
+         qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         scored AS (
+           SELECT sh.vec_id,
+             list_dot_product(qv, emb) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
+               AS cosine
+           FROM short sh JOIN e ON e.vec_id = sh.vec_id CROSS JOIN qv),
+         topk AS (
+           SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+             AS rank FROM scored)
+         SELECT rank, vec_id FROM topk WHERE rank <= 10 ORDER BY rank""",
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+           CAST(list_min(embedding) AS DOUBLE) AS vmin,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax, embedding
+         FROM embeddings)
+         SELECT vec_id, vmin, vmax,
+           array_to_string(list_transform(embedding, x ->
+             CAST(CASE WHEN vmax = vmin THEN 0
+                  ELSE least(floor((CAST(x AS DOUBLE) - vmin) * 255.0
+                                   / (vmax - vmin)), 255.0)
+                  END AS BIGINT)), ',') AS codes
+         FROM e ORDER BY vec_id"""
   )
 
   /** Shared CTE stack for the sync oracles: deterministic stored/incoming

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Dataset-curation operators for large-scale pretraining pipelines —
+  * the layer between raw ingested documents and the training mixture:
+  * global span-level dedup (C4-style, Raffel et al. 2020 §2.2),
+  * benchmark decontamination (GPT-3 appendix C n-gram overlap),
+  * repetition-based quality signals (Gopher, Rae et al. 2021 §A1.1),
+  * per-domain mixture statistics, deterministic stratified sampling
+  * (the mixture-weight executor), and sequence packing (concat-and-chunk
+  * as in GPT pretraining).
+  *
+  * Scale design (100 TB):
+  *   - span dedup: ONE shuffle keyed by span hash (the window) + one by
+  *     doc_id (reassembly) — the minimum for a global keep-first rule;
+  *     nothing is ever collected to the driver.
+  *   - decontamination: eval-set n-grams are tiny relative to the train
+  *     corpus by construction, so the overlap join broadcasts the eval
+  *     side — the 100 TB train side is never shuffled (plan-asserted).
+  *   - repetition/quality: explode + partial-aggregating groupBy keyed by
+  *     doc — map-side combine absorbs the per-gram fan-out.
+  *   - stratified sampling: a pure scan-side filter on a content-free
+  *     hash — ZERO shuffle, no sort, resumable and deterministic across
+  *     reruns/retries (plan-asserted shuffle-free).
+  *   - packing: windowed prefix-sum PARTITIONED BY the shard key
+  *     (source), never a global single-partition window.
+  *
+  * All hashes derive from sha256 hex prefixes so the DuckDB oracle
+  * reproduces them exactly; ratios use integer permille arithmetic.
+  */
+object Curation {
+
+  /** Words per dedup span (non-overlapping word windows). */
+  val SpanWords = 10
+
+  /** Decontamination n-gram order (13 in GPT-3's appendix C; 4 here so
+    * the ~55-word synthetic docs actually exhibit overlap). */
+  val ContamN = 4
+
+  /** Sequence length (est. BPE tokens) for packing. */
+  val SeqLen = 1024L
+
+  private def ws(c: Column): Column = split(c, " ")
+
+  /** Global span-level deduplication, the C4 rule lifted to a corpus
+    * without newlines: each document is cut into non-overlapping
+    * [[SpanWords]]-word spans; every span keeps only its FIRST occurrence
+    * corpus-wide (first = smallest (doc_id, position)); documents are
+    * reassembled from their surviving spans. Emits per-doc span counts
+    * and the sha256 of the reassembled text (empty string when nothing
+    * survives, matching the oracle's coalesce).
+    *
+    * Reference analog: the chunk-hash skip (doc2vec.ts:1606-1639)
+    * dedups within a URL; this is the corpus-global generalization a
+    * pretraining pipeline needs. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val spans = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, CAST((size(split(text,' ')) + ${SpanWords - 1})
+                               div $SpanWords AS INT) - 1),
+              j -> concat_ws(' ', slice(split(text,' '),
+                                        j * $SpanWords + 1, $SpanWords)))"""))
+        .as(Seq("pos", "span")))
+      .withColumn("h",
+        conv(substring(sha2(col("span"), 256), 1, 14), 16, 10).cast("long"))
+    // keep-first: rank occurrences of each distinct span by document
+    // order; rank 1 survives. Shuffle is keyed by the span hash, so each
+    // reducer sees one span's occurrence list — no global sort.
+    val ranked = spans.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+    ranked
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sha2(array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("span"))))),
+          x => x.getField("span")), " "), 256).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-[[ContamN]]-gram with the held-out evaluation slice (doc_id
+    * divisible by 97 stands in for the benchmark set). Emits one row per
+    * contaminated train doc with its distinct-shared-n-gram count — the
+    * GPT-3 appendix-C rule (13-grams there, scaled to this corpus's
+    * ~55-word docs).
+    *
+    * Scale: the eval set is small by construction (benchmarks are MBs,
+    * the corpus is TBs), so its distinct n-grams BROADCAST; the train
+    * side stays map-side only until the final per-doc count — asserted
+    * shuffle-shape in PlanAuditSpec. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(ws(col("text"))) >= ContamN) // sequence(0, <0) descends
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(split(text,' ')) - $ContamN),
+              i -> concat_ws(' ', slice(split(text,' '), i + 1, $ContamN)))""")))
+        .as("gram"))
+    val eval  = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
+    train
+      .join(broadcast(eval), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: fraction of word-bigram
+    * occurrences claimed by the single most frequent bigram (top-bigram
+    * coverage) and bigram vocabulary diversity, in integer permille; the
+    * keep rule mirrors Gopher's "top 2-gram fraction" cut (0.20 there;
+    * 0.06 here so both branches are exercised on this low-repetition
+    * synthetic corpus). One explode + one map-side-combining groupBy
+    * per doc. */
+  def repetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val bigrams = docs
+      .filter(size(ws(col("text"))) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(split(text,' ')) - 2),
+             i -> concat_ws(' ', slice(split(text,' '), i + 1, 2)))"""))
+        .as("gram"))
+    bigrams
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_c"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        expr("top_c * 1000 div n_bigrams").as("top_bigram_permille"),
+        expr("n_distinct_bigrams * 1000 div n_bigrams")
+          .as("distinct_bigram_permille"),
+        (expr("top_c * 1000 div n_bigrams") <= 60).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain mixture statistics: document counts, total estimated
+    * tokens, language spread, and each domain's token share of the
+    * corpus in permille — the table a mixture-weight tuner reads. The
+    * grand total is a one-row aggregate broadcast into the per-domain
+    * rows (never a second scan). Token estimate = (chars+3) div 4, the
+    * reference's ~4-chars/token embedding-cap rule (doc2vec.ts:2002). */
+  def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+    val total = docs.agg(sum(col("tok")).as("grand_total"))
+    perSource
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("n_langs"),
+        expr("total_tokens * 1000 div grand_total").as("weight_permille"))
+      .orderBy("source")
+  }
+
+  /** Deterministic stratified sampling — the mixture-weight executor:
+    * each source keeps rate‰ of its documents, selected by a sha256
+    * bucket of the doc id (content-free, so re-runs, retries, and other
+    * engines select the SAME sample — the property a 100 TB pipeline
+    * needs for resumability). Rates: src0-4 → 800‰, src5-14 → 300‰,
+    * rest → 100‰. Pure scan-side filter: ZERO shuffle (plan-asserted). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("src_idx",
+        expr("CAST(substring(source, 4) AS INT)"))
+      .withColumn("rate_permille",
+        when(col("src_idx") < 5, 800L)
+          .when(col("src_idx") < 15, 300L)
+          .otherwise(100L))
+      .withColumn("bucket",
+        conv(substring(sha2(concat(lit("smp:"),
+          col("doc_id").cast("string")), 256), 1, 12), 16, 10)
+          .cast("long") % 1000)
+      .filter(col("bucket") < col("rate_permille"))
+      .select("doc_id", "source", "rate_permille", "bucket")
+      .orderBy("doc_id")
+
+  /** Sequence packing (concat-and-chunk): documents are laid end-to-end
+    * in doc_id order WITHIN each source shard and cut every [[SeqLen]]
+    * estimated tokens; each doc reports its token offset and the
+    * [first, last] training-sequence indices it lands in. The prefix sum
+    * is a window PARTITIONED BY source — per-shard packing, exactly how
+    * a 1000-executor job packs without a global single-partition sort. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        expr(s"(end_off - n_tokens) div $SeqLen").as("seq_first"),
+        expr(s"(end_off - 1) div $SeqLen").as("seq_last"),
+        (expr(s"(end_off - 1) div $SeqLen")
+          - expr(s"(end_off - n_tokens) div $SeqLen") + 1L).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+}

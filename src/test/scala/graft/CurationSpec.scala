@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Curation, Similarity}
+
+/** Semantic invariants for the dataset-curation operators (the oracle
+  * gate checks exact values at sf0.01; these pin the properties that
+  * must survive ANY corpus). Runs at sf0.001. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("spanDedup: kept counts bounded; untouched docs rehash to their original text") {
+    val out = Curation.spanDedup(spark, dir)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val joined = out.join(docs, "doc_id")
+      .withColumn("orig_hash", sha2(col("text"), 256))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nSpans, nKept) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"))
+      assert(nKept >= 0 && nKept <= nSpans, s"doc ${r.getAs[Long]("doc_id")}")
+      // a doc whose every span survived reassembles to its exact text
+      if (nKept == nSpans)
+        assert(r.getAs[String]("kept_hash") == r.getAs[String]("orig_hash"),
+          s"doc ${r.getAs[Long]("doc_id")} reassembly drifted")
+    }
+    // global keep-first: total kept spans == distinct spans in the corpus
+    val distinctSpans = Curation.spanDedup(spark, dir)
+      .agg(sum("n_kept")).first().getLong(0)
+    val expected = docs
+      .selectExpr(s"""explode(transform(
+          sequence(0, CAST((size(split(text,' ')) + ${Curation.SpanWords - 1})
+                           div ${Curation.SpanWords} AS INT) - 1),
+          j -> concat_ws(' ', slice(split(text,' '),
+                                    j * ${Curation.SpanWords} + 1,
+                                    ${Curation.SpanWords})))) AS span""")
+      .distinct().count()
+    assert(distinctSpans == expected)
+  }
+
+  test("decontaminate: flags only train docs, with positive overlap counts") {
+    Curation.decontaminate(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0, "eval doc leaked into output")
+      assert(r.getAs[Long]("n_shared_ngrams") >= 1)
+    }
+  }
+
+  test("repetitionSignals: permille ranges and keep-rule consistency") {
+    val rows = Curation.repetitionSignals(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Long]("top_bigram_permille")
+      val dst = r.getAs[Long]("distinct_bigram_permille")
+      assert(top >= 0 && top <= 1000)
+      assert(dst >= 0 && dst <= 1000)
+      assert(r.getAs[Boolean]("keep") == (top <= 60))
+      assert(r.getAs[Long]("n_distinct_bigrams") <= r.getAs[Long]("n_bigrams"))
+    }
+  }
+
+  test("domainMixture: weights are a permille partition of the corpus") {
+    val rows = Curation.domainMixture(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("weight_permille")).sum
+    // floor rounding loses < 1 permille per source
+    assert(total <= 1000 && total > 1000 - rows.length,
+      s"sum of weights $total over ${rows.length} sources")
+  }
+
+  test("stratifiedSample: deterministic, rate-respecting, content-free") {
+    val a = Curation.stratifiedSample(spark, dir).collect()
+    val b = Curation.stratifiedSample(spark, dir).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq ==
+      b.map(_.getAs[Long]("doc_id")).toSeq, "sample not deterministic")
+    a.foreach(r => assert(
+      r.getAs[Long]("bucket") < r.getAs[Long]("rate_permille")))
+  }
+
+  test("packSequences: per-source offsets are contiguous and seq spans sane") {
+    val rows = Curation.packSequences(spark, dir).collect()
+      .groupBy(_.getAs[String]("source"))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_off") == off, "offset gap in packing")
+        off += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("seq_first") <= r.getAs[Long]("seq_last"))
+        assert(r.getAs[Long]("n_seqs") ==
+          r.getAs[Long]("seq_last") - r.getAs[Long]("seq_first") + 1)
+      }
+    }
+  }
+
+  test("quantizeInt8: codes span 0..255 and hit both range endpoints") {
+    val rows = Similarity.quantizeInt8(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(codes.length == 64)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      if (r.getAs[Double]("vmax") > r.getAs[Double]("vmin")) {
+        assert(codes.contains(0), "vmin dimension must map to code 0")
+        assert(codes.contains(255), "vmax dimension must map to code 255")
+      }
+    }
+  }
+}

@@ -78,4 +78,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
   }
+
+  test("doc_sample_stratified is shuffle-free (pure scan-side filter)") {
+    // the whole point of hash-bucket sampling: at 100 TB the sample is
+    // selected during the scan — no aggregation, no join, no hash
+    // exchange (the trailing orderBy is output ordering, not a shuffle
+    // of grouped state)
+    val p = planOf("doc_sample_stratified")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("dedup_decontaminate broadcasts the eval n-grams") {
+    // the train side (100 TB at scale) must never shuffle before the
+    // overlap join — only the tiny eval side moves
+    val p = planOf("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, // eval distinct + final per-doc count, nothing else
+      s"$exchanges exchanges:\n${p.take(3000)}")
+  }
+
+  test("dedup_spans shuffles exactly twice (span hash, then doc)") {
+    val p = planOf("dedup_spans")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"$exchanges exchanges:\n${p.take(3000)}")
+  }
+
+  test("doc_pack_sequences never plans a single-partition window") {
+    // packing partitions by the shard key; a global prefix-sum window
+    // (Exchange SinglePartition) would serialize the whole corpus
+    // through one task at 100 TB
+    val p = planOf("doc_pack_sequences")
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("emb_quantize_int8 is a zero-shuffle per-row map") {
+    val p = planOf("emb_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
 }

@@ -270,6 +270,31 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("PQ ANN recall >= 0.8 against exact top-10 over the same corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val exact = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val pq = Similarity.annPq(spark, dir, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8: $pq vs $exact")
+  }
+
   test("IVF build/probe: partition-pruned probe matches the inline plan") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
