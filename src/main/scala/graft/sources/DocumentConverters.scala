@@ -11,11 +11,12 @@ import graft.functions.{HtmlToMarkdown, TextUtil}
   * Y-delta heuristic over a text-run table) and the DOC/DOCX body
   * normalization (`docBodyMarkdown`/`docxHtmlMarkdown`). PDF byte
   * decode is real for the format core (`PdfExtract`: object graph,
-  * FlateDecode, BT…ET text operators) and so is DOCX (`DocxExtract`:
-  * ZIP + word/document.xml through the mammoth-core tag mapping), each
-  * with the labeled stub as fallback for undecodable payloads; only
-  * legacy binary .doc (word-extractor's OLE2 walk) stays stubbed, and
-  * a real decoder slots in with no downstream change. */
+  * FlateDecode, BT…ET text operators), so is DOCX (`DocxExtract`:
+  * ZIP + word/document.xml through the mammoth-core tag mapping), and
+  * so is legacy binary .doc (`DocExtract`: [MS-CFB] compound file +
+  * [MS-DOC] piece table, word-extractor's getBody() scope) — each with
+  * the labeled stub as fallback for undecodable payloads
+  * (encrypted/corrupt containers). */
 object DocumentConverters {
 
   private def titleOf(fileName: String): String = {
@@ -122,7 +123,9 @@ object DocumentConverters {
     else if (lower.endsWith(".docx"))
       Some(DocxExtract.docxToMarkdown(fileName, bytes)
         .getOrElse(docToMarkdownStub(fileName, bytes)))
-    else if (lower.endsWith(".doc")) Some(docToMarkdownStub(fileName, bytes))
+    else if (lower.endsWith(".doc"))
+      Some(DocExtract.docToMarkdown(fileName, bytes)
+        .getOrElse(docToMarkdownStub(fileName, bytes)))
     else None
   }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DocExtract, DocumentConverters}
+
+/** Byte-level tests for the legacy .doc extractor over handcrafted
+  * [MS-CFB]/[MS-DOC] fixtures: a piece-table document (compressed
+  * CP1252 + UTF-16 pieces behind a Prc block), the fcMin/fcMac legacy
+  * fallback, and the stub fallback for non-CFB payloads. */
+class DocExtractSpec extends AnyFunSuite {
+
+  private val Utf16 = java.nio.charset.StandardCharsets.UTF_16LE
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Minimal CFB container: 512-byte sectors, one FAT sector, one
+    * directory sector, streams stored in the regular FAT (each padded
+    * to >= 4096 bytes so the mini-stream cutoff doesn't apply). */
+  private def buildCfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val padded = streams.map { case (n, c) =>
+      val size = math.max(c.length, 4096)
+      val buf = java.util.Arrays.copyOf(c, ((size + 511) / 512) * 512)
+      (n, buf, size)
+    }
+    val dirSector = 1
+    var nextSector = 2
+    val starts = padded.map { case (_, buf, _) =>
+      val s = nextSector; nextSector += buf.length / 512; s
+    }
+    val out = new Array[Byte](512 * (nextSector + 1))
+    // header
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).zipWithIndex
+      .foreach { case (v, i) => out(i) = v.toByte }
+    putU16(out, 30, 9)  // 512-byte sectors
+    putU16(out, 32, 6)  // 64-byte mini sectors
+    putU32(out, 44, 1)  // one FAT sector
+    putU32(out, 48, dirSector)
+    putU32(out, 56, 4096)         // mini cutoff
+    putU32(out, 60, 0xFFFFFFFEL)  // no mini FAT
+    putU32(out, 68, 0xFFFFFFFEL)  // no DIFAT chain
+    putU32(out, 72, 0)
+    putU32(out, 76, 0)            // DIFAT[0]: FAT at sector 0
+    (1 until 109).foreach(i => putU32(out, 76 + 4 * i, 0xFFFFFFFFL))
+    // FAT (sector 0)
+    val fatOff = 512
+    (0 until 128).foreach(k => putU32(out, fatOff + 4 * k, 0xFFFFFFFFL))
+    putU32(out, fatOff, 0xFFFFFFFDL)                  // FAT marks itself
+    putU32(out, fatOff + 4 * dirSector, 0xFFFFFFFEL)  // one dir sector
+    padded.zip(starts).foreach { case ((_, buf, _), s) =>
+      val n = buf.length / 512
+      (0 until n).foreach { k =>
+        putU32(out, fatOff + 4 * (s + k),
+          if (k == n - 1) 0xFFFFFFFEL else (s + k + 1).toLong)
+      }
+    }
+    // directory (sector 1)
+    def dirEntry(idx: Int, name: String, typ: Int, start: Long,
+        size: Long): Unit = {
+      val off = 512 * (dirSector + 1) + 128 * idx
+      val nb = name.getBytes(Utf16)
+      System.arraycopy(nb, 0, out, off, nb.length)
+      putU16(out, off + 64, nb.length + 2)
+      out(off + 66) = typ.toByte
+      putU32(out, off + 116, start)
+      putU32(out, off + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5, 0xFFFFFFFEL, 0)
+    padded.zip(starts).zipWithIndex.foreach {
+      case (((name, _, size), s), i) => dirEntry(i + 1, name, 2, s, size) }
+    // stream payloads
+    padded.zip(starts).foreach { case ((_, buf, _), s) =>
+      System.arraycopy(buf, 0, out, 512 * (s + 1), buf.length) }
+    out
+  }
+
+  /** WordDocument stream skeleton: wIdent + table-stream flag. */
+  private def fibSkeleton(): Array[Byte] = {
+    val wd = new Array[Byte](4096)
+    putU16(wd, 0, 0xA5EC)
+    putU16(wd, 0x0A, 0) // fWhichTblStm = 0 → "0Table"
+    wd
+  }
+
+  test("piece-table doc: CP1252 + UTF-16 pieces, Prc skip, control-char cleanup") {
+    val wd = fibSkeleton()
+    // piece 1: compressed CP1252 at byte offset 1024 — includes the
+    // 0x99 high byte (™) and two paragraph marks
+    val t1 = "Hello legacy Word.".getBytes(Ascii) ++
+      Array(0x99.toByte, '\r'.toByte, '\r'.toByte)
+    System.arraycopy(t1, 0, wd, 1024, t1.length)
+    // piece 2: UTF-16LE at byte offset 2048 with non-Latin characters
+    val s2 = "Ünïcode – pièce"
+    val t2 = s2.getBytes(Utf16)
+    System.arraycopy(t2, 0, wd, 2048, t2.length)
+    // Clx in the 0Table stream at offset 64: a 4-byte Prc property
+    // block first (the parser must skip it), then the Pcdt
+    val tbl = new Array[Byte](4096)
+    var p = 64
+    tbl(p) = 0x01
+    putU16(tbl, p + 1, 4) // grpprl size
+    p += 3 + 4
+    tbl(p) = 0x02
+    val n = 2
+    val lcbPlc = 4 * (n + 1) + 8 * n
+    putU32(tbl, p + 1, lcbPlc)
+    val plc = p + 5
+    putU32(tbl, plc, 0)
+    putU32(tbl, plc + 4, t1.length.toLong)
+    putU32(tbl, plc + 8, (t1.length + s2.length).toLong)
+    val pcds = plc + 4 * (n + 1)
+    putU32(tbl, pcds + 2, (1024L * 2) | (1L << 30)) // compressed: fc = 2*off
+    putU32(tbl, pcds + 8 + 2, 2048L)                // utf-16: fc = off
+    val clxLen = (p + 5 + lcbPlc) - 64
+    putU32(wd, 0x01A2, 64)
+    putU32(wd, 0x01A6, clxLen.toLong)
+    val doc = buildCfb(Seq("WordDocument" -> wd, "0Table" -> tbl))
+    val md = DocExtract.docToMarkdown("docs/report.doc", doc)
+    assert(md.contains(
+      "# report\n\nHello legacy Word.™\n\nÜnïcode – pièce"))
+  }
+
+  test("legacy fcMin/fcMac doc without a piece table") {
+    val wd = fibSkeleton()
+    val body = "Plain old body text.\rSecond paragraph.".getBytes(Ascii)
+    System.arraycopy(body, 0, wd, 1024, body.length)
+    putU32(wd, 24, 1024L)                  // fcMin
+    putU32(wd, 28, 1024L + body.length)    // fcMac
+    val doc = buildCfb(Seq("WordDocument" -> wd)) // no table stream at all
+    val md = DocExtract.docToMarkdown("memo.doc", doc)
+    assert(md.contains(
+      "# memo\n\nPlain old body text.\nSecond paragraph."))
+  }
+
+  test("non-CFB and truncated payloads fall back to the labeled stub") {
+    assert(DocExtract.docToMarkdown("x.doc", "not a doc".getBytes).isEmpty)
+    assert(DocExtract.docToMarkdown("x.doc", Array.empty[Byte]).isEmpty)
+    val viaDispatcher = DocumentConverters
+      .convertFileToMarkdown("x.doc", "garbage".getBytes).get
+    assert(viaDispatcher.contains("stub-extracted"))
+  }
+
+  test("dispatcher routes a real .doc through the byte decoder") {
+    val wd = fibSkeleton()
+    val body = "Dispatcher path works.".getBytes(Ascii)
+    System.arraycopy(body, 0, wd, 1024, body.length)
+    putU32(wd, 24, 1024L)
+    putU32(wd, 28, 1024L + body.length)
+    val doc = buildCfb(Seq("WordDocument" -> wd))
+    val md = DocumentConverters.convertFileToMarkdown("a/b/note.doc", doc).get
+    assert(md == "# note\n\nDispatcher path works.")
+  }
+}
