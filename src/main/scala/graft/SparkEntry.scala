@@ -108,11 +108,14 @@ object SparkEntry {
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
       Similarity.annPq(s, d)),
     "dedup_spans"         -> (Curation.spanDedup _),
+    "dedup_spans_delta"   -> (Curation.spanDedupDelta _),
     "dedup_decontaminate" -> (Curation.decontaminate _),
     "doc_rep_ngrams"      -> (Curation.repetitionSignals _),
     "doc_domain_stats"    -> (Curation.domainMixture _),
     "doc_sample_stratified" -> (Curation.stratifiedSample _),
     "doc_pack_sequences"  -> (Curation.packSequences _),
+    "doc_keywords"        -> ((s: SparkSession, d: String) =>
+      TextAnalysis.keywords(s, d)),
     "emb_quantize_int8"   -> (Similarity.quantizeInt8 _)
   )
 
@@ -551,15 +554,20 @@ object SparkEntry {
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
                      FROM documents
                      WHERE len(string_split(text,' ')) >= 3),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
                   range(1, len(w)-1),
                   i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
                 FROM ws),
+         -- join key = 8-byte sha256 prefix, mirroring the engine's
+         -- shuffle-shrinking hash (identical hash ⇒ identical result)
+         sh AS (SELECT doc_id,
+                  ('0x'||substr(sha256(shingle),1,14))::BIGINT AS sh_h
+                FROM sh0),
          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS inter
                    FROM sh a JOIN sh b
-                     ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+                     ON a.sh_h=b.sh_h AND a.doc_id < b.doc_id
                    GROUP BY 1,2)
          SELECT doc_a, doc_b, inter,
            ca.n_sh + cb.n_sh - inter AS union_size
@@ -1224,6 +1232,36 @@ object SparkEntry {
            sha256(coalesce(string_agg(CASE WHEN rn=1 THEN span END,
              ' ' ORDER BY pos), '')) AS kept_hash
          FROM r GROUP BY 1 ORDER BY doc_id""",
+    "dedup_spans_delta" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+                     FROM documents),
+         p AS (SELECT doc_id, ws,
+                 unnest(range((len(ws)+${Curation.SpanWords - 1})
+                              //${Curation.SpanWords})) AS pos
+               FROM w),
+         segs AS (SELECT doc_id, pos,
+                    array_to_string(ws[pos*${Curation.SpanWords}+1 :
+                      pos*${Curation.SpanWords}+${Curation.SpanWords}],
+                      ' ') AS span
+                  FROM p),
+         hs AS (SELECT doc_id, pos,
+                  ('0x'||substr(sha256(span),1,14))::BIGINT AS h
+                FROM segs),
+         stored AS (SELECT DISTINCT h FROM hs WHERE doc_id % 3 <> 0),
+         inc AS (SELECT doc_id, pos, h FROM hs WHERE doc_id % 3 = 0),
+         r AS (SELECT i.doc_id, i.pos,
+                 (s.h IS NOT NULL) AS in_stored,
+                 row_number() OVER (PARTITION BY i.h
+                   ORDER BY i.doc_id, i.pos) AS rn
+               FROM inc i LEFT JOIN stored s ON i.h = s.h)
+         SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN in_stored THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_stored,
+           CAST(sum(CASE WHEN NOT in_stored AND rn > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped_dup,
+           CAST(sum(CASE WHEN NOT in_stored AND rn = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM r GROUP BY 1 ORDER BY doc_id""",
     "dedup_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
                      FROM documents
@@ -1288,6 +1326,22 @@ object SparkEntry {
            (end_off - 1) // ${Curation.SeqLen}
              - (end_off - n_tokens) // ${Curation.SeqLen} + 1 AS n_seqs
          FROM w ORDER BY doc_id""",
+    "doc_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1,2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             (tf.tf * 1000000) // df.df AS score
+           FROM tf JOIN df USING (term)),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rank
+           FROM scored)
+         SELECT doc_id, rank, term, tf, df, score FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "emb_ann_pq" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb

@@ -57,9 +57,10 @@ object Curation {
     * Reference analog: the chunk-hash skip (doc2vec.ts:1606-1639)
     * dedups within a URL; this is the corpus-global generalization a
     * pretraining pipeline needs. */
-  def spanDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val spans = docs
+  /** (doc_id, pos, span, h): the non-overlapping word spans of each
+    * document with their sha256-prefix hashes. */
+  private def spansOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
               sequence(0, CAST((size(split(text,' ')) + ${SpanWords - 1})
@@ -69,6 +70,10 @@ object Curation {
         .as(Seq("pos", "span")))
       .withColumn("h",
         conv(substring(sha2(col("span"), 256), 1, 14), 16, 10).cast("long"))
+
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val spans = spansOf(docs)
     // keep-first: rank occurrences of each distinct span by document
     // order; rank 1 survives. Shuffle is keyed by the span hash, so each
     // reducer sees one span's occurrence list — no global sort.
@@ -84,6 +89,41 @@ object Curation {
           array_sort(collect_list(when(col("rn") === 1,
             struct(col("pos"), col("span"))))),
           x => x.getField("span")), " "), 256).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental span dedup — [[spanDedup]] for the continuous-crawl
+    * case: an INCOMING batch (doc_id % 3 == 0 stands in for the new
+    * crawl) is deduped against the span-hash index of the STORED
+    * corpus (the rest), plus keep-first within the batch itself. Per
+    * incoming doc: spans dropped because the stored index already has
+    * them, spans dropped as within-batch later duplicates, spans kept.
+    *
+    * Scale: the stored side reduces to DISTINCT HASHES (8 bytes a
+    * span — an index, not the corpus); the marker join and the
+    * keep-first window both key on the span hash, so one
+    * hash-partitioning serves both and only the incoming batch ever
+    * carries text. This is the reference's chunk-hash skip
+    * (doc2vec.ts:1606-1639) promoted to corpus scope. */
+  def spanDedupDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val stored = spansOf(docs.filter(col("doc_id") % 3 =!= 0))
+      .select("h").distinct().withColumn("in_stored", lit(1L))
+    val incoming = spansOf(docs.filter(col("doc_id") % 3 === 0))
+    val rn = row_number().over(
+      Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos")))
+    incoming
+      .join(stored, Seq("h"), "left")
+      .withColumn("rn", rn)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("in_stored").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped_stored"),
+        sum(when(col("in_stored").isNull && col("rn") > 1, 1L)
+          .otherwise(0L)).as("n_dropped_dup"),
+        sum(when(col("in_stored").isNull && col("rn") === 1, 1L)
+          .otherwise(0L)).as("n_kept"))
       .orderBy("doc_id")
   }
 

@@ -113,12 +113,20 @@ object Dedup {
   def ngramJaccardDocs(docs: DataFrame,
       maxDocFreq: Option[Long] = None): DataFrame = {
     // checkpointed once: the postings feed both join sides and the
-    // per-doc counts — without it the shingle explode runs three times
-    val sh = cappedShingles(docs, maxDocFreq).localCheckpoint(true)
+    // per-doc counts — without it the shingle explode runs three times.
+    // The self-join keys on an 8-byte sha256-prefix of the shingle, not
+    // the ~25-byte string: at 100 TB the postings shuffle is the
+    // dominant cost and the hash key shrinks it ~3× (the oracle applies
+    // the identical hash, so any collision is shared by both engines).
+    val sh = cappedShingles(docs, maxDocFreq)
+      .select(col("doc_id"),
+        conv(substring(sha2(col("shingle"), 256), 1, 14), 16, 10)
+          .cast("long").as("sh_h"))
+      .localCheckpoint(true)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val inter = a.join(b, col("a.sh_h") === col("b.sh_h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

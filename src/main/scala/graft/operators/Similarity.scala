@@ -451,6 +451,65 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** One-time PQ index build: (vec_id, codes[8]) written to
+    * `indexDir` — 8 small ints per vector instead of 64 floats — with
+    * the seed centroids persisted beside it (`<indexDir>.centroids`),
+    * exactly like [[buildIvfIndex]]. At 100 TB the codes table is
+    * ~1/30th the bytes of the vectors: the ADC scan phase of every
+    * probe reads ONLY this table. */
+  def buildPqIndex(s: SparkSession, dir: String, indexDir: String): Unit = {
+    import s.implicits._
+    val seeds = ivfSeeds(s, dir, 16)
+    Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, pqEncode(emb, seeds)) }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(indexDir)
+    seeds.zipWithIndex.map { case (emb, c) => (c, emb) }.toSeq
+      .toDF("cell", "embedding")
+      .write.mode("overwrite").parquet(indexDir + ".centroids")
+  }
+
+  /** Probe a built PQ index: ADC-score the codes table (the only
+    * corpus-wide scan — 8 ints/vector), shortlist, then fetch JUST the
+    * shortlisted float vectors from the source table via an IN filter
+    * pushed to the parquet scan (a k-row driver list, not a join that
+    * would stream the whole vector table) and exact-re-rank. */
+  def probePq(s: SparkSession, indexDir: String, sourceDir: String,
+      queryVec: Array[Float], k: Int = 10, shortlist: Int = 50,
+      excludeId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val seeds = s.read.parquet(indexDir + ".centroids")
+      .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    val subDim = queryVec.length / PqM
+    val t = Array.tabulate(PqM, seeds.length)((m, c) =>
+      pqSubDist(queryVec, seeds(c), m, subDim))
+    val codes = s.read.parquet(indexDir).as[(Long, Array[Int])]
+    val scored = excludeId.fold(codes)(id => codes.filter(_._1 != id))
+      .map { case (id, cs) =>
+        var approx = 0.0
+        var m = 0
+        while (m < PqM) { approx += t(m)(cs(m)); m += 1 }
+        (id, approx)
+      }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(shortlist)
+    // the shortlist is k-scale driver metadata; an IN filter reaches
+    // the parquet scan so the vector fetch reads only matching row
+    // groups (plan-asserted in SparkE2ESpec)
+    val ids = scored.select("vec_id").as[Long].collect()
+    val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
+    Tables.embeddings(s, sourceDir)
+      .filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "cosine")
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector
     * min/max affine map onto 0..255 codes — the standard 4× memory cut
     * that lets a 100 TB ANN index stay RAM-resident (one double range

@@ -170,6 +170,33 @@ object TextAnalysis {
         "over_embed_cap")
       .orderBy("doc_id")
 
+  /** Keyword extraction: top-3 terms per document by a tf/df relevance
+    * score. Shapes exactly like distributed TF-IDF — per-doc term
+    * frequencies (map-side combinable groupBy), corpus document
+    * frequencies (second partial-agg groupBy), a hash join on the term
+    * key (shuffle ∝ postings, never per-doc fan-in), and a per-doc
+    * window for the top-k. Scoring is the integer ratio
+    * tf·1e6 div df — rank-equivalent to tf·idf under any monotone
+    * idf for a fixed corpus size, and exactly reproducible in SQL
+    * (ln() differs in final ulps across engines; an integer score
+    * cannot). */
+  def keywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprinting by winnowing: k-gram (k=8) rolling hashes
     * (sha256-prefix integers), window (w=4) minima, distinct minima form
     * the fingerprint set. Standard winnowing as in Schleimer et al.

@@ -51,6 +51,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(distinctSpans == expected)
   }
 
+  test("spanDedupDelta: drop reasons partition the span count; incoming docs only") {
+    val rows = Curation.spanDedupDelta(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 3 == 0, "stored doc leaked into output")
+      assert(r.getAs[Long]("n_spans") ==
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped_stored") +
+          r.getAs[Long]("n_dropped_dup"),
+        s"drop reasons don't partition doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("decontaminate: flags only train docs, with positive overlap counts") {
     Curation.decontaminate(spark, dir).collect().foreach { r =>
       assert(r.getAs[Long]("doc_id") % 97 != 0, "eval doc leaked into output")

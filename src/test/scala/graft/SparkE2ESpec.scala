@@ -295,6 +295,29 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"PQ recall $recall below 0.8: $pq vs $exact")
   }
 
+  test("PQ build/probe: codes-only scan + pushed-IN vector fetch match inline PQ") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString + "/pq"
+    Similarity.buildPqIndex(spark, dir, idx)
+    val qv = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .toArray
+    val probe = Similarity.probePq(spark, idx, dir, qv, k = 10,
+      excludeId = Some(0L))
+    val got = probe.collect().map(_.getAs[Long]("vec_id")).toSet
+    val inline = Similarity.annPq(spark, dir, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got == inline, s"probe $got != inline $inline")
+    // the vector fetch must push the shortlist IN filter to the scan
+    val leaves = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("PushedFilters: [In(vec_id"), leaves.take(2000))
+    // and the codes scan must never read a float vector column
+    val codesScan = spark.read.parquet(idx)
+    assert(!codesScan.schema.fieldNames.contains("embedding"))
+  }
+
   test("IVF build/probe: partition-pruned probe matches the inline plan") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
