@@ -59,7 +59,7 @@ object Curation {
     * pretraining pipeline needs. */
   /** (doc_id, pos, span, h): the non-overlapping word spans of each
     * document with their sha256-prefix hashes. */
-  private def spansOf(docs: DataFrame): DataFrame =
+  private[graft] def spansOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(expr(
         s"""transform(

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import graft.operators.Curation
+
+/** Streaming dataset curation: the batch Curation operators applied to
+  * a continuous document feed. The quality gate and the hash-bucket
+  * sample are STATELESS column filters (they stream with zero state by
+  * construction — the same property that makes them shuffle-free in
+  * batch); corpus-global span dedup is the one genuinely stateful step,
+  * and its state is the persisted span-hash INDEX (8 bytes per span),
+  * maintained per micro-batch through foreachBatch — the
+  * [[Curation.spanDedupDelta]] semantics, applied incrementally.
+  *
+  * Idempotence: re-delivery of a batch re-appends hashes the index
+  * already holds; the dedup anti-join is insensitive to duplicate index
+  * rows, so at-least-once delivery converges to the same kept set (the
+  * same contract as EventStream.upsertStream).
+  */
+object CurationStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  /** File-source stream over a documents directory. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Stateless curation gate: minimum word count plus the
+    * deterministic sha-bucket sample at `ratePermille` — content-free,
+    * so re-delivered documents always gate the same way. */
+  def gate(docs: DataFrame, minWords: Int = 20,
+      ratePermille: Int = 1000): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= minWords)
+      .filter(
+        conv(substring(sha2(concat(lit("smp:"),
+          col("doc_id").cast("string")), 256), 1, 12), 16, 10)
+          .cast("long") % 1000 < ratePermille)
+
+  /** One micro-batch of incremental span dedup against the persisted
+    * index at `indexDir`: documents whose every span is already indexed
+    * (or duplicated earlier in the batch) drop; surviving documents are
+    * appended to `keptDir` with their new-span count, and the new
+    * hashes are appended to the index. Exposed for direct testing. */
+  private[graft] def dedupBatch(batch: DataFrame, indexDir: String,
+      keptDir: String): Unit = {
+    val s = batch.sparkSession
+    val spans = Curation.spansOf(batch.select("doc_id", "text"))
+      .localCheckpoint(true) // feeds the join twice; don't re-explode
+    val stored =
+      try s.read.parquet(indexDir).select("h").withColumn("in_stored", lit(1L))
+      catch { case _: Exception => // first batch: no index yet
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("h", LongType),
+            StructField("in_stored", LongType))))
+      }
+    val marked = spans
+      .join(stored, Seq("h"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+          .orderBy(col("doc_id"), col("pos"))))
+      .withColumn("is_new",
+        col("in_stored").isNull && col("rn") === 1)
+      .localCheckpoint(true) // feeds kept-docs and index append
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_spans"))
+      .filter(col("n_new_spans") > 0)
+    perDoc
+      .join(batch, Seq("doc_id"))
+      .select("doc_id", "source", "n_new_spans")
+      .write.mode("append").parquet(keptDir)
+    marked.filter(col("is_new")).select("h")
+      .write.mode("append").parquet(indexDir)
+  }
+
+  /** The full streaming pipeline: gate → per-batch span dedup →
+    * kept-docs sink + index maintenance. Returns the started query;
+    * callers own its lifecycle. */
+  def curateStream(docs: DataFrame, indexDir: String, keptDir: String,
+      checkpointDir: String): StreamingQuery =
+    gate(docs).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          dedupBatch(batch.toDF(), indexDir, keptDir)
+          ()
+      }
+      .start()
+}

@@ -270,6 +270,42 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("streaming curation: gate filters, span index dedups across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.CurationStream
+    val base = java.nio.file.Files.createTempDirectory("curstream")
+    val in = base.resolve("in").toString
+    val idx = base.resolve("idx").toString
+    val kept = base.resolve("kept").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(in).mkdirs()
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")   // 30 words
+    val other = (31 to 60).map(i => s"w$i").mkString(" ")
+    def stage(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    // batch 1: one normal doc, one too short for the gate
+    stage("b1", Seq((1L, words, "src1"), (2L, "too short", "src1")))
+    val q = CurationStream.curateStream(
+      CurationStream.readDocs(spark, s"$in/*"), idx, kept, ckpt)
+    try {
+      q.processAllAvailable()
+      val k1 = spark.read.parquet(kept).collect()
+      assert(k1.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+        "gate should drop the short doc; doc 1 should survive")
+      // batch 2: doc 1's text re-sent under a new id (pure duplicate →
+      // dropped), plus one genuinely new doc
+      stage("b2", Seq((3L, words, "src2"), (4L, other, "src2")))
+      q.processAllAvailable()
+      val k2 = spark.read.parquet(kept).collect()
+      assert(k2.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L),
+        s"re-sent content must dedup against the index: ${k2.toSeq}")
+      // the index holds each span hash exactly once per first sighting
+      val nHashes = spark.read.parquet(idx).distinct().count()
+      assert(nHashes == 6, s"3 spans per kept doc x 2 docs, got $nHashes")
+    } finally q.stop()
+  }
+
   test("PQ ANN recall >= 0.8 against exact top-10 over the same corpus") {
     val dir = "/root/testdata/sf0.001"
     val all = graft.Tables.embeddings(spark, dir)
