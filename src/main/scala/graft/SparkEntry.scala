@@ -1303,13 +1303,18 @@ object SparkEntry {
            (total_tokens * 1000) // grand_total AS weight_permille
          FROM p CROSS JOIN t ORDER BY source""",
     "doc_sample_stratified" ->
-      """WITH x AS (SELECT doc_id, source,
-           CAST(CASE WHEN CAST(substr(source,4) AS INT) < 5 THEN 800
-                     WHEN CAST(substr(source,4) AS INT) < 15 THEN 300
+      """WITH ix AS (SELECT doc_id, source,
+           CAST(coalesce(nullif(
+             regexp_extract(source, 'src([0-9]+)', 1), ''), '9999') AS INT)
+             AS src_idx
+         FROM documents),
+         x AS (SELECT doc_id, source,
+           CAST(CASE WHEN src_idx < 5 THEN 800
+                     WHEN src_idx < 15 THEN 300
                      ELSE 100 END AS BIGINT) AS rate_permille,
            ('0x'||substr(sha256('smp:'||doc_id),1,12))::BIGINT % 1000
              AS bucket
-         FROM documents)
+         FROM ix)
          SELECT doc_id, source, rate_permille, bucket FROM x
          WHERE bucket < rate_permille ORDER BY doc_id""",
     "doc_pack_sequences" ->

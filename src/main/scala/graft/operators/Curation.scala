@@ -213,24 +213,35 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The deterministic sampling bucket: sha256 of the salted doc id →
+    * 0..999. Content-free, so re-runs, retries, the streaming gate
+    * (CurationStream), and other engines select the SAME sample — the
+    * single definition both batch and streaming paths share (salt,
+    * prefix length, and modulus must never diverge between them). */
+  private[graft] def shaBucket(docId: Column): Column =
+    conv(substring(sha2(concat(lit("smp:"),
+      docId.cast("string")), 256), 1, 12), 16, 10)
+      .cast("long") % 1000
+
   /** Deterministic stratified sampling — the mixture-weight executor:
     * each source keeps rate‰ of its documents, selected by a sha256
-    * bucket of the doc id (content-free, so re-runs, retries, and other
-    * engines select the SAME sample — the property a 100 TB pipeline
-    * needs for resumability). Rates: src0-4 → 800‰, src5-14 → 300‰,
-    * rest → 100‰. Pure scan-side filter: ZERO shuffle (plan-asserted). */
+    * bucket of the doc id ([[shaBucket]]). Rates: src0-4 → 800‰,
+    * src5-14 → 300‰, everything else — including sources outside the
+    * srcN shape, whose index extraction yields the non-matching
+    * sentinel rather than a silent NULL — → 100‰. Pure scan-side
+    * filter: ZERO shuffle (plan-asserted). */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("src_idx",
-        expr("CAST(substring(source, 4) AS INT)"))
+      // total parse: non-srcN names extract '' → sentinel 9999 → the
+      // default rate, identically in Spark and the oracle (a bare CAST
+      // is NULL in Spark but an ERROR in DuckDB)
+      .withColumn("src_idx", expr(
+        "CAST(coalesce(nullif(regexp_extract(source, 'src([0-9]+)', 1), ''), '9999') AS INT)"))
       .withColumn("rate_permille",
         when(col("src_idx") < 5, 800L)
           .when(col("src_idx") < 15, 300L)
           .otherwise(100L))
-      .withColumn("bucket",
-        conv(substring(sha2(concat(lit("smp:"),
-          col("doc_id").cast("string")), 256), 1, 12), 16, 10)
-          .cast("long") % 1000)
+      .withColumn("bucket", shaBucket(col("doc_id")))
       .filter(col("bucket") < col("rate_permille"))
       .select("doc_id", "source", "rate_permille", "bucket")
       .orderBy("doc_id")

@@ -32,16 +32,15 @@ object CurationStream {
     spark.readStream.schema(docSchema).parquet(dir)
 
   /** Stateless curation gate: minimum word count plus the
-    * deterministic sha-bucket sample at `ratePermille` — content-free,
-    * so re-delivered documents always gate the same way. */
+    * deterministic sha-bucket sample at `ratePermille` — the SAME
+    * bucket definition as the batch Curation.stratifiedSample, so the
+    * streaming gate selects exactly the sample the batch operator
+    * would, and re-delivered documents always gate the same way. */
   def gate(docs: DataFrame, minWords: Int = 20,
       ratePermille: Int = 1000): DataFrame =
     docs
       .filter(size(split(col("text"), " ")) >= minWords)
-      .filter(
-        conv(substring(sha2(concat(lit("smp:"),
-          col("doc_id").cast("string")), 256), 1, 12), 16, 10)
-          .cast("long") % 1000 < ratePermille)
+      .filter(Curation.shaBucket(col("doc_id")) < ratePermille)
 
   /** One micro-batch of incremental span dedup against the persisted
     * index at `indexDir`: documents whose every span is already indexed
@@ -52,14 +51,20 @@ object CurationStream {
       keptDir: String): Unit = {
     val s = batch.sparkSession
     val spans = Curation.spansOf(batch.select("doc_id", "text"))
-      .localCheckpoint(true) // feeds the join twice; don't re-explode
+    // only a genuinely-absent index means "first batch" — any OTHER
+    // read failure (IO error, corrupt file) must propagate and fail
+    // the batch, or dedup silently turns off and duplicate docs land
+    // permanently in the append-only kept sink
+    val indexExists = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(indexDir))
     val stored =
-      try s.read.parquet(indexDir).select("h").withColumn("in_stored", lit(1L))
-      catch { case _: Exception => // first batch: no index yet
+      if (indexExists)
+        s.read.parquet(indexDir).select("h").withColumn("in_stored", lit(1L))
+      else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("h", LongType),
             StructField("in_stored", LongType))))
-      }
     val marked = spans
       .join(stored, Seq("h"), "left")
       .withColumn("rn", row_number().over(
