@@ -246,6 +246,67 @@ object Curation {
       .select("doc_id", "source", "rate_permille", "bucket")
       .orderBy("doc_id")
 
+  /** The curation FUNNEL: one report row per pipeline stage with the
+    * surviving document and token counts after cumulative application
+    * of quality filtering → near-duplicate removal (SimHash pairs,
+    * larger doc of each pair drops) → benchmark decontamination (the
+    * eval slice and everything overlapping it) → stratified sampling.
+    * This is the end-to-end composition of the individually-verified
+    * stages — the one table a pipeline owner actually watches.
+    *
+    * Scale: per-doc flags are computed in ONE pass (the near-dup and
+    * contamination id sets arrive as left joins); the five stage totals
+    * come from a single conditional aggregation unpivoted with stack —
+    * no per-stage rescans. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+    val nearDup = Dedup.simhashPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    val contam = decontaminate(s, dir)
+      .select("doc_id").withColumn("is_contam", lit(1L))
+    val flags = docs
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("q", expr(
+        """size(split(text,' ')) >= 20 AND length(text) >= 100 AND
+           size(array_distinct(split(text,' '))) * 1000
+             div size(split(text,' ')) >= 300"""))
+      .withColumn("d", col("is_dup").isNull)
+      .withColumn("c",
+        col("is_contam").isNotNull || col("doc_id") % 97 === 0)
+      .withColumn("src_idx", expr(
+        "CAST(coalesce(nullif(regexp_extract(source, 'src([0-9]+)', 1), ''), '9999') AS INT)"))
+      .withColumn("rate",
+        when(col("src_idx") < 5, 800L).when(col("src_idx") < 15, 300L)
+          .otherwise(100L))
+      .withColumn("smp", shaBucket(col("doc_id")) < col("rate"))
+    flags
+      .agg(
+        count(lit(1)).as("d1"), sum(col("tok")).as("t1"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("q"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("q") && col("d"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("q") && col("d"), col("tok")).otherwise(0L)).as("t3"),
+        sum(when(col("q") && col("d") && !col("c"), 1L).otherwise(0L))
+          .as("d4"),
+        sum(when(col("q") && col("d") && !col("c"), col("tok"))
+          .otherwise(0L)).as("t4"),
+        sum(when(col("q") && col("d") && !col("c") && col("smp"), 1L)
+          .otherwise(0L)).as("d5"),
+        sum(when(col("q") && col("d") && !col("c") && col("smp"),
+          col("tok")).otherwise(0L)).as("t5"))
+      .selectExpr(
+        """stack(5,
+             '1_ingested', d1, t1,
+             '2_quality', d2, t2,
+             '3_near_dedup', d3, t3,
+             '4_decontaminated', d4, t4,
+             '5_sampled', d5, t5) AS (stage, n_docs, n_tokens)""")
+      .orderBy("stage")
+  }
+
   /** Sequence packing (concat-and-chunk): documents are laid end-to-end
     * in doc_id order WITHIN each source shard and cut every [[SeqLen]]
     * estimated tokens; each doc reports its token offset and the

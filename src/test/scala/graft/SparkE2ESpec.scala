@@ -270,6 +270,42 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("mediaMeta dispatches on real container headers per payload kind") {
+    import spark.implicits._
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le32(v: Int) = be32(v).reverse
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes ++ be32(320) ++
+      be32(200) ++ Array[Byte](8, 2, 0, 0, 0)
+    val wavB = "RIFF".getBytes ++ le32(36 + 16000) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++ le32(16000)
+    val mp4B = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++
+      be32(8 + 108) ++ "moov".getBytes ++
+      be32(108) ++ "mvhd".getBytes ++ Array.fill[Byte](4)(0) ++
+      be32(0) ++ be32(0) ++ be32(90000) ++ be32(450000) ++
+      Array.fill[Byte](108 - 32)(0)
+    val rows = Seq(
+      ("a.png", "image/png", png),
+      ("b.wav", "audio/wav", wavB),
+      ("c.mp4", "video/mp4", mp4B),
+      ("d.bin", "application/octet-stream", "whatever".getBytes))
+      .toDF("path", "mime", "content")
+    val out = graft.operators.Multimodal.mediaMeta(spark, rows)
+      .collect().map(r => r.getAs[String]("path") -> r).toMap
+    assert(out("a.png").getAs[String]("kind") == "image")
+    assert(out("a.png").getAs[Int]("width") == 320)
+    assert(out("b.wav").getAs[String]("kind") == "audio")
+    assert(out("b.wav").getAs[Int]("sample_rate") == 8000)
+    assert(out("b.wav").getAs[Long]("duration_ms") == 1000L)
+    assert(out("c.mp4").getAs[String]("kind") == "video")
+    assert(out("c.mp4").getAs[Long]("duration_ms") == 5000L)
+    assert(out("d.bin").getAs[String]("kind") == "opaque")
+    assert(out("d.bin").isNullAt(out("d.bin").fieldIndex("width")))
+  }
+
   test("streaming curation: gate filters, span index dedups across micro-batches") {
     import spark.implicits._
     import graft.streaming.CurationStream
