@@ -117,6 +117,7 @@ object SparkEntry {
     "doc_keywords"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.keywords(s, d)),
     "curation_funnel"     -> (Curation.funnel _),
+    "doc_sample_balanced" -> (Curation.balancedSample _),
     "emb_quantize_int8"   -> (Similarity.quantizeInt8 _)
   )
 
@@ -1332,6 +1333,22 @@ object SparkEntry {
            (end_off - 1) // ${Curation.SeqLen}
              - (end_off - n_tokens) // ${Curation.SeqLen} + 1 AS n_seqs
          FROM w ORDER BY doc_id""",
+    "doc_sample_balanced" ->
+      """WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS tok
+                    FROM documents),
+         p AS (SELECT source, CAST(sum(tok) AS BIGINT) AS src_tokens
+               FROM d GROUP BY 1),
+         m AS (SELECT min(src_tokens) AS min_tokens FROM p),
+         rates AS (SELECT source,
+             least(1000, (min_tokens * 1000) // src_tokens)
+               AS rate_permille
+           FROM p CROSS JOIN m),
+         x AS (SELECT d.doc_id, d.source, r.rate_permille,
+             ('0x'||substr(sha256('smp:'||d.doc_id),1,12))::BIGINT % 1000
+               AS bucket
+           FROM d JOIN rates r ON d.source = r.source)
+         SELECT doc_id, source, rate_permille, bucket FROM x
+         WHERE bucket < rate_permille ORDER BY doc_id""",
     "curation_funnel" ->
       """WITH d AS (SELECT doc_id, source, text, (length(text)+3)//4 AS tok
                     FROM documents),

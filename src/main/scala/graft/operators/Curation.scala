@@ -246,6 +246,34 @@ object Curation {
       .select("doc_id", "source", "rate_permille", "bucket")
       .orderBy("doc_id")
 
+  /** Balanced sampling — [[stratifiedSample]] with the rates DERIVED
+    * from the corpus instead of configured: every source downsamples
+    * to the smallest source's token count (rate‰ = min_tokens·1000
+    * div source_tokens, so the smallest source keeps everything),
+    * closing the mixture-control loop from [[domainMixture]].
+    *
+    * Scale: one stats pass (two-level agg + 1-row min broadcast), then
+    * the 20-row rate table BROADCASTS onto the document scan — the
+    * 100 TB side is filtered in place, never shuffled
+    * (plan-asserted). */
+  def balancedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(col("tok")).as("src_tokens"))
+    val minTok = perSource.agg(min(col("src_tokens")).as("min_tokens"))
+    val rates = perSource.crossJoin(broadcast(minTok))
+      .select(col("source"),
+        least(lit(1000L), expr("min_tokens * 1000 div src_tokens"))
+          .as("rate_permille"))
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", shaBucket(col("doc_id")))
+      .filter(col("bucket") < col("rate_permille"))
+      .select("doc_id", "source", "rate_permille", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** The curation FUNNEL: one report row per pipeline stage with the
     * surviving document and token counts after cumulative application
     * of quality filtering → near-duplicate removal (SimHash pairs,

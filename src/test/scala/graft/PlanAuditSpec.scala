@@ -114,6 +114,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("doc_sample_balanced broadcasts the derived rate table onto the scan") {
+    // the stats pass may shuffle its 20-row aggregates; the document
+    // scan itself must meet the rates via broadcast, never sort-merge
+    val p = planOf("doc_sample_balanced")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("emb_quantize_int8 is a zero-shuffle per-row map") {
     val p = planOf("emb_quantize_int8")
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
