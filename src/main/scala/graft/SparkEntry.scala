@@ -118,6 +118,10 @@ object SparkEntry {
       TextAnalysis.keywords(s, d)),
     "curation_funnel"     -> (Curation.funnel _),
     "doc_sample_balanced" -> (Curation.balancedSample _),
+    // rows-only by declaration: BPE's iterative greedy merge isn't
+    // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
+    "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenCountBpe(s, d)),
     "emb_quantize_int8"   -> (Similarity.quantizeInt8 _)
   )
 

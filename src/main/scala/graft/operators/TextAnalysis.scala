@@ -170,6 +170,44 @@ object TextAnalysis {
         "over_embed_cap")
       .orderBy("doc_id")
 
+  /** REAL BPE token counting: merges trained once on a deterministic
+    * driver-side sample (doc_id < 50 — tokenizer training is a bounded
+    * one-time artifact, the standard practice), encoding distributed as
+    * a per-partition kernel with the merge table riding the closure and
+    * the rank map + word cache built once per partition. Declared
+    * no-oracle (BPE's iterative greedy merge isn't SQL-expressible);
+    * the companion BpeTokenizerSpec pins train/encode/decode semantics
+    * instead. */
+  def tokenCountBpe(s: SparkSession, dir: String,
+      numMerges: Int = 200): DataFrame = {
+    import s.implicits._
+    import graft.functions.BpeTokenizer
+    val sample = Tables.documents(s, dir)
+      .filter(col("doc_id") < 50).orderBy("doc_id")
+      .select("text").as[String].collect()
+    val merges = BpeTokenizer.train(sample, numMerges)
+    Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = merges.iterator.zipWithIndex.toMap
+        val cache = scala.collection.mutable
+          .HashMap.empty[String, Vector[String]]
+        it.map { case (id, text) =>
+          var n = 0L
+          val first = Vector.newBuilder[String]
+          text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+            val toks = cache.getOrElseUpdate(w,
+              BpeTokenizer.encodeWord(w, rank))
+            if (n < 5) first ++= toks.take(5 - n.toInt)
+            n += toks.length
+          }
+          (id, n, first.result().take(5).mkString("|"))
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens", "first_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Keyword extraction: top-3 terms per document by a tf/df relevance
     * score. Shapes exactly like distributed TF-IDF — per-doc term
     * frequencies (map-side combinable groupBy), corpus document
