@@ -223,24 +223,27 @@ object Curation {
       docId.cast("string")), 256), 1, 12), 16, 10)
       .cast("long") % 1000
 
+  /** Total parse of the source shard index: non-srcN names extract ''
+    * → sentinel 9999 → the default rate branch, identically in Spark
+    * and the oracle (a bare CAST is NULL in Spark but an ERROR in
+    * DuckDB). */
+  private def srcIdx: Column = expr(
+    "CAST(coalesce(nullif(regexp_extract(source, 'src([0-9]+)', 1), ''), '9999') AS INT)")
+
+  /** The configured per-source sampling rate (‰): src0-4 → 800,
+    * src5-14 → 300, everything else → 100. The single definition
+    * [[stratifiedSample]] and [[funnel]] share — the funnel must count
+    * exactly what the sampler would keep. */
+  private[graft] def configuredRate: Column =
+    when(srcIdx < 5, 800L).when(srcIdx < 15, 300L).otherwise(100L)
+
   /** Deterministic stratified sampling — the mixture-weight executor:
-    * each source keeps rate‰ of its documents, selected by a sha256
-    * bucket of the doc id ([[shaBucket]]). Rates: src0-4 → 800‰,
-    * src5-14 → 300‰, everything else — including sources outside the
-    * srcN shape, whose index extraction yields the non-matching
-    * sentinel rather than a silent NULL — → 100‰. Pure scan-side
-    * filter: ZERO shuffle (plan-asserted). */
+    * each source keeps rate‰ of its documents ([[configuredRate]]),
+    * selected by a sha256 bucket of the doc id ([[shaBucket]]). Pure
+    * scan-side filter: ZERO shuffle (plan-asserted). */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      // total parse: non-srcN names extract '' → sentinel 9999 → the
-      // default rate, identically in Spark and the oracle (a bare CAST
-      // is NULL in Spark but an ERROR in DuckDB)
-      .withColumn("src_idx", expr(
-        "CAST(coalesce(nullif(regexp_extract(source, 'src([0-9]+)', 1), ''), '9999') AS INT)"))
-      .withColumn("rate_permille",
-        when(col("src_idx") < 5, 800L)
-          .when(col("src_idx") < 15, 300L)
-          .otherwise(100L))
+      .withColumn("rate_permille", configuredRate)
       .withColumn("bucket", shaBucket(col("doc_id")))
       .filter(col("bucket") < col("rate_permille"))
       .select("doc_id", "source", "rate_permille", "bucket")
@@ -297,19 +300,11 @@ object Curation {
     val flags = docs
       .join(nearDup, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
-      .withColumn("q", expr(
-        """size(split(text,' ')) >= 20 AND length(text) >= 100 AND
-           size(array_distinct(split(text,' '))) * 1000
-             div size(split(text,' ')) >= 300"""))
+      .withColumn("q", TextAnalysis.qualityKeep)
       .withColumn("d", col("is_dup").isNull)
       .withColumn("c",
         col("is_contam").isNotNull || col("doc_id") % 97 === 0)
-      .withColumn("src_idx", expr(
-        "CAST(coalesce(nullif(regexp_extract(source, 'src([0-9]+)', 1), ''), '9999') AS INT)"))
-      .withColumn("rate",
-        when(col("src_idx") < 5, 800L).when(col("src_idx") < 15, 300L)
-          .otherwise(100L))
-      .withColumn("smp", shaBucket(col("doc_id")) < col("rate"))
+      .withColumn("smp", shaBucket(col("doc_id")) < configuredRate)
     flags
       .agg(
         count(lit(1)).as("d1"), sum(col("tok")).as("t1"),

@@ -117,18 +117,21 @@ object Multimodal {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
-    var i = 12
+    // Long offset: a corrupt chunk size just under 2^31 would wrap an
+    // Int offset negative and index out of bounds instead of ending
+    // the walk
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, byteRate, bits
     var dataLen = -1L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = i32le(b, i + 4).toLong & 0xffffffffL
+      val o = i.toInt
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = i32le(b, o + 4).toLong & 0xffffffffL
       if (id == "fmt " && i + 24 <= b.length)
-        fmt = Some((u16le(b, i + 10), i32le(b, i + 12), i32le(b, i + 16),
-          u16le(b, i + 22)))
+        fmt = Some((u16le(b, o + 10), i32le(b, o + 12), i32le(b, o + 16),
+          u16le(b, o + 22)))
       if (id == "data") dataLen = size
-      i += (8 + size + (size & 1)).toInt
-      if (size > Int.MaxValue - 16) return None // corrupt size field
+      i += 8 + size + (size & 1)
     }
     fmt.collect {
       case (ch, rate, byteRate, bits)
@@ -163,6 +166,10 @@ object Multimodal {
       moov <- boxWalk(0, b.length, "moov")
       moovEnd = moov + (i32be(b, moov).toLong & 0xffffffffL).toInt
       mvhd <- boxWalk(moov + 8, math.min(moovEnd, b.length), "mvhd")
+      // boxWalk only guarantees mvhd+8 bytes exist — guard BEFORE
+      // reading the version byte (a truncated mvhd must yield None,
+      // not an index error that kills the task)
+      if mvhd + 9 <= b.length
       ver = b(mvhd + 8) & 0xff
       if mvhd + (if (ver == 1) 40 else 32) <= b.length
       timescale = (if (ver == 1) i32be(b, mvhd + 28)

@@ -52,8 +52,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The quality keep rule over a raw `text` column — the single
+    * definition [[qualityScore]] and Curation.funnel share. Sizes cast
+    * to long BEFORE the ×1000 (Int arithmetic would wrap negative on a
+    * >2M-distinct-word document while the BIGINT oracle stays
+    * correct). */
+  private[graft] def qualityKeep: Column = expr(
+    """size(split(text,' ')) >= 20 AND length(text) >= 100 AND
+       CAST(size(array_distinct(split(text,' '))) AS BIGINT) * 1000
+         div size(split(text,' ')) >= 300""")
+
   /** Quality scoring: length / vocabulary-diversity / stopword-density
-    * signals with an integer-arithmetic keep rule (engine-portable). */
+    * signals with an integer-arithmetic keep rule (engine-portable;
+    * the keep column is definitionally [[qualityKeep]] phrased over
+    * this method's intermediate columns). */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("n_words", size(words(col("text"))).cast("long"))
@@ -190,14 +202,15 @@ object TextAnalysis {
       .select("doc_id", "text").as[(Long, String)]
       .mapPartitions { it =>
         val rank = merges.iterator.zipWithIndex.toMap
+        // size-capped (BpeTokenizer.CacheCap): the Zipf head is the
+        // win; unbounded growth over a wide vocabulary is a heap leak
         val cache = scala.collection.mutable
           .HashMap.empty[String, Vector[String]]
         it.map { case (id, text) =>
           var n = 0L
           val first = Vector.newBuilder[String]
           text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
-            val toks = cache.getOrElseUpdate(w,
-              BpeTokenizer.encodeWord(w, rank))
+            val toks = BpeTokenizer.encodeWordCached(w, rank, cache)
             if (n < 5) first ++= toks.take(5 - n.toInt)
             n += toks.length
           }
