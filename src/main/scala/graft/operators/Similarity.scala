@@ -510,6 +510,68 @@ object Similarity {
       .select("vec_id", "cosine")
   }
 
+  /** One-time IVF-PQ index build — the canonical 100 TB ANN layout
+    * (coarse quantizer for partition pruning × product codes for scan
+    * compression, the FAISS IVF,PQ architecture): every vector's PQ
+    * codes written partitioned by its IVF cell, centroids persisted
+    * beside. A probe then reads `nprobe`/`nlist` of the corpus AND
+    * only 8 ints per vector — the two reductions compose. */
+  def buildIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
+      nlist: Int = 16): Unit = {
+    import s.implicits._
+    val seeds = ivfSeeds(s, dir, nlist)
+    Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        (id, argmaxCell(emb, seeds), pqEncode(emb, seeds)) }
+      .toDF("vec_id", "cell", "codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    seeds.zipWithIndex.map { case (emb, c) => (c, emb) }.toSeq
+      .toDF("cell", "embedding")
+      .write.mode("overwrite").parquet(indexDir + ".centroids")
+  }
+
+  /** Probe an IVF-PQ index: rank centroids on the driver, read ONLY
+    * the `nprobe` best cell partitions (partition-pruned scan), ADC-
+    * score their codes, then exact-re-rank the shortlist fetched from
+    * the source table via a pushed IN filter — [[probeIvf]]'s I/O
+    * pruning and [[probePq]]'s byte pruning in one plan. */
+  def probeIvfPq(s: SparkSession, indexDir: String, sourceDir: String,
+      queryVec: Array[Float], k: Int = 10, nprobe: Int = 4,
+      shortlist: Int = 50, excludeId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val seeds = s.read.parquet(indexDir + ".centroids")
+      .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    val cells = topCells(queryVec, seeds, nprobe)
+    val subDim = queryVec.length / PqM
+    val t = Array.tabulate(PqM, seeds.length)((m, c) =>
+      pqSubDist(queryVec, seeds(c), m, subDim))
+    val scan = s.read.parquet(indexDir)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val scored = excludeId.fold(scan)(id =>
+        scan.filter(col("vec_id") =!= id))
+      .select("vec_id", "codes").as[(Long, Array[Int])]
+      .map { case (id, cs) =>
+        var approx = 0.0
+        var m = 0
+        while (m < PqM) { approx += t(m)(cs(m)); m += 1 }
+        (id, approx)
+      }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(shortlist)
+    val ids = scored.select("vec_id").as[Long].collect()
+    val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
+    Tables.embeddings(s, sourceDir)
+      .filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "cosine")
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector
     * min/max affine map onto 0..255 codes — the standard 4× memory cut
     * that lets a 100 TB ANN index stay RAM-resident (one double range

@@ -390,6 +390,48 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!codesScan.schema.fieldNames.contains("embedding"))
   }
 
+  test("IVF-PQ build/probe: partition-pruned codes scan + decent recall") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/ix"
+    Similarity.buildIvfPqIndex(spark, dir, idx)
+    val qv = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .toArray
+    // wide probing on the weakly-clustered synthetic corpus (same
+    // rationale as the IVF recall gate's nprobe=10)
+    val probe = Similarity.probeIvfPq(spark, idx, dir, qv, k = 10,
+      nprobe = 10, excludeId = Some(0L))
+    val got = probe.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.size == 10)
+    // the codes scan must prune by cell partition AND read no vectors
+    val codesScan = spark.read.parquet(idx)
+    assert(!codesScan.schema.fieldNames.contains("embedding"))
+    val leaves = Similarity.probeIvfPq(spark, idx, dir, qv, nprobe = 2)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("PushedFilters: [In(vec_id"), leaves.take(2000))
+    // recall vs exact top-10 over the same corpus (vec_id != 0)
+    val all = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val exact = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall below 0.7: $got vs $exact")
+  }
+
   test("IVF build/probe: partition-pruned probe matches the inline plan") {
     val dir = "/root/testdata/sf0.001"
     val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
