@@ -118,6 +118,8 @@ object SparkEntry {
       TextAnalysis.keywords(s, d)),
     "curation_funnel"     -> (Curation.funnel _),
     "doc_sample_balanced" -> (Curation.balancedSample _),
+    "graph_pagerank"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.pageRank(s, d)),
     // rows-only by declaration: BPE's iterative greedy merge isn't
     // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
@@ -1337,6 +1339,41 @@ object SparkEntry {
            (end_off - 1) // ${Curation.SeqLen}
              - (end_off - n_tokens) // ${Curation.SeqLen} + 1 AS n_seqs
          FROM w ORDER BY doc_id""",
+    "graph_pagerank" -> {
+      import graft.operators.Graph.{Scale, DampNum}
+      // 10 unrolled integer-PageRank iterations (recursive CTEs can't
+      // aggregate in the recursive term; unrolling is exact and cheap)
+      val iterCtes = (1 to 10).map { i =>
+        val p = i - 1
+        s"""r$i AS (
+           SELECT n.url,
+             (SELECT (15 * $Scale // 100) // n FROM nn)
+             + ($DampNum * coalesce(c.contrib, 0)) // 100 AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS url,
+               CAST(sum(r$p.r // d.deg) AS BIGINT) AS contrib
+             FROM r$p JOIN edges e ON r$p.url = e.src
+                      JOIN deg d ON d.src = e.src
+             GROUP BY 1) c ON n.url = c.url)"""
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         nodes AS (SELECT 'doc://'||doc_id AS url FROM documents),
+         edges AS (
+           SELECT 'doc://'||doc_id AS src,
+             'doc://'||((doc_id*7+1) % (SELECT n FROM nn)) AS dst
+           FROM documents
+           UNION
+           SELECT 'doc://'||doc_id,
+             'doc://'||((doc_id*13+5) % (SELECT n FROM nn))
+           FROM documents
+           UNION
+           SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
+           FROM documents WHERE doc_id % 3 = 0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         r0 AS (SELECT url, $Scale // (SELECT n FROM nn) AS r FROM nodes),
+         $iterCtes
+         SELECT url, r FROM r10 ORDER BY r DESC, url LIMIT 20"""
+    },
     "doc_sample_balanced" ->
       """WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS tok
                     FROM documents),
