@@ -34,6 +34,12 @@ object Dedup {
     * multipliers; precomputed so the SQL oracle can inline them). */
   val P: Long = 2147483647L
   val NumPerms = 16
+
+  /** SimHash near-dup Hamming-distance threshold — the single
+    * definition [[simhashPairs]] and the curation-funnel oracle share
+    * (the 7-band pigeonhole argument in [[simhashPairs]] holds for any
+    * threshold ≤ 6; raising it requires re-deriving the banding). */
+  val SimhashMaxDist = 6L
   val perms: Seq[(Int, Long, Long)] = (0 until NumPerms).map { j =>
     (j, (2654435761L * (j + 1)) % P, (1013904223L * (j + 1)) % P)
   }
@@ -109,7 +115,17 @@ object Dedup {
       Tables.documents(s, dir).select("doc_id", "text"), maxDocFreq)
 
   /** DataFrame-input form of [[ngramJaccard]] (testable on synthetic
-    * hot-shingle corpora). */
+    * hot-shingle corpora).
+    *
+    * NOTE the join key is a 56-bit sha256 prefix of the shingle, not
+    * the shingle string: two DIFFERENT shingles colliding on the prefix
+    * would fabricate a spurious intersection row. By the birthday bound
+    * that needs ~2^28 (≈270M) DISTINCT shingles corpus-wide for even
+    * one expected collision — far above any per-partition postings set
+    * this operator sees before the df cap — and a single collision
+    * inflates one pair's `inter` by 1, which only matters for pairs
+    * already at the J≥0.5 boundary. The DuckDB oracle applies the
+    * identical hash, so any collision is shared by both engines. */
   def ngramJaccardDocs(docs: DataFrame,
       maxDocFreq: Option[Long] = None): DataFrame = {
     // checkpointed once: the postings feed both join sides and the
@@ -304,7 +320,7 @@ object Dedup {
       // shrinks the dropDuplicates exchange from millions of candidate
       // rows to the handful of qualifying pairs
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimhashMaxDist)
       .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
