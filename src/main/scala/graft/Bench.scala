@@ -49,10 +49,27 @@ object Bench {
         }
         name -> median(times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness records only the LAST ~2000 chars of this process's
+    // output (BENCH_r*.json "tail"); a metrics line longer than that is
+    // cut mid-line and never parses — rounds 1-6 all recorded
+    // parsed:null for exactly this reason, with 90 queries at full
+    // float precision the line was ~3.5 KB. So: ms precision, and if
+    // the line still exceeds the budget drop the FASTEST queries from
+    // the map (they contribute least to `value` and to regression
+    // triage), recording how many were dropped as "omitted". `value`
+    // stays the total over ALL queries either way.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    def line(keep: Seq[(String, Double)], omitted: Int): String = {
+      val qs = keep.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$reps,"omitted":$omitted,"sf":"$sfDir"}"""
+    }
+    val budget = 1800 // leaves room for sbt's trailing [success] line
+    var keep = results.sortBy(-_._2)
+    while (keep.nonEmpty && line(keep, results.length - keep.length).length > budget)
+      keep = keep.dropRight(1)
+    println(line(keep, results.length - keep.length))
     spark.stop()
   }
 }

@@ -636,7 +636,7 @@ object SparkEntry {
                          ELSE 0 END) AS BIGINT) AS simhash
          FROM sgn GROUP BY 1 ORDER BY doc_id""",
     "dedup_simhash_pairs" ->
-      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+      s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
                      FROM documents
                      WHERE len(string_split(text,' ')) >= 3),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -655,10 +655,10 @@ object SparkEntry {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}
          ORDER BY doc_a, doc_b""",
     "dedup_clusters" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
          ws AS (SELECT doc_id, string_split(text,' ') AS w
                 FROM documents
                 WHERE len(string_split(text,' ')) >= 3),
@@ -678,7 +678,7 @@ object SparkEntry {
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}),
          edges AS (
            SELECT doc_a AS s, doc_b AS d FROM pairs
            UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1391,7 +1391,7 @@ object SparkEntry {
          SELECT doc_id, source, rate_permille, bucket FROM x
          WHERE bucket < rate_permille ORDER BY doc_id""",
     "curation_funnel" ->
-      """WITH d AS (SELECT doc_id, source, text, (length(text)+3)//4 AS tok
+      s"""WITH d AS (SELECT doc_id, source, text, (length(text)+3)//4 AS tok
                     FROM documents),
          ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
                 WHERE len(string_split(text,' ')) >= 3),
@@ -1410,7 +1410,7 @@ object SparkEntry {
                  FROM sgn GROUP BY 1),
          dup AS (SELECT DISTINCT b.doc_id
                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}),
          cw AS (SELECT doc_id, string_split(text,' ') AS ws2
                 FROM documents
                 WHERE len(string_split(text,' ')) >= 4),
