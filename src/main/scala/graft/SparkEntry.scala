@@ -120,6 +120,9 @@ object SparkEntry {
     "doc_sample_balanced" -> (Curation.balancedSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),
+    "graph_degree"        -> (graft.operators.Graph.degreeStats _),
+    "graph_components"    -> (graft.operators.Graph.components _),
+    "graph_triangles"     -> (graft.operators.Graph.triangleStats _),
     // rows-only by declaration: BPE's iterative greedy merge isn't
     // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
@@ -1374,6 +1377,68 @@ object SparkEntry {
          $iterCtes
          SELECT url, r FROM r10 ORDER BY r DESC, url LIMIT 20"""
     },
+    "graph_degree" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges AS (
+           SELECT 'doc://'||doc_id AS src,
+             'doc://'||((doc_id*7+1) % (SELECT n FROM nn)) AS dst
+           FROM documents
+           UNION
+           SELECT 'doc://'||doc_id,
+             'doc://'||((doc_id*13+5) % (SELECT n FROM nn))
+           FROM documents
+           UNION
+           SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
+           FROM documents WHERE doc_id % 3 = 0),
+         o AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
+         i AS (SELECT dst, count(*) AS c FROM edges GROUP BY 1),
+         nodes AS (SELECT 'doc://'||doc_id AS url FROM documents)
+         SELECT nodes.url, CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+         FROM nodes LEFT JOIN o ON o.src = nodes.url
+                    LEFT JOIN i ON i.dst = nodes.url
+         ORDER BY url""",
+    "graph_components" ->
+      """WITH RECURSIVE
+         p AS (SELECT doc_id//2 AS a, doc_id AS b FROM documents
+               WHERE doc_id % 3 = 0 AND doc_id > 0),
+         edges AS (SELECT a AS s, b AS d FROM p
+                   UNION ALL SELECT b, a FROM p),
+         reach AS (
+           SELECT doc_id AS start, doc_id AS node FROM documents
+           UNION
+           SELECT r.start, e.d FROM reach r JOIN edges e ON e.s = r.node)
+         SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN start = min(node) THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+         FROM reach GROUP BY 1 ORDER BY 1""",
+    "graph_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges AS (
+           SELECT 'doc://'||doc_id AS src,
+             'doc://'||((doc_id*7+1) % (SELECT n FROM nn)) AS dst
+           FROM documents
+           UNION
+           SELECT 'doc://'||doc_id,
+             'doc://'||((doc_id*13+5) % (SELECT n FROM nn))
+           FROM documents
+           UNION
+           SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
+           FROM documents WHERE doc_id % 3 = 0),
+         und AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
+                 FROM edges WHERE least(src,dst) < greatest(src,dst)),
+         tri AS (SELECT count(*) AS triangles
+                 FROM und a JOIN und b ON a.v = b.u
+                      JOIN und c ON a.u = c.u AND b.v = c.v),
+         deg AS (SELECT x, count(*) AS deg FROM
+                   (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         w AS (SELECT CAST(sum(deg*(deg-1)//2) AS BIGINT) AS wedges
+               FROM deg),
+         ne AS (SELECT count(*) AS n_edges FROM und)
+         SELECT (SELECT n FROM nn) AS n_nodes, n_edges, triangles, wedges,
+           (3000 * triangles) // nullif(wedges, 0) AS clustering_permille
+         FROM tri CROSS JOIN ne CROSS JOIN w""",
     "doc_sample_balanced" ->
       """WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS tok
                     FROM documents),

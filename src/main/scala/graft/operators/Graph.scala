@@ -53,6 +53,80 @@ object Graph {
       .distinct()
   }
 
+  /** Per-node degree profile of the crawl link graph — the first
+    * report a crawl operator reads (dead ends, hubs, fetch-budget
+    * skew). Scale: the edge list is scanned twice through two
+    * map-side-combining groupBys (out by src, in by dst), then both
+    * small per-node aggregates join back onto the node list; shuffle
+    * ∝ nodes, never edges². */
+  def degreeStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val nodes = docs
+      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+    val edges = linkGraph(s, dir, n).localCheckpoint(true) // scanned 2×
+    val outDeg = edges.groupBy(col("src").as("url"))
+      .agg(count(lit(1)).as("o"))
+    val inDeg = edges.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("i"))
+    nodes.join(outDeg, Seq("url"), "left").join(inDeg, Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("o"), lit(0L)).as("out_deg"),
+        coalesce(col("i"), lit(0L)).as("in_deg"))
+      .orderBy("url")
+  }
+
+  /** Connected components of the nav-hub overlay (the i → i div 2
+    * "up" links for every third page — a forest, so the components
+    * are the sub-sites a crawler should schedule as units). Reuses
+    * [[Dedup.clusters]] wholesale: component labelling is the same
+    * problem whether the edges are near-dup pairs or nav links, so
+    * this inherits the size-routed union-find / distributed
+    * min-label-propagation split and its driver-byte gate. */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
+      .select(expr("doc_id div 2").as("doc_a"), col("doc_id").as("doc_b"))
+    Dedup.clusters(s, dir, pairs)
+  }
+
+  /** Triangle census of the undirected link graph: global triangle /
+    * wedge counts and the clustering coefficient (permille — integer,
+    * like every ratio oracle here). Triangles signal boilerplate nav
+    * blocks (pages that all link to each other), the crawl-side
+    * analogue of near-dup content.
+    *
+    * Scale: edges are canonicalized to u < v once, so the count join
+    * enumerates each triangle exactly once as u < v < w — the join
+    * fan-out is bounded by per-node degree (3 here), not corpus size,
+    * and both joins are hash equi-joins on the canonical endpoints. */
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val und = linkGraph(s, dir, n)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v")) // drops self-loops
+      .distinct()
+      .localCheckpoint(true) // scanned 4×: 3 join legs + degrees
+    val tri = und.as("a")
+      .join(und.as("b"), col("a.v") === col("b.u"))
+      .join(und.as("c"),
+        col("a.u") === col("c.u") && col("b.v") === col("c.v"))
+      .agg(count(lit(1)).as("triangles"))
+    val deg = und.select(col("u").as("x"))
+      .unionByName(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(nEdges).crossJoin(wedges)
+      .select(lit(n).as("n_nodes"), col("n_edges"), col("triangles"),
+        col("wedges"),
+        expr("(3000 * triangles) div nullif(wedges, CAST(0 AS BIGINT))")
+          .as("clustering_permille"))
+  }
+
   /** Integer PageRank, top 20 by rank (url tie-break): 10 fixed
     * iterations of r' = base + 85·Σ_in (r div deg) div 100. */
   def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {

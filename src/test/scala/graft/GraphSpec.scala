@@ -35,6 +35,66 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq, "pageRank must be deterministic")
   }
 
+  test("degreeStats: every node present, degree identities hold") {
+    val n = graft.Tables.documents(spark, dir).count()
+    val rows = Graph.degreeStats(spark, dir).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("out_deg"),
+        r.getAs[Long]("in_deg")))
+    assert(rows.length == n)
+    // each node emits its 2 affine links (+1 hub link for id%3==0),
+    // minus any collisions the edge-distinct absorbs
+    assert(rows.forall { case (_, o, _) => o >= 1 && o <= 3 })
+    // handshake: Σout = Σin = |edges|
+    assert(rows.map(_._2).sum == rows.map(_._3).sum)
+  }
+
+  test("components: forest labelling matches a driver-side union-find") {
+    val n = graft.Tables.documents(spark, dir).count()
+    val labels = Graph.components(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .toMap
+    assert(labels.size == n)
+    // reference union-find over the same i -- i div 2 forest
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r); r
+    }
+    (1L until n).filter(_ % 3 == 0).foreach { i =>
+      val (a, b) = (find(i / 2), find(i))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    (0L until n).foreach { i =>
+      assert(labels(i) == find(i), s"doc $i labelled ${labels(i)}")
+    }
+    // a forest's component count is nodes minus edges
+    val edges = (1L until n).count(_ % 3 == 0)
+    assert(labels.values.toSet.size == n - edges)
+  }
+
+  test("triangleStats matches a driver-side brute-force count") {
+    val row = Graph.triangleStats(spark, dir).collect().head
+    val (nEdges, tri, wedges) = (row.getAs[Long]("n_edges"),
+      row.getAs[Long]("triangles"), row.getAs[Long]("wedges"))
+    // brute-force over the same canonical edge set
+    val n = graft.Tables.documents(spark, dir).count()
+    val und = (0L until n).flatMap { i =>
+      Seq((s"doc://$i", s"doc://${(i * 7 + 1) % n}"),
+        (s"doc://$i", s"doc://${(i * 13 + 5) % n}")) ++
+        (if (i % 3 == 0) Seq((s"doc://$i", s"doc://${i / 2}")) else Nil)
+    }.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a < b }.distinct
+    assert(nEdges == und.length)
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val bruteTri = und.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size.toLong
+    }.sum
+    assert(tri == bruteTri, s"expected $bruteTri triangles, got $tri")
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map(_._2.size.toLong)
+    assert(wedges == deg.map(d => d * (d - 1) / 2).sum)
+    assert(row.getAs[Long]("clustering_permille") == 3000 * tri / wedges)
+  }
+
   test("pageRank top-20 mass is sane (bounded by total, above uniform floor)") {
     // integer division only ever LOSES mass, so the top-20 sum must
     // stay below Scale; and top pages can't fall below half the
