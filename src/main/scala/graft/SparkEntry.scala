@@ -123,6 +123,9 @@ object SparkEntry {
     "graph_degree"        -> (graft.operators.Graph.degreeStats _),
     "graph_components"    -> (graft.operators.Graph.components _),
     "graph_triangles"     -> (graft.operators.Graph.triangleStats _),
+    "doc_blocklist_filter" -> (Curation.blocklistFilter _),
+    "doc_mixture_epochs"  -> (Curation.mixtureEpochs _),
+    "doc_length_histogram" -> (Curation.lengthHistogram _),
     // rows-only by declaration: BPE's iterative greedy merge isn't
     // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
@@ -1439,6 +1442,54 @@ object SparkEntry {
          SELECT (SELECT n FROM nn) AS n_nodes, n_edges, triangles, wedges,
            (3000 * triangles) // nullif(wedges, 0) AS clustering_permille
          FROM tri CROSS JOIN ne CROSS JOIN w""",
+    "doc_blocklist_filter" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents),
+         x AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(w, t -> t IN
+                   (${Curation.Blocklist.map(b => s"'$b'").mkString(",")})))
+                   AS BIGINT) AS bad_hits
+               FROM d)
+         SELECT doc_id, n_words, bad_hits,
+           (bad_hits * 1000) // n_words AS bad_permille,
+           CAST(CASE WHEN (bad_hits * 1000) // n_words
+                  < ${Curation.BlockMaxPermille} THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+         FROM x ORDER BY doc_id""",
+    "doc_mixture_epochs" ->
+      s"""WITH d AS (SELECT source, (length(text)+3)//4 AS tok
+                     FROM documents),
+         p AS (SELECT source, CAST(sum(tok) AS BIGINT) AS src_tokens
+               FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS grand_total,
+                 CAST(count(*) AS BIGINT) AS n_sources FROM p),
+         e AS (SELECT source, src_tokens,
+                 (grand_total * ${Curation.MixtureBudgetFactor})
+                   // n_sources AS target_tokens
+               FROM p CROSS JOIN t),
+         f AS (SELECT source, src_tokens, target_tokens,
+                 least(${Curation.MaxEpochsPermille},
+                   (target_tokens * 1000) // src_tokens)
+                   AS epochs_permille
+               FROM e)
+         SELECT source, src_tokens, target_tokens, epochs_permille,
+           (src_tokens * epochs_permille) // 1000 AS planned_tokens
+         FROM f ORDER BY source""",
+    "doc_length_histogram" ->
+      s"""WITH d AS (SELECT CAST(length(text) AS BIGINT) AS len
+                     FROM documents),
+         h AS (SELECT len // ${Curation.HistBucketChars} AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len) AS BIGINT) AS total_chars
+               FROM d GROUP BY 1),
+         g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS grand_docs FROM h),
+         c AS (SELECT bucket, n_docs, total_chars,
+                 CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_docs, grand_docs
+               FROM h CROSS JOIN g)
+         SELECT bucket, n_docs, total_chars, cum_docs,
+           (cum_docs * 1000) // grand_docs AS cum_permille
+         FROM c ORDER BY bucket""",
     "doc_sample_balanced" ->
       """WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS tok
                     FROM documents),

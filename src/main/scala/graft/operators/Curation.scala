@@ -350,4 +350,95 @@ object Curation {
           - expr(s"(end_off - n_tokens) div $SeqLen") + 1L).as("n_seqs"))
       .orderBy("doc_id")
   }
+
+  /** Blocklisted terms for [[blocklistFilter]] (C4 drops any page
+    * containing a "bad word"; the density variant below is what
+    * survives contact with real corpora, where a single incidental hit
+    * shouldn't kill a long document). */
+  val Blocklist: Seq[String] = Seq("slow", "legacy", "deprecated")
+
+  /** Keep a document while blocklist hits stay under this density. */
+  val BlockMaxPermille = 30L
+
+  /** C4-style blocklist filter, density form: count blocklisted words
+    * per document and keep while the per-word density stays under
+    * [[BlockMaxPermille]]‰. One codegen-friendly pass over the scan —
+    * zero shuffle, like the other per-doc quality gates. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", ws(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("bad_hits",
+        size(filter(col("w"), x => x.isInCollection(Blocklist)))
+          .cast("long"))
+      .withColumn("bad_permille", expr("bad_hits * 1000 div n_words"))
+      .withColumn("keep",
+        (col("bad_permille") < BlockMaxPermille).cast("long"))
+      .select("doc_id", "n_words", "bad_hits", "bad_permille", "keep")
+      .orderBy("doc_id")
+
+  /** Token budget as a multiple of the corpus size for
+    * [[mixtureEpochs]] (2× ≈ the "train for more tokens than you
+    * have" regime where mixture epoch planning matters). */
+  val MixtureBudgetFactor = 2L
+
+  /** Upsampling cap: no source repeats more than 5 epochs (quality
+    * degrades past a few repetitions — Muennighoff et al. 2023). */
+  val MaxEpochsPermille = 5000L
+
+  /** Mixture epoch planner — the UPSAMPLING complement of
+    * [[balancedSample]]'s downsampler: given a token budget of
+    * [[MixtureBudgetFactor]]× the corpus and an equal target share per
+    * source, how many epochs (permille) of each source does the
+    * training mixture take? Capped at [[MaxEpochsPermille]] so small
+    * sources aren't repeated into memorization.
+    *
+    * Scale: one map-side-combining groupBy(source) over the corpus,
+    * then all arithmetic happens on the ~#sources-row aggregate with a
+    * 1-row totals broadcast — the 100 TB side is touched once. */
+  def mixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("src_tokens"))
+    val totals = perSource.agg(
+      sum(col("src_tokens")).as("grand_total"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"grand_total * $MixtureBudgetFactor div n_sources"))
+      .withColumn("epochs_permille",
+        least(lit(MaxEpochsPermille),
+          expr("target_tokens * 1000 div src_tokens")))
+      .withColumn("planned_tokens",
+        expr("src_tokens * epochs_permille div 1000"))
+      .select("source", "src_tokens", "target_tokens", "epochs_permille",
+        "planned_tokens")
+      .orderBy("source")
+  }
+
+  /** Histogram bucket width (chars) for [[lengthHistogram]]. */
+  val HistBucketChars = 64L
+
+  /** Document-length histogram with cumulative coverage — the
+    * distribution a curator reads before picking length cutoffs and
+    * [[SeqLen]] (what fraction of docs fit one sequence?).
+    *
+    * Scale: the corpus collapses through ONE map-side-combining
+    * groupBy(bucket) into a ~hundreds-row histogram; the ordered
+    * cumulative window then runs over that AGGREGATE, so its single
+    * partition holds histogram rows, never documents. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .withColumn("len", expr("CAST(length(text) AS BIGINT)"))
+      .groupBy(expr(s"len div $HistBucketChars").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_chars"))
+    val w = Window.orderBy(col("bucket"))
+    hist
+      .crossJoin(broadcast(hist.agg(sum(col("n_docs")).as("grand_docs"))))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_permille", expr("cum_docs * 1000 div grand_docs"))
+      .select("bucket", "n_docs", "total_chars", "cum_docs", "cum_permille")
+      .orderBy("bucket")
+  }
 }

@@ -116,6 +116,55 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("blocklistFilter: density math consistent, both keep classes occur") {
+    val rows = Curation.blocklistFilter(spark, dir).collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (w, bad, pm) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("bad_hits"), r.getAs[Long]("bad_permille"))
+      assert(bad <= w)
+      assert(pm == bad * 1000 / w)
+      assert(r.getAs[Long]("keep") ==
+        (if (pm < Curation.BlockMaxPermille) 1L else 0L))
+    }
+    assert(rows.map(_.getAs[Long]("keep")).distinct.length == 2,
+      "threshold must actually split the corpus")
+  }
+
+  test("mixtureEpochs: cap respected, planned tokens track the target") {
+    val rows = Curation.mixtureEpochs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getAs[Long]("src_tokens")).sum
+    rows.foreach { r =>
+      val (src, tgt, ep, planned) = (r.getAs[Long]("src_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs_permille"),
+        r.getAs[Long]("planned_tokens"))
+      assert(tgt == grand * Curation.MixtureBudgetFactor / rows.length)
+      assert(ep <= Curation.MaxEpochsPermille && ep > 0)
+      assert(planned == src * ep / 1000)
+      // uncapped sources land within rounding of the target share
+      if (ep < Curation.MaxEpochsPermille)
+        assert(planned <= tgt && planned >= tgt - src / 1000 - 1)
+    }
+  }
+
+  test("lengthHistogram: buckets partition the corpus, coverage reaches 1000 permille") {
+    val rows = Curation.lengthHistogram(spark, dir).collect()
+    val n = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    val cums = rows.map(_.getAs[Long]("cum_docs"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(cums.last == n)
+    assert(rows.last.getAs[Long]("cum_permille") == 1000L)
+    rows.foreach { r =>
+      // every doc in a bucket has len in [bucket*W, (bucket+1)*W)
+      val (b, nd, tc) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_chars"))
+      assert(tc >= b * Curation.HistBucketChars * nd)
+      assert(tc < (b + 1) * Curation.HistBucketChars * nd)
+    }
+  }
+
   test("quantizeInt8: codes span 0..255 and hit both range endpoints") {
     val rows = Similarity.quantizeInt8(spark, dir).collect()
     assert(rows.nonEmpty)
