@@ -126,6 +126,8 @@ object SparkEntry {
     "doc_blocklist_filter" -> (Curation.blocklistFilter _),
     "doc_mixture_epochs"  -> (Curation.mixtureEpochs _),
     "doc_length_histogram" -> (Curation.lengthHistogram _),
+    "emb_ann_range"       -> ((s: SparkSession, d: String) =>
+      Similarity.rangeSearch(s, d)),
     // rows-only by declaration: BPE's iterative greedy merge isn't
     // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
@@ -1490,6 +1492,50 @@ object SparkEntry {
          SELECT bucket, n_docs, total_chars, cum_docs,
            (cum_docs * 1000) // grand_docs AS cum_permille
          FROM c ORDER BY bucket""",
+    "emb_ann_range" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         proj AS (
+           SELECT e.vec_id, i.i AS i,
+             list_dot_product(e.emb,
+               list_transform(range(0, len(e.emb)), d ->
+                 CAST(CASE WHEN (((i.i*37 + d*101) * 2654435761) >> 13)
+                        % 2 != 0 THEN 1 ELSE -1 END AS DOUBLE))) AS proj
+           FROM e CROSS JOIN (SELECT unnest(range(0,8)) AS i) i
+         ), sig AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN i < 4 AND proj > 0
+               THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket0,
+             CAST(sum(CASE WHEN i >= 4 AND proj > 0
+               THEN (1::BIGINT << CAST(i-4 AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket1
+           FROM proj GROUP BY 1
+         ),
+         v AS (SELECT s.vec_id, bucket0, bucket1, emb
+               FROM sig s JOIN e ON e.vec_id = s.vec_id),
+         q AS (SELECT vec_id AS query_id, bucket0 AS qb0, bucket1 AS qb1,
+                 emb AS qv
+               FROM v WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, bucket0, bucket1, emb AS cv
+               FROM v WHERE vec_id >= 5),
+         cand AS (
+           SELECT query_id, neighbor_id, qv, cv
+           FROM c JOIN q ON c.bucket0 = q.qb0
+           UNION ALL
+           SELECT query_id, neighbor_id, qv, cv
+           FROM c JOIN q ON c.bucket1 = q.qb1),
+         scored AS (
+           SELECT DISTINCT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+               AS cosine
+           FROM cand)
+         SELECT query_id, neighbor_id,
+           CAST(floor(cosine * 1000) AS BIGINT) AS cosine_permille
+         FROM scored WHERE cosine >= ${graft.operators.Similarity.RangeMinCosine}
+         ORDER BY query_id, neighbor_id""",
     "doc_sample_balanced" ->
       """WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS tok
                     FROM documents),

@@ -354,6 +354,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Radius floor for [[rangeSearch]]. */
+  val RangeMinCosine = 0.25
+
+  /** Radius (range) search — the top-k-free retrieval mode ("find ALL
+    * near matches", the dedup-audit / recall-sweep question): every
+    * corpus vector with cosine ≥ [[RangeMinCosine]] to each query,
+    * candidates from the same banded-LSH equi-joins as [[annTopK]]
+    * (shuffle ∝ bucket sizes, never corpus²). The exact-cosine filter
+    * runs BEFORE the pair dedup — band duplicates carry identical
+    * cosine, so filtering first is order-safe and shrinks the
+    * dropDuplicates exchange. Like every LSH method recall < 1 by
+    * design; the oracle reproduces the same candidate rule, and the
+    * reported cosine is floored to permille (bit-stable: both engines
+    * accumulate the dot product in the same order over the same
+    * float→double promotions). */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val b = lshBuckets(s, dir)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val withVec = b.join(e, "vec_id").localCheckpoint(true) // reused 2×
+    val queries = withVec.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("bucket0").as("qb0"),
+        col("bucket1").as("qb1"), col("embedding").as("qv"))
+    val corpus = withVec.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("neighbor_id"), col("bucket0"),
+        col("bucket1"), col("embedding").as("cv"))
+    val cand0 = corpus.join(broadcast(queries), col("bucket0") === col("qb0"))
+    val cand1 = corpus.join(broadcast(queries), col("bucket1") === col("qb1"))
+    cand0.unionByName(cand1)
+      .withColumn("cosine", cosineExpr("qv", "cv"))
+      .filter(col("cosine") >= RangeMinCosine)
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("cosine") * 1000).cast("long").as("cosine_permille"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   // ── Product quantization (PQ) ANN ─────────────────────────────────────
   // 64 dims → 8 subspaces × 8 dims; the per-subspace codebook is the
   // corresponding subvectors of the 16 IVF seed embeddings (vec_id

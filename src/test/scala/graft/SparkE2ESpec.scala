@@ -270,6 +270,37 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("rangeSearch is sound: every hit is a true within-radius pair") {
+    val dir = "/root/testdata/sf0.001"
+    val hits = Similarity.rangeSearch(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cosine_permille")))
+    // exact radius set via driver-side brute force over the same split
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (ab, aa, bb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    assert(hits.nonEmpty, "radius search returned nothing at sf0.001")
+    hits.foreach { case (q, nb, pm) =>
+      val c = cos(vecs(q), vecs(nb))
+      assert(c >= Similarity.RangeMinCosine,
+        s"($q,$nb) cosine $c below the radius floor")
+      assert(pm == math.floor(c * 1000).toLong,
+        s"($q,$nb) reported $pm, exact ${math.floor(c * 1000).toLong}")
+    }
+    assert(hits.map(h => (h._1, h._2)).distinct.length == hits.length)
+  }
+
   test("mediaMeta dispatches on real container headers per payload kind") {
     import spark.implicits._
     def be32(v: Int) = Array(((v >> 24) & 0xff).toByte,
