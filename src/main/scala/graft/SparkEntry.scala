@@ -46,6 +46,9 @@ object SparkEntry {
     "q25_json_funcs"      -> (Relational.q25JsonFuncs _),
     "q26_date_funcs"      -> (Relational.q26DateFuncs _),
     "q27_hll_sketch"      -> (Relational.q27HllSketch _),
+    "q28_grouping_sets"   -> (Relational.q28GroupingSets _),
+    "q29_pivot"           -> (Relational.q29Pivot _),
+    "q30_activity_islands" -> (Relational.q30ActivityIslands _),
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
@@ -400,6 +403,37 @@ object SparkEntry {
          CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
            * 1000 <= count(DISTINCT user_id) * 50 AS BIGINT) AS hll_ok
          FROM events GROUP BY 1 ORDER BY day""",
+    "q28_grouping_sets" ->
+      """SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+         l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice),2) AS total
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q29_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(l_extendedprice) FILTER (l_linestatus = 'F'), 2) AS "F",
+         round(sum(l_extendedprice) FILTER (l_linestatus = 'O'), 2) AS "O"
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q30_activity_islands" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS d
+           FROM events),
+         g AS (SELECT user_id, d,
+                 d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+               FROM days),
+         runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                    min(d) AS start_d
+                  FROM g GROUP BY 1,2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(min(start_d) AS BIGINT) AS first_day
+         FROM runs GROUP BY 1 ORDER BY 1""",
     "q21_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
          INTERSECT

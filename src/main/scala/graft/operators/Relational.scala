@@ -422,4 +422,55 @@ object Relational {
         round(avg(col("l_extendedprice")), 2).as("avg_price"))
       .orderBy("p_brand")
   }
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * (flag,status), (flag), and grand total in one pass, disambiguated
+    * by grouping_id. Scale: Spark expands the sets into one aggregation
+    * over a grouping-id-extended key — still a single shuffle with
+    * map-side partials. */
+  def q28GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Pivot (explicit value list — never data-driven, so the output
+    * schema is deterministic and plannable): linestatus columns of
+    * summed revenue per returnflag. Compiles to one conditional
+    * aggregation pass, the same plan as the oracle's FILTER form. */
+  def q29Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_extendedprice")), 2))
+      .orderBy("l_returnflag")
+
+  /** Gaps-and-islands: per-user runs of consecutive active DAYS via the
+    * day − row_number fingerprint (equal within an unbroken run). The
+    * classic retention/streak query. Scale: one shuffle on user_id;
+    * both windows and both aggregations run within user partitions. */
+  def q30ActivityIslands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .distinct()
+    days
+      .withColumn("grp", col("d") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"),
+        min(col("start_d")).as("first_day"))
+      .orderBy("user_id")
+  }
 }
