@@ -135,15 +135,19 @@ object Graph {
     val nodes = docs
       .select(concat(lit("doc://"), col("doc_id")).as("url"))
       .localCheckpoint(true)
-    val edges = linkGraph(s, dir, n).localCheckpoint(true)
-    val deg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("deg"))
+    // out-degree is loop-invariant: fold it into the edge table ONCE so
+    // each iteration joins a single (src, dst, deg) relation instead of
+    // re-joining rank ⋈ edges ⋈ deg — one equi-join per round, not two
+    val edges = {
+      val e = linkGraph(s, dir, n)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      e.join(deg, "src").localCheckpoint(true)
+    }
     // every node has out-edges in this graph (no dangling mass term)
     val base = (15L * Scale / 100) / n
     var r = nodes.withColumn("r", lit(Scale / n))
     for (_ <- 1 to iters) {
       val contrib = r.join(edges, r("url") === edges("src"))
-        .join(deg, edges("src") === deg("src"))
         .select(col("dst").as("url"), expr("r div deg").as("c"))
         .groupBy(col("url"))
         .agg(sum(col("c")).as("contrib"))

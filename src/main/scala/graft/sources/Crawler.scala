@@ -37,10 +37,14 @@ object Crawler {
     var cur = e1
     var all = e1.withColumn("hop", lit(1L))
     for (h <- 2 to stride) {
+      // no per-power distinct: intermediate rows are PATHS (≤ d^h per
+      // src), and for the low-degree graphs stride-k targets, carrying
+      // ≤ d^stride path rows into the final min-hop aggregate is
+      // cheaper than a dedup shuffle per power — the closing groupBy
+      // collapses paths to pairs exactly once
       cur = cur.as("a")
         .join(edges.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-        .distinct()
       all = all.unionByName(cur.withColumn("hop", lit(h.toLong)))
     }
     all.groupBy(col("src"), col("dst")).agg(min(col("hop")).as("hop"))
