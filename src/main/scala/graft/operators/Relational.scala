@@ -443,8 +443,10 @@ object Relational {
 
   /** Pivot (explicit value list — never data-driven, so the output
     * schema is deterministic and plannable): linestatus columns of
-    * summed revenue per returnflag. Compiles to one conditional
-    * aggregation pass, the same plan as the oracle's FILTER form. */
+    * summed revenue per returnflag. Spark plans this as a two-level
+    * aggregate (per-(flag,status) partials, then pivotfirst per flag);
+    * both exchanges carry only group rows — constant size at any
+    * corpus scale. */
   def q29Pivot(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))

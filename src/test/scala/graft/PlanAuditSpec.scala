@@ -127,4 +127,60 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
   }
+
+  test("doc_blocklist_filter is a zero-shuffle scan pass") {
+    val p = planOf("doc_blocklist_filter")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("doc_length_histogram windows over the aggregate, not the corpus") {
+    // the only SinglePartition exchange allowed is the one carrying
+    // histogram buckets into the cumulative window — it must sit ABOVE
+    // the bucket aggregation in the plan (i.e. the corpus has already
+    // collapsed); the document scan itself must shuffle once (the
+    // groupBy(bucket) partials)
+    val p = planOf("doc_length_histogram")
+    val agg = p.indexOf("HashAggregate")
+    val single = p.indexOf("Exchange SinglePartition")
+    assert(agg >= 0 && single >= 0, p.take(3000))
+    assert(single < p.lastIndexOf("HashAggregate"),
+      s"single-partition exchange below every aggregate:\n${p.take(3000)}")
+  }
+
+  test("doc_mixture_epochs broadcasts the 1-row totals") {
+    val p = planOf("doc_mixture_epochs")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("emb_ann_range joins bands hash-to-hash, never nested-loop") {
+    val p = planOf("emb_ann_range")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q28_grouping_sets expands in ONE aggregation pass (single shuffle)") {
+    val p = planOf("q28_grouping_sets")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${p.take(3000)}")
+  }
+
+  test("q29_pivot aggregates, never joins per pivot value") {
+    // Spark's pivot is a two-level aggregate: per-(flag,status)
+    // partials, then pivotfirst per flag — both exchanges carry only
+    // group rows. The failure shape to guard against is a join (or
+    // scan) per pivot value.
+    val p = planOf("q29_pivot")
+    assert(!p.contains("Join"), p.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(3000)}")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
+  test("q30_activity_islands shuffles on user_id only (no global window)") {
+    val p = planOf("q30_activity_islands")
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
 }
