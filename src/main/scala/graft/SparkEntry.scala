@@ -104,6 +104,7 @@ object SparkEntry {
       Ingest.logRetention(s, d)),
     "sync_metadata_exclusion" -> (Sync.metadataExclusion _),
     "ctl_run_stats"       -> (Ingest.runStatsDaily _),
+    "ctl_schedule_reconcile" -> (Ingest.scheduleReconcile _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -131,6 +132,8 @@ object SparkEntry {
     "doc_length_histogram" -> (Curation.lengthHistogram _),
     "emb_ann_range"       -> ((s: SparkSession, d: String) =>
       Similarity.rangeSearch(s, d)),
+    "emb_cluster_stats"   -> ((s: SparkSession, d: String) =>
+      Similarity.clusterStats(s, d)),
     // rows-only by declaration: BPE's iterative greedy merge isn't
     // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
@@ -1231,6 +1234,26 @@ object SparkEntry {
            event_type AS status, count(*) AS n_runs,
            round(avg(value), 4) AS avg_duration_s
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ctl_schedule_reconcile" ->
+      """WITH last AS (
+           SELECT user_id AS config_id,
+             CAST(max(epoch_us(ts::TIMESTAMP)) AS BIGINT) AS last_us
+           FROM events GROUP BY 1),
+         n AS (SELECT max(last_us) AS now_us FROM last),
+         x AS (SELECT config_id, last_us,
+                 5 + (config_id % 6) * 5 AS interval_min,
+                 last_us + (5 + (config_id % 6) * 5) * 60000000
+                   AS next_due_us,
+                 now_us
+               FROM last CROSS JOIN n)
+         SELECT config_id, CAST(interval_min AS BIGINT) AS interval_min,
+           last_us,
+           CAST(CASE WHEN next_due_us <= now_us THEN 1 ELSE 0 END
+             AS BIGINT) AS due,
+           CAST(CASE WHEN next_due_us <= now_us
+             THEN (now_us - next_due_us) // 1000000 ELSE 0 END
+             AS BIGINT) AS overdue_s
+         FROM x ORDER BY config_id""",
     "ctl_log_retention" ->
       """WITH fin AS (
            SELECT user_id AS run_id, max(ts) AS finished_at
@@ -1570,6 +1593,31 @@ object SparkEntry {
            CAST(floor(cosine * 1000) AS BIGINT) AS cosine_permille
          FROM scored WHERE cosine >= ${graft.operators.Similarity.RangeMinCosine}
          ORDER BY query_id, neighbor_id""",
+    "emb_cluster_stats" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND 16),
+         proj AS (
+           SELECT e.vec_id, s.c,
+             list_dot_product(e.emb, s.cv) AS proj
+           FROM e CROSS JOIN seeds s),
+         assigned AS (
+           SELECT vec_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM assigned),
+         g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(min(vec_id) AS BIGINT) AS min_vec,
+                 CAST(max(vec_id) AS BIGINT) AS max_vec
+               FROM assigned GROUP BY 1)
+         SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+           (n_vectors * 1000) // total AS share_permille,
+           (n_vectors * 16 * 1000) // total AS load_permille,
+           min_vec, max_vec
+         FROM g CROSS JOIN t ORDER BY cell""",
     "doc_sample_balanced" ->
       """WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS tok
                     FROM documents),

@@ -369,4 +369,30 @@ object Ingest {
       .agg(count(lit(1)).as("logs_pruned"))
       .orderBy("run_id")
   }
+
+  /** Scheduler reconciliation (scheduler.ts:9-56) as a declarative
+    * query — the decision core of the croner loop: per config, is the
+    * next run due, and by how much? Config id ≅ user_id; each config's
+    * interval derives deterministically from its id (5..30 min); "now"
+    * is the corpus-max event time so the answer is reproducible. All
+    * time math in integer microseconds (the engine-portable policy).
+    *
+    * Scale: one map-side-combining groupBy to the per-config last-run
+    * table, then a 1-row "now" broadcast onto the ~#configs rows. */
+  def scheduleReconcile(s: SparkSession, dir: String): DataFrame = {
+    val last = Tables.events(s, dir)
+      .groupBy(col("user_id").as("config_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"))
+    val now = last.agg(max(col("last_us")).as("now_us"))
+    last.crossJoin(broadcast(now))
+      .withColumn("interval_min", expr("5 + (config_id % 6) * 5"))
+      .withColumn("next_due_us",
+        expr("last_us + interval_min * 60000000"))
+      .withColumn("due", (col("next_due_us") <= col("now_us")).cast("long"))
+      .withColumn("overdue_s",
+        when(col("due") === 1,
+          expr("(now_us - next_due_us) div 1000000")).otherwise(0L))
+      .select("config_id", "interval_min", "last_us", "due", "overdue_s")
+      .orderBy("config_id")
+  }
 }

@@ -205,6 +205,30 @@ object Similarity {
       .toDF("vec_id", "cell")
   }
 
+  /** Per-cell occupancy report of the IVF coarse quantizer — the
+    * cluster-balance signal both an ANN operator (skewed cells ⇒ slow
+    * probes) and a SemDeDup-style curator (overfull cells ⇒ semantic
+    * redundancy) read before acting. share = of the corpus,
+    * load = relative to a perfectly uniform quantizer (1000 = exactly
+    * uniform), both integer permille.
+    *
+    * Scale: the assignment is the same zero-shuffle map as
+    * [[ivfAssign]]; everything after runs on an nlist-row aggregate
+    * with a 1-row total broadcast. */
+  def clusterStats(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val assigned = ivfAssign(s, dir, nlist)
+    val total = assigned.agg(count(lit(1)).as("total"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .crossJoin(broadcast(total))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        expr("n_vectors * 1000 div total").as("share_permille"),
+        expr(s"n_vectors * $nlist * 1000 div total").as("load_permille"),
+        col("min_vec"), col("max_vec"))
+      .orderBy("cell")
+  }
+
   /** One-time IVF index build: the corpus written partitioned by cell
     * id, so a probe is a partition-pruned read of `nprobe` directories —
     * candidate I/O ∝ nprobe/nlist of the corpus. At 100 TB this is the
