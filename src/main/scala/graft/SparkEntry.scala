@@ -89,6 +89,7 @@ object SparkEntry {
     "ingest_page"         -> (Ingest.ingestPage _),
     "ingest_render_issue" -> (Ingest.renderIssues _),
     "ingest_render_article" -> (Ingest.renderArticles _),
+    "ingest_render_ticket" -> (Ingest.renderTickets _),
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
     "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
     "sitemap_parse"       -> (Ingest.sitemapParse _),
@@ -1098,6 +1099,47 @@ object SparkEntry {
            FROM e)
          SELECT id AS article_id, markdown, sha256(markdown) AS md_hash
          FROM md ORDER BY article_id""",
+    "ingest_render_ticket" ->
+      """WITH e AS (
+           SELECT event_id AS id, user_id, event_type AS etype,
+             strftime(ts::TIMESTAMP, '%a %b %d %Y') AS d
+           FROM events WHERE event_id < 100),
+         md AS (
+           SELECT id,
+             '# Ticket #' || id || ': Ticket ' || etype || ' ' || id ||
+               chr(10) || chr(10) ||
+             '- **Status:** ' ||
+               (CASE WHEN etype='error' THEN 'open' ELSE 'solved' END) ||
+               chr(10) ||
+             '- **Priority:** ' ||
+               (CASE WHEN id % 3 = 0 THEN 'None'
+                     WHEN id % 2 = 0 THEN 'high' ELSE 'low' END) ||
+               chr(10) ||
+             '- **Type:** ' ||
+               (CASE WHEN etype='error' THEN 'incident' ELSE 'None' END) ||
+               chr(10) ||
+             '- **Requester:** ' || user_id || chr(10) ||
+             '- **Assignee:** ' ||
+               (CASE WHEN id % 4 = 0 THEN 'Unassigned'
+                     ELSE CAST(user_id + 1 AS VARCHAR) END) || chr(10) ||
+             '- **Created:** ' || d || chr(10) ||
+             '- **Updated:** ' || d || chr(10) ||
+             (CASE WHEN etype='click'
+                   THEN '- **Tags:** `ui`, `bug`' || chr(10)
+                   ELSE '' END) ||
+             chr(10) || '## Description' || chr(10) || chr(10) ||
+             (CASE WHEN id % 7 = 0 THEN '_No description._'
+                   ELSE 'Ticket description ' || id || '.' END) ||
+             chr(10) || chr(10) ||
+             '## Comments' || chr(10) || chr(10) ||
+             '### ' || (user_id + 1000) || ' - ' || d ||
+               chr(10) || chr(10) ||
+             (CASE WHEN id % 5 = 0 THEN '_No content._'
+                   ELSE 'Reply for ticket ' || id || '.' END) ||
+             chr(10) || chr(10) || '---' || chr(10) || chr(10) AS markdown
+           FROM e)
+         SELECT id AS ticket_id, markdown, sha256(markdown) AS md_hash
+         FROM md ORDER BY ticket_id""",
     "crawl_frontier" ->
       """WITH RECURSIVE
          edges AS (

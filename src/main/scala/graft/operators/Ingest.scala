@@ -140,6 +140,51 @@ object Ingest {
       .orderBy("article_id")
   }
 
+  /** Zendesk ticket rendering: events rows as synthetic tickets through
+    * the reference template (doc2vec.ts:1586-1627). Exercises every
+    * branch the reference's `generateMarkdownForTicket` has: optional
+    * priority/type/assignee, optional tag bullet, blank description →
+    * `_No description._`, the internal-comment filter (every ticket
+    * carries one internal comment that must NOT appear), `&nbsp;`
+    * cleanup in comment bodies, and blank comment body → `_No
+    * content._`. Emits the markdown and its hash. */
+  def renderTickets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String, String)]
+      .map { case (id, user, etype, iso) =>
+        val ticket = Renderers.Ticket(
+          id = id, subject = s"Ticket $etype $id",
+          status = if (etype == "error") "open" else "solved",
+          priority =
+            if (id % 3 == 0) None
+            else Some(if (id % 2 == 0) "high" else "low"),
+          ticketType = if (etype == "error") Some("incident") else None,
+          requesterId = user,
+          assigneeId = if (id % 4 == 0) None else Some(user + 1),
+          createdAt = iso, updatedAt = iso,
+          tags = if (etype == "click") Seq("ui", "bug") else Seq.empty,
+          description =
+            if (id % 7 == 0) None else Some(s"Ticket description $id."),
+          comments = Seq(
+            Renderers.TicketComment(
+              authorId = user + 1000, createdAt = iso, isPublic = true,
+              body =
+                if (id % 5 == 0) ""
+                else s"Reply&nbsp;for&nbsp;ticket $id."),
+            Renderers.TicketComment(
+              authorId = user + 2000, createdAt = iso, isPublic = false,
+              body = s"Internal note $id.")))
+        val md = Renderers.renderTicket(ticket)
+        (id, md, graft.functions.TextUtil.sha256Hex(md))
+      }
+      .toDF("ticket_id", "markdown", "md_hash")
+      .orderBy("ticket_id")
+  }
+
   /** Crawl frontier: BFS over a deterministic link graph (doc i links
     * to (7i+1) mod N and (13i+5) mod N) from seed doc 0 → (url, depth).
     * Oracle: DuckDB recursive CTE with min-depth aggregation. */
