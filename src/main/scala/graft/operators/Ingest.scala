@@ -259,7 +259,14 @@ object Ingest {
   /** ETag skip layer (reference content-processor.ts:608-742): compare
     * the stored etag against the current content hash; equal → skip the
     * page without fetching. */
-  def etagSkip(s: SparkSession, dir: String): DataFrame = {
+  def etagSkip(s: SparkSession, dir: String): DataFrame =
+    etagDecisions(s, dir).orderBy("url")
+
+  /** Unsorted per-url ETag decisions — shared by etagSkip and the
+    * composed skip cascade (Sync.skipCascade), which folds the decision
+    * into one wide aggregate and must not inherit a mid-plan sort. */
+  private[operators] def etagDecisions(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val current = docs.select(
       concat(lit("doc://"), col("doc_id")).as("url"),
@@ -276,13 +283,17 @@ object Ingest {
           .when(col("stored_etag") === col("etag"), "skip")
           .otherwise("fetch_changed"))
       .select("url", "decision")
-      .orderBy("url")
   }
 
   /** Sitemap-lastmod skip layer (reference content-processor.ts:579-606):
     * a page whose sitemap lastmod equals the stored value is skipped with
     * zero HTTP work; forceFullSync bypasses the layer. */
   def lastmodSkip(s: SparkSession, dir: String,
+      forceFullSync: Boolean = false): DataFrame =
+    lastmodDecisions(s, dir, forceFullSync).orderBy("url")
+
+  /** Unsorted per-url lastmod decisions — shared with Sync.skipCascade. */
+  private[operators] def lastmodDecisions(s: SparkSession, dir: String,
       forceFullSync: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sitemap = docs.select(
@@ -303,7 +314,6 @@ object Ingest {
           .when(col("stored_lastmod") === col("lastmod"), "skip")
           .otherwise("fetch_changed"))
       .select("url", "decision")
-      .orderBy("url")
   }
 
   /** Broken-links report (reference doc2vec.ts:786-821): deduped

@@ -71,7 +71,11 @@ object Sync {
 
   /** URL-level diff: status ∈ {new, updated, unchanged} for every
     * incoming url. */
-  def urlDiff(s: SparkSession, dir: String): DataFrame = {
+  def urlDiff(s: SparkSession, dir: String): DataFrame =
+    urlStatuses(s, dir).orderBy("url")
+
+  /** Unsorted per-url diff statuses — shared with skipCascade. */
+  private def urlStatuses(s: SparkSession, dir: String): DataFrame = {
     val stored = signatures(chunksOf(storedDocs(s, dir)))
       .withColumnRenamed("sig", "stored_sig")
       .withColumnRenamed("n_chunks", "stored_chunks")
@@ -82,19 +86,71 @@ object Sync {
           .when(col("sig") =!= col("stored_sig"), "updated")
           .otherwise("unchanged"))
       .select(col("url"), col("status"), col("n_chunks"))
-      .orderBy("url")
   }
 
   /** Chunk-level skip: incoming chunks that must be embedded — those
     * whose chunk_id is not already stored (anti-join placed *before*
     * the expensive embed stage). */
-  def chunkDelta(s: SparkSession, dir: String): DataFrame = {
+  def chunkDelta(s: SparkSession, dir: String): DataFrame =
+    chunkDeltaCounts(s, dir).orderBy("url")
+
+  /** Unsorted per-url to-embed counts — shared with skipCascade. */
+  private def chunkDeltaCounts(s: SparkSession, dir: String): DataFrame = {
     val stored = chunksOf(storedDocs(s, dir)).select("chunk_id")
     chunksOf(incomingDocs(s, dir))
       .join(stored, Seq("chunk_id"), "left_anti")
       .groupBy(col("url"))
       .agg(count(lit(1)).as("chunks_to_embed"))
-      .orderBy("url")
+  }
+
+  /** The reference's 4-layer change-detection cascade composed as ONE
+    * plan (reference README.md:46-56: sitemap lastmod → ETag → URL
+    * hash-multiset → chunk hash, each layer seeing only the survivors
+    * of the previous one). Per-url decisions from all four layers are
+    * joined into a single wide frame, the per-layer funnel counts fall
+    * out of one conditional aggregate, and `stack` unpivots them to a
+    * (layer, n_in, n_skipped, n_forward) report. Layers 1–3 count urls;
+    * layer 4 counts chunks of the urls that reached it (skipped = chunks
+    * whose hash is already stored, forward = chunks actually embedded).
+    *
+    * Reconciles with the individual layer queries by construction: each
+    * decision column is the exact frame behind sync_lastmod_skip /
+    * sync_etag_skip / sync_url_diff / sync_chunk_delta.
+    *
+    * Scale: three url-keyed hash joins + one chunk_id anti-join feeding
+    * a single partial-aggregating count pass — no per-layer jobs, no
+    * driver-side funnel math, no mid-plan sorts. */
+  def skipCascade(s: SparkSession, dir: String): DataFrame = {
+    val lm = Ingest.lastmodDecisions(s, dir)
+      .withColumnRenamed("decision", "lm_dec")
+    val et = Ingest.etagDecisions(s, dir)
+      .withColumnRenamed("decision", "et_dec")
+    val wide = lm.join(et, Seq("url"))
+      .join(urlStatuses(s, dir), Seq("url"), "left")
+      .join(chunkDeltaCounts(s, dir), Seq("url"), "left")
+      .na.fill(0L, Seq("chunks_to_embed"))
+    val pass1 = col("lm_dec") =!= "skip"
+    val pass2 = pass1 && col("et_dec") =!= "skip"
+    val reach3 = pass2 && col("status").isNotNull
+    val pass3 = reach3 && col("status") =!= "unchanged"
+    wide.agg(
+        count(lit(1)).as("l1_in"),
+        count(when(col("lm_dec") === "skip", 1)).as("l1_skip"),
+        count(when(pass1, 1)).as("l2_in"),
+        count(when(pass1 && col("et_dec") === "skip", 1)).as("l2_skip"),
+        count(when(reach3, 1)).as("l3_in"),
+        count(when(reach3 && col("status") === "unchanged", 1)).as("l3_skip"),
+        sum(when(pass3, col("n_chunks")).otherwise(0L)).as("l4_in"),
+        sum(when(pass3, col("n_chunks") - col("chunks_to_embed"))
+          .otherwise(0L)).as("l4_skip"))
+      .selectExpr(
+        """stack(4,
+             '1_lastmod',    l1_in, l1_skip,
+             '2_etag',       l2_in, l2_skip,
+             '3_url_diff',   l3_in, l3_skip,
+             '4_chunk_hash', l4_in, l4_skip) AS (layer, n_in, n_skipped)""")
+      .withColumn("n_forward", col("n_in") - col("n_skipped"))
+      .orderBy("layer")
   }
 
   /** Obsolete cleanup: stored urls no longer present in the incoming

@@ -71,6 +71,41 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       "left_anti").count() == 0)
   }
 
+  test("skip cascade reconciles with the four individual layer queries") {
+    val dir = "/root/testdata/sf0.001"
+    val cascade = operators.Sync.skipCascade(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cascade.keySet ==
+      Set("1_lastmod", "2_etag", "3_url_diff", "4_chunk_hash"))
+    // layer 1 sees every url; each later layer sees the previous forward
+    val lm = operators.Ingest.lastmodSkip(spark, dir)
+    val et = operators.Ingest.etagSkip(spark, dir)
+    val ud = operators.Sync.urlDiff(spark, dir)
+    val cd = operators.Sync.chunkDelta(spark, dir)
+    assert(cascade("1_lastmod")._1 == lm.count())
+    assert(cascade("1_lastmod")._2 ==
+      lm.filter(col("decision") === "skip").count())
+    val after1 = lm.filter(col("decision") =!= "skip").select("url")
+    assert(cascade("2_etag")._1 == after1.count())
+    assert(cascade("2_etag")._2 == after1.join(
+      et.filter(col("decision") === "skip"), Seq("url")).count())
+    val after2 = after1.join(
+      et.filter(col("decision") =!= "skip"), Seq("url")).select("url")
+    val udIn = after2.join(ud, Seq("url"))
+    assert(cascade("3_url_diff")._1 == udIn.count())
+    assert(cascade("3_url_diff")._2 ==
+      udIn.filter(col("status") === "unchanged").count())
+    val after3 = udIn.filter(col("status") =!= "unchanged")
+    val l4 = after3.join(cd, Seq("url"), "left")
+      .agg(sum("n_chunks"), sum(coalesce(col("chunks_to_embed"), lit(0L))))
+      .collect()(0)
+    assert(cascade("4_chunk_hash")._1 == l4.getLong(0))
+    assert(cascade("4_chunk_hash")._3 == l4.getLong(1))
+    // funnel is monotone: each layer's input is the previous forward
+    assert(cascade("2_etag")._1 == cascade("1_lastmod")._3)
+  }
+
   test("cleanup removes unvisited urls but is skipped on partial scans") {
     import spark.implicits._
     val stored = chunkCorpus(run1Docs)
