@@ -32,6 +32,23 @@ object Graph {
     * form (·85 div 100). */
   val DampNum = 85L
 
+  /** Affine link maps of the synthetic crawl graph — doc://i links to
+    * (LinkMulA·i + LinkAddA) mod n and (LinkMulB·i + LinkAddB) mod n —
+    * plus an "up" hub link i → i div 2 for every HubEvery-th page.
+    * Shared constants: the DuckDB oracles interpolate these same
+    * values, so the implementation and the oracle can't drift apart
+    * when a parameter changes (the SimhashMaxDist rule). */
+  val LinkMulA = 7L
+  val LinkAddA = 1L
+  val LinkMulB = 13L
+  val LinkAddB = 5L
+  val HubEvery = 3L
+
+  /** Every SinkEvery-th page loses its out-links in the sink-bearing
+    * PageRank variant (graph_pagerank_sink) — the dangling-mass case a
+    * real crawl graph always has. */
+  val SinkEvery = 17L
+
   /** The crawl_frontier link graph (doc://i → 7i+1, 13i+5 mod n) PLUS
     * a hub overlay — every third page also links "up" to doc://(i div
     * 2). The two affine maps alone are bijections (2-regular in AND
@@ -43,11 +60,13 @@ object Graph {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     docs.select(
         concat(lit("doc://"), col("doc_id")).as("src"),
-        concat(lit("doc://"), (col("doc_id") * 7 + 1) % n).as("dst"))
+        concat(lit("doc://"), (col("doc_id") * LinkMulA + LinkAddA) % n)
+          .as("dst"))
       .unionByName(docs.select(
         concat(lit("doc://"), col("doc_id")).as("src"),
-        concat(lit("doc://"), (col("doc_id") * 13 + 5) % n).as("dst")))
-      .unionByName(docs.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("doc://"), (col("doc_id") * LinkMulB + LinkAddB) % n)
+          .as("dst")))
+      .unionByName(docs.filter(col("doc_id") % HubEvery === 0).select(
         concat(lit("doc://"), col("doc_id")).as("src"),
         concat(lit("doc://"), expr("doc_id div 2")).as("dst")))
       .distinct()
@@ -85,7 +104,7 @@ object Graph {
     * min-label-propagation split and its driver-byte gate. */
   def components(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(s, dir)
-      .filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
+      .filter(col("doc_id") % HubEvery === 0 && col("doc_id") > 0)
       .select(expr("doc_id div 2").as("doc_a"), col("doc_id").as("doc_b"))
     Dedup.clusters(s, dir, pairs)
   }
@@ -128,8 +147,19 @@ object Graph {
   }
 
   /** Integer PageRank, top 20 by rank (url tie-break): 10 fixed
-    * iterations of r' = base + 85·Σ_in (r div deg) div 100. */
-  def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    * iterations of r' = base + 85·(Σ_in (r div deg) + dangling) div
+    * 100, where dangling = (Σ rank of out-edge-less nodes) div n — the
+    * standard dangling-mass redistribution a real crawl graph (dead
+    * ends, binary pages, robots-blocked leaves) always needs.
+    *
+    * `sinkEvery > 0` drops the out-links of every sinkEvery-th page —
+    * the sink-bearing variant behind graph_pagerank_sink. The dangling
+    * set is loop-invariant, computed once; when it is empty (the full
+    * synthetic graph — both affine maps are total) the per-iteration
+    * plan carries no dangling aggregate at all, so the sinkless query
+    * keeps its one-join-per-round shape. */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 10,
+      sinkEvery: Long = 0L): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     val nodes = docs
@@ -139,11 +169,21 @@ object Graph {
     // each iteration joins a single (src, dst, deg) relation instead of
     // re-joining rank ⋈ edges ⋈ deg — one equi-join per round, not two
     val edges = {
-      val e = linkGraph(s, dir, n)
+      val all = linkGraph(s, dir, n)
+      val e =
+        if (sinkEvery > 0)
+          all.join(docs.filter(col("doc_id") % sinkEvery === 0)
+              .select(concat(lit("doc://"), col("doc_id")).as("src")),
+            Seq("src"), "left_anti")
+        else all
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       e.join(deg, "src").localCheckpoint(true)
     }
-    // every node has out-edges in this graph (no dangling mass term)
+    // dangling set: nodes with no surviving out-edge (loop-invariant)
+    val dangling = nodes
+      .join(edges.select(col("src").as("url")), Seq("url"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = !dangling.isEmpty
     val base = (15L * Scale / 100) / n
     var r = nodes.withColumn("r", lit(Scale / n))
     for (_ <- 1 to iters) {
@@ -151,12 +191,21 @@ object Graph {
         .select(col("dst").as("url"), expr("r div deg").as("c"))
         .groupBy(col("url"))
         .agg(sum(col("c")).as("contrib"))
-      r = nodes.join(contrib, Seq("url"), "left")
-        .select(col("url"),
+      val next = nodes.join(contrib, Seq("url"), "left")
+      r = (if (hasDangling) {
+        val dm = r.join(dangling, Seq("url"), "left_semi")
+          .agg(expr(s"coalesce(sum(r), CAST(0 AS BIGINT)) div $n").as("dm"))
+        next.crossJoin(broadcast(dm))
+          .select(col("url"),
+            (lit(base) + expr(s"($DampNum * " +
+              "(coalesce(contrib, CAST(0 AS BIGINT)) + dm)) div 100"))
+              .as("r"))
+      } else {
+        next.select(col("url"),
           (lit(base) +
             expr(s"($DampNum * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+      }).localCheckpoint(true)
     }
     r.orderBy(col("r").desc, col("url")).limit(20)
   }

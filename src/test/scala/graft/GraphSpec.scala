@@ -35,6 +35,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq, "pageRank must be deterministic")
   }
 
+  test("pageRank with sinks matches a driver-side integer reference") {
+    val n = graft.Tables.documents(spark, dir).count()
+    val got = Graph.pageRank(spark, dir, sinkEvery = Graph.SinkEvery)
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[Long]("r")))
+    // driver-side replica of the integer recurrence, dangling term incl.
+    val edges = (0L until n).flatMap { i =>
+      Seq(i -> ((i * Graph.LinkMulA + Graph.LinkAddA) % n),
+        i -> ((i * Graph.LinkMulB + Graph.LinkAddB) % n)) ++
+        (if (i % Graph.HubEvery == 0) Seq(i -> (i / 2)) else Nil)
+    }.distinct.filter { case (src, _) => src % Graph.SinkEvery != 0 }
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val sinks = (0L until n).filterNot(out.contains)
+    assert(sinks.nonEmpty, "sink variant must actually have sinks")
+    val base = (15L * Graph.Scale / 100) / n
+    var r = Array.fill(n.toInt)(Graph.Scale / n)
+    for (_ <- 1 to 10) {
+      val contrib = Array.fill(n.toInt)(0L)
+      edges.foreach { case (s, d) =>
+        contrib(d.toInt) += r(s.toInt) / out(s) }
+      val dm = sinks.map(i => r(i.toInt)).sum / n
+      r = Array.tabulate(n.toInt)(i =>
+        base + (Graph.DampNum * (contrib(i) + dm)) / 100)
+    }
+    val exp = (0L until n).map(i => (s"doc://$i", r(i.toInt)))
+      .sortBy { case (u, rank) => (-rank, u) }.take(20)
+    assert(got.toSeq == exp, "sink PageRank must match the reference")
+  }
+
   test("degreeStats: every node present, degree identities hold") {
     val n = graft.Tables.documents(spark, dir).count()
     val rows = Graph.degreeStats(spark, dir).collect()
@@ -44,8 +72,19 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each node emits its 2 affine links (+1 hub link for id%3==0),
     // minus any collisions the edge-distinct absorbs
     assert(rows.forall { case (_, o, _) => o >= 1 && o <= 3 })
-    // handshake: Σout = Σin = |edges|
-    assert(rows.map(_._2).sum == rows.map(_._3).sum)
+    // reference degrees from a driver-side rebuild of the edge set
+    val edges = (0L until n).flatMap { i =>
+      Seq(i -> ((i * Graph.LinkMulA + Graph.LinkAddA) % n),
+        i -> ((i * Graph.LinkMulB + Graph.LinkAddB) % n)) ++
+        (if (i % Graph.HubEvery == 0) Seq(i -> (i / 2)) else Nil)
+    }.distinct
+    val expOut = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expIn = edges.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (url, o, in) =>
+      val id = url.stripPrefix("doc://").toLong
+      assert(o == expOut.getOrElse(id, 0L), s"out_deg mismatch at $url")
+      assert(in == expIn.getOrElse(id, 0L), s"in_deg mismatch at $url")
+    }
   }
 
   test("components: forest labelling matches a driver-side union-find") {
