@@ -126,6 +126,9 @@ object SparkEntry {
     "doc_sample_balanced" -> (Curation.balancedSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),
+    "graph_pagerank_sink" -> ((s: SparkSession, d: String) =>
+      graft.operators.Graph.pageRank(s, d,
+        sinkEvery = graft.operators.Graph.SinkEvery)),
     "graph_degree"        -> (graft.operators.Graph.degreeStats _),
     "graph_components"    -> (graft.operators.Graph.components _),
     "graph_triangles"     -> (graft.operators.Graph.triangleStats _),
@@ -867,7 +870,7 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "emb_ann_ivf" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
            FROM embeddings),
          -- data-adaptive centroids: the embeddings of seed vectors
@@ -877,7 +880,7 @@ object SparkEntry {
          -- bit-identical across engines
          seeds AS (
            SELECT vec_id - 1 AS c, emb AS cv FROM e
-           WHERE vec_id BETWEEN 1 AND 16),
+           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
          proj AS (
            SELECT e.vec_id, s.c,
              list_dot_product(e.emb, s.cv) AS proj
@@ -889,7 +892,7 @@ object SparkEntry {
          qcells AS (
            SELECT c AS cell FROM (
              SELECT c, row_number() OVER (ORDER BY proj DESC, c) AS rn
-             FROM proj WHERE vec_id = 0) WHERE rn <= 4),
+             FROM proj WHERE vec_id = 0) WHERE rn <= ${Similarity.IvfNprobe}),
          qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
          cand AS (
            SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
@@ -1524,66 +1527,25 @@ object SparkEntry {
            (end_off - 1) // ${Curation.SeqLen}
              - (end_off - n_tokens) // ${Curation.SeqLen} + 1 AS n_seqs
          FROM w ORDER BY doc_id""",
-    "graph_pagerank" -> {
-      import graft.operators.Graph.{Scale, DampNum}
-      // 10 unrolled integer-PageRank iterations (recursive CTEs can't
-      // aggregate in the recursive term; unrolling is exact and cheap)
-      val iterCtes = (1 to 10).map { i =>
-        val p = i - 1
-        s"""r$i AS (
-           SELECT n.url,
-             (SELECT (15 * $Scale // 100) // n FROM nn)
-             + ($DampNum * coalesce(c.contrib, 0)) // 100 AS r
-           FROM nodes n LEFT JOIN (
-             SELECT e.dst AS url,
-               CAST(sum(r$p.r // d.deg) AS BIGINT) AS contrib
-             FROM r$p JOIN edges e ON r$p.url = e.src
-                      JOIN deg d ON d.src = e.src
-             GROUP BY 1) c ON n.url = c.url)"""
-      }.mkString(",\n")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         nodes AS (SELECT 'doc://'||doc_id AS url FROM documents),
-         edges AS (
-           SELECT 'doc://'||doc_id AS src,
-             'doc://'||((doc_id*7+1) % (SELECT n FROM nn)) AS dst
-           FROM documents
-           UNION
-           SELECT 'doc://'||doc_id,
-             'doc://'||((doc_id*13+5) % (SELECT n FROM nn))
-           FROM documents
-           UNION
-           SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
-           FROM documents WHERE doc_id % 3 = 0),
-         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-         r0 AS (SELECT url, $Scale // (SELECT n FROM nn) AS r FROM nodes),
-         $iterCtes
-         SELECT url, r FROM r10 ORDER BY r DESC, url LIMIT 20"""
-    },
-    "graph_degree" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-         edges AS (
-           SELECT 'doc://'||doc_id AS src,
-             'doc://'||((doc_id*7+1) % (SELECT n FROM nn)) AS dst
-           FROM documents
-           UNION
-           SELECT 'doc://'||doc_id,
-             'doc://'||((doc_id*13+5) % (SELECT n FROM nn))
-           FROM documents
-           UNION
-           SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
-           FROM documents WHERE doc_id % 3 = 0),
-         o AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
-         i AS (SELECT dst, count(*) AS c FROM edges GROUP BY 1),
-         nodes AS (SELECT 'doc://'||doc_id AS url FROM documents)
+    "graph_pagerank" -> (graphCteHeader +
+      pagerankIterCtes(withSinks = false) +
+      "\nSELECT url, r FROM r10 ORDER BY r DESC, url LIMIT 20"),
+    "graph_pagerank_sink" -> (graphCteHeader +
+      pagerankIterCtes(withSinks = true) +
+      "\nSELECT url, r FROM r10 ORDER BY r DESC, url LIMIT 20"),
+    "graph_degree" -> (graphCteHeader +
+      """o AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
+         i AS (SELECT dst, count(*) AS c FROM edges GROUP BY 1)
          SELECT nodes.url, CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
            CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
          FROM nodes LEFT JOIN o ON o.src = nodes.url
                     LEFT JOIN i ON i.dst = nodes.url
-         ORDER BY url""",
+         ORDER BY url"""),
     "graph_components" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
          p AS (SELECT doc_id//2 AS a, doc_id AS b FROM documents
-               WHERE doc_id % 3 = 0 AND doc_id > 0),
+               WHERE doc_id % ${graft.operators.Graph.HubEvery} = 0
+                 AND doc_id > 0),
          edges AS (SELECT a AS s, b AS d FROM p
                    UNION ALL SELECT b, a FROM p),
          reach AS (
@@ -1594,20 +1556,8 @@ object SparkEntry {
            CAST(CASE WHEN start = min(node) THEN 1 ELSE 0 END AS BIGINT)
              AS is_canonical
          FROM reach GROUP BY 1 ORDER BY 1""",
-    "graph_triangles" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-         edges AS (
-           SELECT 'doc://'||doc_id AS src,
-             'doc://'||((doc_id*7+1) % (SELECT n FROM nn)) AS dst
-           FROM documents
-           UNION
-           SELECT 'doc://'||doc_id,
-             'doc://'||((doc_id*13+5) % (SELECT n FROM nn))
-           FROM documents
-           UNION
-           SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
-           FROM documents WHERE doc_id % 3 = 0),
-         und AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
+    "graph_triangles" -> (graphCteHeader +
+      """und AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
                  FROM edges WHERE least(src,dst) < greatest(src,dst)),
          tri AS (SELECT count(*) AS triangles
                  FROM und a JOIN und b ON a.v = b.u
@@ -1620,7 +1570,7 @@ object SparkEntry {
          ne AS (SELECT count(*) AS n_edges FROM und)
          SELECT (SELECT n FROM nn) AS n_nodes, n_edges, triangles, wedges,
            (3000 * triangles) // nullif(wedges, 0) AS clustering_permille
-         FROM tri CROSS JOIN ne CROSS JOIN w""",
+         FROM tri CROSS JOIN ne CROSS JOIN w"""),
     "doc_blocklist_filter" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w
                      FROM documents),
@@ -1648,7 +1598,7 @@ object SparkEntry {
                FROM p CROSS JOIN t),
          f AS (SELECT source, src_tokens, target_tokens,
                  least(${Curation.MaxEpochsPermille},
-                   (target_tokens * 1000) // src_tokens)
+                   (target_tokens * 1000) // nullif(src_tokens, 0))
                    AS epochs_permille
                FROM e)
          SELECT source, src_tokens, target_tokens, epochs_permille,
@@ -1714,12 +1664,12 @@ object SparkEntry {
          FROM scored WHERE cosine >= ${graft.operators.Similarity.RangeMinCosine}
          ORDER BY query_id, neighbor_id""",
     "emb_cluster_stats" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
            FROM embeddings),
          seeds AS (
            SELECT vec_id - 1 AS c, emb AS cv FROM e
-           WHERE vec_id BETWEEN 1 AND 16),
+           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
          proj AS (
            SELECT e.vec_id, s.c,
              list_dot_product(e.emb, s.cv) AS proj
@@ -1735,7 +1685,7 @@ object SparkEntry {
                FROM assigned GROUP BY 1)
          SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
            (n_vectors * 1000) // total AS share_permille,
-           (n_vectors * 16 * 1000) // total AS load_permille,
+           (n_vectors * ${Similarity.IvfNlist} * 1000) // total AS load_permille,
            min_vec, max_vec
          FROM g CROSS JOIN t ORDER BY cell""",
     "doc_sample_balanced" ->
@@ -1841,7 +1791,7 @@ object SparkEntry {
          SELECT doc_id, rank, term, tf, df, score FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "emb_ann_pq" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
            FROM embeddings),
          -- codebooks: subvectors of the 16 seed embeddings (vec_id
@@ -1853,7 +1803,7 @@ object SparkEntry {
          -- order-unspecified and near-dup vectors share codes).
          seeds AS (
            SELECT vec_id - 1 AS c, emb AS cv FROM e
-           WHERE vec_id BETWEEN 1 AND 16),
+           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
          ms AS (SELECT unnest(range(0,8)) AS m),
          d AS (
            SELECT e.vec_id, ms.m, s.c,
@@ -1925,6 +1875,76 @@ object SparkEntry {
 
   /** Shared CTE stack for the sync oracles: deterministic stored/incoming
     * corpora + 128-char token chunks + per-url hash-multiset signatures. */
+  /** Shared WITH-header for the link-graph oracles — node list + the
+    * synthetic edge relation with Graph's affine-map constants
+    * interpolated, so the oracle can't drift from the implementation
+    * when a parameter changes. Ends mid-WITH: callers append their own
+    * CTEs and the final SELECT. */
+  private val graphCteHeader: String = {
+    import graft.operators.Graph._
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT 'doc://'||doc_id AS url FROM documents),
+       edges AS (
+         SELECT 'doc://'||doc_id AS src,
+           'doc://'||((doc_id*$LinkMulA+$LinkAddA) % (SELECT n FROM nn))
+             AS dst
+         FROM documents
+         UNION
+         SELECT 'doc://'||doc_id,
+           'doc://'||((doc_id*$LinkMulB+$LinkAddB) % (SELECT n FROM nn))
+         FROM documents
+         UNION
+         SELECT 'doc://'||doc_id, 'doc://'||(doc_id//2)
+         FROM documents WHERE doc_id % $HubEvery = 0),
+       """
+  }
+
+  /** 10 unrolled integer-PageRank iterations (recursive CTEs can't
+    * aggregate in the recursive term; unrolling is exact and cheap).
+    * With sinks, every SinkEvery-th page loses its out-edges and each
+    * round redistributes the dangling mass Σr_sinks div n — the same
+    * integer arithmetic as Graph.pageRank. */
+  private def pagerankIterCtes(withSinks: Boolean): String = {
+    import graft.operators.Graph.{Scale, DampNum, SinkEvery}
+    val edgesPr =
+      if (withSinks)
+        s"""sinks AS (SELECT 'doc://'||doc_id AS url FROM documents
+             WHERE doc_id % $SinkEvery = 0),
+           e_pr AS (SELECT e.src, e.dst FROM edges e
+             WHERE e.src NOT IN (SELECT url FROM sinks)),"""
+      else "e_pr AS (SELECT src, dst FROM edges),"
+    val iters = (1 to 10).map { i =>
+      val p = i - 1
+      val dangCte =
+        if (withSinks)
+          s"""d$p AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT)
+               // (SELECT n FROM nn) AS dm
+               FROM r$p WHERE url IN (SELECT url FROM sinks)),
+             """
+        else ""
+      val dangTerm = if (withSinks) s" + (SELECT dm FROM d$p)" else ""
+      // MATERIALIZED: with sinks each r$p is referenced twice (contrib
+      // join + dangling-mass aggregate); DuckDB inlines CTEs by default,
+      // which re-evaluates the whole chain per reference — exponential
+      // over 10 unrolled iterations
+      val mat = if (withSinks) "MATERIALIZED " else ""
+      s"""${dangCte}r$i AS $mat(
+         SELECT n.url,
+           (SELECT (15 * $Scale // 100) // n FROM nn)
+           + ($DampNum * (coalesce(c.contrib, 0)$dangTerm)) // 100 AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS url,
+             CAST(sum(r$p.r // d.deg) AS BIGINT) AS contrib
+           FROM r$p JOIN e_pr e ON r$p.url = e.src
+                    JOIN deg d ON d.src = e.src
+           GROUP BY 1) c ON n.url = c.url)"""
+    }.mkString(",\n")
+    s"""$edgesPr
+       deg AS (SELECT src, count(*) AS deg FROM e_pr GROUP BY 1),
+       r0 AS (SELECT url, $Scale // (SELECT n FROM nn) AS r FROM nodes),
+       $iters"""
+  }
+
   private val syncCtes: String =
     """WITH s_docs AS (
          SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),

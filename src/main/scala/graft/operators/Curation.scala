@@ -408,8 +408,11 @@ object Curation {
       .withColumn("target_tokens",
         expr(s"grand_total * $MixtureBudgetFactor div n_sources"))
       .withColumn("epochs_permille",
+        // nullif: an all-empty source (0 est. tokens) must yield a
+        // defined NULL-ratio in BOTH engines, not a DuckDB div-by-zero
+        // crash (least skips the NULL identically on both sides)
         least(lit(MaxEpochsPermille),
-          expr("target_tokens * 1000 div src_tokens")))
+          expr("target_tokens * 1000 div nullif(src_tokens, 0)")))
       .withColumn("planned_tokens",
         expr("src_tokens * epochs_permille div 1000"))
       .select("source", "src_tokens", "target_tokens", "epochs_permille",

@@ -146,6 +146,12 @@ object Similarity {
   // unit-normalized, so raw dot IS cosine; no normalization step to
   // drift on.)
 
+  /** Default IVF cell count / probe width — interpolated into the
+    * DuckDB oracles (emb_ann_ivf, emb_cluster_stats) so the oracle
+    * tracks these values instead of hard-coding them. */
+  val IvfNlist = 16
+  val IvfNprobe = 4
+
   /** Seed-vector centroids: the embeddings of vec_id 1..nlist in
     * vec_id order (cell c ↔ seed vec_id c+1). A 16-row collect — this
     * is index *metadata*, not data motion; the seeds then ride the task
@@ -196,7 +202,7 @@ object Similarity {
 
   /** (vec_id, cell): one typed-kernel pass assigning every vector to
     * its quantizer cell — zero shuffle, no model fit. */
-  def ivfAssign(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+  def ivfAssign(s: SparkSession, dir: String, nlist: Int = IvfNlist): DataFrame = {
     import s.implicits._
     val seeds = ivfSeeds(s, dir, nlist)
     Tables.embeddings(s, dir)
@@ -215,7 +221,7 @@ object Similarity {
     * Scale: the assignment is the same zero-shuffle map as
     * [[ivfAssign]]; everything after runs on an nlist-row aggregate
     * with a 1-row total broadcast. */
-  def clusterStats(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+  def clusterStats(s: SparkSession, dir: String, nlist: Int = IvfNlist): DataFrame = {
     val assigned = ivfAssign(s, dir, nlist)
     val total = assigned.agg(count(lit(1)).as("total"))
     assigned.groupBy(col("cell"))
@@ -237,7 +243,7 @@ object Similarity {
     * index (`<indexDir>.centroids`) so probes don't need the source
     * table. */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
-      nlist: Int = 16): Unit = {
+      nlist: Int = IvfNlist): Unit = {
     import s.implicits._
     val seeds = ivfSeeds(s, dir, nlist)
     Tables.embeddings(s, dir)
@@ -260,7 +266,7 @@ object Similarity {
     * `excludeId` to drop a known self-match *before* the limit so all
     * `k` result slots are real neighbors. */
   def probeIvf(s: SparkSession, indexDir: String, queryVec: Array[Float],
-      k: Int = 10, nprobe: Int = 4,
+      k: Int = 10, nprobe: Int = IvfNprobe,
       excludeId: Option[Long] = None): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
@@ -284,7 +290,7 @@ object Similarity {
     * only driver work is the 16-row seed fetch, and the quantizer
     * arithmetic is reproduced bit-for-bit by the DuckDB oracle. */
   def annIvf(s: SparkSession, dir: String, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir)
@@ -578,7 +584,7 @@ object Similarity {
     * beside. A probe then reads `nprobe`/`nlist` of the corpus AND
     * only 8 ints per vector — the two reductions compose. */
   def buildIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
-      nlist: Int = 16): Unit = {
+      nlist: Int = IvfNlist): Unit = {
     import s.implicits._
     val seeds = ivfSeeds(s, dir, nlist)
     Tables.embeddings(s, dir)
@@ -598,7 +604,7 @@ object Similarity {
     * the source table via a pushed IN filter — [[probeIvf]]'s I/O
     * pruning and [[probePq]]'s byte pruning in one plan. */
   def probeIvfPq(s: SparkSession, indexDir: String, sourceDir: String,
-      queryVec: Array[Float], k: Int = 10, nprobe: Int = 4,
+      queryVec: Array[Float], k: Int = 10, nprobe: Int = IvfNprobe,
       shortlist: Int = 50, excludeId: Option[Long] = None): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
