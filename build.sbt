@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through instead of
+// re-logging each line with an "[info] "/"[error] " prefix: the bench
+// harness parses Bench's metrics line as raw JSON from the captured
+// process tail, and the logger prefix made it unparseable (rounds 1-7
+// all recorded parsed:null even when the line itself was intact).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,6 +42,12 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // One untimed warmup rep per query: round 7 showed untouched
+        // queries drifting 2-4x purely because NEW queries sorted in
+        // before them changed what was in the OS page cache / JIT when
+        // their turn came. Warming the query itself right before its
+        // timed reps decouples each measurement from name order.
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -59,12 +65,34 @@ object Bench {
     // triage), recording how many were dropped as "omitted". `value`
     // stays the total over ALL queries either way.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The f interpolator formats with the JVM default locale (a German
+    // locale would emit "0,123" = invalid JSON); pin Locale.ROOT.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(keep: Seq[(String, Double)], omitted: Int): String = {
       val qs = keep.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$reps,"omitted":$omitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"omitted":$omitted,"sf":"$sfDir"}"""
     }
+    // Full per-query map (nothing omitted, µs precision) goes to a
+    // committed artifact — the tail-window line below keeps only the
+    // slowest queries and ms precision. Round number = max existing
+    // BENCH_r<N>.json + 1, so the detail file lines up with the
+    // harness's own artifact for the same round.
+    val roundN = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+      .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+    val detail = results.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+      }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"reps":$reps,"omitted":0,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
     val budget = 1800 // leaves room for sbt's trailing [success] line
     var keep = results.sortBy(-_._2)
     while (keep.nonEmpty && line(keep, results.length - keep.length).length > budget)
