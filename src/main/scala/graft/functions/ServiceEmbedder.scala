@@ -22,8 +22,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Scale: one transport instance per partition (`mapPartitions`), batch
   * boundaries never cross partitions; throughput scales with executors
-  * × batchSize and the expensive stage sees only the chunk delta the
-  * sync layers let through.
+  * × batchSize × `concurrency`. An embedding service call is
+  * latency-bound, not CPU-bound, so a single in-flight call per
+  * partition leaves the connection idle between round-trips — the
+  * second documented improvement over the reference's serial loop.
+  * `concurrency` N keeps up to N micro-batches in flight per partition
+  * through a bounded FIFO of futures; results are emitted in SUBMISSION
+  * order regardless of completion order, so the output is byte-for-byte
+  * identical to the serial path (asserted in ServiceEmbedderSpec) and
+  * downstream hash-based change detection never sees call-timing
+  * nondeterminism. The expensive stage still sees only the chunk delta
+  * the sync layers let through.
   */
 object ServiceEmbedder {
 
@@ -36,42 +45,90 @@ object ServiceEmbedder {
 
   type Transport = Seq[String] => Reply
 
+  /** One micro-batch through the transport with the full retry
+    * contract; returns the output rows for the batch in input order. */
+  private def callBatch(batch: Seq[(Long, String)], transport: Transport,
+      maxRetries: Int, sleep: Long => Unit): Seq[(Long, Array[Float], Boolean)] = {
+    val texts = batch.map { case (_, t) =>
+      if (t.length > Embedder.MaxChars) t.substring(0, Embedder.MaxChars)
+      else t
+    }
+    var attempt = 0
+    var result: Option[Seq[Array[Float]]] = None
+    var done = false
+    while (!done) {
+      transport(texts) match {
+        // a partial reply (fewer vectors than texts) is a transport
+        // bug: treat as failed — zip would silently DROP the tail,
+        // violating the skipped-but-visible contract
+        case Vectors(vs) if vs.length == batch.length =>
+          result = Some(vs); done = true
+        case Vectors(_) => done = true
+        case RateLimited(ms) if attempt < maxRetries =>
+          attempt += 1
+          sleep(math.max(1000L, ms)) // reference floor: 1s
+        case _ => done = true // Failed, or retries exhausted
+      }
+    }
+    result match {
+      case Some(vs) =>
+        batch.zip(vs).map { case ((id, _), v) => (id, v, true) }
+      case None =>
+        // failed batch: empty vectors, chunk skipped but visible
+        batch.map { case (id, _) => (id, Array.empty[Float], false) }
+    }
+  }
+
   /** (id, text) → (id, embedding, ok): batched per partition through
-    * `transport`; `sleep` is injectable so tests run without waiting. */
+    * `transport`; `sleep` is injectable so tests run without waiting.
+    * `concurrency` > 1 pipelines that many micro-batches per partition
+    * (output order unchanged — see the scale note above). */
   def embedBatched(s: SparkSession, input: Dataset[(Long, String)],
       transport: Transport, batchSize: Int = 32, maxRetries: Int = 3,
+      concurrency: Int = 1,
       sleep: Long => Unit = ms => Thread.sleep(ms)): DataFrame = {
     import s.implicits._
+    require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     input.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        val texts = batch.map { case (_, t) =>
-          if (t.length > Embedder.MaxChars) t.substring(0, Embedder.MaxChars)
-          else t
-        }
-        var attempt = 0
-        var result: Option[Seq[Array[Float]]] = None
-        var done = false
-        while (!done) {
-          transport(texts) match {
-            // a partial reply (fewer vectors than texts) is a transport
-            // bug: treat as failed — zip would silently DROP the tail,
-            // violating the skipped-but-visible contract
-            case Vectors(vs) if vs.length == batch.length =>
-              result = Some(vs); done = true
-            case Vectors(_) => done = true
-            case RateLimited(ms) if attempt < maxRetries =>
-              attempt += 1
-              sleep(math.max(1000L, ms)) // reference floor: 1s
-            case _ => done = true // Failed, or retries exhausted
+      val batches = it.grouped(batchSize)
+      if (concurrency == 1)
+        batches.flatMap(callBatch(_, transport, maxRetries, sleep))
+      else {
+        // Bounded pipeline: at most `concurrency` transport calls in
+        // flight; the FIFO dequeues (and therefore emits) strictly in
+        // submission order, so faster later batches wait their turn.
+        // Retry sleeps occupy their worker slot — a rate-limited
+        // partition degrades toward serial throughput instead of
+        // hammering the service with more traffic.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          concurrency,
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-embed-worker")
+            t.setDaemon(true)
+            t
+          })
+        val ec = ExecutionContext.fromExecutorService(pool)
+        val inFlight =
+          new scala.collection.mutable.Queue[Future[Seq[(Long, Array[Float], Boolean)]]]()
+        def fill(): Unit =
+          while (inFlight.size < concurrency && batches.hasNext) {
+            val b = batches.next()
+            inFlight.enqueue(Future(callBatch(b, transport, maxRetries, sleep))(ec))
           }
-        }
-        result match {
-          case Some(vs) =>
-            batch.zip(vs).map { case ((id, _), v) => (id, v, true) }
-          case None =>
-            // failed batch: empty vectors, chunk skipped but visible
-            batch.map { case (id, _) => (id, Array.empty[Float], false) }
-        }
+        new Iterator[Seq[(Long, Array[Float], Boolean)]] {
+          def hasNext: Boolean = {
+            fill()
+            if (inFlight.isEmpty) { pool.shutdown(); false } else true
+          }
+          def next(): Seq[(Long, Array[Float], Boolean)] = {
+            if (!hasNext) throw new NoSuchElementException
+            val head = Await.result(inFlight.dequeue(), Duration.Inf)
+            fill()
+            head
+          }
+        }.flatten
       }
     }.toDF("id", "embedding", "ok")
   }

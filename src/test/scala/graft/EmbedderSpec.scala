@@ -114,6 +114,57 @@ class ServiceEmbedderSpec extends org.scalatest.funsuite.AnyFunSuite
     // the 10ms reply floors to the reference's 1s minimum, twice
     assert(ServiceEmbedderState.slept.get() == 5000L + 2000L)
   }
+
+  test("concurrency pipelines calls but emits in submission order") {
+    import spark.implicits._
+    val in = (1L to 40L).map(i => (i, s"text$i")).toDS().repartition(1)
+    ServiceEmbedderState.inFlight.set(0)
+    ServiceEmbedderState.maxInFlight.set(0)
+    // early batches are SLOW, late batches fast — completion order is
+    // the reverse of submission order, so any order leak shows up
+    val transport: Transport = texts => {
+      val cur = ServiceEmbedderState.inFlight.incrementAndGet()
+      ServiceEmbedderState.maxInFlight.updateAndGet(m => math.max(m, cur))
+      val id = texts.head.stripPrefix("text").toLong
+      Thread.sleep(if (id <= 8) 60L else 1L)
+      ServiceEmbedderState.inFlight.decrementAndGet()
+      Vectors(texts.map(t => Array(t.length.toFloat,
+        t.stripPrefix("text").toFloat)))
+    }
+    val conc = ServiceEmbedder.embedBatched(spark, in, transport,
+        batchSize = 2, concurrency = 4, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList,
+        r.getBoolean(2)))
+    // rows come out in exact submission (= input) order...
+    assert(conc.map(_._1).toSeq == (1L to 40L),
+      s"order leaked: ${conc.map(_._1).toSeq}")
+    // ...and are byte-identical to the serial path
+    val serial = ServiceEmbedder.embedBatched(spark, in, transport,
+        batchSize = 2, concurrency = 1, sleep = _ => ())
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList,
+        r.getBoolean(2)))
+    assert(conc.toSeq == serial.toSeq)
+    // the pipeline actually overlapped calls, bounded by `concurrency`
+    assert(ServiceEmbedderState.maxInFlight.get() > 1,
+      "no calls ever overlapped — pipeline is serial")
+    assert(ServiceEmbedderState.maxInFlight.get() <= 4,
+      s"in-flight bound exceeded: ${ServiceEmbedderState.maxInFlight.get()}")
+  }
+
+  test("retry/skip contract unchanged under concurrency") {
+    import spark.implicits._
+    val in = (1L to 6L).map(i => (i, s"t$i")).toDS().repartition(1)
+    ServiceEmbedderState.slept.set(0)
+    val alwaysLimited: Transport = _ => RateLimited(10L)
+    val out = ServiceEmbedder.embedBatched(spark, in, alwaysLimited,
+        batchSize = 2, maxRetries = 2, concurrency = 3,
+        sleep = ms => { ServiceEmbedderState.slept.addAndGet(ms); () })
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 6L))
+    assert(out.forall(!_._2), "rate-limit exhaustion must skip, not fail")
+    // 3 batches x 2 retries x 1s floor, regardless of pipelining
+    assert(ServiceEmbedderState.slept.get() == 6000L)
+  }
 }
 
 /** JVM-global mutable state for the service-embedder tests (executor
@@ -121,4 +172,6 @@ class ServiceEmbedderSpec extends org.scalatest.funsuite.AnyFunSuite
 object ServiceEmbedderState {
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
   val slept = new java.util.concurrent.atomic.AtomicLong(0L)
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 }
