@@ -122,7 +122,10 @@ object SparkEntry {
     "doc_pack_sequences"  -> (Curation.packSequences _),
     "doc_keywords"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.keywords(s, d)),
-    "curation_funnel"     -> (Curation.funnel _),
+    "curation_funnel"     -> ((s: SparkSession, d: String) =>
+      Curation.funnel(s, d)),
+    "curation_runs"       -> ((s: SparkSession, d: String) =>
+      Curation.curationRuns(s, d)),
     "doc_sample_balanced" -> (Curation.balancedSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),
@@ -1704,76 +1707,25 @@ object SparkEntry {
            FROM d JOIN rates r ON d.source = r.source)
          SELECT doc_id, source, rate_permille, bucket FROM x
          WHERE bucket < rate_permille ORDER BY doc_id""",
-    "curation_funnel" ->
-      s"""WITH d AS (SELECT doc_id, source, text, (length(text)+3)//4 AS tok
-                    FROM documents),
-         ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
-                WHERE len(string_split(text,' ')) >= 3),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                  range(1, len(w)-1),
-                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
-                FROM ws),
-         x AS (SELECT doc_id,
-                 ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
-         bits AS (SELECT unnest(range(0,32)) AS b),
-         sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s0
-                 FROM x CROSS JOIN bits GROUP BY 1,2),
-         sig AS (SELECT doc_id,
-                   CAST(sum(CASE WHEN s0 > 0 THEN (1::BIGINT << b)
-                            ELSE 0 END) AS BIGINT) AS simhash
-                 FROM sgn GROUP BY 1),
-         dup AS (SELECT DISTINCT b.doc_id
-                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-                 WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}),
-         cw AS (SELECT doc_id, string_split(text,' ') AS ws2
-                FROM documents
-                WHERE len(string_split(text,' ')) >= 4),
-         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(0, len(ws2)-3),
-                 i -> array_to_string(ws2[i+1 : i+4], ' ')))) AS gram
-               FROM cw),
-         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-         ct AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)
-                WHERE doc_id % 97 <> 0),
-         f AS (SELECT d.doc_id, d.tok,
-                 (len(string_split(d.text,' ')) >= 20 AND
-                  length(d.text) >= 100 AND
-                  (CAST(len(list_distinct(string_split(d.text,' ')))
-                     AS BIGINT) * 1000
-                   // CAST(len(string_split(d.text,' ')) AS BIGINT))
-                    >= 300) AS q,
-                 (dup.doc_id IS NULL) AS dk,
-                 (ct.doc_id IS NOT NULL OR d.doc_id % 97 = 0) AS c,
-                 (('0x'||substr(sha256('smp:'||d.doc_id),1,12))::BIGINT
-                    % 1000 <
-                  CASE WHEN CAST(coalesce(nullif(regexp_extract(d.source,
-                         'src([0-9]+)',1),''),'9999') AS INT) < 5 THEN 800
-                       WHEN CAST(coalesce(nullif(regexp_extract(d.source,
-                         'src([0-9]+)',1),''),'9999') AS INT) < 15 THEN 300
-                       ELSE 100 END) AS smp
-               FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id
-                      LEFT JOIN ct ON d.doc_id = ct.doc_id),
-         agg AS (SELECT
-           count(*) AS d1, CAST(sum(tok) AS BIGINT) AS t1,
-           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS d2,
-           CAST(sum(CASE WHEN q THEN tok ELSE 0 END) AS BIGINT) AS t2,
-           CAST(sum(CASE WHEN q AND dk THEN 1 ELSE 0 END) AS BIGINT) AS d3,
-           CAST(sum(CASE WHEN q AND dk THEN tok ELSE 0 END) AS BIGINT) AS t3,
-           CAST(sum(CASE WHEN q AND dk AND NOT c THEN 1 ELSE 0 END)
-             AS BIGINT) AS d4,
-           CAST(sum(CASE WHEN q AND dk AND NOT c THEN tok ELSE 0 END)
-             AS BIGINT) AS t4,
-           CAST(sum(CASE WHEN q AND dk AND NOT c AND smp THEN 1 ELSE 0 END)
-             AS BIGINT) AS d5,
-           CAST(sum(CASE WHEN q AND dk AND NOT c AND smp THEN tok
-             ELSE 0 END) AS BIGINT) AS t5
-          FROM f)
-         SELECT '1_ingested' AS stage, d1 AS n_docs, t1 AS n_tokens FROM agg
-         UNION ALL SELECT '2_quality', d2, t2 FROM agg
-         UNION ALL SELECT '3_near_dedup', d3, t3 FROM agg
-         UNION ALL SELECT '4_decontaminated', d4, t4 FROM agg
-         UNION ALL SELECT '5_sampled', d5, t5 FROM agg
-         ORDER BY stage""",
+    "curation_funnel" -> (funnelCtes +
+      "\nSELECT stage, n_docs, n_tokens FROM fun ORDER BY stage"),
+    "curation_runs" -> (funnelCtes + """
+      , prov AS (SELECT stage, n_docs, n_tokens,
+           coalesce(lag(n_docs) OVER (ORDER BY stage), n_docs) AS docs_in,
+           coalesce(lag(n_tokens) OVER (ORDER BY stage), n_tokens)
+             AS tokens_in,
+           first_value(n_docs) OVER (ORDER BY stage ROWS BETWEEN
+             UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS d_first,
+           first_value(n_tokens) OVER (ORDER BY stage ROWS BETWEEN
+             UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t_first
+         FROM fun)
+      SELECT substr(sha256('curation:'||d_first||':'||t_first),1,16)
+          AS run_id,
+        stage, docs_in, n_docs AS docs_out,
+        docs_in - n_docs AS docs_dropped,
+        tokens_in, n_tokens AS tokens_out,
+        tokens_in - n_tokens AS tokens_dropped
+      FROM prov ORDER BY stage"""),
     "doc_keywords" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                     FROM documents),
@@ -1944,6 +1896,81 @@ object SparkEntry {
        r0 AS (SELECT url, $Scale // (SELECT n FROM nn) AS r FROM nodes),
        $iters"""
   }
+
+
+  /** Shared funnel pipeline CTEs (quality/simhash-dup/contamination/
+    * sample flags folded to the per-stage `fun` table) — the base of
+    * both the curation_funnel and curation_runs oracles. */
+  private val funnelCtes: String =
+    s"""WITH d AS (SELECT doc_id, source, text, (length(text)+3)//4 AS tok
+                    FROM documents),
+         ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+                WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
+         bits AS (SELECT unnest(range(0,32)) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s0
+                 FROM x CROSS JOIN bits GROUP BY 1,2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s0 > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sgn GROUP BY 1),
+         dup AS (SELECT DISTINCT b.doc_id
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}),
+         cw AS (SELECT doc_id, string_split(text,' ') AS ws2
+                FROM documents
+                WHERE len(string_split(text,' ')) >= 4),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(0, len(ws2)-3),
+                 i -> array_to_string(ws2[i+1 : i+4], ' ')))) AS gram
+               FROM cw),
+         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         ct AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)
+                WHERE doc_id % 97 <> 0),
+         f AS (SELECT d.doc_id, d.tok,
+                 (len(string_split(d.text,' ')) >= 20 AND
+                  length(d.text) >= 100 AND
+                  (CAST(len(list_distinct(string_split(d.text,' ')))
+                     AS BIGINT) * 1000
+                   // CAST(len(string_split(d.text,' ')) AS BIGINT))
+                    >= 300) AS q,
+                 (dup.doc_id IS NULL) AS dk,
+                 (ct.doc_id IS NOT NULL OR d.doc_id % 97 = 0) AS c,
+                 (('0x'||substr(sha256('smp:'||d.doc_id),1,12))::BIGINT
+                    % 1000 <
+                  CASE WHEN CAST(coalesce(nullif(regexp_extract(d.source,
+                         'src([0-9]+)',1),''),'9999') AS INT) < 5 THEN 800
+                       WHEN CAST(coalesce(nullif(regexp_extract(d.source,
+                         'src([0-9]+)',1),''),'9999') AS INT) < 15 THEN 300
+                       ELSE 100 END) AS smp
+               FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id
+                      LEFT JOIN ct ON d.doc_id = ct.doc_id),
+         agg AS (SELECT
+           count(*) AS d1, CAST(sum(tok) AS BIGINT) AS t1,
+           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           CAST(sum(CASE WHEN q THEN tok ELSE 0 END) AS BIGINT) AS t2,
+           CAST(sum(CASE WHEN q AND dk THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+           CAST(sum(CASE WHEN q AND dk THEN tok ELSE 0 END) AS BIGINT) AS t3,
+           CAST(sum(CASE WHEN q AND dk AND NOT c THEN 1 ELSE 0 END)
+             AS BIGINT) AS d4,
+           CAST(sum(CASE WHEN q AND dk AND NOT c THEN tok ELSE 0 END)
+             AS BIGINT) AS t4,
+           CAST(sum(CASE WHEN q AND dk AND NOT c AND smp THEN 1 ELSE 0 END)
+             AS BIGINT) AS d5,
+           CAST(sum(CASE WHEN q AND dk AND NOT c AND smp THEN tok
+             ELSE 0 END) AS BIGINT) AS t5
+          FROM f),
+         fun AS (
+           SELECT '1_ingested' AS stage, d1 AS n_docs, t1 AS n_tokens FROM agg
+           UNION ALL SELECT '2_quality', d2, t2 FROM agg
+           UNION ALL SELECT '3_near_dedup', d3, t3 FROM agg
+           UNION ALL SELECT '4_decontaminated', d4, t4 FROM agg
+           UNION ALL SELECT '5_sampled', d5, t5 FROM agg)"""
 
   private val syncCtes: String =
     """WITH s_docs AS (

@@ -288,14 +288,24 @@ object Curation {
     * Scale: per-doc flags are computed in ONE pass (the near-dup and
     * contamination id sets arrive as left joins); the five stage totals
     * come from a single conditional aggregation unpivoted with stack —
-    * no per-stage rescans. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+    * no per-stage rescans.
+    *
+    * At 100 TB a pipeline owner feeds the funnel from the PERSISTED
+    * stage outputs instead of re-deriving both candidate sets per
+    * report run: pass `nearDupPairs` (any frame with a `doc_b` column,
+    * e.g. a stored [[Dedup.simhashPairs]] result) and/or `contamination`
+    * (any frame with a `doc_id` column, e.g. a stored [[decontaminate]]
+    * result) and the funnel becomes one scan plus two id-set joins —
+    * no SimHash banding, no n-gram broadcast. Defaults recompute. */
+  def funnel(s: SparkSession, dir: String,
+      nearDupPairs: Option[DataFrame] = None,
+      contamination: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
-    val nearDup = Dedup.simhashPairs(s, dir)
+    val nearDup = nearDupPairs.getOrElse(Dedup.simhashPairs(s, dir))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(1L))
-    val contam = decontaminate(s, dir)
+    val contam = contamination.getOrElse(decontaminate(s, dir))
       .select("doc_id").withColumn("is_contam", lit(1L))
     val flags = docs
       .join(nearDup, Seq("doc_id"), "left")
@@ -328,6 +338,55 @@ object Curation {
              '4_decontaminated', d4, t4,
              '5_sampled', d5, t5) AS (stage, n_docs, n_tokens)""")
       .orderBy("stage")
+  }
+
+  /** Per-stage provenance of one curation run — [[funnel]] recast as
+    * the run-stats table a pipeline owner stores next to the data
+    * (mirroring the sync layer's SourceRunStats): every row carries a
+    * `run_id` plus in/out/dropped doc and token counts for its stage.
+    * The run id is CONTENT-derived (sha-256 of the ingested totals,
+    * first 16 hex chars), so re-reporting the same corpus joins the
+    * same run instead of minting a new identity per invocation — and
+    * the id is reproducible in SQL, which keeps this oracle-checkable.
+    * Like [[funnel]], precomputed stage outputs can be injected.
+    *
+    * Scale: everything below the funnel's single conditional aggregate
+    * operates on the 5-row stage table; the windows are windows over
+    * that AGGREGATE, never over documents. */
+  def curationRuns(s: SparkSession, dir: String,
+      nearDupPairs: Option[DataFrame] = None,
+      contamination: Option[DataFrame] = None): DataFrame = {
+    val stages = funnel(s, dir, nearDupPairs, contamination)
+    val w = Window.orderBy("stage")
+    val all = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stages
+      .withColumn("docs_in",
+        coalesce(lag(col("n_docs"), 1).over(w), col("n_docs")))
+      .withColumn("tokens_in",
+        coalesce(lag(col("n_tokens"), 1).over(w), col("n_tokens")))
+      .withColumn("run_id",
+        substring(sha2(concat_ws(":", lit("curation"),
+          first(col("n_docs")).over(all),
+          first(col("n_tokens")).over(all)), 256), 1, 16))
+      .select(col("run_id"), col("stage"),
+        col("docs_in"), col("n_docs").as("docs_out"),
+        (col("docs_in") - col("n_docs")).as("docs_dropped"),
+        col("tokens_in"), col("n_tokens").as("tokens_out"),
+        (col("tokens_in") - col("n_tokens")).as("tokens_dropped"))
+      .orderBy("stage")
+  }
+
+  /** Durable provenance channel: append one run's stage rows to the
+    * `curation_runs` table (parquet directory). Returns the run id.
+    * The read side is plain `spark.read.parquet` + a latest-run filter,
+    * exactly how the controller queries consume SourceRunStats. */
+  def recordRun(s: SparkSession, dir: String, tablePath: String,
+      nearDupPairs: Option[DataFrame] = None,
+      contamination: Option[DataFrame] = None): String = {
+    val rows = curationRuns(s, dir, nearDupPairs, contamination)
+    rows.write.mode("append").parquet(tablePath)
+    rows.select("run_id").head().getString(0)
   }
 
   /** Sequence packing (concat-and-chunk): documents are laid end-to-end

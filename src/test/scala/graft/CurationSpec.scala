@@ -131,6 +131,59 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "threshold must actually split the corpus")
   }
 
+  test("funnel fed from persisted stage outputs equals the recomputing form") {
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("funnelstage")
+    val pairsDir = base.resolve("simhash_pairs").toString
+    val contamDir = base.resolve("contaminated").toString
+    // the pipeline owner's flow: stage outputs persisted once...
+    Dedup.simhashPairs(spark, dir).write.parquet(pairsDir)
+    Curation.decontaminate(spark, dir).write.parquet(contamDir)
+    // ...then every funnel report run joins the stored id sets instead
+    // of re-deriving SimHash bands + the n-gram contamination join
+    val fed = Curation.funnel(spark, dir,
+      nearDupPairs = Some(spark.read.parquet(pairsDir)),
+      contamination = Some(spark.read.parquet(contamDir)))
+    val recomputed = Curation.funnel(spark, dir)
+    assert(fed.collect().toSeq == recomputed.collect().toSeq)
+    // the fed plan must not contain the SimHash banding machinery:
+    // its only exchanges are the two id-set joins + the global agg
+    val plan = fed.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"),
+      "fed funnel should not re-derive SimHash bands:\n" + plan.take(2000))
+  }
+
+  test("curationRuns: provenance reconciles with the funnel; recordRun stages it") {
+    val runs = Curation.curationRuns(spark, dir).collect()
+    val stages = Curation.funnel(spark, dir).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+    assert(runs.length == 5)
+    // one run id across all stages, content-derived (16 hex chars)
+    val ids = runs.map(_.getAs[String]("run_id")).distinct
+    assert(ids.length == 1 && ids.head.matches("[0-9a-f]{16}"))
+    // each stage's in = previous stage's out; dropped = in - out
+    runs.sortBy(_.getAs[String]("stage")).zipWithIndex.foreach {
+      case (r, i) =>
+        val (in, out, dropped) = (r.getAs[Long]("docs_in"),
+          r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped"))
+        assert(out == stages(i)._2)
+        assert(in == (if (i == 0) stages(0)._2 else stages(i - 1)._2))
+        assert(dropped == in - out)
+        assert(r.getAs[Long]("tokens_out") == stages(i)._3)
+    }
+    // the durable channel: two recorded runs of the same corpus share
+    // the run id (re-reporting joins the run, it doesn't mint another)
+    val table = java.nio.file.Files
+      .createTempDirectory("curruns").resolve("curation_runs").toString
+    val id1 = Curation.recordRun(spark, dir, table)
+    val id2 = Curation.recordRun(spark, dir, table)
+    assert(id1 == ids.head && id2 == id1)
+    val stored = spark.read.parquet(table)
+    assert(stored.count() == 10)
+    assert(stored.select("run_id").distinct().count() == 1)
+  }
+
   test("mixtureEpochs: cap respected, planned tokens track the target") {
     val rows = Curation.mixtureEpochs(spark, dir).collect()
     assert(rows.nonEmpty)
