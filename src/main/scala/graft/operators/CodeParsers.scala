@@ -42,7 +42,7 @@ object CodeParsers {
         .map { case (s, e) => pyNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
     case "ruby" =>
-      val mask = codeMask(source, python = true) // #-comments, '"' strings
+      val mask = codeMask(source, python = true, ruby = true) // + heredocs
       val stmts = rubyStatements(source, mask, 0, source.length)
         .map { case (s, e) => rubyNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
@@ -59,19 +59,66 @@ object CodeParsers {
   /** mask(i) = char i is live code — not inside a string literal or
     * comment. Bracket counting and quote-aware statement splitting only
     * consult live chars, so a brace in a template literal or a `#` in a
-    * Python string can't derail the spans. Newlines always stay live
-    * (line structure is what statements are built from). */
+    * Python string can't derail the spans.
+    *
+    * Newlines stay live (line structure is what statements are built
+    * from) EXCEPT inside a multi-line string construct — a template
+    * literal, a triple-quoted string, or a heredoc body — where the
+    * newline is masked so the splitters treat the whole construct as
+    * one statement line group (tree-sitter spans a multi-line string as
+    * one node; splitting it at interior newlines was the chunk-boundary
+    * drift called out for these constructs).
+    *
+    * Template literals model `${`…`}` interpolation with a nesting
+    * stack: interpolation interiors are live code (a brace pair inside
+    * `${foo({b:1})}` counts and balances), the `${`/`}` delimiters
+    * themselves are masked, and templates nest arbitrarily inside
+    * interpolations.
+    *
+    * Ruby (`ruby = true`) adds heredocs: `<<DELIM`, `<<~DELIM`,
+    * `<<-DELIM` and the quoted forms, DELIM an UPPERCASE identifier
+    * (the uppercase convention is the disambiguator against the `<<`
+    * append/shift operator, which lowercase operands would otherwise
+    * trip). Multiple heredocs queued on one line open in order after
+    * its newline; `~`/`-` terminators match after indent strip. */
   private[operators] def codeMask(src: String,
-      python: Boolean): Array[Boolean] = {
+      python: Boolean, ruby: Boolean = false): Array[Boolean] = {
     val n = src.length
     val mask = Array.fill(n)(true)
     var i = 0
     var state = 0 // 0 code, 1 line comment, 2 block comment, 3 string
     var quote = ' '
     var triple = false
+    // open `${` interpolations, innermost last; value = brace depth
+    // inside that interpolation so far
+    val interp = scala.collection.mutable.Stack[Int]()
+    // heredoc delimiters queued on the current line: (delim, flexIndent)
+    val heredocs = scala.collection.mutable.Queue[(String, Boolean)]()
     while (i < n) {
       val c = src.charAt(i)
-      state match {
+      if (ruby && c == '\n' && heredocs.nonEmpty &&
+          (state == 0 || state == 1)) {
+        // the queued heredocs open here: their bodies (and interior
+        // newlines) are string content until each terminator line
+        if (state == 1) state = 0
+        mask(i) = false
+        var j = i + 1
+        while (heredocs.nonEmpty && j < n) {
+          val (delim, flex) = heredocs.head
+          var lineEnd = j
+          while (lineEnd < n && src.charAt(lineEnd) != '\n') lineEnd += 1
+          val line = src.substring(j, lineEnd)
+          val isTerm = if (flex) line.trim == delim else line == delim
+          var k = j
+          while (k < lineEnd) { mask(k) = false; k += 1 }
+          if (isTerm) heredocs.dequeue()
+          if (heredocs.nonEmpty && lineEnd < n) mask(lineEnd) = false
+          j = lineEnd + 1
+        }
+        // resume on the live newline that closed the last terminator
+        // line (or at EOF for an unterminated heredoc)
+        i = j - 1
+      } else state match {
         case 0 =>
           if (!python && c == '/' && i + 1 < n) {
             val d = src.charAt(i + 1)
@@ -79,6 +126,35 @@ object CodeParsers {
             else if (d == '*') { state = 2; mask(i) = false }
           } else if (python && c == '#') {
             state = 1; mask(i) = false
+          } else if (ruby && c == '<' && i + 1 < n &&
+              src.charAt(i + 1) == '<' &&
+              (i == 0 || src.charAt(i - 1) != '<')) {
+            // possible heredoc opener; operator chars stay live either
+            // way, detection only queues the delimiter
+            var j = i + 2
+            var flex = false
+            if (j < n && (src.charAt(j) == '~' || src.charAt(j) == '-')) {
+              flex = true; j += 1
+            }
+            if (j < n && (src.charAt(j) == '"' || src.charAt(j) == '\'')) {
+              val q = src.charAt(j)
+              var e = j + 1
+              while (e < n && src.charAt(e) != q && src.charAt(e) != '\n')
+                e += 1
+              if (e < n && src.charAt(e) == q && e > j + 1) {
+                heredocs.enqueue((src.substring(j + 1, e), flex))
+                i = e // skip the quoted delimiter
+              }
+            } else {
+              var e = j
+              while (e < n && (src.charAt(e) == '_' ||
+                  (src.charAt(e) >= 'A' && src.charAt(e) <= 'Z') ||
+                  src.charAt(e).isDigit)) e += 1
+              if (e > j && !src.charAt(j).isDigit) {
+                heredocs.enqueue((src.substring(j, e), flex))
+                i = e - 1
+              } else i += 1 // plain << operator: skip the second '<'
+            }
           } else if (c == '"' || c == '\'' || (!python && c == '`')) {
             quote = c
             triple = python && i + 2 < n &&
@@ -87,6 +163,17 @@ object CodeParsers {
             if (triple) {
               mask(i + 1) = false; mask(i + 2) = false; i += 2
             }
+          } else if (interp.nonEmpty) {
+            // live code inside a `${` interpolation: track its brace
+            // depth; the matching depth-0 `}` returns to the template
+            if (c == '{') interp.push(interp.pop() + 1)
+            else if (c == '}') {
+              val d = interp.pop()
+              if (d == 0) {
+                mask(i) = false
+                state = 3; quote = '`'; triple = false
+              } else interp.push(d - 1)
+            } else if (c == '\n') mask(i) = false // still inside the literal
           }
         case 1 => // line comment: dies at newline (newline stays live)
           if (c == '\n') state = 0 else mask(i) = false
@@ -98,11 +185,19 @@ object CodeParsers {
         case 3 => // string literal
           if (c == '\n') {
             // single-line strings can't span lines; triple (and
-            // backtick template) strings can
+            // backtick template) strings can — with MASKED newlines
             if (!triple && quote != '`') state = 0
+            else mask(i) = false
           } else mask(i) = false
           if (state == 3 && c == '\\' && i + 1 < n) {
             if (src.charAt(i + 1) != '\n') mask(i + 1) = false
+            i += 1
+          } else if (state == 3 && quote == '`' && c == '$' &&
+              i + 1 < n && src.charAt(i + 1) == '{') {
+            // template interpolation: delimiters masked, interior live
+            mask(i + 1) = false
+            interp.push(0)
+            state = 0
             i += 1
           } else if (state == 3 && c == quote) {
             if (!triple) state = 0
@@ -133,7 +228,9 @@ object CodeParsers {
     while (i < to) {
       val c = src.charAt(i)
       if (c == '\n') {
-        if (stmtStart >= 0 && depth <= 0) {
+        // a masked newline is interior to a multi-line string — the
+        // statement continues across it
+        if (mask(i) && stmtStart >= 0 && depth <= 0) {
           out += ((stmtStart, lastNonWs + 1)); stmtStart = -1; depth = 0
         }
       } else {
@@ -232,6 +329,10 @@ object CodeParsers {
     var stmtStart = -1
     var lastNonWs = -1
     var decoratorPending = false
+    // a line opened by a masked newline is interior to a multi-line
+    // string — it has no indent structure of its own and can never
+    // start a statement, whatever column its text sits at
+    var fresh = true
     while (i < to) {
       val ind = lineIndent(src, i, to)
       val lineEnd = {
@@ -239,7 +340,7 @@ object CodeParsers {
         while (j < to && src.charAt(j) != '\n') j += 1
         j
       }
-      if (ind >= 0) {
+      if (fresh && ind >= 0) {
         val firstChar = src.charAt(i + ind)
         val startsNew = depth == 0 && ind <= base &&
           (stmtStart < 0 || !decoratorPending)
@@ -251,7 +352,9 @@ object CodeParsers {
           // the def/class line the decorators were waiting for
           if (firstChar != '@') decoratorPending = false
         }
-        var j = i + ind
+      }
+      if (ind >= 0 || !fresh) {
+        var j = if (fresh && ind >= 0) i + ind else i
         while (j < lineEnd) {
           if (mask(j)) {
             val c = src.charAt(j)
@@ -263,6 +366,7 @@ object CodeParsers {
           j += 1
         }
       }
+      fresh = lineEnd >= to || mask(lineEnd)
       i = lineEnd + 1
     }
     if (stmtStart >= 0) out += ((stmtStart, lastNonWs + 1))
@@ -289,7 +393,7 @@ object CodeParsers {
           else if (c == ')' || c == ']' || c == '}')
             depth = math.max(0, depth - 1)
         }
-        if (c == '\n' && depth == 0) {
+        if (c == '\n' && mask(i) && depth == 0) {
           var j = i + 1
           while (j < end && src.charAt(j).isWhitespace) j += 1
           if (j < end) {
@@ -316,12 +420,12 @@ object CodeParsers {
     var headerEnd = -1
     while (i < end && headerEnd < 0) {
       val c = src.charAt(i)
-      if (c == '\n') {
+      if (c == '\n' && mask(i)) { // masked newline: string interior
         if (depth == 0) {
           if (lastLive == ':') headerEnd = lastLivePos + 1
           else return CodeTree(start, end, Seq.empty) // simple multi-line
         }
-      } else if (mask(i)) {
+      } else if (c != '\n' && mask(i)) {
         if (c == '(' || c == '[' || c == '{') depth += 1
         else if (c == ')' || c == ']' || c == '}')
           depth = math.max(0, depth - 1)
@@ -407,7 +511,10 @@ object CodeParsers {
         k += 1
       }
       depth += rubyLineDelta(line)
-      if (stmtStart >= 0 && depth <= 0) {
+      // a masked line-end newline is interior to a heredoc body — the
+      // statement continues through it
+      if (stmtStart >= 0 && depth <= 0 &&
+          (lineEnd >= to || mask(lineEnd))) {
         out += ((stmtStart, lastNonWs + 1)); stmtStart = -1; depth = 0
       }
       i = lineEnd + 1

@@ -812,4 +812,102 @@ def g():
       ("f", "def f()", "return s"),
       ("g", "def g()", "return t")))
   }
+
+  // ─── multi-line string constructs span one statement (tree-sitter
+  //     parity for the constructs the round-7 audit flagged) ──────────
+
+  private def topSpans(lang: String, code: String): Seq[String] = {
+    val tree = CodeParsers.parse(lang, code).getOrElse(fail(s"no $lang"))
+    tree.children.map(c => code.substring(c.start, c.end))
+  }
+
+  test("TS: nested template literals with interpolated braces are one statement") {
+    val code = """const q = `select ${cols.map(c => `"${c.name}"`).join(', ')}
+from ${tbl}
+where x = ${foo({limit: 10})}`;
+function after() {
+    return 1;
+}
+"""
+    val spans = topSpans("typescript", code)
+    assert(spans.length == 2, s"want 2 statements, got:\n${spans.mkString("<<<\n", "\n>>>\n<<<\n", "\n>>>")}")
+    assert(spans.head.contains("where x =") && spans.head.endsWith("`;"),
+      s"template literal split: ${spans.head}")
+    assert(spans(1).startsWith("function after"))
+    // and the chunker never separates the template's opening from its end
+    assertBoundaryIntegrity(chunk("typescript", code, 90), Seq(
+      ("template", "const q = `select", "`;"),
+      ("after", "function after()", "return 1;\n}")))
+  }
+
+  test("TS: stray closing brace inside a multi-line template does not close a suite") {
+    val code = """class C {
+    render() {
+        return `multi
+} not a closer
+line3`;
+    }
+    other() { return 2; }
+}
+"""
+    val spans = topSpans("typescript", code)
+    assert(spans.length == 1, s"class must be one statement: $spans")
+    assertBoundaryIntegrity(chunk("typescript", code, 60), Seq(
+      ("render", "render() {", "line3`;"),
+      ("other", "other() {", "return 2; }")))
+  }
+
+  test("RB: heredoc bodies with keyword-looking lines stay inside the statement") {
+    val code = """def build
+  sql = <<~SQL
+    SELECT *
+    end
+    def fake
+  SQL
+  run(sql)
+end
+
+def other
+  x = 1
+end
+"""
+    val spans = topSpans("ruby", code)
+    assert(spans.length == 2,
+      s"want 2 defs, got:\n${spans.mkString("<<<\n", "\n>>>\n<<<\n", "\n>>>")}")
+    assert(spans.head.contains("run(sql)"),
+      s"heredoc swallowed the rest of build: ${spans.head}")
+    assert(spans(1).startsWith("def other"))
+    // the def..end suite still decomposes: header, heredoc stmt, run, end
+    val build = CodeParsers.parse("ruby", code).get.children.head
+    val kids = build.children.map(c => code.substring(c.start, c.end))
+    assert(kids.exists(k => k.startsWith("sql = <<~SQL") && k.endsWith("SQL")),
+      s"heredoc assignment not one child: $kids")
+  }
+
+  test("RB: plain and quoted heredocs; << append operator unaffected") {
+    val code = """names = <<'LIST'
+a << b
+LIST
+acc << compute(1)
+total = acc.size
+"""
+    val spans = topSpans("ruby", code)
+    assert(spans.length == 3, s"got: $spans")
+    assert(spans.head.endsWith("LIST"))
+    assert(spans(1) == "acc << compute(1)")
+  }
+
+  test("PY: module-level triple-quoted string with hashes and brackets is one statement") {
+    val code = """MOD = '''doc with # hash
+and ] unbalanced [ brackets
+second line at column zero'''
+def h():
+    return MOD
+"""
+    val spans = topSpans("python", code)
+    assert(spans.length == 2,
+      s"want 2 statements, got:\n${spans.mkString("<<<\n", "\n>>>\n<<<\n", "\n>>>")}")
+    assert(spans.head.contains("brackets") && spans.head.endsWith("'''"))
+    assert(spans(1).startsWith("def h()"))
+  }
 }
