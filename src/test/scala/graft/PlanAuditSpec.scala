@@ -183,4 +183,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q30_activity_islands")
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
+
+  test("curation_runs windows over the 5-row funnel aggregate, not documents") {
+    // the lag/first windows must sit ABOVE the funnel's single global
+    // aggregate in the plan: by the time any Window runs, the corpus
+    // has collapsed to the 5 stage rows
+    val p = planOf("curation_runs")
+    val win = p.indexOf("Window")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(win >= 0, p.take(3000))
+    assert(win < lastAgg,
+      s"a Window sits below the stage aggregate:\n${p.take(3000)}")
+  }
 }
