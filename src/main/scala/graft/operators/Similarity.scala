@@ -132,6 +132,47 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** Disk-persisted form of the MLlib path, completing the
+    * fit-once/probe-many serving shape across SESSIONS (the in-memory
+    * memo above only survives one driver): the fitted model — just the
+    * seeded hyperplanes, a few KB — is written with MLlib's native
+    * writer and reloadable by any later job. Mirrors
+    * [[buildIvfIndex]]/[[probeIvf]]. */
+  def buildMllibLsh(s: SparkSession, dir: String, modelDir: String): Unit = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+      .fit(vecs)
+      .write.overwrite().save(modelDir)
+  }
+
+  /** Probe a [[buildMllibLsh]] model: load (KB-sized, no fit) and run
+    * the same approximate-neighbors query as [[annMllib]]. */
+  def probeMllibLsh(s: SparkSession, dir: String, modelDir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val model = BucketedRandomProjectionLSHModel.load(modelDir)
+    val vecs = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    val key = vecs.filter(col("vec_id") === 0)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), key, k)
+      .select(col("vec_id"), col("distCol").as("distance"))
+      .orderBy("distance", "vec_id")
+      .select(col("vec_id"))
+  }
+
   // ── IVF (inverted-file) ANN with a data-adaptive, SQL-reproducible
   // coarse quantizer ────────────────────────────────────────────────────
   // Centroid c (0..nlist-1) is the embedding of seed vector

@@ -290,6 +290,19 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall $recall below 0.8: got $approx vs $exact")
   }
 
+  test("persisted MLlib LSH model: probe after reload matches the inline path") {
+    val dir = "/root/testdata/sf0.001"
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("mlliblsh").resolve("model").toString
+    Similarity.buildMllibLsh(spark, dir, modelDir)
+    val probed = Similarity.probeMllibLsh(spark, dir, modelDir)
+      .collect().map(_.getLong(0)).toSeq
+    val inline = Similarity.annMllib(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed == inline,
+      s"reloaded model diverged: $probed vs $inline")
+  }
+
   test("IVF ANN recall >= 0.8 against exact KNN; probes a cell subset") {
     val dir = "/root/testdata/sf0.001"
     val exact = Similarity.knnExact(spark, dir, k = 10)
