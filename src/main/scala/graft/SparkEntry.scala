@@ -69,6 +69,9 @@ object SparkEntry {
       Dedup.ngramJaccard(s, d)),
     "dedup_minhash_sig"   -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "dedup_minhash_calib" -> (Dedup.minhashCalibration _),
+    "dedup_cross_source"  -> ((s: SparkSession, d: String) =>
+      Dedup.crossSourceLeakage(s, d)),
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
@@ -671,6 +674,78 @@ object SparkEntry {
            ON a.j=b.j AND a.h=b.h AND a.doc_id < b.doc_id
          GROUP BY 1,2 HAVING count(*) >= ${Dedup.NumPerms / 2}
          ORDER BY doc_a, doc_b""",
+    "dedup_minhash_calib" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,7))::BIGINT AS x FROM sh0),
+         perms(j, a, b) AS (VALUES ${Dedup.perms.map {
+           case (j, a, b) => s"($j,$a,$b)" }.mkString(",")}),
+         t AS (SELECT doc_id, j, min((a*x+b) % 2147483647) AS h
+               FROM x CROSS JOIN perms GROUP BY 1,2),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS agree
+                FROM t a JOIN t b
+                  ON a.j=b.j AND a.h=b.h AND a.doc_id < b.doc_id
+                GROUP BY 1,2 HAVING count(*) >= ${Dedup.NumPerms / 2}),
+         cand AS (SELECT DISTINCT doc_a AS doc_id FROM pr
+                  UNION SELECT DISTINCT doc_b FROM pr),
+         shc AS (SELECT h.doc_id,
+                   ('0x'||substr(sha256(h.shingle),1,14))::BIGINT AS sh_h
+                 FROM sh0 h JOIN cand USING (doc_id)),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+         ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter
+                FROM shc a JOIN shc b
+                  ON a.sh_h=b.sh_h AND a.doc_id < b.doc_id
+                GROUP BY 1,2)
+         SELECT pr.doc_a, pr.doc_b, pr.agree,
+           (pr.agree*1000)//${Dedup.NumPerms} AS est_permille,
+           (coalesce(ix.inter,0)*1000)
+             //(ca.n_sh+cb.n_sh-coalesce(ix.inter,0)) AS exact_permille,
+           abs((pr.agree*1000)//${Dedup.NumPerms}
+             - (coalesce(ix.inter,0)*1000)
+               //(ca.n_sh+cb.n_sh-coalesce(ix.inter,0))) AS err_permille
+         FROM pr
+         LEFT JOIN ix ON ix.doc_a=pr.doc_a AND ix.doc_b=pr.doc_b
+         JOIN cnt ca ON ca.doc_id=pr.doc_a
+         JOIN cnt cb ON cb.doc_id=pr.doc_b
+         ORDER BY pr.doc_a, pr.doc_b""",
+    "dedup_cross_source" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
+         bits AS (SELECT unnest(range(0,32)) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s
+                 FROM x CROSS JOIN bits GROUP BY 1,2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sgn GROUP BY 1),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash))
+                  <= ${Dedup.SimhashMaxDist}),
+         lk AS (SELECT least(da.source, db.source) AS source_lo,
+                  greatest(da.source, db.source) AS source_hi,
+                  pr.doc_a, pr.doc_b
+                FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+                        JOIN documents db ON db.doc_id = pr.doc_b
+                WHERE da.source <> db.source)
+         SELECT source_lo, source_hi, count(*) AS n_pairs,
+           min(doc_a) AS min_doc_a, min(doc_b) AS min_doc_b
+         FROM lk GROUP BY 1,2 ORDER BY source_lo, source_hi""",
     "dedup_simhash_sig" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
                      FROM documents

@@ -475,4 +475,82 @@ object Dedup {
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** MinHash CALIBRATION report: for every candidate pair the signature
+    * estimate of Jaccard (agree/NumPerms) next to the EXACT shingle
+    * Jaccard and the absolute error, all integer permille. This is the
+    * table a curator reads before trusting [[NumPerms]] and the ≥8/16
+    * banding threshold on a new corpus — systematic over-estimation
+    * means hash collisions or too few permutations; wide error spread
+    * means the threshold is cutting in the noise band.
+    *
+    * Scale: the exact-Jaccard pass — the expensive part — runs only on
+    * the CANDIDATE doc set: postings are semi-joined to the (bounded)
+    * candidate ids before the pair-intersection groupBy, so its cost
+    * scales with |candidates|, never the corpus. The same 56-bit
+    * sha-prefix join key as [[ngramJaccardDocs]] (collision analysis
+    * there; the oracle applies the identical hash). */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).localCheckpoint(true) // feeds 2 joins
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(s, dir)
+      .select(col("doc_id"),
+        conv(substring(sha2(col("shingle"), 256), 1, 14), 16, 10)
+          .cast("long").as("sh_h"))
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // feeds counts and both join sides
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("est_permille", expr(s"agree * 1000 div $NumPerms"))
+      .withColumn("exact_permille",
+        expr("inter * 1000 div (n_a + n_b - inter)"))
+      .select(col("doc_a"), col("doc_b"), col("agree"),
+        col("est_permille"), col("exact_permille"),
+        abs(col("est_permille") - col("exact_permille"))
+          .as("err_permille"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cross-source near-duplicate LEAKAGE report: SimHash near-dup pairs
+    * whose two documents come from DIFFERENT sources, aggregated per
+    * (canonically ordered) source pair. The table a curator checks
+    * before trusting a per-source holdout split — near-dups straddling
+    * a train/eval source boundary leak the eval set into training no
+    * matter how carefully the SPLIT was randomized. `min_doc_a/b` give
+    * a deterministic example pair to pull for inspection.
+    *
+    * Scale: the near-dup pair set is bounded (banded candidates, never
+    * all-pairs); attaching sources is two hash joins on doc id; the
+    * aggregate collapses to ≤ #sources² rows. Persisted pair tables
+    * can be injected, mirroring [[Curation.funnel]]. */
+  def crossSourceLeakage(s: SparkSession, dir: String,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val pr = pairs.getOrElse(simhashPairs(s, dir)).select("doc_a", "doc_b")
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pr
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("doc_a"), col("doc_b"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("doc_a")).as("min_doc_a"),
+        min(col("doc_b")).as("min_doc_b"))
+      .orderBy("source_lo", "source_hi")
+  }
 }

@@ -290,6 +290,48 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall $recall below 0.8: got $approx vs $exact")
   }
 
+  test("minhash calibration: estimates and errors are internally consistent") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.minhashCalibration(spark, dir).collect()
+    assert(rows.nonEmpty, "no candidate pairs at sf0.001")
+    rows.foreach { r =>
+      val (est, exact, err) = (r.getAs[Long]("est_permille"),
+        r.getAs[Long]("exact_permille"), r.getAs[Long]("err_permille"))
+      // banding keeps only pairs agreeing on >= 8/16 permutations
+      assert(est >= 500 && est <= 1000, s"est $est out of band")
+      assert(exact >= 0 && exact <= 1000, s"exact $exact not a ratio")
+      assert(err == math.abs(est - exact), s"err $err != |$est-$exact|")
+    }
+    // the report covers exactly the candidate pair set
+    assert(rows.length == Dedup.minhashPairs(spark, dir).count())
+  }
+
+  test("cross-source leakage reconciles with the simhash pair set") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val report = Dedup.crossSourceLeakage(spark, dir).collect()
+    assert(report.nonEmpty, "no cross-source near-dups at sf0.001")
+    val pairs = Dedup.simhashPairs(spark, dir).select("doc_a", "doc_b")
+    val srcs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val crossCount = pairs
+      .join(srcs.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(report.map(_.getAs[Long]("n_pairs")).sum == crossCount)
+    report.foreach { r =>
+      assert(r.getAs[String]("source_lo") < r.getAs[String]("source_hi"),
+        "source pair not canonically ordered")
+    }
+    // injected persisted pairs give the identical report
+    val fed = Dedup.crossSourceLeakage(spark, dir,
+      pairs = Some(Dedup.simhashPairs(spark, dir))).collect()
+    assert(fed.toSeq == report.toSeq)
+  }
+
   test("persisted MLlib LSH model: probe after reload matches the inline path") {
     val dir = "/root/testdata/sf0.001"
     val modelDir = java.nio.file.Files
