@@ -121,6 +121,54 @@ object Demo {
       graft.operators.RunSummary.sourceStats(counters, "Demo", "website",
         "1.0", 1000L, ok = true), "2024-03-01T00:00:00Z").take(120) + "…")
 
+    // persisted IVF index (Lloyd-refined centroids) + partition-pruned probe
+    val sf = "/root/testdata/sf0.001"
+    val ivfDir = java.nio.file.Files.createTempDirectory("demo-ivf")
+      .resolve("ivf").toString
+    graft.operators.Similarity.buildIvfIndex(spark, sf, ivfDir)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .toArray
+    println("IVF PROBE -> " + graft.operators.Similarity
+      .probeIvf(spark, ivfDir, qv, k = 3, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).mkString(","))
+
+    // curation provenance: record a run, read the durable channel back
+    val runsDir = java.nio.file.Files.createTempDirectory("demo-runs")
+      .resolve("curation_runs").toString
+    val runId = graft.operators.Curation.recordRun(spark, sf, runsDir)
+    println("CURATION RUN " + runId + " -> " +
+      spark.read.parquet(runsDir).orderBy("stage")
+        .select("stage", "docs_out").collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" "))
+
+    // cross-source leakage check over the near-dup pair evidence
+    println("LEAKAGE -> " + graft.operators.Dedup
+      .crossSourceLeakage(spark, sf).limit(3).collect()
+      .map(r => s"${r.getString(0)}~${r.getString(1)}:${r.getLong(2)}")
+      .mkString(" "))
+
+    // full streaming ingest: pages -> chunk -> embed -> versioned store
+    val ibase = java.nio.file.Files.createTempDirectory("demo-ingest")
+    val pagesDir = ibase.resolve("pages").toString
+    new java.io.File(pagesDir).mkdirs()
+    Seq("doc://p" -> ("# Page\n\n" + "streamed words. " * 50))
+      .toDF("url", "content").coalesce(1)
+      .write.parquet(pagesDir + "/b1")
+    val pageSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType)))
+    val iq = EventStream.ingestStream(
+      spark.readStream.schema(pageSchema).parquet(pagesDir + "/*"),
+      ibase.resolve("store").toString, ibase.resolve("ckpt").toString)
+    iq.processAllAvailable()
+    println("STREAM INGEST -> " + ChunkStore
+      .readLatest(spark, ibase.resolve("store").toString).get.count() +
+      " chunks in store")
+    iq.stop()
+
     spark.stop()
   }
 }

@@ -79,6 +79,40 @@ object EventStream {
       }
       .start()
 
+  /** The reference's whole WRITE path as one Structured Streaming job
+    * (readStream pages → chunk → embed → merge): each micro-batch of
+    * (url, content) markdown pages runs the SAME heading-aware chunker
+    * and hermetic embedder as the batch path — typed per-row kernels,
+    * embarrassingly parallel, no shuffle before the store merge — and
+    * merges into the versioned chunk store. Chunk rows carry the
+    * DocumentChunk identity columns plus the embedding, so a streamed
+    * store answers the same retrieval queries as a batch-built one.
+    * At-least-once redelivery converges: chunk ids are content hashes
+    * and the merge replaces whole urls ([[upsertStream]]'s contract). */
+  def ingestStream(pages: DataFrame, storeRoot: String,
+      checkpointDir: String, productName: String = "stream",
+      version: String = "v1"): org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val chunks = batch.select("url", "content")
+          .as[(String, String)]
+          .flatMap { case (url, md) =>
+            graft.operators.Chunker
+              .chunkMarkdown(md, productName, version, url)
+              .map(c => (c.url, c.chunk_id, c.chunk_index, c.total_chunks,
+                c.section, c.content,
+                graft.functions.Embedder.embed(c.content)))
+          }
+          .toDF("url", "chunk_id", "chunk_index", "total_chunks",
+            "section", "content", "embedding")
+        graft.sources.ChunkStore.upsertVersioned(s, storeRoot, chunks)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: each click joins error
     * events of the same user from the preceding hour. Both sides carry
     * watermarks and the join condition bounds the event-time range, so

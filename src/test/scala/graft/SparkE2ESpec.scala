@@ -701,6 +701,59 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refined >= 0.9, s"refined recall $refined below 0.9")
   }
 
+  test("streaming ingest: pages chunk+embed per micro-batch, parity with batch chunker") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingeststream")
+    val in = base.resolve("in").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(in).mkdirs()
+    def stage(name: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("url", "content").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/$name")
+    // a page long enough to produce MULTIPLE chunks through the real
+    // 4000/600/10% chunker, plus a short one
+    val longMd = (1 to 3).map { s =>
+      s"# Section $s\n\n" + (s"words for section $s. " * 300)
+    }.mkString("\n")
+    stage("b1", Seq("doc://long" -> longMd, "doc://short" -> "# T\n\nbody"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStream.ingestStream(stream, store, ckpt)
+    try {
+      q.processAllAvailable()
+      val v1 = ChunkStore.readLatest(spark, store).get
+      // parity: streamed chunk ids == the batch chunker's on the same page
+      val streamedIds = v1.filter(col("url") === "doc://long")
+        .select("chunk_id").collect().map(_.getString(0)).toSet
+      val batchIds = Chunker
+        .chunkMarkdown(longMd, "stream", "v1", "doc://long")
+        .map(_.chunk_id).toSet
+      assert(streamedIds == batchIds && streamedIds.size > 1,
+        s"stream/batch chunk divergence: $streamedIds vs $batchIds")
+      // embeddings are real (unit-norm, non-empty)
+      v1.select("embedding").collect().foreach { r =>
+        val e = r.getSeq[Float](0)
+        assert(e.nonEmpty && math.abs(
+          math.sqrt(e.map(x => x.toDouble * x).sum) - 1.0) < 1e-3)
+      }
+      // update the long page -> its chunks are replaced, short untouched
+      stage("b2", Seq("doc://long" -> (longMd + "\n\nnew tail words")))
+      q.processAllAvailable()
+      val v2 = ChunkStore.readLatest(spark, store).get
+      val longIds2 = v2.filter(col("url") === "doc://long")
+        .select("chunk_id").collect().map(_.getString(0)).toSet
+      assert(longIds2 != streamedIds, "updated page must re-chunk")
+      assert(v2.filter(col("url") === "doc://short").count() ==
+        v1.filter(col("url") === "doc://short").count())
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: micro-batches merge into the versioned store") {
     import spark.implicits._
     import graft.sources.ChunkStore
