@@ -162,6 +162,11 @@ object Graph {
       sinkEvery: Long = 0L): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
+    // empty graph: no ranks, not a division by zero
+    if (n == 0) {
+      import s.implicits._
+      return s.emptyDataset[(String, Long)].toDF("url", "r")
+    }
     val nodes = docs
       .select(concat(lit("doc://"), col("doc_id")).as("url"))
       .localCheckpoint(true)

@@ -119,13 +119,16 @@ object Similarity {
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
       .toDF("vec_id", "features")
+    // empty corpus (or absent query vector): no neighbors, not a crash —
+    // and never fit/memoize a model on zero rows
+    val keyRow = vecs.filter(col("vec_id") === 0).select("features").take(1)
+    if (keyRow.isEmpty) return s.emptyDataset[Long].toDF("vec_id")
     val model = mllibModelCache.getOrElseUpdate(dir,
       new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
         .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
         .fit(vecs))
-    val key = vecs.filter(col("vec_id") === 0)
-      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val key = keyRow.head.getAs[org.apache.spark.ml.linalg.Vector](0)
     model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), key, k)
       .select(col("vec_id"), col("distCol").as("distance"))
       .orderBy("distance", "vec_id")
@@ -165,8 +168,9 @@ object Similarity {
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
       .toDF("vec_id", "features")
-    val key = vecs.filter(col("vec_id") === 0)
-      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val keyRow = vecs.filter(col("vec_id") === 0).select("features").take(1)
+    if (keyRow.isEmpty) return s.emptyDataset[Long].toDF("vec_id")
+    val key = keyRow.head.getAs[org.apache.spark.ml.linalg.Vector](0)
     model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), key, k)
       .select(col("vec_id"), col("distCol").as("distance"))
       .orderBy("distance", "vec_id")
@@ -592,8 +596,12 @@ object Similarity {
     graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, dir)
     val seeds = ivfSeeds(s, dir, 16)
-    val qEmb = e.filter(col("vec_id") === 0)
-      .select("embedding").as[Array[Float]].head()
+    // absent query vector (empty corpus): empty top-k, not a crash
+    val qRows = e.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].take(1)
+    if (qRows.isEmpty)
+      return s.emptyDataset[(Long, Long)].toDF("rank", "vec_id")
+    val qEmb = qRows.head
     val subDim = qEmb.length / PqM
     // ADC lookup table: t(m)(c) = d²(q_m, seed_c,m) — 128 doubles of
     // driver math, no corpus pass
