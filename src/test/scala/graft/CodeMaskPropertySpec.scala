@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.CodeParsers
+
+/** Property tests for the lexical mask over ADVERSARIAL payloads: an
+  * arbitrary soup of braces, quotes, hashes, and keywords is embedded
+  * inside each multi-line string construct, and the construct must (a)
+  * mask the whole payload (no live char between the delimiters), (b)
+  * keep the code before/after live, and (c) never change the statement
+  * count of the surrounding program. Deterministic sampling (fixed
+  * seed) so failures reproduce. */
+class CodeMaskPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    var seed = Seed(4242L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(a) => f(a); produced += 1
+        case None =>
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > n / 2, s"generator too sparse: $produced/$n")
+  }
+
+  /** Payload soup: the characters most likely to derail a lexer. Never
+    * contains a construct terminator — callers guarantee that by
+    * filtering per construct. */
+  private val soupChar: Gen[Char] = Gen.oneOf(
+    "{}()[]#\"' end def if } { ] [ : \\ / * $ a b \n".toSeq)
+  private val soup: Gen[String] = Gen.chooseNum(1, 60)
+    .flatMap(n => Gen.listOfN(n, soupChar)).map(_.mkString)
+
+  private def spans(lang: String, code: String): Seq[(Int, Int)] =
+    CodeParsers.parse(lang, code).get.children.map(c => (c.start, c.end))
+
+  test("python triple-quoted strings absorb any payload") {
+    forAll(soup.map(_.replace("'''", "' '").replace("\\", "/"))) { payload =>
+      val code = s"x = '''$payload'''\ny = 2\n"
+      val got = spans("python", code)
+      assert(got.length == 2, s"payload leaked statements: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "y = 2",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("JS template literals absorb any payload without interpolation markers") {
+    forAll(soup.map(_.replace("`", " ").replace("${", "$ {")
+      .replace("\\", "/"))) { payload =>
+      val code = s"const x = `$payload`;\nlet y = 2;\n"
+      val got = spans("typescript", code)
+      assert(got.length == 2, s"payload leaked statements: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "let y = 2;",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("ruby heredoc bodies absorb any payload") {
+    forAll(soup.map(_.replace("EOF", "exx"))) { payload =>
+      // payload lines must not equal the terminator; lowercase guard above
+      val code = s"x = <<~EOF\n$payload\nEOF\ny = 2\n"
+      val got = spans("ruby", code)
+      assert(got.length == 2, s"payload leaked statements: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "y = 2",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("single-line strings with brackets never shift brace statements") {
+    forAll(soup.map(_.replace("\n", " ").replace("\"", "'")
+      .replace("\\", "/").replace("*", "x").replace("/", "x"))) { payload =>
+      val code = s"""const a = "$payload";\nfunction f() {\n  return 1;\n}\n"""
+      val got = spans("typescript", code)
+      assert(got.length == 2, s"string payload leaked: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2).startsWith("function f()"),
+        s"function statement corrupted: $got")
+    }
+  }
+}
