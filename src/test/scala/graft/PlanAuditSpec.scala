@@ -184,6 +184,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("dedup_minhash_calib joins hash-to-hash, never nested-loop or cartesian") {
+    val p = planOf("dedup_minhash_calib")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("dedup_cross_source: no cartesian; aggregate collapses to source pairs") {
+    val p = planOf("dedup_cross_source")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("curation_runs windows over the 5-row funnel aggregate, not documents") {
     // the lag/first windows must sit ABOVE the funnel's single global
     // aggregate in the plan: by the time any Window runs, the corpus
