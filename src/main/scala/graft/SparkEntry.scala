@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
     "dedup_clusters"      -> (Dedup.simhashClusters _),
     "emb_embed_sig"       -> (DocPipeline.embedDocs _),
+    "emb_embed_batched"   -> (DocPipeline.embedDocsBatched _),
     "emb_knn_exact"       -> ((s: SparkSession, d: String) =>
       Similarity.knnExact(s, d)),
     "emb_ann_lsh"         -> ((s: SparkSession, d: String) =>
@@ -859,26 +860,8 @@ object SparkEntry {
            (sqrt(list_dot_product(ea, ea)) *
             sqrt(list_dot_product(eb, eb))) > 0.4
          ORDER BY 1,2""",
-    "emb_embed_sig" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(list_filter(
-             string_split(substring(text,1,32764),' '), w -> w <> '')) AS w
-           FROM documents
-         ), h AS (
-           SELECT doc_id, ('0x'||substr(sha256(w),1,8))::BIGINT AS x FROM tok
-         ), sums AS (
-           SELECT doc_id, x % 64 AS idx,
-             CAST(sum(CASE WHEN (x >> 6) & 1 = 1 THEN 1 ELSE -1 END)
-               AS BIGINT) AS v
-           FROM h GROUP BY 1,2
-         ), filled AS (
-           SELECT d.doc_id, g.idx, coalesce(s.v, 0) AS v
-           FROM (SELECT DISTINCT doc_id FROM documents) d
-           CROSS JOIN (SELECT unnest(range(0,64)) AS idx) g
-           LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.idx = g.idx
-         )
-         SELECT doc_id, string_agg(v, ',' ORDER BY idx) AS acc_sig
-         FROM filled GROUP BY 1 ORDER BY doc_id""",
+    "emb_embed_sig" -> embedSigOracle,
+    "emb_embed_batched" -> embedSigOracle,
     "emb_knn_exact" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
@@ -2046,6 +2029,30 @@ object SparkEntry {
            UNION ALL SELECT '3_near_dedup', d3, t3 FROM agg
            UNION ALL SELECT '4_decontaminated', d4, t4 FROM agg
            UNION ALL SELECT '5_sampled', d5, t5 FROM agg)"""
+
+  /** Shared integer-accumulator embedding oracle — checked against both
+    * the direct kernel (emb_embed_sig) and the batched service path
+    * (emb_embed_batched), which must be bit-identical. */
+  private val embedSigOracle: String =
+    """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split(substring(text,1,32764),' '), w -> w <> '')) AS w
+           FROM documents
+         ), h AS (
+           SELECT doc_id, ('0x'||substr(sha256(w),1,8))::BIGINT AS x FROM tok
+         ), sums AS (
+           SELECT doc_id, x % 64 AS idx,
+             CAST(sum(CASE WHEN (x >> 6) & 1 = 1 THEN 1 ELSE -1 END)
+               AS BIGINT) AS v
+           FROM h GROUP BY 1,2
+         ), filled AS (
+           SELECT d.doc_id, g.idx, coalesce(s.v, 0) AS v
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           CROSS JOIN (SELECT unnest(range(0,64)) AS idx) g
+           LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.idx = g.idx
+         )
+         SELECT doc_id, string_agg(v, ',' ORDER BY idx) AS acc_sig
+         FROM filled GROUP BY 1 ORDER BY doc_id"""
 
   private val syncCtes: String =
     """WITH s_docs AS (

@@ -186,6 +186,30 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** [[embedDocs]] routed through the FULL service-mode machinery
+    * (ServiceEmbedder.embedBatched with a hermetic transport and 4
+    * pipelined in-flight micro-batches per partition) — the oracle row
+    * proving the batched+concurrent path end-to-end: per-batch
+    * truncation net, FIFO submission-order emission, and the transport
+    * contract all sit between the text and the checked signature. The
+    * accumulator values (±1 per token, far below float's 2^24 exact
+    * range) survive the Float channel losslessly, so the output is
+    * bit-identical to [[embedDocs]] and shares its DuckDB oracle. */
+  def embedDocsBatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+    val transport: graft.functions.ServiceEmbedder.Transport = texts =>
+      graft.functions.ServiceEmbedder.Vectors(texts.map(t =>
+        graft.functions.Embedder.accumulate(t).map(_.toFloat)))
+    graft.functions.ServiceEmbedder
+      .embedBatched(s, in, transport, batchSize = 16, concurrency = 4)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(embedding, " +
+          "x -> CAST(CAST(x AS BIGINT) AS STRING)), ',')").as("acc_sig"))
+      .orderBy("doc_id")
+  }
+
   /** Binary/multimodal plumbing (builder-prompt multimodal requirement):
     * treat content as an opaque binary column with typed metadata. The
     * decode/feature-extract step is a stub (no media libs in this build);
