@@ -129,6 +129,33 @@ object ChunkStore {
     next
   }
 
+  /** Version retention: delete all but the newest `keepLast` version
+    * directories (plus any stranded pointer temp files). The versioned
+    * layout trades write simplicity for a FULL copy per upsert — at
+    * 100 TB, retention is what keeps the store from growing by one
+    * corpus per sync. `keepLast >= 2` leaves the previous version
+    * intact for a reader that resolved the pointer just before a flip;
+    * the LATEST pointer itself is never touched. Single-writer
+    * discipline applies, same as [[upsertVersioned]]. Returns the
+    * deleted version ids. */
+  def vacuumVersions(root: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val dir = new java.io.File(root)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches("v\\d+"))
+      .map(_.getName.substring(1).toLong).sorted.toSeq
+    val doomed = versions.dropRight(keepLast)
+    doomed.foreach { v =>
+      val p = new java.io.File(root, s"v$v").toPath
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { java.nio.file.Files.delete(q); () })
+    }
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("LATEST.tmp"))
+      .foreach(_.delete())
+    doomed
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

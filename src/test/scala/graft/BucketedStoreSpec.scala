@@ -106,6 +106,32 @@ class BucketedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranged.map(_.getAs[String]("chunk_id")).toSeq == Seq("c1", "c2"))
   }
 
+  test("vacuumVersions keeps the newest versions, never the pointer or its target") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vac").toString
+    (0 until 4).foreach { i =>
+      ChunkStore.upsertVersioned(spark, root,
+        Seq((s"doc://$i", s"c$i")).toDF("url", "content"))
+    }
+    assert(ChunkStore.latestVersion(root) == 3)
+    val deleted = ChunkStore.vacuumVersions(root, keepLast = 2)
+    assert(deleted == Seq(0L, 1L), s"deleted $deleted")
+    // pointer and its target untouched; previous version kept for
+    // readers racing the flip
+    assert(ChunkStore.latestVersion(root) == 3)
+    assert(new java.io.File(root, "v2").isDirectory)
+    assert(!new java.io.File(root, "v0").exists)
+    val latest = ChunkStore.readLatest(spark, root).get
+    assert(latest.count() == 4) // all 4 urls merged through the upserts
+    // idempotent: nothing left to delete
+    assert(ChunkStore.vacuumVersions(root, keepLast = 2).isEmpty)
+    // the store keeps working after a vacuum
+    ChunkStore.upsertVersioned(spark, root,
+      Seq(("doc://new", "n")).toDF("url", "content"))
+    assert(ChunkStore.latestVersion(root) == 4)
+    assert(ChunkStore.readLatest(spark, root).get.count() == 5)
+  }
+
   test("sync_complete flag: interrupted run forces full sync, clean run clears it") {
     import graft.sources.SyncState
     val metaPath =
