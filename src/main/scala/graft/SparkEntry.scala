@@ -983,7 +983,7 @@ object SparkEntry {
                AS distance
            FROM store CROSS JOIN qv
            WHERE doc_id <> 0 AND lang = 'en'
-             AND source LIKE 'src1%' AND length(text) > 0),
+             AND source LIKE 'src1%' AND length(trim(text)) > 0),
          ranked AS (
            SELECT doc_id, source,
              row_number() OVER (ORDER BY distance, doc_id) AS rank
@@ -998,7 +998,8 @@ object SparkEntry {
                   ELSE '.md' END AS ext
            FROM documents)
          SELECT count(*) AS raw_count,
-           count(*) FILTER (WHERE length(text) = 0) AS empty_content_count,
+           count(*) FILTER (WHERE length(trim(text)) = 0)
+             AS empty_content_count,
            least(count(*), 4) AS returned
          FROM files
          WHERE (source||'/'||doc_id||ext) LIKE 'src1%'

@@ -51,8 +51,12 @@ object TextUtil {
     s"${h.substring(0, 8)}-${h.substring(8, 12)}-5${h.substring(13, 16)}-8${h.substring(17, 20)}-${h.substring(20, 32)}"
   }
 
+  /** RFC-4122-strict: the version nibble must be 1-5 and the variant
+    * nibble 8/9/a/b (reference utils.ts:71-74) — a loose hex-shape
+    * check would let malformed ids bypass the hashToUuid normalization
+    * the UUID-keyed store path depends on. */
   private val uuidRe =
-    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[1-5][0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
 
   def isValidUuid(s: String): Boolean =
     s != null && uuidRe.matches(s.toLowerCase)

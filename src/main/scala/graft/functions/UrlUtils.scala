@@ -32,16 +32,27 @@ object UrlUtils {
     catch { case _: Exception => href }
 
   /** Crawl-eligibility check (reference utils.ts:48-69): .html/.htm/.pdf,
-    * directory URLs, or extension-less paths. */
+    * directory URLs, or extension-less paths. Extension matching is
+    * case-INsensitive (the reference lowercases `path.extname` —
+    * `INDEX.HTML`/`doc.PDF` must crawl, not silently skip). */
   def shouldProcessUrl(url: String): Boolean = {
     val path = normalizeUrl(url)
-    val last = path.substring(path.lastIndexOf('/') + 1)
+    val last = path.substring(path.lastIndexOf('/') + 1).toLowerCase
     last.isEmpty || !last.contains('.') ||
       last.endsWith(".html") || last.endsWith(".htm") || last.endsWith(".pdf")
   }
 
   def isPdfUrl(url: String): Boolean =
     normalizeUrl(url).toLowerCase.endsWith(".pdf")
+
+  /** Extension-filter normalization (reference mcp/src/server.ts:70-98):
+    * lowercase, dot-prefixed, blanks dropped — `["ts", ".JS", "Md"]`
+    * and `[".ts", ".js", ".md"]` must filter identically. */
+  def normalizeExtensions(exts: Seq[String]): Seq[String] =
+    Option(exts).getOrElse(Seq.empty)
+      .map(e => Option(e).getOrElse("").trim.toLowerCase)
+      .filter(_.nonEmpty)
+      .map(e => if (e.startsWith(".")) e else "." + e)
 
   /** RFC 5988 Link-header rel=next extraction (utils.ts:92-108). */
   def parseNextLink(linkHeader: String): Option[String] = {

@@ -69,7 +69,9 @@ object Similarity {
       .filter(col("doc_id") =!= 0)
       .filter(col("lang") === "en")                // metadata equality filter
       .filter(col("source").startsWith("src1"))    // urlPathPrefix post-filter
-      .filter(length(col("text")) > 0)             // empty-content drop
+      // empty-content drop: the reference trims first (mcp server
+      // filterResultsWithContent) — whitespace-only content is empty
+      .filter(length(trim(col("text"))) > 0)
       .withColumn("distance", lit(1.0) - cosineExpr("qv", "embedding"))
       .select(col("distance"), col("doc_id"), col("source"))
       .orderBy(col("distance"), col("doc_id"))
@@ -96,7 +98,8 @@ object Similarity {
       .filter(col("path").startsWith("src1"))      // filePathPrefix
       .filter(col("ext").isin(".py", ".go"))       // extensions filter
       .agg(count(lit(1)).as("raw_count"),
-        count(when(length(col("text")) === 0, 1)).as("empty_content_count"),
+        count(when(length(trim(col("text"))) === 0, 1))
+          .as("empty_content_count"),
         least(count(lit(1)), lit(4L)).as("returned"))
   }
 

@@ -144,6 +144,12 @@ class IngestSpec extends AnyFunSuite {
     assert(u.charAt(14) == '5' && u.charAt(19) == '8') // version/variant
     assert(TextUtil.hashToUuid("abc").length == 36) // short hash padded
     assert(!TextUtil.isValidUuid("not-a-uuid"))
+    // RFC-4122 strictness (reference utils.test.ts:257-266): version
+    // nibble 1-5, variant nibble 8/9/a/b, case-insensitive
+    assert(TextUtil.isValidUuid("550e8400-e29b-41d4-a716-446655440000"))
+    assert(TextUtil.isValidUuid("550E8400-E29B-51D4-A716-446655440000"))
+    assert(!TextUtil.isValidUuid("550e8400-e29b-61d4-a716-446655440000"))
+    assert(!TextUtil.isValidUuid("550e8400-e29b-41d4-0716-446655440000"))
     assert(TextUtil.metadataUuid("repo-x") == TextUtil.metadataUuid("repo-x"))
   }
 
@@ -332,7 +338,15 @@ class IngestSpec extends AnyFunSuite {
     assert(UrlUtils.shouldProcessUrl("https://a.io/docs/page.html"))
     assert(UrlUtils.shouldProcessUrl("https://a.io/docs/guide"))
     assert(!UrlUtils.shouldProcessUrl("https://a.io/img/logo.png"))
+    // extension match is case-insensitive (reference utils.test.ts:179)
+    assert(UrlUtils.shouldProcessUrl("https://a.io/doc/REPORT.PDF"))
+    assert(UrlUtils.shouldProcessUrl("https://a.io/INDEX.HTML"))
+    assert(!UrlUtils.shouldProcessUrl("https://a.io/LOGO.PNG"))
     assert(UrlUtils.isPdfUrl("https://a.io/m.PDF?v=2"))
+    // reference mcp-server.test.ts:24-27
+    assert(UrlUtils.normalizeExtensions(Seq("ts", ".JS", "Md")) ==
+      Seq(".ts", ".js", ".md"))
+    assert(UrlUtils.normalizeExtensions(null) == Seq.empty)
     assert(UrlUtils.parseNextLink(
       """<https://api.x.io/p?page=2>; rel="next", <https://api.x.io/p?page=9>; rel="last"""")
       .contains("https://api.x.io/p?page=2"))
