@@ -79,4 +79,72 @@ class LocalDirectorySpec extends AnyFunSuite with BeforeAndAfterAll {
     val txt = byUrl.keys.find(_.endsWith("notes.txt")).get
     assert(byUrl(txt).head.section == "Introduction")
   }
+
+  // ── GitCode: the code source's deterministic incremental semantics
+  //    (reference doc2vec.test.ts:529-640, 1054-1130) ────────────────
+
+  test("shaMetadataKey normalizes repo and branch like the reference") {
+    import graft.sources.GitCode
+    assert(GitCode.shaMetadataKey("org/repo", "main") ==
+      "code_last_sha_org_repo_main")
+    assert(GitCode.shaMetadataKey("my-org/my-repo", "feature/new-thing") ==
+      "code_last_sha_my_org_my_repo_feature_new_thing")
+    assert(GitCode.shaMetadataKey("my.org/my_repo.js", "release/v1.2.3") ==
+      "code_last_sha_my_org_my_repo_js_release_v1_2_3")
+    assert(GitCode.shaMetadataKey("org--repo", "main") ==
+      "code_last_sha_org_repo_main")
+  }
+
+  test("parseNameStatus: A/M/D and rename semantics") {
+    import graft.sources.GitCode
+    val mixed = Seq(
+      "A\tsrc/added.ts",
+      "M\tsrc/modified.ts",
+      "D\tsrc/deleted.ts",
+      "R090\tsrc/old.ts\tsrc/new.ts",
+      "").mkString("\n")
+    val r = GitCode.parseNameStatus(mixed, "/repo")
+    assert(r.changed == Set("/repo/src/added.ts", "/repo/src/modified.ts",
+      "/repo/src/new.ts"))
+    assert(r.deleted == Seq("src/deleted.ts", "src/old.ts"))
+    // a rename purges the old URL and re-ingests the new one
+    assert(GitCode.parseNameStatus("R100\tsrc/a.ts\tsrc/b.ts", "/repo") ==
+      GitCode.DiffSets(Set("/repo/src/b.ts"), Seq("src/a.ts")))
+    assert(GitCode.parseNameStatus("\n\n\n", "/repo") ==
+      GitCode.DiffSets(Set.empty, Seq.empty))
+    // the changed set feeds the allowedFiles semi-join directly
+    import spark.implicits._
+    val files = Seq("/repo/src/added.ts", "/repo/src/untouched.ts")
+      .toDF("path")
+    val allowed = LocalDirectory.restrictToAllowed(files,
+      r.changed.toSeq.toDF("path"))
+    assert(allowed.collect().map(_.getString(0)).toSeq ==
+      Seq("/repo/src/added.ts"))
+  }
+
+  test("codeFileUrl priority: repo blob prefix, rewrite prefix, file://") {
+    import graft.sources.GitCode
+    assert(GitCode.codeFileUrl("/tmp/repo/src/app.ts", "/tmp/repo",
+      repoUrlPrefix = Some("https://github.com/org/repo/blob/main")) ==
+      "https://github.com/org/repo/blob/main/src/app.ts")
+    assert(GitCode.codeFileUrl("/project/src/app.ts", "/project",
+      urlRewritePrefix = Some("https://mysite.com/code")) ==
+      "https://mysite.com/code/src/app.ts")
+    assert(GitCode.codeFileUrl("/project/src/app.ts", "/project",
+      urlRewritePrefix = Some("https://mysite.com/code/")) ==
+      "https://mysite.com/code/src/app.ts")
+    assert(GitCode.codeFileUrl("/other/path/file.ts", "/project",
+      urlRewritePrefix = Some("https://mysite.com")) ==
+      "file:///other/path/file.ts")
+    assert(GitCode.codeFileUrl("/project/src/app.ts", "/project") ==
+      "file:///project/src/app.ts")
+    // repoUrlPrefix wins over url_rewrite_prefix
+    assert(GitCode.codeFileUrl("/project/src/app.ts", "/project",
+      urlRewritePrefix = Some("https://other.com"),
+      repoUrlPrefix = Some("https://github.com/org/repo/blob/main")) ==
+      "https://github.com/org/repo/blob/main/src/app.ts")
+    assert(GitCode.codeFileUrl("/project/src/deep/nested/file.ts",
+      "/project", urlRewritePrefix = Some("https://mysite.com/code")) ==
+      "https://mysite.com/code/src/deep/nested/file.ts")
+  }
 }
