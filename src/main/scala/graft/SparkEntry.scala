@@ -111,6 +111,7 @@ object SparkEntry {
     "sync_metadata_exclusion" -> (Sync.metadataExclusion _),
     "ctl_run_stats"       -> (Ingest.runStatsDaily _),
     "ctl_schedule_reconcile" -> (Ingest.scheduleReconcile _),
+    "ctl_config_registry" -> (Ingest.configRegistry _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -1419,6 +1420,30 @@ object SparkEntry {
            event_type AS status, count(*) AS n_runs,
            round(avg(value), 4) AS avg_duration_s
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ctl_config_registry" ->
+      """WITH scanned AS (
+           SELECT doc_id AS config_id,
+             sha256(CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+                         ELSE text END) AS content_hash,
+             CASE WHEN doc_id % 17 = 0 THEN 'invalid yaml' END
+               AS parse_error,
+             CASE WHEN doc_id % 7 = 0 THEN 'cfg_' || doc_id
+                  ELSE source END AS name
+           FROM documents WHERE doc_id % 11 <> 0),
+         stored AS (
+           SELECT doc_id AS config_id, sha256(text) AS stored_hash
+           FROM documents WHERE doc_id % 13 <> 0)
+         SELECT coalesce(sc.config_id, st.config_id) AS config_id,
+           coalesce(sc.name,
+             'cfg_' || coalesce(sc.config_id, st.config_id)) AS name,
+           CASE WHEN sc.content_hash IS NULL THEN 'deleted'
+                WHEN st.stored_hash IS NULL THEN 'new'
+                WHEN sc.content_hash <> st.stored_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           sc.parse_error, sc.content_hash
+         FROM scanned sc FULL OUTER JOIN stored st
+           ON sc.config_id = st.config_id
+         ORDER BY config_id""",
     "ctl_schedule_reconcile" ->
       """WITH last AS (
            SELECT user_id AS config_id,

@@ -450,4 +450,49 @@ object Ingest {
       .select("config_id", "interval_min", "last_us", "due", "overdue_s")
       .orderBy("config_id")
   }
+
+  /** Config-registry reconciliation (config-registry.ts:86-261) as one
+    * declarative pass: scan-vs-stored hash comparison classifies every
+    * config as new / changed / unchanged / deleted (files that
+    * disappeared soft-delete their record rather than vanish), invalid
+    * configs stay VISIBLE carrying a parse_error (the registry must
+    * show a broken file, not drop it), and a missing `name:` falls back
+    * to the file basename. Membership, content drift, validity, and
+    * the name fallback all derive deterministically from doc_id
+    * (scanned = %11, stored = %13, drift = %10, invalid = %17,
+    * nameless = %7) so the oracle reproduces every branch.
+    *
+    * Scale: one full-outer hash join on config id over registry-sized
+    * tables; every classification is a codegen column expression. */
+  def configRegistry(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scanned = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id").as("config_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("content"),
+        col("source"))
+      .withColumn("content_hash", sha2(col("content"), 256))
+      .withColumn("parse_error",
+        when(col("config_id") % 17 === 0, lit("invalid yaml"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("name",
+        when(col("config_id") % 7 === 0,
+          concat(lit("cfg_"), col("config_id")))
+          .otherwise(col("source")))
+      .drop("content", "source")
+    val stored = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id").as("config_id"),
+        sha2(col("text"), 256).as("stored_hash"))
+    scanned.join(stored, Seq("config_id"), "full_outer")
+      .withColumn("status",
+        when(col("content_hash").isNull, lit("deleted"))
+          .when(col("stored_hash").isNull, lit("new"))
+          .when(col("content_hash") =!= col("stored_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("config_id"),
+        coalesce(col("name"), concat(lit("cfg_"), col("config_id")))
+          .as("name"),
+        col("status"), col("parse_error"), col("content_hash"))
+      .orderBy("config_id")
+  }
 }
