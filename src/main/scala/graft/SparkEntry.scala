@@ -112,6 +112,7 @@ object SparkEntry {
     "ctl_run_stats"       -> (Ingest.runStatsDaily _),
     "ctl_schedule_reconcile" -> (Ingest.scheduleReconcile _),
     "ctl_config_registry" -> (Ingest.configRegistry _),
+    "src_scan_filters" -> (graft.sources.LocalDirectory.scanFilters _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllib(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -1420,6 +1421,25 @@ object SparkEntry {
            event_type AS status, count(*) AS n_runs,
            round(avg(value), 4) AS avg_duration_s
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "src_scan_filters" ->
+      """WITH l AS (
+           SELECT source || '/f' || doc_id ||
+             CASE WHEN lang='en' THEN '.py' WHEN lang='es' THEN '.go'
+                  WHEN lang='de' THEN '.rs' WHEN lang='fr' THEN '.ts'
+                  ELSE '.md' END AS path,
+             CASE WHEN lang='en' THEN '.py' WHEN lang='es' THEN '.go'
+                  WHEN lang='de' THEN '.rs' WHEN lang='fr' THEN '.ts'
+                  ELSE '.md' END AS ext,
+             CAST(n_chars AS BIGINT) AS size,
+             CAST(doc_id * 60000 AS BIGINT) AS mod_ms
+           FROM documents)
+         SELECT path, ext, size, mod_ms,
+           CASE WHEN size > 500 THEN 'skip_size'
+                WHEN ext NOT IN ('.py','.go','.md') THEN 'skip_not_included'
+                WHEN ext IN ('.md') THEN 'skip_excluded'
+                WHEN mod_ms <= 120*60000 THEN 'skip_mtime'
+                ELSE 'kept' END AS decision
+         FROM l ORDER BY path""",
     "ctl_config_registry" ->
       """WITH scanned AS (
            SELECT doc_id AS config_id,

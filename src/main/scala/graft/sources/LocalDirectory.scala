@@ -24,25 +24,73 @@ object LocalDirectory {
 
   case class FileDoc(path: String, modTimeMs: Long, content: Array[Byte])
 
+  /** Per-file scan decision in [[readFiles]]'s cascade order (size cap
+    * → include set → exclude set → mtime cutoff): one LABELED row per
+    * listed file instead of a silent drop — the skip accounting a
+    * 100 TB scan reports, and the exact predicate readFiles applies
+    * (readFiles keeps `decision == 'kept'`, so the oracle-checked
+    * cascade IS the production filter). Expects (path, size, mod_ms);
+    * extensions are matched lowercased, like the reference's walk. */
+  def classifyScan(listing: DataFrame,
+      includeExtensions: Seq[String] = Seq.empty,
+      excludeExtensions: Seq[String] = Seq.empty,
+      maxBytes: Long = DefaultMaxBytes,
+      mtimeCutoffMs: Option[Long] = None): DataFrame = {
+    val inc = includeExtensions.map(_.toLowerCase)
+    val exc = excludeExtensions.map(_.toLowerCase)
+    listing
+      .withColumn("ext",
+        lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1)))
+      .withColumn("decision",
+        when(col("size") > maxBytes, lit("skip_size"))
+          .when(if (inc.nonEmpty) !col("ext").isin(inc: _*) else lit(false),
+            lit("skip_not_included"))
+          .when(if (exc.nonEmpty) col("ext").isin(exc: _*) else lit(false),
+            lit("skip_excluded"))
+          .when(mtimeCutoffMs.map(col("mod_ms") <= _).getOrElse(lit(false)),
+            lit("skip_mtime"))
+          .otherwise(lit("kept")))
+  }
+
   /** Scan a directory tree as (path, modificationTime, content). */
   def readFiles(spark: SparkSession, dir: String,
       includeExtensions: Seq[String] = Seq.empty,
       excludeExtensions: Seq[String] = Seq.empty,
       maxBytes: Long = DefaultMaxBytes,
       mtimeCutoffMs: Option[Long] = None): DataFrame = {
-    var df = spark.read.format("binaryFile")
+    val listed = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(dir)
       .select(col("path"), unix_millis(col("modificationTime")).as("mod_ms"),
-        col("length"), col("content"))
-      .filter(col("length") <= maxBytes) // size cap before conversion
-    val ext = lower(regexp_extract(col("path"), "(\\.[^./\\\\]+)$", 1))
-    if (includeExtensions.nonEmpty)
-      df = df.filter(ext.isin(includeExtensions.map(_.toLowerCase): _*))
-    if (excludeExtensions.nonEmpty)
-      df = df.filter(!ext.isin(excludeExtensions.map(_.toLowerCase): _*))
-    mtimeCutoffMs.foreach(cut => df = df.filter(col("mod_ms") > cut))
-    df.select("path", "mod_ms", "content")
+        col("length").as("size"), col("content"))
+    classifyScan(listed, includeExtensions, excludeExtensions, maxBytes,
+      mtimeCutoffMs)
+      .filter(col("decision") === "kept")
+      .select("path", "mod_ms", "content")
+  }
+
+  /** [[classifyScan]] over a listing synthesized deterministically
+    * from the documents table (ext by lang, size = n_chars, mtime from
+    * doc id) — the oracle row for the local/S3 scan cascade; constants
+    * chosen so ALL five decisions occur at the gate's scale factors.
+    * Because [[readFiles]] keeps exactly `decision == 'kept'`, this
+    * query checks the production filter, not a replica. */
+  def scanFilters(s: SparkSession, dir: String): DataFrame = {
+    val listing = graft.Tables.documents(s, dir)
+      .withColumn("ext",
+        when(col("lang") === "en", ".py").when(col("lang") === "es", ".go")
+          .when(col("lang") === "de", ".rs").when(col("lang") === "fr", ".ts")
+          .otherwise(".md"))
+      .select(
+        concat(col("source"), lit("/f"), col("doc_id"), col("ext"))
+          .as("path"),
+        col("n_chars").cast("long").as("size"),
+        (col("doc_id") * 60000L).as("mod_ms"))
+    classifyScan(listing, includeExtensions = Seq(".py", ".go", ".md"),
+      excludeExtensions = Seq(".md"), maxBytes = 500L,
+      mtimeCutoffMs = Some(120L * 60000L))
+      .select("path", "ext", "size", "mod_ms", "decision")
+      .orderBy("path")
   }
 
   /** S3 source (SURVEY.md §2.1, reference processS3 doc2vec.ts:898-1103):
