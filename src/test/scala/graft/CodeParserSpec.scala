@@ -897,6 +897,52 @@ total = acc.size
     assert(spans(1) == "acc << compute(1)")
   }
 
+  test("TSX: JSX trees inside a parenthesized return stay one statement") {
+    // angle brackets are not brackets; the enclosing ( ) is what holds
+    // the multi-line JSX together — exactly how tree-sitter's
+    // jsx_element sits inside a parenthesized_expression
+    val code = """function App() {
+    return (
+        <div className={styles.app}>
+            <Header title={`hi ${user.name}`} />
+            <ul>{items.map(i => <li key={i.id}>{i.text}</li>)}</ul>
+        </div>
+    );
+}
+const after = 1;
+"""
+    val spans = topSpans("typescript", code)
+    assert(spans.length == 2, s"JSX leaked statements: $spans")
+    assert(spans.head.contains("</div>") && spans.head.endsWith("}"),
+      s"App split: ${spans.head}")
+    assert(spans(1) == "const after = 1;")
+    // the multi-line JSX return is one leaf: any chunk containing its
+    // opening must contain its close (the function suite itself may
+    // split header/body/closer, which is correct)
+    assertBoundaryIntegrity(chunk("typescript", code, 120), Seq(
+      ("jsx", "return (", ");"),
+      ("after", "const after", "= 1;")))
+  }
+
+  test("PY: parameterized decorators on classes attach to the definition") {
+    val code = """@register(name="x", scope=[1, 2])
+@cache
+class Handler:
+    def run(self):
+        return 1
+
+@plain
+def free():
+    return 2
+"""
+    val spans = topSpans("python", code)
+    assert(spans.length == 2, s"want 2 decorated defs: $spans")
+    assert(spans.head.startsWith("@register") &&
+      spans.head.contains("class Handler"),
+      s"decorators detached: ${spans.head}")
+    assert(spans(1).startsWith("@plain") && spans(1).contains("def free"))
+  }
+
   test("PY: module-level triple-quoted string with hashes and brackets is one statement") {
     val code = """MOD = '''doc with # hash
 and ] unbalanced [ brackets
