@@ -184,6 +184,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("src_scan_filters is a zero-shuffle scan pass") {
+    // the decision cascade is pure codegen column logic over one scan;
+    // only the final orderBy may range-partition
+    val p = planOf("src_scan_filters")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("ctl_config_registry is one hash join, no cartesian") {
+    val p = planOf("ctl_config_registry")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("dedup_minhash_calib joins hash-to-hash, never nested-loop or cartesian") {
     val p = planOf("dedup_minhash_calib")
     assert(!p.contains("CartesianProduct"), p.take(3000))
