@@ -387,7 +387,7 @@ object Similarity {
     val cells = topCells(queryVec, seeds, nprobe)
     val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
     val scan = s.read.parquet(indexDir)
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
     excludeId.fold(scan)(id => scan.filter(col("vec_id") =!= id))
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineExpr("qv", "embedding"))
@@ -685,7 +685,7 @@ object Similarity {
     val ids = scored.select("vec_id").as[Long].collect()
     val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
     Tables.embeddings(s, sourceDir)
-      .filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .filter(col("vec_id").isin(ids.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineExpr("qv", "embedding"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -731,7 +731,7 @@ object Similarity {
     val t = Array.tabulate(PqM, seeds.length)((m, c) =>
       pqSubDist(queryVec, seeds(c), m, subDim))
     val scan = s.read.parquet(indexDir)
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
     val scored = excludeId.fold(scan)(id =>
         scan.filter(col("vec_id") =!= id))
       .select("vec_id", "codes").as[(Long, Array[Int])]
@@ -747,7 +747,7 @@ object Similarity {
     val ids = scored.select("vec_id").as[Long].collect()
     val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
     Tables.embeddings(s, sourceDir)
-      .filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .filter(col("vec_id").isin(ids.toIndexedSeq.map(java.lang.Long.valueOf): _*))
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineExpr("qv", "embedding"))
       .orderBy(col("cosine").desc, col("vec_id"))

@@ -27,7 +27,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int = 8): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

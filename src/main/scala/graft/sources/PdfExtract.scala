@@ -197,7 +197,7 @@ object PdfExtract {
         var j = i + 1
         while (j < n && !src.charAt(j).isWhitespace &&
           !"()<>[]{}/%".contains(src.charAt(j))) j += 1
-        operands += ('/' + src.substring(i + 1, j)); i = j
+        operands += ("/" + src.substring(i + 1, j)); i = j
       } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
         var j = i + 1
         while (j < n && (src.charAt(j).isDigit || src.charAt(j) == '.')) j += 1

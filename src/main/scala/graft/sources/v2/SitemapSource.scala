@@ -63,7 +63,7 @@ class SitemapScanBuilder(path: String)
       case EqualTo("sitemap_url", _: String) => true
       case _ => false
     }
-    urlFilters = pushed.collect { case EqualTo(_, v: String) => v }
+    urlFilters = pushed.toIndexedSeq.collect { case EqualTo(_, v: String) => v }
     rest // everything else evaluates above the scan
   }
   override def pushedFilters(): Array[Filter] =
