@@ -485,11 +485,15 @@ object Dedup {
     * means the threshold is cutting in the noise band.
     *
     * Scale: the exact-Jaccard pass — the expensive part — runs only on
-    * the CANDIDATE doc set: postings are semi-joined to the (bounded)
-    * candidate ids before the pair-intersection groupBy, so its cost
-    * scales with |candidates|, never the corpus. The same 56-bit
-    * sha-prefix join key as [[ngramJaccardDocs]] (collision analysis
-    * there; the oracle applies the identical hash). */
+    * the CANDIDATE doc set: postings are semi-joined to the candidate
+    * ids before the pair-intersection groupBy, so its cost scales with
+    * |candidates|, never the corpus. The semi-join carries NO broadcast
+    * hint on purpose: on a dup-heavy corpus the candidate set is
+    * corpus-scale, and a forced driver broadcast is exactly the OOM a
+    * hash semi-join avoids — AQE still broadcasts it when it is
+    * actually small. Same 56-bit sha-prefix join key as
+    * [[ngramJaccardDocs]] (collision analysis there; the oracle applies
+    * the identical hash). */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(s, dir).localCheckpoint(true) // feeds 2 joins
     val cand = pairs.select(col("doc_a").as("doc_id"))
@@ -498,7 +502,7 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(sha2(col("shingle"), 256), 1, 14), 16, 10)
           .cast("long").as("sh_h"))
-      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .join(cand, Seq("doc_id"), "left_semi")
       .localCheckpoint(true) // feeds counts and both join sides
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
