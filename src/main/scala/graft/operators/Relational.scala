@@ -49,15 +49,18 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** 3-way star join + aggregation: revenue per market segment.
-    * customer is the small side → broadcast (no shuffle of lineitem on
-    * the dim key at scale; only the orders⋈lineitem shuffle remains,
-    * co-partitioned on orderkey). */
+    * customer is the RELATIVELY small side but SCALES with the corpus
+    * (~GBs at 100 TB), so no forced broadcast — AQE broadcasts it while
+    * it fits the threshold and falls back to a hash join when it
+    * doesn't; the orders⋈lineitem shuffle stays co-partitioned on
+    * orderkey either way. Only constant-size dims (nation/region) get
+    * the explicit hint in this file. */
   def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
     val ord = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -237,7 +240,9 @@ object Relational {
     val nation = Tables.nation(s, dir)
     val cust = Tables.customer(s, dir)
     Tables.orders(s, dir)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer scales with the corpus: no forced broadcast (AQE
+      // decides); nation (25) and region (5) are true constants
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -415,7 +420,8 @@ object Relational {
   def q19RangePredJoin(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
     Tables.lineitem(s, dir)
-      .join(broadcast(part), col("l_partkey") === col("p_partkey") &&
+      // part scales with the corpus: AQE picks broadcast vs hash join
+      .join(part, col("l_partkey") === col("p_partkey") &&
         col("l_extendedprice") > col("p_retailprice") * 20)
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"),
