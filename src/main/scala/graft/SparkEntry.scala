@@ -70,6 +70,8 @@ object SparkEntry {
     "dedup_minhash_sig"   -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "dedup_minhash_calib" -> (Dedup.minhashCalibration _),
+    "dedup_semantic"      -> ((s: SparkSession, d: String) =>
+      Dedup.semanticDedup(s, d)),
     "dedup_cross_source"  -> ((s: SparkSession, d: String) =>
       Dedup.crossSourceLeakage(s, d)),
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
@@ -677,6 +679,35 @@ object SparkEntry {
            ON a.j=b.j AND a.h=b.h AND a.doc_id < b.doc_id
          GROUP BY 1,2 HAVING count(*) >= ${Dedup.NumPerms / 2}
          ORDER BY doc_a, doc_b""",
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
+         proj AS (
+           SELECT e.vec_id, s.c,
+             list_dot_product(e.emb, s.cv) AS proj
+           FROM e CROSS JOIN seeds s),
+         assigned AS (
+           SELECT vec_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+         v AS (SELECT a.vec_id, a.cell, e.emb
+               FROM assigned a JOIN e ON e.vec_id = a.vec_id),
+         pairs AS (
+           SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+             CAST(floor(list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) *
+                sqrt(list_dot_product(b.emb, b.emb))) * 1000) AS BIGINT)
+               AS cos_permille
+           FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT drop_id, CAST(min(keep_id) AS BIGINT) AS keeper_id,
+           max(cos_permille) AS max_cos_permille,
+           count(*) AS n_dups
+         FROM pairs WHERE cos_permille >= ${Dedup.SemanticMinCosPermille}
+         GROUP BY 1 ORDER BY drop_id""",
     "dedup_minhash_calib" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
                      FROM documents

@@ -476,6 +476,43 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Cosine threshold (permille) for [[semanticDedup]] — the same 0.4
+    * bar the banded embedding dedup uses. */
+  val SemanticMinCosPermille = 400L
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate removal in embedding space, bounded by the IVF
+    * coarse quantizer — candidate pairs form WITHIN cells only, so the
+    * pairwise cost is Σ cell², never corpus², and each cell's pairs
+    * co-locate in one shuffle partition (the paper's exact trick for
+    * running pairwise cosine at web scale). Keep-lowest rule: a vector
+    * is dropped when ANY lower-id vector in its cell clears the cosine
+    * threshold; `keeper_id` = the lowest such id (chains resolve
+    * through [[simhashClusters]]-style components if full transitive
+    * sets are needed). Cosines are permille-floored for cross-engine
+    * bit-stability, like `emb_ann_range`. */
+  def semanticDedup(s: SparkSession, dir: String,
+      thresholdPermille: Long = SemanticMinCosPermille): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val withEmb = Similarity.ivfAssign(s, dir)
+      .join(e, "vec_id").localCheckpoint(true) // feeds both pair sides
+    val a = withEmb.select(col("cell"), col("vec_id").as("keep_id"),
+      col("embedding").as("ea"))
+    val b = withEmb.select(col("cell"), col("vec_id").as("drop_id"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos_permille",
+        floor(expr("dot_f(ea, eb) / (sqrt(dot_f(ea, ea)) * " +
+          "sqrt(dot_f(eb, eb)))") * 1000).cast("long"))
+      .filter(col("cos_permille") >= thresholdPermille)
+      .groupBy(col("drop_id"))
+      .agg(min(col("keep_id")).as("keeper_id"),
+        max(col("cos_permille")).as("max_cos_permille"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("drop_id")
+  }
+
   /** MinHash CALIBRATION report: for every candidate pair the signature
     * estimate of Jaccard (agree/NumPerms) next to the EXACT shingle
     * Jaccard and the absolute error, all integer permille. This is the

@@ -290,6 +290,42 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall $recall below 0.8: got $approx vs $exact")
   }
 
+  test("semanticDedup matches a driver-side within-cell brute force") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val got = Dedup.semanticDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("drop_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("max_cos_permille"), r.getAs[Long]("n_dups")))
+    // brute-force reference over the same quantizer assignment
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val seeds = (1L to 16L).map(vecs).toArray
+    val cells = vecs.keys.toSeq.sorted
+      .map(id => id -> Similarity.argmaxCell(vecs(id), seeds)).toMap
+    def cosPm(a: Array[Float], b: Array[Float]): Long = {
+      var (ab, aa, bb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1000).toLong
+    }
+    val exp = (for {
+      d <- vecs.keys.toSeq
+      qual = vecs.keys.toSeq
+        .filter(k => k < d && cells(k) == cells(d) &&
+          cosPm(vecs(k), vecs(d)) >= Dedup.SemanticMinCosPermille)
+      if qual.nonEmpty
+    } yield (d, qual.min,
+      qual.map(k => cosPm(vecs(k), vecs(d))).max,
+      qual.size.toLong)).sortBy(_._1)
+    assert(got.nonEmpty, "no semantic near-dups at sf0.001")
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+  }
+
   test("minhash calibration: estimates and errors are internally consistent") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
