@@ -103,6 +103,7 @@ object SparkEntry {
     "sync_etag_skip"      -> (Ingest.etagSkip _),
     "sync_lastmod_skip"   -> ((s: SparkSession, d: String) =>
       Ingest.lastmodSkip(s, d)),
+    "sync_lastmod_storegap" -> (Ingest.lastmodStoreGap _),
     "crawl_broken_links"  -> (Ingest.brokenLinks _),
     "ctl_overlap_detect"  -> (Ingest.overlapDetect _),
     "ctl_log_level_counts" -> (Ingest.logLevelCounts _),
@@ -1379,6 +1380,29 @@ object SparkEntry {
                 ELSE 'fetch_changed' END AS decision
          FROM current c LEFT JOIN stored s ON c.url = s.url
          ORDER BY c.url""",
+    "sync_lastmod_storegap" ->
+      """WITH sitemap AS (
+           SELECT 'doc://'||doc_id AS url,
+             '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS lastmod
+           FROM documents),
+         stored AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 4 = 0 THEN '2023-12-31'
+                  ELSE '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+             END AS stored_lastmod
+           FROM documents WHERE doc_id % 9 <> 0),
+         mdstore AS (
+           SELECT 'doc://'||doc_id AS url FROM documents
+           WHERE doc_id % 7 <> 0)
+         SELECT s.url,
+           CASE WHEN t.stored_lastmod IS NULL THEN 'fetch_new'
+                WHEN t.stored_lastmod = s.lastmod AND m.url IS NULL
+                  THEN 'fetch_store_gap'
+                WHEN t.stored_lastmod = s.lastmod THEN 'skip'
+                ELSE 'fetch_changed' END AS decision
+         FROM sitemap s LEFT JOIN stored t ON s.url = t.url
+                        LEFT JOIN mdstore m ON s.url = m.url
+         ORDER BY s.url""",
     "sync_lastmod_skip" ->
       """WITH sitemap AS (
            SELECT 'doc://'||doc_id AS url,

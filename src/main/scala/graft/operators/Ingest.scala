@@ -294,7 +294,8 @@ object Ingest {
 
   /** Unsorted per-url lastmod decisions — shared with Sync.skipCascade. */
   private[operators] def lastmodDecisions(s: SparkSession, dir: String,
-      forceFullSync: Boolean = false): DataFrame = {
+      forceFullSync: Boolean = false,
+      markdownStoreUrls: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sitemap = docs.select(
       concat(lit("doc://"), col("doc_id")).as("url"),
@@ -307,13 +308,38 @@ object Ingest {
         .otherwise(concat(lit("2024-01-"),
           lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
         .as("stored_lastmod"))
-    sitemap.join(stored, Seq("url"), "left")
+    // markdown-store gap (content-processor.ts:586-595): a url ABSENT
+    // from the markdown store re-fetches even when lastmod matches —
+    // self-healing for a store that lost (or never had) the page;
+    // forceFullSync takes precedence over the gap label
+    val joined = sitemap.join(stored, Seq("url"), "left")
+    val withStore = markdownStoreUrls match {
+      case Some(st) => joined.join(
+        st.select(col("url")).withColumn("in_store", lit(1L)),
+        Seq("url"), "left")
+      case None => joined.withColumn("in_store", lit(1L))
+    }
+    withStore
       .withColumn("decision",
         when(lit(forceFullSync), "fetch_forced")
           .when(col("stored_lastmod").isNull, "fetch_new")
+          .when(col("stored_lastmod") === col("lastmod") &&
+            col("in_store").isNull, "fetch_store_gap")
           .when(col("stored_lastmod") === col("lastmod"), "skip")
           .otherwise("fetch_changed"))
       .select("url", "decision")
+  }
+
+  /** [[lastmodSkip]] with a markdown store missing every 7th url — the
+    * oracle row for the store-gap bypass the reference's e2e suite pins
+    * twice (pages missing from the markdown store force-process even
+    * when lastmod is unchanged, then skip once healed). */
+  def lastmodStoreGap(s: SparkSession, dir: String): DataFrame = {
+    val store = Tables.documents(s, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+    lastmodDecisions(s, dir, forceFullSync = false,
+      markdownStoreUrls = Some(store)).orderBy("url")
   }
 
   /** Broken-links report (reference doc2vec.ts:786-821): deduped
