@@ -1873,12 +1873,12 @@ object SparkEntry {
            coalesce(lag(n_docs) OVER (ORDER BY stage), n_docs) AS docs_in,
            coalesce(lag(n_tokens) OVER (ORDER BY stage), n_tokens)
              AS tokens_in,
-           first_value(n_docs) OVER (ORDER BY stage ROWS BETWEEN
-             UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS d_first,
-           first_value(n_tokens) OVER (ORDER BY stage ROWS BETWEEN
-             UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t_first
+           array_to_string(list_sort(
+             list(stage||'='||n_docs||'='||n_tokens) OVER
+               (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)), ',') AS sig
          FROM fun)
-      SELECT substr(sha256('curation:'||d_first||':'||t_first),1,16)
+      SELECT substr(sha256('curation:'||sig),1,16)
           AS run_id,
         stage, docs_in, n_docs AS docs_out,
         docs_in - n_docs AS docs_dropped,

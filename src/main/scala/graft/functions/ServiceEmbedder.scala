@@ -82,17 +82,34 @@ object ServiceEmbedder {
   /** (id, text) → (id, embedding, ok): batched per partition through
     * `transport`; `sleep` is injectable so tests run without waiting.
     * `concurrency` > 1 pipelines that many micro-batches per partition
-    * (output order unchanged — see the scale note above). */
+    * (output order unchanged — see the scale note above).
+    *
+    * THREAD SAFETY: with `concurrency` > 1 the single `transport`
+    * closure (and `sleep`) is invoked from up to `concurrency` pool
+    * threads at once within a partition — it must be thread-safe (a
+    * pooled HTTP client is; a stateful single-connection client is
+    * NOT). For a transport that isn't, pass `transportFactory`
+    * instead: each worker THREAD lazily builds its own instance
+    * (thread-confined, never shared), restoring the one-caller-per-
+    * transport contract of the serial path. When both are given the
+    * factory wins. */
   def embedBatched(s: SparkSession, input: Dataset[(Long, String)],
       transport: Transport, batchSize: Int = 32, maxRetries: Int = 3,
       concurrency: Int = 1,
-      sleep: Long => Unit = ms => Thread.sleep(ms)): DataFrame = {
+      sleep: Long => Unit = ms => Thread.sleep(ms),
+      transportFactory: Option[() => Transport] = None): DataFrame = {
     import s.implicits._
     require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     input.mapPartitions { it =>
+      val effective: Transport = transportFactory match {
+        case Some(f) =>
+          val tl = ThreadLocal.withInitial(() => f())
+          texts => tl.get()(texts)
+        case None => transport
+      }
       val batches = it.grouped(batchSize)
       if (concurrency == 1)
-        batches.flatMap(callBatch(_, transport, maxRetries, sleep))
+        batches.flatMap(callBatch(_, effective, maxRetries, sleep))
       else {
         // Bounded pipeline: at most `concurrency` transport calls in
         // flight; the FIFO dequeues (and therefore emits) strictly in
@@ -115,7 +132,7 @@ object ServiceEmbedder {
         def fill(): Unit =
           while (inFlight.size < concurrency && batches.hasNext) {
             val b = batches.next()
-            inFlight.enqueue(Future(callBatch(b, transport, maxRetries, sleep))(ec))
+            inFlight.enqueue(Future(callBatch(b, effective, maxRetries, sleep))(ec))
           }
         new Iterator[Seq[(Long, Array[Float], Boolean)]] {
           def hasNext: Boolean = {

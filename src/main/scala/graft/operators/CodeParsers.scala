@@ -80,7 +80,31 @@ object CodeParsers {
     * (the uppercase convention is the disambiguator against the `<<`
     * append/shift operator, which lowercase operands would otherwise
     * trip). Multiple heredocs queued on one line open in order after
-    * its newline; `~`/`-` terminators match after indent strip. */
+    * its newline; `~`/`-` terminators match after indent strip. A
+    * bare-identifier opener additionally requires its terminator line
+    * to EXIST somewhere below (see [[heredocTerminates]]) — the
+    * second disambiguator against uppercase-constant operands. */
+  /** Does a plausible terminator line for `delim` exist after position
+    * `from`? Scans whole lines below the current one: exact match for
+    * strict heredocs, indent-stripped for `<<~`/`<<-`. Used to reject
+    * phantom `<<CONST` heredocs (append/shift of an uppercase constant)
+    * whose "body" would otherwise swallow the rest of the file. */
+  private def heredocTerminates(src: String, from: Int, delim: String,
+      flex: Boolean): Boolean = {
+    val n = src.length
+    var j = src.indexOf('\n', from)
+    if (j < 0) return false
+    j += 1
+    while (j < n) {
+      var lineEnd = j
+      while (lineEnd < n && src.charAt(lineEnd) != '\n') lineEnd += 1
+      val line = src.substring(j, lineEnd)
+      if (if (flex) line.trim == delim else line == delim) return true
+      j = lineEnd + 1
+    }
+    false
+  }
+
   private[operators] def codeMask(src: String,
       python: Boolean, ruby: Boolean = false): Array[Boolean] = {
     val n = src.length
@@ -150,7 +174,13 @@ object CodeParsers {
               while (e < n && (src.charAt(e) == '_' ||
                   (src.charAt(e) >= 'A' && src.charAt(e) <= 'Z') ||
                   src.charAt(e).isDigit)) e += 1
-              if (e > j && !src.charAt(j).isDigit) {
+              // `<<CONST` is ambiguous with append/shift of an
+              // uppercase constant (`arr <<DEFAULTS`, `x<<WIDTH`): only
+              // treat it as a heredoc when its terminator line actually
+              // exists later — a phantom heredoc would otherwise mask
+              // the entire remainder of the file as string content
+              if (e > j && !src.charAt(j).isDigit &&
+                  heredocTerminates(src, e, src.substring(j, e), flex)) {
                 heredocs.enqueue((src.substring(j, e), flex))
                 i = e - 1
               } else i += 1 // plain << operator: skip the second '<'

@@ -344,10 +344,13 @@ object Curation {
     * the run-stats table a pipeline owner stores next to the data
     * (mirroring the sync layer's SourceRunStats): every row carries a
     * `run_id` plus in/out/dropped doc and token counts for its stage.
-    * The run id is CONTENT-derived (sha-256 of the ingested totals,
-    * first 16 hex chars), so re-reporting the same corpus joins the
-    * same run instead of minting a new identity per invocation — and
-    * the id is reproducible in SQL, which keeps this oracle-checkable.
+    * The run id is CONTENT-derived (sha-256 over EVERY stage's
+    * doc/token totals, first 16 hex chars), so re-reporting the same
+    * corpus joins the same run instead of minting a new identity per
+    * invocation, while a run with different injected dedup/contamination
+    * inputs — which change downstream counts but not the ingested
+    * totals — gets a distinct id. The id is reproducible in SQL, which
+    * keeps this oracle-checkable.
     * Like [[funnel]], precomputed stage outputs can be injected.
     *
     * Scale: everything below the funnel's single conditional aggregate
@@ -367,8 +370,9 @@ object Curation {
         coalesce(lag(col("n_tokens"), 1).over(w), col("n_tokens")))
       .withColumn("run_id",
         substring(sha2(concat_ws(":", lit("curation"),
-          first(col("n_docs")).over(all),
-          first(col("n_tokens")).over(all)), 256), 1, 16))
+          array_join(sort_array(collect_list(concat_ws("=",
+            col("stage"), col("n_docs"), col("n_tokens"))).over(all)),
+            ",")), 256), 1, 16))
       .select(col("run_id"), col("stage"),
         col("docs_in"), col("n_docs").as("docs_out"),
         (col("docs_in") - col("n_docs")).as("docs_dropped"),
@@ -377,15 +381,22 @@ object Curation {
       .orderBy("stage")
   }
 
-  /** Durable provenance channel: append one run's stage rows to the
-    * `curation_runs` table (parquet directory). Returns the run id.
-    * The read side is plain `spark.read.parquet` + a latest-run filter,
-    * exactly how the controller queries consume SourceRunStats. */
+  /** Durable provenance channel: record one run's stage rows into the
+    * `curation_runs` table (parquet directory partitioned by run_id).
+    * Returns the run id. The write is IDEMPOTENT: dynamic partition
+    * overwrite replaces exactly this run's partition, so re-invoking on
+    * the same corpus (same content-derived id) rewrites rather than
+    * appends duplicate (run_id, stage) rows, while runs of other
+    * corpora stay untouched. The read side is plain
+    * `spark.read.parquet` + a latest-run filter, exactly how the
+    * controller queries consume SourceRunStats. */
   def recordRun(s: SparkSession, dir: String, tablePath: String,
       nearDupPairs: Option[DataFrame] = None,
       contamination: Option[DataFrame] = None): String = {
     val rows = curationRuns(s, dir, nearDupPairs, contamination)
-    rows.write.mode("append").parquet(tablePath)
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id").parquet(tablePath)
     rows.select("run_id").head().getString(0)
   }
 

@@ -136,9 +136,13 @@ object ChunkStore {
     * corpus per sync. `keepLast >= 2` leaves the previous version
     * intact for a reader that resolved the pointer just before a flip;
     * the LATEST pointer itself is never touched. Single-writer
-    * discipline applies, same as [[upsertVersioned]]. Returns the
-    * deleted version ids. */
-  def vacuumVersions(root: String, keepLast: Int = 2): Seq[Long] = {
+    * discipline applies, same as [[upsertVersioned]]; as a belt-and-
+    * braces guard against a vacuum racing an in-flight pointer flip,
+    * stranded `LATEST.tmp*` files are only reaped once older than
+    * `tmpMaxAgeMs` (a live flip's temp file exists for milliseconds).
+    * Returns the deleted version ids. */
+  def vacuumVersions(root: String, keepLast: Int = 2,
+      tmpMaxAgeMs: Long = 60000L): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val dir = new java.io.File(root)
     val versions = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -147,11 +151,16 @@ object ChunkStore {
     val doomed = versions.dropRight(keepLast)
     doomed.foreach { v =>
       val p = new java.io.File(root, s"v$v").toPath
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { java.nio.file.Files.delete(q); () })
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      finally walk.close()
     }
+    val cutoff = System.currentTimeMillis() - tmpMaxAgeMs
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("LATEST.tmp"))
+      .filter(f => f.isFile && f.getName.startsWith("LATEST.tmp")
+        && f.lastModified() < cutoff)
       .foreach(_.delete())
     doomed
   }

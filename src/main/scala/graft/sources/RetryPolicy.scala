@@ -19,11 +19,18 @@ object RetryPolicy {
     * prove exhaustion (remaining == "0" and a parseable epoch-seconds
     * reset), floored at 1 s even when the reset is already past;
     * None = a genuine 403, fail fast. `nowMs` is a parameter, not a
-    * clock read, so the classification stays deterministic. */
+    * clock read, so the classification stays deterministic.
+    *
+    * Reset parsing matches the reference's `parseInt(resetTime, 10)`
+    * (doc2vec.ts:300): a leading digit run is honored even with
+    * trailing junk ("1700000060\n", "1700000060;burst"), so a header
+    * the reference would wait on is never misread as a genuine 403. */
   def rateLimitWaitMs(status: Int, rateLimitRemaining: Option[String],
       rateLimitResetEpochS: Option[String], nowMs: Long): Option[Long] =
     if (status == 403 && rateLimitRemaining.contains("0"))
-      rateLimitResetEpochS.flatMap(_.trim.toLongOption)
+      rateLimitResetEpochS
+        .map(_.trim).map(s => s.takeWhile(_.isDigit))
+        .filter(_.nonEmpty).flatMap(_.toLongOption)
         .map(reset => math.max(1000L, reset * 1000L - nowMs))
     else None
 

@@ -206,6 +206,14 @@ class ApiSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Some("1700000060"), now).isEmpty)
     assert(RetryPolicy.rateLimitWaitMs(403, None, None, now).isEmpty)
     assert(RetryPolicy.rateLimitWaitMs(403, Some("0"), None, now).isEmpty)
+    // parseInt fidelity (doc2vec.ts:300): a leading digit run is
+    // honored even with trailing junk; non-numeric still fails fast
+    assert(RetryPolicy.rateLimitWaitMs(403, Some("0"),
+      Some("1700000060\n"), now).contains(60000L))
+    assert(RetryPolicy.rateLimitWaitMs(403, Some("0"),
+      Some("1700000060;burst=5"), now).contains(60000L))
+    assert(RetryPolicy.rateLimitWaitMs(403, Some("0"),
+      Some("soon"), now).isEmpty)
     assert(RetryPolicy.rateLimitWaitMs(500, Some("0"),
       Some("1700000060"), now).isEmpty)
   }

@@ -125,6 +125,16 @@ class BucketedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest.count() == 4) // all 4 urls merged through the upserts
     // idempotent: nothing left to delete
     assert(ChunkStore.vacuumVersions(root, keepLast = 2).isEmpty)
+    // stranded-pointer reaping is age-gated: a fresh LATEST.tmp (an
+    // in-flight flip) survives, a stale one is reaped
+    val fresh = new java.io.File(root, "LATEST.tmp9")
+    val stale = new java.io.File(root, "LATEST.tmp8")
+    java.nio.file.Files.writeString(fresh.toPath, "9")
+    java.nio.file.Files.writeString(stale.toPath, "8")
+    stale.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    ChunkStore.vacuumVersions(root, keepLast = 2)
+    assert(fresh.exists && !stale.exists)
+    fresh.delete()
     // the store keeps working after a vacuum
     ChunkStore.upsertVersioned(spark, root,
       Seq(("doc://new", "n")).toDF("url", "content"))

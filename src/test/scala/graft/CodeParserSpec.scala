@@ -897,6 +897,30 @@ total = acc.size
     assert(spans(1) == "acc << compute(1)")
   }
 
+  test("RB: <<CONST append of an uppercase constant is not a heredoc") {
+    // `arr <<DEFAULTS` / `x<<WIDTH` look like heredoc openers but no
+    // terminator line ever appears — a phantom heredoc would mask the
+    // rest of the file and collapse everything into one span
+    val code = """arr <<DEFAULTS
+x = y<<WIDTH
+run(x)
+stop
+"""
+    val spans = topSpans("ruby", code)
+    assert(spans.length == 4, s"phantom heredoc swallowed spans: $spans")
+    assert(spans(2) == "run(x)")
+    // ...while a REAL heredoc whose terminator exists still masks
+    val real = """body = <<TEXT
+interior <<NOTHEREDOC line
+TEXT
+after = 1
+"""
+    val realSpans = topSpans("ruby", real)
+    assert(realSpans.length == 2, s"got: $realSpans")
+    assert(realSpans.head.endsWith("TEXT"))
+    assert(realSpans(1) == "after = 1")
+  }
+
   test("TSX: JSX trees inside a parenthesized return stay one statement") {
     // angle brackets are not brackets; the enclosing ( ) is what holds
     // the multi-line JSX together — exactly how tree-sitter's

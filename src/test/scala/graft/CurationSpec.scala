@@ -173,15 +173,28 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(r.getAs[Long]("tokens_out") == stages(i)._3)
     }
     // the durable channel: two recorded runs of the same corpus share
-    // the run id (re-reporting joins the run, it doesn't mint another)
+    // the run id AND the write is idempotent — re-recording overwrites
+    // the run's partition instead of appending duplicate stage rows
     val table = java.nio.file.Files
       .createTempDirectory("curruns").resolve("curation_runs").toString
     val id1 = Curation.recordRun(spark, dir, table)
     val id2 = Curation.recordRun(spark, dir, table)
     assert(id1 == ids.head && id2 == id1)
     val stored = spark.read.parquet(table)
-    assert(stored.count() == 10)
+    assert(stored.count() == 5)
     assert(stored.select("run_id").distinct().count() == 1)
+    // a run with different injected stage inputs (here: no near-dup
+    // pairs at all) changes downstream counts -> distinct run id, and
+    // its partition coexists with the first run's
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_b", org.apache.spark.sql.types.LongType))
+    val id3 = Curation.recordRun(spark, dir, table, nearDupPairs = Some(empty))
+    assert(id3 != id1)
+    val stored2 = spark.read.parquet(table)
+    assert(stored2.count() == 10)
+    assert(stored2.select("run_id").distinct().count() == 2)
   }
 
   test("mixtureEpochs: cap respected, planned tokens track the target") {

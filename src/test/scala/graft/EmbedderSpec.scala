@@ -165,6 +165,37 @@ class ServiceEmbedderSpec extends org.scalatest.funsuite.AnyFunSuite
     // 3 batches x 2 retries x 1s floor, regardless of pipelining
     assert(ServiceEmbedderState.slept.get() == 6000L)
   }
+
+  test("transportFactory confines each instance to one worker thread") {
+    import spark.implicits._
+    val in = (1L to 40L).map(i => (i, s"text$i")).toDS().repartition(1)
+    ServiceEmbedderState.factoryBuilds.set(0)
+    ServiceEmbedderState.crossThreadUse.set(false)
+    // a deliberately thread-UNSAFE transport: records its owning thread
+    // on first use and flags any call from a different thread
+    val factory: () => Transport = () => {
+      ServiceEmbedderState.factoryBuilds.incrementAndGet()
+      var owner: Thread = null
+      texts => {
+        if (owner == null) owner = Thread.currentThread()
+        else if (owner ne Thread.currentThread())
+          ServiceEmbedderState.crossThreadUse.set(true)
+        Thread.sleep(2L)
+        Vectors(texts.map(t => Array(t.length.toFloat)))
+      }
+    }
+    val out = ServiceEmbedder.embedBatched(spark, in,
+        transport = _ => Failed("factory should win"),
+        batchSize = 2, concurrency = 4, sleep = _ => (),
+        transportFactory = Some(factory))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == (1L to 40L))
+    assert(out.forall(_._2), "factory transport must be used, not the dummy")
+    val builds = ServiceEmbedderState.factoryBuilds.get()
+    assert(builds >= 1 && builds <= 4, s"one instance per thread: $builds")
+    assert(!ServiceEmbedderState.crossThreadUse.get(),
+      "a factory-built transport was shared across threads")
+  }
 }
 
 /** JVM-global mutable state for the service-embedder tests (executor
@@ -174,4 +205,6 @@ object ServiceEmbedderState {
   val slept = new java.util.concurrent.atomic.AtomicLong(0L)
   val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
   val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val factoryBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  val crossThreadUse = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
