@@ -92,6 +92,10 @@ object SparkEntry {
     "sync_watermark"      -> (Sync.watermark _),
     "sync_run_counters"   -> (Sync.runCounters _),
     "sync_skip_cascade"   -> (Sync.skipCascade _),
+    "sync_list_diff"      -> (Sync.listDiff _),
+    "sync_resume"         -> (Sync.resumeDecisions _),
+    "store_markdown_upsert" -> (graft.sources.MarkdownStore.upsertQuery _),
+    "ctl_chunk_inspect"   -> (graft.sources.ChunkStore.inspectQuery _),
     "ingest_html"         -> (Ingest.ingestHtml _),
     "ingest_page"         -> (Ingest.ingestPage _),
     "ingest_render_issue" -> (Ingest.renderIssues _),
@@ -1365,6 +1369,90 @@ object SparkEntry {
            FROM urls JOIN prefixes ON url LIKE prefix||'%')
          SELECT url, prefix, lastmod FROM ranked WHERE rn = 1
          ORDER BY url""",
+    "sync_list_diff" ->
+      """WITH previous AS (
+           SELECT '/data/'||doc_id||'.md' AS path FROM documents),
+         current AS (
+           SELECT '/data/'||doc_id||'.md' AS path FROM documents
+           WHERE doc_id % 6 <> 0
+           UNION ALL
+           SELECT '/data/new_'||doc_id||'.md' AS path FROM documents
+           WHERE doc_id % 11 = 0)
+         SELECT path FROM previous
+         WHERE path NOT IN (SELECT path FROM current)
+         ORDER BY path""",
+    "sync_resume" ->
+      """WITH prefixes AS (
+           SELECT DISTINCT 'src://'||(doc_id % 25) AS url_prefix
+           FROM documents),
+         log AS (
+           SELECT 'sync_complete:src://'||(doc_id % 25) AS key,
+             CASE WHEN doc_id % 3 = 1 THEN 'false' ELSE 'true' END AS value,
+             doc_id AS run_id
+           FROM documents WHERE doc_id % 25 < 20
+           UNION ALL
+           SELECT 'watermark:src://'||(doc_id % 25), doc_id::VARCHAR,
+             doc_id + 1000
+           FROM documents),
+         latest AS (
+           SELECT key, arg_max(value, run_id) AS flag,
+             max(run_id) AS last_run_id
+           FROM log GROUP BY key),
+         sc AS (
+           SELECT substr(key, length('sync_complete:') + 1) AS url_prefix,
+             flag, last_run_id
+           FROM latest WHERE key LIKE 'sync_complete:%')
+         SELECT p.url_prefix,
+           coalesce(sc.last_run_id, -1) AS last_run_id,
+           CASE WHEN sc.flag IS NULL THEN 'full_first_sync'
+                WHEN sc.flag <> 'true' THEN 'full_incomplete'
+                ELSE 'incremental' END AS decision
+         FROM prefixes p LEFT JOIN sc ON p.url_prefix = sc.url_prefix
+         ORDER BY p.url_prefix""",
+    "store_markdown_upsert" ->
+      """WITH stored AS (
+           SELECT 'doc://'||doc_id AS url,
+             'v1:'||substr(text, 1, 24) AS markdown
+           FROM documents WHERE doc_id % 5 <> 4),
+         incoming AS (
+           SELECT 'doc://'||doc_id AS url,
+             'v2:'||substr(text, 1, 24) AS markdown
+           FROM documents WHERE doc_id % 3 = 0),
+         nf AS (
+           SELECT 'doc://'||doc_id AS url FROM documents
+           WHERE doc_id % 13 = 0),
+         up AS (
+           SELECT url, markdown FROM stored
+           WHERE url NOT IN (SELECT url FROM incoming)
+           UNION ALL
+           SELECT url, markdown FROM incoming)
+         SELECT url, markdown FROM up
+         WHERE url NOT IN (SELECT url FROM nf)
+         ORDER BY url""",
+    "ctl_chunk_inspect" ->
+      """WITH hot AS (
+           SELECT 'doc://hot' AS url,
+             'c'||lpad(doc_id::VARCHAR, 4, '0') AS chunk_id,
+             CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END
+               AS chunk_index,
+             substr(text, 1, 16) AS content
+           FROM documents),
+         dates AS (
+           SELECT 'c'||lpad(doc_id::VARCHAR, 4, '0') AS chunk_id,
+             '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+               AS created_at
+           FROM documents WHERE doc_id % 2 = 0),
+         joined AS (
+           SELECT h.chunk_id, h.url, h.chunk_index, h.content, d.created_at
+           FROM hot h LEFT JOIN dates d ON h.chunk_id = d.chunk_id),
+         capped AS (
+           SELECT * FROM joined
+           ORDER BY coalesce(chunk_index, 9223372036854775807), chunk_id
+           LIMIT 480)
+         SELECT chunk_id, url,
+           coalesce(chunk_index::VARCHAR, '') AS chunk_index,
+           content, coalesce(created_at, '') AS created_at
+         FROM capped ORDER BY chunk_id""",
     "sync_etag_skip" ->
       """WITH current AS (
            SELECT 'doc://'||doc_id AS url, sha256(text) AS etag, doc_id

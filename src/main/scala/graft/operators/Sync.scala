@@ -346,4 +346,67 @@ object Sync {
       sum(when(col("status").isin("updated", "deleted"),
         col("stored_chunks")).otherwise(0L)).as("chunks_deleted"))
   }
+
+  /** Deleted-file list diff as an oracle row (reference doc2vec.ts:
+    * 1062-1095, and the S3 variant at 1279-1304): the previous run's
+    * listing anti-joined against the current one through the
+    * production [[graft.sources.LocalDirectory.deletedFiles]] kernel.
+    * Staged: previous = every document's path; current drops every 6th
+    * file (those must surface as deleted) and ADDS unrelated new paths
+    * (which must not — the diff is one-directional).
+    *
+    * Scale: one hash anti-join on path; both listings are file-count-
+    * sized (metadata, not content), so this never touches corpus
+    * bytes. */
+  def listDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val previous = docs.select(
+      concat(lit("/data/"), col("doc_id"), lit(".md")).as("path"))
+    val current = docs.filter(col("doc_id") % 6 =!= 0).select(
+        concat(lit("/data/"), col("doc_id"), lit(".md")).as("path"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0).select(
+        concat(lit("/data/new_"), col("doc_id"), lit(".md")).as("path")))
+    graft.sources.LocalDirectory.deletedFiles(previous, current)
+      .orderBy("path")
+  }
+
+  /** Full-vs-incremental resume decision per source prefix (reference
+    * doc2vec.ts:676-687): a run whose previous sync never wrote
+    * `sync_complete:{prefix} = 'true'` bypasses every lastmod/ETag
+    * skip layer. Resolution runs through the production
+    * [[graft.sources.SyncState.latestByKey]] latest-write-wins kernel
+    * over a staged metadata log that interleaves stale flag writes
+    * (which must lose to the highest run_id) and unrelated keys
+    * (watermarks — which must be ignored). Prefixes with no flag row
+    * at all get `full_first_sync`, a non-'true' latest flag gets
+    * `full_incomplete`, and only a latest 'true' earns
+    * `incremental`. */
+  def resumeDecisions(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SyncState
+    val docs = Tables.documents(s, dir)
+    val prefixes = docs
+      .select(concat(lit("src://"), col("doc_id") % 25).as("url_prefix"))
+      .distinct()
+    val log = docs.filter(col("doc_id") % 25 < 20).select(
+        concat(lit("sync_complete:src://"), col("doc_id") % 25).as("key"),
+        when(col("doc_id") % 3 === 1, lit("false")).otherwise(lit("true"))
+          .as("value"),
+        col("doc_id").as("run_id"))
+      .unionByName(docs.select(
+        concat(lit("watermark:src://"), col("doc_id") % 25).as("key"),
+        col("doc_id").cast("string").as("value"),
+        (col("doc_id") + 1000).as("run_id")))
+    val flags = SyncState.latestByKey(log)
+      .filter(col("key").startsWith("sync_complete:"))
+      .select(
+        expr("substring(key, length('sync_complete:') + 1)").as("url_prefix"),
+        col("value").as("flag"), col("run_id").as("last_run_id"))
+    prefixes.join(flags, Seq("url_prefix"), "left")
+      .select(col("url_prefix"),
+        coalesce(col("last_run_id"), lit(-1L)).as("last_run_id"),
+        when(col("flag").isNull, "full_first_sync")
+          .when(col("flag") =!= "true", "full_incomplete")
+          .otherwise("incremental").as("decision"))
+      .orderBy("url_prefix")
+  }
 }

@@ -208,6 +208,43 @@ object ChunkStore {
     withDates.orderBy(order: _*).limit(maxChunks)
   }
 
+  /** [[inspectChunks]] as an oracle row: the per-url lookup over a
+    * staged store whose inspected page has more chunks than the cap.
+    * Every document contributes one chunk to the hot url (every 17th
+    * missing its chunk_index — those must sort LAST and fall to the
+    * cap), a cold url per document must be filtered before the join,
+    * and created_at exists for only every 2nd chunk (left-join gaps
+    * render empty). `maxChunks = 480` < 500 docs proves the cap; with
+    * 30 null-index chunks it also keeps exactly 10 of them, proving
+    * nulls-last ordering INSIDE the capped window. Nullable outputs are
+    * rendered as strings ('' for missing) for driver-hash stability. */
+  def inspectQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    def cid = concat(lit("c"), lpad(col("doc_id").cast("string"), 4, "0"))
+    val hot = docs.select(
+      lit("doc://hot").as("url"),
+      cid.as("chunk_id"),
+      when(col("doc_id") % 17 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id")).as("chunk_index"),
+      substring(col("text"), 1, 16).as("content"))
+    val cold = docs.select(
+      concat(lit("doc://cold/"), col("doc_id")).as("url"),
+      concat(lit("x"), col("doc_id")).as("chunk_id"),
+      col("doc_id").as("chunk_index"),
+      substring(col("text"), 1, 16).as("content"))
+    val dates = docs.filter(col("doc_id") % 2 === 0).select(
+      cid.as("chunk_id"),
+      concat(lit("2024-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+        .as("created_at"))
+    inspectChunks(hot.unionByName(cold), Some(dates), "doc://hot",
+        maxChunks = 480)
+      .withColumn("chunk_index",
+        coalesce(col("chunk_index").cast("string"), lit("")))
+      .withColumn("created_at", coalesce(col("created_at"), lit("")))
+      .orderBy("chunk_id")
+  }
+
   /** Bucketed variant: 8 buckets on url, sorted by chunk_index within
     * each bucket. At scale this co-locates all of a document's chunks
     * (and two bucketed tables joined on url skip the shuffle entirely —

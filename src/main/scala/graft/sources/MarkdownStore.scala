@@ -20,4 +20,28 @@ object MarkdownStore {
   def deleteNotFound(stored: DataFrame, notFoundUrls: DataFrame): DataFrame =
     stored.join(notFoundUrls.select("url").distinct(), Seq("url"),
       "left_anti")
+
+  /** The store's whole write path as one oracle row (markdown-store.ts:
+    * 79-99): a stored generation of pages [[upsert]]ed with an incoming
+    * crawl batch — replace-by-url for overlapping urls, plain insert
+    * for new ones — then [[deleteNotFound]] purges the 404 set. Staged
+    * deterministically: stored = `v1` pages for 4 of every 5 docs,
+    * incoming = `v2` pages for every 3rd doc, 404s = every 13th url.
+    * A url present in both generations MUST come out `v2`; a 404 url
+    * must be gone even when the incoming batch just rewrote it.
+    *
+    * Scale: two url-keyed anti-joins + a union — the store is only
+    * ever touched per-url, never rewritten wholesale. */
+  def upsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val stored = docs.filter(col("doc_id") % 5 =!= 4).select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      concat(lit("v1:"), substring(col("text"), 1, 24)).as("markdown"))
+    val incoming = docs.filter(col("doc_id") % 3 === 0).select(
+      concat(lit("doc://"), col("doc_id")).as("url"),
+      concat(lit("v2:"), substring(col("text"), 1, 24)).as("markdown"))
+    val notFound = docs.filter(col("doc_id") % 13 === 0).select(
+      concat(lit("doc://"), col("doc_id")).as("url"))
+    deleteNotFound(upsert(stored, incoming), notFound).orderBy("url")
+  }
 }

@@ -25,15 +25,22 @@ object SyncState {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Latest-write-wins resolution of an append-only KV log: one row
+    * per key carrying the value of its highest run_id. The set-based
+    * kernel behind [[getMetadata]], shared with the resume-decision
+    * query so the oracle checks the production resolution rule. */
+  def latestByKey(log: DataFrame): DataFrame =
+    log.groupBy("key").agg(
+      expr("max_by(value, run_id)").as("value"),
+      max(col("run_id")).as("run_id"))
+
   /** Latest value for a key (highest run_id), if any. */
   def getMetadata(s: SparkSession, path: String,
       key: String): Option[String] = {
     val log = try {
       Some(s.read.parquet(path))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
-    log.flatMap(_.filter(col("key") === key)
-      .orderBy(col("run_id").desc)
-      .limit(1)
+    log.flatMap(l => latestByKey(l.filter(col("key") === key))
       .collect().headOption.map(_.getAs[String]("value")))
   }
 
