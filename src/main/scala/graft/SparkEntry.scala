@@ -91,7 +91,9 @@ object SparkEntry {
     "sync_cleanup"        -> (Sync.cleanup _),
     "sync_watermark"      -> (Sync.watermark _),
     "sync_run_counters"   -> (Sync.runCounters _),
-    "sync_skip_cascade"   -> (Sync.skipCascade _),
+    "sync_skip_cascade"   -> ((s: SparkSession, d: String) =>
+      Sync.skipCascade(s, d)),
+    "sync_cascade_storegap" -> (Sync.skipCascadeStoreGap _),
     "sync_list_diff"      -> (Sync.listDiff _),
     "sync_resume"         -> (Sync.resumeDecisions _),
     "store_markdown_upsert" -> (graft.sources.MarkdownStore.upsertQuery _),
@@ -136,9 +138,9 @@ object SparkEntry {
     "doc_keywords"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.keywords(s, d)),
     "curation_funnel"     -> ((s: SparkSession, d: String) =>
-      Curation.funnel(s, d)),
+      Curation.funnelAuto(s, d)),
     "curation_runs"       -> ((s: SparkSession, d: String) =>
-      Curation.curationRuns(s, d)),
+      Curation.curationRunsAuto(s, d)),
     "doc_sample_balanced" -> (Curation.balancedSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),
@@ -1056,83 +1058,26 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM s_chunks s
                            WHERE s.chunk_id = c.chunk_id)
          GROUP BY 1 ORDER BY url"""),
-    "sync_skip_cascade" -> (syncCtes +
-      """, sitemap_lm AS (
-           SELECT 'doc://'||doc_id AS url,
-             '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS lastmod
-           FROM documents),
-         stored_lm AS (
-           SELECT 'doc://'||doc_id AS url,
-             CASE WHEN doc_id % 4 = 0 THEN '2023-12-31'
-                  ELSE '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
-             END AS stored_lastmod
-           FROM documents WHERE doc_id % 9 <> 0),
-         lm AS (
+    "sync_skip_cascade" -> cascadeSql(
+      """lm AS (
            SELECT s.url,
              CASE WHEN t.stored_lastmod IS NULL THEN 'fetch_new'
                   WHEN t.stored_lastmod = s.lastmod THEN 'skip'
                   ELSE 'fetch_changed' END AS lm_dec
-           FROM sitemap_lm s LEFT JOIN stored_lm t ON s.url = t.url),
-         cur_et AS (
-           SELECT 'doc://'||doc_id AS url, sha256(text) AS etag
-           FROM documents),
-         stored_et AS (
-           SELECT 'doc://'||doc_id AS url,
-             CASE WHEN doc_id % 3 = 0 THEN sha256(text)
-                  ELSE sha256(text||'stale') END AS stored_etag
-           FROM documents WHERE doc_id % 3 <> 2),
-         et AS (
-           SELECT c.url,
-             CASE WHEN s.stored_etag IS NULL THEN 'fetch_new'
-                  WHEN s.stored_etag = c.etag THEN 'skip'
-                  ELSE 'fetch_changed' END AS et_dec
-           FROM cur_et c LEFT JOIN stored_et s ON c.url = s.url),
-         ud AS (
-           SELECT i.url,
-             CASE WHEN s.sig IS NULL THEN 'new'
-                  WHEN i.sig <> s.sig THEN 'updated'
-                  ELSE 'unchanged' END AS status,
-             i.n AS n_chunks
-           FROM i_sig i LEFT JOIN s_sig s ON i.url = s.url),
-         cd AS (
-           SELECT url, count(*) AS chunks_to_embed
-           FROM i_chunks c
-           WHERE NOT EXISTS (SELECT 1 FROM s_chunks s
-                             WHERE s.chunk_id = c.chunk_id)
-           GROUP BY 1),
-         wide AS (
-           SELECT l.url, l.lm_dec, e.et_dec, u.status,
-             coalesce(u.n_chunks, 0) AS n_chunks,
-             coalesce(c.chunks_to_embed, 0) AS chunks_to_embed
-           FROM lm l JOIN et e ON l.url = e.url
-           LEFT JOIN ud u ON l.url = u.url
-           LEFT JOIN cd c ON l.url = c.url),
-         agg AS (
-           SELECT
-             count(*) AS l1_in,
-             count(*) FILTER (WHERE lm_dec = 'skip') AS l1_skip,
-             count(*) FILTER (WHERE lm_dec <> 'skip') AS l2_in,
-             count(*) FILTER (WHERE lm_dec <> 'skip' AND et_dec = 'skip')
-               AS l2_skip,
-             count(*) FILTER (WHERE lm_dec <> 'skip' AND et_dec <> 'skip'
-               AND status IS NOT NULL) AS l3_in,
-             count(*) FILTER (WHERE lm_dec <> 'skip' AND et_dec <> 'skip'
-               AND status = 'unchanged') AS l3_skip,
-             CAST(coalesce(sum(n_chunks) FILTER (WHERE lm_dec <> 'skip'
-               AND et_dec <> 'skip' AND status IN ('new','updated')), 0)
-               AS BIGINT) AS l4_in,
-             CAST(coalesce(sum(n_chunks - chunks_to_embed) FILTER (
-               WHERE lm_dec <> 'skip' AND et_dec <> 'skip'
-               AND status IN ('new','updated')), 0) AS BIGINT) AS l4_skip
-           FROM wide)
-         SELECT layer, n_in, n_skipped, n_in - n_skipped AS n_forward
-         FROM (
-           SELECT '1_lastmod' AS layer, l1_in AS n_in, l1_skip AS n_skipped
-           FROM agg
-           UNION ALL SELECT '2_etag', l2_in, l2_skip FROM agg
-           UNION ALL SELECT '3_url_diff', l3_in, l3_skip FROM agg
-           UNION ALL SELECT '4_chunk_hash', l4_in, l4_skip FROM agg)
-         ORDER BY layer"""),
+           FROM sitemap_lm s LEFT JOIN stored_lm t ON s.url = t.url)"""),
+    "sync_cascade_storegap" -> cascadeSql(
+      """md_store AS (
+           SELECT 'doc://'||doc_id AS url FROM documents
+           WHERE doc_id % 7 <> 0),
+         lm AS (
+           SELECT s.url,
+             CASE WHEN t.stored_lastmod IS NULL THEN 'fetch_new'
+                  WHEN t.stored_lastmod = s.lastmod AND g.url IS NULL
+                    THEN 'fetch_store_gap'
+                  WHEN t.stored_lastmod = s.lastmod THEN 'skip'
+                  ELSE 'fetch_changed' END AS lm_dec
+           FROM sitemap_lm s LEFT JOIN stored_lm t ON s.url = t.url
+           LEFT JOIN md_store g ON s.url = g.url)"""),
     "sync_cleanup" -> (syncCtes +
       """SELECT url, count(*) AS chunks_deleted
          FROM s_chunks c
@@ -2280,4 +2225,84 @@ object SparkEntry {
            count(*) AS n
          FROM i_chunks GROUP BY 1)
     """
+
+  /** The composed 4-layer skip-cascade oracle, parameterized by the
+    * layer-1 (`lm`) CTE block so the plain row and the store-gap
+    * variant (`sync_cascade_storegap`) share everything downstream —
+    * the cascade counting logic exists exactly once on the oracle side,
+    * mirroring Sync.skipCascade being the single Spark kernel. Any
+    * non-'skip' lastmod decision (including 'fetch_store_gap') forwards
+    * to layer 2, matching `pass1 = lm_dec =!= "skip"` in Scala. */
+  private def cascadeSql(lmCtes: String): String = syncCtes +
+    s""", sitemap_lm AS (
+           SELECT 'doc://'||doc_id AS url,
+             '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS lastmod
+           FROM documents),
+         stored_lm AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 4 = 0 THEN '2023-12-31'
+                  ELSE '2024-01-'||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+             END AS stored_lastmod
+           FROM documents WHERE doc_id % 9 <> 0),
+         $lmCtes,
+         cur_et AS (
+           SELECT 'doc://'||doc_id AS url, sha256(text) AS etag
+           FROM documents),
+         stored_et AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 3 = 0 THEN sha256(text)
+                  ELSE sha256(text||'stale') END AS stored_etag
+           FROM documents WHERE doc_id % 3 <> 2),
+         et AS (
+           SELECT c.url,
+             CASE WHEN s.stored_etag IS NULL THEN 'fetch_new'
+                  WHEN s.stored_etag = c.etag THEN 'skip'
+                  ELSE 'fetch_changed' END AS et_dec
+           FROM cur_et c LEFT JOIN stored_et s ON c.url = s.url),
+         ud AS (
+           SELECT i.url,
+             CASE WHEN s.sig IS NULL THEN 'new'
+                  WHEN i.sig <> s.sig THEN 'updated'
+                  ELSE 'unchanged' END AS status,
+             i.n AS n_chunks
+           FROM i_sig i LEFT JOIN s_sig s ON i.url = s.url),
+         cd AS (
+           SELECT url, count(*) AS chunks_to_embed
+           FROM i_chunks c
+           WHERE NOT EXISTS (SELECT 1 FROM s_chunks s
+                             WHERE s.chunk_id = c.chunk_id)
+           GROUP BY 1),
+         wide AS (
+           SELECT l.url, l.lm_dec, e.et_dec, u.status,
+             coalesce(u.n_chunks, 0) AS n_chunks,
+             coalesce(c.chunks_to_embed, 0) AS chunks_to_embed
+           FROM lm l JOIN et e ON l.url = e.url
+           LEFT JOIN ud u ON l.url = u.url
+           LEFT JOIN cd c ON l.url = c.url),
+         agg AS (
+           SELECT
+             count(*) AS l1_in,
+             count(*) FILTER (WHERE lm_dec = 'skip') AS l1_skip,
+             count(*) FILTER (WHERE lm_dec <> 'skip') AS l2_in,
+             count(*) FILTER (WHERE lm_dec <> 'skip' AND et_dec = 'skip')
+               AS l2_skip,
+             count(*) FILTER (WHERE lm_dec <> 'skip' AND et_dec <> 'skip'
+               AND status IS NOT NULL) AS l3_in,
+             count(*) FILTER (WHERE lm_dec <> 'skip' AND et_dec <> 'skip'
+               AND status = 'unchanged') AS l3_skip,
+             CAST(coalesce(sum(n_chunks) FILTER (WHERE lm_dec <> 'skip'
+               AND et_dec <> 'skip' AND status IN ('new','updated')), 0)
+               AS BIGINT) AS l4_in,
+             CAST(coalesce(sum(n_chunks - chunks_to_embed) FILTER (
+               WHERE lm_dec <> 'skip' AND et_dec <> 'skip'
+               AND status IN ('new','updated')), 0) AS BIGINT) AS l4_skip
+           FROM wide)
+         SELECT layer, n_in, n_skipped, n_in - n_skipped AS n_forward
+         FROM (
+           SELECT '1_lastmod' AS layer, l1_in AS n_in, l1_skip AS n_skipped
+           FROM agg
+           UNION ALL SELECT '2_etag', l2_in, l2_skip FROM agg
+           UNION ALL SELECT '3_url_diff', l3_in, l3_skip FROM agg
+           UNION ALL SELECT '4_chunk_hash', l4_in, l4_skip FROM agg)
+         ORDER BY layer"""
 }

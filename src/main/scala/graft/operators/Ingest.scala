@@ -330,17 +330,23 @@ object Ingest {
       .select("url", "decision")
   }
 
+  /** The synthetic markdown store missing every 7th url — shared by
+    * the standalone store-gap row ([[lastmodStoreGap]]) and the
+    * cascade-level variant (Sync.skipCascadeStoreGap) so both oracles
+    * stage the identical gap set. */
+  private[operators] def storeGapStore(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+
   /** [[lastmodSkip]] with a markdown store missing every 7th url — the
     * oracle row for the store-gap bypass the reference's e2e suite pins
     * twice (pages missing from the markdown store force-process even
     * when lastmod is unchanged, then skip once healed). */
-  def lastmodStoreGap(s: SparkSession, dir: String): DataFrame = {
-    val store = Tables.documents(s, dir)
-      .filter(col("doc_id") % 7 =!= 0)
-      .select(concat(lit("doc://"), col("doc_id")).as("url"))
+  def lastmodStoreGap(s: SparkSession, dir: String): DataFrame =
     lastmodDecisions(s, dir, forceFullSync = false,
-      markdownStoreUrls = Some(store)).orderBy("url")
-  }
+      markdownStoreUrls = Some(storeGapStore(s, dir))).orderBy("url")
 
   /** Broken-links report (reference doc2vec.ts:786-821): deduped
     * (source, target) pairs sorted by source then target. Links whose

@@ -119,9 +119,20 @@ object Sync {
     *
     * Scale: three url-keyed hash joins + one chunk_id anti-join feeding
     * a single partial-aggregating count pass — no per-layer jobs, no
-    * driver-side funnel math, no mid-plan sorts. */
-  def skipCascade(s: SparkSession, dir: String): DataFrame = {
-    val lm = Ingest.lastmodDecisions(s, dir)
+    * driver-side funnel math, no mid-plan sorts.
+    *
+    * `markdownStoreUrls`: the reference treats the markdown-store gap
+    * as part of the lastmod layer inside one crawl
+    * (content-processor.ts:579-606, pinned twice by its e2e suite) — a
+    * url ABSENT from the store re-fetches even when lastmod matches.
+    * Passing the store here threads that bypass through layer 1 of the
+    * composed cascade: gap urls decide `fetch_store_gap` instead of
+    * `skip`, so they flow on to the ETag/url-diff/chunk layers exactly
+    * as they would in the reference's single crawl loop. */
+  def skipCascade(s: SparkSession, dir: String,
+      markdownStoreUrls: Option[DataFrame] = None): DataFrame = {
+    val lm = Ingest.lastmodDecisions(s, dir,
+        markdownStoreUrls = markdownStoreUrls)
       .withColumnRenamed("decision", "lm_dec")
     val et = Ingest.etagDecisions(s, dir)
       .withColumnRenamed("decision", "et_dec")
@@ -152,6 +163,15 @@ object Sync {
       .withColumn("n_forward", col("n_in") - col("n_skipped"))
       .orderBy("layer")
   }
+
+  /** [[skipCascade]] with the markdown store missing every 7th url
+    * threaded into layer 1 — the cascade-level oracle row for the
+    * store-gap bypass (the standalone layer row is
+    * `sync_lastmod_storegap`). Gap urls that would have skipped on
+    * lastmod now forward, so layer 1's skip count drops and layers 2-4
+    * see the extra survivors. */
+  def skipCascadeStoreGap(s: SparkSession, dir: String): DataFrame =
+    skipCascade(s, dir, Some(Ingest.storeGapStore(s, dir)))
 
   /** Obsolete cleanup: stored urls no longer present in the incoming
     * (visited) set (reference: delete stored chunks whose url ∉ visited,

@@ -195,6 +195,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stored2 = spark.read.parquet(table)
     assert(stored2.count() == 10)
     assert(stored2.select("run_id").distinct().count() == 2)
+    // run_id is a DATA column typed STRING — partitioning is on the
+    // "r-"-prefixed run_part, so partition-value type inference can
+    // never reinterpret an all-digit id as LONG/DECIMAL on read
+    assert(stored2.schema("run_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(stored2.select("run_part").distinct().collect()
+      .forall(_.getString(0).startsWith("r-")))
+    // latest-run equality filter against the returned string id works
+    assert(stored2.filter(col("run_id") === id3).count() == 5)
+  }
+
+  test("staged funnel inputs: Auto path is content-identical to recompute") {
+    val cache = java.nio.file.Files
+      .createTempDirectory("graftcache").toString
+    val recomputedFunnel = Curation.funnel(spark, dir).collect().toSeq
+    val recomputedRuns = Curation.curationRuns(spark, dir).collect().toSeq
+    try {
+      Curation.stageFunnelInputs(spark, dir, cache)
+      // idempotent: a second stage call keeps the existing tables
+      Curation.stageFunnelInputs(spark, dir, cache)
+      sys.props(Curation.CacheProp) = cache
+      val cachedFunnel = Curation.funnelAuto(spark, dir).collect().toSeq
+      val cachedRuns = Curation.curationRunsAuto(spark, dir).collect().toSeq
+      assert(cachedFunnel == recomputedFunnel)
+      assert(cachedRuns == recomputedRuns)
+      // and the cached plan really skips the SimHash banding recompute
+      val plan = Curation.funnelAuto(spark, dir)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("posexplode"),
+        "staged funnel should not re-derive SimHash bands:\n" + plan.take(2000))
+    } finally sys.props.remove(Curation.CacheProp)
+    // with the property cleared, Auto falls back to recompute
+    assert(Curation.funnelAuto(spark, dir).collect().toSeq == recomputedFunnel)
   }
 
   test("mixtureEpochs: cap respected, planned tokens track the target") {

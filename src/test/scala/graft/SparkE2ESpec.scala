@@ -106,6 +106,26 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cascade("2_etag")._1 == cascade("1_lastmod")._3)
   }
 
+  test("store-gap bypass threads through the composed cascade layer 1") {
+    val dir = "/root/testdata/sf0.001"
+    def layers(df: DataFrame) = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val plain = layers(operators.Sync.skipCascade(spark, dir))
+    val gapped = layers(operators.Sync.skipCascadeStoreGap(spark, dir))
+    // the bypassed urls: would-skip on lastmod but absent from the store
+    val nGap = operators.Ingest.lastmodStoreGap(spark, dir)
+      .filter(col("decision") === "fetch_store_gap").count()
+    assert(nGap > 0, "staged store must contain gaps that would have skipped")
+    // layer 1 sees the same url universe but skips exactly nGap fewer —
+    // the gap urls forward into layer 2 instead of dying at layer 1
+    assert(gapped("1_lastmod")._1 == plain("1_lastmod")._1)
+    assert(gapped("1_lastmod")._2 == plain("1_lastmod")._2 - nGap)
+    assert(gapped("2_etag")._1 == plain("2_etag")._1 + nGap)
+    // the composed funnel stays monotone with the bypass threaded in
+    assert(gapped("2_etag")._1 == gapped("1_lastmod")._3)
+    assert(gapped("3_url_diff")._1 <= gapped("2_etag")._3)
+  }
+
   test("cleanup removes unvisited urls but is skipped on partial scans") {
     import spark.implicits._
     val stored = chunkCorpus(run1Docs)
