@@ -52,6 +52,8 @@ object SparkEntry {
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
+    "stream_batch_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamBatchParity(s, d)),
     "doc_chunk_overlap"   -> (DocPipeline.chunkOverlapDocs _),
     "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
@@ -76,6 +78,7 @@ object SparkEntry {
       Dedup.crossSourceLeakage(s, d)),
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "dedup_simhash_wide"  -> (Dedup.simhashWideDemo _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
     "dedup_clusters"      -> (Dedup.simhashClusters _),
     "emb_embed_sig"       -> (DocPipeline.embedDocs _),
@@ -157,6 +160,11 @@ object SparkEntry {
       Similarity.rangeSearch(s, d)),
     "emb_cluster_stats"   -> ((s: SparkSession, d: String) =>
       Similarity.clusterStats(s, d)),
+    // rows-only by declaration: Lloyd refinement is iterative float
+    // math DuckDB can't reproduce bit-for-bit; the semantic pin
+    // (refined balance beats raw seeds) lives in SparkE2ESpec
+    "emb_cluster_stats_lloyd" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterStatsLloyd(s, d)),
     // rows-only by declaration: BPE's iterative greedy merge isn't
     // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
@@ -498,6 +506,19 @@ object SparkEntry {
            '## '||lang||chr(10)||chr(10)||text AS content
            FROM documents) t
          ORDER BY url, chunk_index""",
+    // the BATCH derivation of the same pages the streaming entry
+    // ingests: a hash match against the streamed store's contents IS
+    // the stream/batch parity proof (chunk ids are content hashes)
+    "stream_batch_parity" ->
+      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+         CAST(1 AS BIGINT) AS total_chunks, lang AS section,
+         sha256(content) AS chunk_id, content
+         FROM (SELECT *,
+           '[Topic: '||source||' > '||lang||']'||chr(10)||
+           '# '||source||chr(10)||chr(10)||
+           '## '||lang||chr(10)||chr(10)||text AS content
+           FROM documents) t
+         ORDER BY url, chunk_index""",
     "doc_chunk_token" ->
       """WITH idx AS (
            SELECT doc_id, text,
@@ -825,6 +846,38 @@ object SparkEntry {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}
+         ORDER BY doc_a, doc_b""",
+    // all-pairs mirror of the SCALE kernel on the planted-copy corpus:
+    // the banding layout is a Spark-side candidate strategy only, so
+    // the oracle checks the SEMANTIC (every pair within the wide
+    // Hamming bound) and the planted copies make the row non-empty
+    "dedup_simhash_wide" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 25 = 0),
+         ws AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus
+                WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,15))::BIGINT AS w60
+               FROM sh),
+         bits AS (SELECT unnest(range(0,${Dedup.SimhashWideBits})) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w60 >> b) & 1) - 1) AS s
+                 FROM x CROSS JOIN bits GROUP BY 1,2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sgn GROUP BY 1)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash))
+           <= ${Dedup.SimhashWideMaxDist}
          ORDER BY doc_a, doc_b""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE

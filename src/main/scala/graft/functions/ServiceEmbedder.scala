@@ -92,24 +92,59 @@ object ServiceEmbedder {
     * instead: each worker THREAD lazily builds its own instance
     * (thread-confined, never shared), restoring the one-caller-per-
     * transport contract of the serial path. When both are given the
-    * factory wins. */
+    * factory wins.
+    *
+    * DISPOSAL: a factory-built transport that holds resources (a
+    * single persistent connection, a file handle) is released through
+    * `releaseTransport`, invoked once per built instance when the
+    * partition's task COMPLETES (success, failure, or cancellation —
+    * via TaskContext.addTaskCompletionListener, so early terminations
+    * that never drain the iterator still clean up). The default is a
+    * no-op, correct for pure-function transports. The worker pool is
+    * shut down on the same hook, closing the leak where a partially
+    * consumed partition iterator abandoned live worker threads. */
   def embedBatched(s: SparkSession, input: Dataset[(Long, String)],
       transport: Transport, batchSize: Int = 32, maxRetries: Int = 3,
       concurrency: Int = 1,
       sleep: Long => Unit = ms => Thread.sleep(ms),
-      transportFactory: Option[() => Transport] = None): DataFrame = {
+      transportFactory: Option[() => Transport] = None,
+      releaseTransport: Transport => Unit = _ => ()): DataFrame = {
     import s.implicits._
     require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     input.mapPartitions { it =>
+      val built =
+        new java.util.concurrent.ConcurrentLinkedQueue[Transport]()
       val effective: Transport = transportFactory match {
         case Some(f) =>
-          val tl = ThreadLocal.withInitial(() => f())
+          val tl = ThreadLocal.withInitial { () =>
+            val t = f(); built.add(t); t
+          }
           texts => tl.get()(texts)
         case None => transport
       }
+      // release every factory-built instance exactly once at task end;
+      // outside a task (driver-local unit tests) fall back to releasing
+      // whatever was built when the iterator is fully drained
+      def releaseAll(): Unit = {
+        var t = built.poll()
+        while (t != null) { releaseTransport(t); t = built.poll() }
+      }
+      val inTask = Option(org.apache.spark.TaskContext.get())
+      inTask.foreach(_.addTaskCompletionListener[Unit](_ => releaseAll()))
+      def withDrainRelease[T](base: Iterator[T]): Iterator[T] =
+        if (inTask.isDefined) base
+        else new Iterator[T] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) releaseAll()
+            h
+          }
+          def next(): T = base.next()
+        }
       val batches = it.grouped(batchSize)
       if (concurrency == 1)
-        batches.flatMap(callBatch(_, effective, maxRetries, sleep))
+        withDrainRelease(
+          batches.flatMap(callBatch(_, effective, maxRetries, sleep)))
       else {
         // Bounded pipeline: at most `concurrency` transport calls in
         // flight; the FIFO dequeues (and therefore emits) strictly in
@@ -126,6 +161,10 @@ object ServiceEmbedder {
             t.setDaemon(true)
             t
           })
+        // a cancelled/failed task never reaches the drain-time
+        // shutdown below — reap the workers on task completion too
+        inTask.foreach(_.addTaskCompletionListener[Unit](_ =>
+          pool.shutdownNow()))
         val ec = ExecutionContext.fromExecutorService(pool)
         val inFlight =
           new scala.collection.mutable.Queue[Future[Seq[(Long, Array[Float], Boolean)]]]()
@@ -134,7 +173,7 @@ object ServiceEmbedder {
             val b = batches.next()
             inFlight.enqueue(Future(callBatch(b, effective, maxRetries, sleep))(ec))
           }
-        new Iterator[Seq[(Long, Array[Float], Boolean)]] {
+        withDrainRelease(new Iterator[Seq[(Long, Array[Float], Boolean)]] {
           def hasNext: Boolean = {
             fill()
             if (inFlight.isEmpty) { pool.shutdown(); false } else true
@@ -145,7 +184,7 @@ object ServiceEmbedder {
             fill()
             head
           }
-        }.flatten
+        }.flatten)
       }
     }.toDF("id", "embedding", "ok")
   }

@@ -84,31 +84,62 @@ object CodeParsers {
     * bare-identifier opener additionally requires its terminator line
     * to EXIST somewhere below (see [[heredocTerminates]]) — the
     * second disambiguator against uppercase-constant operands. */
-  /** Does a plausible terminator line for `delim` exist after position
-    * `from`? Scans whole lines below the current one: exact match for
-    * strict heredocs, indent-stripped for `<<~`/`<<-`. Used to reject
-    * phantom `<<CONST` heredocs (append/shift of an uppercase constant)
-    * whose "body" would otherwise swallow the rest of the file. */
-  private def heredocTerminates(src: String, from: Int, delim: String,
-      flex: Boolean): Boolean = {
-    val n = src.length
-    var j = src.indexOf('\n', from)
-    if (j < 0) return false
-    j += 1
-    while (j < n) {
-      var lineEnd = j
-      while (lineEnd < n && src.charAt(lineEnd) != '\n') lineEnd += 1
-      val line = src.substring(j, lineEnd)
-      if (if (flex) line.trim == delim else line == delim) return true
-      j = lineEnd + 1
+  /** Full-line index answering "does a plausible terminator line for
+    * `delim` exist after position `from`?" — exact match for strict
+    * heredocs, indent-stripped for `<<~`/`<<-`. Used to reject phantom
+    * `<<CONST` heredocs (append/shift of an uppercase constant) whose
+    * "body" would otherwise swallow the rest of the file.
+    *
+    * The index (line content -> ascending start offsets, exact and
+    * trimmed) is built LAZILY on the first query, once per
+    * [[codeMask]] call, so each candidate check is O(log lines)
+    * instead of O(remaining file) — a Ruby source dense with uppercase
+    * shift/append operands (generated bit-twiddling code) previously
+    * made codeMask worst-case quadratic. Files with no `<<UPPER`
+    * candidate never pay the single O(file) build. */
+  private final class TerminatorIndex(src: String) {
+    private lazy val (exact, trimmed) = {
+      import scala.collection.mutable.{ArrayBuffer, HashMap}
+      val e = HashMap.empty[String, ArrayBuffer[Int]]
+      val t = HashMap.empty[String, ArrayBuffer[Int]]
+      val n = src.length
+      var i = 0
+      while (i <= n) {
+        var end = src.indexOf('\n', i)
+        if (end < 0) end = n
+        val line = src.substring(i, end)
+        e.getOrElseUpdate(line, ArrayBuffer.empty[Int]) += i
+        t.getOrElseUpdate(line.trim, ArrayBuffer.empty[Int]) += i
+        i = end + 1
+        if (end == n) i = n + 2 // past the guard: last line handled
+      }
+      (e, t)
     }
-    false
+    /** True iff a line equal to `delim` (trimmed when `flex`) STARTS at
+      * offset >= the first line boundary after `from` — same contract
+      * as the superseded linear scan: the terminator must be a whole
+      * line strictly below the opener's. */
+    def terminates(from: Int, delim: String, flex: Boolean): Boolean = {
+      val nl = src.indexOf('\n', from)
+      if (nl < 0) return false
+      val first = nl + 1
+      (if (flex) trimmed else exact).get(delim).exists { starts =>
+        var lo = 0
+        var hi = starts.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (starts(mid) < first) lo = mid + 1 else hi = mid
+        }
+        lo < starts.length
+      }
+    }
   }
 
   private[operators] def codeMask(src: String,
       python: Boolean, ruby: Boolean = false): Array[Boolean] = {
     val n = src.length
     val mask = Array.fill(n)(true)
+    val terminators = new TerminatorIndex(src) // lazy: free until queried
     var i = 0
     var state = 0 // 0 code, 1 line comment, 2 block comment, 3 string
     var quote = ' '
@@ -180,7 +211,7 @@ object CodeParsers {
               // exists later — a phantom heredoc would otherwise mask
               // the entire remainder of the file as string content
               if (e > j && !src.charAt(j).isDigit &&
-                  heredocTerminates(src, e, src.substring(j, e), flex)) {
+                  terminators.terminates(e, src.substring(j, e), flex)) {
                 heredocs.enqueue((src.substring(j, e), flex))
                 i = e - 1
               } else i += 1 // plain << operator: skip the second '<'

@@ -326,6 +326,129 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Wide-signature bits (60 = 15 hex chars of sha256 — the widest
+    * prefix that parses as a signed BIGINT in both engines) and the
+    * Hamming threshold of the SCALE near-dup kernel. 3-of-60 is the
+    * near-identical regime of Manku, Jain & Das Sarma (WWW'07), the
+    * published web-scale SimHash dedup setting. */
+  val SimhashWideBits = 60
+  val SimhashWideMaxDist = 3L
+
+  /** (doc_id, simhash60): the wide form of [[simhashSignatures]] —
+    * same shingle set, same ±1 weighting, 60 bits from the first 15
+    * sha256 hex chars of each shingle. */
+  def simhashWideSignatures(s: SparkSession, dir: String): DataFrame =
+    simhashWideOf(Tables.documents(s, dir))
+
+  private def simhashWideOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val sums = new Array[Long](SimhashWideBits)
+        var any = false
+        shingleSet(text).foreach { sh =>
+          any = true
+          val w = java.lang.Long.parseLong(
+            graft.functions.TextUtil.sha256Hex(sh).substring(0, 15), 16)
+          var b = 0
+          while (b < SimhashWideBits) {
+            sums(b) += 2 * ((w >> b) & 1L) - 1
+            b += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else {
+          var sig = 0L
+          var b = 0
+          while (b < SimhashWideBits) {
+            if (sums(b) > 0) sig |= (1L << b); b += 1
+          }
+          Iterator.single((docId, sig))
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** SCALE near-dup pairs: Hamming ≤ [[SimhashWideMaxDist]] on the
+    * 60-bit signature, candidates from ADAPTIVE m-of-n compound
+    * banding (Manku et al. WWW'07 §3). Why [[simhashPairs]]'s 32/6
+    * semantic cannot be the 100 TB default: its random-collision rate
+    * is Σ_{i≤6} C(32,i)/2^32 ≈ 2.7e-4, so the TRUE pair set itself
+    * grows ~N² (334k pairs at 50k docs — measured by the 10x scale
+    * probe as a 92 s cluster step). At 3-of-60 the random rate is
+    * Σ_{i≤3} C(60,i)/2^60 ≈ 3e-14: output is true near-identicals
+    * only, linear in corpus size.
+    *
+    * Banding exactness: split the 60 bits into n equal blocks and key
+    * each doc by every m-subset of block values; ≤3 corrupted bits
+    * corrupt ≤3 blocks, so with n = m+3 every qualifying pair shares
+    * at least one UNCORRUPTED m-subset key (pigeonhole). m is chosen
+    * from the corpus count so the compound key carries
+    * ≥ log2(N)+8 bits — the false-candidate expectation N²·C(n,m)/2^K
+    * then stays ≈ N·C(n,m)/256, i.e. LINEAR, at every N (the fixed
+    * 7-band layout of the 32-bit form loses exactly this property).
+    * Each doc emits C(n,m) keyed rows — 4..120 for n ≤ 10 — which is
+    * the bounded price of exact banding, not a corpus² term. */
+  def simhashPairsWide(s: SparkSession, dir: String): DataFrame =
+    simhashPairsWideOf(simhashWideSignatures(s, dir))
+
+  private[operators] def simhashPairsWideOf(sigDf: DataFrame): DataFrame = {
+    import sigDf.sparkSession.implicits._
+    val sig = sigDf.localCheckpoint(true) // reused: count + both join sides
+    val n0 = sig.count()
+    // smallest block count n (dividing 60, n = m+3) whose compound key
+    // width m*60/n reaches log2(N)+8 bits
+    val needBits = math.ceil(math.log(math.max(n0, 2).toDouble) /
+      math.log(2.0)).toInt + 8
+    val n = Seq(4, 5, 6, 10).find { nn =>
+      (nn - 3) * (SimhashWideBits / nn) >= needBits
+    }.getOrElse(10)
+    val m = n - 3
+    val blockBits = SimhashWideBits / n
+    val blockMask = (1L << blockBits) - 1
+    val combos: Seq[Seq[Int]] =
+      (0 until n).combinations(m).map(_.toSeq).toSeq
+    // (doc_id, simhash, combo, key): C(n,m) compound keys per doc
+    val keyCols = combos.zipWithIndex.map { case (combo, ci) =>
+      struct(lit(ci).as("combo"),
+        concat_ws(":", combo.map(b =>
+          expr(s"(simhash >> ${b * blockBits}) & $blockMask")): _*)
+          .as("key"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(keyCols: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.combo").as("combo"), col("ck.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= SimhashWideMaxDist)
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The ORACLE row for the wide kernel, on a corpus that actually
+    * contains near-identicals: every 25th document is unioned back
+    * verbatim under a shifted id, and the wide kernel must find
+    * exactly those (original, copy) pairs — planted ground truth the
+    * all-pairs DuckDB mirror verifies, since at 3-of-60 the natural
+    * corpus pairs nothing (random rate ≈ 3e-14). Dist-1..3 capture is
+    * pinned separately by the banding property test (planted bit
+    * flips vs brute force); text edits can't plant a GUARANTEED
+    * Hamming bound, copies can. */
+  def simhashWideDemo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    simhashPairsWideOf(simhashWideOf(docs.unionByName(copies)))
+  }
+
   /** Near-dup CLUSTERING — the dedup endgame: pair evidence →
     * connected components → one canonical (minimum doc_id) per cluster.
     * Pairs alone can't drive deletion (near-dup is not transitive, but

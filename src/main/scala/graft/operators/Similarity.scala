@@ -269,8 +269,20 @@ object Similarity {
     * Scale: the assignment is the same zero-shuffle map as
     * [[ivfAssign]]; everything after runs on an nlist-row aggregate
     * with a 1-row total broadcast. */
-  def clusterStats(s: SparkSession, dir: String, nlist: Int = IvfNlist): DataFrame = {
-    val assigned = ivfAssign(s, dir, nlist)
+  def clusterStats(s: SparkSession, dir: String, nlist: Int = IvfNlist): DataFrame =
+    clusterStatsFrom(s, dir, ivfSeeds(s, dir, nlist))
+
+  /** The balance report over an arbitrary centroid set — shared kernel
+    * of [[clusterStats]] (raw seeds, oracle-checked) and
+    * [[clusterStatsLloyd]] (refined quantizer). */
+  private def clusterStatsFrom(s: SparkSession, dir: String,
+      cents: Array[Array[Float]]): DataFrame = {
+    import s.implicits._
+    val nlist = cents.length
+    val assigned = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, argmaxCell(emb, cents)) }
+      .toDF("vec_id", "cell")
     val total = assigned.agg(count(lit(1)).as("total"))
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -282,6 +294,18 @@ object Similarity {
         col("min_vec"), col("max_vec"))
       .orderBy("cell")
   }
+
+  /** [[clusterStats]] of the REFINED quantizer — the occupancy report
+    * a probe planner reads against the index [[buildIvfIndex]]
+    * actually persists (Lloyd-refined centroids), not the raw seeds.
+    * Declared rows-only at the oracle gate: the refinement is
+    * iterative float math DuckDB can't reproduce bit-for-bit (same
+    * declaration pattern as `emb_ann_mllib`); the semantic pin lives
+    * in ScalaTest — refined balance must beat the raw seeds'. */
+  def clusterStatsLloyd(s: SparkSession, dir: String,
+      nlist: Int = IvfNlist, iters: Int = IvfLloydIters): DataFrame =
+    clusterStatsFrom(s, dir,
+      lloydRefine(s, dir, ivfSeeds(s, dir, nlist), iters))
 
   /** Default Lloyd iteration count for [[buildIvfIndex]]'s spherical
     * k-means refinement of the seed centroids. */

@@ -21,16 +21,26 @@ object RetryPolicy {
     * None = a genuine 403, fail fast. `nowMs` is a parameter, not a
     * clock read, so the classification stays deterministic.
     *
-    * Reset parsing matches the reference's `parseInt(resetTime, 10)`
-    * (doc2vec.ts:300): a leading digit run is honored even with
-    * trailing junk ("1700000060\n", "1700000060;burst"), so a header
-    * the reference would wait on is never misread as a genuine 403. */
+    * Reset parsing follows the reference's `parseInt(resetTime, 10)`
+    * (doc2vec.ts:300) for every NUMERIC header: an optionally-signed
+    * leading digit run is honored even with trailing junk
+    * ("1700000060\n", "1700000060;burst", "-5" → the 1 s floor), so a
+    * header the reference would wait on is never misread as a genuine
+    * 403. One deliberate divergence: a reset with no digits at all
+    * ("soon") is parseInt-NaN, which the reference accidentally turns
+    * into an immediate retry (setTimeout(NaN) fires at once); graft
+    * instead fails fast as a genuine 403 — an unparseable header is
+    * evidence against proven exhaustion, not for it. */
   def rateLimitWaitMs(status: Int, rateLimitRemaining: Option[String],
       rateLimitResetEpochS: Option[String], nowMs: Long): Option[Long] =
     if (status == 403 && rateLimitRemaining.contains("0"))
       rateLimitResetEpochS
-        .map(_.trim).map(s => s.takeWhile(_.isDigit))
-        .filter(_.nonEmpty).flatMap(_.toLongOption)
+        .map(_.trim)
+        .map { s =>
+          val sign = if (s.startsWith("-") || s.startsWith("+")) 1 else 0
+          s.take(sign) + s.drop(sign).takeWhile(_.isDigit)
+        }
+        .filter(_.exists(_.isDigit)).flatMap(_.toLongOption)
         .map(reset => math.max(1000L, reset * 1000L - nowMs))
     else None
 

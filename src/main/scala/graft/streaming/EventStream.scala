@@ -113,6 +113,47 @@ object EventStream {
       }
       .start()
 
+  /** Stream/batch parity as an ORACLE row: stage the documents table
+    * as synthetic markdown pages split across 4 parquet files, ingest
+    * them through [[ingestStream]] one file per micro-batch
+    * (maxFilesPerTrigger=1 → 4 incremental store merges), then return
+    * the resulting versioned store's LATEST contents. The DuckDB
+    * oracle reproduces the BATCH chunker's output for the same pages
+    * (the doc_chunk_markdown derivation), so a hash match proves the
+    * streamed store is bit-identical to what the batch path builds —
+    * chunk ids, indices, sections, content — after multiple
+    * micro-batch merges, regardless of how the file planner batched
+    * the pages.
+    *
+    * Scale: chunk+embed is the same per-row kernel as the batch path
+    * (no shuffle before the merge); the store merge is per-micro-batch
+    * url-replacement, so state never accumulates in the query. */
+  def streamBatchParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("streamparity")
+    val in = base.resolve("in").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    graft.Tables.documents(s, dir)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"),
+        concat(lit("# "), col("source"), lit("\n\n## "), col("lang"),
+          lit("\n\n"), col("text")).as("content"))
+      .repartition(4)
+      .write.parquet(in)
+    val pageSchema = StructType(Seq(
+      StructField("url", StringType), StructField("content", StringType)))
+    val stream = s.readStream.schema(pageSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = ingestStream(stream, store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.ChunkStore.readLatest(s, store).get
+      .select(col("url"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("section"), col("chunk_id"), col("content"))
+      .orderBy("url", "chunk_index")
+  }
+
   /** Watermarked stream-stream interval join: each click joins error
     * events of the same user from the preceding hour. Both sides carry
     * watermarks and the join condition bounds the event-time range, so

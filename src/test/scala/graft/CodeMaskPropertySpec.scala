@@ -72,6 +72,31 @@ class CodeMaskPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shift-heavy ruby file stays linear (terminator index, not rescans)") {
+    // 20k lines of uppercase shift/append operands, none terminated:
+    // the superseded per-candidate linear scan made this quadratic
+    // (~20k x 10k lines of lookahead); the lazily-built full-line
+    // index must keep it effectively instant. Generous 10s bound —
+    // the quadratic form took minutes, so flakiness margin is wide.
+    val code = (1 to 20000)
+      .map(i => s"x$i = y$i <<WIDTH$i | z <<SHIFT_CONST$i")
+      .mkString("", "\n", "\nstop\n")
+    val t0 = System.nanoTime()
+    val phantom = spans("ruby", code)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 10.0, f"parse took $elapsed%.1f s — quadratic again?")
+    // none of the 40k phantom openers opened: every line is a live
+    // statement (a phantom heredoc would swallow the remainder)
+    assert(phantom.length == 20001, s"got ${phantom.length} spans")
+    // and a real heredoc among 20k phantoms still masks exactly its body
+    val withReal = code + "body = <<REALDOC\npayload line\nREALDOC\nafter = 1\n"
+    val real = spans("ruby", withReal)
+    assert(real.length == 20003, s"got ${real.length} spans")
+    val bodySpan = real(20001)
+    assert(withReal.substring(bodySpan._1, bodySpan._2).endsWith("REALDOC"),
+      "real heredoc must span through its terminator line")
+  }
+
   test("single-line strings with brackets never shift brace statements") {
     forAll(soup.map(_.replace("\n", " ").replace("\"", "'")
       .replace("\\", "/").replace("*", "x").replace("/", "x"))) { payload =>

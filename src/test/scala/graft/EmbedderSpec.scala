@@ -196,6 +196,30 @@ class ServiceEmbedderSpec extends org.scalatest.funsuite.AnyFunSuite
     assert(!ServiceEmbedderState.crossThreadUse.get(),
       "a factory-built transport was shared across threads")
   }
+
+  test("releaseTransport disposes every factory-built instance at task end") {
+    import spark.implicits._
+    val in = (1L to 20L).map(i => (i, s"text$i")).toDS().repartition(2)
+    ServiceEmbedderState.factoryBuilds.set(0)
+    ServiceEmbedderState.releases.set(0)
+    val factory: () => Transport = () => {
+      ServiceEmbedderState.factoryBuilds.incrementAndGet()
+      texts => Vectors(texts.map(t => Array(t.length.toFloat)))
+    }
+    val out = ServiceEmbedder.embedBatched(spark, in,
+        transport = _ => Failed("factory should win"),
+        batchSize = 3, concurrency = 2, sleep = _ => (),
+        transportFactory = Some(factory),
+        releaseTransport =
+          _ => { ServiceEmbedderState.releases.incrementAndGet(); () })
+      .collect()
+    assert(out.length == 20)
+    val builds = ServiceEmbedderState.releases.get()
+    assert(builds == ServiceEmbedderState.factoryBuilds.get(),
+      s"every built instance must be released exactly once: " +
+        s"built=${ServiceEmbedderState.factoryBuilds.get()} released=$builds")
+    assert(builds >= 1, "factory transport was never built")
+  }
 }
 
 /** JVM-global mutable state for the service-embedder tests (executor
@@ -207,4 +231,5 @@ object ServiceEmbedderState {
   val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
   val factoryBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   val crossThreadUse = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val releases = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -702,6 +702,25 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = math.sqrt(c.map(x => x.toDouble * x).sum)
       assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n drifted from 1")
     }
+    // (3) emb_cluster_stats_lloyd pin: on this (near-uniform) corpus
+    // Lloyd equalizes the Voronoi cells, so the refined balance report
+    // must be strictly more balanced than the raw seeds'. (On a
+    // CLUSTERED corpus count-balance can legitimately worsen while
+    // recall improves — centroids snap to whole clusters of unequal
+    // mass — so the balance pin lives here, the recall pin there.)
+    // Imbalance = variance of per-cell counts over ALL nlist cells.
+    def imbalance(df: org.apache.spark.sql.DataFrame): Double = {
+      val byCell = df.collect()
+        .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vectors")).toMap
+      val counts = (0 until 16).map(c => byCell.getOrElse(c.toLong, 0L))
+      val mean = counts.sum.toDouble / 16
+      counts.map(n => (n - mean) * (n - mean)).sum / 16
+    }
+    val seedImb = imbalance(Similarity.clusterStats(spark, dir))
+    val refImb = imbalance(Similarity.clusterStatsLloyd(spark, dir))
+    info(s"cell-count variance: seed=$seedImb refined=$refImb")
+    assert(refImb < seedImb,
+      s"refined quantizer not more balanced: $refImb >= $seedImb")
   }
 
   test("Lloyd-refined IVF strictly beats seeds on clustered data") {
@@ -755,6 +774,34 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refined > seed,
       s"refined recall $refined not strictly above seed $seed")
     assert(refined >= 0.9, s"refined recall $refined below 0.9")
+
+    // recall gates for the OTHER two index families on the same
+    // clustered corpus (the sf0.001 gates cover the near-uniform
+    // regime; cluster structure is the regime LSH banding and PQ
+    // codes can actually exploit or break on)
+    def recallOf(got: Set[Long], q: Long): Double = {
+      val exact = byId.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(byId(q), v), id) }
+        .take(10).map(_._1).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val pqIdx = base.resolve("pq").toString
+    Similarity.buildPqIndex(spark, dirC, pqIdx)
+    val pqRecall = queries.map { q =>
+      recallOf(Similarity.probePq(spark, pqIdx, dirC, byId(q), k = 10,
+        excludeId = Some(q)).collect().map(_.getAs[Long]("vec_id")).toSet, q)
+    }.sum / queries.size
+    info(s"clustered corpus: PQ recall=$pqRecall (shortlist=50)")
+    assert(pqRecall >= 0.8, s"PQ recall $pqRecall below 0.8 on clustered data")
+    val lshDir = base.resolve("lsh").toString
+    Similarity.buildMllibLsh(spark, dirC, lshDir)
+    val lshRecall = recallOf(
+      Similarity.probeMllibLsh(spark, dirC, lshDir, k = 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet, 0L)
+    info(s"clustered corpus: MLlib LSH recall (query 0)=$lshRecall " +
+      "(4 hash tables)")
+    assert(lshRecall >= 0.8,
+      s"LSH recall $lshRecall below 0.8 on clustered data")
   }
 
   test("streaming ingest: pages chunk+embed per micro-batch, parity with batch chunker") {
