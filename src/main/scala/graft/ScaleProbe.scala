@@ -245,6 +245,54 @@ object ScaleProbe {
     aqe.foreach { case (q, b, sm, sh) =>
       sb.append(s"| $q | $b | $sm | $sh |\n")
     }
+    sb.append(
+      """
+## Analysis
+
+**The e≈1.9 entries are one shared root cause, and it is semantic,
+not plan-shape.** `dedup_simhash_pairs`, `dedup_clusters`,
+`dedup_cross_source`, and `curation_funnel`'s recompute path all
+consume the 32-bit/dist-6 SimHash pair set. At that setting the
+random-collision rate is sum C(32,i<=6)/2^32 ~= 2.7e-4, so the TRUE
+pair set grows O(N^2) — the operators' OUTPUT is quadratic, and no
+partitioning strategy can out-run its own result set. The plans are
+fine (banded candidates, pre-exchange Hamming filter, no cartesian);
+the semantic is report-scale.
+
+**The scale remedy is in-repo and measured linear here**:
+`dedup_simhash_wide` (60-bit signatures, Hamming <= 3 per Manku
+WWW'07, adaptive m-of-n compound banding whose key width tracks
+log2(N)) holds e~=0.37 at the same 10x. The quadratic consumers all
+accept persisted/injected pair frames (`clusters(pairs)`,
+`dedup_cross_source(pairs)`, `funnel(nearDupPairs)`), so a 100 TB
+deployment feeds them from the wide kernel's output —
+`dedup_clusters_wide` is that chain as an oracle row. The 32/6 rows
+are kept deliberately: they are the oracle-parity report semantics at
+corpus sizes where a 2.7e-4 pair rate is the intent. The bench path
+for `curation_funnel`/`curation_runs` consumes staged inputs
+(`graft.curation.cache`), which is why the bench shows ~0.55 s while
+the worst-config recompute probed here shows the quadratic.
+
+**The AQE bet (commit 87ebfdc) is verified**: at 10x every un-hinted
+dim join resolved to BroadcastHashJoin, zero SortMergeJoin — AQE picks
+the broadcast from runtime sizes, no hints needed as dims grow.
+
+**Everything else is sub-linear** (e 0.1-0.6): the iterative graph
+and frontier fixpoints grow with rounds x edges (e~=0.6), scans and
+banded/broadcast dedup stay near flat. 3x cells sometimes read BELOW
+1x — the 3x replicas are written with more, smaller files than the
+single-file base tables, so scan parallelism is higher; the e column
+uses the 1x->10x endpoints and absorbs this.
+
+**Methodology guards** (what it took to make the probe honest):
+verbatim replication makes every doc k-1 exact near-dups, turning
+dedup outputs O(k^2) BY CONSTRUCTION — replicas Caesar-rotate letters
+(within-replica structure preserved, cross-replica shingles
+decorrelated) and circularly shift embedding dimensions (norms and
+within-replica dots preserved); and file counts scale with k with
+`files.maxPartitionBytes=4m`, so scan-split counts track bytes —
+a single-file replica serialized its scans and distorted the curve.
+""")
     sb.append("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALEPROBE.md"),
       sb.toString.getBytes("UTF-8"))

@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_simhash_wide"  -> (Dedup.simhashWideDemo _),
+    "dedup_clusters_wide" -> (Dedup.simhashWideClusters _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
     "dedup_clusters"      -> (Dedup.simhashClusters _),
     "emb_embed_sig"       -> (DocPipeline.embedDocs _),
@@ -879,6 +880,47 @@ object SparkEntry {
          WHERE bit_count(xor(a.simhash, b.simhash))
            <= ${Dedup.SimhashWideMaxDist}
          ORDER BY doc_a, doc_b""",
+    // the full scale chain (wide sigs -> banding -> components) closed
+    // by the same recursive-CTE oracle pattern on the planted corpus
+    "dedup_clusters_wide" ->
+      s"""WITH RECURSIVE
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 25 = 0),
+         ws AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus
+                WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,15))::BIGINT AS w60
+               FROM sh),
+         bits AS (SELECT unnest(range(0,${Dedup.SimhashWideBits})) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w60 >> b) & 1) - 1) AS s
+                 FROM x CROSS JOIN bits GROUP BY 1,2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sgn GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash))
+             <= ${Dedup.SimhashWideMaxDist}),
+         edges AS (
+           SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS start, doc_id AS node FROM corpus
+           UNION
+           SELECT r.start, e.d FROM reach r JOIN edges e ON e.s = r.node)
+         SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN start = min(node) THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+         FROM reach GROUP BY 1 ORDER BY 1""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          ws AS (SELECT doc_id, string_split(text,' ') AS w

@@ -474,14 +474,23 @@ object Dedup {
     * default 1 GB driver with headroom for the LongMap; raise it only
     * with a driver sized for the collect. */
   def clusters(s: SparkSession, dir: String, pairs: DataFrame,
+      driverThreshold: Long = 1000000L): DataFrame =
+    clustersOf(Tables.documents(s, dir).select(col("doc_id")),
+      pairs, driverThreshold)
+
+  /** [[clusters]] over an explicit vertex frame — shared by the
+    * directory form above and corpora assembled in memory (the
+    * planted-copy wide-kernel row). */
+  def clustersOf(vertices: DataFrame, pairs: DataFrame,
       driverThreshold: Long = 1000000L): DataFrame = {
+    val s = vertices.sparkSession
     import s.implicits._
     // materialize the (expensive) candidate-generation plan exactly
     // once; both routing branches read from this checkpoint
     val pairsCk = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .localCheckpoint(true)
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = vertices.select(col("doc_id"))
     if (pairsCk.count() <= driverThreshold) {
       // union-find over the collected pair list; only docs appearing in
       // pairs enter the structure, everything else stays a singleton
@@ -560,6 +569,21 @@ object Dedup {
     * with a recursive CTE). */
   def simhashClusters(s: SparkSession, dir: String): DataFrame =
     clusters(s, dir, simhashPairs(s, dir))
+
+  /** The dedup ENDGAME on the SCALE kernel: connected components over
+    * the wide (60-bit/dist-3) pairs of the planted-copy corpus — the
+    * full 100 TB chain (wide signatures → adaptive banding → union-find
+    * retention) as one oracle row. Each planted copy clusters with its
+    * original (canonical = the lower id); everything else stays a
+    * singleton unless naturally near-identical. */
+  def simhashWideClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(copies)
+    clustersOf(corpus.select(col("doc_id")),
+      simhashPairsWideOf(simhashWideOf(corpus)))
+  }
 
   /** Embedding near-dup pairs: banded-LSH candidate generation (the same
     * deterministic hyperplane buckets as `Similarity.lshBuckets`) with an

@@ -146,12 +146,26 @@ object EventStream {
       .option("maxFilesPerTrigger", 1).parquet(in)
     val q = ingestStream(stream, store, ckpt)
     try q.processAllAvailable() finally q.stop()
-    graft.sources.ChunkStore.readLatest(s, store).get
-      .select(col("url"),
-        col("chunk_index").cast("long").as("chunk_index"),
-        col("total_chunks").cast("long").as("total_chunks"),
-        col("section"), col("chunk_id"), col("content"))
-      .orderBy("url", "chunk_index")
+    // an empty corpus stages only empty files — no micro-batch ever
+    // merges, the store is never created, and the row is 0 rows (the
+    // oracle's batch derivation is empty too)
+    graft.sources.ChunkStore.readLatest(s, store) match {
+      case Some(latest) => latest
+        .select(col("url"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("total_chunks").cast("long").as("total_chunks"),
+          col("section"), col("chunk_id"), col("content"))
+        .orderBy("url", "chunk_index")
+      case None => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("url", StringType),
+          StructField("chunk_index", LongType),
+          StructField("total_chunks", LongType),
+          StructField("section", StringType),
+          StructField("chunk_id", StringType),
+          StructField("content", StringType))))
+    }
   }
 
   /** Watermarked stream-stream interval join: each click joins error
