@@ -73,7 +73,12 @@ object ScaleProbe {
     "doc_rep_ngrams", "dedup_clusters", "dedup_simhash_pairs",
     "dedup_cross_source", "dedup_simhash_wide",
     "q3_join_agg", "q16_star_join", "q19_range_pred_join",
-    "ingest_page", "curation_funnel")
+    "ingest_page", "curation_funnel",
+    // breadth: the headline aggregate, event-window and sessionize
+    // shuffles, the partition-pruned ANN probe, and the TF-IDF
+    // postings join — representative of the non-dedup shuffle shapes
+    "q1_pricing_summary", "q14_event_windows", "q15_sessionize",
+    "emb_ann_ivf", "doc_keywords")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -222,4 +222,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(win < lastAgg,
       s"a Window sits below the stage aggregate:\n${p.take(3000)}")
   }
+
+  test("dedup_simhash_wide: banded equi-join, no cartesian/nested-loop") {
+    // the wide kernel's whole point is that candidates come from a
+    // compound-key hash join — a cartesian or nested-loop here would
+    // mean the adaptive banding silently degenerated to all-pairs
+    val p = planOf("dedup_simhash_wide")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no equi-join found in the wide-pair plan:\n${p.take(3000)}")
+  }
+
+  test("dedup_clusters_wide: no cartesian anywhere in the scale chain") {
+    val p = planOf("dedup_clusters_wide")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
