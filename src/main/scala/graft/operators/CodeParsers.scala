@@ -47,7 +47,10 @@ object CodeParsers {
         .map { case (s, e) => rubyNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
     case l if braceLangs(l) =>
-      val mask = codeMask(source, python = false)
+      // regex literals exist only in the JS family; masking them for
+      // Go/Rust/Java would risk eating genuine division expressions
+      val mask = codeMask(source, python = false,
+        jsRegex = l == "typescript" || l == "javascript")
       val stmts = braceStatements(source, mask, 0, source.length)
         .map { case (s, e) => braceNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
@@ -135,11 +138,69 @@ object CodeParsers {
     }
   }
 
+  /** Keywords after which a `/` lexes as a regex literal, not
+    * division (the standard JS lexer disambiguation). */
+  private val regexPrecedingKeywords = Set("return", "case", "typeof",
+    "instanceof", "in", "of", "new", "delete", "void", "do", "else",
+    "yield", "await", "throw")
+
   private[operators] def codeMask(src: String,
-      python: Boolean, ruby: Boolean = false): Array[Boolean] = {
+      python: Boolean, ruby: Boolean = false,
+      jsRegex: Boolean = false): Array[Boolean] = {
     val n = src.length
     val mask = Array.fill(n)(true)
     val terminators = new TerminatorIndex(src) // lazy: free until queried
+
+    /** Is a `/` at position i a regex literal opener? JS disambiguates
+      * by what precedes: after an operand (identifier, number, `)`,
+      * `]`, string close) a `/` divides; after an operator, opener,
+      * separator, keyword, or nothing it starts a regex. Drift gauge
+      * evidence: `/\[\d{4}-/` (unmatched `[`) and `/\$\{([^}]+)\}/g`
+      * (net extra `}`) each silently corrupted bracket depth and
+      * swallowed tens of KB into one span before regexes were masked. */
+    def regexPosition(i: Int): Boolean = {
+      var j = i - 1
+      while (j >= 0 && src.charAt(j).isWhitespace) j -= 1
+      if (j < 0) return true
+      val p = src.charAt(j)
+      // `<` and `>` are deliberately NOT triggers: JSX close tags
+      // (`</div>`, two on one line) would mask tag content as a
+      // phantom regex, and a regex directly after a comparison
+      // operator is vanishingly rare in real code
+      if ("([{,;=:!&|?+-*%~^".indexOf(p.toInt) >= 0) return true
+      if (p.isLetter) {
+        var w = j
+        while (w >= 0 && (src.charAt(w).isLetterOrDigit ||
+            src.charAt(w) == '_' || src.charAt(w) == '$')) w -= 1
+        val word = src.substring(w + 1, j + 1)
+        return regexPrecedingKeywords.contains(word) &&
+          (w < 0 || src.charAt(w) != '.')
+      }
+      false
+    }
+
+    /** End offset (exclusive, incl. flags) of a regex starting at i,
+      * or -1 when no closing `/` exists on the line — then the `/` is
+      * division/operator and nothing is masked. Escapes skip a char; a
+      * `/` inside a `[...]` class does not terminate. */
+    def regexEnd(i: Int): Int = {
+      var j = i + 1
+      var inClass = false
+      while (j < n) {
+        val c = src.charAt(j)
+        if (c == '\\' && j + 1 < n) j += 1
+        else if (c == '\n') return -1
+        else if (c == '[') inClass = true
+        else if (c == ']') inClass = false
+        else if (c == '/' && !inClass) {
+          var e = j + 1
+          while (e < n && src.charAt(e).isLetter) e += 1
+          return e
+        }
+        j += 1
+      }
+      -1
+    }
     var i = 0
     var state = 0 // 0 code, 1 line comment, 2 block comment, 3 string
     var quote = ' '
@@ -179,6 +240,16 @@ object CodeParsers {
             val d = src.charAt(i + 1)
             if (d == '/') { state = 1; mask(i) = false }
             else if (d == '*') { state = 2; mask(i) = false }
+            else if (jsRegex && regexPosition(i)) {
+              val end = regexEnd(i)
+              if (end > 0) {
+                // mask the whole literal incl. flags: its brackets,
+                // braces, and quotes are pattern content, not code
+                var k = i
+                while (k < end) { mask(k) = false; k += 1 }
+                i = end - 1
+              }
+            }
           } else if (python && c == '#') {
             state = 1; mask(i) = false
           } else if (ruby && c == '<' && i + 1 < n &&

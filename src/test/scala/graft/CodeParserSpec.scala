@@ -821,6 +821,46 @@ def g():
     tree.children.map(c => code.substring(c.start, c.end))
   }
 
+  test("TS: regex literals with unbalanced brackets/braces are masked") {
+    // the two real-world span-swallowers the drift gauge caught in the
+    // reference corpus: an unmatched `[` and a net-extra `}` inside
+    // regex literals corrupted bracket depth for tens of KB
+    val code = """const ts = /\[\d{4}-\d{2}-\d{2}T/;
+const fix = s.replace(/\$\{([^}]+)\}/g, sub);
+function after() {
+    return 1;
+}
+done();
+"""
+    val spans = topSpans("typescript", code)
+    assert(spans.length == 4, s"regex derailed spans: $spans")
+    assert(spans(2).startsWith("function after"), spans(2))
+    assert(spans(3) == "done();")
+  }
+
+  test("TS: division is never mis-lexed as a regex") {
+    val code = """const x = (a + b) / 2;
+const y = n / m / k;
+const z = arr[0] / len;
+after();
+"""
+    val spans = topSpans("typescript", code)
+    assert(spans.length == 4, s"division mis-lexed: $spans")
+    assert(spans(3) == "after();")
+  }
+
+  test("TS: regex after return/operators; slash in char class doesn't end it") {
+    val code = """function f(s) {
+    if (bad) return /a\/b[/]c/.test(s);
+    return s.match(/x{2,}/g);
+}
+g();
+"""
+    val spans = topSpans("typescript", code)
+    assert(spans.length == 2, s"got: $spans")
+    assert(spans(1) == "g();")
+  }
+
   test("TS: nested template literals with interpolated braces are one statement") {
     val code = """const q = `select ${cols.map(c => `"${c.name}"`).join(', ')}
 from ${tbl}

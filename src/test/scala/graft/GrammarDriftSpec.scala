@@ -68,6 +68,7 @@ class GrammarDriftSpec extends AnyFunSuite {
       var lineStart = 0
       var fExp = 0
       var fMatch = 0
+      val missed = scala.collection.mutable.ArrayBuffer.empty[String]
       while (lineStart < src.length) {
         var lineEnd = src.indexOf('\n', lineStart)
         if (lineEnd < 0) lineEnd = src.length
@@ -80,13 +81,18 @@ class GrammarDriftSpec extends AnyFunSuite {
               (e >= lineEnd || !src.charAt(e).isLetterOrDigit)) {
             fExp += 1
             if (spanStarts.contains(lineStart)) fMatch += 1
+            else missed +=
+              src.substring(lineStart, math.min(lineEnd, lineStart + 90))
           }
         }
         lineStart = lineEnd + 1
       }
       expected += fExp
       matched += fMatch
-      if (fExp > fMatch) worst += ((f.getName, fExp, fMatch))
+      if (fExp > fMatch) {
+        worst += ((f.getName, fExp, fMatch))
+        missed.take(3).foreach(l => info(s"  MISSED ${f.getName}: $l"))
+      }
     }
     val drift = 1.0 - matched.toDouble / expected
     info(f"parsed $parsed files; expected boundaries=$expected " +
@@ -95,10 +101,12 @@ class GrammarDriftSpec extends AnyFunSuite {
       info(f"  $n: $m/$e boundaries matched")
     }
     assert(expected > 400, s"metric degenerate: only $expected boundaries")
-    // measured 2026-08-13: 483/485 boundaries, drift 0.41% (the two
-    // misses are declaration lines continuing a prior unterminated
-    // construct); recorded in COVERAGE.md. The gate holds regressions
-    // to 2% — 5x the measured rate, far below the 10% alarm line.
-    assert(drift < 0.02, f"boundary drift ${drift * 100}%.2f%% exceeds 2%%")
+    // measured 2026-08-13: 485/485 boundaries, drift 0.00%. The gauge
+    // initially read 0.41% — both misses were regex literals with
+    // unbalanced brackets/braces (/\[\d{4}-/ and /\$\{([^}]+)\}/g)
+    // corrupting bracket depth for tens of KB; codeMask now masks JS
+    // regex literals. The gate allows <1% so corpus-side noise can't
+    // flake the build while still catching any real lexer regression.
+    assert(drift < 0.01, f"boundary drift ${drift * 100}%.2f%% exceeds 1%%")
   }
 }
