@@ -1602,7 +1602,8 @@ object SparkEntry {
     "ctl_run_stats" ->
       """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
            event_type AS status, count(*) AS n_runs,
-           round(avg(value), 4) AS avg_duration_s
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
+             AS BIGINT) AS avg_duration_us
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "src_scan_filters" ->
       """WITH l AS (

@@ -427,14 +427,21 @@ object Ingest {
 
   /** Daily run counts by status + duration stats — the config stats
     * page (getConfigStats daily, store.ts:285-299) for every day/status
-    * at once. avg is rounded to 4 decimals on both engines (double
-    * aggregate parity). */
+    * at once. The average is computed in INTEGER MICROSECONDS (per-row
+    * floor to long, exact BIGINT sum, integer division): a rounded
+    * double avg flipped a .00005 boundary between engines at sf0.001
+    * because float sum ORDER differs — per-row integerization makes
+    * the aggregate order-free and bit-equal at every SF. floor (not
+    * round) because its semantics are identical in every engine for
+    * every sign; durations are non-negative, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree on the quotient. */
   def runStatsDaily(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_type").as("status"))
       .agg(count(lit(1)).as("n_runs"),
-        round(avg(col("value")), 4).as("avg_duration_s"))
+        expr("sum(CAST(floor(value * 1000000) AS BIGINT)) div count(1)")
+          .as("avg_duration_us"))
       .orderBy("day", "status")
 
   /** Retention pruning (pruneOldLogs, store.ts:273-281): drop the logs
