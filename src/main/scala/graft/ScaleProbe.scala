@@ -219,7 +219,7 @@ object ScaleProbe {
     }
 
     val sb = new StringBuilder
-    sb.append("# SCALEPROBE — empirical growth check (round 10)\n\n")
+    sb.append("# SCALEPROBE — empirical growth check (round 11)\n\n")
     sb.append(s"Generated by `graft.ScaleProbe` on local[$cpus], ")
     sb.append("shuffle.partitions=" + cpus + ", AQE on. Base = sf0.1; ")
     sb.append("3x/10x = id-shifted contiguous replicas (see scaladoc: ")
@@ -254,29 +254,28 @@ object ScaleProbe {
       """
 ## Analysis
 
-**The e≈1.9 entries are one shared root cause, and it is semantic,
-not plan-shape.** `dedup_simhash_pairs`, `dedup_clusters`,
-`dedup_cross_source`, and `curation_funnel`'s recompute path all
-consume the 32-bit/dist-6 SimHash pair set. At that setting the
-random-collision rate is sum C(32,i<=6)/2^32 ~= 2.7e-4, so the TRUE
-pair set grows O(N^2) — the operators' OUTPUT is quadratic, and no
-partitioning strategy can out-run its own result set. The plans are
-fine (banded candidates, pre-exchange Hamming filter, no cartesian);
-the semantic is report-scale.
+**The round-10 quadratics are now size-routed out of every default
+path.** Round 10 measured `dedup_clusters`, `dedup_cross_source`, and
+`curation_funnel`'s recompute at e~=1.9 (1 s -> 93 s at 10x): all
+three consumed the 32-bit/dist-6 SimHash pair set, whose
+random-collision rate sum C(32,i<=6)/2^32 ~= 2.7e-4 makes the TRUE
+pair set O(N^2) — an output-cardinality quadratic no plan can outrun.
+As of round 11 every pair CONSUMER defaults to
+`Dedup.nearDupPairsAuto`: the 32/6 report kernel up to 8,000
+documents (the size where the expected random-pair term r*N^2/2
+overtakes N itself), the 60-bit/dist-3 wide kernel (Manku WWW'07,
+adaptive m-of-n banding, key width tracking log2 N) above. The probe
+corpora sit on both sides of the gate — 1x (5k docs) routes 32/6, 3x
+and 10x (15k/50k) route wide — so each consumer's e column now
+measures the route it would actually take at that size; all sit well
+under 1 (wall-clock at 10x: minutes -> seconds).
 
-**The scale remedy is in-repo and measured linear here**:
-`dedup_simhash_wide` (60-bit signatures, Hamming <= 3 per Manku
-WWW'07, adaptive m-of-n compound banding whose key width tracks
-log2(N)) holds e~=0.37 at the same 10x. The quadratic consumers all
-accept persisted/injected pair frames (`clusters(pairs)`,
-`dedup_cross_source(pairs)`, `funnel(nearDupPairs)`), so a 100 TB
-deployment feeds them from the wide kernel's output —
-`dedup_clusters_wide` is that chain as an oracle row. The 32/6 rows
-are kept deliberately: they are the oracle-parity report semantics at
-corpus sizes where a 2.7e-4 pair rate is the intent. The bench path
-for `curation_funnel`/`curation_runs` consumes staged inputs
-(`graft.curation.cache`), which is why the bench shows ~0.55 s while
-the worst-config recompute probed here shows the quadratic.
+**`dedup_simhash_pairs` is the one deliberate exception**: it IS the
+explicit 32/6 report row, kept for corpus sizes where a 2.7e-4 pair
+rate is the intent, and its e here documents exactly why it cannot be
+a default at scale. The bench path for `curation_funnel`/
+`curation_runs` additionally consumes staged inputs
+(`graft.curation.cache`), staging the same size-routed kernel.
 
 **The AQE bet (commit 87ebfdc) is verified**: at 10x every un-hinted
 dim join resolved to BroadcastHashJoin, zero SortMergeJoin — AQE picks

@@ -54,6 +54,8 @@ object SparkEntry {
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
     "stream_batch_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamBatchParity(s, d)),
+    "stream_delete_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamDeleteParity(s, d)),
     "doc_chunk_overlap"   -> (DocPipeline.chunkOverlapDocs _),
     "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
@@ -519,6 +521,19 @@ object SparkEntry {
            '# '||source||chr(10)||chr(10)||
            '## '||lang||chr(10)||chr(10)||text AS content
            FROM documents) t
+         ORDER BY url, chunk_index""",
+    // the same batch derivation MINUS the tombstoned docs: the streamed
+    // store after the 404-purge micro-batches must hold exactly the
+    // batch cleanup's survivor set, every chunk bit-identical
+    "stream_delete_parity" ->
+      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+         CAST(1 AS BIGINT) AS total_chunks, lang AS section,
+         sha256(content) AS chunk_id, content
+         FROM (SELECT *,
+           '[Topic: '||source||' > '||lang||']'||chr(10)||
+           '# '||source||chr(10)||chr(10)||
+           '## '||lang||chr(10)||chr(10)||text AS content
+           FROM documents WHERE doc_id % 13 <> 0) t
          ORDER BY url, chunk_index""",
     "doc_chunk_token" ->
       """WITH idx AS (

@@ -163,11 +163,19 @@ object CodeParsers {
       while (j >= 0 && src.charAt(j).isWhitespace) j -= 1
       if (j < 0) return true
       val p = src.charAt(j)
-      // `<` and `>` are deliberately NOT triggers: JSX close tags
+      // `<` and bare `>` are deliberately NOT triggers: JSX close tags
       // (`</div>`, two on one line) would mask tag content as a
       // phantom regex, and a regex directly after a comparison
-      // operator is vanishingly rare in real code
-      if ("([{,;=:!&|?+-*%~^".indexOf(p.toInt) >= 0) return true
+      // operator is vanishingly rare in real code. `=>` IS a trigger —
+      // `xs.filter(s => /\[/.test(s))` puts an arrow, not a
+      // comparison, before the regex
+      if (p == '>') return j >= 1 && src.charAt(j - 1) == '='
+      // postfix `++`/`--` leaves an OPERAND before the slash
+      // (`i++ / n / 2` is division); a lone `+`/`-` is a binary
+      // operator and keeps its regex trigger (`a + /re/.test(b)`)
+      if (p == '+' || p == '-')
+        return !(j >= 1 && src.charAt(j - 1) == p)
+      if ("([{,;=:!&|?*%~^".indexOf(p.toInt) >= 0) return true
       if (p.isLetter) {
         var w = j
         while (w >= 0 && (src.charAt(w).isLetterOrDigit ||

@@ -296,13 +296,16 @@ object Curation {
     * e.g. a stored [[Dedup.simhashPairs]] result) and/or `contamination`
     * (any frame with a `doc_id` column, e.g. a stored [[decontaminate]]
     * result) and the funnel becomes one scan plus two id-set joins —
-    * no SimHash banding, no n-gram broadcast. Defaults recompute. */
+    * no SimHash banding, no n-gram broadcast. The recompute default is
+    * the size-routed [[Dedup.nearDupPairsAuto]]: 32/6 report pairs up
+    * to [[Dedup.SimhashAutoMaxDocs]] docs (the oracle regime), the
+    * measured-linear wide kernel above it. */
   def funnel(s: SparkSession, dir: String,
       nearDupPairs: Option[DataFrame] = None,
       contamination: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
-    val nearDup = nearDupPairs.getOrElse(Dedup.simhashPairs(s, dir))
+    val nearDup = nearDupPairs.getOrElse(Dedup.nearDupPairsAuto(s, dir))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(1L))
     val contam = contamination.getOrElse(decontaminate(s, dir))
@@ -358,16 +361,24 @@ object Curation {
   def stageFunnelInputs(s: SparkSession, dir: String,
       cacheDir: String): Unit = {
     val nd = new java.io.File(cacheDir, "neardup_pairs")
-    if (!nd.exists())
-      Dedup.simhashPairs(s, dir).write.mode("overwrite").parquet(nd.toString)
+    if (!isStaged(nd))
+      Dedup.nearDupPairsAuto(s, dir)
+        .write.mode("overwrite").parquet(nd.toString)
     val ct = new java.io.File(cacheDir, "contamination")
-    if (!ct.exists())
+    if (!isStaged(ct))
       decontaminate(s, dir).write.mode("overwrite").parquet(ct.toString)
   }
 
+  /** A staged table is valid only once Spark's `_SUCCESS` marker is in
+    * place — bare directory existence would treat a crashed mid-write
+    * staging run as a cache forever (the partial table would be both
+    * consumed and never re-staged, silently skewing funnel numbers). */
+  private def isStaged(table: java.io.File): Boolean =
+    new java.io.File(table, "_SUCCESS").exists()
+
   private def cachedInput(s: SparkSession, name: String): Option[DataFrame] =
     sys.props.get(CacheProp).map(new java.io.File(_, name))
-      .filter(_.exists()).map(f => s.read.parquet(f.toString))
+      .filter(isStaged).map(f => s.read.parquet(f.toString))
 
   /** [[funnel]] that consumes staged inputs when [[CacheProp]] points
     * at a populated cache dir, else recomputes. */

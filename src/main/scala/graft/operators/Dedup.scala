@@ -564,11 +564,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Clusters over the SimHash pair evidence (deterministic on both
-    * engines — the oracle recomputes the same pairs and closes them
-    * with a recursive CTE). */
+  /** Corpus-size ceiling for defaulting near-dup CONSUMERS to the 32/6
+    * report kernel. Derivation: the 32-bit/dist-6 random-collision
+    * rate is r = Σ_{i≤6} C(32,i)/2^32 ≈ 2.7e-4, so the TRUE pair set
+    * carries an expected r·N²/2 random-pair term — which overtakes the
+    * corpus size itself at N = 2/r ≈ 7,400 documents. Below that the
+    * 32/6 semantic is a bounded (and richer, dist-≤6) report; above it
+    * the output is quadratic BY DEFINITION and no plan can outrun its
+    * own result set (measured: 1 s → 93 s at 10x, SCALEPROBE.md), so
+    * consumers route to the measured-linear wide kernel instead. */
+  val SimhashAutoMaxDocs = 8000L
+
+  /** Size-routed near-duplicate pair source — the DEFAULT every pair
+    * CONSUMER ([[simhashClusters]], [[crossSourceLeakage]],
+    * `Curation.funnel`'s recompute path) now feeds from: the 32/6
+    * report kernel up to [[SimhashAutoMaxDocs]] documents, the 60/3
+    * scale kernel ([[simhashPairsWide]], Manku WWW'07) above it. 32/6
+    * stays available as the EXPLICIT report mode ([[simhashPairs]] /
+    * the `dedup_simhash_pairs` row); only the default routing is
+    * size-guarded. `corpusSize` overrides the counted size (tests /
+    * callers that already know it). */
+  def nearDupPairsAuto(s: SparkSession, dir: String,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val n = corpusSize.getOrElse(Ingest.docCount(s, dir))
+    if (n <= SimhashAutoMaxDocs) simhashPairs(s, dir)
+    else simhashPairsWide(s, dir)
+  }
+
+  /** Clusters over the size-routed near-dup pair evidence
+    * (deterministic on both engines — below [[SimhashAutoMaxDocs]] the
+    * oracle recomputes the same 32/6 pairs and closes them with a
+    * recursive CTE; above it the wide kernel takes over, the chain the
+    * `dedup_clusters_wide` row pins). */
   def simhashClusters(s: SparkSession, dir: String): DataFrame =
-    clusters(s, dir, simhashPairs(s, dir))
+    clusters(s, dir, nearDupPairsAuto(s, dir))
 
   /** The dedup ENDGAME on the SCALE kernel: connected components over
     * the wide (60-bit/dist-3) pairs of the planted-copy corpus — the
@@ -721,10 +750,13 @@ object Dedup {
     * Scale: the near-dup pair set is bounded (banded candidates, never
     * all-pairs); attaching sources is two hash joins on doc id; the
     * aggregate collapses to ≤ #sources² rows. Persisted pair tables
-    * can be injected, mirroring [[Curation.funnel]]. */
+    * can be injected, mirroring [[Curation.funnel]]; the recompute
+    * default is the size-routed [[nearDupPairsAuto]] (32/6's true pair
+    * set is itself quadratic above ~[[SimhashAutoMaxDocs]] docs). */
   def crossSourceLeakage(s: SparkSession, dir: String,
       pairs: Option[DataFrame] = None): DataFrame = {
-    val pr = pairs.getOrElse(simhashPairs(s, dir)).select("doc_a", "doc_b")
+    val pr = pairs.getOrElse(nearDupPairsAuto(s, dir))
+      .select("doc_a", "doc_b")
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     pr
       .join(src.select(col("doc_id").as("doc_a"),

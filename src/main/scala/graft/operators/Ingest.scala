@@ -17,16 +17,27 @@ object Ingest {
   /** Corpus size for the synthetic modular link graph, memoized per data
     * directory — crawlFrontier and brokenLinks both need it, and an
     * uncached `docs.count()` is a full extra scan job per query. The
-    * cache key includes a file-listing fingerprint (names, lengths,
-    * mtimes) of the documents table, so rewriting the data under the
-    * same path invalidates the entry instead of serving a stale count. */
+    * entry carries a file-listing fingerprint (names, lengths, mtimes)
+    * of the documents table, so rewriting the data under the same path
+    * REPLACES the entry instead of serving a stale count — one entry
+    * per directory, so a long-lived session that rewrites data under
+    * the same paths never grows the map (dead fingerprints would
+    * otherwise accumulate forever). */
   private val docCountCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def docCount(s: SparkSession, dir: String): Long = {
-    val key = s"$dir@${tableFingerprint(s, dir)}"
-    docCountCache.getOrElseUpdate(key,
-      Tables.documents(s, dir).select("doc_id").count())
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private[graft] def docCount(s: SparkSession, dir: String): Long = {
+    val fp = tableFingerprint(s, dir)
+    docCountCache.get(dir) match {
+      case Some((`fp`, n)) => n
+      case _ =>
+        val n = Tables.documents(s, dir).select("doc_id").count()
+        docCountCache.put(dir, (fp, n))
+        n
+    }
   }
+  /** Test hook: the cached directory keys (one per dir by design). */
+  private[graft] def docCountCacheKeys: Iterable[String] =
+    docCountCache.keys
   private def tableFingerprint(s: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     try {

@@ -113,6 +113,31 @@ object EventStream {
       }
       .start()
 
+  /** Streaming DELETION sink — the 404/deleted-url purge path as a
+    * stream: each micro-batch of tombstone urls (a crawl's 404
+    * responses, an S3 listing's deleted keys) removes those urls'
+    * chunks from the versioned store, the same
+    * stored-anti-join-tombstones plan the batch cleanup uses
+    * ([[graft.operators.Sync.cleanup]]; reference markdown-store
+    * 404-delete, doc2vec.ts:1973-1986). Idempotent per url set —
+    * re-deleting an absent url is a no-op — so at-least-once
+    * redelivery converges, matching [[upsertStream]]'s contract. An
+    * empty store stays empty (no version is ever minted). */
+  def deleteStream(tombstones: DataFrame, storeRoot: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tombstones.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        graft.sources.ChunkStore.readLatest(s, storeRoot).foreach { stored =>
+          graft.sources.ChunkStore.writeVersion(s, storeRoot,
+            stored.join(batch.select("url").distinct(),
+              Seq("url"), "left_anti"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream/batch parity as an ORACLE row: stage the documents table
     * as synthetic markdown pages split across 4 parquet files, ingest
     * them through [[ingestStream]] one file per micro-batch
@@ -128,12 +153,26 @@ object EventStream {
     * Scale: chunk+embed is the same per-row kernel as the batch path
     * (no shuffle before the merge); the store merge is per-micro-batch
     * url-replacement, so state never accumulates in the query. */
-  def streamBatchParity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def streamBatchParity(s: SparkSession, dir: String): DataFrame =
+    parityRun(s, dir, deletePhase = false)
+
+  /** Streaming DELETION parity as an ORACLE row — [[streamBatchParity]]
+    * plus the purge path: after the 4 ingest micro-batches build the
+    * full store, a SECOND streaming query feeds 404 tombstones for
+    * every 13th document (the testdata's broken-link convention)
+    * through [[deleteStream]] in 2 micro-batches. The row returns the
+    * final store; the DuckDB oracle is the batch derivation WITHOUT the
+    * tombstoned docs, so a hash match proves streamed deletes leave
+    * exactly the batch cleanup's survivor set — across micro-batches,
+    * with every surviving chunk bit-identical. */
+  def streamDeleteParity(s: SparkSession, dir: String): DataFrame =
+    parityRun(s, dir, deletePhase = true)
+
+  private def parityRun(s: SparkSession, dir: String,
+      deletePhase: Boolean): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("streamparity")
     val in = base.resolve("in").toString
     val store = base.resolve("store").toString
-    val ckpt = base.resolve("ckpt").toString
     graft.Tables.documents(s, dir)
       .select(concat(lit("doc://"), col("doc_id")).as("url"),
         concat(lit("# "), col("source"), lit("\n\n## "), col("lang"),
@@ -144,12 +183,27 @@ object EventStream {
       StructField("url", StringType), StructField("content", StringType)))
     val stream = s.readStream.schema(pageSchema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = ingestStream(stream, store, ckpt)
+    val q = ingestStream(stream, store, base.resolve("ckpt").toString)
     try q.processAllAvailable() finally q.stop()
+    if (deletePhase) {
+      // second run: the re-crawl's 404s arrive as a tombstone stream
+      val tomb = base.resolve("tombstones").toString
+      graft.Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0)
+        .select(concat(lit("doc://"), col("doc_id")).as("url"))
+        .repartition(2)
+        .write.parquet(tomb)
+      val tombStream = s.readStream
+        .schema(StructType(Seq(StructField("url", StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(tomb)
+      val dq = deleteStream(tombStream, store,
+        base.resolve("ckpt_del").toString)
+      try dq.processAllAvailable() finally dq.stop()
+    }
     // an empty corpus stages only empty files — no micro-batch ever
     // merges, the store is never created, and the row is 0 rows (the
     // oracle's batch derivation is empty too)
-    graft.sources.ChunkStore.readLatest(s, store) match {
+    val result = graft.sources.ChunkStore.readLatest(s, store) match {
       case Some(latest) => latest
         .select(col("url"),
           col("chunk_index").cast("long").as("chunk_index"),
@@ -166,6 +220,18 @@ object EventStream {
           StructField("chunk_id", StringType),
           StructField("content", StringType))))
     }
+    // the returned frame reads LAZILY from the temp store, so pin it in
+    // block storage (eager localCheckpoint) before deleting the tree —
+    // as a registered bench row this otherwise leaks a corpus-sized
+    // temp copy (input + versioned store + checkpoint) per invocation
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    pinned
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Watermarked stream-stream interval join: each click joins error

@@ -849,6 +849,31 @@ after();
     assert(spans(3) == "after();")
   }
 
+  test("TS: regex after an arrow (=>) is masked; postfix ++ / is division") {
+    // arrow case: `>` precedes the slash but the token is `=>`, so the
+    // regex (with its unbalanced `[`) must be masked or it derails
+    // bracket depth — the exact failure mode the regex lexer fixed
+    val arrow = """const hits = xs.filter(s => /\[/.test(s));
+function after() {
+    return 1;
+}
+done();
+"""
+    val spans1 = topSpans("typescript", arrow)
+    assert(spans1.length == 3, s"arrow regex derailed spans: $spans1")
+    assert(spans1(1).startsWith("function after"), spans1(1))
+    // postfix case: `i++ / n / 2` is division twice, not a phantom
+    // regex literal `/ n /` (binary `+` keeps its trigger: `a + /x/`)
+    val postfix = """const r = i++ / n / 2;
+const s = j-- / m;
+const t = a + /x]/.test(b);
+after();
+"""
+    val spans2 = topSpans("typescript", postfix)
+    assert(spans2.length == 4, s"postfix ++ mis-lexed: $spans2")
+    assert(spans2(3) == "after();")
+  }
+
   test("TS: regex after return/operators; slash in char class doesn't end it") {
     val code = """function f(s) {
     if (bad) return /a\/b[/]c/.test(s);

@@ -89,4 +89,46 @@ class SimhashWideSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected,
       s"missed ${(expected -- got).size} / invented ${(got -- expected).size}")
   }
+
+  test("nearDupPairsAuto routes 32/6 below the gate, wide above it") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val report = rows(Dedup.simhashPairs(spark, dir))
+    val wide = rows(Dedup.simhashPairsWide(spark, dir))
+    // forced small corpus → the 32/6 report kernel
+    assert(rows(Dedup.nearDupPairsAuto(spark, dir, Some(500L))) == report)
+    // forced large corpus → the 60/3 wide kernel
+    assert(rows(Dedup.nearDupPairsAuto(spark, dir,
+      Some(Dedup.SimhashAutoMaxDocs + 1))) == wide)
+    // default: sf0.001 has 500 docs, under the 8,000-doc gate
+    assert(rows(Dedup.nearDupPairsAuto(spark, dir)) == report)
+  }
+
+  test("docCount cache stays bounded when a dir's data is rewritten") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_doccount").toFile
+    try {
+      val dir = tmp.getAbsolutePath
+      def write(n: Int): Unit =
+        (0 until n).map(i => (i.toLong, s"text $i", "en", "src0"))
+          .toDF("doc_id", "text", "lang", "source")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      write(10)
+      assert(Ingest.docCount(spark, dir) == 10L)
+      // rewriting under the SAME path must refresh the count without
+      // growing the cache (one entry per directory, not per version)
+      Thread.sleep(1100) // mtime granularity: force a new fingerprint
+      write(25)
+      assert(Ingest.docCount(spark, dir) == 25L)
+      assert(Ingest.docCountCacheKeys.count(_ == dir) == 1,
+        "rewritten dir minted a second cache entry")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
