@@ -75,9 +75,21 @@ object Bench {
     sys.props(graft.operators.Curation.CacheProp) = curationCache
 
     sentinel() // warm the sentinel plan itself
-    val sentinelStart = sentinel()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // INTERLEAVED sentinels: one before the run, one every
+    // `segmentSize` queries, one after. Round 10's bracketing pair
+    // could say "the box was loaded at some point" but not WHERE —
+    // a 1.45x end/start drift inflated every late-alphabet median
+    // indistinguishably from a real regression. With per-segment
+    // sentinels, drift localizes: queries in a clean segment
+    // (neighboring sentinels agree) are trustworthy even in a flagged
+    // run, and a flagged segment names exactly the medians to re-check
+    // against their mins.
+    val segmentSize = 20
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinels += sentinel()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), qi) =>
+        if (qi > 0 && qi % segmentSize == 0) sentinels += sentinel()
         // One untimed warmup rep per query: round 7 showed untouched
         // queries drifting 2-4x purely because NEW queries sorted in
         // before them changed what was in the OS page cache / JIT when
@@ -95,10 +107,11 @@ object Bench {
         // median/max side.
         name -> (median(times), times.min)
     }
-    val sentinelEnd = sentinel()
+    sentinels += sentinel()
+    val sentinelStart = sentinels.head
+    val sentinelEnd = sentinels.last
     val sentinelRatio =
-      math.max(sentinelStart, sentinelEnd) /
-        math.max(1e-9, math.min(sentinelStart, sentinelEnd))
+      sentinels.max / math.max(1e-9, sentinels.min)
     val loadFlagged = sentinelRatio > 2.0
     // The harness records only the LAST ~2000 chars of this process's
     // output (BENCH_r*.json "tail"); a metrics line longer than that is

@@ -56,6 +56,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamBatchParity(s, d)),
     "stream_delete_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamDeleteParity(s, d)),
+    "ingest_tabs"         -> (Ingest.ingestTabs _),
+    "doc_chunk_code"      -> (DocPipeline.codeChunkDocs _),
     "doc_chunk_overlap"   -> (DocPipeline.chunkOverlapDocs _),
     "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
@@ -129,7 +131,7 @@ object SparkEntry {
     "ctl_config_registry" -> (Ingest.configRegistry _),
     "src_scan_filters" -> (graft.sources.LocalDirectory.scanFilters _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
-      Similarity.annMllib(s, d)),
+      Similarity.annMllibPlanted(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
@@ -1080,6 +1082,17 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // planted ground truth: ten synthetic neighbors at 0.001*j from
+    // query vector 0 — orders of magnitude inside any natural
+    // neighbor, so the seeded LSH must return exactly ids
+    // 9000000+1..10 in j order (ids and ranks only, floats never
+    // hashed). Empty corpus → empty result on both sides.
+    "emb_ann_mllib" ->
+      """SELECT CAST(9000000 + j AS BIGINT) AS vec_id,
+           CAST(j AS BIGINT) AS rank
+         FROM (SELECT unnest(range(1, 11)) AS j)
+         WHERE EXISTS (SELECT 1 FROM embeddings WHERE vec_id = 0)
+         ORDER BY rank""",
     "emb_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
@@ -1243,6 +1256,62 @@ object SparkEntry {
                  ELSE '# Site' END)
            ||chr(10)||chr(10)||'## '||lang||chr(10)||chr(10)||
            trim(text||' [Next](doc://next)') AS md
+           FROM documents) t
+         ORDER BY url""",
+    // the AST code chunker on the fixed-width staged corpus: 10
+    // 41-char function spans per file, greedy '\n' merge at 200 chars
+    // ⇒ exactly 4 spans per chunk (3 chunks: 4+4+2) — integer
+    // arithmetic DuckDB replays span-for-span
+    "doc_chunk_code" ->
+      """WITH f AS (
+           SELECT doc_id, str_split(text, ' ') AS ws,
+             unnest(range(0, 10)) AS i
+           FROM documents
+         ), fn AS (
+           SELECT doc_id, i,
+             'function f'||lpad(CAST(i AS VARCHAR), 3, '0')||'() {'||
+             chr(10)||'  return "'||
+             rpad(substring(ws[CAST(i % len(ws) AS INT) + 1], 1, 8),
+                  8, 'x')||'";'||chr(10)||'}' AS ftext
+           FROM f
+         ), grp AS (
+           SELECT doc_id, i // 4 AS chunk_index,
+             string_agg(ftext, chr(10) ORDER BY i) AS body
+           FROM fn GROUP BY doc_id, i // 4
+         )
+         SELECT 'code://'||doc_id||'/main.ts' AS url,
+           CAST(chunk_index AS BIGINT) AS chunk_index,
+           CAST(3 AS BIGINT) AS total_chunks,
+           'src/main.ts' AS section,
+           sha256('code://'||doc_id||'/main.ts'||'::'||
+             '[File: src/main.ts]'||chr(10)||body) AS chunk_id,
+           '[File: src/main.ts]'||chr(10)||body AS content
+         FROM grp
+         ORDER BY url, chunk_index""",
+    // the tab-flattening contract: even docs' first tab claims the
+    // SECOND panel via aria-controls, so the second tab's positional
+    // fallback injects nothing; odd docs match positionally (the
+    // second label empty — and thus uninjected — for doc_id % 5 = 0)
+    "ingest_tabs" ->
+      """SELECT 'doc://'||doc_id AS url, md AS markdown,
+           sha256(md) AS md_hash
+         FROM (SELECT doc_id,
+           '# '||source||' tabs'||chr(10)||chr(10)||
+           (CASE
+              WHEN doc_id % 2 = 0 THEN
+                trim(substring(text, 1, 40))||chr(10)||chr(10)||
+                '**Overview '||lang||':**'||chr(10)||chr(10)||
+                'More on '||doc_id
+              WHEN doc_id % 5 = 0 THEN
+                '**Overview '||lang||':**'||chr(10)||chr(10)||
+                trim(substring(text, 1, 40))||chr(10)||chr(10)||
+                'More on '||doc_id
+              ELSE
+                '**Overview '||lang||':**'||chr(10)||chr(10)||
+                trim(substring(text, 1, 40))||chr(10)||chr(10)||
+                '**Advanced:**'||chr(10)||chr(10)||
+                'More on '||doc_id
+            END) AS md
            FROM documents) t
          ORDER BY url""",
     "ingest_render_issue" ->

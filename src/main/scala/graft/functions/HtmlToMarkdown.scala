@@ -34,10 +34,31 @@ object HtmlToMarkdown {
   private val attrRe =
     """([a-zA-Z-]+)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
 
-  private def unescape(s: String): String = s
-    .replace("&lt;", "<").replace("&gt;", ">")
-    .replace("&quot;", "\"").replace("&#39;", "'")
-    .replace("&nbsp;", " ").replace("&amp;", "&")
+  // Hot-path patterns hoisted out of the per-row kernel:
+  // `String.replaceAll`/`matches`/regex-`split` compile a fresh Pattern
+  // per CALL, and these run per text node / per document inside
+  // mapPartitions. Semantics identical to the inline literals they
+  // replace.
+  private val wsRunP = java.util.regex.Pattern.compile("\\s+")
+  private val trailWsNlP = java.util.regex.Pattern.compile("[ \t]+\n")
+  private val nl3P = java.util.regex.Pattern.compile("\n{3,}")
+  private val nl2P = java.util.regex.Pattern.compile("\n{2,}")
+  private val nlRunP = java.util.regex.Pattern.compile("\n+")
+  private val outerTrimP = java.util.regex.Pattern.compile("^\\s+|\\s+$")
+  private val junkTitleP =
+    java.util.regex.Pattern.compile("(?i)^(link|#|menu|close)$")
+  private val h1LineRe = "^#\\s+(.+)$".r
+
+  private def collapseWs(s: String): String =
+    wsRunP.matcher(s).replaceAll(" ")
+
+  private def unescape(s: String): String =
+    // entities all start with '&'; most text runs carry none
+    if (s.indexOf('&') < 0) s
+    else s
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
 
   /** Parse an HTML fragment into a tree (forgiving: unclosed tags close
     * at their parent's boundary; unknown structure degrades to text). */
@@ -98,10 +119,10 @@ object HtmlToMarkdown {
     val minIndent = lines.filter(_.trim.nonEmpty)
       .map(l => l.takeWhile(c => c == ' ' || c == '\t').length)
       .reduceOption(math.min).getOrElse(0)
-    val cleaned = lines.map(l => l.substring(math.min(minIndent, l.length)))
+    val joined = lines.map(l => l.substring(math.min(minIndent, l.length)))
       .mkString("\n")
-      .replaceAll("^\\s+|\\s+$", "")
-      .replaceAll("\n{2,}", "\n")
+    val cleaned = nl2P.matcher(
+      outerTrimP.matcher(joined).replaceAll("")).replaceAll("\n")
     s"\n```\n$cleaned\n```\n"
   }
 
@@ -134,12 +155,12 @@ object HtmlToMarkdown {
       case _ =>
     }
     rows(e, inThead = false)
-    "\n" + sb.toString.replaceAll("\n+", "\n").trim + "\n"
+    "\n" + nlRunP.matcher(sb.toString).replaceAll("\n").trim + "\n"
   }
 
   /** Inline rendering (whitespace collapsed, emphasis/links/code). */
   private def inline(n: Node): String = n match {
-    case Text(s) => s.replaceAll("\\s+", " ")
+    case Text(s) => collapseWs(s)
     case e: Elem => e.tag match {
       case t if dropWithContent.contains(t) => ""
       case "br" => "\n"
@@ -180,8 +201,8 @@ object HtmlToMarkdown {
         val items = e.children.collect { case c: Elem if c.tag == "li" => c }
         val rendered = items.zipWithIndex.map { case (li, i) =>
           val marker = if (e.tag == "ol") s"${i + 1}." else "-"
-          val body = li.children.map(block(_, listDepth + 1)).mkString
-            .trim.replaceAll("\n{2,}", "\n")
+          val body = nl2P.matcher(li.children.map(block(_, listDepth + 1))
+            .mkString.trim).replaceAll("\n")
           "  " * listDepth + s"$marker $body"
         }
         s"\n\n${rendered.mkString("\n")}\n\n"
@@ -197,7 +218,7 @@ object HtmlToMarkdown {
   }
 
   private def hasClass(e: Elem, c: String): Boolean =
-    e.attrs.get("class").exists(_.split("\\s+").contains(c))
+    e.attrs.get("class").exists(cls => wsRunP.split(cls).contains(c))
 
   /** Main-content selector cascade (reference processPage,
     * content-processor.ts:1089-1101): `.docs-content` > `.doc-content` >
@@ -215,8 +236,20 @@ object HtmlToMarkdown {
       .orElse(findFirst(root, _.tag == "body"))
       .getOrElse(root)
 
-  private def findFirst(root: Elem, pred: Elem => Boolean): Option[Elem] =
-    collectElems(root, pred).headOption
+  /** First matching element in document (pre)order — early exit, where
+    * `collectElems(..).headOption` walked the whole tree for every
+    * rung of the selector cascade (up to 7 full traversals per page). */
+  private def findFirst(root: Elem, pred: Elem => Boolean): Option[Elem] = {
+    if (pred(root)) return Some(root)
+    val it = root.children.iterator
+    while (it.hasNext) it.next() match {
+      case c: Elem =>
+        val r = findFirst(c, pred)
+        if (r.isDefined) return r
+      case _ =>
+    }
+    None
+  }
 
   /** Full rendered-page processing (reference processPage,
     * content-processor.ts:987-1237): link harvest over the FULL DOM
@@ -243,11 +276,10 @@ object HtmlToMarkdown {
     // H1s extracted BEFORE conversion; empty/icon-only ones skipped
     val h1s = collectElems(main, _.tag == "h1")
       .map(e => textContent(e).trim)
-      .filter(t => t.length > 3 && !t.matches("(?i)^(link|#|menu|close)$"))
-    val md0 = block(main, 0)
-      .replaceAll("[ \t]+\n", "\n")
-      .replaceAll("\n{3,}", "\n\n")
-      .trim
+      .filter(t => t.length > 3 && !junkTitleP.matcher(t).matches())
+    val md0 = nl3P.matcher(
+      trailWsNlP.matcher(block(main, 0)).replaceAll("\n"))
+      .replaceAll("\n\n").trim
     // fallback title: the document <title> (the reference's article.title)
     val docTitle = findFirst(full, _.tag == "title")
       .map(e => e.children.collect { case Text(s) => s }.mkString.trim)
@@ -256,12 +288,11 @@ object HtmlToMarkdown {
     val markdown =
       if (pageTitle.isEmpty) md0
       else {
-        val normalizedTitle = pageTitle.replaceAll("\\s+", " ")
+        val normalizedTitle = collapseWs(pageTitle)
         val firstLine = md0.split("\n", 2)(0)
-        val h1Re = "^#\\s+(.+)$".r
         firstLine match {
-          case h1Re(t)
-            if t.replaceAll("\\s+", " ").trim == normalizedTitle => md0
+          case h1LineRe(t)
+            if collapseWs(t).trim == normalizedTitle => md0
           case _ => s"# $pageTitle\n\n$md0"
         }
       }
@@ -282,13 +313,19 @@ object HtmlToMarkdown {
     if (tabs.isEmpty) return
     val panels = collect(root, _.attrs.get("role").contains("tabpanel"))
     val panelById = panels.flatMap(p => p.attrs.get("id").map(_ -> p)).toMap
-    val seen = scala.collection.mutable.Set[Elem]()
+    // IDENTITY set, not a hash set: Elem is a mutable case class, so a
+    // panel's structural hashCode CHANGES when a label paragraph is
+    // injected — a HashSet would then miss the claimed panel and a
+    // later tab's positional fallback would inject a second label
+    // (the reference's seen-set is DOM-node identity)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
     tabs.zipWithIndex.foreach { case (tab, i) =>
       val label = textContent(tab).trim
       val panel = tab.attrs.get("aria-controls").flatMap(panelById.get)
         .orElse(panels.lift(i))
       panel.filterNot(seen.contains).foreach { p =>
-        seen += p
+        seen.add(p)
         if (label.nonEmpty) {
           val strong = Elem("strong", Map.empty)
           strong.children += Text(s"$label:")
@@ -314,9 +351,8 @@ object HtmlToMarkdown {
     if (html == null || html.trim.isEmpty) return ""
     val tree = parse(html)
     preprocessTabs(tree)
-    block(tree, 0)
-      .replaceAll("[ \t]+\n", "\n")
-      .replaceAll("\n{3,}", "\n\n")
-      .trim
+    nl3P.matcher(
+      trailWsNlP.matcher(block(tree, 0)).replaceAll("\n"))
+      .replaceAll("\n\n").trim
   }
 }

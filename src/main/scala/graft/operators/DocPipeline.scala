@@ -67,6 +67,37 @@ object DocPipeline {
     tokenChunks(s, Tables.documents(s, dir))
       .orderBy("url", "chunk_index")
 
+  /** The AST CODE chunker end-to-end as an oracle row (reference
+    * code-chunker.ts:125-182): each document becomes a staged
+    * TypeScript file of 10 FIXED-WIDTH top-level functions (each
+    * function body returns an 8-char-padded word of the document), so
+    * the grammar parser's top-level spans are the 10 functions and the
+    * greedy '\n'-separator merge packs exactly 4 per 200-char chunk —
+    * the one chunker configuration whose recursive-descent output is
+    * pure integer arithmetic, which is what lets DuckDB reproduce the
+    * chunk contents, ids ("url::content" hashes), and the [File:]
+    * prefix byte-for-byte. The general (variable-span) paths stay
+    * pinned by the golden tests and the 0.00%-drift gauge. */
+  def codeChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = text.split(" ")
+        val code = (0 until 10).map { i =>
+          val w = words(i % words.length).take(8).padTo(8, 'x')
+          val n = ("00" + i).takeRight(3)
+          s"function f$n() {\n  return \"$w\";\n}"
+        }.mkString("\n")
+        Chunker.chunkCode(code, "p", "1.0", s"code://$id/main.ts",
+          "src/main.ts", chunkSize = 200)
+      }
+      .select(col("url"), col("chunk_index").cast("long").as("chunk_index"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("section"), col("chunk_id"), col("content"))
+      .orderBy("url", "chunk_index")
+  }
+
   /** Overlap-splitting through the real chunker at query scale: each
     * document is tiled past 4000 chars so the safety-valve flush and the
     * 10%-overlap splitter (stride 3600) run on every row — the oracle

@@ -99,6 +99,46 @@ object Ingest {
       .orderBy("url")
   }
 
+  /** WAI-ARIA tab flattening through the FULL processPage cascade
+    * (reference preprocessTabs, content-processor.ts:1307-1399; its
+    * tests L2714/L2942): tab-bearing pages where each [role=tab]
+    * button's label is injected as a `**Label:**` paragraph before its
+    * panel, panels are kept (hidden ones included), and tab buttons
+    * are removed. The staged HTML exercises every matching branch:
+    *   - even docs: tab 0 targets the SECOND panel via
+    *     aria-controls=p2, so tab 1's positional fallback finds its
+    *     panel already claimed (seen-set) and injects nothing;
+    *   - odd docs: no aria-controls — pure positional matching, both
+    *     panels get their labels;
+    *   - doc_id % 5 == 0: tab 1's label is EMPTY → its panel keeps no
+    *     injected paragraph (but still counts as claimed);
+    *   - panel 2 carries `hidden` — flattening must surface it anyway.
+    * Pure per-row map, zero shuffle, like [[ingestPage]]. */
+  def ingestTabs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source").as[DocIn]
+      .map { d =>
+        val snippet = d.text.take(40)
+        val ac = if (d.doc_id % 2 == 0) " aria-controls=\"p2\"" else ""
+        val lbl2 = if (d.doc_id % 5 == 0) "" else "Advanced"
+        val html =
+          "<html><head><title>Site</title></head><body><article>" +
+            s"<h1>${d.source} tabs</h1>" +
+            "<div role=\"tablist\">" +
+            s"<button role=\"tab\"$ac>Overview ${d.lang}</button>" +
+            s"<button role=\"tab\">$lbl2</button></div>" +
+            s"<div role=\"tabpanel\" id=\"p1\"><p>$snippet</p></div>" +
+            "<div role=\"tabpanel\" id=\"p2\" hidden>" +
+            s"<p>More on ${d.doc_id}</p></div>" +
+            "</article></body></html>"
+        val (md, _) = graft.functions.HtmlToMarkdown.processPage(html)
+        (s"doc://${d.doc_id}", md, graft.functions.TextUtil.sha256Hex(md))
+      }
+      .toDF("url", "markdown", "md_hash")
+      .orderBy("url")
+  }
+
   /** GitHub-issue rendering: events rows as synthetic issues (event_id →
     * number, event_type → state vocabulary) rendered through the
     * reference template; emits the markdown and its hash. */

@@ -138,6 +138,50 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** [[annMllib]] with a PLANTED ground truth, giving the MLlib LSH
+    * path a full-match oracle instead of a rows-only declaration: ten
+    * synthetic neighbors are planted at Euclidean distances
+    * 0.001·j (j = 1..10) from query vector 0 by perturbing its first
+    * dimension — three orders of magnitude inside the nearest natural
+    * neighbor and far inside the 1.0 bucket length, so the seeded
+    * 4-table LSH returns exactly the planted ids in j order. The
+    * returned columns are the ID SET and its rank (never a float), so
+    * the DuckDB oracle is pure arithmetic: vec_id = 9000000 + rank.
+    * Natural-corpus recall quality stays pinned by the ≥0.8 recall
+    * gates in the ScalaTest suites. */
+  def annMllibPlanted(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    val keyRow = base.filter(col("vec_id") === 0).select("features").take(1)
+    if (keyRow.isEmpty)
+      return s.emptyDataset[(Long, Long)].toDF("vec_id", "rank")
+    val key = keyRow.head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val planted = (1 to k).map { j =>
+      val v = key.toArray.clone()
+      v(0) += 0.001 * j
+      (9000000L + j, Vectors.dense(v))
+    }
+    val corpus = base.unionByName(planted.toDF("vec_id", "features"))
+    val model = mllibModelCache.getOrElseUpdate(s"$dir#planted",
+      new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
+        .fit(corpus))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("distCol"), col("vec_id"))
+    model.approxNearestNeighbors(corpus.filter(col("vec_id") =!= 0), key, k)
+      .select(col("vec_id"), col("distCol"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** Disk-persisted form of the MLlib path, completing the
     * fit-once/probe-many serving shape across SESSIONS (the in-memory
     * memo above only survives one driver): the fitted model — just the

@@ -127,6 +127,21 @@ class IngestSpec extends AnyFunSuite {
     assert(!md.toLowerCase.contains("tablist"))
   }
 
+  test("a panel claimed via aria-controls is not re-claimed positionally") {
+    // regression: the seen-set keyed mutable Elems by STRUCTURAL hash,
+    // so injecting the first label changed the panel's hashCode and the
+    // second tab's positional fallback (same panel) double-injected
+    val html =
+      """<div role="tablist">
+        |<button role="tab" aria-controls="p2">First</button>
+        |<button role="tab">Second</button>
+        |</div>
+        |<div role="tabpanel" id="p1"><p>one</p></div>
+        |<div role="tabpanel" id="p2"><p>two</p></div>""".stripMargin
+    val md = HtmlToMarkdown.convert(html)
+    assert(md == "one\n\n**First:**\n\ntwo", md)
+  }
+
   test("positional tab-panel matching when aria-controls is missing") {
     val html =
       """<button role="tab">A</button><button role="tab">B</button>
