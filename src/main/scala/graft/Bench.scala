@@ -147,8 +147,12 @@ object Bench {
       results.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt6(pick(v)) }
         .mkString("{", ",", "}")
+    // one sentinel before query 0, one per segmentSize boundary, one
+    // after the last query — a flagged ratio now NAMES the segment
+    // whose medians to re-check against their mins
+    val sentinelsJson = sentinels.map(fmt6).mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json"),
       (detailJson + "\n").getBytes("UTF-8"))

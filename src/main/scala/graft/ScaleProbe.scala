@@ -78,7 +78,12 @@ object ScaleProbe {
     // shuffles, the partition-pruned ANN probe, and the TF-IDF
     // postings join — representative of the non-dedup shuffle shapes
     "q1_pricing_summary", "q14_event_windows", "q15_sessionize",
-    "emb_ann_ivf", "doc_keywords")
+    "emb_ann_ivf", "doc_keywords",
+    // r11 additions: the streaming write protocol (chunk+embed+4
+    // incremental store merges — the whole reference WRITE path) and
+    // the banded-LSH embedding dedup (the one vector-heavy join shape
+    // not yet probed; candidates from band equi-joins, never corpus²)
+    "stream_batch_parity", "dedup_embedding")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -130,6 +130,7 @@ object SparkEntry {
     "ctl_schedule_reconcile" -> (Ingest.scheduleReconcile _),
     "ctl_config_registry" -> (Ingest.configRegistry _),
     "src_scan_filters" -> (graft.sources.LocalDirectory.scanFilters _),
+    "src_scan_allowed" -> (graft.sources.LocalDirectory.scanAllowed _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllibPlanted(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -1708,6 +1709,27 @@ object SparkEntry {
                 WHEN mod_ms <= 120*60000 THEN 'skip_mtime'
                 ELSE 'kept' END AS decision
          FROM l ORDER BY path""",
+    // the incremental scan: the kept cascade SEMI-JOINED to the run's
+    // changed-file (git diff) list — doc_id % 4 IN (0,1)
+    "src_scan_allowed" ->
+      """WITH l AS (
+           SELECT doc_id,
+             source || '/f' || doc_id ||
+             CASE WHEN lang='en' THEN '.py' WHEN lang='es' THEN '.go'
+                  WHEN lang='de' THEN '.rs' WHEN lang='fr' THEN '.ts'
+                  ELSE '.md' END AS path,
+             CASE WHEN lang='en' THEN '.py' WHEN lang='es' THEN '.go'
+                  WHEN lang='de' THEN '.rs' WHEN lang='fr' THEN '.ts'
+                  ELSE '.md' END AS ext,
+             CAST(n_chars AS BIGINT) AS size,
+             CAST(doc_id * 60000 AS BIGINT) AS mod_ms
+           FROM documents)
+         SELECT path, ext, size, mod_ms
+         FROM l
+         WHERE size <= 500 AND ext IN ('.py','.go')
+           AND mod_ms > 120*60000
+           AND doc_id % 4 < 2
+         ORDER BY path""",
     "ctl_config_registry" ->
       """WITH scanned AS (
            SELECT doc_id AS config_id,

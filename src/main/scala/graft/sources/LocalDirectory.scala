@@ -93,6 +93,29 @@ object LocalDirectory {
       .orderBy("path")
   }
 
+  /** The INCREMENTAL code-directory scan as an oracle row (reference
+    * content-processor.ts:1812-1947 + the allowedFiles git-diff gate
+    * at 1910-1913): [[scanFilters]]'s kept set further restricted by
+    * [[restrictToAllowed]] to the run's changed-file list (every doc
+    * whose id ≡ 0 or 1 mod 4 stands in for the git diff). This is the
+    * exact production composition `readFiles → restrictToAllowed`
+    * chunkFiles consumes, so the last §2.1 kernel without CORRECTNESS
+    * presence — the semi-join gate — is oracle-checked through it. */
+  def scanAllowed(s: SparkSession, dir: String): DataFrame = {
+    val kept = scanFilters(s, dir).filter(col("decision") === "kept")
+    val allowed = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 < 2)
+      .withColumn("ext",
+        when(col("lang") === "en", ".py").when(col("lang") === "es", ".go")
+          .when(col("lang") === "de", ".rs").when(col("lang") === "fr", ".ts")
+          .otherwise(".md"))
+      .select(concat(col("source"), lit("/f"), col("doc_id"), col("ext"))
+        .as("path"))
+    restrictToAllowed(kept, allowed)
+      .select("path", "ext", "size", "mod_ms")
+      .orderBy("path")
+  }
+
   /** S3 source (SURVEY.md §2.1, reference processS3 doc2vec.ts:898-1103):
     * the binaryFile source reads `s3a://bucket/prefix` identically to a
     * local path — listing, mtime skip, and size cap are the same plain

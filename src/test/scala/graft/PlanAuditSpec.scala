@@ -240,4 +240,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("ingest_tabs is a zero-shuffle per-row map (plus the final sort)") {
+    // the full tab-flattening cascade is a typed map over the scan —
+    // the only exchange allowed is the rangepartitioning of the
+    // result ORDER BY, never a hash shuffle of page content
+    val p = planOf("ingest_tabs")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("doc_chunk_code is a zero-shuffle per-row chunker (plus final sort)") {
+    val p = planOf("doc_chunk_code")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("nearDupPairsAuto keeps the banded equi-join shape on BOTH routes") {
+    Seq(Some(100L), Some(graft.operators.Dedup.SimhashAutoMaxDocs + 1))
+      .foreach { size =>
+        val p = graft.operators.Dedup.nearDupPairsAuto(spark, dir, size)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$size: ${p.take(2000)}")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$size: ${p.take(2000)}")
+      }
+  }
 }
