@@ -57,6 +57,9 @@ object SparkEntry {
     "stream_delete_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamDeleteParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
+    "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
+    "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
+    "crawl_link_resolve"  -> (Ingest.resolveLinks _),
     "doc_chunk_code"      -> (DocPipeline.codeChunkDocs _),
     "doc_chunk_overlap"   -> (DocPipeline.chunkOverlapDocs _),
     "doc_chunk_token"     -> (DocPipeline.chunkTokenDocs _),
@@ -1289,6 +1292,68 @@ object SparkEntry {
            '[File: src/main.ts]'||chr(10)||body AS content
          FROM grp
          ORDER BY url, chunk_index""",
+    // RFC 3986 href resolution reconstructed arithmetically: absolute,
+    // root-relative, document-relative (+query), ../ traversal, and
+    // protocol-relative, with the query-stripped prefix alongside
+    "crawl_link_resolve" ->
+      """SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://other.example.com/abs' || doc_id
+             WHEN 1 THEN 'https://docs.example.com/root' || doc_id
+                         || '.html'
+             WHEN 2 THEN 'https://docs.example.com/guide' || doc_id
+                         || '/sib' || doc_id || '.html?v=2'
+             WHEN 3 THEN 'https://docs.example.com/up' || doc_id || '/'
+             ELSE 'https://cdn.example.com/p' || doc_id || '.js'
+           END AS resolved_url,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://other.example.com/abs' || doc_id
+             WHEN 1 THEN 'https://docs.example.com/root' || doc_id
+                         || '.html'
+             WHEN 2 THEN 'https://docs.example.com/guide' || doc_id
+                         || '/sib' || doc_id || '.html'
+             WHEN 3 THEN 'https://docs.example.com/up' || doc_id || '/'
+             ELSE 'https://cdn.example.com/p' || doc_id || '.js'
+           END AS url_prefix
+         FROM documents ORDER BY doc_id""",
+    // Link rel=next + Retry-After through the production parsers,
+    // checked against the staged decision table: %5∈{0,1,2} carry a
+    // next link (quoted / unquoted / second-member forms), %4 rotates
+    // numeric seconds / sub-second floor (→1000) / HTTP-date 40 s out
+    // / unparseable (→ -1)
+    "ingest_api_headers" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 5 IN (0, 1, 2)
+                THEN 'https://api.example.com/items?page=' || (event_id + 1)
+                ELSE '' END AS next_url,
+           CAST(CASE event_id % 4
+                  WHEN 0 THEN (event_id % 30 + 1) * 1000
+                  WHEN 1 THEN 1000
+                  WHEN 2 THEN 40000
+                  ELSE -1 END AS BIGINT) AS retry_ms
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
+    // the url kernels checked against an ARITHMETIC expectation: the
+    // canonical string, variant count (3 per doc in the pair group),
+    // and the eligibility decision table (png ineligible, pdf flagged)
+    // are all reconstructed from doc_id arithmetic, never by rerunning
+    // the normalization
+    "crawl_url_dedup" ->
+      """WITH grp AS (
+           SELECT doc_id // 2 AS g, count(*) AS nd,
+             min(doc_id) AS first_doc
+           FROM documents GROUP BY 1)
+         SELECT
+           'https://docs.example.com/p' || g ||
+             CASE g % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.html'
+                        WHEN 2 THEN '' WHEN 3 THEN '.png'
+                        ELSE '/' END AS canonical_url,
+           CAST(nd * 3 AS BIGINT) AS n_variants,
+           first_doc,
+           CAST(CASE WHEN g % 5 = 3 THEN 0 ELSE 1 END AS BIGINT)
+             AS should_process,
+           CAST(CASE WHEN g % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_pdf
+         FROM grp ORDER BY canonical_url""",
     // the tab-flattening contract: even docs' first tab claims the
     // SECOND panel via aria-controls, so the second tab's positional
     // fallback injects nothing; odd docs match positionally (the

@@ -99,6 +99,119 @@ object Ingest {
       .orderBy("url")
   }
 
+  /** URL-canonical frontier dedup through the PRODUCTION url kernels
+    * (reference utils.ts:17-69): every pair of documents stages six
+    * variant urls of one logical page — base, `?query`, `#fragment`,
+    * across both pair members — and the row groups by
+    * `UrlUtils.normalizeUrl` output with `shouldProcessUrl` /
+    * `isPdfUrl` crawl-eligibility flags. The extension rotates by page
+    * (pdf / html / extension-less / png / directory), so every
+    * eligibility branch occurs; the DuckDB oracle reconstructs the
+    * expected canonical strings and decision table ARITHMETICALLY —
+    * the kernels are checked against an independent expectation, not
+    * replayed. This is the crawl frontier's visited-set key dedup
+    * (doc2vec.ts's normalizeUrl-before-enqueue) as a corpus-scale
+    * groupBy: one hash shuffle on the canonical key, nothing else. */
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.UrlUtils
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val g = id / 2
+        val ext = (g % 5) match {
+          case 0 => ".pdf"
+          case 1 => ".html"
+          case 2 => ""
+          case 3 => ".png"
+          case _ => "/"
+        }
+        val base = s"https://docs.example.com/p$g$ext"
+        Seq(base, base + "?utm=1&ref=2", base + "#section-3").map { u =>
+          (UrlUtils.normalizeUrl(u), id,
+            if (UrlUtils.shouldProcessUrl(u)) 1L else 0L,
+            if (UrlUtils.isPdfUrl(u)) 1L else 0L)
+        }
+      }
+      .toDF("canonical_url", "doc_id", "should", "pdf")
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("should")).as("should_process"),
+        max(col("pdf")).as("is_pdf"))
+      .orderBy("canonical_url")
+  }
+
+  /** Link RESOLUTION through the production [[UrlUtils.buildUrl]]
+    * kernel (reference utils.ts:30-46, the crawler's href→absolute
+    * step): each document stages one harvested href rotating through
+    * the resolution shapes a real page emits — absolute, root-relative,
+    * document-relative, parent-traversing (`../`), and
+    * protocol-relative — against a two-segment base url. RFC 3986
+    * resolution is reconstructed arithmetically in the oracle. Also
+    * emits [[UrlUtils.getUrlPrefix]] of the resolved url (query
+    * stripped, origin+path kept), closing the last §2.8 url scalar
+    * without a correctness row. */
+  def resolveLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.UrlUtils
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val base = s"https://docs.example.com/guide$id/page.html"
+        val href = (id % 5) match {
+          case 0 => s"https://other.example.com/abs$id"
+          case 1 => s"/root$id.html"
+          case 2 => s"sib$id.html?v=2"
+          case 3 => s"../up$id/"
+          case _ => s"//cdn.example.com/p$id.js"
+        }
+        val resolved = UrlUtils.buildUrl(href, base)
+        (id, resolved, UrlUtils.getUrlPrefix(resolved))
+      }
+      .toDF("doc_id", "resolved_url", "url_prefix")
+      .orderBy("doc_id")
+  }
+
+  /** The HTTP header scalars through the PRODUCTION parsers (reference
+    * utils.ts:92-108 Link rel=next; content-processor.ts:1274-1291
+    * Retry-After): every event stages one paginated API response —
+    * a Link header whose shape rotates through the RFC 5988 variants
+    * the reference handles (quoted/unquoted rel, extra params, rel on
+    * a non-next member, missing) and a Retry-After that rotates
+    * numeric seconds / sub-second floor / HTTP-date / garbage /
+    * absent. The oracle reconstructs both results ARITHMETICALLY from
+    * the event id, so the regex and date parsing are checked against
+    * an independent decision table. Pure per-row map, no shuffle. */
+  def parseApiHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.UrlUtils
+    Tables.events(s, dir)
+      .filter(col("event_id") < 500)
+      .select(col("event_id")).as[Long]
+      .map { id =>
+        val nextUrl = s"https://api.example.com/items?page=${id + 1}"
+        val link = (id % 5) match {
+          case 0 => s"""<$nextUrl>; rel="next", <https://x/last>; rel="last""""
+          case 1 => s"<$nextUrl>; rel=next"
+          case 2 => s"""<https://x/prev>; rel="prev", <$nextUrl>; rel="next"; title="n""""
+          case 3 => s"""<https://x/only>; rel="prev""""
+          case _ => ""
+        }
+        val retry = (id % 4) match {
+          case 0 => s"${id % 30 + 1}"
+          case 1 => "0.25"
+          case 2 => "Mon, 01 Jan 2024 00:00:30 GMT"
+          case _ => "not-a-date"
+        }
+        // HTTP-date case: nowMs pinned 10 s before the header date
+        val nowMs = 1704067200000L - 10000L
+        (id,
+          UrlUtils.parseNextLink(link).getOrElse(""),
+          UrlUtils.parseRetryAfter(retry, nowMs).getOrElse(-1L))
+      }
+      .toDF("event_id", "next_url", "retry_ms")
+      .orderBy("event_id")
+  }
+
   /** WAI-ARIA tab flattening through the FULL processPage cascade
     * (reference preprocessTabs, content-processor.ts:1307-1399; its
     * tests L2714/L2942): tab-bearing pages where each [role=tab]

@@ -892,6 +892,57 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming delete sink: tombstones purge across micro-batches; " +
+      "redelivery converges") {
+    import spark.implicits._
+    import graft.sources.ChunkStore
+    val base = java.nio.file.Files.createTempDirectory("delsink")
+    val store = base.resolve("store").toString
+    val tomb = base.resolve("tomb").toString
+    new java.io.File(tomb).mkdirs()
+    // seed store: 4 urls
+    ChunkStore.upsertVersioned(spark, store,
+      Seq("doc://a" -> "a1", "doc://b" -> "b1", "doc://c" -> "c1",
+        "doc://d" -> "d1").toDF("url", "content"))
+    def stageTomb(name: String, urls: Seq[String]): Unit =
+      urls.toDF("url").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tomb/$name")
+    // two micro-batches: one hits stored urls, one is all-absent (404
+    // for something never stored — must be a no-op, not a crash)
+    stageTomb("t1", Seq("doc://b", "doc://d"))
+    stageTomb("t2", Seq("doc://nope"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tomb/*")
+      val q = EventStream.deleteStream(stream, store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(base.resolve("ck1").toString)
+    val survivors = ChunkStore.readLatest(spark, store).get
+      .orderBy("url").collect().map(_.getString(0)).toSeq
+    assert(survivors == Seq("doc://a", "doc://c"), survivors)
+    // at-least-once REDELIVERY: the same tombstones through a fresh
+    // checkpoint (as after a checkpoint loss) must converge to the
+    // same survivor set — deletes are idempotent per url set
+    val vBefore = ChunkStore.latestVersion(store)
+    runOnce(base.resolve("ck2").toString)
+    val again = ChunkStore.readLatest(spark, store).get
+      .orderBy("url").collect().map(_.getString(0)).toSeq
+    assert(again == survivors, s"redelivery diverged: $again")
+    assert(ChunkStore.latestVersion(store) > vBefore) // versions advance
+    // an EMPTY store never mints a version from deletes
+    val empty = base.resolve("store2").toString
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tomb/*")
+    val q2 = EventStream.deleteStream(stream2, empty,
+      base.resolve("ck3").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ChunkStore.latestVersion(empty) == -1L)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val tmp = java.nio.file.Files.createTempDirectory("evjoin").toString
     val slice = Tables.events(spark, "/root/testdata/sf0.001").limit(600)
