@@ -61,20 +61,47 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** An EMPTY micro-batch (a trigger that found only empty files, or a
+    * replayed no-op) must not mint a store version: the versioned
+    * layout writes a FULL copy per version, so a quiet stream would
+    * otherwise grow the store by one corpus per trigger doing nothing.
+    * take(1) is a bounded action — never a full count of the batch. */
+  private def batchIsEmpty(
+      batch: Dataset[org.apache.spark.sql.Row]): Boolean =
+    batch.take(1).isEmpty
+
+  /** Post-merge retention for the streaming sinks: with `keepLast`
+    * set, all but the newest N versions are vacuumed after each merge
+    * — a long-running stream otherwise accumulates one full store
+    * copy per micro-batch ([[graft.sources.ChunkStore.vacuumVersions]]
+    * keeps ≥2 so a reader racing the pointer flip stays safe). */
+  private def maybeVacuum(storeRoot: String,
+      keepLast: Option[Int]): Unit =
+    keepLast.foreach { k =>
+      graft.sources.ChunkStore.vacuumVersions(storeRoot, math.max(2, k))
+      ()
+    }
+
   /** Streaming upsert sink: each micro-batch merges into the versioned
     * chunk store through `foreachBatch` — the same plan-level
     * upsert-by-url the batch path uses, applied per batch. Because the
     * upsert is idempotent per url-set, at-least-once re-delivery of a
     * batch converges to the same store state (the streaming-sink
     * contract without a transactional table format). Returns the
-    * started query; callers own its lifecycle. */
+    * started query; callers own its lifecycle. `vacuumKeepLast`
+    * bounds store growth for long-running streams (see
+    * [[maybeVacuum]]). */
   def upsertStream(chunks: DataFrame, storeRoot: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, vacuumKeepLast: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     chunks.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.ChunkStore.upsertVersioned(
-          batch.sparkSession, storeRoot, batch)
+        if (!batchIsEmpty(batch)) {
+          graft.sources.ChunkStore.upsertVersioned(
+            batch.sparkSession, storeRoot, batch)
+          maybeVacuum(storeRoot, vacuumKeepLast)
+        }
         ()
       }
       .start()
@@ -91,24 +118,28 @@ object EventStream {
     * and the merge replaces whole urls ([[upsertStream]]'s contract). */
   def ingestStream(pages: DataFrame, storeRoot: String,
       checkpointDir: String, productName: String = "stream",
-      version: String = "v1"): org.apache.spark.sql.streaming.StreamingQuery =
+      version: String = "v1", vacuumKeepLast: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        val chunks = batch.select("url", "content")
-          .as[(String, String)]
-          .flatMap { case (url, md) =>
-            graft.operators.Chunker
-              .chunkMarkdown(md, productName, version, url)
-              .map(c => (c.url, c.chunk_id, c.chunk_index, c.total_chunks,
-                c.section, c.content,
-                graft.functions.Embedder.embed(c.content)))
-          }
-          .toDF("url", "chunk_id", "chunk_index", "total_chunks",
-            "section", "content", "embedding")
-        graft.sources.ChunkStore.upsertVersioned(s, storeRoot, chunks)
+        if (!batchIsEmpty(batch)) {
+          val chunks = batch.select("url", "content")
+            .as[(String, String)]
+            .flatMap { case (url, md) =>
+              graft.operators.Chunker
+                .chunkMarkdown(md, productName, version, url)
+                .map(c => (c.url, c.chunk_id, c.chunk_index, c.total_chunks,
+                  c.section, c.content,
+                  graft.functions.Embedder.embed(c.content)))
+            }
+            .toDF("url", "chunk_id", "chunk_index", "total_chunks",
+              "section", "content", "embedding")
+          graft.sources.ChunkStore.upsertVersioned(s, storeRoot, chunks)
+          maybeVacuum(storeRoot, vacuumKeepLast)
+        }
         ()
       }
       .start()
@@ -124,15 +155,19 @@ object EventStream {
     * redelivery converges, matching [[upsertStream]]'s contract. An
     * empty store stays empty (no version is ever minted). */
   def deleteStream(tombstones: DataFrame, storeRoot: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, vacuumKeepLast: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     tombstones.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
-        graft.sources.ChunkStore.readLatest(s, storeRoot).foreach { stored =>
-          graft.sources.ChunkStore.writeVersion(s, storeRoot,
-            stored.join(batch.select("url").distinct(),
-              Seq("url"), "left_anti"))
+        if (!batchIsEmpty(batch)) {
+          graft.sources.ChunkStore.readLatest(s, storeRoot).foreach { stored =>
+            graft.sources.ChunkStore.writeVersion(s, storeRoot,
+              stored.join(batch.select("url").distinct(),
+                Seq("url"), "left_anti"))
+            maybeVacuum(storeRoot, vacuumKeepLast)
+          }
         }
         ()
       }

@@ -941,6 +941,44 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       base.resolve("ck3").toString)
     try q2.processAllAvailable() finally q2.stop()
     assert(ChunkStore.latestVersion(empty) == -1L)
+    // an EMPTY micro-batch (0-row tombstone file) never mints a
+    // version either — a quiet trigger must not copy the store
+    val vQuiet = ChunkStore.latestVersion(store)
+    stageTomb("t3", Seq.empty[String])
+    runOnce(base.resolve("ck4").toString) // replays t1,t2 (no-ops) + empty t3
+    assert(ChunkStore.latestVersion(store) == vQuiet + 2,
+      "empty micro-batch minted a version") // only t1,t2 re-merge
+  }
+
+  test("streaming sinks with vacuumKeepLast bound store growth") {
+    import spark.implicits._
+    import graft.sources.ChunkStore
+    val base = java.nio.file.Files.createTempDirectory("vacsink")
+    val in = base.resolve("in").toString
+    val store = base.resolve("store").toString
+    new java.io.File(in).mkdirs()
+    (1 to 5).foreach { b =>
+      Seq(s"doc://$b" -> s"# T$b\n\nbody $b").toDF("url", "content")
+        .coalesce(1).write.parquet(s"$in/b$b")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStream.ingestStream(stream, store,
+      base.resolve("ckpt").toString, vacuumKeepLast = Some(2))
+    try q.processAllAvailable() finally q.stop()
+    // 5 micro-batches minted 5 versions; retention kept the newest 2
+    val versions = Option(new java.io.File(store).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sorted.toSeq
+    assert(versions == Seq("v3", "v4"), versions.toString)
+    // the surviving latest version holds all 5 documents
+    assert(ChunkStore.readLatest(spark, store).get
+      .select("url").distinct().count() == 5)
   }
 
   test("stream-stream interval join matches the batch interval join") {
