@@ -116,6 +116,51 @@ object EventStream {
     * store answers the same retrieval queries as a batch-built one.
     * At-least-once redelivery converges: chunk ids are content hashes
     * and the merge replaces whole urls ([[upsertStream]]'s contract). */
+  /** Chunk-level EMBED SKIP for the streaming sink — the reference's
+    * hash check (doc2vec.ts:515-553) applied per micro-batch: a chunk
+    * id is the sha-256 of its url::content, so an id already in the
+    * store proves the content is byte-identical and its stored
+    * embedding is reusable. Returns the chunk frame with `embedding`
+    * filled (reused or freshly computed) plus an `embedding_reused`
+    * flag (callers drop it before the merge; tests read it).
+    *
+    * Scale shape: the 100 TB store is NEVER shuffled — the incoming
+    * batch's ids (micro-batch-sized) BROADCAST onto one map-side pass
+    * over the store to collect the hits, and the hits (≤ batch size)
+    * broadcast back onto the incoming chunks. The embed kernel then
+    * runs only on the misses. On a corpus where most syncs touch few
+    * documents, this removes the dominant per-batch cost exactly like
+    * the batch path's anti-join-before-embed. */
+  private[graft] def embedWithReuse(chunks: DataFrame,
+      stored: Option[DataFrame]): DataFrame = {
+    val s = chunks.sparkSession
+    import s.implicits._
+    val hits = stored match {
+      case Some(st) if st.columns.contains("embedding") =>
+        st.select(col("chunk_id"), col("embedding"))
+          .join(org.apache.spark.sql.functions
+            .broadcast(chunks.select("chunk_id").distinct()), "chunk_id")
+          .dropDuplicates("chunk_id")
+          .withColumnRenamed("embedding", "stored_embedding")
+      case _ => s.emptyDataset[(String, Array[Float])]
+        .toDF("chunk_id", "stored_embedding")
+    }
+    chunks
+      .join(org.apache.spark.sql.functions.broadcast(hits),
+        Seq("chunk_id"), "left")
+      .select(col("url"), col("chunk_id"), col("chunk_index"),
+        col("total_chunks"), col("section"), col("content"),
+        col("stored_embedding"))
+      .as[(String, String, Int, Int, String, String, Option[Seq[Float]])]
+      .map { case (url, cid, idx, total, section, content, storedEmb) =>
+        val emb = storedEmb.map(_.toArray)
+          .getOrElse(graft.functions.Embedder.embed(content))
+        (url, cid, idx, total, section, content, emb, storedEmb.isDefined)
+      }
+      .toDF("url", "chunk_id", "chunk_index", "total_chunks",
+        "section", "content", "embedding", "embedding_reused")
+  }
+
   def ingestStream(pages: DataFrame, storeRoot: String,
       checkpointDir: String, productName: String = "stream",
       version: String = "v1", vacuumKeepLast: Option[Int] = None)
@@ -131,13 +176,15 @@ object EventStream {
             .flatMap { case (url, md) =>
               graft.operators.Chunker
                 .chunkMarkdown(md, productName, version, url)
-                .map(c => (c.url, c.chunk_id, c.chunk_index, c.total_chunks,
-                  c.section, c.content,
-                  graft.functions.Embedder.embed(c.content)))
+                .map(c => (c.url, c.chunk_id, c.chunk_index,
+                  c.total_chunks, c.section, c.content))
             }
             .toDF("url", "chunk_id", "chunk_index", "total_chunks",
-              "section", "content", "embedding")
-          graft.sources.ChunkStore.upsertVersioned(s, storeRoot, chunks)
+              "section", "content")
+          val embedded = embedWithReuse(chunks,
+            graft.sources.ChunkStore.readLatest(s, storeRoot))
+            .drop("embedding_reused")
+          graft.sources.ChunkStore.upsertVersioned(s, storeRoot, embedded)
           maybeVacuum(storeRoot, vacuumKeepLast)
         }
         ()

@@ -950,6 +950,34 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       "empty micro-batch minted a version") // only t1,t2 re-merge
   }
 
+  test("streaming embed-skip reuses stored embeddings by chunk id") {
+    import spark.implicits._
+    // the stored embedding is a SENTINEL no real embedder would emit:
+    // seeing it in the output proves the value was reused, not
+    // recomputed (chunk ids are content hashes, so id equality ⇒
+    // identical content ⇒ reuse is sound)
+    val stored = Seq(("c1", Array(9f, 9f))).toDF("chunk_id", "embedding")
+    val chunks = Seq(
+      ("u", "c1", 0, 2, "s", "text one"),
+      ("u", "c2", 1, 2, "s", "text two"))
+      .toDF("url", "chunk_id", "chunk_index", "total_chunks",
+        "section", "content")
+    val out = graft.streaming.EventStream
+      .embedWithReuse(chunks, Some(stored))
+      .collect().map(r => r.getString(1) ->
+        ((r.getSeq[Float](6).toSeq, r.getBoolean(7)))).toMap
+    val (e1, r1) = out("c1")
+    assert(r1 && e1 == Seq(9f, 9f), s"c1 not reused: $e1")
+    val (e2, r2) = out("c2")
+    assert(!r2 && e2 ==
+      graft.functions.Embedder.embed("text two").toSeq,
+      "c2 must be freshly embedded")
+    // no store yet → everything embeds fresh
+    val cold = graft.streaming.EventStream
+      .embedWithReuse(chunks, None).collect()
+    assert(cold.forall(!_.getBoolean(7)))
+  }
+
   test("streaming sinks with vacuumKeepLast bound store growth") {
     import spark.implicits._
     import graft.sources.ChunkStore
