@@ -56,6 +56,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamBatchParity(s, d)),
     "stream_delete_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamDeleteParity(s, d)),
+    "stream_resync_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamResyncParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
     "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
     "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
@@ -527,6 +529,18 @@ object SparkEntry {
            '# '||source||chr(10)||chr(10)||
            '## '||lang||chr(10)||chr(10)||text AS content
            FROM documents) t
+         ORDER BY url, chunk_index""",
+    // after a fully REDUNDANT second sync with embed-reuse on, the
+    // store must still match the batch derivation of the 200-doc slice
+    "stream_resync_parity" ->
+      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+         CAST(1 AS BIGINT) AS total_chunks, lang AS section,
+         sha256(content) AS chunk_id, content
+         FROM (SELECT *,
+           '[Topic: '||source||' > '||lang||']'||chr(10)||
+           '# '||source||chr(10)||chr(10)||
+           '## '||lang||chr(10)||chr(10)||text AS content
+           FROM documents WHERE doc_id < 200) t
          ORDER BY url, chunk_index""",
     // the same batch derivation MINUS the tombstoned docs: the streamed
     // store after the 404-purge micro-batches must hold exactly the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -161,9 +161,18 @@ object EventStream {
         "section", "content", "embedding", "embedding_reused")
   }
 
+  /** `embedReuse` selects the chunk-level embed-skip
+    * ([[embedWithReuse]]): OFF by default because the URL-diff layer
+    * already skips unchanged PAGES before they reach this sink, and
+    * with a cheap local embedder the store probe costs more than
+    * embedding; turn it ON when the embedder is the expensive step (a
+    * batched service) and syncs re-deliver overlapping content — the
+    * probe (two broadcasts, store never shuffled) then replaces the
+    * dominant per-batch cost. */
   def ingestStream(pages: DataFrame, storeRoot: String,
       checkpointDir: String, productName: String = "stream",
-      version: String = "v1", vacuumKeepLast: Option[Int] = None)
+      version: String = "v1", vacuumKeepLast: Option[Int] = None,
+      embedReuse: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -171,19 +180,33 @@ object EventStream {
         val s = batch.sparkSession
         import s.implicits._
         if (!batchIsEmpty(batch)) {
-          val chunks = batch.select("url", "content")
-            .as[(String, String)]
-            .flatMap { case (url, md) =>
-              graft.operators.Chunker
-                .chunkMarkdown(md, productName, version, url)
-                .map(c => (c.url, c.chunk_id, c.chunk_index,
-                  c.total_chunks, c.section, c.content))
-            }
-            .toDF("url", "chunk_id", "chunk_index", "total_chunks",
-              "section", "content")
-          val embedded = embedWithReuse(chunks,
-            graft.sources.ChunkStore.readLatest(s, storeRoot))
-            .drop("embedding_reused")
+          val embedded =
+            if (embedReuse) {
+              val chunks = batch.select("url", "content")
+                .as[(String, String)]
+                .flatMap { case (url, md) =>
+                  graft.operators.Chunker
+                    .chunkMarkdown(md, productName, version, url)
+                    .map(c => (c.url, c.chunk_id, c.chunk_index,
+                      c.total_chunks, c.section, c.content))
+                }
+                .toDF("url", "chunk_id", "chunk_index", "total_chunks",
+                  "section", "content")
+              embedWithReuse(chunks,
+                graft.sources.ChunkStore.readLatest(s, storeRoot))
+                .drop("embedding_reused")
+            } else
+              batch.select("url", "content")
+                .as[(String, String)]
+                .flatMap { case (url, md) =>
+                  graft.operators.Chunker
+                    .chunkMarkdown(md, productName, version, url)
+                    .map(c => (c.url, c.chunk_id, c.chunk_index,
+                      c.total_chunks, c.section, c.content,
+                      graft.functions.Embedder.embed(c.content)))
+                }
+                .toDF("url", "chunk_id", "chunk_index", "total_chunks",
+                  "section", "content", "embedding")
           graft.sources.ChunkStore.upsertVersioned(s, storeRoot, embedded)
           maybeVacuum(storeRoot, vacuumKeepLast)
         }
@@ -250,23 +273,45 @@ object EventStream {
   def streamDeleteParity(s: SparkSession, dir: String): DataFrame =
     parityRun(s, dir, deletePhase = true)
 
+  /** RE-SYNC parity — the embed-skip's oracle row: a 200-doc slice is
+    * ingested with `embedReuse = true`, then the SAME pages are
+    * delivered again as a second streaming sync (fresh input files +
+    * checkpoint, the at-least-once world's full re-crawl). The second
+    * sync re-chunks but reuses every stored embedding (chunk ids all
+    * hit), and the final store must STILL hash-match the batch
+    * derivation — proving the reuse path leaves the store
+    * bit-identical across a full redundant re-sync. Flag-level reuse
+    * evidence is pinned separately in the embedWithReuse test. */
+  def streamResyncParity(s: SparkSession, dir: String): DataFrame =
+    parityRun(s, dir, deletePhase = false, resyncPhase = true,
+      docFilter = Some(col("doc_id") < 200))
+
   private def parityRun(s: SparkSession, dir: String,
-      deletePhase: Boolean): DataFrame = {
+      deletePhase: Boolean, resyncPhase: Boolean = false,
+      docFilter: Option[Column] = None): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("streamparity")
-    val in = base.resolve("in").toString
     val store = base.resolve("store").toString
-    graft.Tables.documents(s, dir)
+    val pages = graft.Tables.documents(s, dir)
+      .filter(docFilter.getOrElse(lit(true)))
       .select(concat(lit("doc://"), col("doc_id")).as("url"),
         concat(lit("# "), col("source"), lit("\n\n## "), col("lang"),
           lit("\n\n"), col("text")).as("content"))
-      .repartition(4)
-      .write.parquet(in)
     val pageSchema = StructType(Seq(
       StructField("url", StringType), StructField("content", StringType)))
-    val stream = s.readStream.schema(pageSchema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = ingestStream(stream, store, base.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    def runIngest(inDir: String, ckpt: String, nFiles: Int): Unit = {
+      pages.repartition(nFiles).write.parquet(inDir)
+      val stream = s.readStream.schema(pageSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = ingestStream(stream, store, ckpt,
+        embedReuse = resyncPhase)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runIngest(base.resolve("in").toString,
+      base.resolve("ckpt").toString, 4)
+    if (resyncPhase)
+      // the same pages again: a fully redundant second sync
+      runIngest(base.resolve("in2").toString,
+        base.resolve("ckpt2").toString, 2)
     if (deletePhase) {
       // second run: the re-crawl's 404s arrive as a tombstone stream
       val tomb = base.resolve("tombstones").toString
