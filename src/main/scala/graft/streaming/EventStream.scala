@@ -306,8 +306,12 @@ object EventStream {
         embedReuse = resyncPhase)
       try q.processAllAvailable() finally q.stop()
     }
+    // batch/delete parity keep the r10 4-micro-batch contract; the
+    // resync row runs 2+2 (two syncs; per-trigger streaming overhead
+    // dominates this row, and two batches per sync already exercise
+    // cross-batch reuse)
     runIngest(base.resolve("in").toString,
-      base.resolve("ckpt").toString, 4)
+      base.resolve("ckpt").toString, if (resyncPhase) 2 else 4)
     if (resyncPhase)
       // the same pages again: a fully redundant second sync
       runIngest(base.resolve("in2").toString,
