@@ -109,6 +109,7 @@ object SparkEntry {
     "sync_cascade_storegap" -> (Sync.skipCascadeStoreGap _),
     "sync_list_diff"      -> (Sync.listDiff _),
     "sync_resume"         -> (Sync.resumeDecisions _),
+    "sync_run_e2e"        -> (Sync.syncRunE2e _),
     "store_markdown_upsert" -> (graft.sources.MarkdownStore.upsertQuery _),
     "ctl_chunk_inspect"   -> (graft.sources.ChunkStore.inspectQuery _),
     "ingest_html"         -> (Ingest.ingestHtml _),
@@ -1255,6 +1256,151 @@ object SparkEntry {
                     THEN stored_chunks ELSE 0 END) AS BIGINT)
              AS chunks_deleted
          FROM j"""),
+    // Full 3-run sync state machine (Sync.syncRunE2e). The scenario
+    // constants (which run had errors / an incomplete scan) are staged
+    // facts, so the force flags and store versions they imply are SQL
+    // literals — run 1 fails ⇒ run 2 still forced ⇒ run 3 incremental —
+    // while every item status, processed-url count, embedded-chunk
+    // count, and the final store's chunk set are derived relationally.
+    "sync_run_e2e" ->
+      """WITH a_docs AS (
+           SELECT 'doc://'||doc_id AS url, text
+           FROM documents WHERE doc_id < 250 AND doc_id % 5 <> 4),
+         b_docs AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 10 = 6 THEN text || ' v2 tokens'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id < 280 AND doc_id % 7 <> 3),
+         c_docs AS (
+           SELECT 'doc://'||doc_id AS url,
+             CASE WHEN doc_id % 9 = 2 THEN text || ' v3 tokens'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id < 280 AND doc_id % 6 <> 5),
+         a_chunks AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM a_docs) t1) t2
+           WHERE piece <> ''),
+         b_chunks AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM b_docs) t1) t2
+           WHERE piece <> ''),
+         c_chunks AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM c_docs) t1) t2
+           WHERE piece <> ''),
+         a_sig AS (SELECT url,
+             string_agg(chunk_id, ',' ORDER BY chunk_id) AS sig
+           FROM a_chunks GROUP BY 1),
+         b_sig AS (SELECT url,
+             string_agg(chunk_id, ',' ORDER BY chunk_id) AS sig
+           FROM b_chunks GROUP BY 1),
+         c_sig AS (SELECT url,
+             string_agg(chunk_id, ',' ORDER BY chunk_id) AS sig
+           FROM c_chunks GROUP BY 1),
+         r2_status AS (
+           SELECT coalesce(b.url, a.url) AS url,
+             CASE WHEN b.sig IS NULL THEN 'deleted'
+                  WHEN a.sig IS NULL THEN 'new'
+                  WHEN b.sig <> a.sig THEN 'updated'
+                  ELSE 'unchanged' END AS status
+           FROM b_sig b FULL OUTER JOIN a_sig a ON b.url = a.url),
+         r3_status AS (
+           SELECT coalesce(c.url, b.url) AS url,
+             CASE WHEN c.sig IS NULL THEN 'deleted'
+                  WHEN b.sig IS NULL THEN 'new'
+                  WHEN c.sig <> b.sig THEN 'updated'
+                  ELSE 'unchanged' END AS status
+           FROM c_sig c FULL OUTER JOIN b_sig b ON c.url = b.url),
+         proc3 AS (
+           SELECT url FROM r3_status WHERE status IN ('new','updated')),
+         -- final store: run 3's processed urls carry corpus-C text;
+         -- everything else survives from the run-2 store (= corpus B,
+         -- run 2 was forced + clean), INCLUDING urls dropped from C —
+         -- run 3's incomplete scan skips the obsolete cleanup
+         store3_docs AS (
+           SELECT url, text FROM c_docs
+           WHERE url IN (SELECT url FROM proc3)
+           UNION ALL
+           SELECT url, text FROM b_docs
+           WHERE url NOT IN (SELECT url FROM proc3)),
+         store3_chunks AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM store3_docs) t1) t2
+           WHERE piece <> '')
+         SELECT 'counters' AS kind, 'run:1' AS key,
+           'force=true|new='||(SELECT count(*) FROM a_sig)
+           ||'|upd=0|unch=0|del=0'
+           ||'|proc='||(SELECT count(*) FROM a_sig)
+           ||'|emb='||(SELECT count(*) FROM a_chunks)
+           ||'|ver=0' AS payload
+         UNION ALL
+         SELECT 'counters', 'run:2',
+           'force=true'
+           ||'|new='||(SELECT count(*) FROM r2_status WHERE status='new')
+           ||'|upd='||(SELECT count(*) FROM r2_status WHERE status='updated')
+           ||'|unch='||(SELECT count(*) FROM r2_status
+                        WHERE status='unchanged')
+           ||'|del='||(SELECT count(*) FROM r2_status WHERE status='deleted')
+           ||'|proc='||(SELECT count(*) FROM b_sig)
+           ||'|emb='||(SELECT count(*) FROM b_chunks
+                       WHERE chunk_id NOT IN
+                         (SELECT chunk_id FROM a_chunks))
+           ||'|ver=1'
+         UNION ALL
+         SELECT 'counters', 'run:3',
+           'force=false'
+           ||'|new='||(SELECT count(*) FROM r3_status WHERE status='new')
+           ||'|upd='||(SELECT count(*) FROM r3_status WHERE status='updated')
+           ||'|unch='||(SELECT count(*) FROM r3_status
+                        WHERE status='unchanged')
+           ||'|del='||(SELECT count(*) FROM r3_status WHERE status='deleted')
+           ||'|proc='||(SELECT count(*) FROM proc3)
+           ||'|emb='||(SELECT count(*) FROM c_chunks ch
+                       WHERE ch.url IN (SELECT url FROM proc3)
+                         AND ch.chunk_id NOT IN
+                           (SELECT chunk_id FROM b_chunks))
+           ||'|ver=2'
+         UNION ALL
+         SELECT 'store', url||'#'||lpad(chunk_index::VARCHAR, 4, '0'),
+           chunk_id||'|'||total_chunks
+         FROM store3_chunks
+         ORDER BY kind, key""",
     "ingest_html" ->
       """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
          CAST(1 AS BIGINT) AS total_chunks, lang AS section,

@@ -310,6 +310,88 @@ object Sync {
       .withColumn("store_version", lit(version))
   }
 
+  /** The FULL sync state machine across three consecutive runs as one
+    * ORACLE row — the reference's e2e contract (tests/e2e.test.ts:165,
+    * 745: run, assert per-run stats, run again over a mutated corpus,
+    * assert the store converged) replayed through [[syncRun]] against a
+    * real versioned store + metadata log in a temp tree:
+    *
+    *   - run 1: corpus A, `hasNetworkErrors = true` — first sync, so
+    *     force_full_sync (no flag yet); the error means the
+    *     `sync_complete` flag is NEVER written and cleanup is skipped;
+    *   - run 2: corpus B (adds + edits + drops vs A) — STILL forced
+    *     (run 1 never completed: the interrupted-sync recovery bypass,
+    *     doc2vec.ts:700-712), clean, so every incoming url is
+    *     processed, unchanged urls re-embed NOTHING (chunk-hash reuse),
+    *     obsolete A-only urls are purged, and the flag is finally set;
+    *   - run 3: corpus C (adds + edits + drops vs B) — incremental at
+    *     last (flag is 'true'), `scanIncomplete = true`, so only
+    *     new/updated urls are processed and the cleanup guard RETAINS
+    *     urls missing from C (never purge on partial information).
+    *
+    * Output (one normalized frame, DuckDB-replayable end to end):
+    * three `counters` rows packing run_id → (force flag, item statuses,
+    * urls processed, chunks embedded, store version), plus one `store`
+    * row per chunk of the FINAL store version (chunk_id carries the
+    * content identity; embeddings are deliberately not emitted — float
+    * payloads never hash-compare). A hash match proves the composed
+    * state machine — diff → force bypass → chunk-level embed skip →
+    * upsert → guarded cleanup → completion flag — not just its layers.
+    *
+    * Scale: three [[syncRun]] invocations (url/chunk_id-keyed joins);
+    * the corpora are bounded slices so the row stays protocol-sized in
+    * the bench. */
+  def syncRunE2e(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("syncrune2e")
+    val store = base.resolve("store").toString
+    val state = base.resolve("state").toString
+    val docs = Tables.documents(s, dir)
+    def corpus(df: DataFrame): DataFrame =
+      df.select(concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
+    val a = corpus(docs.filter(col("doc_id") < 250 && col("doc_id") % 5 =!= 4))
+    val b = corpus(docs.filter(col("doc_id") < 280 && col("doc_id") % 7 =!= 3)
+      .withColumn("text", when(col("doc_id") % 10 === 6,
+        concat(col("text"), lit(" v2 tokens"))).otherwise(col("text"))))
+    val c = corpus(docs.filter(col("doc_id") < 280 && col("doc_id") % 6 =!= 5)
+      .withColumn("text", when(col("doc_id") % 9 === 2,
+        concat(col("text"), lit(" v3 tokens"))).otherwise(col("text"))))
+    val prefix = "e2e://src"
+    def pack(r: DataFrame): DataFrame = r.select(
+      lit("counters").as("kind"),
+      concat(lit("run:"), col("run_id")).as("key"),
+      concat(
+        lit("force="), col("force_full_sync").cast("string"),
+        lit("|new="), col("items_new"),
+        lit("|upd="), col("items_updated"),
+        lit("|unch="), col("items_unchanged"),
+        lit("|del="), col("items_deleted"),
+        lit("|proc="), col("urls_processed"),
+        lit("|emb="), col("chunks_embedded"),
+        lit("|ver="), col("store_version")).as("payload"))
+    // syncRun's side effects (store version write, metadata flag) are
+    // eager, so the three runs sequence correctly here
+    val r1 = pack(syncRun(s, a, store, state, 1L, prefix,
+      hasNetworkErrors = true))
+    val r2 = pack(syncRun(s, b, store, state, 2L, prefix))
+    val r3 = pack(syncRun(s, c, store, state, 3L, prefix,
+      scanIncomplete = true))
+    val finalStore = graft.sources.ChunkStore.readLatest(s, store).get
+      .select(lit("store").as("kind"),
+        concat(col("url"), lit("#"),
+          lpad(col("chunk_index").cast("string"), 4, "0")).as("key"),
+        concat(col("chunk_id"), lit("|"), col("total_chunks")).as("payload"))
+    // pin before deleting the temp tree (the frame reads lazily from it)
+    val out = r1.unionByName(r2).unionByName(r3).unionByName(finalStore)
+      .orderBy("kind", "key").localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Qdrant metadata-point exclusion parity (reference
     * database.ts:192-215 metadata upsert; 566-574 `must_not
     * is_metadata` on every cleanup scroll): sync metadata (etag /

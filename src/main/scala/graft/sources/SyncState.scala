@@ -37,7 +37,9 @@ object SyncState {
   /** Latest value for a key (highest run_id), if any. */
   def getMetadata(s: SparkSession, path: String,
       key: String): Option[String] = {
-    val log = try {
+    // existence pre-check: a first sync has no log yet, and letting
+    // spark.read throw (even caught) logs a full stack per call
+    val log = if (!new java.io.File(path).exists()) None else try {
       Some(s.read.parquet(path))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
     log.flatMap(l => latestByKey(l.filter(col("key") === key))
