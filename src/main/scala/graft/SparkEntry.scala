@@ -117,6 +117,8 @@ object SparkEntry {
     "ingest_render_issue" -> (Ingest.renderIssues _),
     "ingest_render_article" -> (Ingest.renderArticles _),
     "ingest_render_ticket" -> (Ingest.renderTickets _),
+    "ingest_issues_e2e"   -> (Ingest.ingestIssuesE2e _),
+    "ingest_tickets_e2e"  -> (Ingest.ingestTicketsE2e _),
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
     "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
     "sitemap_parse"       -> (Ingest.sitemapParse _),
@@ -1671,6 +1673,123 @@ object SparkEntry {
            FROM e)
          SELECT id AS ticket_id, markdown, sha256(markdown) AS md_hash
          FROM md ORDER BY ticket_id""",
+    "ingest_issues_e2e" ->
+      """WITH e AS (
+           SELECT event_id AS id, user_id, event_type AS etype,
+             strftime(ts::TIMESTAMP, '%a %b %d %Y') AS dc,
+             '2024-02-' ||
+               lpad(CAST((event_id % 28) + 1 AS VARCHAR), 2, '0') AS ud
+           FROM events WHERE event_id < 200),
+         m AS (
+           SELECT id, ud,
+             (CASE WHEN id % 5 = 0 THEN 'PR' ELSE 'Issue' END) ||
+               ' #' || id || ': Event ' || etype || ' ' || id AS h1,
+             '- **Type:** ' ||
+               (CASE WHEN id % 5 = 0 THEN 'Pull request' ELSE 'Issue' END) ||
+               chr(10) ||
+             '- **Author:** user' || user_id || chr(10) ||
+             '- **State:** ' ||
+               (CASE WHEN etype = 'error' THEN 'closed' ELSE 'open' END) ||
+               chr(10) ||
+             '- **Created on:** ' || dc || chr(10) ||
+             '- **Updated on:** ' ||
+               strftime(ud::TIMESTAMP, '%a %b %d %Y') || chr(10) ||
+             '- **Labels:** ' ||
+               (CASE WHEN etype = 'click' THEN '`ui`, `p1`' ELSE 'None' END) ||
+               chr(10) || chr(10) ||
+             '## Description' || chr(10) || chr(10) ||
+             'Body for event ' || id AS stem,
+             chr(10) || chr(10) || '## Comments' || chr(10) || chr(10) ||
+               '_No comments._' AS tail
+           FROM e),
+         c AS (
+           SELECT id, ud, 'github://issues/' || id AS url, h1,
+             sha256('[Topic: ' || h1 || ']' || chr(10) ||
+               '# ' || h1 || chr(10) || chr(10) || stem ||
+               (CASE WHEN id % 3 = 0 THEN '. (edited)' ELSE '.' END) ||
+               tail) AS chunk_id,
+             sha256('[Topic: ' || h1 || ']' || chr(10) ||
+               '# ' || h1 || chr(10) || chr(10) || stem || '.' || tail)
+               AS prior_id
+           FROM m)
+         SELECT url, chunk_id, h1 AS section,
+           CAST(1 AS BIGINT) AS total_chunks,
+           CASE WHEN id >= 150 THEN 'new'
+                WHEN prior_id <> chunk_id THEN 'changed'
+                ELSE 'unchanged' END AS action
+         FROM c
+         WHERE ud || 'T00:00:00Z' > '2024-02-14T12:00:00Z'
+         ORDER BY url""",
+    "ingest_tickets_e2e" ->
+      """WITH e AS (
+           SELECT event_id AS id, user_id AS u, event_type AS etype,
+             strftime(ts::TIMESTAMP, '%a %b %d %Y') AS dc,
+             '2024-02-' ||
+               lpad(CAST((event_id % 28) + 1 AS VARCHAR), 2, '0') AS ud
+           FROM events WHERE event_id < 200),
+         w AS (
+           SELECT * FROM e
+           WHERE ud || 'T00:00:00Z' > '2024-02-14T12:00:00Z'),
+         m AS (
+           SELECT id,
+             'Ticket #' || id || ': Ticket ' || etype || ' ' || id AS h1,
+             CAST(u + 1000 AS VARCHAR) || ' - ' || dc AS ch,
+             '- **Status:** ' ||
+               (CASE WHEN etype = 'error' THEN 'open' ELSE 'solved' END) ||
+               chr(10) ||
+             '- **Priority:** ' ||
+               (CASE WHEN id % 3 = 0 THEN 'None'
+                     WHEN id % 2 = 0 THEN 'high' ELSE 'low' END) ||
+               chr(10) ||
+             '- **Type:** ' ||
+               (CASE WHEN etype = 'error' THEN 'incident' ELSE 'None' END) ||
+               chr(10) ||
+             '- **Requester:** ' || u || chr(10) ||
+             '- **Assignee:** ' ||
+               (CASE WHEN id % 4 = 0 THEN 'Unassigned'
+                     ELSE CAST(u + 1 AS VARCHAR) END) || chr(10) ||
+             '- **Created:** ' || dc || chr(10) ||
+             '- **Updated:** ' ||
+               strftime(ud::TIMESTAMP, '%a %b %d %Y') || chr(10) ||
+             (CASE WHEN etype = 'click'
+                   THEN '- **Tags:** `ui`, `bug`' || chr(10)
+                   ELSE '' END) ||
+             chr(10) || '## Description' || chr(10) || chr(10) AS head,
+             chr(10) || chr(10) || '## Comments' || chr(10) || chr(10) ||
+               '### ' || (u + 1000) || ' - ' || dc || chr(10) || chr(10) ||
+               (CASE WHEN id % 4 = 0
+                     THEN 'Plain reply for ticket ' || id || '.'
+                     WHEN id % 5 = 0 THEN '_No content._'
+                     ELSE 'Reply for ticket ' || id || '.' END) ||
+               chr(10) || chr(10) || '---' AS tail
+           FROM w
+           WHERE id % 11 <> 0
+             AND NOT (id % 6 <> 0 AND u % 25 IN (3, 7))),
+         c AS (
+           SELECT id, 'zendesk://ticket/' || id AS url, h1, ch,
+             sha256('[Topic: ' || h1 || ' > Comments > ' || ch || ']' ||
+               chr(10) || '# ' || h1 || chr(10) || chr(10) || head ||
+               (CASE WHEN id % 7 = 0 THEN '_No description._'
+                     ELSE 'Ticket description ' || id ||
+                       (CASE WHEN id % 3 = 0 THEN '. (edited)'
+                             ELSE '.' END) END) || tail) AS chunk_id,
+             sha256('[Topic: ' || h1 || ' > Comments > ' || ch || ']' ||
+               chr(10) || '# ' || h1 || chr(10) || chr(10) || head ||
+               (CASE WHEN id % 7 = 0 THEN '_No description._'
+                     ELSE 'Ticket description ' || id || '.' END) ||
+               tail) AS prior_id
+           FROM m)
+         SELECT url, chunk_id, ch AS section,
+           CAST(1 AS BIGINT) AS total_chunks,
+           CASE WHEN id >= 150 THEN 'new'
+                WHEN prior_id <> chunk_id THEN 'changed'
+                ELSE 'unchanged' END AS action
+         FROM c
+         UNION ALL
+         SELECT 'zendesk://ticket/' || id, '', '',
+           CAST(0 AS BIGINT), 'purge'
+         FROM w WHERE id % 11 = 0
+         ORDER BY url, action""",
     "crawl_frontier" ->
       """WITH RECURSIVE
          edges AS (

@@ -349,6 +349,230 @@ object Ingest {
       .orderBy("ticket_id")
   }
 
+  /** End-to-end GitHub-issues ingest composition (reference
+    * doc2vec.ts:258-597) as ONE oracle row: a paginated JSON-lines
+    * landing area staged from the events table (one file-set per
+    * fetched page, short last page — the `per_page=100` loop's shape),
+    * the `since`-watermark filter, the issue template render, the
+    * heading-aware chunker, and the chunk-delta against a prior store.
+    * Every layer has its own green row; this pins their COMPOSITION,
+    * where the ingest_tabs-style bugs hide.
+    *
+    * Deterministic construction: `updated_at` derives from event_id
+    * arithmetic (Feb day = id%28+1) so the 2024-02-14T12 watermark
+    * splits identically at every scale factor; every 3rd issue body
+    * carries an edit marker vs the prior-store rendering; the store
+    * holds ids < 150. Actions: `new` (url absent from the store),
+    * `changed` (stored hash differs → re-embed), `unchanged` (hash
+    * matches → the chunk-level skip fires, nothing re-embeds). The
+    * prior-store rendering keeps the same updated_at — the reference's
+    * overlapping-cursor case, where `since` re-surfaces the boundary
+    * and the hash skip absorbs it.
+    *
+    * Scale: staging is fixture-bounded; the pipeline itself is one
+    * json scan → flatMap chunker → url-keyed left join, no driver
+    * data motion. */
+  def ingestIssuesE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ApiSources
+    val base = java.nio.file.Files.createTempDirectory("issuese2e")
+    val recs = Tables.events(s, dir).filter(col("event_id") < 200)
+      .select(
+        col("event_id").as("number"),
+        concat(lit("Event "), col("event_type"), lit(" "),
+          col("event_id")).as("title"),
+        concat(lit("user"), col("user_id")).as("user_login"),
+        when(col("event_type") === "error", lit("closed"))
+          .otherwise(lit("open")).as("state"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("created_at"),
+        concat(lit("2024-02-"),
+          lpad(((col("event_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("T00:00:00Z")).as("updated_at"),
+        when(col("event_type") === "click", array(lit("ui"), lit("p1")))
+          .otherwise(array().cast("array<string>")).as("labels"),
+        concat(lit("Body for event "), col("event_id"),
+          when(col("event_id") % 3 === 0, lit(". (edited)"))
+            .otherwise(lit("."))).as("body"),
+        (col("event_id") % 5 === 0).as("is_pull_request"),
+        concat(lit("github://issues/"), col("event_id")).as("html_url"),
+        (col("event_id") / 40).cast("int").as("page"))
+      .localCheckpoint(true)
+    (0 until 5).foreach { p =>
+      recs.filter(col("page") === p).drop("page").coalesce(1)
+        .write.mode("overwrite").json(s"$base/page-$p")
+    }
+    val chunks = ApiSources.ingestIssues(s, s"$base/page-*",
+        "events-docs", "1.0", updatedAfter = Some("2024-02-14T12:00:00Z"))
+      .map(c => (c.url, c.chunk_id, c.section, c.total_chunks.toLong))
+      .toDF("url", "chunk_id", "section", "total_chunks")
+    // prior store: ids < 150 rendered through the SAME kernels from the
+    // pre-edit records (what the previous sync embedded)
+    val prior = Tables.events(s, dir).filter(col("event_id") < 150)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String, String)]
+      .flatMap { case (id, user, etype, iso) =>
+        val issue = graft.sources.Renderers.Issue(
+          id, s"Event $etype $id", s"user$user",
+          if (etype == "error") "closed" else "open",
+          iso, "2024-02-%02dT00:00:00Z".format((id % 28) + 1),
+          if (etype == "click") Seq("ui", "p1") else Seq.empty,
+          Some(s"Body for event $id."), id % 5 == 0, Seq.empty)
+        Chunker.chunkMarkdown(Renderers.renderIssue(issue),
+            "events-docs", "1.0", s"github://issues/$id")
+          .map(c => (c.url, c.chunk_id))
+      }.toDF("url", "stored_id")
+    val out = chunks.join(prior, Seq("url"), "left")
+      .withColumn("action",
+        when(col("stored_id").isNull, "new")
+          .when(col("stored_id") =!= col("chunk_id"), "changed")
+          .otherwise("unchanged"))
+      .select("url", "chunk_id", "section", "total_chunks", "action")
+      .orderBy("url").localCheckpoint(true)
+    Sync.deleteTree(base.toFile)
+    out
+  }
+
+  /** End-to-end Zendesk-tickets ingest composition (reference
+    * doc2vec.ts:1540-1789) as ONE oracle row, through the REAL
+    * [[graft.sources.ApiSources.ingestTickets]] path: incremental-
+    * export watermark → deleted-ticket purge list → excluded-org drop
+    * (names resolved against a staged orgs table, the require-on-typo
+    * contract) → status filter → comment body-preference
+    * (plain_body > html_body > body) + internal-comment filter +
+    * `&nbsp;` cleanup → ticket template render → chunker → chunk-delta
+    * vs a prior store.
+    *
+    * Construction (events table, id < 200): `updated_at` from the same
+    * Feb-day arithmetic as the issues row; id%11==0 tickets arrive
+    * `deleted` (they WERE stored — the purge hits real urls); orgs are
+    * the nation table, NATION_3/NATION_7 excluded → tickets whose
+    * organization_id = user_id%25 lands on 3 or 7 are dropped (null
+    * org ids kept, id%6==0); every 3rd description carries an edit
+    * marker (unless id%7==0: no description on either side); id%4==0
+    * comments prove the plain_body preference (body/html_body hold
+    * decoys). Output: one row per surviving chunk with its delta
+    * action, plus `purge` rows for the deleted urls.
+    *
+    * Scale: same shape as the issues row — json scan → flatMap →
+    * url-keyed join; the org id-list is a broadcast-sized isin. */
+  def ingestTicketsE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ApiSources
+    val base = java.nio.file.Files.createTempDirectory("ticketse2e")
+    val recs = Tables.events(s, dir).filter(col("event_id") < 200)
+      .withColumn("created_iso",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .select(
+        col("event_id").as("id"),
+        concat(lit("Ticket "), col("event_type"), lit(" "),
+          col("event_id")).as("subject"),
+        when(col("event_id") % 11 === 0, lit("deleted"))
+          .when(col("event_type") === "error", lit("open"))
+          .otherwise(lit("solved")).as("status"),
+        when(col("event_id") % 3 === 0, lit(null).cast("string"))
+          .when(col("event_id") % 2 === 0, lit("high"))
+          .otherwise(lit("low")).as("priority"),
+        when(col("event_type") === "error", lit("incident"))
+          .otherwise(lit(null).cast("string")).as("type"),
+        col("user_id").as("requester_id"),
+        when(col("event_id") % 4 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") + 1).as("assignee_id"),
+        col("created_iso").as("created_at"),
+        concat(lit("2024-02-"),
+          lpad(((col("event_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("T00:00:00Z")).as("updated_at"),
+        when(col("event_id") % 6 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 25).as("organization_id"),
+        when(col("event_type") === "click", array(lit("ui"), lit("bug")))
+          .otherwise(array().cast("array<string>")).as("tags"),
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("Ticket description "), col("event_id"),
+            when(col("event_id") % 3 === 0, lit(". (edited)"))
+              .otherwise(lit(".")))).as("description"),
+        expr("""array(
+          named_struct(
+            'author_id', user_id + 1000, 'created_at', created_iso,
+            'public', true,
+            'body', CASE WHEN event_id % 4 = 0 THEN 'decoy body'
+              WHEN event_id % 5 = 0 THEN ''
+              ELSE concat('Reply&nbsp;for&nbsp;ticket ', event_id, '.')
+              END,
+            'plain_body', CASE WHEN event_id % 4 = 0
+              THEN concat('Plain reply for ticket ', event_id, '.')
+              ELSE CAST(NULL AS STRING) END,
+            'html_body', CASE WHEN event_id % 4 = 0
+              THEN '<p>decoy html</p>' ELSE CAST(NULL AS STRING) END),
+          named_struct(
+            'author_id', user_id + 2000, 'created_at', created_iso,
+            'public', false,
+            'body', concat('Internal note ', event_id, '.'),
+            'plain_body', CAST(NULL AS STRING),
+            'html_body', CAST(NULL AS STRING)))""").as("comments"),
+        (col("event_id") / 40).cast("int").as("page"))
+      .localCheckpoint(true)
+    (0 until 5).foreach { p =>
+      recs.filter(col("page") === p).drop("page").coalesce(1)
+        .write.mode("overwrite").json(s"$base/page-$p")
+    }
+    val orgs = Tables.nation(s, dir)
+      .select(col("n_name").as("name"), col("n_nationkey").as("id"))
+    val excluded = ApiSources.resolveExcludedOrgs(orgs,
+      Seq("NATION_3", "NATION_7"))
+    val (chunksDs, deleted) = ApiSources.ingestTickets(s, s"$base/page-*",
+      "support", "1.0", excludedOrgIds = excluded,
+      updatedAfter = Some("2024-02-14T12:00:00Z"))
+    val chunks = chunksDs
+      .map(c => (c.url, c.chunk_id, c.section, c.total_chunks.toLong))
+      .toDF("url", "chunk_id", "section", "total_chunks")
+    // prior store: ids < 150, active then (today's deletions were
+    // stored — the purge hits real urls), org config unchanged,
+    // pre-edit descriptions
+    val prior = Tables.events(s, dir)
+      .filter(col("event_id") < 150 && col("event_id") % 11 =!= 0 &&
+        !(col("event_id") % 6 =!= 0 &&
+          (col("user_id") % 25).isin(3L, 7L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String, String)]
+      .flatMap { case (id, user, etype, iso) =>
+        val t = Renderers.Ticket(
+          id, s"Ticket $etype $id",
+          if (etype == "error") "open" else "solved",
+          if (id % 3 == 0) None
+          else Some(if (id % 2 == 0) "high" else "low"),
+          if (etype == "error") Some("incident") else None,
+          user, if (id % 4 == 0) None else Some(user + 1),
+          iso, "2024-02-%02dT00:00:00Z".format((id % 28) + 1),
+          if (etype == "click") Seq("ui", "bug") else Seq.empty,
+          if (id % 7 == 0) None else Some(s"Ticket description $id."),
+          Seq(
+            Renderers.TicketComment(user + 1000, iso, isPublic = true,
+              if (id % 4 == 0) s"Plain reply for ticket $id."
+              else if (id % 5 == 0) ""
+              else s"Reply&nbsp;for&nbsp;ticket $id."),
+            Renderers.TicketComment(user + 2000, iso, isPublic = false,
+              s"Internal note $id.")))
+        Chunker.chunkMarkdown(Renderers.renderTicket(t),
+            "support", "1.0", s"zendesk://ticket/$id")
+          .map(c => (c.url, c.chunk_id))
+      }.toDF("url", "stored_id")
+    val delta = chunks.join(prior, Seq("url"), "left")
+      .withColumn("action",
+        when(col("stored_id").isNull, "new")
+          .when(col("stored_id") =!= col("chunk_id"), "changed")
+          .otherwise("unchanged"))
+      .select("url", "chunk_id", "section", "total_chunks", "action")
+    val purge = deleted.select(col("url"), lit("").as("chunk_id"),
+      lit("").as("section"), lit(0L).as("total_chunks"),
+      lit("purge").as("action"))
+    val out = delta.unionByName(purge)
+      .orderBy("url", "action").localCheckpoint(true)
+    Sync.deleteTree(base.toFile)
+    out
+  }
+
   /** Crawl frontier: BFS over a deterministic link graph (doc i links
     * to (7i+1) mod N and (13i+5) mod N) from seed doc 0 → (url, depth).
     * Oracle: DuckDB recursive CTE with min-depth aggregation. */

@@ -383,12 +383,13 @@ object Sync {
     // pin before deleting the temp tree (the frame reads lazily from it)
     val out = r1.unionByName(r2).unionByName(r3).unionByName(finalStore)
       .orderBy("kind", "key").localCheckpoint(true)
-    deleteRecursively(base.toFile)
+    deleteTree(base.toFile)
     out
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+  /** Recursive temp-tree cleanup shared by the e2e staging rows. */
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree))
     f.delete()
   }
 

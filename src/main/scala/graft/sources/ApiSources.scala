@@ -85,9 +85,14 @@ object ApiSources {
       productName: String, version: String,
       statuses: Seq[String] = Seq("open", "pending", "solved", "closed"),
       includeInternal: Boolean = false,
-      excludedOrgIds: Seq[Long] = Seq.empty): (Dataset[Chunk], DataFrame) = {
+      excludedOrgIds: Seq[Long] = Seq.empty,
+      updatedAfter: Option[String] = None): (Dataset[Chunk], DataFrame) = {
     import spark.implicits._
-    val df = spark.read.json(jsonPath)
+    // incremental-export cursor (reference doc2vec.ts:1540-1567's
+    // start_time): the watermark bounds the WHOLE page window first, so
+    // deleted tickets inside it still surface on the purge list
+    var df = spark.read.json(jsonPath)
+    updatedAfter.foreach(w => df = df.filter(col("updated_at") > lit(w)))
     val deleted = df.filter(col("status") === "deleted")
       .select(concat(lit("zendesk://ticket/"), col("id")).as("url"))
     val orgFiltered =
