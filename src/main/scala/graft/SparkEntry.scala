@@ -19,6 +19,23 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Size-aware oracle guard for the rows whose DuckDB SQL encodes the
+    * 32/6 SimHash route: above [[Dedup.SimhashAutoMaxDocs]] the engine
+    * side would size-route to the 60/3 wide kernel
+    * ([[Dedup.nearDupPairsAuto]]) and the hash mismatch would be a
+    * ROUTING difference, not a bug. Failing loudly here keeps oracle
+    * parity honest instead of confusing (the wide chain has its own
+    * row, `dedup_clusters_wide`). Verify (sf0.01 = 500 docs) and bench
+    * (sf0.1 = 5,000) corpora sit under the gate. */
+  private def guard3206(s: SparkSession, d: String, row: String): Unit = {
+    val n = Ingest.docCount(s, d)
+    require(n <= Dedup.SimhashAutoMaxDocs,
+      s"$row: its DuckDB oracle encodes the 32/6 route but the corpus " +
+        s"has $n docs (> ${Dedup.SimhashAutoMaxDocs}) and the engine " +
+        "would route to the wide kernel — run this row on a corpus " +
+        "under the gate; dedup_clusters_wide pins the wide chain.")
+  }
+
   def queries: Map[String, Q] = Map[String, Q](
     "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
     "q2_filter_project"   -> (Relational.q2FilterProject _),
@@ -83,14 +100,19 @@ object SparkEntry {
     "dedup_minhash_calib" -> (Dedup.minhashCalibration _),
     "dedup_semantic"      -> ((s: SparkSession, d: String) =>
       Dedup.semanticDedup(s, d)),
-    "dedup_cross_source"  -> ((s: SparkSession, d: String) =>
-      Dedup.crossSourceLeakage(s, d)),
+    "dedup_cross_source"  -> ((s: SparkSession, d: String) => {
+      guard3206(s, d, "dedup_cross_source")
+      Dedup.crossSourceLeakage(s, d)
+    }),
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_simhash_wide"  -> (Dedup.simhashWideDemo _),
     "dedup_clusters_wide" -> (Dedup.simhashWideClusters _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
-    "dedup_clusters"      -> (Dedup.simhashClusters _),
+    "dedup_clusters"      -> ((s: SparkSession, d: String) => {
+      guard3206(s, d, "dedup_clusters")
+      Dedup.simhashClusters(s, d)
+    }),
     "emb_embed_sig"       -> (DocPipeline.embedDocs _),
     "emb_embed_batched"   -> (DocPipeline.embedDocsBatched _),
     "emb_knn_exact"       -> ((s: SparkSession, d: String) =>
@@ -154,10 +176,14 @@ object SparkEntry {
     "doc_pack_sequences"  -> (Curation.packSequences _),
     "doc_keywords"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.keywords(s, d)),
-    "curation_funnel"     -> ((s: SparkSession, d: String) =>
-      Curation.funnelAuto(s, d)),
-    "curation_runs"       -> ((s: SparkSession, d: String) =>
-      Curation.curationRunsAuto(s, d)),
+    "curation_funnel"     -> ((s: SparkSession, d: String) => {
+      guard3206(s, d, "curation_funnel")
+      Curation.funnelAuto(s, d)
+    }),
+    "curation_runs"       -> ((s: SparkSession, d: String) => {
+      guard3206(s, d, "curation_runs")
+      Curation.curationRunsAuto(s, d)
+    }),
     "doc_sample_balanced" -> (Curation.balancedSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),

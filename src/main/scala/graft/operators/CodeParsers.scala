@@ -172,9 +172,20 @@ object CodeParsers {
       if (p == '>') return j >= 1 && src.charAt(j - 1) == '='
       // postfix `++`/`--` leaves an OPERAND before the slash
       // (`i++ / n / 2` is division); a lone `+`/`-` is a binary
-      // operator and keeps its regex trigger (`a + /re/.test(b)`)
-      if (p == '+' || p == '-')
-        return !(j >= 1 && src.charAt(j - 1) == p)
+      // operator and keeps its regex trigger (`a + /re/.test(b)`).
+      // A doubled sign only counts as postfix when it actually
+      // FOLLOWS an operand — a unary chain like `f(+ +/re/.source)`
+      // doubles the sign without one and stays a regex position
+      if (p == '+' || p == '-') {
+        if (!(j >= 1 && src.charAt(j - 1) == p)) return true
+        var k = j - 2
+        while (k >= 0 && src.charAt(k).isWhitespace) k -= 1
+        return !(k >= 0 && {
+          val c = src.charAt(k)
+          c.isLetterOrDigit || c == '_' || c == '$' || c == ')' ||
+            c == ']'
+        })
+      }
       if ("([{,;=:!&|?*%~^".indexOf(p.toInt) >= 0) return true
       if (p.isLetter) {
         var w = j

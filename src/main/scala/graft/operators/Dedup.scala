@@ -301,7 +301,28 @@ object Dedup {
     * (pigeonhole) — output identical to the all-pairs scan, but the join
     * is a hash join on (band, value) whose cost follows bucket sizes,
     * not corpus². */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, corpusSize = None, acceptQuadratic = false)
+
+  /** Guarded form of the 32/6 report kernel. The candidate JOIN is
+    * banded (never corpus²), but at dist ≤ 6 the random collision rate
+    * r ≈ 2.7e-4 makes the OUTPUT itself quadratic above
+    * [[SimhashAutoMaxDocs]] documents — no plan outruns its own result
+    * set. Above the gate this refuses (directing callers to
+    * [[simhashPairsWide]], the measured-linear 60/3 kernel, or to
+    * [[nearDupPairsAuto]] which routes by size) unless the caller
+    * explicitly accepts the quadratic output with
+    * `acceptQuadratic = true` — the bounded-corpus report escape
+    * hatch. `corpusSize` skips the routing count when known. */
+  def simhashPairs(s: SparkSession, dir: String,
+      corpusSize: Option[Long], acceptQuadratic: Boolean): DataFrame = {
+    val n = corpusSize.getOrElse(Ingest.docCount(s, dir))
+    require(acceptQuadratic || n <= SimhashAutoMaxDocs,
+      s"simhashPairs(32/6) on $n docs (> SimhashAutoMaxDocs=" +
+        s"$SimhashAutoMaxDocs): the dist-6 output is quadratic at this " +
+        "size. Use simhashPairsWide (60/3 scale kernel) or " +
+        "nearDupPairsAuto (size-routed), or pass acceptQuadratic=true " +
+        "for a bounded-corpus report.")
     val sig = simhashSignatures(s, dir).localCheckpoint(true) // reused 2×
     // (doc_id, simhash, band, value)
     val banded = sig.select(col("doc_id"), col("simhash"),
@@ -587,7 +608,8 @@ object Dedup {
   def nearDupPairsAuto(s: SparkSession, dir: String,
       corpusSize: Option[Long] = None): DataFrame = {
     val n = corpusSize.getOrElse(Ingest.docCount(s, dir))
-    if (n <= SimhashAutoMaxDocs) simhashPairs(s, dir)
+    if (n <= SimhashAutoMaxDocs)
+      simhashPairs(s, dir, Some(n), acceptQuadratic = false)
     else simhashPairsWide(s, dir)
   }
 

@@ -221,9 +221,13 @@ object EventStream {
     * stored-anti-join-tombstones plan the batch cleanup uses
     * ([[graft.operators.Sync.cleanup]]; reference markdown-store
     * 404-delete, doc2vec.ts:1973-1986). Idempotent per url set —
-    * re-deleting an absent url is a no-op — so at-least-once
-    * redelivery converges, matching [[upsertStream]]'s contract. An
-    * empty store stays empty (no version is ever minted). */
+    * re-deleting an absent url is a no-op in CONTENT and in STORAGE:
+    * a micro-batch whose tombstones match nothing in the store (probed
+    * with a semi-join `take(1)` before rewriting) mints no version, so
+    * a long-running 404 stream of absent urls cannot grow the store by
+    * one full copy per no-op batch. At-least-once redelivery thus
+    * converges, matching [[upsertStream]]'s contract. An empty store
+    * stays empty (no version is ever minted). */
   def deleteStream(tombstones: DataFrame, storeRoot: String,
       checkpointDir: String, vacuumKeepLast: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -233,10 +237,17 @@ object EventStream {
         val s = batch.sparkSession
         if (!batchIsEmpty(batch)) {
           graft.sources.ChunkStore.readLatest(s, storeRoot).foreach { stored =>
-            graft.sources.ChunkStore.writeVersion(s, storeRoot,
-              stored.join(batch.select("url").distinct(),
-                Seq("url"), "left_anti"))
-            maybeVacuum(storeRoot, vacuumKeepLast)
+            val urls = batch.select("url").distinct().localCheckpoint(true)
+            // no-op probe: a batch-sized broadcast semi-join that stops
+            // at the first hit — absent-url batches touch no storage
+            val hits = stored
+              .join(org.apache.spark.sql.functions.broadcast(urls),
+                Seq("url"), "left_semi")
+            if (hits.take(1).nonEmpty) {
+              graft.sources.ChunkStore.writeVersion(s, storeRoot,
+                stored.join(urls, Seq("url"), "left_anti"))
+              maybeVacuum(storeRoot, vacuumKeepLast)
+            }
           }
         }
         ()

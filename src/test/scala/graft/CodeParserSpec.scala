@@ -872,6 +872,16 @@ after();
     val spans2 = topSpans("typescript", postfix)
     assert(spans2.length == 4, s"postfix ++ mis-lexed: $spans2")
     assert(spans2(3) == "after();")
+    // unary-chain edge: the sign is doubled but does NOT follow an
+    // operand, so `+ +/re/` keeps its regex trigger — the unbalanced
+    // `[` inside would derail bracket depth if lexed as division
+    val unary = """const u = f(+ +/\[/.test(b));
+const v = w[0]++ / len;
+after();
+"""
+    val spans3 = topSpans("typescript", unary)
+    assert(spans3.length == 3, s"unary-chain regex mis-lexed: $spans3")
+    assert(spans3(2) == "after();")
   }
 
   test("TS: regex after return/operators; slash in char class doesn't end it") {

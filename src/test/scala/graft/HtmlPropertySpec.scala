@@ -80,12 +80,23 @@ class HtmlPropertySpec extends AnyFunSuite {
         val occurrences = s"body$i".r.findAllIn(md).length
         assert(occurrences == 1, s"panel $i duplicated/lost:\n$md\n$tp")
       }
-      // per-panel injection count: paragraphs rendered as **X:** are
-      // the injected labels; there can never be more than nPanels of
-      // them, and each distinct non-empty label appears at most once
-      // per panel claim (the double-injection regression shape is a
-      // label count exceeding the panel count)
-      val injected = "\\*\\*[^*\n]*:\\*\\*".r.findAllIn(md).length
+      // PER-PANEL injection count: paragraphs rendered as **X:** are
+      // the injected labels. A global `injected <= nPanels` bound
+      // would miss the 2-tab/2-panel double-claim regression (2 labels
+      // into ONE panel still satisfies 2 <= 2), so assert per panel:
+      // in the segment between the previous panel body and this one,
+      // at most ONE injected label may appear
+      val labelPat = "\\*\\*[^*\n]*:\\*\\*".r
+      val bodyAt = (0 until tp.nPanels).map(i => md.indexOf(s"body$i"))
+      (0 until tp.nPanels).foreach { i =>
+        val start =
+          if (i == 0) 0 else bodyAt(i - 1) + s"body${i - 1}".length
+        val seg = md.substring(start, bodyAt(i))
+        val n = labelPat.findAllIn(seg).length
+        assert(n <= 1,
+          s"panel $i carries $n injected labels (double-claim):\n$md\n$tp")
+      }
+      val injected = labelPat.findAllIn(md).length
       assert(injected <= tp.nPanels,
         s"more labels than panels ($injected > ${tp.nPanels}):\n$md\n$tp")
       // tab buttons must be gone — a surviving label would render as

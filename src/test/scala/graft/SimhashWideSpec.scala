@@ -105,6 +105,24 @@ class SimhashWideSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Dedup.nearDupPairsAuto(spark, dir)) == report)
   }
 
+  test("explicit 32/6 simhashPairs refuses above the gate unless opted in") {
+    val dir = "/root/testdata/sf0.001"
+    val big = Dedup.SimhashAutoMaxDocs + 1
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(spark, dir, Some(big), acceptQuadratic = false)
+    }
+    assert(e.getMessage.contains("simhashPairsWide"))
+    assert(e.getMessage.contains("nearDupPairsAuto"))
+    // the escape hatch still runs (the corpus is actually tiny — only
+    // the CLAIMED size trips the guard) and matches the unguarded row
+    val opted = Dedup
+      .simhashPairs(spark, dir, Some(big), acceptQuadratic = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(opted == base)
+  }
+
   test("docCount cache stays bounded when a dir's data is rewritten") {
     import spark.implicits._
     val tmp = java.nio.file.Files

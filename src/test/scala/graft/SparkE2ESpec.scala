@@ -926,13 +926,16 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors == Seq("doc://a", "doc://c"), survivors)
     // at-least-once REDELIVERY: the same tombstones through a fresh
     // checkpoint (as after a checkpoint loss) must converge to the
-    // same survivor set — deletes are idempotent per url set
+    // same survivor set — deletes are idempotent per url set, and a
+    // batch whose urls match NOTHING in the store mints no version
+    // (the no-op probe), so redelivery cannot grow storage either
     val vBefore = ChunkStore.latestVersion(store)
     runOnce(base.resolve("ck2").toString)
     val again = ChunkStore.readLatest(spark, store).get
       .orderBy("url").collect().map(_.getString(0)).toSeq
     assert(again == survivors, s"redelivery diverged: $again")
-    assert(ChunkStore.latestVersion(store) > vBefore) // versions advance
+    assert(ChunkStore.latestVersion(store) == vBefore,
+      "no-op redelivery minted a store version")
     // an EMPTY store never mints a version from deletes
     val empty = base.resolve("store2").toString
     val stream2 = spark.readStream.schema(schema)
@@ -941,13 +944,20 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       base.resolve("ck3").toString)
     try q2.processAllAvailable() finally q2.stop()
     assert(ChunkStore.latestVersion(empty) == -1L)
-    // an EMPTY micro-batch (0-row tombstone file) never mints a
-    // version either — a quiet trigger must not copy the store
+    // an EMPTY micro-batch (0-row tombstone file) and a long-running
+    // 404 stream of absent urls both leave storage untouched
     val vQuiet = ChunkStore.latestVersion(store)
     stageTomb("t3", Seq.empty[String])
-    runOnce(base.resolve("ck4").toString) // replays t1,t2 (no-ops) + empty t3
-    assert(ChunkStore.latestVersion(store) == vQuiet + 2,
-      "empty micro-batch minted a version") // only t1,t2 re-merge
+    runOnce(base.resolve("ck4").toString) // replays t1,t2 + empty t3
+    assert(ChunkStore.latestVersion(store) == vQuiet,
+      "no-op / empty micro-batches minted store versions")
+    // a batch that mixes a live url with absent ones still purges
+    stageTomb("t4", Seq("doc://c", "doc://gone"))
+    runOnce(base.resolve("ck5").toString)
+    val afterMix = ChunkStore.readLatest(spark, store).get
+      .orderBy("url").collect().map(_.getString(0)).toSeq
+    assert(afterMix == Seq("doc://a"), afterMix)
+    assert(ChunkStore.latestVersion(store) == vQuiet + 1)
   }
 
   test("streaming embed-skip reuses stored embeddings by chunk id") {
