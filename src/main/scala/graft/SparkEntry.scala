@@ -161,6 +161,7 @@ object SparkEntry {
     "ctl_config_registry" -> (Ingest.configRegistry _),
     "src_scan_filters" -> (graft.sources.LocalDirectory.scanFilters _),
     "src_scan_allowed" -> (graft.sources.LocalDirectory.scanAllowed _),
+    "src_scan_s3" -> (graft.sources.LocalDirectory.scanS3 _),
     "emb_ann_mllib"       -> ((s: SparkSession, d: String) =>
       Similarity.annMllibPlanted(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
@@ -2100,6 +2101,69 @@ object SparkEntry {
            AND mod_ms > 120*60000
            AND doc_id % 4 < 2
          ORDER BY path""",
+    // the S3 source composition: the reference's own decision order
+    // (folder -> excluded -> not-included -> mtime -> size), metadata()
+    // product/version indirection, url rewrite, and the deletion diff
+    // in which mtime/size-skipped objects still count as present
+    "src_scan_s3" ->
+      """WITH l AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN lang='en' THEN '.py' WHEN lang='es' THEN '.go'
+                  WHEN lang='de' THEN '.rs' WHEN lang='fr' THEN '.ts'
+                  ELSE '.md' END AS ext
+           FROM documents),
+         listing AS (
+           SELECT doc_id, ext,
+             CASE WHEN doc_id % 23 = 0 THEN 'docs/d' || doc_id || '/'
+                  ELSE 'docs/f' || doc_id || ext END AS key,
+             CAST(n_chars AS BIGINT) AS size,
+             CAST(doc_id * 60000 AS BIGINT) AS mod_ms
+           FROM l),
+         cls AS (
+           SELECT *,
+             CASE WHEN key LIKE '%/' THEN 'skip_folder'
+                  WHEN ext IN ('.md','.rs') THEN 'skip_excluded'
+                  WHEN ext NOT IN ('.py','.go') THEN 'skip_not_included'
+                  WHEN mod_ms <= 120*60000 THEN 'skip_mtime'
+                  WHEN size > 500 THEN 'skip_size'
+                  ELSE 'kept' END AS decision
+           FROM listing),
+         live AS (
+           SELECT key, decision, size, mod_ms,
+             CASE WHEN decision = 'kept'
+                  THEN 'https://docs.example.com/' || substr(key, 6)
+             END AS url,
+             CASE WHEN decision = 'kept'
+                  THEN CASE WHEN doc_id % 5 <> 0 THEN 'prod_' || (doc_id % 3)
+                            ELSE '' END
+             END AS product_name,
+             CASE WHEN decision = 'kept'
+                  THEN CASE WHEN doc_id % 11 <> 0 THEN 'v' || (doc_id % 7)
+                            ELSE '' END
+             END AS version
+           FROM cls),
+         prev AS (
+           SELECT 'docs/f' || doc_id || ext AS key
+           FROM l WHERE doc_id % 4 <> 3
+           UNION ALL
+           SELECT 'docs/gone' || doc_id || '.py' AS key
+           FROM l WHERE doc_id % 29 = 0),
+         deleted AS (
+           SELECT p.key, 'deleted' AS decision,
+             CAST(NULL AS BIGINT) AS size, CAST(NULL AS BIGINT) AS mod_ms,
+             'https://docs.example.com/' || substr(p.key, 6) AS url,
+             CAST(NULL AS VARCHAR) AS product_name,
+             CAST(NULL AS VARCHAR) AS version
+           FROM prev p
+           WHERE NOT EXISTS (SELECT 1 FROM cls c
+             WHERE c.key = p.key
+               AND c.decision IN ('kept','skip_mtime','skip_size')))
+         SELECT key, decision, size, mod_ms, url, product_name, version
+         FROM live
+         UNION ALL
+         SELECT key, decision, size, mod_ms, url, product_name, version
+         FROM deleted
+         ORDER BY key, decision""",
     "ctl_config_registry" ->
       """WITH scanned AS (
            SELECT doc_id AS config_id,

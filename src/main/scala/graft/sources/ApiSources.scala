@@ -32,6 +32,53 @@ case class TicketIn(id: Long, subject: String, status: String,
   */
 object ApiSources {
 
+  import org.apache.spark.sql.types._
+
+  /** Explicit landing-area schemas: schema-on-read, not inference. An
+    * inferred `spark.read.json` costs a FULL extra pass over the staged
+    * area before the query even starts (fatal at backfill scale) and
+    * collapses to an empty schema on an empty landing area. Fields
+    * missing from a record read as null, matching the API's optional
+    * fields. */
+  val IssueSchema: StructType = StructType(Seq(
+    StructField("number", LongType), StructField("title", StringType),
+    StructField("user_login", StringType), StructField("state", StringType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("labels", ArrayType(StringType)),
+    StructField("body", StringType),
+    StructField("is_pull_request", BooleanType),
+    StructField("html_url", StringType)))
+
+  val TicketSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("subject", StringType),
+    StructField("status", StringType), StructField("priority", StringType),
+    StructField("type", StringType),
+    StructField("requester_id", LongType),
+    StructField("assignee_id", LongType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("organization_id", LongType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("description", StringType),
+    StructField("comments", ArrayType(StructType(Seq(
+      StructField("author_id", LongType),
+      StructField("created_at", StringType),
+      StructField("public", BooleanType),
+      StructField("body", StringType),
+      StructField("plain_body", StringType),
+      StructField("html_body", StringType)))))))
+
+  val ArticleSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("title", StringType),
+    StructField("author_id", LongType),
+    StructField("section_id", LongType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("vote_sum", LongType), StructField("vote_count", LongType),
+    StructField("label_names", ArrayType(StringType)),
+    StructField("body", StringType), StructField("html_url", StringType)))
+
   /** Staged GitHub issues (one JSON object per line) → chunk table.
     * Incremental: only issues updated after the watermark are
     * re-rendered (doc2vec.ts:258-597's `since` parameter as a filter).
@@ -40,7 +87,7 @@ object ApiSources {
       productName: String, version: String,
       updatedAfter: Option[String] = None): Dataset[Chunk] = {
     import spark.implicits._
-    var df = spark.read.json(jsonPath)
+    var df = spark.read.schema(IssueSchema).json(jsonPath)
     updatedAfter.foreach(w => df = df.filter(col("updated_at") > lit(w)))
     df.select(
         col("number").cast("long"), col("title"), col("user_login"),
@@ -91,7 +138,7 @@ object ApiSources {
     // incremental-export cursor (reference doc2vec.ts:1540-1567's
     // start_time): the watermark bounds the WHOLE page window first, so
     // deleted tickets inside it still surface on the purge list
-    var df = spark.read.json(jsonPath)
+    var df = spark.read.schema(TicketSchema).json(jsonPath)
     updatedAfter.foreach(w => df = df.filter(col("updated_at") > lit(w)))
     val deleted = df.filter(col("status") === "deleted")
       .select(concat(lit("zendesk://ticket/"), col("id")).as("url"))
@@ -101,27 +148,12 @@ object ApiSources {
       // anti-join) that pushes into the scan
       else df.filter(!col("organization_id").isin(excludedOrgIds: _*) ||
         col("organization_id").isNull)
-    // normalize comments to a fixed schema so the body-preference
-    // coalesce works whether or not the staged JSON carried the
-    // plain_body/html_body variants
-    val commentSchema = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("author_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("created_at",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("public",
-          org.apache.spark.sql.types.BooleanType),
-        org.apache.spark.sql.types.StructField("body",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("plain_body",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("html_body",
-          org.apache.spark.sql.types.StringType))))
+    // the read schema fixes the comment struct (public/body/plain_body/
+    // html_body all present, missing variants null), so the
+    // body-preference coalesce composes directly — no per-row
+    // normalization round-trip
     val chunks = orgFiltered
       .filter(col("status").isin(statuses: _*))
-      .withColumn("comments",
-        from_json(to_json(col("comments")), commentSchema))
       .select(col("id").cast("long"), col("subject"), col("status"),
         col("priority"), col("type").as("ticket_type"),
         col("requester_id").cast("long"),
@@ -156,7 +188,7 @@ object ApiSources {
       productName: String, version: String,
       updatedAfter: Option[String] = None): Dataset[Chunk] = {
     import spark.implicits._
-    var df = spark.read.json(jsonPath)
+    var df = spark.read.schema(ArticleSchema).json(jsonPath)
     updatedAfter.foreach(w => df = df.filter(col("updated_at") > lit(w)))
     df.select(col("id").cast("long"), col("title"),
         col("author_id").cast("long"), col("section_id").cast("long"),

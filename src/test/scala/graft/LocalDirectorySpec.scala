@@ -147,4 +147,70 @@ class LocalDirectorySpec extends AnyFunSuite with BeforeAndAfterAll {
       "/project", urlRewritePrefix = Some("https://mysite.com/code")) ==
       "https://mysite.com/code/src/deep/nested/file.ts")
   }
+
+  test("S3 cascade: reference decision order, presence includes skips") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (key, size, mod_ms): exercises each decision plus the order
+    // distinctions vs the local cascade (exclude before include; mtime
+    // before size — 'both.rs' is excluded even though also not
+    // included; 'old_big.py' is mtime-skipped even though oversize).
+    val listing = Seq(
+      ("docs/d1/", 0L, 999L),
+      ("docs/both.rs", 10L, 999L),
+      ("docs/style.css", 10L, 999L),
+      ("docs/old_big.py", 5000L, 50L),
+      ("docs/big.py", 5000L, 999L),
+      ("docs/fresh.go", 10L, 999L)
+    ).toDF("key", "size", "mod_ms")
+    val cls = LocalDirectory.classifyS3Scan(listing,
+      includeExtensions = Seq(".py", ".go"),
+      excludeExtensions = Seq(".md", ".rs"),
+      maxBytes = 500L, lastSyncMs = Some(100L))
+    val decisions = cls.select("key", "decision").as[(String, String)]
+      .collect().toMap
+    assert(decisions("docs/d1/") == "skip_folder")
+    assert(decisions("docs/both.rs") == "skip_excluded")
+    assert(decisions("docs/style.css") == "skip_not_included")
+    assert(decisions("docs/old_big.py") == "skip_mtime")
+    assert(decisions("docs/big.py") == "skip_size")
+    assert(decisions("docs/fresh.go") == "kept")
+    // Deletion diff: mtime/size-skipped keys are PRESENT (the reference
+    // adds to processedFiles before those skips), ext-filtered are not.
+    val present = cls
+      .filter(col("decision").isin("kept", "skip_mtime", "skip_size"))
+    val previous = Seq("docs/old_big.py", "docs/big.py", "docs/both.rs",
+      "docs/vanished.py").toDF("key")
+    val deleted = LocalDirectory
+      .deletedFiles(previous.withColumnRenamed("key", "path"),
+        present.select(col("key").as("path")))
+      .as[String].collect().toSet
+    assert(deleted == Set("docs/both.rs", "docs/vanished.py"))
+  }
+
+  test("S3 metadata() indirection and url rewrite") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("docs/a.md", Map("product" -> "istio", "version" -> "1.22")),
+      ("docs/b.md", Map.empty[String, String])
+    ).toDF("key", "meta")
+    def resolved(config: String): Seq[String] =
+      df.orderBy("key")
+        .select(LocalDirectory.resolveS3MetadataValue(config, col("meta")))
+        .as[String].collect().toSeq
+    // prefix-stripped lookup; missing key -> empty string
+    assert(resolved("metadata(x-amz-meta-product)") == Seq("istio", ""))
+    // lookup without the x-amz-meta- prefix works identically
+    assert(resolved("metadata(version)") == Seq("1.22", ""))
+    // non-metadata() values pass through as literals
+    assert(resolved("fixed-product") == Seq("fixed-product", "fixed-product"))
+    val urls = df.orderBy("key").select(
+      LocalDirectory.s3ObjectUrl("b", "docs/",
+        Some("https://docs.example.com/"), col("key")),
+      LocalDirectory.s3ObjectUrl("bkt", "docs/", None, col("key")))
+      .as[(String, String)].collect().toSeq
+    assert(urls.head == ("https://docs.example.com/a.md",
+      "s3://bkt/docs/a.md"))
+  }
 }
