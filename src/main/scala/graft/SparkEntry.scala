@@ -86,6 +86,7 @@ object SparkEntry {
       DocPipeline.getChunks(s, d)),
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
+    "doc_word_lines"      -> (DocPipeline.wordLines _),
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
     "doc_quality_filter"  -> (TextAnalysis.qualityFilter _),
@@ -1635,6 +1636,32 @@ object SparkEntry {
            GROUP BY p.doc_id)
          SELECT doc_id, rtrim(raw, chr(10) || ' ') AS markdown
          FROM md ORDER BY doc_id""",
+    // legacy .doc byte-walk: piece-table text (CP1252 + UTF-16 pieces),
+    // the fcMin/fcMac legacy route (id%13), and the fEncrypted stub
+    // route (id%17, checked first) replayed from the same word slices
+    "doc_word_lines" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split(replace(text, chr(10), ' '), ' '),
+               x -> x <> '')[1:12] AS words
+           FROM documents),
+         md AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN
+               ['# f' || doc_id, '', '[stub]']
+             WHEN doc_id % 13 = 0 THEN
+               ['# f' || doc_id, '', array_to_string(words, ' ')]
+             WHEN len(words) > 6 THEN
+               ['# f' || doc_id, '', array_to_string(words[1:6], ' '),
+                array_to_string(words[7:12], ' ')]
+             ELSE ['# f' || doc_id, '', array_to_string(words, ' ')]
+             END AS lines
+           FROM w),
+         sl AS (SELECT doc_id, lines,
+                  unnest(range(0, len(lines))) AS i FROM md)
+         SELECT doc_id, CAST(i AS INT) AS line_no,
+           lines[CAST(i + 1 AS INT)] AS line
+         FROM sl ORDER BY doc_id, line_no""",
     "ingest_render_article" ->
       """WITH e AS (
            SELECT event_id AS id, user_id, event_type AS etype,

@@ -202,6 +202,45 @@ object DocPipeline {
     pdfFromRuns(s, runs).orderBy("doc_id")
   }
 
+  /** Legacy .doc (OLE2) decode as an oracle row: deterministic CFB
+    * containers built per document by [[graft.sources.DocFixture]] and
+    * decoded through the REAL [[graft.sources.DocExtract]] byte-walk
+    * (reference delegates to word-extractor's getBody(),
+    * content-processor.ts:1411-1440). Three routes, selected by id
+    * arithmetic so DuckDB replays the output from the same words:
+    * piece-table documents (CP1252-compressed + UTF-16 pieces, the
+    * default), pre-Clx legacy documents (fcMin/fcMac, id % 13 = 0), and
+    * fEncrypted documents (id % 17 = 0) which must surface the labeled
+    * stub — a decoder that ignored the flag would walk the still-present
+    * piece table and emit text, failing the row. The stub's
+    * payload-hash token is normalized to '[stub]' (a container sha is
+    * not SQL-replayable); everything else is byte-exact. Per-row kernel,
+    * no shuffle. */
+  def wordLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DocFixture, DocumentConverters}
+    Tables.documents(s, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.replace('\n', ' ').split(' ')
+          .filter(_.nonEmpty).take(12).toSeq
+        val bytes =
+          if (id % 17 == 0)
+            DocFixture.pieceTableDoc(words.take(6), words.drop(6),
+              encrypted = true)
+          else if (id % 13 == 0) DocFixture.legacyDoc(words)
+          else DocFixture.pieceTableDoc(words.take(6), words.drop(6))
+        val md = DocumentConverters
+          .convertFileToMarkdown(s"f$id.doc", bytes).getOrElse("")
+        (id, md)
+      }
+      .toDF("doc_id", "markdown")
+      .select(col("doc_id"),
+        posexplode(split(col("markdown"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("line", regexp_replace(col("line"),
+        "^\\[stub-extracted document text [0-9a-f]{8}\\]$", "[stub]"))
+      .orderBy("doc_id", "line_no")
+  }
+
   /** Deterministic embedding operator (graft.functions.Embedder) over the
     * documents table — a per-partition map, no shuffle; the integer
     * accumulator signature is emitted so the oracle can check the exact

@@ -231,7 +231,13 @@ object DocExtract {
       val cfb = new Cfb(bytes)
       val wd = cfb.stream("WordDocument").getOrElse(return None)
       if (wd.length < 0x01AA || u16(wd, 0) != 0xA5EC) return None
-      val whichTbl = (u16(wd, 0x0A) >> 9) & 1
+      val fibFlags = u16(wd, 0x0A)
+      // fEncrypted ([MS-DOC] FibBase bit 8): encrypted / XOR-obfuscated
+      // payloads must NOT walk the piece table — the offsets point into
+      // ciphertext and would "decode" to mojibake. Bail to the labeled
+      // stub instead (the reference's word-extractor throws here too).
+      if (((fibFlags >> 8) & 1) == 1) return None
+      val whichTbl = (fibFlags >> 9) & 1
       val text = cfb.stream(s"${whichTbl}Table")
         .flatMap(pieceTableText(wd, _))
         .orElse {

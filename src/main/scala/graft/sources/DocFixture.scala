@@ -1,0 +1,139 @@
+package graft.sources
+
+/** Deterministic legacy-.doc BUILDER — staging only, the input side of
+  * the `doc_word_lines` oracle row (the decode side is the real
+  * [[DocExtract]]). Emits minimal-but-valid [MS-CFB] containers with a
+  * [MS-DOC] FIB + piece table, so the oracle row exercises the exact
+  * production byte-walk: CFB FAT/directory, FIB flag checks, Clx →
+  * PlcPcd, CP1252-compressed vs UTF-16 pieces, and the fcMin/fcMac
+  * legacy fallback. Intentionally independent of the decoder's
+  * constants (offsets re-derived from the specs, like the spec-side
+  * fixtures in DocExtractSpec).
+  */
+object DocFixture {
+
+  private val Utf16 = java.nio.charset.StandardCharsets.UTF_16LE
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Minimal CFB: 512-byte sectors, one FAT sector, one directory
+    * sector, every stream padded to ≥ 4096 bytes so the mini-stream
+    * cutoff never applies. */
+  def buildCfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val padded = streams.map { case (n, c) =>
+      val size = math.max(c.length, 4096)
+      val buf = java.util.Arrays.copyOf(c, ((size + 511) / 512) * 512)
+      (n, buf, size)
+    }
+    val dirSector = 1
+    var nextSector = 2
+    val starts = padded.map { case (_, buf, _) =>
+      val s = nextSector; nextSector += buf.length / 512; s
+    }
+    val out = new Array[Byte](512 * (nextSector + 1))
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).zipWithIndex
+      .foreach { case (v, i) => out(i) = v.toByte }
+    putU16(out, 30, 9)
+    putU16(out, 32, 6)
+    putU32(out, 44, 1)
+    putU32(out, 48, dirSector)
+    putU32(out, 56, 4096)
+    putU32(out, 60, 0xFFFFFFFEL)
+    putU32(out, 68, 0xFFFFFFFEL)
+    putU32(out, 72, 0)
+    putU32(out, 76, 0)
+    (1 until 109).foreach(i => putU32(out, 76 + 4 * i, 0xFFFFFFFFL))
+    val fatOff = 512
+    (0 until 128).foreach(k => putU32(out, fatOff + 4 * k, 0xFFFFFFFFL))
+    putU32(out, fatOff, 0xFFFFFFFDL)
+    putU32(out, fatOff + 4 * dirSector, 0xFFFFFFFEL)
+    padded.zip(starts).foreach { case ((_, buf, _), s) =>
+      val n = buf.length / 512
+      (0 until n).foreach { k =>
+        putU32(out, fatOff + 4 * (s + k),
+          if (k == n - 1) 0xFFFFFFFEL else (s + k + 1).toLong)
+      }
+    }
+    def dirEntry(idx: Int, name: String, typ: Int, start: Long,
+        size: Long): Unit = {
+      val off = 512 * (dirSector + 1) + 128 * idx
+      val nb = name.getBytes(Utf16)
+      System.arraycopy(nb, 0, out, off, nb.length)
+      putU16(out, off + 64, nb.length + 2)
+      out(off + 66) = typ.toByte
+      putU32(out, off + 116, start)
+      putU32(out, off + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5, 0xFFFFFFFEL, 0)
+    padded.zip(starts).zipWithIndex.foreach {
+      case (((name, _, size), s), i) => dirEntry(i + 1, name, 2, s, size) }
+    padded.zip(starts).foreach { case ((_, buf, _), s) =>
+      System.arraycopy(buf, 0, out, 512 * (s + 1), buf.length) }
+    out
+  }
+
+  private def fib(encrypted: Boolean): Array[Byte] = {
+    val wd = new Array[Byte](4096)
+    putU16(wd, 0, 0xA5EC)
+    putU16(wd, 0x0A, if (encrypted) 1 << 8 else 0) // fEncrypted bit 8
+    wd
+  }
+
+  /** Piece-table document: the first piece CP1252-compressed (words
+    * `a`, ASCII text + paragraph mark), the second UTF-16LE (words
+    * `b`); `b` empty → a single compressed piece. `encrypted` sets the
+    * FIB fEncrypted flag with the piece table left in place — a decoder
+    * without the flag check would walk it and emit the text. */
+  def pieceTableDoc(a: Seq[String], b: Seq[String],
+      encrypted: Boolean = false): Array[Byte] = {
+    val wd = fib(encrypted)
+    val t1 = (a.mkString(" ") + "\r").getBytes(Ascii)
+    System.arraycopy(t1, 0, wd, 1024, t1.length)
+    val s2 = b.mkString(" ")
+    val t2 = s2.getBytes(Utf16)
+    System.arraycopy(t2, 0, wd, 2048, t2.length)
+    val tbl = new Array[Byte](4096)
+    val pieces =
+      if (b.isEmpty) Seq((t1.length, (1024L * 2) | (1L << 30)))
+      else Seq((t1.length, (1024L * 2) | (1L << 30)), (s2.length, 2048L))
+    val n = pieces.length
+    var p = 64
+    tbl(p) = 0x02
+    val lcbPlc = 4 * (n + 1) + 8 * n
+    putU32(tbl, p + 1, lcbPlc.toLong)
+    val plc = p + 5
+    var cp = 0L
+    pieces.zipWithIndex.foreach { case ((chars, _), i) =>
+      putU32(tbl, plc + 4 * i, cp); cp += chars
+    }
+    putU32(tbl, plc + 4 * n, cp)
+    val pcds = plc + 4 * (n + 1)
+    pieces.zipWithIndex.foreach { case ((_, fc), i) =>
+      putU32(tbl, pcds + 8 * i + 2, fc)
+    }
+    putU32(wd, 0x01A2, 64L)
+    putU32(wd, 0x01A6, (5L + lcbPlc))
+    buildCfb(Seq("WordDocument" -> wd, "0Table" -> tbl))
+  }
+
+  /** Pre-Clx legacy document: contiguous CP1252 text at fcMin..fcMac,
+    * no table stream at all. */
+  def legacyDoc(words: Seq[String]): Array[Byte] = {
+    val wd = fib(encrypted = false)
+    val body = (words.mkString(" ") + "\r").getBytes(Ascii)
+    System.arraycopy(body, 0, wd, 1024, body.length)
+    putU32(wd, 24, 1024L)
+    putU32(wd, 28, 1024L + body.length)
+    buildCfb(Seq("WordDocument" -> wd))
+  }
+}

@@ -149,6 +149,29 @@ class DocExtractSpec extends AnyFunSuite {
     assert(viaDispatcher.contains("stub-extracted"))
   }
 
+  test("fEncrypted doc bails to the stub even with a valid piece table") {
+    import graft.sources.DocFixture
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val clear = DocFixture.pieceTableDoc(words.take(6), words.drop(6))
+    assert(DocExtract.docToMarkdown("f.doc", clear).get ==
+      "# f\n\nalpha beta gamma delta epsilon zeta\neta theta")
+    // same container, fEncrypted set: the piece table is still present
+    // and would decode — the flag alone must force the stub route
+    val enc = DocFixture.pieceTableDoc(words.take(6), words.drop(6),
+      encrypted = true)
+    assert(DocExtract.docToMarkdown("f.doc", enc).isEmpty)
+    assert(DocumentConverters.convertFileToMarkdown("f.doc", enc).get
+      .contains("stub-extracted"))
+    // single-piece shape (few words) and the legacy builder round-trip
+    val one = DocFixture.pieceTableDoc(Seq("solo", "words"), Seq.empty)
+    assert(DocExtract.docToMarkdown("s.doc", one).get ==
+      "# s\n\nsolo words")
+    val legacy = DocFixture.legacyDoc(words)
+    assert(DocExtract.docToMarkdown("l.doc", legacy).get ==
+      "# l\n\nalpha beta gamma delta epsilon zeta eta theta")
+  }
+
   test("dispatcher routes a real .doc through the byte decoder") {
     val wd = fibSkeleton()
     val body = "Dispatcher path works.".getBytes(Ascii)
