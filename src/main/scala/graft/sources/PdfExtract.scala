@@ -12,10 +12,12 @@ import scala.collection.mutable.ArrayBuffer
   * object scanning (`N G obj … endobj`), page-tree ordering via
   * /Pages /Kids with a document-order fallback, /Contents streams
   * (direct or array), FlateDecode via java.util.zip (the JVM ships the
-  * codec), and the BT…ET text operators (Tf, Td, TD, Tm, T-star, TL,
-  * Tj, TJ, quote forms). Out of scope (falls back to the labeled stub
-  * upstream): encrypted documents, exotic filters (LZW/JBIG2), CID
-  * font remapping — the run text for those is the font's raw bytes.
+  * codec), LZWDecode (the spec's TIFF-flavored variant, implemented in
+  * [[lzwDecode]]), and the BT…ET text operators (Tf, Td, TD, Tm,
+  * T-star, TL, Tj, TJ, quote forms). Out of scope (falls back to the
+  * labeled stub upstream): encrypted documents, JBIG2/JPX image
+  * filters, CID font remapping — the run text for those is the font's
+  * raw bytes.
   *
   * Runs inside per-row kernels: no state, no I/O, executor-safe.
   */
@@ -68,9 +70,62 @@ object PdfExtract {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** PDF LZWDecode ([PDF 32000-1:2008 §7.4.4] — the TIFF-flavored LZW
+    * variant): MSB-first variable-width codes starting at 9 bits,
+    * growing to 12; code 256 clears the table, 257 is EOD; with the
+    * default EarlyChange=1 the width bumps one code EARLY (when the
+    * next assignment would be 2^w - 1). The KwKwK case (a code equal
+    * to the next unassigned entry) resolves to prev + prev.head. */
+  private[graft] def lzwDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val extras = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitPos = 0
+      val nBits = data.length * 8
+      def next(): Int = {
+        if (bitPos + width > nBits) return 257 // truncated stream: EOD
+        var v = 0
+        var i = 0
+        while (i < width) {
+          v = (v << 1) | ((data(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+          bitPos += 1; i += 1
+        }
+        v
+      }
+      var done = false
+      while (!done) {
+        val code = next()
+        if (code == 257) done = true
+        else if (code == 256) {
+          extras.clear(); width = 9; prev = null
+        } else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code >= 258 && code - 258 < extras.length)
+              extras(code - 258)
+            else if (prev != null && code == 258 + extras.length)
+              prev :+ prev(0) // KwKwK
+            else return None // corrupt code
+          out.write(entry)
+          // table full at the 12-bit cap: no more additions until a
+          // Clear (matching encoders, which cannot emit codes > 4095)
+          if (prev != null && 258 + extras.length <= 4095)
+            extras += (prev :+ entry(0))
+          prev = entry
+          // EarlyChange=1: bump when the NEXT assignment would need it
+          if (258 + extras.length >= (1 << width) - 1 && width < 12)
+            width += 1
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
   private def contentBytes(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.map { raw =>
       if (obj.body.contains("/FlateDecode")) inflate(raw).getOrElse(raw)
+      else if (obj.body.contains("/LZWDecode")) lzwDecode(raw).getOrElse(raw)
       else raw
     }
 

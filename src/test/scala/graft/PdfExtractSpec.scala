@@ -100,6 +100,95 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(md.contains("Hex!"))
   }
 
+  /** Independent TIFF-LZW encoder (PDF §7.4.4 semantics, EarlyChange=1)
+    * so the round-trip below cross-checks the decoder rather than
+    * replaying it. Width grows when the DECODER's table view crosses
+    * 2^w - 1 — the encoder's dictionary runs one entry ahead, hence the
+    * `>= (1 << width)` form here vs the decoder's `>= (1 << width)-1`. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap[Vector[Byte], Int]()
+    var nextCode = 258
+    def codeOf(w: Vector[Byte]): Int =
+      if (w.length == 1) w(0) & 0xff else dict(w)
+    put(256)
+    var w = Vector.empty[Byte]
+    data.foreach { c =>
+      val wc = w :+ c
+      if (wc.length == 1 || dict.contains(wc)) w = wc
+      else {
+        put(codeOf(w))
+        if (nextCode <= 4095) { // table full: stop assigning (no Clear)
+          dict(wc) = nextCode; nextCode += 1
+          if (nextCode >= (1 << width) && width < 12) width += 1
+        }
+        w = Vector(c)
+      }
+    }
+    if (w.nonEmpty) put(codeOf(w))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZWDecode: the PDF-spec example vector decodes exactly") {
+    // [PDF 32000-1:2008 §7.4.4.2]: 45 45 45 45 45 65 45 45 45 66
+    // encodes (with the 9-bit start, clear, KwKwK on the second code)
+    // to 80 0B 60 50 22 0C 0C 85 01
+    val enc = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01)
+      .map(_.toByte)
+    val dec = PdfExtract.lzwDecode(enc)
+    assert(dec.isDefined)
+    assert(dec.get.toSeq ==
+      Seq(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte))
+    // garbage that hits an unassigned code is rejected, not mis-decoded
+    assert(PdfExtract.lzwDecode(Array(0x80.toByte, 0x7F.toByte,
+      0xFF.toByte, 0xFF.toByte)).isEmpty)
+  }
+
+  test("LZWDecode round-trips across the 10/11-bit width boundaries") {
+    // deterministic pseudo-random bytes: enough distinct phrases to
+    // push the dictionary past 512/1024/2048 AND through the 12-bit
+    // full-table point (both sides must stop assigning at 4095)
+    var seed = 12345L
+    val data = Array.fill(12000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >> 33) & 0xff).toByte
+    }
+    val dec = PdfExtract.lzwDecode(lzwEncode(data))
+    assert(dec.isDefined && dec.get.toSeq == data.toSeq)
+    // and a text-like payload with heavy repetition (deep phrases)
+    val text = ("the quick brown fox jumps over the lazy dog. " * 200)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val dec2 = PdfExtract.lzwDecode(lzwEncode(text))
+    assert(dec2.isDefined && dec2.get.toSeq == text.toSeq)
+  }
+
+  test("a /LZWDecode PDF extracts real text end to end") {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val data = lzwEncode(page1.getBytes(latin1))
+    w(s"4 0 obj << /Length ${data.length} /Filter /LZWDecode >> stream\n")
+    out.write(data)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val md = PdfExtract.pdfToMarkdown("lzw.pdf", out.toByteArray)
+    assert(md.isDefined && md.get.contains("Installation Guide") &&
+      md.get.contains("Then restart the service."))
+  }
+
   test("non-PDF and textless payloads fall back to the stub") {
     val junk = "not a pdf at all".getBytes
     assert(PdfExtract.pdfToMarkdown("x.pdf", junk).isEmpty)
