@@ -559,7 +559,7 @@ object SparkEntry {
            '[Topic: '||source||' > '||lang||']'||chr(10)||
            '# '||source||chr(10)||chr(10)||
            '## '||lang||chr(10)||chr(10)||text AS content
-           FROM documents) t
+           FROM documents WHERE doc_id < 1000) t
          ORDER BY url, chunk_index""",
     // after a fully REDUNDANT second sync with embed-reuse on, the
     // store must still match the batch derivation of the 200-doc slice
@@ -584,7 +584,7 @@ object SparkEntry {
            '[Topic: '||source||' > '||lang||']'||chr(10)||
            '# '||source||chr(10)||chr(10)||
            '## '||lang||chr(10)||chr(10)||text AS content
-           FROM documents WHERE doc_id % 13 <> 0) t
+           FROM documents WHERE doc_id < 1000 AND doc_id % 13 <> 0) t
          ORDER BY url, chunk_index""",
     "doc_chunk_token" ->
       """WITH idx AS (

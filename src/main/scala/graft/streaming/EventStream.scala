@@ -270,7 +270,8 @@ object EventStream {
     * (no shuffle before the merge); the store merge is per-micro-batch
     * url-replacement, so state never accumulates in the query. */
   def streamBatchParity(s: SparkSession, dir: String): DataFrame =
-    parityRun(s, dir, deletePhase = false)
+    parityRun(s, dir, deletePhase = false,
+      docFilter = Some(col("doc_id") < ParityFixtureDocs))
 
   /** Streaming DELETION parity as an ORACLE row — [[streamBatchParity]]
     * plus the purge path: after the 4 ingest micro-batches build the
@@ -282,7 +283,17 @@ object EventStream {
     * exactly the batch cleanup's survivor set — across micro-batches,
     * with every surviving chunk bit-identical. */
   def streamDeleteParity(s: SparkSession, dir: String): DataFrame =
-    parityRun(s, dir, deletePhase = true)
+    parityRun(s, dir, deletePhase = true,
+      docFilter = Some(col("doc_id") < ParityFixtureDocs))
+
+  /** Protocol rows prove PROTOCOL correctness (multi-micro-batch
+    * versioned merges, purge, reuse) — their evidential value is in the
+    * number of merges crossed, not the corpus size, so the staged
+    * fixture is capped. The cap sits above the sf0.01 correctness
+    * corpus (500 docs — the DuckDB gate output is unchanged) and keeps
+    * the sf0.1 bench from re-embedding a 5,000-doc corpus per sync per
+    * rep, which round 11 measured at ~20% of the whole bench. */
+  val ParityFixtureDocs = 1000L
 
   /** RE-SYNC parity — the embed-skip's oracle row: a 200-doc slice is
     * ingested with `embedReuse = true`, then the SAME pages are
@@ -300,6 +311,13 @@ object EventStream {
   private def parityRun(s: SparkSession, dir: String,
       deletePhase: Boolean, resyncPhase: Boolean = false,
       docFilter: Option[Column] = None): DataFrame = {
+    def phase[T](label: String)(f: => T): T =
+      if (sys.props.contains("graft.parity.debug")) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[parity] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      } else f
     val base = java.nio.file.Files.createTempDirectory("streamparity")
     val store = base.resolve("store").toString
     val pages = graft.Tables.documents(s, dir)
@@ -310,12 +328,14 @@ object EventStream {
     val pageSchema = StructType(Seq(
       StructField("url", StringType), StructField("content", StringType)))
     def runIngest(inDir: String, ckpt: String, nFiles: Int): Unit = {
-      pages.repartition(nFiles).write.parquet(inDir)
+      phase("stage_input") {
+        pages.repartition(nFiles).write.parquet(inDir) }
       val stream = s.readStream.schema(pageSchema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = ingestStream(stream, store, ckpt,
         embedReuse = resyncPhase)
-      try q.processAllAvailable() finally q.stop()
+      phase("ingest_stream") {
+        try q.processAllAvailable() finally q.stop() }
     }
     // batch/delete parity keep the r10 4-micro-batch contract; the
     // resync row runs 2+2 (two syncs; per-trigger streaming overhead
@@ -331,6 +351,7 @@ object EventStream {
       // second run: the re-crawl's 404s arrive as a tombstone stream
       val tomb = base.resolve("tombstones").toString
       graft.Tables.documents(s, dir)
+        .filter(docFilter.getOrElse(lit(true)))
         .filter(col("doc_id") % 13 === 0)
         .select(concat(lit("doc://"), col("doc_id")).as("url"))
         .repartition(2)
@@ -366,8 +387,8 @@ object EventStream {
     // block storage (eager localCheckpoint) before deleting the tree —
     // as a registered bench row this otherwise leaks a corpus-sized
     // temp copy (input + versioned store + checkpoint) per invocation
-    val pinned = result.localCheckpoint(true)
-    deleteRecursively(base.toFile)
+    val pinned = phase("pin_result") { result.localCheckpoint(true) }
+    phase("teardown") { deleteRecursively(base.toFile) }
     pinned
   }
 

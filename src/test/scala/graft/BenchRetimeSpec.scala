@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's load-flagged self-retime, driven synthetically (injected
+  * sentinel readings and retime timings stand in for real OS load, so
+  * the correction logic is testable deterministically). */
+class BenchRetimeSpec extends AnyFunSuite {
+
+  // 60 queries, segment size 20: sentinels = [before, @20, @40, after]
+  private val names = (0 until 60).map(i => f"q$i%02d")
+  private def results(med: Double): Seq[(String, (Double, Double))] =
+    names.map(n => n -> (med, med))
+
+  test("flagged segments are the ones bracketed by an inflated sentinel") {
+    // load during segment 1 shows in the @40 sentinel: segments 1 and 2
+    // are bracketed by it, segment 0 is clean
+    assert(Bench.flaggedSegments(Seq(0.4, 0.4, 1.2, 0.4), 60, 20) ==
+      Seq(1, 2))
+    assert(Bench.flaggedSegments(Seq(0.4, 0.4, 0.4, 0.4), 60, 20).isEmpty)
+    // strict >1.5x: exactly 1.5x the floor is not flagged
+    assert(Bench.flaggedSegments(Seq(0.4, 0.6, 0.4), 40, 20).isEmpty)
+    assert(Bench.flaggedSegments(Seq(0.4, 0.61, 0.4), 40, 20) == Seq(0, 1))
+    // degenerate inputs
+    assert(Bench.flaggedSegments(Seq.empty, 60, 20).isEmpty)
+    assert(Bench.flaggedSegments(Seq(0.4), 0, 20).isEmpty)
+  }
+
+  test("a flagged segment self-corrects; clean segments are untouched") {
+    // every median inflated 5x by "load"; the box went quiet at run
+    // end, so retimes come back at the true 0.3
+    val inflated = names.map(n => n -> (1.5, 0.3))
+    val retimedCalls = scala.collection.mutable.ArrayBuffer[String]()
+    val (healed, retimed) = Bench.applyRetimes(inflated,
+      Seq(0.4, 0.4, 1.2, 0.4), 20,
+      n => { retimedCalls += n; 0.3 })
+    // only segments 1 and 2 re-timed (queries 20..59)
+    assert(retimed == names.drop(20))
+    assert(retimedCalls.toSeq == names.drop(20))
+    // flagged queries now carry the quiet reading, clean ones keep
+    // their in-run medians
+    assert(healed.take(20).forall(_._2._1 == 1.5))
+    assert(healed.drop(20).forall(_._2._1 == 0.3))
+  }
+
+  test("a still-loaded retime can only improve, never worsen") {
+    val rs = results(1.0)
+    val (healed, _) = Bench.applyRetimes(rs, Seq(0.4, 1.2, 0.4), 20,
+      _ => 3.0) // retime under even worse load
+    assert(healed.forall(_._2._1 == 1.0))
+    // a crashed retime (-1) keeps the original reading
+    val (healed2, _) = Bench.applyRetimes(rs, Seq(0.4, 1.2, 0.4), 20,
+      _ => -1.0)
+    assert(healed2.forall(_._2._1 == 1.0))
+  }
+}
