@@ -86,6 +86,7 @@ object SparkEntry {
       DocPipeline.getChunks(s, d)),
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
+    "doc_pdf_crypt"       -> (DocPipeline.pdfCryptLines _),
     "doc_word_lines"      -> (DocPipeline.wordLines _),
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
@@ -1636,6 +1637,30 @@ object SparkEntry {
            GROUP BY p.doc_id)
          SELECT doc_id, rtrim(raw, chr(10) || ' ') AS markdown
          FROM md ORDER BY doc_id""",
+    // RC4-encrypted PDFs (standard security handler): R3/128-bit
+    // (default and the id%11 literal-O/U spelling), R2/40-bit (id%13),
+    // and the owner-locked route (id%17, checked first) where the
+    // empty-user-password authentication must fail into the stub — all
+    // decode routes emit the same 6 words, so DuckDB only needs the
+    // route for the stub shape
+    "doc_pdf_crypt" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split(replace(text, chr(10), ' '), ' '),
+               x -> x <> '')[1:6] AS words
+           FROM documents),
+         md AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN
+               ['# f' || doc_id, '', '## Page 1', '', '[stub]']
+             ELSE ['# f' || doc_id, '', array_to_string(words, ' ')]
+             END AS lines
+           FROM w),
+         sl AS (SELECT doc_id, lines,
+                  unnest(range(0, len(lines))) AS i FROM md)
+         SELECT doc_id, CAST(i AS INT) AS line_no,
+           lines[CAST(i + 1 AS INT)] AS line
+         FROM sl ORDER BY doc_id, line_no""",
     // legacy .doc byte-walk: piece-table text (CP1252 + UTF-16 pieces),
     // the fcMin/fcMac legacy route (id%13), and the fEncrypted stub
     // route (id%17, checked first) replayed from the same word slices

@@ -241,6 +241,51 @@ object DocPipeline {
       .orderBy("doc_id", "line_no")
   }
 
+  /** Encrypted-PDF decode as an oracle row: RC4 standard-security-
+    * handler PDFs built per document by [[graft.sources.PdfFixture]]
+    * and decoded through the REAL [[graft.sources.PdfExtract]] path —
+    * Algorithm 2 key derivation, Algorithm 4/5 /U authentication,
+    * Algorithm 1 per-object keys, RC4 stream decrypt, FlateDecode,
+    * then the BT…ET interpreter and Y-delta reconstruction (the
+    * reference inherits this from PDF.js, content-processor.ts:
+    * 1489-1520). Four routes by id arithmetic so DuckDB replays the
+    * output from the same words: R3/128-bit (default), R2/40-bit
+    * (id % 13 = 0), R3 with literal-string /O /U spelling (id % 11 =
+    * 0, same output as default), and owner-locked documents with a
+    * non-empty USER password (id % 17 = 0) which must fall back to the
+    * labeled stub — a decoder that skipped /U authentication would
+    * emit RC4 garbage instead, failing the row. The stub's payload-
+    * hash token is normalized to '[stub]' (a container sha is not
+    * SQL-replayable); everything else is byte-exact. Per-row kernel,
+    * no shuffle. */
+  def pdfCryptLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DocumentConverters, PdfFixture}
+    Tables.documents(s, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.replace('\n', ' ').split(' ')
+          .filter(_.nonEmpty).take(6).toSeq
+        val id0 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-pdf-$id".getBytes("UTF-8"))
+        val bytes =
+          if (id % 17 == 0)
+            PdfFixture.encryptedPdf(words, 3, id0, userPw = "locked")
+          else if (id % 13 == 0) PdfFixture.encryptedPdf(words, 2, id0)
+          else if (id % 11 == 0)
+            PdfFixture.encryptedPdf(words, 3, id0, literalOU = true)
+          else PdfFixture.encryptedPdf(words, 3, id0)
+        val md = DocumentConverters
+          .convertFileToMarkdown(s"f$id.pdf", bytes).getOrElse("")
+        (id, md)
+      }
+      .toDF("doc_id", "markdown")
+      .select(col("doc_id"),
+        posexplode(split(col("markdown"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("line", regexp_replace(col("line"),
+        "^\\[stub-extracted text [0-9a-f]{8}-\\d+\\]$", "[stub]"))
+      .orderBy("doc_id", "line_no")
+  }
+
   /** Deterministic embedding operator (graft.functions.Embedder) over the
     * documents table — a per-partition map, no shuffle; the integer
     * accumulator signature is emitted so the oracle can check the exact

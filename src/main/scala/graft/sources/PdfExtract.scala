@@ -13,11 +13,16 @@ import scala.collection.mutable.ArrayBuffer
   * /Pages /Kids with a document-order fallback, /Contents streams
   * (direct or array), FlateDecode via java.util.zip (the JVM ships the
   * codec), LZWDecode (the spec's TIFF-flavored variant, implemented in
-  * [[lzwDecode]]), and the BT…ET text operators (Tf, Td, TD, Tm,
-  * T-star, TL, Tj, TJ, quote forms). Out of scope (falls back to the
-  * labeled stub upstream): encrypted documents, JBIG2/JPX image
-  * filters, CID font remapping — the run text for those is the font's
-  * raw bytes.
+  * [[lzwDecode]]), RC4-encrypted documents under the standard security
+  * handler with an empty user password (V 1-2 / R 2-3: Algorithm 2 key
+  * derivation, Algorithm 4/5 /U authentication, Algorithm 1 per-object
+  * keys — the owner-password-only protection that dominates real doc
+  * corpora), and the BT…ET text operators (Tf, Td, TD, Tm, T-star, TL,
+  * Tj, TJ, quote forms). Out of scope (falls back to the labeled stub
+  * upstream): AES-encrypted documents (V4+), non-empty user passwords
+  * (never guessed — authentication failure gates to the stub rather
+  * than emitting RC4 garbage), JBIG2/JPX image filters, CID font
+  * remapping — the run text for those is the font's raw bytes.
   *
   * Runs inside per-row kernels: no state, no I/O, executor-safe.
   */
@@ -25,16 +30,17 @@ object PdfExtract {
 
   import DocumentConverters.PdfRun
 
-  /** One parsed indirect object: number, raw dictionary/body text
-    * (ISO-8859-1 so offsets == byte offsets), optional stream bytes. */
-  private final case class PdfObj(num: Int, body: String,
+  /** One parsed indirect object: number, generation, raw
+    * dictionary/body text (ISO-8859-1 so offsets == byte offsets),
+    * optional stream bytes. */
+  private final case class PdfObj(num: Int, gen: Int, body: String,
       stream: Option[Array[Byte]])
 
   private def latin1(b: Array[Byte]): String =
     new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
 
   private val ObjRe =
-    """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
+    """(?s)(\d+)\s+(\d+)\s+obj\b(.*?)endobj""".r
   private val StreamRe =
     """(?s)stream\r?\n(.*?)\r?\nendstream""".r
   private val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
@@ -42,16 +48,15 @@ object PdfExtract {
   private val ContentsRefRe = """/Contents\s+(\d+)\s+\d+\s+R""".r
   private val ContentsArrRe = """/Contents\s*\[([^\]]*)\]""".r
 
-  private def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
-    val text = latin1(bytes)
+  private def parseObjects(text: String): Map[Int, PdfObj] = {
     ObjRe.findAllMatchIn(text).map { m =>
-      val body = m.group(2)
+      val body = m.group(3)
       val stream = StreamRe.findFirstMatchIn(body).map { sm =>
         body.substring(sm.start(1), sm.end(1))
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       }
       val num = m.group(1).toInt
-      num -> PdfObj(num, body, stream)
+      num -> PdfObj(num, m.group(2).toInt, body, stream)
     }.toMap
   }
 
@@ -127,6 +132,180 @@ object PdfExtract {
       if (obj.body.contains("/FlateDecode")) inflate(raw).getOrElse(raw)
       else if (obj.body.contains("/LZWDecode")) lzwDecode(raw).getOrElse(raw)
       else raw
+    }
+
+  // ── Standard security handler (RC4, [PDF 32000-1:2008 §7.6.3]) ───────
+
+  /** The spec's 32-byte password pad ([PDF 32000-1:2008] Table 21 /
+    * Algorithm 2 step a). */
+  private[graft] val PwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[graft] def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** Plain RC4 (both directions — the cipher is symmetric). */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + (s(i) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s(((s(i) & 0xff) + (s(j) & 0xff)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Password truncated/padded to exactly 32 bytes with [[PwPad]]. */
+  private[graft] def padPassword(pw: String): Array[Byte] = {
+    val pb = pw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      .take(32)
+    pb ++ PwPad.take(32 - pb.length)
+  }
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Algorithm 2: the file encryption key from the (padded) user
+    * password, /O, /P (as signed little-endian 32-bit), and the first
+    * document ID; R3 re-digests the first n bytes 50 times. */
+  private[graft] def fileKey(userPw: String, o: Array[Byte], p: Int,
+      id0: Array[Byte], r: Int, lenBits: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else math.max(5, math.min(16, lenBits / 8))
+    var h = md5(padPassword(userPw), o.take(32), le32(p), id0)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(n)); i += 1 }
+    }
+    h.take(n)
+  }
+
+  /** Algorithm 1: the per-object key — MD5(file key ++ objNum low 3
+    * bytes LE ++ gen low 2 bytes LE), first min(n+5, 16) bytes. */
+  private[graft] def objKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] =
+    md5(fk, Array(
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      .take(math.min(fk.length + 5, 16))
+
+  /** Algorithms 4 (R2) / 5 (R3): does the /U entry authenticate this
+    * file key? R3 compares the meaningful first 16 bytes. */
+  private[graft] def userPwAuthenticates(fk: Array[Byte], u: Array[Byte],
+      id0: Array[Byte], r: Int): Boolean =
+    if (r == 2) java.util.Arrays.equals(rc4(fk, PwPad), u.take(32))
+    else {
+      var enc = rc4(fk, md5(PwPad, id0))
+      var i = 1
+      while (i <= 19) {
+        enc = rc4(fk.map(b => (b ^ i).toByte), enc); i += 1
+      }
+      java.util.Arrays.equals(enc, u.take(16))
+    }
+
+  private def hexBytes(s: String): Array[Byte] = {
+    val hex = s.filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  }
+
+  /** Integer entry of a parsed dictionary body (`/V 2`, `/P -44`). The
+    * lookahead keeps `/V` from matching inside longer names. */
+  private def intEntry(body: String, name: String): Option[Int] =
+    ("/" + name + """(?![A-Za-z])\s*(-?\d+)""").r
+      .findFirstMatchIn(body).map(_.group(1).toInt)
+
+  /** String entry as exact bytes: hex `<…>` or escaped literal `(…)`
+    * (byte-exact through the latin1 mapping). */
+  private def stringEntry(body: String, name: String): Option[Array[Byte]] =
+    ("/" + name + """(?![A-Za-z])\s*""").r.findFirstMatchIn(body)
+      .flatMap { m =>
+        val i = m.end
+        if (i >= body.length) None
+        else if (body.charAt(i) == '<') {
+          val end = body.indexOf('>', i + 1)
+          if (end < 0) None
+          else Some(hexBytes(body.substring(i + 1, end)))
+        } else if (body.charAt(i) == '(') {
+          var depth = 0
+          var j = i
+          val sb = new StringBuilder
+          var done = false
+          while (j < body.length && !done) {
+            val c = body.charAt(j)
+            if (c == '\\' && j + 1 < body.length) {
+              sb.append(c).append(body.charAt(j + 1)); j += 2
+            } else if (c == '(') {
+              if (depth > 0) sb.append(c); depth += 1; j += 1
+            } else if (c == ')') {
+              depth -= 1
+              if (depth == 0) done = true else sb.append(c)
+              j += 1
+            } else { sb.append(c); j += 1 }
+          }
+          if (!done) None
+          else Some(unescape(sb.toString)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        } else None
+      }
+
+  private sealed trait CryptState
+  private case object Plain extends CryptState
+  private case object Undecryptable extends CryptState
+  private final case class Keyed(fk: Array[Byte]) extends CryptState
+
+  /** /Encrypt detection + empty-user-password authentication. Supported:
+    * the standard handler, V 1-2 / R 2-3 (RC4). Everything else — AES
+    * (V4+), a real user password, malformed entries — is Undecryptable:
+    * the caller falls back to the labeled stub instead of emitting
+    * garbage. */
+  private def cryptState(text: String, objs: Map[Int, PdfObj]): CryptState = {
+    val ref = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(text)
+    if (ref.isEmpty) return Plain
+    val id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(text)
+      .map(m => hexBytes(m.group(1))).getOrElse(Array.emptyByteArray)
+    (for {
+      enc <- objs.get(ref.get.group(1).toInt)
+      if """/Filter\s*/Standard\b""".r.findFirstIn(enc.body).isDefined
+      r <- intEntry(enc.body, "R")
+      if intEntry(enc.body, "V").getOrElse(0) <= 2 && (r == 2 || r == 3)
+      o <- stringEntry(enc.body, "O") if o.length >= 32
+      u <- stringEntry(enc.body, "U")
+      if u.length >= (if (r == 2) 32 else 16)
+      p <- intEntry(enc.body, "P")
+      fk = fileKey("", o, p, id0, r,
+        intEntry(enc.body, "Length").getOrElse(40))
+      if userPwAuthenticates(fk, u, id0, r)
+    } yield Keyed(fk)).getOrElse(Undecryptable)
+  }
+
+  /** Decrypt every object's stream with its Algorithm-1 key (decrypt
+    * happens BEFORE filter decode, matching the writer's
+    * compress-then-encrypt order). Strings inside content streams come
+    * decrypted for free; top-level strings are not consumed by the
+    * extractor. */
+  private def decryptStreams(objs: Map[Int, PdfObj],
+      fk: Array[Byte]): Map[Int, PdfObj] =
+    objs.map { case (n, o) =>
+      n -> o.copy(stream = o.stream.map(s => rc4(objKey(fk, o.num, o.gen), s)))
     }
 
   /** Page content streams in page order: the /Pages /Kids walk when the
@@ -288,9 +467,18 @@ object PdfExtract {
     * parseable (callers fall back to the stub). */
   def extractRuns(bytes: Array[Byte]): Seq[(Int, Seq[PdfRun])] =
     try {
-      pageContents(parseObjects(bytes)).zipWithIndex.map {
-        case (content, idx) => (idx + 1, pageRuns(content))
-      }.filter(_._2.nonEmpty)
+      val text = latin1(bytes)
+      val objs = parseObjects(text)
+      val usable = cryptState(text, objs) match {
+        case Plain         => Some(objs)
+        case Undecryptable => None
+        case Keyed(fk)     => Some(decryptStreams(objs, fk))
+      }
+      usable.toSeq.flatMap { m =>
+        pageContents(m).zipWithIndex.map {
+          case (content, idx) => (idx + 1, pageRuns(content))
+        }.filter(_._2.nonEmpty)
+      }
     } catch { case _: Exception => Seq.empty }
 
   /** Real PDF → markdown through the reference reconstruction; None

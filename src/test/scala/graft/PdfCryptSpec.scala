@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DocumentConverters, PdfExtract, PdfFixture}
+
+/** RC4 standard-security-handler decryption ([PDF 32000-1:2008
+  * §7.6.3]): cipher known-answer pins, the Algorithm 2/3/4/5 round
+  * trip through [[PdfFixture]]-built files, and the authentication
+  * gate (a wrong user password must fall back to the stub, never emit
+  * RC4 garbage). */
+class PdfCryptSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private val id0 = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+
+  // ── primitive known-answer pins (public vectors, not round trips) ──
+
+  test("RC4 known-answer vectors") {
+    def enc(key: String, pt: String): String =
+      hex(PdfExtract.rc4(key.getBytes("US-ASCII"), pt.getBytes("US-ASCII")))
+    assert(enc("Key", "Plaintext") == "bbf316e8d940af0ad3")
+    assert(enc("Wiki", "pedia") == "1021bf0420")
+    assert(enc("Secret", "Attack at dawn") == "45a01f645fc35b383552544b9bf5")
+  }
+
+  test("RC4 is symmetric") {
+    val key = Array[Byte](1, 2, 3, 4, 5)
+    val data = Array.tabulate[Byte](300)(i => (i * 31).toByte)
+    assert(PdfExtract.rc4(key, PdfExtract.rc4(key, data)).sameElements(data))
+  }
+
+  test("password padding truncates/pads to exactly 32 bytes") {
+    assert(PdfExtract.padPassword("").sameElements(PdfExtract.PwPad))
+    val p = PdfExtract.padPassword("ab")
+    assert(p.length == 32 && p(0) == 'a'.toByte && p(1) == 'b'.toByte &&
+      p(2) == PdfExtract.PwPad(0))
+    assert(PdfExtract.padPassword("x" * 40).forall(_ == 'x'.toByte))
+  }
+
+  test("file key lengths: R2 is 40-bit, R3 honors /Length") {
+    val o = new Array[Byte](32)
+    assert(PdfExtract.fileKey("", o, -44, id0, 2, 40).length == 5)
+    assert(PdfExtract.fileKey("", o, -44, id0, 3, 128).length == 16)
+    // object keys extend by 5 bytes, capped at 16
+    val fk5 = PdfExtract.fileKey("", o, -44, id0, 2, 40)
+    assert(PdfExtract.objKey(fk5, 4, 0).length == 10)
+    val fk16 = PdfExtract.fileKey("", o, -44, id0, 3, 128)
+    assert(PdfExtract.objKey(fk16, 4, 0).length == 16)
+  }
+
+  // ── full-file round trips through the real extraction path ──────────
+
+  private val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot")
+
+  test("an R3/128-bit encrypted PDF decodes through the real path") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 3, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("f1.pdf", bytes).get
+    assert(md == "# f1\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("an R2/40-bit encrypted PDF decodes through the real path") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 2, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("f2.pdf", bytes).get
+    assert(md == "# f2\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("literal-string /O /U spelling decodes identically to hex") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 3, id0 = id0,
+      literalOU = true)
+    val md = DocumentConverters.convertFileToMarkdown("f3.pdf", bytes).get
+    assert(md == "# f3\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("special characters in content survive escape + encrypt") {
+    val tricky = Seq("a(b)", "c\\d", "(e", "f)", "g", "h")
+    val bytes = PdfFixture.encryptedPdf(tricky, r = 3, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("f4.pdf", bytes).get
+    assert(md == "# f4\n\na(b) c\\d (e f) g h")
+  }
+
+  test("a non-empty user password fails authentication into the stub") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 3, id0 = id0,
+      userPw = "locked")
+    assert(PdfExtract.extractRuns(bytes).isEmpty)
+    val md = DocumentConverters.convertFileToMarkdown("f5.pdf", bytes).get
+    assert(md.contains("[stub-extracted text"))
+    assert(!md.contains("alpha")) // never RC4 garbage, never plaintext
+  }
+
+  test("a tampered /U fails authentication into the stub") {
+    val good = PdfFixture.encryptedPdf(words, r = 3, id0 = id0)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    val tampered = s.substring(0, uAt) +
+      (if (s.charAt(uAt) == '0') '1' else '0') + s.substring(uAt + 1)
+    val bytes = tampered.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfExtract.extractRuns(bytes).isEmpty)
+  }
+
+  test("an unsupported AES /V 4 dictionary gates to the stub") {
+    val good = PdfFixture.encryptedPdf(words, r = 3, id0 = id0)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bytes = s.replace("/V 2 /R 3", "/V 4 /R 4")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfExtract.extractRuns(bytes).isEmpty)
+  }
+
+  test("unencrypted PDFs are untouched by the crypt path") {
+    // no /Encrypt in the trailer: the fixture built without encryption
+    // via the plain builder in PdfExtractSpec still decodes — covered
+    // there; here pin that a stray /Encrypt-less trailer with /ID
+    // does not trigger decryption
+    val plain =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        "4 0 obj << /Length 40 >> stream\n" +
+        "BT /F1 12 Tf 72 200 Td (hello world) Tj ET\n" +
+        "endstream endobj\n" +
+        "trailer << /Size 5 /Root 1 0 R /ID [<00112233> <00112233>] >>\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val runs = PdfExtract.extractRuns(plain)
+    assert(runs.nonEmpty && runs.head._2.head.str == "hello world")
+  }
+}
