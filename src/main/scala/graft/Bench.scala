@@ -137,7 +137,8 @@ object Bench {
     // item 7). The retime pass still covers them if their segment is
     // load-flagged.
     val protocolRows = Set("stream_batch_parity", "stream_delete_parity",
-      "stream_resync_parity", "crawl_frontier")
+      "stream_resync_parity", "crawl_frontier", "sync_run_e2e",
+      "ingest_issues_e2e", "ingest_tickets_e2e")
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinel()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
