@@ -87,6 +87,7 @@ object SparkEntry {
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
     "doc_pdf_crypt"       -> (DocPipeline.pdfCryptLines _),
+    "doc_pdf_cid"         -> (DocPipeline.pdfCidLines _),
     "doc_word_lines"      -> (DocPipeline.wordLines _),
     "doc_langid"          -> (TextAnalysis.langId _),
     "doc_quality"         -> (TextAnalysis.qualityScore _),
@@ -1655,6 +1656,25 @@ object SparkEntry {
                ['# f' || doc_id, '', '## Page 1', '', '[stub]']
              ELSE ['# f' || doc_id, '', array_to_string(words, ' ')]
              END AS lines
+           FROM w),
+         sl AS (SELECT doc_id, lines,
+                  unnest(range(0, len(lines))) AS i FROM md)
+         SELECT doc_id, CAST(i AS INT) AS line_no,
+           lines[CAST(i + 1 AS INT)] AS line
+         FROM sl ORDER BY doc_id, line_no""",
+    // subset/CID-font PDFs through the /ToUnicode CMap: every route
+    // (1-byte shift-3, 2-byte indirect-resources, 2-byte + RC4) decodes
+    // to the same words, so the replay needs no routing at all — any
+    // skipped-CMap bug emits shifted gibberish and hash-fails
+    "doc_pdf_cid" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(string_split(replace(text, chr(10), ' '), ' '),
+               x -> x <> '')[1:6] AS words
+           FROM documents),
+         md AS (
+           SELECT doc_id,
+             ['# f' || doc_id, '', array_to_string(words, ' ')] AS lines
            FROM w),
          sl AS (SELECT doc_id, lines,
                   unnest(range(0, len(lines))) AS i FROM md)

@@ -286,6 +286,44 @@ object DocPipeline {
       .orderBy("doc_id", "line_no")
   }
 
+  /** Subset/CID-font PDF decode as an oracle row: PDFs whose
+    * show-strings are code-encoded (raw bytes gibberish) and decoded
+    * through the REAL [[graft.sources.PdfExtract]] /ToUnicode path
+    * (PDF.js does the same mapping inside `getTextContent`, reference
+    * content-processor.ts:1489-1520). Three routes by id arithmetic,
+    * all decoding to the same words so DuckDB replays one shape:
+    * 1-byte shift-3 codes with an increment bfrange and inline
+    * /Resources (default), 2-byte <01cc> codes with indirect
+    * /Resources + /Font dictionaries (id % 13 = 0), and the 2-byte
+    * form RC4-encrypted on top (id % 17 = 0) — content AND CMap
+    * streams encrypted, so decrypt must run before the mapping is even
+    * findable. A decoder that skipped the CMap would emit shifted
+    * gibberish and fail the row. Per-row kernel, no shuffle. */
+  def pdfCidLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{DocumentConverters, PdfFixture}
+    Tables.documents(s, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.replace('\n', ' ').split(' ')
+          .filter(_.nonEmpty).take(6).toSeq
+        val id0 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-cid-$id".getBytes("UTF-8"))
+        val bytes =
+          if (id % 17 == 0)
+            PdfFixture.cmapPdf(words, twoByte = true, id0, encrypted = true)
+          else if (id % 13 == 0)
+            PdfFixture.cmapPdf(words, twoByte = true, id0)
+          else PdfFixture.cmapPdf(words, twoByte = false, id0)
+        val md = DocumentConverters
+          .convertFileToMarkdown(s"f$id.pdf", bytes).getOrElse("")
+        (id, md)
+      }
+      .toDF("doc_id", "markdown")
+      .select(col("doc_id"),
+        posexplode(split(col("markdown"), "\n")).as(Seq("line_no", "line")))
+      .orderBy("doc_id", "line_no")
+  }
+
   /** Deterministic embedding operator (graft.functions.Embedder) over the
     * documents table — a per-partition map, no shuffle; the integer
     * accumulator signature is emitted so the oracle can check the exact

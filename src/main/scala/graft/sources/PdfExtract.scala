@@ -17,12 +17,16 @@ import scala.collection.mutable.ArrayBuffer
   * handler with an empty user password (V 1-2 / R 2-3: Algorithm 2 key
   * derivation, Algorithm 4/5 /U authentication, Algorithm 1 per-object
   * keys — the owner-password-only protection that dominates real doc
-  * corpora), and the BT…ET text operators (Tf, Td, TD, Tm, T-star, TL,
-  * Tj, TJ, quote forms). Out of scope (falls back to the labeled stub
+  * corpora), /ToUnicode CMap remapping for subset/CID fonts (bfchar +
+  * bfrange, 1- and 2-byte codespaces, tracked per Tf font — the raw
+  * show-string bytes of a subsetted font are gibberish without it),
+  * and the BT…ET text operators (Tf, Td, TD, Tm, T-star, TL, Tj, TJ,
+  * quote forms). Out of scope (falls back to the labeled stub
   * upstream): AES-encrypted documents (V4+), non-empty user passwords
   * (never guessed — authentication failure gates to the stub rather
-  * than emitting RC4 garbage), JBIG2/JPX image filters, CID font
-  * remapping — the run text for those is the font's raw bytes.
+  * than emitting RC4 garbage), JBIG2/JPX image filters, CID fonts
+  * WITHOUT a /ToUnicode table — the run text for those is the font's
+  * raw bytes.
   *
   * Runs inside per-row kernels: no state, no I/O, executor-safe.
   */
@@ -308,10 +312,122 @@ object PdfExtract {
       n -> o.copy(stream = o.stream.map(s => rc4(objKey(fk, o.num, o.gen), s)))
     }
 
-  /** Page content streams in page order: the /Pages /Kids walk when the
-    * tree parses, otherwise every /Type /Page object in document
-    * order. */
-  private def pageContents(objs: Map[Int, PdfObj]): Seq[Array[Byte]] = {
+  // ── /ToUnicode CMaps (CID / subset-font remapping) ───────────────────
+
+  /** A parsed /ToUnicode CMap: show-string bytes group into
+    * `codeBytes`-wide codes, each mapped to its Unicode expansion
+    * (UTF-16 code units — ligature multi-char targets included).
+    * Unmapped codes fall back to the code point itself, like PDF.js. */
+  private[graft] final case class CMap(codeBytes: Int, map: Map[Int, String]) {
+    def decode(raw: String): String =
+      if (codeBytes <= 1)
+        raw.map(c => map.getOrElse(c.toInt, c.toString)).mkString
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i + 1 < raw.length) {
+          val code = (raw.charAt(i).toInt << 8) | raw.charAt(i + 1).toInt
+          sb.append(map.getOrElse(code, code.toChar.toString))
+          i += 2
+        }
+        if (i < raw.length) sb.append(raw.charAt(i)) // trailing odd byte
+        sb.toString
+      }
+  }
+
+  /** Destination hex → string: 4-hex groups are UTF-16BE code units
+    * (surrogate pairs concatenate correctly as Java chars); a bare
+    * 2-hex destination (some writers emit these) is a single byte. */
+  private def hexTarget(h: String): String =
+    if (h.length % 4 == 0 && h.nonEmpty)
+      h.grouped(4).map(g => Integer.parseInt(g, 16).toChar).mkString
+    else Integer.parseInt(h, 16).toChar.toString
+
+  /** Parse a /ToUnicode CMap stream ([PDF 32000-1:2008 §9.10.3]):
+    * code width from the first codespacerange, bfchar singles, and
+    * bfrange in both increment (`<lo> <hi> <dst>`, last UTF-16 unit
+    * increments) and array (`<lo> <hi> [<d0> <d1> …]`) forms. The
+    * bfrange body is tokenized sequentially — a naive triple-regex
+    * would misread array elements as new ranges. */
+  private[graft] def parseToUnicode(bytes: Array[Byte]): CMap = {
+    val text = latin1(bytes)
+    val codeBytes = """begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
+      .findFirstMatchIn(text)
+      .map(m => math.max(1, m.group(1).length / 2)).getOrElse(1)
+    val m = scala.collection.mutable.Map[Int, String]()
+    for {
+      sec <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)
+      pair <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+        .findAllMatchIn(sec.group(1))
+    } m(Integer.parseInt(pair.group(1), 16)) = hexTarget(pair.group(2))
+    for (sec <- """(?s)beginbfrange(.*?)endbfrange""".r
+        .findAllMatchIn(text)) {
+      val toks = """<([0-9A-Fa-f]+)>|(\[)|(\])""".r
+        .findAllMatchIn(sec.group(1)).toIndexedSeq
+      var i = 0
+      def hexOf(k: Int): Option[String] = Option(toks(k).group(1))
+      while (i + 2 < toks.length) {
+        (hexOf(i), hexOf(i + 1)) match {
+          case (Some(loH), Some(hiH)) =>
+            val lo = Integer.parseInt(loH, 16)
+            val hi = Integer.parseInt(hiH, 16)
+            if (toks(i + 2).group(2) != null) { // array form
+              var j = i + 3
+              var code = lo
+              while (j < toks.length && toks(j).group(3) == null) {
+                hexOf(j).foreach { d => m(code) = hexTarget(d); code += 1 }
+                j += 1
+              }
+              i = j + 1
+            } else hexOf(i + 2) match { // increment form
+              case Some(dH) =>
+                val base = hexTarget(dH)
+                var k = 0
+                while (k <= hi - lo && k < 65536) {
+                  m(lo + k) = base.init + (base.last + k).toChar
+                  k += 1
+                }
+                i += 3
+              case None => i += 3
+            }
+          case _ => i += 1
+        }
+      }
+    }
+    CMap(codeBytes, m.toMap)
+  }
+
+  /** /ToUnicode CMaps of a page's fonts, keyed by resource name
+    * (`F1`). /Resources and /Font may each be inline or indirect. */
+  private def pageFonts(page: PdfObj,
+      objs: Map[Int, PdfObj]): Map[String, CMap] = {
+    def indirect(body: String, name: String): Option[String] =
+      ("/" + name + """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(body)
+        .flatMap(m => objs.get(m.group(1).toInt).map(_.body))
+    val resources = indirect(page.body, "Resources").getOrElse(page.body)
+    val fontDict = indirect(resources, "Font").getOrElse {
+      """/Font\s*<<""".r.findFirstMatchIn(resources).map { m =>
+        val end = resources.indexOf(">>", m.end)
+        if (end < 0) "" else resources.substring(m.end, end)
+      }.getOrElse("")
+    }
+    """/([A-Za-z0-9._+-]+)\s+(\d+)\s+\d+\s+R""".r
+      .findAllMatchIn(fontDict).flatMap { fm =>
+        for {
+          font <- objs.get(fm.group(2).toInt)
+          tu <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+            .findFirstMatchIn(font.body)
+          cmapObj <- objs.get(tu.group(1).toInt)
+          bytes <- contentBytes(cmapObj)
+        } yield fm.group(1) -> parseToUnicode(bytes)
+      }.toMap
+  }
+
+  /** Page content streams in page order (with each page's font CMaps):
+    * the /Pages /Kids walk when the tree parses, otherwise every
+    * /Type /Page object in document order. */
+  private def pageContents(
+      objs: Map[Int, PdfObj]): Seq[(Array[Byte], Map[String, CMap])] = {
     def isPage(o: PdfObj) =
       """/Type\s*/Page\b""".r.findFirstIn(o.body).isDefined
     val ordered: Seq[PdfObj] = {
@@ -335,7 +451,7 @@ object PdfExtract {
       }
       val parts = refs.flatMap(objs.get).flatMap(contentBytes)
       if (parts.isEmpty) None
-      else Some(parts.reduce(_ ++ _))
+      else Some((parts.reduce(_ ++ _), pageFonts(page, objs)))
     }
   }
 
@@ -380,14 +496,19 @@ object PdfExtract {
     * reconstruction needs (ty from Tm, Td, TD, T-star, TL), emitting
     * one run per show-text operator. Width is the character-count
     * advance proxy (positive ⇒ the reconstruction appends the
-    * inter-word space, like PDF.js's computed advance). */
-  private[sources] def pageRuns(content: Array[Byte]): Seq[PdfRun] = {
+    * inter-word space, like PDF.js's computed advance). `fonts` carries
+    * the page's /ToUnicode CMaps: Tf tracks the current font and
+    * show-strings decode through its CMap (subset/CID fonts whose raw
+    * bytes are gibberish); fonts without one pass through raw. */
+  private[sources] def pageRuns(content: Array[Byte],
+      fonts: Map[String, CMap] = Map.empty): Seq[PdfRun] = {
     val src = latin1(content)
     val out = ArrayBuffer[PdfRun]()
     // operand stack: numbers, strings, names; arrays collected inline
     val operands = ArrayBuffer[Any]()
     var ty = 0.0
     var tl = 0.0
+    var curMap: Option[CMap] = None
     var i = 0
     val n = src.length
 
@@ -443,18 +564,22 @@ object PdfExtract {
         val op = src.substring(i, j)
         val nums = operands.collect { case d: Double => d }.toSeq
         val strs = operands.collect { case s: String => s }.toSeq
+        def mapped(s: String): String =
+          curMap.map(_.decode(s)).getOrElse(s)
         op match {
           case "BT" => ty = 0.0; tl = 0.0
           case "Tm" => if (nums.length >= 6) ty = nums(5)
           case "Td" => if (nums.length >= 2) ty += nums(1)
           case "TD" => if (nums.length >= 2) { tl = -nums(1); ty += nums(1) }
           case "TL" => if (nums.nonEmpty) tl = nums.head
-          case "T*" => ty -= tl
-          case "Tj" => strs.lastOption.foreach(emit)
-          case "'" => ty -= tl; strs.lastOption.foreach(emit)
-          case "\"" => ty -= tl; strs.lastOption.foreach(emit)
-          case "TJ" => emit(strs.mkString)
-          case _ => () // Tf, colors, graphics: no effect on runs
+          case "Tf" => curMap = operands.collect {
+            case s: String if s.startsWith("/") => s
+          }.lastOption.flatMap(f => fonts.get(f.substring(1)))
+          case "Tj" => strs.lastOption.foreach(s => emit(mapped(s)))
+          case "'" => ty -= tl; strs.lastOption.foreach(s => emit(mapped(s)))
+          case "\"" => ty -= tl; strs.lastOption.foreach(s => emit(mapped(s)))
+          case "TJ" => emit(strs.map(mapped).mkString)
+          case _ => () // colors, graphics: no effect on runs
         }
         operands.clear()
         i = j
@@ -476,7 +601,7 @@ object PdfExtract {
       }
       usable.toSeq.flatMap { m =>
         pageContents(m).zipWithIndex.map {
-          case (content, idx) => (idx + 1, pageRuns(content))
+          case ((content, fonts), idx) => (idx + 1, pageRuns(content, fonts))
         }.filter(_._2.nonEmpty)
       }
     } catch { case _: Exception => Seq.empty }

@@ -69,6 +69,60 @@ object PdfFixture {
     case c => c.toString
   }
 
+  private final case class RawObj(num: Int, dict: String,
+      stream: Option[Array[Byte]] = None)
+
+  /** Assemble objects into a file. With `crypt = Some((r, userPw,
+    * ownerPw, literalOU))` every stream is RC4-encrypted with its
+    * Algorithm-1 object key (RC4 preserves length, so /Length entries
+    * written against the plaintext stay valid) and the /Encrypt
+    * dictionary + trailer entry are appended. */
+  private def assemble(objs: Seq[RawObj], id0: Array[Byte],
+      crypt: Option[(Int, String, String, Boolean)]): Array[Byte] = {
+    val (finalObjs, encryptFrag) = crypt match {
+      case None => (objs, "")
+      case Some((r, userPw, ownerPw, literalOU)) =>
+        require(r == 2 || r == 3, s"unsupported revision $r")
+        val p = -44
+        val lenBits = if (r == 2) 40 else 128
+        val o = computeO(ownerPw, userPw, r, lenBits / 8)
+        val fk = fileKey(userPw, o, p, id0, r, lenBits)
+        val u = computeU(fk, id0, r)
+        def str(b: Array[Byte]): String =
+          if (literalOU)
+            "(" + b.map(x => (x & 0xff).toChar).mkString
+              .flatMap {
+                case '(' => "\\("
+                case ')' => "\\)"
+                case '\\' => "\\\\"
+                case '\r' => "\\r" // a raw CR would be EOL-normalized
+                case c => c.toString
+              } + ")"
+          else s"<${hex(b)}>"
+        val encNum = objs.map(_.num).max + 1
+        val enc = objs.map(ro => ro.copy(
+          stream = ro.stream.map(sb => rc4(objKey(fk, ro.num, 0), sb))))
+        val dict = s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} " +
+          s"/R $r /Length $lenBits /O ${str(o)} /U ${str(u)} /P $p >>"
+        (enc :+ RawObj(encNum, dict), s"/Encrypt $encNum 0 R ")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    finalObjs.foreach { ro =>
+      ro.stream match {
+        case None => w(s"${ro.num} 0 obj ${ro.dict} endobj\n")
+        case Some(sb) =>
+          w(s"${ro.num} 0 obj ${ro.dict} stream\n")
+          out.write(sb)
+          w("\nendstream endobj\n")
+      }
+    }
+    w(s"trailer << /Size ${finalObjs.map(_.num).max + 1} /Root 1 0 R " +
+      s"$encryptFrag/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** A one-page encrypted PDF whose content stream shows `words` as two
     * Tj lines (3 + rest), deflated then RC4-encrypted. A non-empty
     * `userPw` makes the empty-password authentication fail — the
@@ -78,41 +132,66 @@ object PdfFixture {
   def encryptedPdf(words: Seq[String], r: Int, id0: Array[Byte],
       userPw: String = "", ownerPw: String = "owner",
       literalOU: Boolean = false): Array[Byte] = {
-    require(r == 2 || r == 3, s"unsupported revision $r")
     val (l1, l2) = words.splitAt(3)
     val content =
       s"BT /F1 12 Tf 72 200 Td (${esc(l1.mkString(" "))}) Tj " +
         s"0 -20 Td (${esc(l2.mkString(" "))}) Tj ET"
-    val p = -44
-    val lenBits = if (r == 2) 40 else 128
-    val o = computeO(ownerPw, userPw, r, lenBits / 8)
-    val fk = fileKey(userPw, o, p, id0, r, lenBits)
-    val u = computeU(fk, id0, r)
-    val encStream = rc4(objKey(fk, 4, 0), deflate(content.getBytes(Latin1)))
-    def str(b: Array[Byte]): String =
-      if (literalOU)
-        "(" + b.map(x => (x & 0xff).toChar).mkString
-          .flatMap {
-            case '(' => "\\("
-            case ')' => "\\)"
-            case '\\' => "\\\\"
-            case '\r' => "\\r" // a raw CR would be EOL-normalized
-            case c => c.toString
-          } + ")"
-      else s"<${hex(b)}>"
-    val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(s.getBytes(Latin1))
-    w("%PDF-1.4\n")
-    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
-    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
-    w(s"4 0 obj << /Length ${encStream.length} /Filter /FlateDecode >> stream\n")
-    out.write(encStream)
-    w("\nendstream endobj\n")
-    w(s"5 0 obj << /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
-      s"/Length $lenBits /O ${str(o)} /U ${str(u)} /P $p >> endobj\n")
-    w(s"trailer << /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
-      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
-    out.toByteArray
+    val cb = deflate(content.getBytes(Latin1))
+    assemble(Seq(
+      RawObj(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      RawObj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      RawObj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      RawObj(4, s"<< /Length ${cb.length} /Filter /FlateDecode >>",
+        Some(cb))),
+      id0, Some((r, userPw, ownerPw, literalOU)))
+  }
+
+  /** A one-page PDF whose show-strings are CODE-ENCODED the way a
+    * subsetted/CID font's are — raw bytes are gibberish, only the
+    * /ToUnicode CMap yields text. `twoByte = false`: 1-byte shift-3
+    * codes via an increment bfrange (<23> <81> → U+0020…), inline
+    * /Resources. `twoByte = true`: 2-byte <01cc> codes (<0100> <01FF>
+    * → U+0000…), INDIRECT /Resources and /Font dictionaries — so the
+    * two routes also cover both dictionary spellings. `encrypted`
+    * wraps every stream (content AND CMap) in RC4 — the decoder must
+    * decrypt before it can even find the mapping. */
+  def cmapPdf(words: Seq[String], twoByte: Boolean, id0: Array[Byte],
+      encrypted: Boolean = false): Array[Byte] = {
+    val (l1, l2) = words.splitAt(3)
+    def encode(s: String): String =
+      if (twoByte) s.map(c => f"01${c.toInt}%02x").mkString
+      else s.map(c => f"${c.toInt + 3}%02x").mkString
+    val content =
+      s"BT /F1 12 Tf 72 200 Td <${encode(l1.mkString(" "))}> Tj " +
+        s"0 -20 Td <${encode(l2.mkString(" "))}> Tj ET"
+    val cmap =
+      if (twoByte)
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+          "endcodespacerange\n1 beginbfrange\n<0100> <01FF> <0000>\n" +
+          "endbfrange\nendcmap\n"
+      else
+        "begincmap\n1 begincodespacerange\n<00> <FF>\n" +
+          "endcodespacerange\n1 beginbfrange\n<23> <81> <0020>\n" +
+          "endbfrange\nendcmap\n"
+    val cb = deflate(content.getBytes(Latin1))
+    val mb = cmap.getBytes(Latin1)
+    val page =
+      if (twoByte) "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources 7 0 R >>"
+      else "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"
+    val objs = Seq(
+      RawObj(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      RawObj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      RawObj(3, page),
+      RawObj(4, s"<< /Length ${cb.length} /Filter /FlateDecode >>",
+        Some(cb)),
+      RawObj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Graft-Sub " +
+        "/ToUnicode 6 0 R >>"),
+      RawObj(6, s"<< /Length ${mb.length} >>", Some(mb))) ++
+      (if (twoByte) Seq(RawObj(7, "<< /Font << /F1 5 0 R >> >>"))
+       else Seq.empty)
+    assemble(objs, id0,
+      if (encrypted) Some((3, "", "owner", false)) else None)
   }
 }

@@ -108,6 +108,88 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(PdfExtract.extractRuns(bytes).isEmpty)
   }
 
+  // ── /ToUnicode CMap remapping (subset/CID fonts) ────────────────────
+
+  test("parseToUnicode: bfchar, increment bfrange, array bfrange") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<01> <0041>
+        |<02> <00660066>
+        |endbfchar
+        |2 beginbfrange
+        |<10> <12> <0061>
+        |<20> <22> [<0058> <0059> <005A>]
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val cm = PdfExtract.parseToUnicode(cmap.getBytes("ISO-8859-1"))
+    assert(cm.codeBytes == 1)
+    assert(cm.map(0x01) == "A")
+    assert(cm.map(0x02) == "ff") // ligature multi-char target
+    assert(cm.map(0x10) == "a" && cm.map(0x11) == "b" && cm.map(0x12) == "c")
+    assert(cm.map(0x20) == "X" && cm.map(0x21) == "Y" && cm.map(0x22) == "Z")
+    assert(!cm.map.contains(0x21 + 0x100)) // array elems not new ranges
+    // decode falls back to the raw code for unmapped bytes
+    assert(cm.decode("Q") == "AaQ")
+  }
+
+  test("parseToUnicode: 2-byte codespace widths pair up") {
+    val cmap = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+      "endcodespacerange\n1 beginbfrange\n<0100> <01FF> <0000>\n" +
+      "endbfrange\nendcmap\n"
+    val cm = PdfExtract.parseToUnicode(cmap.getBytes("ISO-8859-1"))
+    assert(cm.codeBytes == 2)
+    assert(cm.decode("Ab") == "Ab") // bytes 01 41 01 62
+  }
+
+  test("a 1-byte shift-coded CMap PDF decodes through the real path") {
+    val bytes = PdfFixture.cmapPdf(words, twoByte = false, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("c1.pdf", bytes).get
+    assert(md == "# c1\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("a 2-byte CMap PDF with indirect resources decodes") {
+    val bytes = PdfFixture.cmapPdf(words, twoByte = true, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("c2.pdf", bytes).get
+    assert(md == "# c2\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("an ENCRYPTED CMap PDF decodes: decrypt precedes the mapping") {
+    val bytes = PdfFixture.cmapPdf(words, twoByte = true, id0 = id0,
+      encrypted = true)
+    val md = DocumentConverters.convertFileToMarkdown("c3.pdf", bytes).get
+    assert(md == "# c3\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("Tf switches between mapped and unmapped fonts mid-page") {
+    // F1 maps 23->space 24->'!', F2 has no /ToUnicode: raw passthrough
+    val cmap = "begincmap\n1 begincodespacerange\n<00> <FF>\n" +
+      "endcodespacerange\n2 beginbfchar\n<23> <0020>\n<24> <0021>\n" +
+      "endbfchar\nendcmap\n"
+    val pdf =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R /F2 8 0 R >> >> >> endobj\n" +
+        "4 0 obj << /Length 64 >> stream\n" +
+        "BT /F1 12 Tf 72 200 Td <2423> Tj /F2 12 Tf (raw) Tj ET\n" +
+        "endstream endobj\n" +
+        "5 0 obj << /Type /Font /ToUnicode 6 0 R >> endobj\n" +
+        s"6 0 obj << /Length ${cmap.length} >> stream\n" +
+        cmap +
+        "endstream endobj\n" +
+        "8 0 obj << /Type /Font /Subtype /Type1 >> endobj\n" +
+        "trailer << /Size 9 /Root 1 0 R >>\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val md = DocumentConverters.convertFileToMarkdown("c4.pdf", pdf).get
+    assert(md == "# c4\n\n! raw")
+  }
+
   test("unencrypted PDFs are untouched by the crypt path") {
     // no /Encrypt in the trailer: the fixture built without encryption
     // via the plain builder in PdfExtractSpec still decodes — covered
