@@ -241,20 +241,22 @@ object DocPipeline {
       .orderBy("doc_id", "line_no")
   }
 
-  /** Encrypted-PDF decode as an oracle row: RC4 standard-security-
-    * handler PDFs built per document by [[graft.sources.PdfFixture]]
+  /** Encrypted-PDF decode as an oracle row: standard-security-handler
+    * PDFs built per document by [[graft.sources.PdfFixture]]
     * and decoded through the REAL [[graft.sources.PdfExtract]] path —
     * Algorithm 2 key derivation, Algorithm 4/5 /U authentication,
-    * Algorithm 1 per-object keys, RC4 stream decrypt, FlateDecode,
-    * then the BT…ET interpreter and Y-delta reconstruction (the
-    * reference inherits this from PDF.js, content-processor.ts:
-    * 1489-1520). Four routes by id arithmetic so DuckDB replays the
-    * output from the same words: R3/128-bit (default), R2/40-bit
-    * (id % 13 = 0), R3 with literal-string /O /U spelling (id % 11 =
-    * 0, same output as default), and owner-locked documents with a
-    * non-empty USER password (id % 17 = 0) which must fall back to the
-    * labeled stub — a decoder that skipped /U authentication would
-    * emit RC4 garbage instead, failing the row. The stub's payload-
+    * Algorithm 1 per-object keys, RC4 or AES-CBC stream decrypt,
+    * FlateDecode, then the BT…ET interpreter and Y-delta
+    * reconstruction (the reference inherits this from PDF.js,
+    * content-processor.ts:1489-1520). Five routes by id arithmetic so
+    * DuckDB replays the output from the same words: R3/128-bit RC4
+    * (default), R2/40-bit (id % 13 = 0), R3 with literal-string /O /U
+    * spelling (id % 11 = 0), AESV2 V4/R4 with IV-prefixed PKCS#7
+    * streams (id % 7 = 0) — all decoding to the same words — and
+    * owner-locked documents with a non-empty USER password
+    * (id % 17 = 0) which must fall back to the labeled stub — a
+    * decoder that skipped /U authentication would emit decrypt garbage
+    * instead, failing the row. The stub's payload-
     * hash token is normalized to '[stub]' (a container sha is not
     * SQL-replayable); everything else is byte-exact. Per-row kernel,
     * no shuffle. */
@@ -273,6 +275,7 @@ object DocPipeline {
           else if (id % 13 == 0) PdfFixture.encryptedPdf(words, 2, id0)
           else if (id % 11 == 0)
             PdfFixture.encryptedPdf(words, 3, id0, literalOU = true)
+          else if (id % 7 == 0) PdfFixture.encryptedPdf(words, 4, id0)
           else PdfFixture.encryptedPdf(words, 3, id0)
         val md = DocumentConverters
           .convertFileToMarkdown(s"f$id.pdf", bytes).getOrElse("")

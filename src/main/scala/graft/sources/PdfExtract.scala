@@ -13,18 +13,19 @@ import scala.collection.mutable.ArrayBuffer
   * /Pages /Kids with a document-order fallback, /Contents streams
   * (direct or array), FlateDecode via java.util.zip (the JVM ships the
   * codec), LZWDecode (the spec's TIFF-flavored variant, implemented in
-  * [[lzwDecode]]), RC4-encrypted documents under the standard security
-  * handler with an empty user password (V 1-2 / R 2-3: Algorithm 2 key
+  * [[lzwDecode]]), encrypted documents under the standard security
+  * handler with an empty user password — RC4 (V 1-2 / R 2-3) and
+  * AES-128-CBC (V 4 / R 4, /AESV2 crypt filter): Algorithm 2 key
   * derivation, Algorithm 4/5 /U authentication, Algorithm 1 per-object
   * keys — the owner-password-only protection that dominates real doc
-  * corpora), /ToUnicode CMap remapping for subset/CID fonts (bfchar +
+  * corpora; /ToUnicode CMap remapping for subset/CID fonts (bfchar +
   * bfrange, 1- and 2-byte codespaces, tracked per Tf font — the raw
-  * show-string bytes of a subsetted font are gibberish without it),
+  * show-string bytes of a subsetted font are gibberish without it);
   * and the BT…ET text operators (Tf, Td, TD, Tm, T-star, TL, Tj, TJ,
   * quote forms). Out of scope (falls back to the labeled stub
-  * upstream): AES-encrypted documents (V4+), non-empty user passwords
+  * upstream): AES-256 documents (V5/R6), non-empty user passwords
   * (never guessed — authentication failure gates to the stub rather
-  * than emitting RC4 garbage), JBIG2/JPX image filters, CID fonts
+  * than emitting decrypt garbage), JBIG2/JPX image filters, CID fonts
   * WITHOUT a /ToUnicode table — the run text for those is the font's
   * raw bytes.
   *
@@ -190,11 +191,16 @@ object PdfExtract {
 
   /** Algorithm 2: the file encryption key from the (padded) user
     * password, /O, /P (as signed little-endian 32-bit), and the first
-    * document ID; R3 re-digests the first n bytes 50 times. */
+    * document ID; R3+ re-digests the first n bytes 50 times; R4 with
+    * /EncryptMetadata false appends FFFFFFFF to the first digest. */
   private[graft] def fileKey(userPw: String, o: Array[Byte], p: Int,
-      id0: Array[Byte], r: Int, lenBits: Int): Array[Byte] = {
+      id0: Array[Byte], r: Int, lenBits: Int,
+      encryptMetadata: Boolean = true): Array[Byte] = {
     val n = if (r == 2) 5 else math.max(5, math.min(16, lenBits / 8))
-    var h = md5(padPassword(userPw), o.take(32), le32(p), id0)
+    val noMeta: Array[Byte] =
+      if (r >= 4 && !encryptMetadata) Array(-1, -1, -1, -1)
+      else Array.emptyByteArray
+    var h = md5(padPassword(userPw), o.take(32), le32(p), id0, noMeta)
     if (r >= 3) {
       var i = 0
       while (i < 50) { h = md5(h.take(n)); i += 1 }
@@ -203,13 +209,33 @@ object PdfExtract {
   }
 
   /** Algorithm 1: the per-object key — MD5(file key ++ objNum low 3
-    * bytes LE ++ gen low 2 bytes LE), first min(n+5, 16) bytes. */
-  private[graft] def objKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] =
+    * bytes LE ++ gen low 2 bytes LE [++ "sAlT" for AESV2]), first
+    * min(n+5, 16) bytes. */
+  private[graft] def objKey(fk: Array[Byte], num: Int, gen: Int,
+      aes: Boolean = false): Array[Byte] =
     md5(fk, Array(
       (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
       ((num >> 16) & 0xff).toByte,
-      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte),
+      if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+      else Array.emptyByteArray)
       .take(math.min(fk.length + 5, 16))
+
+  /** AESV2 stream layout: a 16-byte IV prefix, then AES-128-CBC
+    * ciphertext with PKCS#7 padding (javax.crypto ships in the JDK). */
+  private[graft] def aesDecrypt(key: Array[Byte],
+      data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (data.length < 32 || data.length % 16 != 0) return None
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      val plain = c.doFinal(data.drop(16))
+      val pad = plain.last & 0xff
+      if (pad < 1 || pad > 16 || pad > plain.length) None
+      else Some(plain.dropRight(pad))
+    } catch { case _: Exception => None }
 
   /** Algorithms 4 (R2) / 5 (R3): does the /U entry authenticate this
     * file key? R3 compares the meaningful first 16 bytes. */
@@ -274,13 +300,16 @@ object PdfExtract {
   private sealed trait CryptState
   private case object Plain extends CryptState
   private case object Undecryptable extends CryptState
-  private final case class Keyed(fk: Array[Byte]) extends CryptState
+  private final case class Keyed(fk: Array[Byte], aes: Boolean)
+    extends CryptState
 
-  /** /Encrypt detection + empty-user-password authentication. Supported:
-    * the standard handler, V 1-2 / R 2-3 (RC4). Everything else — AES
-    * (V4+), a real user password, malformed entries — is Undecryptable:
-    * the caller falls back to the labeled stub instead of emitting
-    * garbage. */
+  /** /Encrypt detection + empty-user-password authentication.
+    * Supported: the standard handler, V 1-2 / R 2-3 (RC4) and V 4 /
+    * R 4 with an /AESV2 crypt filter applied to streams (AES-128-CBC,
+    * the PDF-1.6 default). Everything else — AES-256 (V5+), a real
+    * user password, Identity/custom stream filters, malformed entries
+    * — is Undecryptable: the caller falls back to the labeled stub
+    * instead of emitting garbage. */
   private def cryptState(text: String, objs: Map[Int, PdfObj]): CryptState = {
     val ref = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(text)
     if (ref.isEmpty) return Plain
@@ -290,26 +319,40 @@ object PdfExtract {
       enc <- objs.get(ref.get.group(1).toInt)
       if """/Filter\s*/Standard\b""".r.findFirstIn(enc.body).isDefined
       r <- intEntry(enc.body, "R")
-      if intEntry(enc.body, "V").getOrElse(0) <= 2 && (r == 2 || r == 3)
+      v = intEntry(enc.body, "V").getOrElse(0)
+      aes = r == 4
+      if (v <= 2 && (r == 2 || r == 3)) ||
+        (v == 4 && r == 4 &&
+          """/CFM\s*/AESV2\b""".r.findFirstIn(enc.body).isDefined &&
+          """/StmF\s*/StdCF\b""".r.findFirstIn(enc.body).isDefined)
       o <- stringEntry(enc.body, "O") if o.length >= 32
       u <- stringEntry(enc.body, "U")
       if u.length >= (if (r == 2) 32 else 16)
       p <- intEntry(enc.body, "P")
-      fk = fileKey("", o, p, id0, r,
-        intEntry(enc.body, "Length").getOrElse(40))
+      encryptMetadata = !"""/EncryptMetadata\s+false\b""".r
+        .findFirstIn(enc.body).isDefined
+      // R4 keys are always 128-bit; parsing /Length would be ambiguous
+      // anyway (the nested /CF dict carries its own /Length 16)
+      lenBits = if (aes) 128
+        else intEntry(enc.body, "Length").getOrElse(40)
+      fk = fileKey("", o, p, id0, r, lenBits, encryptMetadata)
       if userPwAuthenticates(fk, u, id0, r)
-    } yield Keyed(fk)).getOrElse(Undecryptable)
+    } yield Keyed(fk, aes)).getOrElse(Undecryptable)
   }
 
   /** Decrypt every object's stream with its Algorithm-1 key (decrypt
     * happens BEFORE filter decode, matching the writer's
-    * compress-then-encrypt order). Strings inside content streams come
-    * decrypted for free; top-level strings are not consumed by the
-    * extractor. */
+    * compress-then-encrypt order); AESV2 streams carry their IV prefix
+    * and PKCS#7 padding. Strings inside content streams come decrypted
+    * for free; top-level strings are not consumed by the extractor. */
   private def decryptStreams(objs: Map[Int, PdfObj],
-      fk: Array[Byte]): Map[Int, PdfObj] =
+      fk: Array[Byte], aes: Boolean): Map[Int, PdfObj] =
     objs.map { case (n, o) =>
-      n -> o.copy(stream = o.stream.map(s => rc4(objKey(fk, o.num, o.gen), s)))
+      n -> o.copy(stream = o.stream.map { s =>
+        val k = objKey(fk, o.num, o.gen, aes)
+        if (aes) aesDecrypt(k, s).getOrElse(Array.emptyByteArray)
+        else rc4(k, s)
+      })
     }
 
   // ── /ToUnicode CMaps (CID / subset-font remapping) ───────────────────
@@ -595,9 +638,9 @@ object PdfExtract {
       val text = latin1(bytes)
       val objs = parseObjects(text)
       val usable = cryptState(text, objs) match {
-        case Plain         => Some(objs)
-        case Undecryptable => None
-        case Keyed(fk)     => Some(decryptStreams(objs, fk))
+        case Plain          => Some(objs)
+        case Undecryptable  => None
+        case Keyed(fk, aes) => Some(decryptStreams(objs, fk, aes))
       }
       usable.toSeq.flatMap { m =>
         pageContents(m).zipWithIndex.map {

@@ -72,17 +72,33 @@ object PdfFixture {
   private final case class RawObj(num: Int, dict: String,
       stream: Option[Array[Byte]] = None)
 
+  /** AESV2 stream encryption: deterministic IV (MD5 of id0 ++ objnum —
+    * fixtures must replay byte-identically), PKCS#7 pad, AES-128-CBC,
+    * IV prefix. */
+  private def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+      plain: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - (plain.length % 16)
+    val padded = plain ++ Array.fill(padLen)(padLen.toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(padded)
+  }
+
   /** Assemble objects into a file. With `crypt = Some((r, userPw,
-    * ownerPw, literalOU))` every stream is RC4-encrypted with its
-    * Algorithm-1 object key (RC4 preserves length, so /Length entries
-    * written against the plaintext stay valid) and the /Encrypt
-    * dictionary + trailer entry are appended. */
+    * ownerPw, literalOU))` every stream is encrypted with its
+    * Algorithm-1 object key — RC4 for r 2-3 (length-preserving, so
+    * /Length entries written against the plaintext stay valid) or
+    * AES-128-CBC for r 4 (/AESV2: IV prefix + padding change the
+    * length, so stream dicts are rewritten with the true /Length) —
+    * and the /Encrypt dictionary + trailer entry are appended. */
   private def assemble(objs: Seq[RawObj], id0: Array[Byte],
       crypt: Option[(Int, String, String, Boolean)]): Array[Byte] = {
     val (finalObjs, encryptFrag) = crypt match {
       case None => (objs, "")
       case Some((r, userPw, ownerPw, literalOU)) =>
-        require(r == 2 || r == 3, s"unsupported revision $r")
+        require(r >= 2 && r <= 4, s"unsupported revision $r")
         val p = -44
         val lenBits = if (r == 2) 40 else 128
         val o = computeO(ownerPw, userPw, r, lenBits / 8)
@@ -100,10 +116,30 @@ object PdfFixture {
               } + ")"
           else s"<${hex(b)}>"
         val encNum = objs.map(_.num).max + 1
-        val enc = objs.map(ro => ro.copy(
-          stream = ro.stream.map(sb => rc4(objKey(fk, ro.num, 0), sb))))
-        val dict = s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} " +
-          s"/R $r /Length $lenBits /O ${str(o)} /U ${str(u)} /P $p >>"
+        val enc = objs.map { ro =>
+          ro.stream match {
+            case None => ro
+            case Some(sb) if r <= 3 =>
+              ro.copy(stream = Some(rc4(objKey(fk, ro.num, 0), sb)))
+            case Some(sb) =>
+              val iv = PdfExtract.md5(id0,
+                Array((ro.num & 0xff).toByte))
+              val ct = aesEncrypt(objKey(fk, ro.num, 0, aes = true), iv, sb)
+              // AES changes stream length: rewrite the dict's /Length
+              ro.copy(
+                dict = ro.dict.replaceAll("/Length\\s+\\d+",
+                  s"/Length ${ct.length}"),
+                stream = Some(ct))
+          }
+        }
+        val dict =
+          if (r == 4)
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+              "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen " +
+              "/Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+              s"/O ${str(o)} /U ${str(u)} /P $p >>"
+          else s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} " +
+            s"/R $r /Length $lenBits /O ${str(o)} /U ${str(u)} /P $p >>"
         (enc :+ RawObj(encNum, dict), s"/Encrypt $encNum 0 R ")
     }
     val out = new java.io.ByteArrayOutputStream()

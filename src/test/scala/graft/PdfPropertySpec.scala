@@ -51,7 +51,7 @@ class PdfPropertySpec extends AnyFunSuite {
   test("property: encrypted PDFs round-trip any printable words") {
     val gen = for {
       ws <- wordsGen
-      r <- Gen.oneOf(2, 3)
+      r <- Gen.oneOf(2, 3, 4) // RC4-40, RC4-128, AESV2
       literal <- Gen.oneOf(true, false)
     } yield (ws, r, literal)
     forAll(gen) { case (ws, r, literal) =>
