@@ -248,12 +248,13 @@ object DocPipeline {
     * Algorithm 1 per-object keys, RC4 or AES-CBC stream decrypt,
     * FlateDecode, then the BT…ET interpreter and Y-delta
     * reconstruction (the reference inherits this from PDF.js,
-    * content-processor.ts:1489-1520). Five routes by id arithmetic so
+    * content-processor.ts:1489-1520). Six routes by id arithmetic so
     * DuckDB replays the output from the same words: R3/128-bit RC4
     * (default), R2/40-bit (id % 13 = 0), R3 with literal-string /O /U
     * spelling (id % 11 = 0), AESV2 V4/R4 with IV-prefixed PKCS#7
-    * streams (id % 7 = 0) — all decoding to the same words — and
-    * owner-locked documents with a non-empty USER password
+    * streams (id % 7 = 0), AES-256 V5/R6 with the hardened hash and
+    * /UE key unwrap (id % 5 = 0) — all decoding to the same words —
+    * and owner-locked documents with a non-empty USER password
     * (id % 17 = 0) which must fall back to the labeled stub — a
     * decoder that skipped /U authentication would emit decrypt garbage
     * instead, failing the row. The stub's payload-
@@ -276,6 +277,7 @@ object DocPipeline {
           else if (id % 11 == 0)
             PdfFixture.encryptedPdf(words, 3, id0, literalOU = true)
           else if (id % 7 == 0) PdfFixture.encryptedPdf(words, 4, id0)
+          else if (id % 5 == 0) PdfFixture.encryptedPdf(words, 6, id0)
           else PdfFixture.encryptedPdf(words, 3, id0)
         val md = DocumentConverters
           .convertFileToMarkdown(s"f$id.pdf", bytes).getOrElse("")

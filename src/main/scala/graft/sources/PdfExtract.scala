@@ -13,21 +13,22 @@ import scala.collection.mutable.ArrayBuffer
   * /Pages /Kids with a document-order fallback, /Contents streams
   * (direct or array), FlateDecode via java.util.zip (the JVM ships the
   * codec), LZWDecode (the spec's TIFF-flavored variant, implemented in
-  * [[lzwDecode]]), encrypted documents under the standard security
-  * handler with an empty user password — RC4 (V 1-2 / R 2-3) and
-  * AES-128-CBC (V 4 / R 4, /AESV2 crypt filter): Algorithm 2 key
-  * derivation, Algorithm 4/5 /U authentication, Algorithm 1 per-object
-  * keys — the owner-password-only protection that dominates real doc
-  * corpora; /ToUnicode CMap remapping for subset/CID fonts (bfchar +
-  * bfrange, 1- and 2-byte codespaces, tracked per Tf font — the raw
+  * [[lzwDecode]]), the FULL standard-security-handler encryption
+  * matrix with an empty user password — RC4 (V 1-2 / R 2-3, Algorithm
+  * 2 key derivation + Algorithm 4/5 /U authentication + Algorithm 1
+  * per-object keys), AES-128-CBC (V 4 / R 4, /AESV2), and AES-256
+  * (V 5 / R 5-6, /AESV3: the R6 hardened hash, /UE file-key unwrap) —
+  * the owner-password-only protection that dominates real doc corpora;
+  * /ToUnicode CMap remapping for subset/CID fonts (bfchar + bfrange,
+  * 1- and 2-byte codespaces, tracked per Tf font — the raw
   * show-string bytes of a subsetted font are gibberish without it);
   * and the BT…ET text operators (Tf, Td, TD, Tm, T-star, TL, Tj, TJ,
   * quote forms). Out of scope (falls back to the labeled stub
-  * upstream): AES-256 documents (V5/R6), non-empty user passwords
-  * (never guessed — authentication failure gates to the stub rather
-  * than emitting decrypt garbage), JBIG2/JPX image filters, CID fonts
-  * WITHOUT a /ToUnicode table — the run text for those is the font's
-  * raw bytes.
+  * upstream): non-empty user passwords (never guessed —
+  * authentication failure gates to the stub rather than emitting
+  * decrypt garbage), JBIG2/JPX image filters, CID fonts WITHOUT a
+  * /ToUnicode table — the run text for those is the font's raw
+  * bytes.
   *
   * Runs inside per-row kernels: no state, no I/O, executor-safe.
   */
@@ -48,20 +49,42 @@ object PdfExtract {
     """(?s)(\d+)\s+(\d+)\s+obj\b(.*?)endobj""".r
   private val StreamRe =
     """(?s)stream\r?\n(.*?)\r?\nendstream""".r
+  private val StreamStartRe = """stream\r?\n""".r
   private val KidsRe = """/Kids\s*\[([^\]]*)\]""".r
   private val RefRe = """(\d+)\s+\d+\s+R""".r
   private val ContentsRefRe = """/Contents\s+(\d+)\s+\d+\s+R""".r
   private val ContentsArrRe = """/Contents\s*\[([^\]]*)\]""".r
 
+  /** Stream bytes of one object body. Primary: slice exactly /Length
+    * bytes after the `stream` keyword and confirm `endstream` follows —
+    * the delimiter scan alone silently EATS a trailing 0x0D byte (the
+    * `\r?\n` before endstream), which corrupts any binary stream whose
+    * ciphertext happens to end in CR (1/256 of AES streams). Fallback
+    * (no /Length, an indirect /Length ref, or a fixture whose claimed
+    * length is wrong): the non-greedy endstream scan. */
+  private def streamBytes(body: String): Option[Array[Byte]] =
+    StreamStartRe.findFirstMatchIn(body).flatMap { sm =>
+      val start = sm.end
+      val sliced = for {
+        lm <- """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+          .findFirstMatchIn(body.substring(0, sm.start))
+        n = lm.group(1).toInt
+        if start + n <= body.length
+        rest = body.substring(start + n,
+          math.min(body.length, start + n + 16))
+        if rest.dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+          .startsWith("endstream")
+      } yield body.substring(start, start + n)
+      sliced.orElse(StreamRe.findFirstMatchIn(body)
+        .map(m => body.substring(m.start(1), m.end(1))))
+        .map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+
   private def parseObjects(text: String): Map[Int, PdfObj] = {
     ObjRe.findAllMatchIn(text).map { m =>
       val body = m.group(3)
-      val stream = StreamRe.findFirstMatchIn(body).map { sm =>
-        body.substring(sm.start(1), sm.end(1))
-          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      }
       val num = m.group(1).toInt
-      num -> PdfObj(num, m.group(2).toInt, body, stream)
+      num -> PdfObj(num, m.group(2).toInt, body, streamBytes(body))
     }.toMap
   }
 
@@ -221,21 +244,65 @@ object PdfExtract {
       else Array.emptyByteArray)
       .take(math.min(fk.length + 5, 16))
 
-  /** AESV2 stream layout: a 16-byte IV prefix, then AES-128-CBC
-    * ciphertext with PKCS#7 padding (javax.crypto ships in the JDK). */
+  /** Raw AES-CBC, no padding added or stripped — the building block
+    * for stream decrypt, /UE key unwrap, and the R6 hardened hash. */
+  private[graft] def aesCbc(key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte], encrypt: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** AESV2/V3 stream layout: a 16-byte IV prefix, then AES-CBC
+    * ciphertext with PKCS#7 padding (javax.crypto ships in the JDK;
+    * the key length selects AES-128 vs AES-256). */
   private[graft] def aesDecrypt(key: Array[Byte],
       data: Array[Byte]): Option[Array[Byte]] =
     try {
       if (data.length < 32 || data.length % 16 != 0) return None
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(javax.crypto.Cipher.DECRYPT_MODE,
-        new javax.crypto.spec.SecretKeySpec(key, "AES"),
-        new javax.crypto.spec.IvParameterSpec(data.take(16)))
-      val plain = c.doFinal(data.drop(16))
+      val plain = aesCbc(key, data.take(16), data.drop(16), encrypt = false)
       val pad = plain.last & 0xff
       if (pad < 1 || pad > 16 || pad > plain.length) None
       else Some(plain.dropRight(pad))
     } catch { case _: Exception => None }
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** AES-256 password hash ([PDF 32000-2] Algorithms 2.A/2.B): R5 is a
+    * plain SHA-256(pw ++ salt ++ udata); R6 iterates the hardened
+    * loop — 64 repetitions of (pw ++ K ++ udata) AES-CBC-encrypted
+    * under K's halves, the digest algorithm chosen by the ciphertext
+    * mod 3, until round >= 64 and the last ciphertext byte permits
+    * exit. Always 32 bytes. */
+  private[graft] def hash256(pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha("SHA-256", pw, salt, udata)
+    if (r <= 5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      val k1 = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < 64) { k1.write(pw); k1.write(k); k1.write(udata); i += 1 }
+      val e = aesCbc(k.take(16), k.slice(16, 32), k1.toByteArray,
+        encrypt = true)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(
+        if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512",
+        e)
+      round += 1
+      done = round >= 64 && (e.last & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
 
   /** Algorithms 4 (R2) / 5 (R3): does the /U entry authenticate this
     * file key? R3 compares the meaningful first 16 bytes. */
@@ -300,56 +367,87 @@ object PdfExtract {
   private sealed trait CryptState
   private case object Plain extends CryptState
   private case object Undecryptable extends CryptState
-  private final case class Keyed(fk: Array[Byte], aes: Boolean)
-    extends CryptState
+  /** `aes`: AES-CBC streams (else RC4); `perObject`: Algorithm-1
+    * object keys (V≤4) vs the file key used directly (V5). */
+  private final case class Keyed(fk: Array[Byte], aes: Boolean,
+      perObject: Boolean) extends CryptState
+
+  /** V5 (AES-256) empty-user-password authentication + key unwrap
+    * ([PDF 32000-2] Algorithm 2.A): /U = hash(32) ++ validation
+    * salt(8) ++ key salt(8); validate SHA-based hash against the
+    * leading 32 bytes, then unwrap the 32-byte file key from /UE with
+    * AES-256-CBC under the intermediate key (zero IV, no padding). */
+  private def v5Key(body: String, r: Int): Option[Array[Byte]] =
+    for {
+      u <- stringEntry(body, "U") if u.length >= 48
+      ue <- stringEntry(body, "UE") if ue.length >= 32
+      hash = hash256(Array.emptyByteArray, u.slice(32, 40),
+        Array.emptyByteArray, r)
+      if java.util.Arrays.equals(hash, u.take(32))
+      ikey = hash256(Array.emptyByteArray, u.slice(40, 48),
+        Array.emptyByteArray, r)
+      fk <- (try Some(aesCbc(ikey, new Array[Byte](16), ue.take(32),
+        encrypt = false))
+      catch { case _: Exception => None })
+    } yield fk
 
   /** /Encrypt detection + empty-user-password authentication.
-    * Supported: the standard handler, V 1-2 / R 2-3 (RC4) and V 4 /
-    * R 4 with an /AESV2 crypt filter applied to streams (AES-128-CBC,
-    * the PDF-1.6 default). Everything else — AES-256 (V5+), a real
-    * user password, Identity/custom stream filters, malformed entries
-    * — is Undecryptable: the caller falls back to the labeled stub
-    * instead of emitting garbage. */
+    * Supported: the standard handler — V 1-2 / R 2-3 (RC4), V 4 / R 4
+    * with an /AESV2 crypt filter (AES-128-CBC, the PDF-1.6 default),
+    * and V 5 / R 5-6 with /AESV3 (AES-256, PDF 2.0: hardened hash,
+    * /UE key unwrap). Everything else — a real user password,
+    * Identity/custom stream filters, malformed entries — is
+    * Undecryptable: the caller falls back to the labeled stub instead
+    * of emitting garbage. */
   private def cryptState(text: String, objs: Map[Int, PdfObj]): CryptState = {
     val ref = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(text)
     if (ref.isEmpty) return Plain
     val id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(text)
       .map(m => hexBytes(m.group(1))).getOrElse(Array.emptyByteArray)
-    (for {
+    val state = for {
       enc <- objs.get(ref.get.group(1).toInt)
       if """/Filter\s*/Standard\b""".r.findFirstIn(enc.body).isDefined
       r <- intEntry(enc.body, "R")
       v = intEntry(enc.body, "V").getOrElse(0)
-      aes = r == 4
-      if (v <= 2 && (r == 2 || r == 3)) ||
-        (v == 4 && r == 4 &&
-          """/CFM\s*/AESV2\b""".r.findFirstIn(enc.body).isDefined &&
+      keyed <-
+        if (v == 5 && (r == 5 || r == 6) &&
+          """/CFM\s*/AESV3\b""".r.findFirstIn(enc.body).isDefined &&
           """/StmF\s*/StdCF\b""".r.findFirstIn(enc.body).isDefined)
-      o <- stringEntry(enc.body, "O") if o.length >= 32
-      u <- stringEntry(enc.body, "U")
-      if u.length >= (if (r == 2) 32 else 16)
-      p <- intEntry(enc.body, "P")
-      encryptMetadata = !"""/EncryptMetadata\s+false\b""".r
-        .findFirstIn(enc.body).isDefined
-      // R4 keys are always 128-bit; parsing /Length would be ambiguous
-      // anyway (the nested /CF dict carries its own /Length 16)
-      lenBits = if (aes) 128
-        else intEntry(enc.body, "Length").getOrElse(40)
-      fk = fileKey("", o, p, id0, r, lenBits, encryptMetadata)
-      if userPwAuthenticates(fk, u, id0, r)
-    } yield Keyed(fk, aes)).getOrElse(Undecryptable)
+          v5Key(enc.body, r).map(Keyed(_, aes = true, perObject = false))
+        else if ((v <= 2 && (r == 2 || r == 3)) ||
+          (v == 4 && r == 4 &&
+            """/CFM\s*/AESV2\b""".r.findFirstIn(enc.body).isDefined &&
+            """/StmF\s*/StdCF\b""".r.findFirstIn(enc.body).isDefined))
+          for {
+            o <- stringEntry(enc.body, "O") if o.length >= 32
+            u <- stringEntry(enc.body, "U")
+            if u.length >= (if (r == 2) 32 else 16)
+            p <- intEntry(enc.body, "P")
+            encryptMetadata = !"""/EncryptMetadata\s+false\b""".r
+              .findFirstIn(enc.body).isDefined
+            // R4 keys are always 128-bit; parsing /Length would be
+            // ambiguous anyway (the nested /CF dict carries /Length 16)
+            lenBits = if (r == 4) 128
+              else intEntry(enc.body, "Length").getOrElse(40)
+            fk = fileKey("", o, p, id0, r, lenBits, encryptMetadata)
+            if userPwAuthenticates(fk, u, id0, r)
+          } yield Keyed(fk, aes = r == 4, perObject = true)
+        else None
+    } yield keyed
+    state.getOrElse(Undecryptable)
   }
 
-  /** Decrypt every object's stream with its Algorithm-1 key (decrypt
-    * happens BEFORE filter decode, matching the writer's
-    * compress-then-encrypt order); AESV2 streams carry their IV prefix
-    * and PKCS#7 padding. Strings inside content streams come decrypted
-    * for free; top-level strings are not consumed by the extractor. */
+  /** Decrypt every object's stream (decrypt happens BEFORE filter
+    * decode, matching the writer's compress-then-encrypt order); AES
+    * streams carry their IV prefix and PKCS#7 padding; V5 uses the
+    * file key for every stream, V≤4 the Algorithm-1 object key.
+    * Strings inside content streams come decrypted for free; top-level
+    * strings are not consumed by the extractor. */
   private def decryptStreams(objs: Map[Int, PdfObj],
-      fk: Array[Byte], aes: Boolean): Map[Int, PdfObj] =
+      fk: Array[Byte], aes: Boolean, perObject: Boolean): Map[Int, PdfObj] =
     objs.map { case (n, o) =>
       n -> o.copy(stream = o.stream.map { s =>
-        val k = objKey(fk, o.num, o.gen, aes)
+        val k = if (perObject) objKey(fk, o.num, o.gen, aes) else fk
         if (aes) aesDecrypt(k, s).getOrElse(Array.emptyByteArray)
         else rc4(k, s)
       })
@@ -638,9 +736,10 @@ object PdfExtract {
       val text = latin1(bytes)
       val objs = parseObjects(text)
       val usable = cryptState(text, objs) match {
-        case Plain          => Some(objs)
-        case Undecryptable  => None
-        case Keyed(fk, aes) => Some(decryptStreams(objs, fk, aes))
+        case Plain         => Some(objs)
+        case Undecryptable => None
+        case Keyed(fk, aes, perObj) =>
+          Some(decryptStreams(objs, fk, aes, perObj))
       }
       usable.toSeq.flatMap { m =>
         pageContents(m).zipWithIndex.map {

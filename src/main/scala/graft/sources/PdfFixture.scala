@@ -93,10 +93,56 @@ object PdfFixture {
     * AES-128-CBC for r 4 (/AESV2: IV prefix + padding change the
     * length, so stream dicts are rewritten with the true /Length) —
     * and the /Encrypt dictionary + trailer entry are appended. */
+  /** V5 (AES-256) credential block for [[assemble]]: a deterministic
+    * 32-byte file key (fixtures must replay byte-identically) wrapped
+    * per [PDF 32000-2] Algorithm 8 — /U = hash ++ validation salt ++
+    * key salt for `userPw`, /UE = the file key AES-wrapped under the
+    * key-salt hash; /O and /OE likewise over the 48-byte /U block with
+    * the owner password. */
+  private def v5Credentials(userPw: String, ownerPw: String,
+      id0: Array[Byte], r: Int): (Array[Byte], String) = {
+    import PdfExtract.{hash256, aesCbc}
+    def d(tag: String): Array[Byte] = md5(id0, tag.getBytes(Latin1))
+    val fileKey = d("fk1") ++ d("fk2")
+    val (vs, ks) = (d("vs").take(8), d("ks").take(8))
+    val (ovs, oks) = (d("ovs").take(8), d("oks").take(8))
+    val empty = Array.emptyByteArray
+    val upw = userPw.getBytes(Latin1)
+    val opw = ownerPw.getBytes(Latin1)
+    val u = hash256(upw, vs, empty, r) ++ vs ++ ks
+    val ue = aesCbc(hash256(upw, ks, empty, r), new Array[Byte](16),
+      fileKey, encrypt = true)
+    val o = hash256(opw, ovs, u, r) ++ ovs ++ oks
+    val oe = aesCbc(hash256(opw, oks, u, r), new Array[Byte](16),
+      fileKey, encrypt = true)
+    val dict = s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen " +
+      "/Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> /O <${hex(o)}> /OE <${hex(oe)}> " +
+      "/P -44 >>"
+    (fileKey, dict)
+  }
+
   private def assemble(objs: Seq[RawObj], id0: Array[Byte],
       crypt: Option[(Int, String, String, Boolean)]): Array[Byte] = {
     val (finalObjs, encryptFrag) = crypt match {
       case None => (objs, "")
+      case Some((r, userPw, ownerPw, literalOU)) if r >= 5 =>
+        val (fileKey, dict) = v5Credentials(userPw, ownerPw, id0, r)
+        val encNum = objs.map(_.num).max + 1
+        val enc = objs.map { ro =>
+          ro.stream match {
+            case None => ro
+            case Some(sb) =>
+              val iv = PdfExtract.md5(id0, Array((ro.num & 0xff).toByte))
+              val ct = aesEncrypt(fileKey, iv, sb) // V5: no per-object key
+              ro.copy(
+                dict = ro.dict.replaceAll("/Length\\s+\\d+",
+                  s"/Length ${ct.length}"),
+                stream = Some(ct))
+          }
+        }
+        (enc :+ RawObj(encNum, dict), s"/Encrypt $encNum 0 R ")
       case Some((r, userPw, ownerPw, literalOU)) =>
         require(r >= 2 && r <= 4, s"unsupported revision $r")
         val p = -44

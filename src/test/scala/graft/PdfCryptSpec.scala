@@ -112,6 +112,35 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(PdfExtract.aesDecrypt(key, framed.drop(1)).isEmpty)
   }
 
+  test("an AES-256 (V5/R6) encrypted PDF decodes through the real path") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 6, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("f7.pdf", bytes).get
+    assert(md == "# f7\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("an AES-256 (V5/R5 legacy) encrypted PDF decodes") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 5, id0 = id0)
+    val md = DocumentConverters.convertFileToMarkdown("f8.pdf", bytes).get
+    assert(md == "# f8\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("AES-256 with a wrong user password gates to the stub") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 6, id0 = id0,
+      userPw = "locked")
+    assert(PdfExtract.extractRuns(bytes).isEmpty)
+  }
+
+  test("the R6 hardened hash differs from the R5 plain hash") {
+    val salt = Array.tabulate[Byte](8)(_.toByte)
+    val e = Array.emptyByteArray
+    val h5 = PdfExtract.hash256(e, salt, e, 5)
+    val h6 = PdfExtract.hash256(e, salt, e, 6)
+    assert(h5.length == 32 && h6.length == 32)
+    assert(!h5.sameElements(h6))
+    // deterministic: same inputs, same key
+    assert(PdfExtract.hash256(e, salt, e, 6).sameElements(h6))
+  }
+
   test("a non-empty user password fails authentication into the stub") {
     val bytes = PdfFixture.encryptedPdf(words, r = 3, id0 = id0,
       userPw = "locked")
@@ -219,6 +248,41 @@ class PdfCryptSpec extends AnyFunSuite {
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val md = DocumentConverters.convertFileToMarkdown("c4.pdf", pdf).get
     assert(md == "# c4\n\n! raw")
+  }
+
+  test("a binary stream ending in CR survives (the /Length slice)") {
+    // the delimiter-scan fallback eats a trailing 0x0D as part of the
+    // `\r?\n endstream` delimiter — 1/256 of AES/Flate streams end in
+    // CR and used to truncate (verify caught docs 200/225 this way);
+    // search for a payload whose DEFLATE bytes end in CR and pin the
+    // /Length-slice round trip
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val found = (0 until 10000).iterator.map { i =>
+      val c = s"BT /F1 12 Tf 72 200 Td (cr$i) Tj ET"
+      (c, deflate(c.getBytes("ISO-8859-1")))
+    }.find(_._2.last == 0x0D)
+    assert(found.isDefined, "no CR-tailed deflate in 10k tries")
+    val (content, enc) = found.get
+    val pdf =
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode >> stream\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        enc ++
+        "\nendstream endobj\ntrailer << /Size 5 /Root 1 0 R >>\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val runs = PdfExtract.extractRuns(pdf)
+    assert(runs.nonEmpty && runs.head._2.head.str ==
+      content.substring(content.indexOf('(') + 1, content.indexOf(')')))
   }
 
   test("unencrypted PDFs are untouched by the crypt path") {

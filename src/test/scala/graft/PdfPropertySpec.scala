@@ -51,7 +51,7 @@ class PdfPropertySpec extends AnyFunSuite {
   test("property: encrypted PDFs round-trip any printable words") {
     val gen = for {
       ws <- wordsGen
-      r <- Gen.oneOf(2, 3, 4) // RC4-40, RC4-128, AESV2
+      r <- Gen.oneOf(2, 3, 4, 5, 6) // RC4-40/128, AESV2, AES-256 R5/R6
       literal <- Gen.oneOf(true, false)
     } yield (ws, r, literal)
     forAll(gen) { case (ws, r, literal) =>
