@@ -1640,7 +1640,8 @@ object SparkEntry {
          FROM md ORDER BY doc_id""",
     // encrypted PDFs (standard security handler): RC4 R3/128-bit
     // (default and the id%11 literal-O/U spelling), RC4 R2/40-bit
-    // (id%13), AESV2 V4/R4 (id%7), AES-256 V5/R6 (id%5), and the
+    // (id%13), AESV2 V4/R4 (id%7), AES-256 V5/R6 (id%97, sparse — the
+    // R6 hash is a KDF, deliberately slow), and the
     // owner-locked route (id%17, checked first) where the
     // empty-user-password authentication must fail into the stub — all
     // decode routes emit the same 6 words, so DuckDB only needs the

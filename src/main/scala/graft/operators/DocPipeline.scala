@@ -253,7 +253,11 @@ object DocPipeline {
     * (default), R2/40-bit (id % 13 = 0), R3 with literal-string /O /U
     * spelling (id % 11 = 0), AESV2 V4/R4 with IV-prefixed PKCS#7
     * streams (id % 7 = 0), AES-256 V5/R6 with the hardened hash and
-    * /UE key unwrap (id % 5 = 0) — all decoding to the same words —
+    * /UE key unwrap (id % 97 = 0 — SPARSE on purpose: the R6 hash is
+    * a password-KDF, slow by design at ~6 hardened derivations per
+    * fixture+decode; the row needs route PRESENCE, not density, and a
+    * dense route put 9s of deliberate KDF work into the bench) — all
+    * decoding to the same words —
     * and owner-locked documents with a non-empty USER password
     * (id % 17 = 0) which must fall back to the labeled stub — a
     * decoder that skipped /U authentication would emit decrypt garbage
@@ -277,7 +281,7 @@ object DocPipeline {
           else if (id % 11 == 0)
             PdfFixture.encryptedPdf(words, 3, id0, literalOU = true)
           else if (id % 7 == 0) PdfFixture.encryptedPdf(words, 4, id0)
-          else if (id % 5 == 0) PdfFixture.encryptedPdf(words, 6, id0)
+          else if (id % 97 == 0) PdfFixture.encryptedPdf(words, 6, id0)
           else PdfFixture.encryptedPdf(words, 3, id0)
         val md = DocumentConverters
           .convertFileToMarkdown(s"f$id.pdf", bytes).getOrElse("")

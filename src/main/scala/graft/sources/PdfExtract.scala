@@ -492,9 +492,12 @@ object PdfExtract {
     * would misread array elements as new ranges. */
   private[graft] def parseToUnicode(bytes: Array[Byte]): CMap = {
     val text = latin1(bytes)
+    // clamped to the 1-2 byte widths CID text actually uses (a 3-4
+    // byte codespace would otherwise silently mis-pair in decode)
     val codeBytes = """begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
       .findFirstMatchIn(text)
-      .map(m => math.max(1, m.group(1).length / 2)).getOrElse(1)
+      .map(m => math.min(2, math.max(1, m.group(1).length / 2)))
+      .getOrElse(1)
     val m = scala.collection.mutable.Map[Int, String]()
     for {
       sec <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)
