@@ -206,7 +206,7 @@ object Bench {
       val qs = keep.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed_n":${retimedNames.length},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed_n":${retimedNames.length},"sf":"$sfDir"}"""
     }
     // Full per-query map (nothing omitted, µs precision) goes to a
     // committed artifact — the tail-window line below keeps only the
@@ -228,8 +228,13 @@ object Bench {
     val sentinelsJson = sentinels.map(fmt6).mkString("[", ",", "]")
     val retimedJson = retimedNames.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // single-rep rows have median==min BY CONSTRUCTION — without this
+    // list a reader would apply the min-vs-median load-triage rule to
+    // readings that never had a median, and "reps":3 would overclaim
+    val singleRepJson = protocolRows.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed":$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed":$retimedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json"),
       (detailJson + "\n").getBytes("UTF-8"))

@@ -29,11 +29,15 @@ object SparkEntry {
     * (sf0.1 = 5,000) corpora sit under the gate. */
   private def guard3206(s: SparkSession, d: String, row: String): Unit = {
     val n = Ingest.docCount(s, d)
+    // the "SimhashAutoMaxDocs" token is load-bearing: ScaleProbe's
+    // refusal catch keys on it to render a guarded row as "refused"
+    // instead of crashing the run
     require(n <= Dedup.SimhashAutoMaxDocs,
       s"$row: its DuckDB oracle encodes the 32/6 route but the corpus " +
-        s"has $n docs (> ${Dedup.SimhashAutoMaxDocs}) and the engine " +
-        "would route to the wide kernel — run this row on a corpus " +
-        "under the gate; dedup_clusters_wide pins the wide chain.")
+        s"has $n docs (> SimhashAutoMaxDocs=${Dedup.SimhashAutoMaxDocs}) " +
+        "and the engine would route to the wide kernel — run this row " +
+        "on a corpus under the gate; dedup_clusters_wide pins the wide " +
+        "chain.")
   }
 
   def queries: Map[String, Q] = Map[String, Q](
@@ -553,15 +557,18 @@ object SparkEntry {
     // the BATCH derivation of the same pages the streaming entry
     // ingests: a hash match against the streamed store's contents IS
     // the stream/batch parity proof (chunk ids are content hashes)
+    // the corpus cap interpolates EventStream.ParityFixtureDocs so the
+    // engine fixture and this oracle can never drift apart by hand-edit
     "stream_batch_parity" ->
-      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+      s"""SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
          CAST(1 AS BIGINT) AS total_chunks, lang AS section,
          sha256(content) AS chunk_id, content
          FROM (SELECT *,
            '[Topic: '||source||' > '||lang||']'||chr(10)||
            '# '||source||chr(10)||chr(10)||
            '## '||lang||chr(10)||chr(10)||text AS content
-           FROM documents WHERE doc_id < 1000) t
+           FROM documents
+           WHERE doc_id < ${streaming.EventStream.ParityFixtureDocs}) t
          ORDER BY url, chunk_index""",
     // after a fully REDUNDANT second sync with embed-reuse on, the
     // store must still match the batch derivation of the 200-doc slice
@@ -579,14 +586,16 @@ object SparkEntry {
     // store after the 404-purge micro-batches must hold exactly the
     // batch cleanup's survivor set, every chunk bit-identical
     "stream_delete_parity" ->
-      """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
+      s"""SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,
          CAST(1 AS BIGINT) AS total_chunks, lang AS section,
          sha256(content) AS chunk_id, content
          FROM (SELECT *,
            '[Topic: '||source||' > '||lang||']'||chr(10)||
            '# '||source||chr(10)||chr(10)||
            '## '||lang||chr(10)||chr(10)||text AS content
-           FROM documents WHERE doc_id < 1000 AND doc_id % 13 <> 0) t
+           FROM documents
+           WHERE doc_id < ${streaming.EventStream.ParityFixtureDocs}
+             AND doc_id % 13 <> 0) t
          ORDER BY url, chunk_index""",
     "doc_chunk_token" ->
       """WITH idx AS (

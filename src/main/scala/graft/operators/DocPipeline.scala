@@ -283,6 +283,14 @@ object DocPipeline {
           else if (id % 7 == 0) PdfFixture.encryptedPdf(words, 4, id0)
           else if (id % 97 == 0) PdfFixture.encryptedPdf(words, 6, id0)
           else PdfFixture.encryptedPdf(words, 3, id0)
+        // the oracle's locked-route shape hardcodes the ONE-page stub;
+        // pdfToMarkdownStub grows a page per KiB of fixture, so a
+        // corpus regeneration with much longer words must fail LOUDLY
+        // here, not as a misleading hash mismatch downstream
+        if (id % 17 == 0) require(bytes.length <= 1024,
+          s"doc $id: locked fixture ${bytes.length}B crosses the stub's " +
+            "1024B page threshold — the oracle SQL's one-page stub " +
+            "shape no longer matches")
         val md = DocumentConverters
           .convertFileToMarkdown(s"f$id.pdf", bytes).getOrElse("")
         (id, md)

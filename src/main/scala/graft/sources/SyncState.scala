@@ -38,8 +38,13 @@ object SyncState {
   def getMetadata(s: SparkSession, path: String,
       key: String): Option[String] = {
     // existence pre-check: a first sync has no log yet, and letting
-    // spark.read throw (even caught) logs a full stack per call
-    val log = if (!new java.io.File(path).exists()) None else try {
+    // spark.read throw (even caught) logs a full stack per call. The
+    // java.io.File check only understands LOCAL paths, so it is only a
+    // fast-path for scheme-less paths — URI-schemed locations (s3a://,
+    // hdfs://, file:/) fall through to the read-and-catch, preserving
+    // behavior for any Spark-readable filesystem.
+    val local = !path.contains(":/")
+    val log = if (local && !new java.io.File(path).exists()) None else try {
       Some(s.read.parquet(path))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
     log.flatMap(l => latestByKey(l.filter(col("key") === key))

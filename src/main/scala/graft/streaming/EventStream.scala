@@ -392,10 +392,8 @@ object EventStream {
     pinned
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.operators.Sync.deleteTree(f)
 
   /** Watermarked stream-stream interval join: each click joins error
     * events of the same user from the preceding hour. Both sides carry
