@@ -307,15 +307,18 @@ object DocPipeline {
     * show-strings are code-encoded (raw bytes gibberish) and decoded
     * through the REAL [[graft.sources.PdfExtract]] /ToUnicode path
     * (PDF.js does the same mapping inside `getTextContent`, reference
-    * content-processor.ts:1489-1520). Three routes by id arithmetic,
+    * content-processor.ts:1489-1520). Four routes by id arithmetic,
     * all decoding to the same words so DuckDB replays one shape:
     * 1-byte shift-3 codes with an increment bfrange and inline
     * /Resources (default), 2-byte <01cc> codes with indirect
-    * /Resources + /Font dictionaries (id % 13 = 0), and the 2-byte
-    * form RC4-encrypted on top (id % 17 = 0) — content AND CMap
-    * streams encrypted, so decrypt must run before the mapping is even
-    * findable. A decoder that skipped the CMap would emit shifted
-    * gibberish and fail the row. Per-row kernel, no shuffle. */
+    * /Resources + /Font dictionaries (id % 13 = 0), the 2-byte form
+    * RC4-encrypted on top (id % 17 = 0) — content AND CMap streams
+    * encrypted, so decrypt must run before the mapping is even
+    * findable — and the PDF-1.5+ /ObjStm layout (id % 19 = 0, checked
+    * first) where page/font/resource dicts exist ONLY inside a packed
+    * object stream. A decoder that skipped the CMap would emit shifted
+    * gibberish and fail the row; one that skipped ObjStm expansion
+    * would find no page at all. Per-row kernel, no shuffle. */
   def pdfCidLines(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.{DocumentConverters, PdfFixture}
@@ -326,7 +329,10 @@ object DocPipeline {
         val id0 = java.security.MessageDigest.getInstance("MD5")
           .digest(s"graft-cid-$id".getBytes("UTF-8"))
         val bytes =
-          if (id % 17 == 0)
+          if (id % 19 == 0)
+            PdfFixture.cmapPdf(words, twoByte = false, id0,
+              packDicts = true)
+          else if (id % 17 == 0)
             PdfFixture.cmapPdf(words, twoByte = true, id0, encrypted = true)
           else if (id % 13 == 0)
             PdfFixture.cmapPdf(words, twoByte = true, id0)

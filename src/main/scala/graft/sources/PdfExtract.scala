@@ -9,7 +9,8 @@ import scala.collection.mutable.ArrayBuffer
   * directly from the PDF object graph).
   *
   * Supported: the format core that text-bearing PDFs actually use —
-  * object scanning (`N G obj … endobj`), page-tree ordering via
+  * object scanning (`N G obj … endobj`) plus /ObjStm object-stream
+  * expansion (PDF 1.5+ packed dictionaries), page-tree ordering via
   * /Pages /Kids with a document-order fallback, /Contents streams
   * (direct or array), FlateDecode via java.util.zip (the JVM ships the
   * codec), LZWDecode (the spec's TIFF-flavored variant, implemented in
@@ -86,6 +87,43 @@ object PdfExtract {
       val num = m.group(1).toInt
       num -> PdfObj(num, m.group(2).toInt, body, streamBytes(body))
     }.toMap
+  }
+
+  /** Expand /Type /ObjStm object streams (PDF 1.5+): modern writers
+    * pack page/font/resource DICTIONARIES inside compressed object
+    * streams, invisible to the top-level `N G obj` scan. Layout: after
+    * filter decode, /N pairs of "objnum offset" integers, then the
+    * object bodies starting at /First. Embedded objects carry no
+    * streams and generation 0; a top-level object with the same number
+    * wins (the scanner's equivalent of xref precedence). Runs AFTER
+    * decryption — an encrypted document encrypts the ObjStm container
+    * itself, and its embedded strings are NOT separately encrypted. */
+  private def expandObjStm(objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+    val embedded = objs.values
+      .filter(o => """/Type\s*/ObjStm\b""".r.findFirstIn(o.body).isDefined)
+      .flatMap { o =>
+        (for {
+          n <- intEntry(o.body, "N")
+          first <- intEntry(o.body, "First")
+          bytes <- contentBytes(o)
+          text = latin1(bytes)
+          if first <= text.length
+        } yield {
+          val pairs = """\d+""".r.findAllIn(text.substring(0, first))
+            .map(_.toInt).grouped(2)
+            .collect { case Seq(num, off) => (num, off) }
+            .take(n).toSeq
+          pairs.zipWithIndex.map { case ((num, off), i) =>
+            val start = math.min(text.length, first + off)
+            val end =
+              if (i + 1 < pairs.length)
+                math.min(text.length, math.max(start, first + pairs(i + 1)._2))
+              else text.length
+            num -> PdfObj(num, 0, text.substring(start, end), None)
+          }
+        }).getOrElse(Seq.empty)
+      }.toMap
+    embedded ++ objs // top-level wins on number collision
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
@@ -745,7 +783,7 @@ object PdfExtract {
           Some(decryptStreams(objs, fk, aes, perObj))
       }
       usable.toSeq.flatMap { m =>
-        pageContents(m).zipWithIndex.map {
+        pageContents(expandObjStm(m)).zipWithIndex.map {
           case ((content, fonts), idx) => (idx + 1, pageRuns(content, fonts))
         }.filter(_._2.nonEmpty)
       }

@@ -237,8 +237,13 @@ object PdfFixture {
     * two routes also cover both dictionary spellings. `encrypted`
     * wraps every stream (content AND CMap) in RC4 — the decoder must
     * decrypt before it can even find the mapping. */
+  /** `packDicts = true` additionally moves the page, font, and
+    * resource DICTIONARIES into a /Type /ObjStm object stream (the
+    * PDF-1.5+ packed layout modern writers emit) — only the content
+    * and CMap streams stay top-level, so the decoder's ObjStm
+    * expansion is on the critical path to any text at all. */
   def cmapPdf(words: Seq[String], twoByte: Boolean, id0: Array[Byte],
-      encrypted: Boolean = false): Array[Byte] = {
+      encrypted: Boolean = false, packDicts: Boolean = false): Array[Byte] = {
     val (l1, l2) = words.splitAt(3)
     def encode(s: String): String =
       if (twoByte) s.map(c => f"01${c.toInt}%02x").mkString
@@ -262,17 +267,34 @@ object PdfFixture {
         "/Resources 7 0 R >>"
       else "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
         "/Resources << /Font << /F1 5 0 R >> >> >>"
-    val objs = Seq(
-      RawObj(1, "<< /Type /Catalog /Pages 2 0 R >>"),
-      RawObj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
-      RawObj(3, page),
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Graft-Sub " +
+      "/ToUnicode 6 0 R >>"
+    val streams = Seq(
       RawObj(4, s"<< /Length ${cb.length} /Filter /FlateDecode >>",
         Some(cb)),
-      RawObj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Graft-Sub " +
-        "/ToUnicode 6 0 R >>"),
-      RawObj(6, s"<< /Length ${mb.length} >>", Some(mb))) ++
+      RawObj(6, s"<< /Length ${mb.length} >>", Some(mb)))
+    val roots = Seq(
+      RawObj(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      RawObj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    val dicts = Seq(RawObj(3, page), RawObj(5, font)) ++
       (if (twoByte) Seq(RawObj(7, "<< /Font << /F1 5 0 R >> >>"))
        else Seq.empty)
+    val objs =
+      if (!packDicts) roots ++ dicts ++ streams
+      else {
+        // pack the page/font/resource dicts into one /ObjStm: header
+        // of "num offset" pairs, bodies from /First
+        val bodies = dicts.map(_.dict)
+        val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+        val header = dicts.zip(offsets)
+          .map { case (ro, off) => s"${ro.num} $off" }.mkString(" ") + " "
+        val inner = (header + bodies.mkString(" ")).getBytes(Latin1)
+        val packed = deflate(inner)
+        roots ++ streams :+ RawObj(8,
+          s"<< /Type /ObjStm /N ${dicts.length} /First ${header.length} " +
+            s"/Length ${packed.length} /Filter /FlateDecode >>",
+          Some(packed))
+      }
     assemble(objs, id0,
       if (encrypted) Some((3, "", "owner", false)) else None)
   }

@@ -225,6 +225,39 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(md == "# c3\n\nalpha bravo charlie delta echo foxtrot")
   }
 
+  test("/ObjStm-packed dictionaries decode (PDF 1.5+ layout)") {
+    // page/font/resource dicts live ONLY inside the object stream:
+    // without expansion there is no page at all
+    val bytes = PdfFixture.cmapPdf(words, twoByte = false, id0 = id0,
+      packDicts = true)
+    val md = DocumentConverters.convertFileToMarkdown("o1.pdf", bytes).get
+    assert(md == "# o1\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("an ENCRYPTED /ObjStm decodes: decrypt precedes expansion") {
+    val bytes = PdfFixture.cmapPdf(words, twoByte = false, id0 = id0,
+      encrypted = true, packDicts = true)
+    val md = DocumentConverters.convertFileToMarkdown("o2.pdf", bytes).get
+    assert(md == "# o2\n\nalpha bravo charlie delta echo foxtrot")
+  }
+
+  test("a top-level object shadows its ObjStm twin (xref precedence)") {
+    val packed = PdfFixture.cmapPdf(words, twoByte = false, id0 = id0,
+      packDicts = true)
+    // append a top-level object 5: a font WITHOUT /ToUnicode — if the
+    // top-level wins, the raw (shift-3) bytes pass through unmapped
+    val s = new String(packed, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("trailer")
+    val shadowed = s.substring(0, at) +
+      "5 0 obj << /Type /Font /Subtype /Type1 >> endobj\n" +
+      s.substring(at)
+    val runs = PdfExtract.extractRuns(
+      shadowed.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(runs.nonEmpty)
+    val text = runs.head._2.map(_.str).mkString
+    assert(!text.contains("alpha")) // unmapped: shifted bytes, not words
+  }
+
   test("Tf switches between mapped and unmapped fonts mid-page") {
     // F1 maps 23->space 24->'!', F2 has no /ToUnicode: raw passthrough
     val cmap = "begincmap\n1 begincodespacerange\n<00> <FF>\n" +

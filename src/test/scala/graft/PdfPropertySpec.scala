@@ -66,11 +66,14 @@ class PdfPropertySpec extends AnyFunSuite {
       ws <- wordsGen
       twoByte <- Gen.oneOf(true, false)
       enc <- Gen.oneOf(true, false)
-    } yield (ws, twoByte, enc)
-    forAll(gen) { case (ws, twoByte, enc) =>
-      val bytes = PdfFixture.cmapPdf(ws, twoByte, id0, encrypted = enc)
+      packed <- Gen.oneOf(true, false)
+    } yield (ws, twoByte, enc, packed)
+    forAll(gen) { case (ws, twoByte, enc, packed) =>
+      val bytes = PdfFixture.cmapPdf(ws, twoByte, id0, encrypted = enc,
+        packDicts = packed)
       val md = DocumentConverters.convertFileToMarkdown("p.pdf", bytes).get
-      assert(md == expected("p", ws), s"two=$twoByte enc=$enc words=$ws")
+      assert(md == expected("p", ws),
+        s"two=$twoByte enc=$enc packed=$packed words=$ws")
     }
   }
 
