@@ -193,11 +193,84 @@ object PdfExtract {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` is EOD, an odd
+    * trailing digit is padded with 0. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = latin1(data)
+      val end = s.indexOf('>')
+      val hex = (if (end < 0) s else s.substring(0, end))
+        .filter(c => Character.digit(c, 16) >= 0)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      Some(padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+    } catch { case _: Exception => None }
+
+  /** ASCII85Decode: 5 chars ('!'..'u') → 4 bytes base-85, 'z' = four
+    * zero bytes, `~>` is EOD, partial final group keeps n-1 bytes. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = latin1(data)
+      val end = s.indexOf("~>")
+      val body = if (end < 0) s else s.substring(0, end)
+      val out = new java.io.ByteArrayOutputStream(body.length)
+      var tuple = 0L
+      var count = 0
+      var i = 0
+      var bad = false
+      while (i < body.length && !bad) {
+        val c = body.charAt(i)
+        if (c == 'z' && count == 0) out.write(Array[Byte](0, 0, 0, 0))
+        else if (c >= '!' && c <= 'u') {
+          tuple = tuple * 85 + (c - '!')
+          count += 1
+          if (count == 5) {
+            out.write(Array(
+              (tuple >> 24).toByte, (tuple >> 16).toByte,
+              (tuple >> 8).toByte, tuple.toByte))
+            tuple = 0; count = 0
+          }
+        } else if (!c.isWhitespace) bad = true // corrupt char
+        i += 1
+      }
+      if (bad) return None
+      if (count > 0) {
+        // pad with 'u' (84) and keep count-1 bytes
+        var t = tuple
+        var k = count
+        while (k < 5) { t = t * 85 + 84; k += 1 }
+        val bytes = Array(
+          (t >> 24).toByte, (t >> 16).toByte, (t >> 8).toByte, t.toByte)
+        out.write(bytes, 0, count - 1)
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Decode a stream through its FULL filter chain — /Filter may be a
+    * single name or an array applied in order (e.g.
+    * `[/ASCII85Decode /FlateDecode]`: 85-decode first, then inflate).
+    * An unknown or failing filter stops the chain and returns what has
+    * been decoded so far (the previous single-filter behavior,
+    * generalized). */
   private def contentBytes(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.map { raw =>
-      if (obj.body.contains("/FlateDecode")) inflate(raw).getOrElse(raw)
-      else if (obj.body.contains("/LZWDecode")) lzwDecode(raw).getOrElse(raw)
-      else raw
+      val filters: Seq[String] =
+        """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(obj.body) match {
+          case Some(arr) =>
+            """/(\w+)""".r.findAllMatchIn(arr.group(1))
+              .map(_.group(1)).toSeq
+          case None =>
+            """/Filter\s*/(\w+)""".r.findFirstMatchIn(obj.body)
+              .map(_.group(1)).toSeq
+        }
+      filters.foldLeft(raw) { (data, f) =>
+        (f match {
+          case "FlateDecode"    => inflate(data)
+          case "LZWDecode"      => lzwDecode(data)
+          case "ASCIIHexDecode" => asciiHexDecode(data)
+          case "ASCII85Decode"  => ascii85Decode(data)
+          case _                => None // JBIG2/JPX/DCT: not text-bearing
+        }).getOrElse(data)
+      }
     }
 
   // ── Standard security handler (RC4, [PDF 32000-1:2008 §7.6.3]) ───────

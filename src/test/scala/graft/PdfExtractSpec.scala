@@ -9,6 +9,8 @@ import graft.sources.{DocumentConverters, PdfExtract}
   * reconstruction. */
 class PdfExtractSpec extends AnyFunSuite {
 
+  private val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
   private def deflate(s: String): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     val in = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -187,6 +189,66 @@ class PdfExtractSpec extends AnyFunSuite {
     val md = PdfExtract.pdfToMarkdown("lzw.pdf", out.toByteArray)
     assert(md.isDefined && md.get.contains("Installation Guide") &&
       md.get.contains("Then restart the service."))
+  }
+
+  test("ASCIIHexDecode: pairs, whitespace, EOD, odd-digit padding") {
+    assert(PdfExtract.asciiHexDecode("48656C6C6F>".getBytes(latin1)).get
+      .sameElements("Hello".getBytes(latin1)))
+    assert(PdfExtract.asciiHexDecode("48 65\n6C6c 6F".getBytes(latin1)).get
+      .sameElements("Hello".getBytes(latin1)))
+    assert(PdfExtract.asciiHexDecode("486>".getBytes(latin1)).get
+      .sameElements(Array[Byte](0x48, 0x60)))
+  }
+
+  /** Minimal ASCII85 encoder for chain round-trips (independent of the
+    * decoder's arithmetic: builds from the 4-byte big-endian value). */
+  private def a85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    data.grouped(4).foreach { g =>
+      var v = 0L
+      g.foreach(b => v = (v << 8) | (b & 0xff))
+      var pad = 4 - g.length
+      v = v << (8 * pad)
+      val cs = new Array[Char](5)
+      var t = v
+      (4 to 0 by -1).foreach { i => cs(i) = ('!' + (t % 85)).toChar; t /= 85 }
+      if (g.length == 4 && v == 0) sb.append('z')
+      else sb.append(new String(cs, 0, 5 - pad))
+    }
+    sb.append("~>").toString
+  }
+
+  test("ASCII85Decode: the classic KAT, z-shorthand, partial groups") {
+    // Leviathan: "Man " encodes to 9jqo^
+    assert(PdfExtract.ascii85Decode("9jqo^~>".getBytes(latin1)).get
+      .sameElements("Man ".getBytes(latin1)))
+    assert(PdfExtract.ascii85Decode("z~>".getBytes(latin1)).get
+      .sameElements(Array[Byte](0, 0, 0, 0)))
+    // encoder round trip across lengths incl. partial final groups
+    (1 to 17).foreach { n =>
+      val data = Array.tabulate[Byte](n)(i => (i * 37 + 11).toByte)
+      assert(PdfExtract.ascii85Decode(a85Encode(data).getBytes(latin1)).get
+        .sameElements(data), s"n=$n")
+    }
+    // corrupt character rejects
+    assert(PdfExtract.ascii85Decode("9jq{^~>".getBytes(latin1)).isEmpty)
+  }
+
+  test("a /Filter array chain [ASCII85 -> Flate] decodes end to end") {
+    val content = "BT /F1 12 Tf 72 200 Td (chained filters) Tj ET"
+    val enc = a85Encode(deflate(content))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${enc.length} " +
+      "/Filter [/ASCII85Decode /FlateDecode] >> stream\n")
+    w(enc)
+    w("\nendstream endobj\ntrailer << /Size 5 /Root 1 0 R >>\n")
+    val runs = PdfExtract.extractRuns(out.toByteArray)
+    assert(runs.nonEmpty && runs.head._2.head.str == "chained filters")
   }
 
   test("non-PDF and textless payloads fall back to the stub") {
