@@ -822,6 +822,23 @@ object PdfExtract {
         def mapped(s: String): String =
           curMap.map(_.decode(s)).getOrElse(s)
         op match {
+          case "BI" =>
+            // inline image: advance the cursor past the EI that
+            // follows the ID marker — walking the raw image bytes as
+            // tokens could otherwise emit garbage "text" if the data
+            // happens to contain a show-string shape (j is the token
+            // cursor the epilogue assigns back to i)
+            val idAt = src.indexOf("ID", j)
+            var k = if (idAt < 0) n else idAt + 2
+            var found = -1
+            while (found < 0 && k < n - 1) {
+              if (src.charAt(k) == 'E' && src.charAt(k + 1) == 'I' &&
+                k > 0 && src.charAt(k - 1).isWhitespace &&
+                (k + 2 >= n || src.charAt(k + 2).isWhitespace))
+                found = k + 2
+              k += 1
+            }
+            j = if (found < 0) n else found
           case "BT" => ty = 0.0; tl = 0.0
           case "Tm" => if (nums.length >= 6) ty = nums(5)
           case "Td" => if (nums.length >= 2) ty += nums(1)

@@ -251,6 +251,19 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(runs.nonEmpty && runs.head._2.head.str == "chained filters")
   }
 
+  test("inline images (BI..ID..EI) are skipped, not walked as tokens") {
+    // the image data contains a fake show-string: it must NOT emit;
+    // real text before and after the image must survive
+    val content = "BT /F1 12 Tf 72 200 Td (before) Tj ET\n" +
+      "BI /W 2 /H 2 /BPC 8 /CS /RGB ID  ÿ(fake) Tj  EI\n" +
+      "BT /F1 12 Tf 72 100 Td (after) Tj ET"
+    val pdf = buildPdf(Seq(content), flate = false)
+    val runs = PdfExtract.extractRuns(pdf)
+    val strs = runs.flatMap(_._2).map(_.str)
+    assert(strs.contains("before") && strs.contains("after"))
+    assert(!strs.exists(_.contains("fake")))
+  }
+
   test("non-PDF and textless payloads fall back to the stub") {
     val junk = "not a pdf at all".getBytes
     assert(PdfExtract.pdfToMarkdown("x.pdf", junk).isEmpty)
