@@ -287,7 +287,8 @@ object DocPipeline {
         // pdfToMarkdownStub grows a page per KiB of fixture, so a
         // corpus regeneration with much longer words must fail LOUDLY
         // here, not as a misleading hash mismatch downstream
-        if (id % 17 == 0) require(bytes.length <= 1024,
+        // strict <: pdfToMarkdownStub emits its second page AT 1024
+        if (id % 17 == 0) require(bytes.length < 1024,
           s"doc $id: locked fixture ${bytes.length}B crosses the stub's " +
             "1024B page threshold — the oracle SQL's one-page stub " +
             "shape no longer matches")

@@ -66,8 +66,11 @@ object PdfExtract {
   private def streamBytes(body: String): Option[Array[Byte]] =
     StreamStartRe.findFirstMatchIn(body).flatMap { sm =>
       val start = sm.end
+      // (?![0-9]...) pins the full digit run: without it, backtracking
+      // on '/Length 15 0 R' shrinks the group to '1' so the indirect-
+      // ref rejection lookahead vacuously passes
       val sliced = for {
-        lm <- """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+        lm <- """/Length\s+(\d+)(?![0-9]|\s+\d+\s+R)""".r
           .findFirstMatchIn(body.substring(0, sm.start))
         n = lm.group(1).toInt
         if start + n <= body.length
@@ -102,29 +105,37 @@ object PdfExtract {
     val embedded = objs.values
       .filter(o => """/Type\s*/ObjStm\b""".r.findFirstIn(o.body).isDefined)
       .flatMap { o =>
-        (for {
-          n <- intEntry(o.body, "N")
-          first <- intEntry(o.body, "First")
-          bytes <- contentBytes(o)
-          text = latin1(bytes)
-          if first <= text.length
-        } yield {
-          val pairs = """\d+""".r.findAllIn(text.substring(0, first))
-            .map(_.toInt).grouped(2)
-            .collect { case Seq(num, off) => (num, off) }
-            .take(n).toSeq
-          pairs.zipWithIndex.map { case ((num, off), i) =>
-            val start = math.min(text.length, first + off)
-            val end =
-              if (i + 1 < pairs.length)
-                math.min(text.length, math.max(start, first + pairs(i + 1)._2))
-              else text.length
-            num -> PdfObj(num, 0, text.substring(start, end), None)
-          }
-        }).getOrElse(Seq.empty)
+        // per-container guard: ONE corrupt ObjStm (negative /First, a
+        // garbage-decoded header with an unparseable digit run) must
+        // skip only itself — reaching extractRuns' blanket catch would
+        // collapse the whole document, losing top-level pages that
+        // decode fine
+        try expandOne(o) catch { case _: Exception => Seq.empty }
       }.toMap
     embedded ++ objs // top-level wins on number collision
   }
+
+  private def expandOne(o: PdfObj): Seq[(Int, PdfObj)] =
+    (for {
+      n <- intEntry(o.body, "N")
+      first <- intEntry(o.body, "First")
+      bytes <- contentBytes(o)
+      text = latin1(bytes)
+      if first >= 0 && first <= text.length
+    } yield {
+      val pairs = """\d+""".r.findAllIn(text.substring(0, first))
+        .map(_.toInt).grouped(2)
+        .collect { case Seq(num, off) => (num, off) }
+        .take(n).toSeq
+      pairs.zipWithIndex.map { case ((num, off), i) =>
+        val start = math.min(text.length, first + off)
+        val end =
+          if (i + 1 < pairs.length)
+            math.min(text.length, math.max(start, first + pairs(i + 1)._2))
+          else text.length
+        num -> PdfObj(num, 0, text.substring(start, end), None)
+      }
+    }).getOrElse(Seq.empty)
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
@@ -248,9 +259,10 @@ object PdfExtract {
   /** Decode a stream through its FULL filter chain — /Filter may be a
     * single name or an array applied in order (e.g.
     * `[/ASCII85Decode /FlateDecode]`: 85-decode first, then inflate).
-    * An unknown or failing filter stops the chain and returns what has
-    * been decoded so far (the previous single-filter behavior,
-    * generalized). */
+    * An unknown or failing filter STOPS the chain and returns what has
+    * been decoded so far — later filters must not run on undecoded
+    * bytes (ASCIIHex in particular "succeeds" on nearly any input and
+    * would mangle them irreversibly). */
   private def contentBytes(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.map { raw =>
       val filters: Seq[String] =
@@ -262,15 +274,21 @@ object PdfExtract {
             """/Filter\s*/(\w+)""".r.findFirstMatchIn(obj.body)
               .map(_.group(1)).toSeq
         }
-      filters.foldLeft(raw) { (data, f) =>
-        (f match {
+      var data = raw
+      var stopped = false
+      filters.foreach { f =>
+        if (!stopped) (f match {
           case "FlateDecode"    => inflate(data)
           case "LZWDecode"      => lzwDecode(data)
           case "ASCIIHexDecode" => asciiHexDecode(data)
           case "ASCII85Decode"  => ascii85Decode(data)
           case _                => None // JBIG2/JPX/DCT: not text-bearing
-        }).getOrElse(data)
+        }) match {
+          case Some(d) => data = d
+          case None    => stopped = true
+        }
       }
+      data
     }
 
   // ── Standard security handler (RC4, [PDF 32000-1:2008 §7.6.3]) ───────

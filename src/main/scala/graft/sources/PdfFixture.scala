@@ -52,7 +52,7 @@ object PdfFixture {
   private def hex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
     val out = new java.io.ByteArrayOutputStream(data.length)

@@ -289,17 +289,9 @@ class PdfCryptSpec extends AnyFunSuite {
     // CR and used to truncate (verify caught docs 200/225 this way);
     // search for a payload whose DEFLATE bytes end in CR and pin the
     // /Length-slice round trip
-    def deflate(data: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(data); d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end(); out.toByteArray
-    }
     val found = (0 until 10000).iterator.map { i =>
       val c = s"BT /F1 12 Tf 72 200 Td (cr$i) Tj ET"
-      (c, deflate(c.getBytes("ISO-8859-1")))
+      (c, PdfFixture.deflate(c.getBytes("ISO-8859-1")))
     }.find(_._2.last == 0x0D)
     assert(found.isDefined, "no CR-tailed deflate in 10k tries")
     val (content, enc) = found.get
