@@ -256,13 +256,64 @@ object PdfExtract {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** PNG predictor unfiltering ([PDF 32000-1:2008 §7.4.4.4] /Predictor
+    * >= 10, the layout real writers use for ObjStm and XRef Flate
+    * streams): each row is one filter-type byte + rowBytes data bytes;
+    * types None/Sub/Up/Average/Paeth reconstruct against the previous
+    * byte/row exactly as in PNG. `bpp` is the byte distance of the
+    * "left" neighbor (1 for the 8-bit single-component streams PDF
+    * uses predictors on). */
+  private[graft] def pngUnpredict(data: Array[Byte], rowBytes: Int,
+      bpp: Int): Option[Array[Byte]] =
+    try {
+      if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0) return None
+      val rows = data.length / (rowBytes + 1)
+      val out = new Array[Byte](rows * rowBytes)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * (rowBytes + 1)) & 0xff
+        val src = r * (rowBytes + 1) + 1
+        val dst = r * rowBytes
+        var i = 0
+        while (i < rowBytes) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (r > 0) out(dst - rowBytes + i) & 0xff else 0
+          val upLeft =
+            if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff
+            else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 =>
+              val p = left + up - upLeft
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - upLeft)
+              raw + (if (pa <= pb && pa <= pc) left
+                     else if (pb <= pc) up else upLeft)
+            case _ => return None // unknown filter type
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        r += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+
   /** Decode a stream through its FULL filter chain — /Filter may be a
     * single name or an array applied in order (e.g.
     * `[/ASCII85Decode /FlateDecode]`: 85-decode first, then inflate).
     * An unknown or failing filter STOPS the chain and returns what has
     * been decoded so far — later filters must not run on undecoded
     * bytes (ASCIIHex in particular "succeeds" on nearly any input and
-    * would mangle them irreversibly). */
+    * would mangle them irreversibly). A /DecodeParms PNG predictor
+    * (>= 10) unfilters after its Flate/LZW stage; TIFF predictor 2 and
+    * a failing unpredict stop the chain (never emit half-decoded
+    * rows). */
   private def contentBytes(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.map { raw =>
       val filters: Seq[String] =
@@ -274,12 +325,22 @@ object PdfExtract {
             """/Filter\s*/(\w+)""".r.findFirstMatchIn(obj.body)
               .map(_.group(1)).toSeq
         }
+      val predictor = intEntry(obj.body, "Predictor").getOrElse(1)
+      val columns = intEntry(obj.body, "Columns").getOrElse(1)
+      val colors = intEntry(obj.body, "Colors").getOrElse(1)
+      val bpc = intEntry(obj.body, "BitsPerComponent").getOrElse(8)
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowBytes = math.max(1, columns * colors * bpc / 8)
+      def unpredict(d: Array[Byte]): Option[Array[Byte]] =
+        if (predictor >= 10) pngUnpredict(d, rowBytes, bpp)
+        else if (predictor == 1) Some(d)
+        else None // TIFF predictor 2: not emitted by PDF writers we target
       var data = raw
       var stopped = false
       filters.foreach { f =>
         if (!stopped) (f match {
-          case "FlateDecode"    => inflate(data)
-          case "LZWDecode"      => lzwDecode(data)
+          case "FlateDecode"    => inflate(data).flatMap(unpredict)
+          case "LZWDecode"      => lzwDecode(data).flatMap(unpredict)
           case "ASCIIHexDecode" => asciiHexDecode(data)
           case "ASCII85Decode"  => ascii85Decode(data)
           case _                => None // JBIG2/JPX/DCT: not text-bearing

@@ -264,6 +264,51 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(!strs.exists(_.contains("fake")))
   }
 
+  test("PNG predictor unfiltering: Sub, Up, Paeth hand vectors") {
+    // Sub: each byte adds the left neighbor
+    assert(PdfExtract.pngUnpredict(
+      Array[Byte](1, 10, 10, 10, 10), 4, 1).get
+      .sameElements(Array[Byte](10, 20, 30, 40)))
+    // Up: second row adds the first
+    assert(PdfExtract.pngUnpredict(
+      Array[Byte](0, 1, 2, 3, 2, 1, 1, 1), 3, 1).get
+      .sameElements(Array[Byte](1, 2, 3, 2, 3, 4)))
+    // Paeth: left=0, up=5, upLeft=0 -> predictor picks up
+    assert(PdfExtract.pngUnpredict(
+      Array[Byte](0, 5, 4, 3), 1, 1).get
+      .sameElements(Array[Byte](5, 8)))
+    // misaligned length and unknown filter types reject
+    assert(PdfExtract.pngUnpredict(Array[Byte](0, 1, 2), 4, 1).isEmpty)
+    assert(PdfExtract.pngUnpredict(Array[Byte](9, 1), 1, 1).isEmpty)
+  }
+
+  test("a /Predictor 12 (PNG Up) Flate content stream decodes") {
+    val content = "BT /F1 12 Tf 72 200 Td (predicted text) Tj ET"
+    val cols = 16
+    val padded = content + " " * ((cols - content.length % cols) % cols)
+    val rows = padded.getBytes(latin1).grouped(cols).toSeq
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { row =>
+      filtered.write(2) // PNG Up
+      row.indices.foreach(i => filtered.write((row(i) - prev(i)) & 0xff))
+      prev = row
+    }
+    val enc = graft.sources.PdfFixture.deflate(filtered.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> >> stream\n")
+    out.write(enc)
+    w("\nendstream endobj\ntrailer << /Size 5 /Root 1 0 R >>\n")
+    val runs = PdfExtract.extractRuns(out.toByteArray)
+    assert(runs.nonEmpty && runs.head._2.head.str == "predicted text")
+  }
+
   test("non-PDF and textless payloads fall back to the stub") {
     val junk = "not a pdf at all".getBytes
     assert(PdfExtract.pdfToMarkdown("x.pdf", junk).isEmpty)
