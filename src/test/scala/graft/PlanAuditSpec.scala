@@ -25,6 +25,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("the PDF decode rows are per-row kernels: no mid-plan shuffle") {
+    // the only Exchange each row may plan is the final orderBy's range
+    // partitioning — fixture build + decode must stay a map over the
+    // documents scan (a hashpartitioning Exchange would mean the
+    // kernel grew a join/groupBy it does not need)
+    Seq("doc_pdf_crypt", "doc_pdf_cid", "doc_word_lines").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("dedup_embedding has no cartesian / nested-loop join") {
     val p = planOf("dedup_embedding")
     assert(!p.contains("CartesianProduct"), p.take(2000))
