@@ -89,6 +89,9 @@ object SparkEntry {
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
       DocPipeline.getChunks(s, d)),
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
+    "doc_media_resize"    -> (DocPipeline.mediaResize _),
+    "doc_frame_sample"    -> (DocPipeline.frameSample _),
+    "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
     "doc_pdf_crypt"       -> (DocPipeline.pdfCryptLines _),
     "doc_pdf_cid"         -> (DocPipeline.pdfCidLines _),
@@ -148,6 +151,7 @@ object SparkEntry {
     "ingest_render_ticket" -> (Ingest.renderTickets _),
     "ingest_issues_e2e"   -> (Ingest.ingestIssuesE2e _),
     "ingest_tickets_e2e"  -> (Ingest.ingestTicketsE2e _),
+    "ingest_articles_e2e" -> (Ingest.ingestArticlesE2e _),
     "crawl_frontier"      -> (Ingest.crawlFrontier _),
     "sitemap_prefix_lastmod" -> (Ingest.prefixLastmod _),
     "sitemap_parse"       -> (Ingest.sitemapParse _),
@@ -645,6 +649,38 @@ object SparkEntry {
          sha256(text) AS content_sha,
          'application/octet-stream' AS mime
          FROM documents ORDER BY doc_id""",
+    "doc_media_resize" ->
+      """SELECT 'doc://'||doc_id AS path,
+           'application/octet-stream' AS mime,
+           224 AS width, 224 AS height,
+           sha256(sha256(text) || ':224x224:' ||
+             CAST(octet_length(encode(text)) AS VARCHAR)) AS resized_sha
+         FROM documents ORDER BY path""",
+    "doc_frame_sample" ->
+      """WITH d AS (
+           SELECT 'doc://'||doc_id AS path,
+             greatest(1, octet_length(encode(text)) // 16) AS n_frames
+           FROM documents)
+         SELECT path, CAST(t.f AS BIGINT) AS frame_idx,
+           CAST(t.f * 1000 // 30 AS BIGINT) AS ts_ms
+         FROM d, unnest(range(0, n_frames, 5)) AS t(f)
+         ORDER BY path, frame_idx""",
+    "doc_media_features" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) AS byte
+           FROM documents,
+             unnest(range(0, octet_length(encode(text)), 16)) AS t(i)
+         ), sl AS (
+           SELECT doc_id, (byte * 31) % 32 AS slot,
+             SUM(CASE WHEN byte % 2 = 1 THEN 1 ELSE -1 END) AS acc,
+             COUNT(*) AS n
+           FROM b GROUP BY 1, 2)
+         SELECT 'doc://'||doc_id AS path,
+           CAST(SUM(n) AS BIGINT) AS n_samples,
+           CAST(COUNT(*) FILTER (WHERE acc <> 0) AS BIGINT) AS nnz,
+           CAST(SUM(acc * (slot + 1)) AS BIGINT) AS checksum
+         FROM sl GROUP BY doc_id ORDER BY path""",
     "doc_langid" ->
       """WITH h AS (
            SELECT doc_id, lang,
@@ -1830,6 +1866,59 @@ object SparkEntry {
          FROM c
          WHERE ud || 'T00:00:00Z' > '2024-02-14T12:00:00Z'
          ORDER BY url""",
+    "ingest_articles_e2e" ->
+      """WITH e AS (
+           SELECT event_id AS id, user_id AS u, event_type AS etype,
+             strftime(ts::TIMESTAMP, '%a %b %d %Y') AS dc,
+             '2024-02-' ||
+               lpad(CAST((event_id % 28) + 1 AS VARCHAR), 2, '0') AS ud
+           FROM events WHERE event_id < 200),
+         w AS (
+           SELECT * FROM e
+           WHERE ud || 'T00:00:00Z' > '2024-02-14T12:00:00Z'),
+         m AS (
+           SELECT id, 'Article ' || etype || ' ' || id AS t,
+             '- **Author:** ' || u || chr(10) ||
+             '- **Section:** ' || (id % 10) || chr(10) ||
+             '- **Created:** ' || dc || chr(10) ||
+             '- **Updated:** ' ||
+               strftime(ud::TIMESTAMP, '%a %b %d %Y') || chr(10) ||
+             '- **Vote Sum:** ' ||
+               (CASE WHEN id % 9 = 0 THEN 0 ELSE id % 7 - 3 END) ||
+               chr(10) ||
+             '- **Vote Count:** ' ||
+               (CASE WHEN id % 9 = 0 THEN 0 ELSE id % 5 + 1 END) ||
+               chr(10) ||
+             (CASE WHEN etype = 'click'
+                   THEN '- **Labels:** `faq`, `howto`' || chr(10)
+                   ELSE '' END) ||
+             chr(10) || '## Content' || chr(10) || chr(10) AS head,
+             CASE WHEN id % 7 = 0 THEN '_No content._'
+                  WHEN id % 4 = 0
+                    THEN 'Body for article ' || id || ' with **bold** text'
+                  ELSE 'Body for article ' || id END AS stem
+           FROM w),
+         c AS (
+           SELECT id,
+             CASE WHEN id % 5 = 0 THEN 'zendesk://article/' || id
+                  ELSE 'https://help.example.com/articles/' || id
+                  END AS url,
+             t,
+             sha256('[Topic: ' || t || ' > Content]' || chr(10) ||
+               '# ' || t || chr(10) || chr(10) || head || stem ||
+               (CASE WHEN id % 7 = 0 THEN ''
+                     WHEN id % 3 = 0 THEN '. (edited)'
+                     ELSE '.' END)) AS chunk_id,
+             sha256('[Topic: ' || t || ' > Content]' || chr(10) ||
+               '# ' || t || chr(10) || chr(10) || head || stem ||
+               (CASE WHEN id % 7 = 0 THEN '' ELSE '.' END)) AS prior_id
+           FROM m)
+         SELECT url, chunk_id, 'Content' AS section,
+           CAST(1 AS BIGINT) AS total_chunks,
+           CASE WHEN id >= 150 THEN 'new'
+                WHEN prior_id <> chunk_id THEN 'changed'
+                ELSE 'unchanged' END AS action
+         FROM c ORDER BY url""",
     "ingest_tickets_e2e" ->
       """WITH e AS (
            SELECT event_id AS id, user_id AS u, event_type AS etype,

@@ -399,4 +399,32 @@ object DocPipeline {
         sha2(col("blob"), 256).as("content_sha"),
         lit("application/octet-stream").as("mime"))
       .orderBy("doc_id")
+
+  /** Documents projected as an opaque binary corpus — the input shape
+    * every multimodal operator consumes ((path, mime, content: binary)).
+    * Text bytes stand in for media payloads; the operators never look at
+    * anything but the raw bytes, so the plumbing they exercise (schema,
+    * per-row/batched maps, fan-out) is exactly what real media hits. */
+  private def docBinaries(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      concat(lit("doc://"), col("doc_id")).as("path"),
+      lit("application/octet-stream").as("mime"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** Multimodal resize row: target geometry + deterministic resized-payload
+    * hash per binary (stub kernel; the plumbing and hash chain are real). */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(s, docBinaries(s, dir), targetW = 224,
+      targetH = 224).orderBy("path")
+
+  /** Multimodal frame-sampling row: one row per sampled frame, stride 5
+    * over a 16-bytes-per-frame stub demux at 30 fps. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s, docBinaries(s, dir), everyN = 5, fps = 30,
+      bytesPerFrame = 16).orderBy("path", "frame_idx")
+
+  /** Multimodal feature row: integer-exact diagnostics of the stub
+    * feature kernel (sample count, non-zero slots, weighted checksum). */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureDiagnostics(s, docBinaries(s, dir)).orderBy("path")
 }

@@ -577,6 +577,107 @@ object Ingest {
     out
   }
 
+  /** End-to-end Zendesk help-center ARTICLES ingest composition
+    * (reference doc2vec.ts:1825-1854 render; fetch_articles defaults on,
+    * doc2vec.ts:1525) as ONE oracle row, through the real
+    * [[graft.sources.ApiSources.ingestArticles]] path: paginated JSON
+    * landing area → `updated_at` watermark → article template render —
+    * including the HTML-body branch, so the HTML→Markdown converter runs
+    * INSIDE the composition (every 4th body is `<p>…<strong>…</strong>`)
+    * — → heading-aware chunker → chunk-delta vs a prior store. The last
+    * of the three API-source compositions to gain a row (issues and
+    * tickets landed in round 12).
+    *
+    * Deterministic construction (events, id < 200): Feb-day
+    * `updated_at` arithmetic shared with the issues/tickets rows;
+    * id%9==0 articles arrive with null votes (rendered 0 — the
+    * `.getOrElse(0)` contract); id%7==0 bodies are null (renders
+    * `_No content._`, and stay unchanged vs the store); id%5==0
+    * articles have no html_url (the `zendesk://article/` fallback);
+    * every 3rd body carries an edit marker vs the prior-store render.
+    *
+    * Scale: staging is fixture-bounded; the pipeline is one json scan →
+    * flatMap render+chunk → url-keyed left join, no driver data motion. */
+  def ingestArticlesE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ApiSources
+    val base = java.nio.file.Files.createTempDirectory("articlese2e")
+    val recs = Tables.events(s, dir).filter(col("event_id") < 200)
+      .select(
+        col("event_id").as("id"),
+        concat(lit("Article "), col("event_type"), lit(" "),
+          col("event_id")).as("title"),
+        col("user_id").as("author_id"),
+        (col("event_id") % 10).as("section_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("created_at"),
+        concat(lit("2024-02-"),
+          lpad(((col("event_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("T00:00:00Z")).as("updated_at"),
+        when(col("event_id") % 9 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") % 7 - 3).as("vote_sum"),
+        when(col("event_id") % 9 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") % 5 + 1).as("vote_count"),
+        when(col("event_type") === "click",
+            array(lit("faq"), lit("howto")))
+          .otherwise(array().cast("array<string>")).as("label_names"),
+        when(col("event_id") % 7 === 0, lit(null).cast("string"))
+          .when(col("event_id") % 4 === 0,
+            concat(lit("<p>Body for article "), col("event_id"),
+              lit(" with <strong>bold</strong> text"),
+              when(col("event_id") % 3 === 0, lit(". (edited)</p>"))
+                .otherwise(lit(".</p>"))))
+          .otherwise(concat(lit("Body for article "), col("event_id"),
+            when(col("event_id") % 3 === 0, lit(". (edited)"))
+              .otherwise(lit(".")))).as("body"),
+        when(col("event_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("https://help.example.com/articles/"),
+            col("event_id"))).as("html_url"),
+        (col("event_id") / 40).cast("int").as("page"))
+      .localCheckpoint(true)
+    (0 until 5).foreach { p =>
+      recs.filter(col("page") === p).drop("page").coalesce(1)
+        .write.mode("overwrite").json(s"$base/page-$p")
+    }
+    val chunks = ApiSources.ingestArticles(s, s"$base/page-*",
+        "helpcenter", "1.0", updatedAfter = Some("2024-02-14T12:00:00Z"))
+      .map(c => (c.url, c.chunk_id, c.section, c.total_chunks.toLong))
+      .toDF("url", "chunk_id", "section", "total_chunks")
+    // prior store: ids < 150 rendered through the SAME kernels from the
+    // pre-edit records (what the previous sync embedded)
+    val prior = Tables.events(s, dir).filter(col("event_id") < 150)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .as[(Long, Long, String, String)]
+      .flatMap { case (id, user, etype, iso) =>
+        val a = Renderers.Article(
+          id, s"Article $etype $id", user, id % 10,
+          iso, "2024-02-%02dT00:00:00Z".format((id % 28) + 1),
+          if (id % 9 == 0) 0L else id % 7 - 3,
+          if (id % 9 == 0) 0L else id % 5 + 1,
+          if (etype == "click") Seq("faq", "howto") else Seq.empty,
+          if (id % 7 == 0) None
+          else if (id % 4 == 0) Some(
+            s"<p>Body for article $id with <strong>bold</strong> text.</p>")
+          else Some(s"Body for article $id."))
+        val url =
+          if (id % 5 == 0) s"zendesk://article/$id"
+          else s"https://help.example.com/articles/$id"
+        Chunker.chunkMarkdown(Renderers.renderArticle(a),
+            "helpcenter", "1.0", url)
+          .map(c => (c.url, c.chunk_id))
+      }.toDF("url", "stored_id")
+    val out = chunks.join(prior, Seq("url"), "left")
+      .withColumn("action",
+        when(col("stored_id").isNull, "new")
+          .when(col("stored_id") =!= col("chunk_id"), "changed")
+          .otherwise("unchanged"))
+      .select("url", "chunk_id", "section", "total_chunks", "action")
+      .orderBy("url").localCheckpoint(true)
+    Sync.deleteTree(base.toFile)
+    out
+  }
+
   /** Crawl frontier: BFS over a deterministic link graph (doc i links
     * to (7i+1) mod N and (13i+5) mod N) from seed doc 0 → (url, depth).
     * Oracle: DuckDB recursive CTE with min-depth aggregation. */

@@ -226,9 +226,12 @@ object Multimodal {
     (w, h, 3)
   }
 
-  /** STUB feature extractor over raw bytes: a hashing projection of
-    * 16-byte blocks (stands in for a CNN embedding; deterministic). */
-  def featuresStub(bytes: Array[Byte]): Array[Float] = {
+  /** Integer accumulator behind the stub feature extractor: signed
+    * counts of 16-byte-strided bytes hashed into `FeatureDim` slots.
+    * Shared by [[featuresStub]] (which L2-normalizes it) and
+    * [[featureDiagnostics]] (which emits integer summaries an external
+    * oracle can recompute exactly — floats never leave the engine). */
+  def featureAccum(bytes: Array[Byte]): Array[Long] = {
     val acc = new Array[Long](FeatureDim)
     var i = 0
     while (i < bytes.length) {
@@ -236,6 +239,13 @@ object Multimodal {
       acc(slot) += (if ((bytes(i) & 1) == 1) 1 else -1)
       i += 16
     }
+    acc
+  }
+
+  /** STUB feature extractor over raw bytes: a hashing projection of
+    * 16-byte blocks (stands in for a CNN embedding; deterministic). */
+  def featuresStub(bytes: Array[Byte]): Array[Float] = {
+    val acc = featureAccum(bytes)
     val norm = math.sqrt(acc.map(v => v.toDouble * v).sum)
     if (norm == 0) new Array[Float](FeatureDim)
     else acc.map(v => (v / norm).toFloat)
@@ -271,12 +281,12 @@ object Multimodal {
     * matters — at scale each video row fans out to its sampled frames
     * with no shuffle, and downstream feature extraction batches them. */
   def sampleFrames(s: SparkSession, binaries: DataFrame,
-      everyN: Int = 30, fps: Int = 30): DataFrame = {
+      everyN: Int = 30, fps: Int = 30, bytesPerFrame: Int = 256): DataFrame = {
     import s.implicits._
     binaries.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val nFrames = math.max(1, bytes.length / 256) // STUB frame count
+        val nFrames = math.max(1, bytes.length / bytesPerFrame) // STUB count
         (0 until nFrames by everyN).iterator.map { f =>
           (path, f.toLong, f * 1000L / fps)
         }
@@ -305,5 +315,26 @@ object Multimodal {
       }
     }.toDF("path", "mime", "n_bytes", "sha", "width", "height",
       "channels", "features")
+  }
+
+  /** Integer-exact summary of the feature kernel, per payload: sample
+    * count (16-byte stride), non-zero slot count, and a slot-weighted
+    * checksum of the signed accumulator. Pins the same [[featureAccum]]
+    * the float path normalizes, without ever hashing floats. Pure
+    * per-row map, zero shuffle. */
+  def featureDiagnostics(s: SparkSession, binaries: DataFrame): DataFrame = {
+    import s.implicits._
+    binaries.select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val acc = featureAccum(bytes)
+        val nSamples = (bytes.length + 15L) / 16L
+        val nnz = acc.count(_ != 0).toLong
+        var checksum = 0L
+        var i = 0
+        while (i < acc.length) { checksum += acc(i) * (i + 1); i += 1 }
+        (path, nSamples, nnz, checksum)
+      }
+      .toDF("path", "n_samples", "nnz", "checksum")
   }
 }

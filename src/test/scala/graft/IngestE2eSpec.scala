@@ -57,4 +57,31 @@ class IngestE2eSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach { case (u, a) => assert(a != "changed",
         s"ticket ${id(u)} has no description on either side: $a") }
   }
+
+  test("articles composition: html bodies, url fallback, delta classes") {
+    val rows = Ingest.ingestArticlesE2e(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4)))
+    assert(rows.nonEmpty &&
+      rows.forall { case (u, _, _) => id(u) % 28 >= 14 }) // watermark
+    // url fallback: id % 5 == 0 articles have no html_url
+    rows.foreach { case (u, _, _) =>
+      if (id(u) % 5 == 0) assert(u.startsWith("zendesk://article/"))
+      else assert(u.startsWith("https://help.example.com/articles/"))
+    }
+    val byAction =
+      rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byAction.keySet == Set("new", "changed", "unchanged"))
+    rows.foreach { case (u, _, a) =>
+      val n = id(u)
+      val expect = if (n >= 150) "new"
+        else if (n % 7 == 0) "unchanged" // no body on either side
+        else if (n % 3 == 0) "changed" else "unchanged"
+      assert(a == expect, s"article $n action $a, expected $expect")
+    }
+    // the HTML branch ran inside the composition: an id%4 article's
+    // chunk hashes the CONVERTED body (**bold**), not the raw HTML
+    val htmlIds = rows.map(t => id(t._1)).filter(n => n % 4 == 0 &&
+      n % 7 != 0 && n < 150 && n % 3 != 0)
+    assert(htmlIds.nonEmpty, "need an unchanged html-body article")
+  }
 }

@@ -1111,4 +1111,38 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 30L, 60L, 90L))
     assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1000L, 2000L, 3000L))
   }
+
+  test("multimodal feature diagnostics pin the accumulator kernel") {
+    import spark.implicits._
+    // bytes at stride 16 of "abc…": only index 0 ('a'=97) and 16 ('q'=113)
+    val payload = ('a' to 'z').mkString.getBytes("UTF-8") // 26 bytes
+    val acc = Multimodal.featureAccum(payload)
+    assert(acc(97 * 31 % 32) == 1L && acc(113 * 31 % 32) == 1L) // both odd
+    val binaries = Seq(("p/x", "application/octet-stream", payload))
+      .toDF("path", "mime", "content")
+    val diag = Multimodal.featureDiagnostics(spark, binaries).collect()
+    assert(diag.length == 1)
+    val d = diag.head
+    assert(d.getLong(1) == 2L) // ceil(26/16) samples
+    assert(d.getLong(2) == acc.count(_ != 0).toLong)
+    assert(d.getLong(3) ==
+      acc.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+    // float path still normalizes the same accumulator
+    val feats = Multimodal.featuresStub(payload)
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(math.abs(feats.map(f => f.toDouble * f).sum - 1.0) < 1e-6)
+  }
+
+  test("multimodal query rows run over the documents-as-binaries corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val resize = graft.operators.DocPipeline.mediaResize(spark, dir).collect()
+    assert(resize.nonEmpty)
+    assert(resize.forall(r => r.getInt(2) == 224 && r.getInt(3) == 224 &&
+      r.getString(4).length == 64))
+    val frames = graft.operators.DocPipeline.frameSample(spark, dir)
+    val perDoc = frames.groupBy("path").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) >= 1L))
+    val feat = graft.operators.DocPipeline.mediaFeatures(spark, dir).collect()
+    assert(feat.nonEmpty && feat.forall(r => r.getLong(1) >= 1L))
+  }
 }
