@@ -79,6 +79,10 @@ object SparkEntry {
       graft.streaming.EventStream.streamDeleteParity(s, d)),
     "stream_resync_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamResyncParity(s, d)),
+    "stream_window_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamWindowParity(s, d)),
+    "stream_session_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamSessionParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
     "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
     "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
@@ -558,6 +562,44 @@ object SparkEntry {
            '## '||lang||chr(10)||chr(10)||text AS content
            FROM documents) t
          ORDER BY url, chunk_index""",
+    // the BATCH aggregations the streaming windowed/session rows must
+    // emit exactly (time-ordered replay + sentinel watermark flush →
+    // the append-mode output equals the full batch result); caps
+    // interpolate EventStream.AggParityEvents so engine and oracle
+    // can never drift apart by hand-edit
+    "stream_window_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, event_type, value
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents})
+         SELECT (epoch_us(ts) // 300000000) * 300000000
+             AS window_start_us,
+           event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_session_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, value
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
     // the BATCH derivation of the same pages the streaming entry
     // ingests: a hash match against the streamed store's contents IS
     // the stream/batch parity proof (chunk ids are content hashes)

@@ -308,6 +308,114 @@ object EventStream {
     parityRun(s, dir, deletePhase = false, resyncPhase = true,
       docFilter = Some(col("doc_id") < 200))
 
+  /** Event cap for the aggregation-parity rows: like the store-parity
+    * rows, their evidence is in micro-batches crossed and watermark
+    * advances survived, not corpus size. */
+  val AggParityEvents = 20000L
+
+  /** Windowed-aggregation parity as an ORACLE row: [[windowedCounts]]
+    * (5-minute tumbling windows, 10-minute watermark, append mode) run
+    * as a real multi-micro-batch streaming query over time-range-split
+    * event files, hash-matched against the plain batch aggregation in
+    * DuckDB. Time-ordered replay (repartitionByRange on ts + ascending
+    * file mtimes) keeps every event inside the watermark — so the
+    * emitted set must equal the batch result EXACTLY; any state lost or
+    * double-counted across the 4 micro-batch merges, any window closed
+    * early or dropped late, is a hash mismatch. */
+  def streamWindowParity(s: SparkSession, dir: String): DataFrame =
+    aggParityRun(s, dir, session = false)
+
+  /** Session-window parity as an ORACLE row: [[sessionWindows]]
+    * (30-minute gap sessions, per user, 10-minute watermark) streamed
+    * the same way, against DuckDB's gaps-and-islands derivation
+    * (`session_end` = last event + gap, Spark's session_window end).
+    * Sessions spanning micro-batch boundaries must merge across state,
+    * and close only when the watermark passes their end. */
+  def streamSessionParity(s: SparkSession, dir: String): DataFrame =
+    aggParityRun(s, dir, session = true)
+
+  /** Shared protocol for the two aggregation-parity rows. The final
+    * watermark only advances past the last real window once MORE data
+    * arrives, and state eviction runs one trigger after that — so two
+    * sentinel files (same far-future timestamp, 48 h past the corpus)
+    * are staged after the real ranges: the first advances the
+    * watermark, the second triggers the batch that applies it. The
+    * sentinels' own window/session never closes, so they are never
+    * emitted — the oracle is pure batch SQL over the real events. */
+  private def aggParityRun(s: SparkSession, dir: String,
+      session: Boolean): DataFrame = {
+    import s.implicits._
+    val real = graft.Tables.events(s, dir)
+      .filter(col("event_id") < AggParityEvents)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val emptySchema =
+      if (session) StructType(Seq(
+        StructField("session_start_us", LongType),
+        StructField("session_end_us", LongType),
+        StructField("user_id", LongType),
+        StructField("n_events", LongType),
+        StructField("total_value", DoubleType)))
+      else StructType(Seq(
+        StructField("window_start_us", LongType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("total_value", DoubleType)))
+    if (real.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val base = java.nio.file.Files.createTempDirectory("streamagg")
+    val outDir = base.resolve("out").toString
+    // explicit, all-in-the-past mtimes: the file source replays oldest
+    // mtime first, so slice order is fully deterministic
+    def stampDir(d: String, t: Long): Unit =
+      new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    // chronological replay: range partition i holds the i-th time
+    // slice, and ascending file mtimes make the source process slices
+    // in order — no real event ever falls behind the watermark
+    real.repartitionByRange(4, col("ts")).write.parquet(s"$base/in0")
+    stampDir(s"$base/in0", t0)
+    val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
+    val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    val sentinel = Seq((future, -1L, "__sentinel__", 0.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    sentinel.coalesce(1).write.parquet(s"$base/in1")
+    stampDir(s"$base/in1", t0 + 10 * 60000L)
+    sentinel.coalesce(1).write.parquet(s"$base/in2")
+    stampDir(s"$base/in2", t0 + 11 * 60000L)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+    val agg = if (session) sessionWindows(stream) else windowedCounts(stream)
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = s.read.parquet(outDir)
+    val result =
+      if (session) emitted.select(
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "session_start_us")
+      else emitted.select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start_us", "event_type")
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    pinned
+  }
+
   private def parityRun(s: SparkSession, dir: String,
       deletePhase: Boolean, resyncPhase: Boolean = false,
       docFilter: Option[Column] = None): DataFrame = {

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.EventStream
+
+/** Pins the streaming windowed/session aggregation parity rows'
+  * mechanics on the smoke corpus, plus the session_window boundary
+  * semantics the DuckDB oracle encodes. The full hash gate is the
+  * stream_window_parity / stream_session_parity DuckDB match; this
+  * spec asserts the protocol promises — sentinel rows never leak into
+  * the output, the emitted set equals the batch aggregation — with
+  * readable failures. */
+class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("session_window gap boundary: an exact-gap event merges") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val exact = new java.sql.Timestamp(t0.getTime + 30 * 60 * 1000L)
+    val over = new java.sql.Timestamp(t0.getTime + 30 * 60 * 1000L + 1)
+    val df = Seq((t0, 1L, 1.0), (exact, 1L, 1.0),
+      (t0, 2L, 1.0), (over, 2L, 1.0)).toDF("ts", "user_id", "value")
+    val n = df.groupBy(session_window(col("ts"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Spark merges an event landing exactly at the previous session's
+    // end (gap == 30 min → same session); one ms past the end splits.
+    // The oracle's strict `gap > 1800000000` break matches this.
+    assert(n(1L) == 2L, s"exact-gap event split the session: $n")
+    assert(n.getOrElse(2L, 0L) == 1L || n(2L) == 1L,
+      s"over-gap event failed to split: $n")
+  }
+
+  test("windowed parity equals the batch aggregation; no sentinel rows") {
+    val streamed = EventStream.streamWindowParity(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .filter(col("event_id") < EventStream.AggParityEvents)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2)
+        .as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+    assert(streamed.filter(col("event_type") === "__sentinel__").isEmpty,
+      "sentinel window leaked into the emitted set")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed windows differ from the batch aggregation")
+  }
+
+  test("session parity equals the batch session_window; no sentinels") {
+    val streamed = EventStream.streamSessionParity(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .filter(col("event_id") < EventStream.AggParityEvents)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2)
+        .as("total_value"))
+      .select(
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("user_id"), col("n_events"), col("total_value"))
+    assert(streamed.filter(col("user_id") === -1L).isEmpty,
+      "sentinel session leaked into the emitted set")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed sessions differ from the batch session_window")
+  }
+}
