@@ -83,6 +83,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamWindowParity(s, d)),
     "stream_session_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamSessionParity(s, d)),
+    "stream_state_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamStateParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
     "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
     "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
@@ -577,6 +579,12 @@ object SparkEntry {
            event_type, count(*) AS n,
            round(sum(value), 2) AS total_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_state_parity" ->
+      s"""SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM events WHERE event_id < ${
+           graft.streaming.EventStream.AggParityEvents}
+         GROUP BY user_id ORDER BY user_id""",
     "stream_session_parity" ->
       s"""WITH e AS (
            SELECT ts::TIMESTAMP AS ts, user_id, value

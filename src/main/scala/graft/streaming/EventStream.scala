@@ -363,35 +363,9 @@ object EventStream {
     if (real.take(1).isEmpty)
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    val base = java.nio.file.Files.createTempDirectory("streamagg")
+    val base = stageReplay(s, real)
     val outDir = base.resolve("out").toString
-    // explicit, all-in-the-past mtimes: the file source replays oldest
-    // mtime first, so slice order is fully deterministic
-    def stampDir(d: String, t: Long): Unit =
-      new java.io.File(d).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        .zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
-    val t0 = System.currentTimeMillis() - 3600 * 1000L
-    // chronological replay: range partition i holds the i-th time
-    // slice, and ascending file mtimes make the source process slices
-    // in order — no real event ever falls behind the watermark
-    real.repartitionByRange(4, col("ts")).write.parquet(s"$base/in0")
-    stampDir(s"$base/in0", t0)
-    val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
-    val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
-    val sentinel = Seq((future, -1L, "__sentinel__", 0.0))
-      .toDF("ts", "user_id", "event_type", "value")
-    sentinel.coalesce(1).write.parquet(s"$base/in1")
-    stampDir(s"$base/in1", t0 + 10 * 60000L)
-    sentinel.coalesce(1).write.parquet(s"$base/in2")
-    stampDir(s"$base/in2", t0 + 11 * 60000L)
-    val stream = s.readStream
-      .schema(StructType(Seq(
-        StructField("ts", TimestampType), StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType))))
-      .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+    val stream = readStaged(s, base)
     val agg = if (session) sessionWindows(stream) else windowedCounts(stream)
     val q = agg.writeStream.format("parquet")
       .option("path", outDir)
@@ -411,6 +385,85 @@ object EventStream {
         col("event_type"), col("n"),
         round(col("total_value"), 2).as("total_value"))
         .orderBy("window_start_us", "event_type")
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    pinned
+  }
+
+  /** Stages a chronological event replay for the parity rows: 4
+    * time-range slices with ascending file mtimes (the source replays
+    * oldest first, so no real event ever falls behind the watermark),
+    * then two sentinel files (same far-future timestamp, user -1) that
+    * flush the final watermark. Returns the staging root. */
+  private def stageReplay(s: SparkSession,
+      real: DataFrame): java.nio.file.Path = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("streamagg")
+    // explicit, all-in-the-past mtimes: the file source replays oldest
+    // mtime first, so slice order is fully deterministic
+    def stampDir(d: String, t: Long): Unit =
+      new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    real.repartitionByRange(4, col("ts")).write.parquet(s"$base/in0")
+    stampDir(s"$base/in0", t0)
+    val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
+    val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    val sentinel = Seq((future, -1L, "__sentinel__", 0.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    sentinel.coalesce(1).write.parquet(s"$base/in1")
+    stampDir(s"$base/in1", t0 + 10 * 60000L)
+    sentinel.coalesce(1).write.parquet(s"$base/in2")
+    stampDir(s"$base/in2", t0 + 11 * 60000L)
+    base
+  }
+
+  private def readStaged(s: SparkSession,
+      base: java.nio.file.Path): DataFrame =
+    s.readStream
+      .schema(StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+
+  /** Custom-state parity as an ORACLE row: [[sessionStates]]
+    * (flatMapGroupsWithState, per-user running totals) streamed over
+    * the same chronological replay. Each micro-batch emits one
+    * cumulative update per touched user; the LAST update per user
+    * (the one with the maximal n_events — strictly increasing, so
+    * unambiguous) must equal the plain batch aggregation: state
+    * carried across every micro-batch with nothing lost or double
+    * counted. The sentinel user's updates are excluded. */
+  def streamStateParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val real = graft.Tables.events(s, dir)
+      .filter(col("event_id") < AggParityEvents)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    if (real.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("n_events", LongType),
+          StructField("total_value", DoubleType))))
+    val base = stageReplay(s, real)
+    val outDir = base.resolve("out").toString
+    val q = sessionStates(s, readStaged(s, base)).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val result = s.read.parquet(outDir)
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        round(max_by(col("total_value"), col("n_events")), 2)
+          .as("total_value"))
+      .orderBy("user_id")
     val pinned = result.localCheckpoint(true)
     deleteRecursively(base.toFile)
     pinned

@@ -265,6 +265,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
 
+  test("multimodal rows are zero-shuffle per-row kernels (plus final sort)") {
+    // resize/feature-diagnostics are per-payload maps, frame sampling
+    // is a per-payload flatMap fan-out — none of them may plan a hash
+    // shuffle; the only Exchange allowed is the result ORDER BY's
+    // range partitioning. At 100 TB of media this is the difference
+    // between a scan-speed pass and a corpus shuffle.
+    Seq("doc_media_resize", "doc_frame_sample", "doc_media_features")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"$q: ${p.take(3000)}")
+      }
+  }
+
   test("nearDupPairsAuto keeps the banded equi-join shape on BOTH routes") {
     Seq(Some(100L), Some(graft.operators.Dedup.SimhashAutoMaxDocs + 1))
       .foreach { size =>

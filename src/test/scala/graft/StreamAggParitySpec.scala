@@ -64,6 +64,21 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed windows differ from the batch aggregation")
   }
 
+  test("custom-state parity equals the batch per-user aggregation") {
+    val streamed = EventStream.streamStateParity(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .filter(col("event_id") < EventStream.AggParityEvents)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    assert(streamed.filter(col("user_id") === -1L).isEmpty,
+      "sentinel user leaked into the final state set")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "final streamed state differs from the batch aggregation")
+  }
+
   test("session parity equals the batch session_window; no sentinels") {
     val streamed = EventStream.streamSessionParity(spark, dir)
     val batch = Tables.events(spark, dir)
