@@ -85,6 +85,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamSessionParity(s, d)),
     "stream_state_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamStateParity(s, d)),
+    "stream_join_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamJoinParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
     "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
     "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
@@ -579,6 +581,20 @@ object SparkEntry {
            event_type, count(*) AS n,
            round(sum(value), 2) AS total_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_join_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value,
+             event_id
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents})
+         SELECT c.event_id AS click_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(r.ts) AS err_ts_us,
+           r.value AS err_value
+         FROM e c JOIN e r
+           ON c.event_type = 'click' AND r.event_type = 'error'
+           AND r.user_id = c.user_id
+           AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
+         ORDER BY click_id, err_ts_us""",
     "stream_state_parity" ->
       s"""SELECT user_id, count(*) AS n_events,
            round(sum(value), 2) AS total_value

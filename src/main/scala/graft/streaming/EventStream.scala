@@ -411,8 +411,12 @@ object EventStream {
     stampDir(s"$base/in0", t0)
     val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
     val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
-    val sentinel = Seq((future, -1L, "__sentinel__", 0.0))
+    val sentinelBase = Seq((future, -1L, "__sentinel__", 0.0))
       .toDF("ts", "user_id", "event_type", "value")
+    // mirror any extra caller columns (e.g. event_id) so every staged
+    // file carries one schema
+    val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
     sentinel.coalesce(1).write.parquet(s"$base/in1")
     stampDir(s"$base/in1", t0 + 10 * 60000L)
     sentinel.coalesce(1).write.parquet(s"$base/in2")
@@ -428,6 +432,56 @@ object EventStream {
         StructField("event_type", StringType),
         StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+
+  /** Stream-stream join parity as an ORACLE row: [[clickErrorJoin]]
+    * (watermarked interval self-join — each click joins the same
+    * user's errors from the preceding hour) over the chronological
+    * replay, hash-matched against the batch interval join in DuckDB.
+    * Inner joins emit matches as soon as both sides have arrived, so
+    * completeness needs no sentinel flush — but state EVICTION is
+    * live: the 10-minute watermark delay must keep every error an
+    * upcoming click can still reference (the join range reaches 1 h
+    * back; eviction trails the watermark by that same hour, so the
+    * time-ordered slices stay inside the margin). An error evicted too
+    * early, a match emitted twice across the micro-batch boundary, or
+    * a boundary condition flipped (>= vs >) is a hash mismatch. */
+  def streamJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val real = graft.Tables.events(s, dir)
+      .filter(col("event_id") < AggParityEvents)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("event_id"))
+    if (real.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("click_id", LongType),
+          StructField("user_id", LongType),
+          StructField("click_ts_us", LongType),
+          StructField("err_ts_us", LongType),
+          StructField("err_value", DoubleType))))
+    val base = stageReplay(s, real)
+    val outDir = base.resolve("out").toString
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("event_id", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+    val q = clickErrorJoin(stream).writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val result = s.read.parquet(outDir)
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
+      .orderBy("click_id", "err_ts_us")
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    pinned
+  }
 
   /** Custom-state parity as an ORACLE row: [[sessionStates]]
     * (flatMapGroupsWithState, per-user running totals) streamed over

@@ -79,6 +79,29 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "final streamed state differs from the batch aggregation")
   }
 
+  test("stream-stream join parity equals the batch interval join") {
+    val streamed = EventStream.streamJoinParity(spark, dir)
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id") < EventStream.AggParityEvents)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
+        col("value").as("err_value"))
+    val batch = clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("err_ts") < col("click_ts"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed join matches differ from the batch interval join")
+  }
+
   test("session parity equals the batch session_window; no sentinels") {
     val streamed = EventStream.streamSessionParity(spark, dir)
     val batch = Tables.events(spark, dir)
