@@ -87,6 +87,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamStateParity(s, d)),
     "stream_join_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamJoinParity(s, d)),
+    "stream_curate_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.CurationStream.streamCurateParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
     "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
     "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
@@ -581,6 +583,40 @@ object SparkEntry {
            event_type, count(*) AS n,
            round(sum(value), 2) AS total_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the batch derivation of the streaming curation pipeline: gate
+    // (word floor + the stratified sampler's sha bucket at 500‰) then
+    // global (doc_id, pos) first-claim span dedup — ascending-order
+    // replay makes the streamed cross-batch claims equal this exactly
+    "stream_curate_parity" ->
+      s"""WITH d AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE len(string_split(text, ' ')) >= 20
+             AND ('0x'||substr(sha256('smp:'||doc_id),1,12))::BIGINT
+                 % 1000 < 500),
+         w AS (SELECT doc_id, string_split(text,' ') AS ws FROM d),
+         p AS (SELECT doc_id, ws,
+                 unnest(range((len(ws)+${Curation.SpanWords - 1})
+                              //${Curation.SpanWords})) AS pos
+               FROM w),
+         segs AS (SELECT doc_id, pos,
+                    array_to_string(ws[pos*${Curation.SpanWords}+1 :
+                      pos*${Curation.SpanWords}+${Curation.SpanWords}],
+                      ' ') AS span
+                  FROM p),
+         h AS (SELECT doc_id, pos,
+                 ('0x'||substr(sha256(span),1,14))::BIGINT AS h
+               FROM segs),
+         r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, pos) AS rn
+               FROM h),
+         pd AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_new_spans
+                FROM r GROUP BY doc_id)
+         SELECT d.doc_id, d.source, pd.n_new_spans
+         FROM pd JOIN d ON pd.doc_id = d.doc_id
+         WHERE pd.n_new_spans > 0 ORDER BY d.doc_id""",
     "stream_join_parity" ->
       s"""WITH e AS (
            SELECT ts::TIMESTAMP AS ts, user_id, event_type, value,

@@ -88,8 +88,9 @@ object CurationStream {
     * kept-docs sink + index maintenance. Returns the started query;
     * callers own its lifecycle. */
   def curateStream(docs: DataFrame, indexDir: String, keptDir: String,
-      checkpointDir: String): StreamingQuery =
-    gate(docs).writeStream
+      checkpointDir: String, minWords: Int = 20,
+      ratePermille: Int = 1000): StreamingQuery =
+    gate(docs, minWords, ratePermille).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -98,4 +99,53 @@ object CurationStream {
           ()
       }
       .start()
+
+  /** Streaming-curation parity as an ORACLE row: the full
+    * gate → per-batch span-dedup → kept-sink pipeline run as a real
+    * 4-micro-batch streaming query over doc_id-range slices replayed
+    * in ascending order, hash-matched against the batch derivation in
+    * DuckDB. Ascending replay makes cross-batch first-claim equal the
+    * global (doc_id, pos) first-claim the batch dedup_spans row pins —
+    * so the kept set and every survivor's new-span count must match
+    * exactly; an index row lost between batches, a double claim, or a
+    * gate drifting from the batch sampler's sha-bucket all land as
+    * hash mismatches. The 500‰ rate keeps the sha-bucket branch live
+    * (1000‰ would pass everything). */
+  def streamCurateParity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      StringType}
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val emptySchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_new_spans", LongType)))
+    if (docs.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val base = java.nio.file.Files.createTempDirectory("streamcurate")
+    docs.repartitionByRange(4, col("doc_id")).write.parquet(s"$base/in")
+    // ascending mtimes = ascending doc_id slices: deterministic replay
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val kept = s"$base/kept"
+    val q = curateStream(stream, s"$base/index", kept,
+      s"$base/ckpt", ratePermille = 500)
+    try q.processAllAvailable() finally q.stop()
+    val keptFiles = new java.io.File(kept)
+    val result =
+      if (!keptFiles.exists) s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      else s.read.parquet(kept)
+        .select(col("doc_id"), col("source"),
+          col("n_new_spans").cast("long").as("n_new_spans"))
+        .orderBy("doc_id")
+    val pinned = result.localCheckpoint(true)
+    graft.operators.Sync.deleteTree(base.toFile)
+    pinned
+  }
 }

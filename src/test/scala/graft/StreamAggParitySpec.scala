@@ -102,6 +102,30 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed join matches differ from the batch interval join")
   }
 
+  test("streaming curation parity: kept set equals the batch derivation") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed =
+      graft.streaming.CurationStream.streamCurateParity(spark, dir)
+    val gated = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 20)
+      .filter(conv(substring(sha2(concat(lit("smp:"),
+        col("doc_id").cast("string")), 256), 1, 12), 16, 10)
+        .cast("long") % 1000 < 500)
+    val spans = graft.operators.Curation
+      .spansOf(gated.select("doc_id", "text"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+    val batch = spans.groupBy("doc_id")
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new_spans"))
+      .filter(col("n_new_spans") > 0)
+      .join(gated.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_new_spans")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed kept set differs from the batch span-dedup derivation")
+  }
+
   test("session parity equals the batch session_window; no sentinels") {
     val streamed = EventStream.streamSessionParity(spark, dir)
     val batch = Tables.events(spark, dir)
