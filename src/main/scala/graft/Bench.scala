@@ -48,7 +48,10 @@ object Bench {
     * in-run (median, min) and the end-of-run re-time — a load spike can
     * only inflate, so min is always the truer quiet-box reading; a
     * still-loaded retime can't make anything worse. Returns the merged
-    * results plus the names that were re-timed. */
+    * results plus the names that were re-timed. A negative retime
+    * reading means the retime itself failed; the original reading is
+    * kept (the caller records WHICH names failed — round 12 lost a
+    * retime exception to tail truncation because nothing did). */
   def applyRetimes(results: Seq[(String, (Double, Double))],
       sentinels: Seq[Double], segmentSize: Int,
       retime: String => Double): (Seq[(String, (Double, Double))], Seq[String]) = {
@@ -64,6 +67,30 @@ object Bench {
     }
     (merged, names)
   }
+
+  /** Round number for artifact naming: one past the newest harness
+    * BENCH_r<N>.json, but never behind a BENCH_DETAIL_r<N>*.json
+    * already written this round. Round 12 postmortem: deriving from
+    * BENCH_r* alone made the driver's round-end (loaded) run clobber
+    * the committed clean BENCH_DETAIL_r12.json, because BENCH_r12.json
+    * did not exist yet at that point. */
+  def artifactRound(fileNames: Seq[String]): Int = {
+    def maxN(re: scala.util.matching.Regex): Int =
+      fileNames.flatMap(re.findFirstMatchIn(_)).map(_.group(1).toInt)
+        .foldLeft(0)(math.max)
+    math.max(maxN("^BENCH_r(\\d+)\\.json$".r) + 1,
+      maxN("^BENCH_DETAIL_r(\\d+)(?:_loaded)?\\.json$".r))
+  }
+
+  /** Detail-artifact file name: a load-flagged run must never replace
+    * an existing CLEAN detail for the same round — it lands in a
+    * `_loaded` sibling instead, preserving the quiet reading (the
+    * round-12 loaded run silently overwrote the clean 58.6 s detail). */
+  def detailTarget(roundN: Int, newRunFlagged: Boolean,
+      existingCleanDetail: Boolean): String =
+    if (newRunFlagged && existingCleanDetail)
+      f"BENCH_DETAIL_r$roundN%02d_loaded.json"
+    else f"BENCH_DETAIL_r$roundN%02d.json"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,13 +209,22 @@ object Bench {
     // Worst case (load spans the whole run) this costs one extra rep
     // per query and changes nothing; the artifact lists what was
     // re-timed either way.
+    val retimeFailed = scala.collection.mutable.ArrayBuffer[String]()
     val (healed, retimedNames) = applyRetimes(results, sentinels.toSeq,
       segmentSize, name => {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+        } catch { case e: Throwable =>
+          // name the failure in the artifact — a swallowed -1.0 plus a
+          // tail-truncated stack trace left round 12's retime failure
+          // unattributable (ADVICE item)
+          retimeFailed += s"$name:${e.getClass.getSimpleName}"
+          System.err.println(s"[bench] retime failed $name: " +
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(120)}")
+          -1.0
+        }
       })
     // The harness records only the LAST ~2000 chars of this process's
     // output (BENCH_r*.json "tail"); a metrics line longer than that is
@@ -208,16 +244,16 @@ object Bench {
       val qs = keep.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed_n":${retimedNames.length},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"sf":"$sfDir"}"""
     }
     // Full per-query map (nothing omitted, µs precision) goes to a
     // committed artifact — the tail-window line below keeps only the
-    // slowest queries and ms precision. Round number = max existing
-    // BENCH_r<N>.json + 1, so the detail file lines up with the
-    // harness's own artifact for the same round.
-    val roundN = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
-      .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+    // slowest queries and ms precision. Round number derives from BOTH
+    // artifact families (see artifactRound) so the detail file lines up
+    // with the harness's own artifact for the same round without
+    // clobbering an earlier in-round detail.
+    val roundN = artifactRound(Option(new java.io.File(".").listFiles())
+      .toSeq.flatten.map(_.getName))
     def fmt6(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     def detailMap(pick: ((Double, Double)) => Double): String =
@@ -235,10 +271,18 @@ object Bench {
     // readings that never had a median, and "reps":3 would overclaim
     val singleRepJson = protocolRows.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimeFailedJson = retimeFailed.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed":$retimedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"sf":"$sfDir"}"""
+    val defaultDetail =
+      java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json")
+    val existingClean = java.nio.file.Files.exists(defaultDetail) &&
+      new String(java.nio.file.Files.readAllBytes(defaultDetail), "UTF-8")
+        .contains("\"load_flagged\":false")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json"),
+      java.nio.file.Paths.get(
+        detailTarget(roundN, loadFlagged, existingClean)),
       (detailJson + "\n").getBytes("UTF-8"))
     val budget = 1800 // leaves room for sbt's trailing [success] line
     var keep = healed.map { case (k, (med, _)) => k -> med }.sortBy(-_._2)

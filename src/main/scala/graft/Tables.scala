@@ -2,22 +2,30 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 can only read
-    * via `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/Bench/test
-    * sessions). Normalize to TimestampType by integer ns→µs floor-division
-    * — the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP,
-    * so oracle comparisons stay exact. */
+  /** Normalize events.ts to TimestampType whatever the parquet carries.
+    * Earlier driver testdata wrote TIMESTAMP(NANOS), which Spark 4 reads
+    * as long under `spark.sql.legacy.parquet.nanosAsLong` — ns→µs
+    * floor-division matches DuckDB's TIMESTAMP_NS→TIMESTAMP truncation.
+    * The round-13 regeneration writes timestamp[us] with no timezone,
+    * which Spark reads as TIMESTAMP_NTZ; with the session timezone
+    * pinned to UTC the cast below is instant-preserving and restores the
+    * single TimestampType every consumer (unix_micros included) was
+    * written against — left NTZ, the two unix_micros(ts) queries threw
+    * DATATYPE_MISMATCH and silently dropped out of the round-12 gate. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

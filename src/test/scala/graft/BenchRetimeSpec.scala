@@ -43,6 +43,34 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(healed.drop(20).forall(_._2._1 == 0.3))
   }
 
+  test("artifact round never falls behind an in-round detail file") {
+    // fresh repo: first run is round 1
+    assert(Bench.artifactRound(Seq.empty) == 1)
+    // normal case: one past the newest harness artifact
+    assert(Bench.artifactRound(Seq("BENCH_r11.json", "BENCH_r12.json")) == 13)
+    // round-12 regression: the round-end run fires BEFORE the harness
+    // writes BENCH_r12.json — the in-round detail must pin the round
+    assert(Bench.artifactRound(
+      Seq("BENCH_r11.json", "BENCH_DETAIL_r12.json")) == 12)
+    // a _loaded sibling pins the round too
+    assert(Bench.artifactRound(
+      Seq("BENCH_r11.json", "BENCH_DETAIL_r12_loaded.json")) == 12)
+    // unrelated files are ignored
+    assert(Bench.artifactRound(
+      Seq("CORRECTNESS_r12.json", "BENCH_DETAIL_r08.json.bak")) == 1)
+  }
+
+  test("a load-flagged run never replaces a clean detail artifact") {
+    // clean-over-anything and flagged-over-nothing both take the slot
+    assert(Bench.detailTarget(13, newRunFlagged = false,
+      existingCleanDetail = true) == "BENCH_DETAIL_r13.json")
+    assert(Bench.detailTarget(13, newRunFlagged = true,
+      existingCleanDetail = false) == "BENCH_DETAIL_r13.json")
+    // flagged-over-clean diverts to the _loaded sibling
+    assert(Bench.detailTarget(13, newRunFlagged = true,
+      existingCleanDetail = true) == "BENCH_DETAIL_r13_loaded.json")
+  }
+
   test("a still-loaded retime can only improve, never worsen") {
     val rs = results(1.0)
     val (healed, _) = Bench.applyRetimes(rs, Seq(0.4, 1.2, 0.4), 20,
