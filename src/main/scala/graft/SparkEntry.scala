@@ -222,17 +222,47 @@ object SparkEntry {
       Similarity.rangeSearch(s, d)),
     "emb_cluster_stats"   -> ((s: SparkSession, d: String) =>
       Similarity.clusterStats(s, d)),
-    // rows-only by declaration: Lloyd refinement is iterative float
-    // math DuckDB can't reproduce bit-for-bit; the semantic pin
-    // (refined balance beats raw seeds) lives in SparkE2ESpec
-    "emb_cluster_stats_lloyd" -> ((s: SparkSession, d: String) =>
-      Similarity.clusterStatsLloyd(s, d)),
-    // rows-only by declaration: BPE's iterative greedy merge isn't
-    // SQL-expressible; semantics pinned in BpeTokenizerSpec instead
+    // full oracle since r13: planted separated-cluster geometry whose
+    // Lloyd fixed point is analytic (integer-only output re-derived by
+    // DuckDB from the construction rule); the real-corpus refinement
+    // stays pinned in ScalaTest (refined balance beats raw seeds)
+    "emb_cluster_stats_lloyd" -> ((s: SparkSession, _: String) =>
+      Similarity.clusterStatsLloydOracle(s)),
+    // full oracle since r13: planted 6-word construction whose merge
+    // table DuckDB RELEARNS in six unrolled SQL training rounds (the
+    // real-corpus 200-merge variant stays in the library as
+    // TextAnalysis.tokenCountBpe, pinned by BpeTokenizerSpec)
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
-      TextAnalysis.tokenCountBpe(s, d)),
+      TextAnalysis.tokenCountBpeOracle(s, d)),
     "emb_quantize_int8"   -> (Similarity.quantizeInt8 _)
   )
+
+  /** One unrolled BPE training round for the `doc_token_bpe` oracle:
+    * weighted adjacent-pair count over the bracketed symbol strings →
+    * argmax (count desc, then pair lexicographic — BpeTokenizer.train's
+    * exact tie-break, though the planted frequencies make every round's
+    * best pair strictly unique) → one left-to-right non-overlapping
+    * rewrite (`replace` on the `[a][b]` form IS that pass: brackets make
+    * multi-char symbols unambiguous and adjacent matches share no
+    * delimiter). MATERIALIZED is load-bearing: inlined, the six chained
+    * rounds re-evaluate each other combinatorially. */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = if (k == 1) "freqs" else s"s${k - 1}"
+    s"""pairs$k AS MATERIALIZED (
+           SELECT toks[i] AS a, toks[i + 1] AS b, SUM(freq) AS cnt
+           FROM (SELECT freq,
+                   regexp_extract_all(syms, '\\[([^\\]]*)\\]', 1) AS toks
+                 FROM $prev),
+                UNNEST(range(1, len(toks))) AS u(i)
+           GROUP BY 1, 2),
+         best$k AS MATERIALIZED (
+           SELECT a, b FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
+         s$k AS MATERIALIZED (
+           SELECT f.word, f.m, f.freq,
+             replace(f.syms, '[' || b.a || '][' || b.b || ']',
+               '[' || b.a || b.b || ']') AS syms
+           FROM $prev f CROSS JOIN best$k b)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1280,6 +1310,64 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // construction-rule oracle for the planted Lloyd geometry
+    // (Similarity.lloydPlantedCluster): vec_ids 1..16 are the seeds,
+    // one per cell in order; the rest land on (i % 37) % 16. The
+    // engine runs the real seed → 4×Lloyd → occupancy-report pipeline;
+    // separation makes its converged partition equal this rule exactly,
+    // so every integer in the report is derivable without float math.
+    "emb_cluster_stats_lloyd" ->
+      s"""WITH v AS (
+           SELECT CAST(i AS BIGINT) AS vec_id,
+             CASE WHEN i <= 16 THEN (i - 1) % 16
+                  ELSE i % 37 % 16 END AS cell
+           FROM (SELECT unnest(range(1, ${Similarity.LloydPlantedN + 1}))
+                   AS i)),
+         tot AS (SELECT COUNT(*) AS total FROM v)
+         SELECT CAST(v.cell AS BIGINT) AS cell,
+           COUNT(*) AS n_vectors,
+           COUNT(*) * 1000 // t.total AS share_permille,
+           COUNT(*) * 16 * 1000 // t.total AS load_permille,
+           MIN(v.vec_id) AS min_vec, MAX(v.vec_id) AS max_vec
+         FROM v CROSS JOIN tot t
+         GROUP BY v.cell, t.total
+         ORDER BY cell""",
+    // an INDEPENDENT BPE implementation in SQL: relearn the merge
+    // table from the planted construction (word j of BpeOracleWords
+    // repeats doc_id % (j+3) times per document; training sample =
+    // doc_id < 50, the entry's rule), then re-derive each document's
+    // token stream — for in-vocabulary words encode ≡ training replay,
+    // since a merge's components always form at earlier ranks. '!' is
+    // the end-of-word sentinel (the Spark side prints it as '!' too).
+    "doc_token_bpe" ->
+      s"""WITH sample AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+         w0 AS (
+           SELECT * FROM (VALUES
+             ('ab',   '[a][b][!]',       3),
+             ('abc',  '[a][b][c][!]',    4),
+             ('cd',   '[c][d][!]',       5),
+             ('cde',  '[c][d][e][!]',    6),
+             ('de',   '[d][e][!]',       7),
+             ('abcd', '[a][b][c][d][!]', 8)) AS t(word, syms, m)),
+         freqs AS MATERIALIZED (
+           SELECT w.word, w.syms, w.m,
+             (SELECT COALESCE(SUM(doc_id % w.m), 0) FROM sample) AS freq
+           FROM w0 w),
+         ${(1 to 6).map(bpeRoundSql).mkString(",\n         ")},
+         final AS (
+           SELECT m, regexp_extract_all(syms, '\\[([^\\]]*)\\]', 1) AS toks
+           FROM s6),
+         per_doc AS (
+           SELECT d.doc_id,
+             flatten(list(
+               flatten(list_transform(
+                 range(CAST(d.doc_id % f.m AS INT)), x -> f.toks))
+               ORDER BY f.m)) AS toks
+           FROM documents d CROSS JOIN final f
+           GROUP BY d.doc_id)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           COALESCE(array_to_string(toks[1:5], '|'), '') AS first_tokens
+         FROM per_doc ORDER BY doc_id""",
     // planted ground truth: ten synthetic neighbors at 0.001*j from
     // query vector 0 — orders of magnitude inside any natural
     // neighbor, so the seeded LSH must return exactly ids

@@ -342,14 +342,72 @@ object Similarity {
   /** [[clusterStats]] of the REFINED quantizer — the occupancy report
     * a probe planner reads against the index [[buildIvfIndex]]
     * actually persists (Lloyd-refined centroids), not the raw seeds.
-    * Declared rows-only at the oracle gate: the refinement is
-    * iterative float math DuckDB can't reproduce bit-for-bit (same
-    * declaration pattern as `emb_ann_mllib`); the semantic pin lives
-    * in ScalaTest — refined balance must beat the raw seeds'. */
+    * On a natural corpus the refinement is iterative float math DuckDB
+    * can't reproduce bit-for-bit; the oracle-checked entry is
+    * [[clusterStatsLloydOracle]] (planted geometry with an analytic
+    * fixed point), and the real-corpus semantic pin — refined balance
+    * must beat the raw seeds' — lives in ScalaTest. */
   def clusterStatsLloyd(s: SparkSession, dir: String,
       nlist: Int = IvfNlist, iters: Int = IvfLloydIters): DataFrame =
     clusterStatsFrom(s, dir,
       lloydRefine(s, dir, ivfSeeds(s, dir, nlist), iters))
+
+  /** Vector count of the planted Lloyd-oracle geometry. */
+  val LloydPlantedN = 4800
+
+  /** Planted cluster of vector i: vec_ids 1..16 cover the 16 cells one
+    * each in order — they are exactly the seed rows [[ivfSeeds]] picks,
+    * so seed index ≡ planted cluster — and the rest spread unevenly
+    * via mod-37 (a 37-cycle over 16 cells leaves cells 0..4 with one
+    * extra member per cycle, so every count, unlike a uniform plant,
+    * carries signal). */
+  private[graft] def lloydPlantedCluster(i: Long): Int =
+    if (i <= 16) ((i - 1) % 16).toInt else (i % 37 % 16).toInt
+
+  /** Planted vector i: unit mass on axis `cluster(i)` (dims 0..15)
+    * plus a small deterministic perturbation on a disjoint noise dim
+    * (16..28). Separation is absolute: a cluster-c centroid — seed or
+    * any Lloyd refinement — has exactly zero weight on every other
+    * cluster's axis (axis and noise dims are disjoint), so own-cluster
+    * projection ≥ 0.99 while any cross-cluster projection ≤ 4e-4 and
+    * the assignment equals the plant at every iteration. Lloyd's fixed
+    * point is therefore analytic while the kernel still runs the full
+    * seed → 4×(assign/mean/normalize) → report pipeline on real float
+    * math. */
+  private[graft] def lloydPlantedVec(i: Long): Array[Float] = {
+    val v = new Array[Float](64)
+    v(lloydPlantedCluster(i)) = 1.0f
+    v(16 + (i % 13).toInt) = ((i % 5) - 2) * 0.01f
+    v
+  }
+
+  @volatile private var lloydPlantedDir: String = null
+
+  /** Stage the planted embeddings table once per JVM (4,800 tiny rows;
+    * bench reps re-read, not re-write). */
+  private def stageLloydPlanted(s: SparkSession): String = synchronized {
+    if (lloydPlantedDir == null) {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("lloydplanted")
+        .toString
+      s.range(1, LloydPlantedN + 1L).as[Long]
+        .map(i => (i, lloydPlantedVec(i)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      lloydPlantedDir = dir
+    }
+    lloydPlantedDir
+  }
+
+  /** [[clusterStatsLloyd]] over the planted geometry — the
+    * oracle-checked row. The output is all-integer (counts, permilles,
+    * id extrema), fully determined by the planted partition, which the
+    * DuckDB oracle re-derives from the construction rule alone; any
+    * defect in seeding, assignment, the treeAggregate mean, empty-cell
+    * handling, or the report arithmetic shifts a count and fails the
+    * hash. */
+  def clusterStatsLloydOracle(s: SparkSession): DataFrame =
+    clusterStatsLloyd(s, stageLloydPlanted(s))
 
   /** Default Lloyd iteration count for [[buildIvfIndex]]'s spherical
     * k-means refinement of the seed centroids. */

@@ -197,27 +197,93 @@ object TextAnalysis {
     val sample = Tables.documents(s, dir)
       .filter(col("doc_id") < 50).orderBy("doc_id")
       .select("text").as[String].collect()
-    val merges = BpeTokenizer.train(sample, numMerges)
-    Tables.documents(s, dir)
-      .select("doc_id", "text").as[(Long, String)]
-      .mapPartitions { it =>
-        val rank = merges.iterator.zipWithIndex.toMap
-        // size-capped (BpeTokenizer.CacheCap): the Zipf head is the
-        // win; unbounded growth over a wide vocabulary is a heap leak
-        val cache = scala.collection.mutable
-          .HashMap.empty[String, Vector[String]]
-        it.map { case (id, text) =>
-          var n = 0L
-          val first = Vector.newBuilder[String]
-          text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
-            val toks = BpeTokenizer.encodeWordCached(w, rank, cache)
-            if (n < 5) first ++= toks.take(5 - n.toInt)
-            n += toks.length
-          }
-          (id, n, first.result().take(5).mkString("|"))
+    val merges = BpeTokenizer.train(sample.toSeq, numMerges)
+    bpeEncodeCounts(
+      Tables.documents(s, dir).select("doc_id", "text").as[(Long, String)],
+      merges)
+      .orderBy("doc_id")
+  }
+
+  /** Distributed BPE encode+count kernel shared by [[tokenCountBpe]]
+    * and [[tokenCountBpeOracle]]: the merge table rides the closure
+    * like a broadcast; rank map and word cache are built once per
+    * partition. */
+  private def bpeEncodeCounts(
+      docs: org.apache.spark.sql.Dataset[(Long, String)],
+      merges: Vector[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.mapPartitions { it =>
+      val rank = merges.iterator.zipWithIndex.toMap
+      // size-capped (BpeTokenizer.CacheCap): the Zipf head is the
+      // win; unbounded growth over a wide vocabulary is a heap leak
+      val cache = scala.collection.mutable
+        .HashMap.empty[String, Vector[String]]
+      it.map { case (id, text) =>
+        var n = 0L
+        val first = Vector.newBuilder[String]
+        text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+          val toks = graft.functions.BpeTokenizer
+            .encodeWordCached(w, rank, cache)
+          if (n < 5) first ++= toks.take(5 - n.toInt)
+          n += toks.length
         }
+        (id, n, first.result().take(5).mkString("|"))
       }
-      .toDF("doc_id", "n_bpe_tokens", "first_tokens")
+    }.toDF("doc_id", "n_bpe_tokens", "first_tokens")
+  }
+
+  /** The 6-word vocabulary of the ORACLE-CHECKED BPE row: planted so
+    * the full train→encode pipeline has an independent DuckDB
+    * derivation (word j repeats `doc_id % (j+3)` times per document,
+    * giving sample frequencies 49/73/100/121/147/169 over doc_id<50 —
+    * chosen so every training round has a strictly unique best pair and
+    * the tie-break never decides). */
+  val BpeOracleWords: Vector[String] =
+    Vector("ab", "abc", "cd", "cde", "de", "abcd")
+
+  /** Deterministic text of one planted document: word j of
+    * [[BpeOracleWords]] repeated `id % (j+3)` times, space-joined. */
+  private[graft] def bpePlantedText(id: Long): String = {
+    val sb = new StringBuilder
+    var j = 0
+    while (j < BpeOracleWords.length) {
+      var k = (id % (j + 3)).toInt
+      while (k > 0) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(BpeOracleWords(j)); k -= 1
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** REAL BPE train→encode, end-to-end oracle-checked: texts are
+    * composed from [[BpeOracleWords]] by doc_id arithmetic, so the
+    * DuckDB oracle RELEARNS the merge table itself (six unrolled rounds
+    * of weighted pair-count → argmax → left-to-right rewrite over a
+    * bracketed symbol encoding — `replace` on `[a][b]` is exactly the
+    * trainer's single non-overlapping pass) and re-derives every
+    * per-document token count and head tokens independently. Any defect
+    * in pair counting, tie-breaking, merge application, or the encoder
+    * (for in-vocabulary words encode ≡ training replay: a merge's
+    * components always form at earlier ranks) shifts the counts and
+    * fails the hash. The end-of-word sentinel prints as '!' (it is a
+    * live symbol in 4 of the 6 learned merges). Real-corpus BPE at 200
+    * merges stays available as [[tokenCountBpe]], semantics pinned in
+    * BpeTokenizerSpec/BpePropertySpec. */
+  def tokenCountBpeOracle(s: SparkSession, dir: String,
+      numMerges: Int = 6): DataFrame = {
+    import s.implicits._
+    import graft.functions.BpeTokenizer
+    val sampleIds = Tables.documents(s, dir).filter(col("doc_id") < 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val merges = BpeTokenizer.train(sampleIds.map(bpePlantedText), numMerges)
+    val docs = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map(id => (id, bpePlantedText(id)))
+    bpeEncodeCounts(docs, merges)
+      .withColumn("first_tokens",
+        translate(col("first_tokens"), BpeTokenizer.Eow, "!"))
       .orderBy("doc_id")
   }
 
