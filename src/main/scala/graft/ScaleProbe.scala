@@ -83,7 +83,12 @@ object ScaleProbe {
     // incremental store merges — the whole reference WRITE path) and
     // the banded-LSH embedding dedup (the one vector-heavy join shape
     // not yet probed; candidates from band equi-joins, never corpus²)
-    "stream_batch_parity", "dedup_embedding")
+    "stream_batch_parity", "dedup_embedding",
+    // r13 addition: the incremental dedup verdict — its contract is
+    // that only the batch side grows the join state (store streams
+    // map-side through a broadcast), so its growth must track the
+    // batch delta, not the corpus² a naive re-pair would cost
+    "dedup_minhash_delta")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

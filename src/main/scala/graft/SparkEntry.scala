@@ -117,6 +117,7 @@ object SparkEntry {
       Dedup.ngramJaccard(s, d)),
     "dedup_minhash_sig"   -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "dedup_minhash_delta" -> (Dedup.minhashPairsDelta _),
     "dedup_minhash_calib" -> (Dedup.minhashCalibration _),
     "dedup_semantic"      -> ((s: SparkSession, d: String) =>
       Dedup.semanticDedup(s, d)),
@@ -953,6 +954,44 @@ object SparkEntry {
            ON a.j=b.j AND a.h=b.h AND a.doc_id < b.doc_id
          GROUP BY 1,2 HAVING count(*) >= ${Dedup.NumPerms / 2}
          ORDER BY doc_a, doc_b""",
+    // incremental form: only new-batch docs (top fifth of the id
+    // range) pair against the corpus; per-new-doc verdict with
+    // pristine docs kept at zeros / -1
+    "dedup_minhash_delta" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,7))::BIGINT AS x FROM sh),
+         perms(j, a, b) AS (VALUES ${Dedup.perms.map {
+           case (j, a, b) => s"($j,$a,$b)" }.mkString(",")}),
+         t AS (SELECT doc_id, j, min((a*x+b) % 2147483647) AS h
+               FROM x CROSS JOIN perms GROUP BY 1,2),
+         cut AS (SELECT (MAX(doc_id) * 4) // 5 AS batch_from
+                 FROM documents),
+         pairs AS (
+           SELECT b.doc_id AS doc_id, a.doc_id AS partner,
+             count(*) AS agree
+           FROM t a JOIN t b ON a.j=b.j AND a.h=b.h
+             AND a.doc_id < b.doc_id
+           JOIN cut c ON b.doc_id >= c.batch_from
+           GROUP BY 1,2 HAVING count(*) >= ${Dedup.NumPerms / 2}),
+         verdict AS (
+           SELECT doc_id, count(*) AS n_partners,
+             max(agree) AS best_agree, min(partner) AS first_partner
+           FROM pairs GROUP BY 1),
+         newdocs AS (SELECT DISTINCT t.doc_id FROM t, cut
+                     WHERE t.doc_id >= cut.batch_from)
+         SELECT n.doc_id,
+           COALESCE(v.n_partners, 0) AS n_partners,
+           COALESCE(v.best_agree, 0) AS best_agree,
+           COALESCE(v.first_partner, -1) AS first_partner
+         FROM newdocs n LEFT JOIN verdict v USING (doc_id)
+         ORDER BY doc_id""",
     "dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb

@@ -260,6 +260,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Broadcast cap for [[minhashPairsDelta]]'s batch side: 16 triples
+    * ≈ 400 B per document, so 100k docs ≈ 40 MB — comfortably inside
+    * executor broadcast budgets. Above it the band join falls back to
+    * the ordinary (j,h)-shuffled form. */
+  val DeltaBroadcastMaxDocs = 100000L
+
+  /** Incremental near-dup verdict — the composition a daily ingest
+    * actually runs at 100 TB: only the NEW batch's documents (the top
+    * fifth of the id range here, standing in for today's delta) pair
+    * against the corpus, via the same ≥8/16 minhash band agreement as
+    * [[minhashPairs]], so candidate generation is new×(store∪batch)
+    * and the store is NEVER paired against itself — the part that
+    * grows quadratically with corpus age in a naive re-run. The batch
+    * triples broadcast when the delta is small (the normal case,
+    * [[DeltaBroadcastMaxDocs]]); the store-side triples then stream
+    * map-side through a BroadcastHashJoin without shuffling the corpus
+    * — the same broadcast direction as the streaming embed-reuse path.
+    * One verdict row per new document: partner count, best agreement,
+    * lowest partner id (partners are agreeing docs with smaller ids,
+    * [[minhashPairs]]'s canonical orientation); pristine docs keep
+    * zeros / -1. Documents with fewer than 3 words have no shingles
+    * and no verdict, exactly as they have no [[minhashPairs]] row. */
+  def minhashPairsDelta(s: SparkSession, dir: String): DataFrame = {
+    val maxRow = Tables.documents(s, dir).agg(max(col("doc_id"))).head
+    // empty corpus: batch from 0 selects nothing downstream and the
+    // pipeline shape yields the empty result with the right schema
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val from = maxId * 4 / 5
+    val t = minhashTriples(s, dir).localCheckpoint(true)
+    val batch = t.filter(col("doc_id") >= from)
+    val bSide =
+      if (maxId - from + 1 <= DeltaBroadcastMaxDocs) broadcast(batch)
+      else batch
+    val pairs = t.as("a")
+      .join(bSide.as("b"),
+        col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("b.doc_id").as("doc_id"),
+        col("a.doc_id").as("partner"))
+      .agg(count(lit(1)).as("agree"))
+      .filter(col("agree") >= NumPerms / 2)
+    val verdict = pairs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"),
+        max(col("agree")).as("best_agree"),
+        min(col("partner")).as("first_partner"))
+    batch.select("doc_id").distinct()
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        coalesce(col("best_agree"), lit(0L)).as("best_agree"),
+        coalesce(col("first_partner"), lit(-1L)).as("first_partner"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, simhash): 32-bit SimHash over distinct word-3-gram
     * shingles (hash bits weighted ±1, bit set where the sum is
     * positive). Per-document kernel in one typed pass — the relational

@@ -365,7 +365,7 @@ object EventStream {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     val base = stageReplay(s, real)
     val outDir = base.resolve("out").toString
-    val stream = readStaged(s, base)
+    val stream = readStaged(protocolSession(s), base)
     val agg = if (session) sessionWindows(stream) else windowedCounts(stream)
     val q = agg.writeStream.format("parquet")
       .option("path", outDir)
@@ -433,6 +433,24 @@ object EventStream {
         StructField("value", DoubleType))))
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
 
+  /** Child session for the stateful parity rows' streaming queries.
+    * The state-store instance count per stateful operator is pinned to
+    * shuffle.partitions at query start, and 32 instances × checkpoint
+    * IO × micro-batch (× two sides for the interval join) dominated
+    * these 20k-event protocol runs — the round-13 bench read the join
+    * row at 16.5 s of almost pure state-store overhead. Four
+    * partitions leave results bit-identical (state partitioning is
+    * invisible to aggregation/join semantics — the DuckDB oracles
+    * pin exactly that) at an eighth of the per-trigger cost. At
+    * production scale the SAME queries run with production partition
+    * counts; this is a fixture-size-to-partition-count match, not a
+    * semantics switch. */
+  private def protocolSession(s: SparkSession): SparkSession = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    child
+  }
+
   /** Stream-stream join parity as an ORACLE row: [[clickErrorJoin]]
     * (watermarked interval self-join — each click joins the same
     * user's errors from the preceding hour) over the chronological
@@ -461,7 +479,7 @@ object EventStream {
           StructField("err_value", DoubleType))))
     val base = stageReplay(s, real)
     val outDir = base.resolve("out").toString
-    val stream = s.readStream
+    val stream = protocolSession(s).readStream
       .schema(StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType),
@@ -505,7 +523,8 @@ object EventStream {
           StructField("total_value", DoubleType))))
     val base = stageReplay(s, real)
     val outDir = base.resolve("out").toString
-    val q = sessionStates(s, readStaged(s, base)).toDF()
+    val sess = protocolSession(s)
+    val q = sessionStates(sess, readStaged(sess, base)).toDF()
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", base.resolve("ckpt").toString)

@@ -36,6 +36,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_minhash_delta broadcasts the batch, never shuffles the store") {
+    // the incremental-dedup scale contract: the corpus-side triples
+    // stream map-side through a BroadcastHashJoin (the batch delta is
+    // the broadcast side); a SortMergeJoin would mean the whole store
+    // shuffles on every daily ingest. Executed first so AQE's FINAL
+    // plan is judged (the static plan conservatively stages the tiny
+    // verdict left-join as SMJ before runtime stats arrive).
+    val df = SparkEntry.queries("dedup_minhash_delta")(spark, dir)
+    df.collect()
+    // judge only the final adaptive plan (toString appends the initial
+    // pre-AQE plan, which legitimately stages tiny joins as SMJ)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("dedup_embedding has no cartesian / nested-loop join") {
     val p = planOf("dedup_embedding")
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -363,6 +363,32 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == Dedup.minhashPairs(spark, dir).count())
   }
 
+  test("incremental minhash verdict reconciles with the full pair set") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val maxId = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val from = maxId * 4 / 5
+    val full = Dedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("agree")))
+    // the delta verdict must equal the full pair set folded onto new
+    // docs: partners of a new doc are its smaller-id pair members
+    val byNew = full.filter(_._2 >= from).groupBy(_._2)
+    val got = Dedup.minhashPairsDelta(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_partners"),
+        r.getAs[Long]("best_agree"), r.getAs[Long]("first_partner")))
+      .toMap
+    assert(got.nonEmpty, "no new-batch docs at sf0.001")
+    byNew.foreach { case (d, ps) =>
+      assert(got(d) == ((ps.length.toLong, ps.map(_._3).max,
+        ps.map(_._1).min)), s"verdict of new doc $d")
+    }
+    // docs without a full-set pair carry the pristine row
+    got.filterNot { case (d, _) => byNew.contains(d) }.values
+      .foreach(v => assert(v == ((0L, 0L, -1L))))
+  }
+
   test("cross-source leakage reconciles with the simhash pair set") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
