@@ -251,7 +251,9 @@ object ScaleProbe {
     }
 
     val sb = new StringBuilder
-    sb.append("# SCALEPROBE — empirical growth check (round 12)\n\n")
+    sb.append("# SCALEPROBE — empirical growth check (round " +
+      Bench.artifactRound(Option(new java.io.File(".").listFiles())
+        .toSeq.flatten.map(_.getName)) + ")\n\n")
     sb.append(s"Generated by `graft.ScaleProbe` on local[$cpus], ")
     sb.append("shuffle.partitions=" + cpus + ", AQE on. Base = sf0.1; ")
     sb.append("3x/10x = id-shifted contiguous replicas (see scaladoc: ")
@@ -331,9 +333,18 @@ BY CONSTRUCTION and their cells here only confirm the cap holds.
 
 **`crawl_frontier` drift adjudicated (round-11 verdict item 8)**:
 r11's quiet bench read 3.31 s against r10's 2.65 with no Crawler
-commits. This round's readings — bench 2.55/2.63 s, probe 1x within
-its r10-era band — match r10, so the 3.31 was session variance, not a
-regression; the row stays on the per-round watch list.
+commits; round-12 readings (bench 2.55/2.63 s, probe 1x in the
+r10-era band) matched r10, so the 3.31 was session variance, not a
+regression. The row stays on the per-round watch list; its probe cells
+ride whatever ambient inflation the session carries, so judge it
+against the same round's bench MINs.
+
+**`dedup_minhash_delta` tracks the batch, not the corpus** (round-13
+row): the incremental verdict's growth exponent stays sub-linear even
+though BOTH the corpus and the batch grow 10x in the probe (at fixed
+batch size the corpus-side growth is a map-side broadcast-join scan by
+construction — the plan is asserted in PlanAuditSpec; here the e
+column shows the all-grows-together worst case staying well under 1).
 
 **The AQE bet (commit 87ebfdc) is verified**: at 10x every un-hinted
 dim join resolved to BroadcastHashJoin, zero SortMergeJoin — AQE picks
