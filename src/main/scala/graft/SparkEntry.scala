@@ -188,6 +188,8 @@ object SparkEntry {
       Similarity.annMllibPlanted(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
+    "emb_ivf_append"      -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAppendReport(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
       Similarity.annPq(s, d)),
     "dedup_spans"         -> (Curation.spanDedup _),
@@ -1349,6 +1351,33 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // incremental index maintenance: store codes built below the cut,
+    // batch codes APPENDED against the frozen seed quantizer; the
+    // final index's per-cell occupancy (appended share broken out)
+    // re-derived from the same bit-exact assignment rule as
+    // emb_ann_ivf
+    "emb_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
+         proj AS (
+           SELECT e.vec_id, s.c,
+             list_dot_product(e.emb, s.cv) AS proj
+           FROM e CROSS JOIN seeds s),
+         assigned AS (
+           SELECT vec_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+         cut AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings)
+         SELECT CAST(a.cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN a.vec_id >= c.cut THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_appended,
+           MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
+         FROM assigned a CROSS JOIN cut c
+         GROUP BY a.cell ORDER BY cell""",
     // construction-rule oracle for the planted Lloyd geometry
     // (Similarity.lloydPlantedCluster): vec_ids 1..16 are the seeds,
     // one per cell in order; the rest land on (i % 37) % 16. The

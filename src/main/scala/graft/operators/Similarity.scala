@@ -496,6 +496,66 @@ object Similarity {
       .write.mode("overwrite").parquet(indexDir + ".centroids")
   }
 
+  /** Incremental IVF maintenance — the index-side twin of the
+    * delta-dedup row: a persisted cell-partitioned index is built from
+    * the STORE (vec_id below the top fifth of the id range), then the
+    * new batch's codes are APPENDED by partition — assign against the
+    * frozen quantizer, write `mode(append)` into the same cell layout —
+    * exactly how a 100 TB index absorbs a daily delta without a
+    * rebuild (re-quantizing the corpus would be the rebuild; appending
+    * touches only batch-sized data, and cell partitioning means a
+    * probe's partition pruning is oblivious to which ingest wrote a
+    * code). Raw seed quantizer (not Lloyd) so the DuckDB oracle
+    * re-derives every assignment bit-exactly, like `emb_ann_ivf`; the
+    * report is the per-cell occupancy of the FINAL index with the
+    * appended share broken out — wrong seed freeze, a batch row lost
+    * or double-appended by the partitioned write, or drifted
+    * assignment arithmetic all shift a count. */
+  def ivfAppendReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxRow = Tables.embeddings(s, dir).agg(max(col("vec_id"))).head
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_vectors",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_appended",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_vec",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_vec",
+            org.apache.spark.sql.types.LongType))))
+    val cut = maxRow.getLong(0) * 4 / 5
+    // the quantizer is FROZEN at store-build time: seed rows 1..nlist
+    // all precede the cut, so the oracle's full-corpus seed rule is
+    // the same quantizer
+    val seeds = ivfSeeds(s, dir, IvfNlist)
+    def assign(df: DataFrame): DataFrame =
+      df.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .map { case (id, emb) => (id, argmaxCell(emb, seeds)) }
+        .toDF("vec_id", "cell")
+    val base = java.nio.file.Files.createTempDirectory("ivfappend")
+    val idx = s"$base/codes"
+    val emb = Tables.embeddings(s, dir)
+    assign(emb.filter(col("vec_id") < cut))
+      .write.partitionBy("cell").parquet(idx)
+    assign(emb.filter(col("vec_id") >= cut))
+      .write.mode("append").partitionBy("cell").parquet(idx)
+    val report = s.read.parquet(idx)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") >= cut, 1L).otherwise(0L))
+          .as("n_appended"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy("cell")
+      .localCheckpoint(true)
+    graft.operators.Sync.deleteTree(base.toFile)
+    report
+  }
+
   /** Probe a built IVF index: rank the persisted centroids against the
     * query on the driver (nlist dot products — pure math, no corpus
     * pass), read only the `nprobe` best partitions, exact cosine

@@ -363,6 +363,27 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == Dedup.minhashPairs(spark, dir).count())
   }
 
+  test("IVF append equals the one-shot index cell for cell") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val cut = maxId * 4 / 5
+    val rows = Similarity.ivfAppendReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // nothing lost or double-appended by the partitioned append
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    assert(rows.map(_.getAs[Long]("n_appended")).sum ==
+      emb.filter(col("vec_id") >= cut).count())
+    // build-then-append lands every code where a one-shot build would
+    val oneShot = Similarity.clusterStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vectors")).toMap
+    rows.foreach { r =>
+      assert(oneShot(r.getAs[Long]("cell")) == r.getAs[Long]("n_vectors"),
+        s"cell ${r.getAs[Long]("cell")}")
+    }
+  }
+
   test("incremental minhash verdict reconciles with the full pair set") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
