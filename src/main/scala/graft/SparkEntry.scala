@@ -89,6 +89,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamJoinParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
+    "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
+      Similarity.ivfAppendStreamParity(s, d)),
     "ingest_tabs"         -> (Ingest.ingestTabs _),
     "crawl_url_dedup"     -> (Ingest.urlCanonicalDedup _),
     "ingest_api_headers"  -> (Ingest.parseApiHeaders _),
@@ -237,7 +239,8 @@ object SparkEntry {
     // TextAnalysis.tokenCountBpe, pinned by BpeTokenizerSpec)
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenCountBpeOracle(s, d)),
-    "emb_quantize_int8"   -> (Similarity.quantizeInt8 _)
+    "emb_quantize_int8"   -> (Similarity.quantizeInt8 _),
+    "doc_quality_model"   -> (TextAnalysis.qualityModelProbes _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -266,6 +269,33 @@ object SparkEntry {
                '[' || b.a || b.b || ']') AS syms
            FROM $prev f CROSS JOIN best$k b)"""
   }
+
+  /** Shared oracle of `emb_ivf_append` and `stream_ivf_parity`: the
+    * final index occupancy from the bit-exact seed-quantizer
+    * assignment rule (emb_ann_ivf's machinery), appended share broken
+    * out at the id cut. */
+  private def ivfAppendOracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+         FROM embeddings),
+       seeds AS (
+         SELECT vec_id - 1 AS c, emb AS cv FROM e
+         WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
+       proj AS (
+         SELECT e.vec_id, s.c,
+           list_dot_product(e.emb, s.cv) AS proj
+         FROM e CROSS JOIN seeds s),
+       assigned AS (
+         SELECT vec_id, c AS cell FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+             ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+       cut AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings)
+       SELECT CAST(a.cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
+         CAST(SUM(CASE WHEN a.vec_id >= c.cut THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_appended,
+         MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
+       FROM assigned a CROSS JOIN cut c
+       GROUP BY a.cell ORDER BY cell"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1356,28 +1386,10 @@ object SparkEntry {
     // final index's per-cell occupancy (appended share broken out)
     // re-derived from the same bit-exact assignment rule as
     // emb_ann_ivf
-    "emb_ivf_append" ->
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-           FROM embeddings),
-         seeds AS (
-           SELECT vec_id - 1 AS c, emb AS cv FROM e
-           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
-         proj AS (
-           SELECT e.vec_id, s.c,
-             list_dot_product(e.emb, s.cv) AS proj
-           FROM e CROSS JOIN seeds s),
-         assigned AS (
-           SELECT vec_id, c AS cell FROM (
-             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
-               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
-         cut AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings)
-         SELECT CAST(a.cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
-           CAST(SUM(CASE WHEN a.vec_id >= c.cut THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_appended,
-           MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
-         FROM assigned a CROSS JOIN cut c
-         GROUP BY a.cell ORDER BY cell""",
+    "emb_ivf_append" -> ivfAppendOracleSql,
+    // the streaming append (foreachBatch per micro-batch) must land
+    // the IDENTICAL final index — one oracle serves both rows
+    "stream_ivf_parity" -> ivfAppendOracleSql,
     // construction-rule oracle for the planted Lloyd geometry
     // (Similarity.lloydPlantedCluster): vec_ids 1..16 are the seeds,
     // one per cell in order; the rest land on (i % 37) % 16. The
@@ -1436,6 +1448,17 @@ object SparkEntry {
          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
            COALESCE(array_to_string(toks[1:5], '|'), '') AS first_tokens
          FROM per_doc ORDER BY doc_id""",
+    // planted-margin classifier probes: odd probes sit at +(41..56)
+    // along the training separator's axis, even at the negative — far
+    // outside the 0.5-3.0 margin band, so any model that fit the
+    // planted training data classifies them by construction. Empty
+    // corpus → empty on both sides.
+    "doc_quality_model" ->
+      """SELECT CAST(j AS BIGINT) AS probe_id,
+           CAST(j % 2 AS BIGINT) AS predicted_keep
+         FROM (SELECT unnest(range(1, 17)) AS j)
+         WHERE EXISTS (SELECT 1 FROM documents)
+         ORDER BY probe_id""",
     // planted ground truth: ten synthetic neighbors at 0.001*j from
     // query vector 0 — orders of magnitude inside any natural
     // neighbor, so the seeded LSH must return exactly ids

@@ -556,6 +556,67 @@ object Similarity {
     report
   }
 
+  /** Streaming form of [[ivfAppendReport]] — embeddings ARRIVE as a
+    * stream and each micro-batch's codes are appended to the persisted
+    * index via foreachBatch (assign against the frozen quantizer,
+    * partitioned append — the exact batch-append kernel, fed
+    * micro-batch-sized). The final occupancy report must be identical
+    * to the batch append's, so the two rows share one DuckDB oracle:
+    * codes lost or duplicated across micro-batch boundaries, a
+    * checkpoint replaying a batch into a second append, or assignment
+    * drifting between the batch and streaming paths all land as a hash
+    * mismatch. Two id-range slices replay in ascending mtime order so
+    * the batch boundary is deterministic. */
+  def ivfAppendStreamParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxRow = Tables.embeddings(s, dir).agg(max(col("vec_id"))).head
+    if (maxRow.isNullAt(0)) return ivfAppendReport(s, dir)
+    val cut = maxRow.getLong(0) * 4 / 5
+    val seeds = ivfSeeds(s, dir, IvfNlist)
+    def assign(df: DataFrame): DataFrame =
+      df.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .map { case (id, emb) => (id, argmaxCell(emb, seeds)) }
+        .toDF("vec_id", "cell")
+    val base = java.nio.file.Files.createTempDirectory("ivfappendstream")
+    val idx = s"$base/codes"
+    val emb = Tables.embeddings(s, dir)
+    assign(emb.filter(col("vec_id") < cut))
+      .write.partitionBy("cell").parquet(idx)
+    // the delta arrives as two ascending id-range slices
+    emb.filter(col("vec_id") >= cut).select("vec_id", "embedding")
+      .repartitionByRange(2, col("vec_id")).write.parquet(s"$base/in")
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        assign(b).write.mode("append").partitionBy("cell").parquet(idx)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val report = s.read.parquet(idx)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") >= cut, 1L).otherwise(0L))
+          .as("n_appended"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy("cell")
+      .localCheckpoint(true)
+    graft.operators.Sync.deleteTree(base.toFile)
+    report
+  }
+
   /** Probe a built IVF index: rank the persisted centroids against the
     * query on the driver (nlist dot products — pure math, no corpus
     * pass), read only the `nprobe` best partitions, exact cosine

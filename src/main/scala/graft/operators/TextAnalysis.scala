@@ -287,6 +287,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Quality-classifier distillation plumbing (FineWeb-style: train a
+    * model to mimic a heuristic gate, then run the cheap model at
+    * corpus scale), pinned end-to-end by a planted-margin oracle row —
+    * the MLlib CLASSIFICATION surface, as `emb_ann_mllib` pins the LSH
+    * surface. The training set derives from the documents table's ids:
+    * for each id, a symmetric pair of points at ±margin along the
+    * (1,1,1) axis (margins 0.5–3.0, orthogonal noise in the
+    * (1,-1,0)-plane), so the data is linearly separable and any fitted
+    * separator has positive (1,1,1)-component. The 16 probes sit at
+    * ±(41..56) along that axis — one to two orders of magnitude
+    * outside the margin band — so their predicted labels are
+    * construction-certain for ANY model that fit the training data at
+    * all: a broken assembler, a diverged fit, or a mangled prediction
+    * column flips a probe. Training on a bounded derived set is the
+    * standard shape (classifiers train on samples; INFERENCE is the
+    * corpus-scale pass, here a zero-shuffle map). */
+  def qualityModelProbes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("probe_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("predicted_keep",
+        org.apache.spark.sql.types.LongType)))
+    if (ids.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val raw = ids.flatMap { i =>
+      val m = 0.5 + (i % 6) * 0.5
+      val o = ((i % 7) - 3) * 0.3
+      Seq((1.0, m + o, m - o, m), (0.0, -m + o, -m - o, -m))
+    }.toDF("label", "f1", "f2", "f3")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("f1", "f2", "f3")).setOutputCol("features")
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .fit(assembler.transform(raw))
+    val probes = (1 to 16).map { j =>
+      val c = (40 + j).toDouble * (if (j % 2 == 1) 1 else -1)
+      (j.toLong, c, c, c)
+    }.toDF("probe_id", "f1", "f2", "f3")
+    model.transform(assembler.transform(probes))
+      .select(col("probe_id"),
+        col("prediction").cast("long").as("predicted_keep"))
+      .orderBy("probe_id")
+  }
+
+  /** The real-corpus distillation: train on the corpus's own quality
+    * signals with [[qualityScore]]'s gate verdict as the label, return
+    * the model's train-set agreement permille. The gate is a
+    * conjunction of one-sided thresholds over the same signals, so a
+    * linear model recovers it nearly exactly — ScalaTest gates the
+    * agreement (a robust pin; exact weights are float-iteration
+    * artifacts no oracle should hash). */
+  def distillQuality(s: SparkSession, dir: String): Long = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = qualityScore(s, dir)
+      .select(col("n_words").cast("double").as("f1"),
+        col("n_chars").cast("double").as("f2"),
+        col("distinct_permille").cast("double").as("f3"),
+        col("keep").cast("double").as("label"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f1", "f2", "f3")).setOutputCol("features")
+      .transform(feats)
+    val model = new LogisticRegression()
+      .setMaxIter(100).setRegParam(0.0).fit(assembled)
+    val pred = model.transform(assembled)
+    val n = pred.count()
+    if (n == 0) 0L
+    else pred.filter(col("prediction") === col("label")).count() * 1000 / n
+  }
+
   /** Keyword extraction: top-3 terms per document by a tf/df relevance
     * score. Shapes exactly like distributed TF-IDF — per-doc term
     * frequencies (map-side combinable groupBy), corpus document

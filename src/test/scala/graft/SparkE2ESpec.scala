@@ -384,6 +384,33 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distilled quality model agrees with the heuristic gate") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val agree = TextAnalysis.distillQuality(spark, dir)
+    // the gate is an AND of thresholds — a linear probe on raw signals
+    // ceilings near 89% here, so the meaningful pins are "well above
+    // the majority-class baseline" (constant predictor = keep rate)
+    // and an absolute floor with margin under LBFGS wobble
+    val scored = TextAnalysis.qualityScore(spark, dir)
+    val majority = scored.filter(col("keep")).count() * 1000 /
+      math.max(1L, scored.count())
+    info(s"train-set agreement: $agree permille (majority $majority)")
+    assert(agree > majority, s"model $agree no better than majority $majority")
+    assert(agree >= 870, s"distilled model agreement $agree below 870")
+  }
+
+  test("streaming IVF append lands the identical index as batch append") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val batch = Similarity.ivfAppendReport(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val streamed = Similarity.ivfAppendStreamParity(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("incremental minhash verdict reconciles with the full pair set") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.001"
