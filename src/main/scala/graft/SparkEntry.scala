@@ -201,6 +201,10 @@ object SparkEntry {
     "doc_domain_stats"    -> (Curation.domainMixture _),
     "doc_sample_stratified" -> (Curation.stratifiedSample _),
     "doc_pack_sequences"  -> (Curation.packSequences _),
+    "doc_shard_shuffle"   -> ((s: SparkSession, d: String) =>
+      Curation.shardShuffle(s, d)),
+    "curation_shards_e2e" -> ((s: SparkSession, d: String) =>
+      Curation.trainingShards(s, d)),
     "doc_keywords"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.keywords(s, d)),
     "curation_funnel"     -> ((s: SparkSession, d: String) => {
@@ -2797,6 +2801,52 @@ object SparkEntry {
          FROM ix)
          SELECT doc_id, source, rate_permille, bucket FROM x
          WHERE bucket < rate_permille ORDER BY doc_id""",
+    // the composed daily shard-prep job: gate -> exact keep-first
+    // dedup -> hash shuffle -> per-shard packing manifest, re-derived
+    // end to end (each stage also has its own standalone row)
+    "curation_shards_e2e" ->
+      s"""WITH gated AS (
+           SELECT doc_id, text FROM documents
+           WHERE len(string_split(text,' ')) >= 20
+             AND length(text) >= 100
+             AND (CAST(len(list_distinct(string_split(text,' ')))
+                    AS BIGINT) * 1000
+                  // CAST(len(string_split(text,' ')) AS BIGINT)) >= 300),
+         kept AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+             FROM gated) WHERE doc_id = keeper),
+         sharded AS (
+           SELECT doc_id, (length(text)+3)//4 AS tok,
+             ('0x'||substr(sha256('shuf:'||doc_id),1,12))::BIGINT AS k
+           FROM kept),
+         p AS (
+           SELECT doc_id, tok, k % ${Curation.ShuffleShards} AS shard,
+             row_number() OVER (PARTITION BY k % ${Curation.ShuffleShards}
+               ORDER BY k, doc_id) AS pos
+           FROM sharded)
+         SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST((SUM(tok) - 1) // 2048 + 1 AS BIGINT) AS n_seqs,
+           CAST(min_by(doc_id, pos) AS BIGINT) AS head_doc,
+           CAST(max_by(doc_id, pos) AS BIGINT) AS tail_doc
+         FROM p GROUP BY shard ORDER BY shard""",
+    // the hash-sort global shuffle: position = per-shard sort rank of
+    // the salted sha key; ties break by doc_id on both sides
+    "doc_shard_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+           ('0x'||substr(sha256('shuf:'||doc_id),1,12))::BIGINT
+             AS shuffle_key
+         FROM documents)
+         SELECT doc_id,
+           CAST(shuffle_key % ${Curation.ShuffleShards} AS BIGINT)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shuffle_key % ${Curation.ShuffleShards}
+             ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+           shuffle_key
+         FROM k ORDER BY shard, pos""",
     "doc_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source, (length(text)+3)//4 AS n_tokens
                      FROM documents),

@@ -223,6 +223,82 @@ object Curation {
       docId.cast("string")), 256), 1, 12), 16, 10)
       .cast("long") % 1000
 
+  /** Shard count of [[shardShuffle]] — 32 at test scale; a 100 TB run
+    * raises it so each shard's sort fits an executor (the shape is
+    * shard-count-invariant: one hash exchange + per-shard sort). */
+  val ShuffleShards = 32
+
+  /** Deterministic global training-order shuffle — the hash-sort
+    * permutation every pretraining pipeline runs before packing:
+    * position = sort rank of sha256("shuf:" || doc_id), sharded so the
+    * sort is per-shard parallel (PARTITION BY shard, never a global
+    * single-partition sort — same discipline as [[packSequences]]).
+    * Content-free and seeded by the salt alone, so re-runs, other
+    * engines, and the DuckDB oracle produce the SAME permutation;
+    * hash ties (birthday-real at corpus scale) break by doc_id on both
+    * sides. Epoch variants re-salt (\"shuf:e2:\" …) rather than
+    * re-shuffle in place. */
+  def shardShuffle(s: SparkSession, dir: String,
+      nShards: Int = ShuffleShards): DataFrame = {
+    val key = conv(substring(sha2(concat(lit("shuf:"),
+      col("doc_id").cast("string")), 256), 1, 12), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard", "pos", "shuffle_key")
+      .orderBy("shard", "pos")
+  }
+
+  /** The daily "prepare training shards" composition — the job a
+    * pipeline owner actually schedules, as ONE oracled row: quality
+    * gate ([[TextAnalysis.qualityKeep]], the shared rule) → exact
+    * keep-first dedup (lowest doc_id per content sha, `dedup_exact`'s
+    * rule as a window instead of an aggregate so the text rides
+    * through) → deterministic hash shuffle ([[shardShuffle]]'s salted
+    * key) → per-shard packing manifest at `seqLen` tokens (the
+    * funnel's (len+3)/4 token estimate). Output: one all-integer
+    * manifest row per shard (doc/token/sequence counts + head/tail
+    * docs in training order). Every stage is also oracle-checked
+    * standalone; this row pins their COMPOSITION — the gap class the
+    * round-11 tab bug taught us hides between green layers.
+    *
+    * Scale: gate and token estimate are scan-side; the dedup window
+    * and the shuffle rank are each one hash exchange (content-hash,
+    * then shard) with per-partition sorts; the manifest reuses the
+    * shard exchange. No global sort, no driver state. */
+  def trainingShards(s: SparkSession, dir: String,
+      nShards: Int = ShuffleShards, seqLen: Long = 2048L): DataFrame = {
+    val gated = Tables.documents(s, dir)
+      .filter(TextAnalysis.qualityKeep)
+    val kept = gated
+      .withColumn("keeper", min(col("doc_id")).over(
+        Window.partitionBy(sha2(col("text"), 256))))
+      .filter(col("doc_id") === col("keeper"))
+    val key = conv(substring(sha2(concat(lit("shuf:"),
+      col("doc_id").cast("string")), 256), 1, 12), 16, 10)
+      .cast("long")
+    val sharded = kept
+      .select(col("doc_id"),
+        expr("(length(text) + 3) div 4").cast("long").as("tok"),
+        key.as("k"))
+      .withColumn("shard", (col("k") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min_by(col("doc_id"), col("pos")).as("head_doc"),
+        max_by(col("doc_id"), col("pos")).as("tail_doc"))
+      .withColumn("n_seqs", expr(s"(n_tokens - 1) div $seqLen + 1"))
+      .select("shard", "n_docs", "n_tokens", "n_seqs", "head_doc",
+        "tail_doc")
+      .orderBy("shard")
+  }
+
   /** Total parse of the source shard index: non-srcN names extract ''
     * → sentinel 9999 → the default rate branch, identically in Spark
     * and the oracle (a bare CAST is NULL in Spark but an ERROR in

@@ -135,6 +135,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 2, s"$exchanges exchanges:\n${p.take(3000)}")
   }
 
+  test("doc_shard_shuffle sorts per shard, never a global window") {
+    // the training-order shuffle's scale contract: the rank window
+    // partitions by shard (one hash exchange + per-shard sort);
+    // a single-partition window would serialize the corpus sort
+    val p = planOf("doc_shard_shuffle")
+    assert(!p.contains("Window [row_number") ||
+      !p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
+  test("curation_shards_e2e composes without a single-partition stage") {
+    // gate scan-side; dedup window on content hash; shuffle rank and
+    // manifest on the shard exchange — nothing funnels through one
+    // partition
+    val p = planOf("curation_shards_e2e")
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
   test("doc_pack_sequences never plans a single-partition window") {
     // packing partitions by the shard key; a global prefix-sum window
     // (Exchange SinglePartition) would serialize the whole corpus
