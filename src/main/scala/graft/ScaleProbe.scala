@@ -84,11 +84,14 @@ object ScaleProbe {
     // the banded-LSH embedding dedup (the one vector-heavy join shape
     // not yet probed; candidates from band equi-joins, never corpus²)
     "stream_batch_parity", "dedup_embedding",
-    // r13 addition: the incremental dedup verdict — its contract is
-    // that only the batch side grows the join state (store streams
-    // map-side through a broadcast), so its growth must track the
-    // batch delta, not the corpus² a naive re-pair would cost
-    "dedup_minhash_delta")
+    // r13 additions: the incremental verdicts — their contract is that
+    // only the batch side grows the join state (store streams map-side
+    // through a broadcast), so growth must track the batch delta, not
+    // the corpus² a naive re-pair would cost — and the incremental
+    // index append (store build + batch-sized partitioned append; its
+    // e is write-bound linear by construction, pinned so a future
+    // regression toward re-quantization shows up)
+    "dedup_minhash_delta", "dedup_simhash_wide_delta", "emb_ivf_append")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

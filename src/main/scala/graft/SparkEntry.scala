@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_simhash_sig"   -> (Dedup.simhashSignatures _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_simhash_wide"  -> (Dedup.simhashWideDemo _),
+    "dedup_simhash_wide_delta" -> (Dedup.simhashWideDelta _),
     "dedup_clusters_wide" -> (Dedup.simhashWideClusters _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
     "dedup_clusters"      -> ((s: SparkSession, d: String) => {
@@ -1200,6 +1201,49 @@ object SparkEntry {
          WHERE bit_count(xor(a.simhash, b.simhash))
            <= ${Dedup.SimhashWideMaxDist}
          ORDER BY doc_a, doc_b""",
+    // the incremental wide-kernel verdict: pairs restricted to a new-
+    // batch higher side (the planted copies), folded per new doc; the
+    // all-pairs mirror is exact ground truth at 3-of-60
+    "dedup_simhash_wide_delta" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 25 = 0),
+         ws AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus
+                WHERE len(string_split(text,' ')) >= 3),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(w)-1),
+                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+                FROM ws),
+         x AS (SELECT doc_id,
+                 ('0x'||substr(sha256(shingle),1,15))::BIGINT AS w60
+               FROM sh),
+         bits AS (SELECT unnest(range(0,${Dedup.SimhashWideBits})) AS b),
+         sgn AS (SELECT doc_id, b, sum(2*((w60 >> b) & 1) - 1) AS s
+                 FROM x CROSS JOIN bits GROUP BY 1,2),
+         sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sgn GROUP BY 1),
+         pairs AS (
+           SELECT b.doc_id AS doc_id, a.doc_id AS partner,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND b.doc_id >= 10000000
+           WHERE bit_count(xor(a.simhash, b.simhash))
+             <= ${Dedup.SimhashWideMaxDist}),
+         verdict AS (
+           SELECT doc_id, count(*) AS n_partners,
+             min(ham) AS best_hamming, min(partner) AS first_partner
+           FROM pairs GROUP BY 1),
+         newdocs AS (SELECT doc_id FROM sig WHERE doc_id >= 10000000)
+         SELECT n.doc_id,
+           COALESCE(v.n_partners, 0) AS n_partners,
+           COALESCE(v.best_hamming, -1) AS best_hamming,
+           COALESCE(v.first_partner, -1) AS first_partner
+         FROM newdocs n LEFT JOIN verdict v USING (doc_id)
+         ORDER BY doc_id""",
     // the full scale chain (wide sigs -> banding -> components) closed
     // by the same recursive-CTE oracle pattern on the planted corpus
     "dedup_clusters_wide" ->

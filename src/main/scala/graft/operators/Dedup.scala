@@ -469,7 +469,18 @@ object Dedup {
   def simhashPairsWide(s: SparkSession, dir: String): DataFrame =
     simhashPairsWideOf(simhashWideSignatures(s, dir))
 
-  private[operators] def simhashPairsWideOf(sigDf: DataFrame): DataFrame = {
+  /** [[simhashPairsWideOf]] restricted to pairs whose HIGHER id is a
+    * new-batch document (`newFrom`): the incremental wide-kernel run —
+    * candidate generation is new×(store∪new), the store's banded rows
+    * are never joined against themselves, and the batch side
+    * broadcasts (C(n,m) ≤ 120 keyed rows per batch doc; above
+    * [[DeltaBroadcastMaxDocs]]-scale deltas drop the hint and take the
+    * ordinary band-key shuffle). */
+  private[operators] def simhashPairsWideOf(sigDf: DataFrame): DataFrame =
+    simhashPairsWideOf(sigDf, None)
+
+  private[operators] def simhashPairsWideOf(sigDf: DataFrame,
+      newFrom: Option[Long]): DataFrame = {
     import sigDf.sparkSession.implicits._
     val sig = sigDf.localCheckpoint(true) // reused: count + both join sides
     val n0 = sig.count()
@@ -496,7 +507,11 @@ object Dedup {
       explode(array(keyCols: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.combo").as("combo"), col("ck.key").as("key"))
-    banded.as("a").join(banded.as("b"),
+    val bSide = newFrom match {
+      case Some(f) => broadcast(banded.filter(col("doc_id") >= f))
+      case None => banded
+    }
+    banded.as("a").join(bSide.as("b"),
         col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -522,6 +537,41 @@ object Dedup {
     val copies = docs.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
     simhashPairsWideOf(simhashWideOf(docs.unionByName(copies)))
+  }
+
+  /** Incremental WIDE-kernel dedup — [[minhashPairsDelta]]'s twin on
+    * the 100 TB SimHash path: the new batch (every 25th document
+    * planted back verbatim under a shifted id — the same ground-truth
+    * construction as [[simhashWideDemo]], here playing the role of
+    * today's delta) band-joins against the corpus with the store side
+    * never self-paired, and each new document gets a verdict row:
+    * partner count, best (minimum) Hamming distance, lowest partner
+    * id. Every planted copy must report exactly its original at
+    * Hamming 0 — and at 3-of-60 the natural corpus contributes
+    * nothing (random rate ≈ 3e-14) — so the all-pairs DuckDB mirror
+    * is exact ground truth. Pristine new docs (no shingles → no
+    * signature) are absent, as in [[minhashPairs]]. */
+  def simhashWideDelta(s: SparkSession, dir: String): DataFrame = {
+    val cut = 10000000L
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + cut).as("doc_id"), col("text"))
+    // checkpointed here because BOTH the pair kernel and the verdict's
+    // new-doc list read it — without this the signature flatMap runs
+    // twice
+    val sig = simhashWideOf(docs.unionByName(copies)).localCheckpoint(true)
+    val pairs = simhashPairsWideOf(sig, Some(cut))
+    val verdict = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        min(col("hamming")).as("best_hamming"),
+        min(col("doc_a")).as("first_partner"))
+    sig.filter(col("doc_id") >= cut).select("doc_id").distinct()
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        coalesce(col("best_hamming"), lit(-1L)).as("best_hamming"),
+        coalesce(col("first_partner"), lit(-1L)).as("first_partner"))
+      .orderBy("doc_id")
   }
 
   /** Near-dup CLUSTERING — the dedup endgame: pair evidence →

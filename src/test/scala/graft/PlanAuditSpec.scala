@@ -54,6 +54,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("dedup_simhash_wide_delta broadcasts the batch bands") {
+    // the wide kernel's incremental contract, same as the minhash
+    // delta: the corpus-side banded rows stream map-side through a
+    // BroadcastHashJoin; judged on the final adaptive plan
+    val df = SparkEntry.queries("dedup_simhash_wide_delta")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("dedup_embedding has no cartesian / nested-loop join") {
     val p = planOf("dedup_embedding")
     assert(!p.contains("CartesianProduct"), p.take(2000))
