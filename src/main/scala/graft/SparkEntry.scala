@@ -263,16 +263,17 @@ object SparkEntry {
            SELECT toks[i] AS a, toks[i + 1] AS b, SUM(freq) AS cnt
            FROM (SELECT freq,
                    regexp_extract_all(syms, '\\[([^\\]]*)\\]', 1) AS toks
-                 FROM $prev),
+                 FROM $prev WHERE freq > 0),
                 UNNEST(range(1, len(toks))) AS u(i)
            GROUP BY 1, 2),
          best$k AS MATERIALIZED (
            SELECT a, b FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
          s$k AS MATERIALIZED (
            SELECT f.word, f.m, f.freq,
-             replace(f.syms, '[' || b.a || '][' || b.b || ']',
-               '[' || b.a || b.b || ']') AS syms
-           FROM $prev f CROSS JOIN best$k b)"""
+             replace(f.syms,
+               '[' || COALESCE(b.a, '') || '][' || COALESCE(b.b, '') || ']',
+               '[' || COALESCE(b.a, '') || COALESCE(b.b, '') || ']') AS syms
+           FROM $prev f LEFT JOIN best$k b ON TRUE)"""
   }
 
   /** Shared oracle of `emb_ivf_append` and `stream_ivf_parity`: the
@@ -1505,7 +1506,7 @@ object SparkEntry {
       """SELECT CAST(j AS BIGINT) AS probe_id,
            CAST(j % 2 AS BIGINT) AS predicted_keep
          FROM (SELECT unnest(range(1, 17)) AS j)
-         WHERE EXISTS (SELECT 1 FROM documents)
+         WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id < 50)
          ORDER BY probe_id""",
     // planted ground truth: ten synthetic neighbors at 0.001*j from
     // query vector 0 — orders of magnitude inside any natural

@@ -228,6 +228,16 @@ object Curation {
     * shard-count-invariant: one hash exchange + per-shard sort). */
   val ShuffleShards = 32
 
+  /** The salted training-order shuffle key — the ONE definition
+    * [[shardShuffle]] and [[trainingShards]] share (and the DuckDB
+    * oracles mirror): a salt or prefix-width change applied to a
+    * single copy would silently de-correlate the standalone row from
+    * the composed job's order. */
+  private def shuffleKey: Column =
+    conv(substring(sha2(concat(lit("shuf:"),
+      col("doc_id").cast("string")), 256), 1, 12), 16, 10)
+      .cast("long")
+
   /** Deterministic global training-order shuffle — the hash-sort
     * permutation every pretraining pipeline runs before packing:
     * position = sort rank of sha256("shuf:" || doc_id), sharded so the
@@ -240,11 +250,8 @@ object Curation {
     * re-shuffle in place. */
   def shardShuffle(s: SparkSession, dir: String,
       nShards: Int = ShuffleShards): DataFrame = {
-    val key = conv(substring(sha2(concat(lit("shuf:"),
-      col("doc_id").cast("string")), 256), 1, 12), 16, 10)
-      .cast("long")
     Tables.documents(s, dir)
-      .select(col("doc_id"), key.as("shuffle_key"))
+      .select(col("doc_id"), shuffleKey.as("shuffle_key"))
       .withColumn("shard", (col("shuffle_key") % nShards).cast("long"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
@@ -278,13 +285,10 @@ object Curation {
       .withColumn("keeper", min(col("doc_id")).over(
         Window.partitionBy(sha2(col("text"), 256))))
       .filter(col("doc_id") === col("keeper"))
-    val key = conv(substring(sha2(concat(lit("shuf:"),
-      col("doc_id").cast("string")), 256), 1, 12), 16, 10)
-      .cast("long")
     val sharded = kept
       .select(col("doc_id"),
         expr("(length(text) + 3) div 4").cast("long").as("tok"),
-        key.as("k"))
+        shuffleKey.as("k"))
       .withColumn("shard", (col("k") % nShards).cast("long"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id")))

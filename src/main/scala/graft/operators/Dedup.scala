@@ -508,7 +508,15 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("ck.combo").as("combo"), col("ck.key").as("key"))
     val bSide = newFrom match {
-      case Some(f) => broadcast(banded.filter(col("doc_id") >= f))
+      case Some(f) =>
+        val batch = banded.filter(col("doc_id") >= f)
+        // the promised fallback: an oversized delta takes the ordinary
+        // band-key shuffle instead of a force-broadcast OOM (Spark
+        // never vetoes an explicit hint); sig is checkpointed, so the
+        // count is a cheap local scan
+        if (sig.filter(col("doc_id") >= f).count() <= DeltaBroadcastMaxDocs)
+          broadcast(batch)
+        else batch
       case None => banded
     }
     banded.as("a").join(bSide.as("b"),

@@ -511,40 +511,35 @@ object Similarity {
     * appended share broken out — wrong seed freeze, a batch row lost
     * or double-appended by the partitioned write, or drifted
     * assignment arithmetic all shift a count. */
-  def ivfAppendReport(s: SparkSession, dir: String): DataFrame = {
+  private val ivfAppendSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_vectors",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_appended",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("min_vec",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_vec",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The batch/streaming append rows' shared kernels — ONE definition
+    * each, so the "two rows share one DuckDB oracle" contract can't be
+    * broken by a fix landing in only one twin. */
+  private def ivfAssignWith(df: DataFrame,
+      seeds: Array[Array[Float]]): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    val maxRow = Tables.embeddings(s, dir).agg(max(col("vec_id"))).head
-    if (maxRow.isNullAt(0))
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_vectors",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_appended",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("min_vec",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("max_vec",
-            org.apache.spark.sql.types.LongType))))
-    val cut = maxRow.getLong(0) * 4 / 5
-    // the quantizer is FROZEN at store-build time: seed rows 1..nlist
-    // all precede the cut, so the oracle's full-corpus seed rule is
-    // the same quantizer
-    val seeds = ivfSeeds(s, dir, IvfNlist)
-    def assign(df: DataFrame): DataFrame =
-      df.select("vec_id", "embedding").as[(Long, Array[Float])]
-        .map { case (id, emb) => (id, argmaxCell(emb, seeds)) }
-        .toDF("vec_id", "cell")
-    val base = java.nio.file.Files.createTempDirectory("ivfappend")
-    val idx = s"$base/codes"
-    val emb = Tables.embeddings(s, dir)
-    assign(emb.filter(col("vec_id") < cut))
-      .write.partitionBy("cell").parquet(idx)
-    assign(emb.filter(col("vec_id") >= cut))
-      .write.mode("append").partitionBy("cell").parquet(idx)
-    val report = s.read.parquet(idx)
+    df.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, argmaxCell(emb, seeds)) }
+      .toDF("vec_id", "cell")
+  }
+
+  /** Final-index occupancy with the appended share broken out; eager
+    * localCheckpoint so the caller may delete the index directory. */
+  private def ivfOccupancyReport(s: SparkSession, idx: String,
+      cut: Long): DataFrame =
+    s.read.parquet(idx)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("vec_id") >= cut, 1L).otherwise(0L))
@@ -552,8 +547,27 @@ object Similarity {
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
       .orderBy("cell")
       .localCheckpoint(true)
-    graft.operators.Sync.deleteTree(base.toFile)
-    report
+
+  def ivfAppendReport(s: SparkSession, dir: String): DataFrame = {
+    val maxRow = Tables.embeddings(s, dir).agg(max(col("vec_id"))).head
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ivfAppendSchema)
+    val cut = maxRow.getLong(0) * 4 / 5
+    // the quantizer is FROZEN at store-build time: seed rows 1..nlist
+    // all precede the cut, so the oracle's full-corpus seed rule is
+    // the same quantizer
+    val seeds = ivfSeeds(s, dir, IvfNlist)
+    val base = java.nio.file.Files.createTempDirectory("ivfappend")
+    try {
+      val idx = s"$base/codes"
+      val emb = Tables.embeddings(s, dir)
+      ivfAssignWith(emb.filter(col("vec_id") < cut), seeds)
+        .write.partitionBy("cell").parquet(idx)
+      ivfAssignWith(emb.filter(col("vec_id") >= cut), seeds)
+        .write.mode("append").partitionBy("cell").parquet(idx)
+      ivfOccupancyReport(s, idx, cut)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
   /** Streaming form of [[ivfAppendReport]] — embeddings ARRIVE as a
@@ -568,53 +582,42 @@ object Similarity {
     * mismatch. Two id-range slices replay in ascending mtime order so
     * the batch boundary is deterministic. */
   def ivfAppendStreamParity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val maxRow = Tables.embeddings(s, dir).agg(max(col("vec_id"))).head
     if (maxRow.isNullAt(0)) return ivfAppendReport(s, dir)
     val cut = maxRow.getLong(0) * 4 / 5
     val seeds = ivfSeeds(s, dir, IvfNlist)
-    def assign(df: DataFrame): DataFrame =
-      df.select("vec_id", "embedding").as[(Long, Array[Float])]
-        .map { case (id, emb) => (id, argmaxCell(emb, seeds)) }
-        .toDF("vec_id", "cell")
     val base = java.nio.file.Files.createTempDirectory("ivfappendstream")
-    val idx = s"$base/codes"
-    val emb = Tables.embeddings(s, dir)
-    assign(emb.filter(col("vec_id") < cut))
-      .write.partitionBy("cell").parquet(idx)
-    // the delta arrives as two ascending id-range slices
-    emb.filter(col("vec_id") >= cut).select("vec_id", "embedding")
-      .repartitionByRange(2, col("vec_id")).write.parquet(s"$base/in")
-    val t0 = System.currentTimeMillis() - 3600 * 1000L
-    new java.io.File(s"$base/in").listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      .zipWithIndex
-      .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
-    val stream = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
-      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-    val q = stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        assign(b).write.mode("append").partitionBy("cell").parquet(idx)
-        ()
-      }
-      .option("checkpointLocation", s"$base/ckpt").start()
-    try q.processAllAvailable() finally q.stop()
-    val report = s.read.parquet(idx)
-      .groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("n_vectors"),
-        sum(when(col("vec_id") >= cut, 1L).otherwise(0L))
-          .as("n_appended"),
-        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
-      .orderBy("cell")
-      .localCheckpoint(true)
-    graft.operators.Sync.deleteTree(base.toFile)
-    report
+    try {
+      val idx = s"$base/codes"
+      val emb = Tables.embeddings(s, dir)
+      ivfAssignWith(emb.filter(col("vec_id") < cut), seeds)
+        .write.partitionBy("cell").parquet(idx)
+      // the delta arrives as two ascending id-range slices
+      emb.filter(col("vec_id") >= cut).select("vec_id", "embedding")
+        .repartitionByRange(2, col("vec_id")).write.parquet(s"$base/in")
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          ivfAssignWith(b, seeds)
+            .write.mode("append").partitionBy("cell").parquet(idx)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      ivfOccupancyReport(s, idx, cut)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
   /** Probe a built IVF index: rank the persisted centroids against the

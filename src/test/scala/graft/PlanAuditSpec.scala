@@ -153,8 +153,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitions by shard (one hash exchange + per-shard sort);
     // a single-partition window would serialize the corpus sort
     val p = planOf("doc_shard_shuffle")
-    assert(!p.contains("Window [row_number") ||
-      !p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
     assert(p.contains("hashpartitioning(shard"), p.take(3000))
   }
 
