@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, DocPipeline, Ingest, Relational, Similarity, Sync, TextAnalysis}
+import graft.operators.{Curation, Dedup, DocPipeline, Ingest, Layout, Relational, Retrieval, Similarity, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -245,7 +245,16 @@ object SparkEntry {
     "doc_token_bpe"       -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenCountBpeOracle(s, d)),
     "emb_quantize_int8"   -> (Similarity.quantizeInt8 _),
-    "doc_quality_model"   -> (TextAnalysis.qualityModelProbes _)
+    "doc_quality_model"   -> (TextAnalysis.qualityModelProbes _),
+    "q_search_bm25"       -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25Search(s, d)),
+    "q_search_hybrid"     -> ((s: SparkSession, d: String) =>
+      Retrieval.hybridSearch(s, d)),
+    "q31_salted_skew_join" -> (graft.operators.Skew.saltedJoinStats _),
+    "dedup_substring"     -> (Dedup.substringSpans _),
+    "store_compaction"    -> (Layout.compactionPlan _),
+    "layout_zorder"       -> (Layout.zorderStats _),
+    "doc_ngram_lm"        -> (TextAnalysis.ngramLm _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -302,6 +311,46 @@ object SparkEntry {
          MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
        FROM assigned a CROSS JOIN cut c
        GROUP BY a.cell ORDER BY cell"""
+
+  /** BM25 oracle CTE stack (through per-query ranking, unlimited) —
+    * shared by the `q_search_bm25` and `q_search_hybrid` oracles so the
+    * scoring arithmetic cannot drift between them. Mirrors
+    * Retrieval.bm25Search's integer rationalization exactly. */
+  private val bm25RankedCte: String =
+    """bm_d AS (SELECT doc_id, string_split(text,' ') AS toks
+                FROM documents),
+       bm_dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM bm_d),
+       bm_tok AS (SELECT doc_id, unnest(toks) AS term FROM bm_d),
+       bm_tf AS (SELECT doc_id, term, count(*) AS tf FROM bm_tok
+                 GROUP BY 1, 2),
+       bm_dft AS (SELECT term, count(*) AS df FROM bm_tf GROUP BY 1),
+       bm_stats AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) // count(*) AS avg_dl
+                    FROM bm_dl),
+       bm_q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),
+         (1,'vector'),(1,'hash'),(1,'scan'),(2,'customer'),(2,'query')),
+       bm_scored AS (
+         SELECT q.query_id, tf.doc_id,
+           ((2*s.n_docs - 2*dft.df + 1) * 1000000) // (2*dft.df + 1)
+             AS idf_scaled,
+           (44*s.avg_dl*tf.tf*1000000)
+             // (20*s.avg_dl*tf.tf + 6*s.avg_dl + 18*dl.dl)
+             AS tfpart_micro
+         FROM bm_tf tf JOIN bm_q q USING (term)
+           JOIN bm_dft dft USING (term)
+           JOIN bm_dl dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN bm_stats s),
+       bm_agg AS (
+         SELECT query_id, doc_id,
+           CAST(sum(idf_scaled * tfpart_micro // 1000000) AS BIGINT)
+             AS score,
+           count(*) AS matched_terms
+         FROM bm_scored GROUP BY 1, 2),
+       bm25_ranked AS (
+         SELECT query_id, doc_id, matched_terms, score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank
+         FROM bm_agg)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3198,7 +3247,164 @@ object SparkEntry {
                   ELSE least(floor((CAST(x AS DOUBLE) - vmin) * 255.0
                                    / (vmax - vmin)), 255.0)
                   END AS BIGINT)), ',') AS codes
-         FROM e ORDER BY vec_id"""
+         FROM e ORDER BY vec_id""",
+    // BM25 with integer-rationalized k1=1.2/b=0.75 tf saturation and the
+    // scaled RSJ idf ratio (log-free) — see Retrieval.bm25Search scaladoc.
+    // CTE stack shared with the hybrid-fusion oracle (bm25RankedCte).
+    "q_search_bm25" ->
+      s"""WITH $bm25RankedCte
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+           matched_terms, score
+         FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Reciprocal Rank Fusion of the BM25 and cosine-KNN top-20 lists
+    // (k=60) — integer arithmetic; see Retrieval.hybridSearch scaladoc.
+    "q_search_hybrid" ->
+      s"""WITH $bm25RankedCte,
+         b AS (SELECT query_id, doc_id, rank AS brank FROM bm25_ranked
+               WHERE rank <= 20),
+         e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         vq AS (SELECT vec_id AS query_id, emb AS qv FROM e
+                WHERE vec_id < 3),
+         vc AS (SELECT vec_id AS doc_id, emb AS cv FROM e
+                WHERE vec_id >= 5),
+         vs AS (
+           SELECT query_id, doc_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+               AS cosine
+           FROM vq CROSS JOIN vc),
+         vr AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, doc_id) AS vrank
+           FROM vs),
+         v AS (SELECT query_id, doc_id, vrank FROM vr WHERE vrank <= 20),
+         fused AS (
+           SELECT coalesce(b.query_id, v.query_id) AS query_id,
+             coalesce(b.doc_id, v.doc_id) AS doc_id,
+             coalesce(1000000 // (60 + b.brank), 0)
+               + coalesce(1000000 // (60 + v.vrank), 0) AS rrf_micro,
+             CASE WHEN b.brank IS NULL THEN 0 ELSE 1 END AS in_bm25,
+             CASE WHEN v.vrank IS NULL THEN 0 ELSE 1 END AS in_vec
+           FROM b FULL OUTER JOIN v
+             ON b.query_id = v.query_id AND b.doc_id = v.doc_id),
+         rf AS (
+           SELECT query_id, doc_id, rrf_micro, in_bm25, in_vec,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, doc_id) AS rank
+           FROM fused)
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(in_bm25 AS BIGINT) AS in_bm25,
+           CAST(in_vec AS BIGINT) AS in_vec
+         FROM rf WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Salting must be RESULT-INVISIBLE: the oracle is the plain join.
+    "q31_salted_skew_join" ->
+      """WITH ev AS (SELECT user_id % 10 AS ubucket, value FROM events),
+         dim AS (SELECT CAST(i AS BIGINT) AS ubucket,
+                   CAST(i*3 + 1 AS BIGINT) AS weight
+                 FROM (SELECT unnest(range(0, 10)) AS i)),
+         j AS (SELECT ev.ubucket, value, weight FROM ev
+               JOIN dim ON ev.ubucket = dim.ubucket)
+         SELECT ubucket, count(*) AS n_events,
+           round(CAST(sum(value * weight) AS DOUBLE), 2) AS sum_weighted
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // Exact substring-span dedup: stride-1 40-char windows, md5
+    // content-defined 1/4 sampling, cross-doc duplicate test, island
+    // merge — see Dedup.substringSpans scaladoc.
+    "dedup_substring" ->
+      """WITH staged AS (
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0
+             THEN text ||
+               ' copyright notice all rights reserved worldwide terms'
+             ELSE text END AS text
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, text,
+             unnest(range(0, length(text) - 39)) AS gs
+           FROM staged WHERE length(text) >= 40),
+         wins AS (
+           SELECT doc_id, CAST(gs AS BIGINT) AS start,
+             md5(substring(text, CAST(gs + 1 AS INT), 40)) AS h
+           FROM w0),
+         sel AS (SELECT * FROM wins
+                 WHERE substring(h, 1, 1) IN ('0','4','8','c')),
+         duph AS (SELECT h FROM sel GROUP BY h
+                  HAVING count(DISTINCT doc_id) >= 2),
+         marked AS (SELECT doc_id, start, start + 40 AS e
+                    FROM sel JOIN duph USING (h)),
+         flagged AS (
+           SELECT doc_id, start, e,
+             CASE WHEN start > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS opens
+           FROM marked),
+         isl AS (
+           SELECT doc_id, start, e,
+             CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM flagged)
+         SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+           max(e) - min(start) AS span_chars
+         FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    // Next-fit-decreasing compaction bins over the per-partition file
+    // listing — see Layout.compactionPlan scaladoc.
+    "store_compaction" ->
+      """WITH files AS (SELECT source AS part, doc_id AS file_id,
+             n_chars AS bytes FROM documents),
+         w AS (
+           SELECT part, file_id, bytes,
+             CAST(coalesce(sum(bytes) OVER (
+               PARTITION BY part ORDER BY bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM files),
+         b AS (SELECT part, file_id, bytes,
+                 cum_before // 4000 AS bin FROM w)
+         SELECT part, bin, count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           max(bytes) AS max_file_bytes, min(file_id) AS first_file
+         FROM b GROUP BY 1, 2 ORDER BY part, bin""",
+    // Corpus-bigram LM surprise score (scaled inverse conditional
+    // probability, truncated mean) — see TextAnalysis.ngramLm scaladoc.
+    "doc_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks
+                    FROM documents),
+         b0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                FROM d),
+         bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                  toks[CAST(i + 1 AS INT)] AS w2 FROM b0),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY 1),
+         sc AS (SELECT bg.doc_id, (c1.c1 * 1000000) // c2.c2 AS surprise
+                FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(surprise) // count(*) AS BIGINT) AS lm_score_micro
+         FROM sc GROUP BY doc_id ORDER BY doc_id"""
+  ) ++ Map(
+    // Z-order layout stats: the interleave expression is generated from
+    // the same bit recipe the Spark side folds over
+    // (Layout.zInterleaveSql), so the two cannot drift.
+    "layout_zorder" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         bounds AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+           min(us) AS min_us, max(us) AS max_us FROM ev),
+         dims AS (
+           SELECT ((user_id - min_u) * 1024) // (max_u - min_u + 1) AS x,
+             ((us - min_us) * 1024) // (max_us - min_us + 1) AS y
+           FROM ev CROSS JOIN bounds),
+         z AS (SELECT x, y,
+             ${graft.operators.Layout.zInterleaveSql("x", "y")} AS zkey
+           FROM dims),
+         f AS (SELECT x, y, zkey >> 14 AS file_id FROM z)
+         SELECT CAST(file_id AS BIGINT) AS file_id, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+         FROM f GROUP BY 1 ORDER BY file_id"""
   )
 
   /** Shared CTE stack for the sync oracles: deterministic stored/incoming

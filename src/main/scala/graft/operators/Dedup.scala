@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Deduplication operators for training-data pipelines (builder-prompt
@@ -906,5 +907,88 @@ object Dedup {
         min(col("doc_a")).as("min_doc_a"),
         min(col("doc_b")).as("min_doc_b"))
       .orderBy("source_lo", "source_hi")
+  }
+
+  // ── Exact substring-span dedup (ExactSubstr, Lee et al. 2021) ────────
+
+  /** Window length for exact substring duplication (chars). The paper
+    * uses 50 BPE tokens; 40 chars keeps the synthetic fixture's planted
+    * boilerplate detectable while exercising the same kernel. */
+  val SubstrWindow = 40
+
+  /** Exact duplicated-substring spans across documents — the
+    * training-data dedup the pair-level kernels can't express: two
+    * documents that are globally dissimilar may still share a long
+    * boilerplate run (license header, nav chrome, TOS footer) that
+    * should be cut at SPAN granularity, not document granularity.
+    *
+    * Algorithm (suffix-array-free, shuffle-native):
+    *   1. every stride-1 window of [[SubstrWindow]] chars is hashed
+    *      (md5 — identical hex in DuckDB);
+    *   2. CONTENT-DEFINED sampling keeps a window iff its first hash
+    *      nibble is 0/4/8/c (1/4 of windows). Selection depends only on
+    *      the window's content, so two documents sharing a run select
+    *      the SAME windows regardless of where the run starts in each —
+    *      the alignment robustness stride-k sampling lacks (winnowing's
+    *      trick, Schleimer et al. 2003, done with mod-p instead of
+    *      local-min for SQL parity);
+    *   3. a selected window present in ≥2 distinct documents marks
+    *      [start, start+W) duplicated in every document carrying it;
+    *   4. per document, overlapping/adjacent marks merge into maximal
+    *      spans (islands by running max of span ends).
+    *
+    * Scale: the window stream is |corpus-chars| rows before sampling —
+    * at 100 TB this is the dominant cost and exactly what the mod-p
+    * sampling divides; the duplicate test is one hash aggregate on the
+    * sampled window hash (never all-pairs), and the island merge is a
+    * per-document window after one hash partition by doc. Planted
+    * construction: docs with doc_id % 7 == 0 carry a shared boilerplate
+    * suffix at differing offsets, so the row proves alignment
+    * robustness; natural vocabulary collisions are deterministic too.
+    */
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstrWindow
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" copyright notice all rights reserved worldwide terms")))
+          .otherwise(col("text")).as("text"))
+
+    // Guard length >= W BEFORE the sequence: Spark's sequence(0, n)
+    // with n < 0 steps DOWNWARD (while DuckDB's generate_series is
+    // empty) — the filter keeps both engines on the same rows.
+    val wins = staged
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - W)).as("start"))
+      .withColumn("h", md5(expr(s"substring(text, start + 1, $W)")))
+      .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
+      .select(col("doc_id"), col("start").cast("long").as("start"), col("h"))
+
+    val dupHashes = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+
+    val marked = wins.join(dupHashes, "h")
+      .select(col("doc_id"), col("start"), (col("start") + W).as("end"))
+
+    // Island merge: a mark opens a new span iff it starts past every
+    // prior mark's end; islands = running count of openers.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMaxEnd = max(col("end")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("opens",
+        when(col("start") > coalesce(prevMaxEnd, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("start")).as("span_start"),
+        max(col("end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_chars"))
+      .orderBy("doc_id", "span_start")
   }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Data-layout operators: the maintenance jobs a 100 TB lakehouse store
+  * runs to keep itself scannable — small-file compaction planning (the
+  * reference's SQLite store never fragments; a Parquet/Delta chunk store
+  * does after every incremental MERGE, §2.6) and multi-dimension
+  * Z-order clustering for file-skipping.
+  */
+object Layout {
+
+  /** Target compacted file size (bytes) for [[compactionPlan]]. */
+  val CompactionTarget = 4000L
+
+  /** Small-file compaction PLAN over the store's file listing — which
+    * files coalesce into which output bin. The listing is derived
+    * deterministically from documents (one file per doc, bytes =
+    * n_chars, partition = source), standing in for the Delta-log
+    * file inventory an OPTIMIZE job reads.
+    *
+    * Packing rule: within a partition, files ordered by (bytes desc,
+    * doc_id) pack next-fit by running size — bin = floor(preceding
+    * cumulative bytes / target). Size-descending next-fit is within one
+    * file of first-fit-decreasing quality and, unlike FFD's
+    * bin-backtracking, is a pure window function: one hash partition by
+    * table-partition, one in-partition sort, zero driver logic.
+    *
+    * Scale: the listing is metadata (1 row per FILE, not per data row) —
+    * millions of rows at 100 TB, trivially shuffled; each table
+    * partition packs independently in parallel, exactly how the job
+    * would fan out per Delta partition. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(s, dir)
+      .select(col("source").as("part"), col("doc_id").as("file_id"),
+        col("n_chars").as("bytes"))
+    val order = Window.partitionBy(col("part"))
+      .orderBy(col("bytes").desc, col("file_id"))
+    val cumBefore = coalesce(
+      sum(col("bytes")).over(order.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    files
+      .withColumn("cum_before", cumBefore)
+      .withColumn("bin", expr(s"cum_before div $CompactionTarget"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        max(col("bytes")).as("max_file_bytes"),
+        min(col("file_id")).as("first_file"))
+      .orderBy("part", "bin")
+  }
+
+  /** Bits per dimension for [[zorderStats]]. */
+  val ZBits = 10
+
+  /** Z-order (Morton) clustering of events on (user_id, event-time):
+    * interleave the low [[ZBits]] bits of the two normalized dimensions,
+    * split the z-range into 64 fixed-width files, report per-file
+    * min/max of BOTH dimensions — the min/max column stats a scan uses
+    * to skip files. A linear (time-only) layout gives each file the full
+    * user range; the Z-layout bounds both ranges at 1/8 of their
+    * domains, which is the whole point of the exercise.
+    *
+    * Scale: file assignment is `zkey >> 14` — fixed-width z-range
+    * partitioning, NOT a global row_number sort: no single-partition
+    * window, no global ordering; the per-file stats are one hash
+    * aggregate by file id. (A production OPTIMIZE ZORDER range-
+    * partitions on sampled z-quantiles for even file sizes; fixed-width
+    * keeps the oracle exact and the plan shape identical.)
+    *
+    * Determinism: the time dimension normalizes by integer arithmetic
+    * against the corpus min/max epoch-micros; everything below is bit
+    * ops on BIGINT, identical in DuckDB. */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+
+    // Both dimensions normalize into the full ZBits domain against their
+    // own corpus bounds — integer arithmetic, so any scale factor fills
+    // all interleave bits (a raw modulo would leave high x-bits empty on
+    // small id domains and silently degrade the demo to 1-D).
+    val dims = ev.crossJoin(broadcast(bounds))
+      .withColumn("x",
+        expr(s"((user_id - min_u) * ${1L << ZBits}) div (max_u - min_u + 1)"))
+      .withColumn("y",
+        expr(s"((us - min_us) * ${1L << ZBits}) div (max_us - min_us + 1)"))
+
+    // Morton interleave: x occupies odd bits, y even bits.
+    val zkey = (0 until ZBits).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+    dims
+      .withColumn("file_id", shiftright(zkey, 2 * ZBits - 6))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("file_id")
+  }
+
+  /** The DuckDB-side Morton interleave, generated from the same bit
+    * recipe [[zorderStats]] uses so the two can never drift. */
+  def zInterleaveSql(x: String, y: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i + 1})",
+        s"((($y >> $i) & 1) << ${2 * i})")
+    }.mkString(" + ")
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Keyword (lexical) retrieval over the documents corpus: an
+  * inverted-index BM25 top-k. The reference's retrieval surface is
+  * vector-only (mcp/src/server.ts:448-474); a production RAG store at
+  * 100 TB pairs that with a lexical index for hybrid search, so BM25 is
+  * part of the engine's first-class query surface.
+  *
+  * Scale design (100 TB):
+  *   - the inverted index (term → tf postings) is ONE hash shuffle of
+  *     the exploded token stream, with map-side partial aggregation;
+  *     document frequency is a second, much smaller aggregate over the
+  *     postings themselves (one row per (doc, term), not per token).
+  *   - the query set is tiny and BROADCAST to the postings — scoring is
+  *     a map-side semi-join: shuffle ∝ matched postings, never corpus².
+  *   - the final top-k per query is a window over only the scored
+  *     (query, doc) pairs that share a term with the query.
+  *
+  * Cross-engine determinism: BM25's k1=1.2 / b=0.75 tf saturation is
+  * rationalized to pure BIGINT arithmetic (below) and the log-idf is
+  * replaced by its Robertson–Spärck-Jones ratio argument, scaled — both
+  * monotone in df, so ranking semantics are preserved while every score
+  * is an exact integer identical in DuckDB:
+  *
+  *   idf_scaled     = ((2N - 2df + 1) * 1e6) div (2df + 1)
+  *   tfpart_micro   = (44*A*tf*1e6) div (20*A*tf + 6*A + 18*dl)
+  *                    -- == 1e6 * tf*(k1+1) / (tf + k1*(1-b+b*dl/A))
+  *                    -- with k1=6/5, b=3/4, avgdl truncated to A=S div N
+  *   score          = Σ_terms idf_scaled * tfpart_micro div 1e6
+  *
+  * With A ≤ ~1e5 chars-per-doc and tf ≤ dl, 44*A*tf*1e6 stays well
+  * inside Long; a 100 TB corpus would lift the 1e6 scale into
+  * DECIMAL(38,0) but keep the same rational form.
+  */
+object Retrieval {
+
+  /** The fixed benchmark query set: (query_id, term). */
+  val benchQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "join",
+    1L -> "vector", 1L -> "hash", 1L -> "scan",
+    2L -> "customer", 2L -> "query")
+
+  /** BM25 top-k over documents for [[benchQueries]].
+    *
+    * The broadcast term filter sits BELOW the tf/df aggregates: only
+    * query-term token occurrences are ever shuffled, so the expensive
+    * path costs O(matched postings), not O(corpus tokens) — and the df
+    * table collapses to ≤ |query terms| rows, letting every scoring
+    * join broadcast. The corpus pass that remains is the 2-column
+    * stats aggregate (N, Σdl). A persisted deployment would
+    * pre-materialize postings/df/dl as bucketed tables and skip both
+    * scans at query time; the per-query plan shape is the same. */
+  def bm25Search(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+    // Corpus stats: N docs, A = truncated average doc length.
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl div n_docs").as("avg_dl"))
+
+    val queries = benchQueries.toDF("query_id", "term")
+    val qterms = queries.select("term").distinct()
+
+    // Matched postings only: the broadcast hash join prunes the token
+    // stream map-side before any shuffle; dl rides along (functionally
+    // determined by doc_id, so the grouping stays one aggregate).
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // Document frequency per query term: aggregates the matched
+    // postings (one row per (doc, term)) — ≤ |query terms| output rows.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    tf
+      .join(broadcast(queries), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_scaled",
+        expr("((2*n_docs - 2*df + 1) * 1000000L) div (2*df + 1)"))
+      .withColumn("tfpart_micro",
+        expr("(44*avg_dl*tf*1000000L) div (20*avg_dl*tf + 6*avg_dl + 18*dl)"))
+      .withColumn("term_score", expr("idf_scaled * tfpart_micro div 1000000L"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("matched_terms"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("matched_terms"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Depth of each per-modality candidate list feeding [[hybridSearch]]. */
+  val HybridDepth = 20
+
+  /** Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    * (Cormack et al. 2009, the standard fusion in production hybrid
+    * search): the BM25 top-[[HybridDepth]] and the cosine-KNN
+    * top-[[HybridDepth]] (query vector = the query's own stored
+    * embedding, ids 0-2 ≅ [[benchQueries]] ids; corpus = ids ≥ 5,
+    * mirroring the exact-KNN row) fuse by
+    *
+    *   rrf_micro = Σ_lists 1e6 div (60 + rank_in_list)
+    *
+    * — integer arithmetic, k=60 per the paper. A doc absent from one
+    * list simply contributes nothing (full outer join). This is a
+    * COMPOSITION row: both inputs have standalone oracle rows
+    * (`q_search_bm25`, `emb_knn_exact`); this row pins the fusion seam.
+    *
+    * Scale: both candidate lists are top-k per query — the fusion
+    * full-outer join touches ≤ 2·k·|queries| rows regardless of corpus
+    * size; everything upstream inherits the per-modality scale designs.
+    */
+  def hybridSearch(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val bm25 = bm25Search(s, dir, HybridDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("brank"))
+
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+    val cosine = expr(
+      "dot_f(qv, cv) / (sqrt(dot_f(qv, qv)) * sqrt(dot_f(cv, cv)))")
+    val vec = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine)
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .filter(col("vrank") <= HybridDepth)
+      .select(col("query_id"), col("doc_id"), col("vrank"))
+
+    bm25.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000L div (60 + brank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + vrank)"), lit(0L)))
+      .withColumn("in_bm25", col("brank").isNotNull.cast("long"))
+      .withColumn("in_vec", col("vrank").isNotNull.cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_micro"), col("in_bm25"), col("in_vec"))
+      .orderBy("query_id", "rank")
+  }
+}

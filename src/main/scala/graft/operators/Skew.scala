@@ -39,4 +39,28 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key))
       .limit(k)
+
+  /** Oracle-checked salted-join composition: events bucketed to a hot
+    * key domain (user_id mod 10 — every bucket carries ~10% of the
+    * fact table, a stand-in for the one-viral-url shape) joined to a
+    * derived 10-row weight dimension THROUGH [[saltedJoin]], then
+    * aggregated. The result must equal the plain join byte-for-byte —
+    * that equality IS the correctness contract of salting, so the
+    * DuckDB oracle is simply the unsalted join.
+    *
+    * Scale: the salt fans each hot bucket across 8 reducers; the
+    * aggregate re-collapses per bucket with map-side partials. The
+    * dimension replication is 8 × 10 rows — noise. */
+  def saltedJoinStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .withColumn("ubucket", pmod(col("user_id"), lit(10L)))
+    val dim = ev.sparkSession.range(0, 10)
+      .select(col("id").as("ubucket"), (col("id") * 3 + 1).as("weight"))
+    saltedJoin(ev, dim, "ubucket", saltBuckets = 8)
+      .groupBy("ubucket")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("weight")), 2).as("sum_weighted"))
+      .orderBy("ubucket")
+  }
 }

@@ -439,4 +439,53 @@ object TextAnalysis {
       .toDF("doc_id", "n_fingerprints", "fp_sig")
       .orderBy("doc_id")
   }
+
+  /** Corpus-bigram language-model fluency score — the CCNet/Gopher-style
+    * quality signal the heuristic gate (length/punct ratios) can't see:
+    * a document whose word transitions are IMPROBABLE under the corpus
+    * LM reads as noise even when its surface stats look fine.
+    *
+    * The LM is trained on the corpus itself in one pass: unigram counts
+    * c1(w) and bigram counts c2(w1,w2) over consecutive word pairs.
+    * Per-bigram surprise is the scaled inverse conditional probability
+    *
+    *   surprise_micro(w1,w2) = (c1_left(w1) * 1e6) div c2(w1,w2)
+    *
+    * (c1_left counts w1 as a LEFT context, i.e. over bigrams, so the
+    * ratio is an exact 1/P(w2|w1) — always ≥ 1e6); the document score
+    * is the truncated mean over its bigrams, a perplexity surrogate in
+    * pure BIGINT arithmetic (log-free, so DuckDB reproduces every bit).
+    *
+    * Scale: training is ONE hash aggregate over the bigram stream
+    * (map-side partial); scoring re-joins each doc's bigrams to the
+    * count tables by key — shuffle ∝ corpus tokens, never pairs. At
+    * 100 TB the count tables get a DF floor (drop hapax bigrams) and
+    * the join broadcasts the surviving model, exactly like the n-gram
+    * Jaccard index's DF cap. */
+  def ngramLm(s: SparkSession, dir: String): DataFrame = {
+    // Bigrams come straight off the token ARRAY (adjacent-pair
+    // transform + explode) — zero shuffle; a lead() window would
+    // exchange the whole token stream by doc_id just to pair
+    // neighbors the array already holds. The size>=2 guard keeps
+    // sequence() ascending (sequence(1,0) would step DOWN).
+    val bigrams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+           i -> named_struct('w1', toks[i-1], 'w2', toks[i]))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("surprise_micro", expr("(c1 * 1000000L) div c2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(surprise_micro) div count(1)").as("lm_score_micro"))
+      .orderBy("doc_id")
+  }
 }

@@ -338,4 +338,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$size: ${p.take(2000)}")
       }
   }
+
+  test("q_search_bm25 prunes the token stream with a BROADCAST term filter") {
+    // the scale contract: the explode output joins the broadcast query
+    // terms BEFORE any aggregate, so the shuffled postings are
+    // O(matched), not O(corpus tokens); every scoring join broadcasts
+    val p = planOf("q_search_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dedup_substring never plans a pairwise join") {
+    // duplicated windows are found by one hash aggregate on the window
+    // hash and joined back by key — all-pairs would be a cartesian
+    val p = planOf("dedup_substring")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("store_compaction is one partition-window pass (single hash exchange)") {
+    val p = planOf("store_compaction")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx: ${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("layout_zorder assigns files by fixed-width z-range: no global sort window") {
+    // file ids come from zkey bits, NOT a global row_number — a Window
+    // in this plan would mean a single-partition sort at 100 TB
+    val p = planOf("layout_zorder")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("doc_ngram_lm forms bigrams from the array: no per-doc window shuffle") {
+    // adjacent-pair transform on the token array replaces the lead()
+    // window — the plan must not exchange the token stream by doc_id
+    // just to pair neighbors
+    val p = planOf("doc_ngram_lm")
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }

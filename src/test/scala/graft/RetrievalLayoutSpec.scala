@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.{Dedup, Layout, Retrieval, TextAnalysis}
+
+/** Semantics pins for the round's retrieval / layout / LM-score
+  * operators, on both constructed corpora (hand-derivable answers) and
+  * the sf0.001 fixture (structural invariants). */
+class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+
+  // ── BM25 ─────────────────────────────────────────────────────────────
+
+  test("bm25: a doc saturated in the query term outranks a longer diluted one") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    try {
+      // doc 1: short, dense in "spark"; doc 2: long, one mention; doc 3
+      // has none. Under any BM25 parametrization 1 > 2 and 3 is absent.
+      val docs = Seq(
+        (1L, "spark spark spark join", "en", "s", 22L),
+        (2L, ("filler " * 40).trim + " spark", "en", "s", 286L),
+        (3L, "row scan table batch", "en", "s", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Retrieval.bm25Search(spark, tmp)
+        .filter($"query_id" === 0L).collect()
+      val ranked = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id"))
+      assert(ranked.head == 1L)
+      assert(ranked.contains(2L) && !ranked.contains(3L))
+      // scores strictly ordered and positive
+      val scores = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score"))
+      assert(scores.sameElements(scores.sorted.reverse) && scores.last > 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
+  test("bm25: idf punishes ubiquitous terms — rarer term dominates the sum") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25b").toString
+    try {
+      // "customer" appears in every doc (df=N), "query" in doc 5 only.
+      val docs = (1L to 5L).map { i =>
+        val t = if (i == 5L) "customer query alpha" else "customer beta gamma"
+        (i, t, "en", "s", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Retrieval.bm25Search(spark, tmp)
+        .filter($"query_id" === 2L).collect()
+        .sortBy(_.getAs[Long]("rank"))
+      assert(out.head.getAs[Long]("doc_id") == 5L)
+      assert(out.head.getAs[Long]("matched_terms") == 2L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
+  test("bm25 on fixture: 3 queries, k rows each, ranks contiguous") {
+    val out = Retrieval.bm25Search(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L))
+    }
+  }
+
+  // ── Substring-span dedup ─────────────────────────────────────────────
+
+  test("substring spans: shared run at DIFFERENT offsets is found in both docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sub").toString
+    try {
+      val shared = "identical boilerplate run shared across both documents here"
+      // offsets differ by 7 — stride-k sampling would miss this; the
+      // content-defined mod-p sampling must not.
+      val docs = Seq(
+        (1L, s"aaaaaa $shared unique-tail-one-x", "en", "s", 0L),
+        (2L, s"bbbbbbbbbbbbb $shared unique-tail-two-y", "en", "s", 0L),
+        (3L, "completely unrelated text with no forty char overlap at all",
+          "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val spans = Dedup.substringSpans(spark, tmp).collect()
+      val byDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+      assert(byDoc.contains(1L) && byDoc.contains(2L))
+      assert(!byDoc.contains(3L))
+      // every reported span must lie inside the shared run's extent in
+      // its doc (start/end measured on the staged text), and be >= W
+      val w = Dedup.SubstrWindow
+      spans.filter(r => Set(1L, 2L)(r.getAs[Long]("doc_id"))).foreach { r =>
+        assert(r.getAs[Long]("span_chars") >= w)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
+  test("substring spans: islands merge overlapping marks into one span") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sub2").toString
+    try {
+      // Two docs IDENTICAL for 120 chars: every sampled window in the
+      // run duplicates, so per doc all marks merge into ONE span
+      // covering (at least) the sampled extent — never 2+ spans inside
+      // a contiguous duplicated run.
+      val run = ("z " * 10) + "the exact same one hundred twenty char " +
+        "prefix including several sampled windows in sequence padded out"
+      val docs = Seq(
+        (1L, run + " tail-a", "en", "s", 0L),
+        (2L, run + " tail-b", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val spans = Dedup.substringSpans(spark, tmp).collect()
+      val d1 = spans.filter(_.getAs[Long]("doc_id") == 1L)
+      assert(d1.length == 1, s"expected one merged span, got ${d1.toSeq}")
+      assert(d1.head.getAs[Long]("span_chars") >= Dedup.SubstrWindow)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
+  test("substring spans on fixture: planted doc_id%7 boilerplate detected") {
+    val spans = Dedup.substringSpans(spark, sf).collect()
+    val docs = spans.map(_.getAs[Long]("doc_id")).toSet
+    // the planted suffix docs must dominate the detections
+    val planted = docs.filter(_ % 7 == 0)
+    assert(planted.nonEmpty)
+    // spans never overlap within a doc and are all >= 1 window long
+    spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("span_start"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("span_end") < b.getAs[Long]("span_start"))
+        case _ =>
+      }
+    }
+  }
+
+  // ── Compaction planner ───────────────────────────────────────────────
+
+  test("compaction: bins respect target except single oversized files") {
+    val plan = graft.operators.Layout.compactionPlan(spark, sf).collect()
+    plan.foreach { r =>
+      val total = r.getAs[Long]("total_bytes")
+      val n = r.getAs[Long]("n_files")
+      val maxF = r.getAs[Long]("max_file_bytes")
+      // next-fit guarantee: a bin exceeds target only via its LAST file;
+      // equivalently total - largest-possible-overhang < target + max
+      assert(n >= 1)
+      assert(total < Layout.CompactionTarget + maxF,
+        s"bin packs ${total}B with max file ${maxF}B")
+    }
+    // bins are contiguous per partition
+    plan.groupBy(_.getAs[String]("part")).values.foreach { rows =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.sameElements(bins.head to bins.last))
+    }
+  }
+
+  // ── Z-order ──────────────────────────────────────────────────────────
+
+  test("zorder: every file bounds BOTH dimensions to 1/8 of the domain") {
+    val stats = Layout.zorderStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 128)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 128)
+    }
+    // all rows accounted for
+    val total = stats.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("zorder interleave: Scala fold and generated SQL agree bit-for-bit") {
+    import spark.implicits._
+    // evaluate the generated DuckDB SQL string AS SPARK SQL on sample
+    // points — the operators share syntax for >>, &, <<, + — and compare
+    // with a reference Morton implementation.
+    def morton(x: Long, y: Long): Long =
+      (0 until Layout.ZBits).foldLeft(0L) { (a, i) =>
+        a | (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1) << (2 * i))
+      }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      (512L, 256L), (341L, 682L))
+    val df = pts.toDF("x", "y")
+      .withColumn("z", expr(Layout.zInterleaveSql("x", "y")))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("z") ==
+        morton(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+  }
+
+  // ── Bigram LM score ──────────────────────────────────────────────────
+
+  test("ngram LM: scrambled doc scores more surprising than fluent twin") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lm").toString
+    try {
+      // 8 fluent docs repeat the same word order; doc 9 uses the same
+      // words in a transition order seen nowhere else.
+      val fluent = "alpha beta gamma delta alpha beta gamma delta"
+      val docs = ((1L to 8L).map(i => (i, fluent, "en", "s", 0L)) :+
+        (9L, "delta beta alpha gamma delta gamma beta alpha", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = TextAnalysis.ngramLm(spark, tmp).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_score_micro"))
+        .toMap
+      assert(out(9L) > out(1L),
+        s"scrambled ${out(9L)} should exceed fluent ${out(1L)}")
+      // fluent docs all share one score
+      assert((1L to 8L).map(out).toSet.size == 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
+  test("ngram LM on fixture: every doc scored, scores >= 1e6") {
+    val out = TextAnalysis.ngramLm(spark, sf).collect()
+    assert(out.length ==
+      Tables.documents(spark, sf).filter(size(split(col("text"), " ")) >= 2)
+        .count())
+    out.foreach(r => assert(r.getAs[Long]("lm_score_micro") >= 1000000L))
+  }
+}
