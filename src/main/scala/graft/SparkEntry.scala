@@ -252,6 +252,9 @@ object SparkEntry {
       Retrieval.hybridSearch(s, d)),
     "q31_salted_skew_join" -> (graft.operators.Skew.saltedJoinStats _),
     "dedup_substring"     -> (Dedup.substringSpans _),
+    "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
+    "doc_heavy_hitters_cms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.cmsHeavyHitters(s, d)),
     "store_compaction"    -> (Layout.compactionPlan _),
     "layout_zorder"       -> (Layout.zorderStats _),
     "doc_ngram_lm"        -> (TextAnalysis.ngramLm _)
@@ -351,6 +354,47 @@ object SparkEntry {
            row_number() OVER (PARTITION BY query_id
              ORDER BY score DESC, doc_id) AS rank
          FROM bm_agg)"""
+
+  /** Staged-corpus + sampled-window CTE stack shared by the
+    * `dedup_substring` and `dedup_substring_delta` oracles — mirrors
+    * Dedup.sampledWindows exactly (planted %7 boilerplate, length
+    * guard, md5 content-defined 1/4 sampling). */
+  private val substrSelCte: String =
+    """staged AS (
+         SELECT doc_id, CASE WHEN doc_id % 7 = 0
+           THEN text ||
+             ' copyright notice all rights reserved worldwide terms'
+           ELSE text END AS text
+         FROM documents),
+       w0 AS (
+         SELECT doc_id, text,
+           unnest(range(0, length(text) - 39)) AS gs
+         FROM staged WHERE length(text) >= 40),
+       wins AS (
+         SELECT doc_id, CAST(gs AS BIGINT) AS start,
+           md5(substring(text, CAST(gs + 1 AS INT), 40)) AS h
+         FROM w0),
+       sel AS (SELECT doc_id, start, h FROM wins
+               WHERE substring(h, 1, 1) IN ('0','4','8','c'))"""
+
+  /** Island-merge tail (over a `marked(doc_id, start, e)` CTE) shared
+    * by the two substring-dedup oracles — mirrors Dedup.mergeSpans. */
+  private val substrIslandsSql: String =
+    """flagged AS (
+         SELECT doc_id, start, e,
+           CASE WHEN start > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS opens
+         FROM marked),
+       isl AS (
+         SELECT doc_id, start, e,
+           CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+         FROM flagged)
+       SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+         max(e) - min(start) AS span_chars
+       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3313,43 +3357,52 @@ object SparkEntry {
          FROM j GROUP BY 1 ORDER BY 1""",
     // Exact substring-span dedup: stride-1 40-char windows, md5
     // content-defined 1/4 sampling, cross-doc duplicate test, island
-    // merge — see Dedup.substringSpans scaladoc.
+    // merge — see Dedup.substringSpans scaladoc. CTE stacks shared with
+    // the delta oracle (substrSelCte / substrIslandsSql).
     "dedup_substring" ->
-      """WITH staged AS (
-           SELECT doc_id, CASE WHEN doc_id % 7 = 0
-             THEN text ||
-               ' copyright notice all rights reserved worldwide terms'
-             ELSE text END AS text
-           FROM documents),
-         w0 AS (
-           SELECT doc_id, text,
-             unnest(range(0, length(text) - 39)) AS gs
-           FROM staged WHERE length(text) >= 40),
-         wins AS (
-           SELECT doc_id, CAST(gs AS BIGINT) AS start,
-             md5(substring(text, CAST(gs + 1 AS INT), 40)) AS h
-           FROM w0),
-         sel AS (SELECT * FROM wins
-                 WHERE substring(h, 1, 1) IN ('0','4','8','c')),
+      s"""WITH $substrSelCte,
          duph AS (SELECT h FROM sel GROUP BY h
                   HAVING count(DISTINCT doc_id) >= 2),
          marked AS (SELECT doc_id, start, start + 40 AS e
                     FROM sel JOIN duph USING (h)),
-         flagged AS (
-           SELECT doc_id, start, e,
-             CASE WHEN start > coalesce(max(e) OVER (
-                 PARTITION BY doc_id ORDER BY start
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-               THEN 1 ELSE 0 END AS opens
-           FROM marked),
-         isl AS (
-           SELECT doc_id, start, e,
-             CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY start
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-           FROM flagged)
-         SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
-           max(e) - min(start) AS span_chars
-         FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+         $substrIslandsSql""",
+    // Incremental form: batch (top fifth of ids) windows tested against
+    // the STORE's windows only — see Dedup.substringSpansDelta scaladoc.
+    "dedup_substring_delta" ->
+      s"""WITH $substrSelCte,
+         cut AS (SELECT max(doc_id) * 4 // 5 AS cut FROM documents),
+         sel2 AS (SELECT s.*, c.cut FROM sel s CROSS JOIN cut c),
+         store AS (SELECT h FROM sel2 WHERE doc_id < cut),
+         marked AS (
+           SELECT doc_id, start, start + 40 AS e FROM sel2
+           WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
+         $substrIslandsSql""",
+    // Count-min-sketch heavy hitters calibrated against exact counts —
+    // see TextAnalysis.cmsHeavyHitters scaladoc.
+    "doc_heavy_hitters_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS term
+                      FROM documents),
+         rows0 AS (SELECT term, unnest(range(0, 4)) AS r FROM tok),
+         rb AS (SELECT r,
+             ('0x'||substr(md5(CAST(r AS VARCHAR)||':'||term), 1, 8))::BIGINT
+               % 256 AS b
+           FROM rows0),
+         sketch AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+         exact AS (SELECT term, count(*) AS exact_count FROM tok
+                   GROUP BY 1),
+         top AS (SELECT term, exact_count FROM exact
+                 ORDER BY exact_count DESC, term LIMIT 20),
+         cand AS (SELECT term, exact_count, unnest(range(0, 4)) AS r
+                  FROM top),
+         cb AS (SELECT term, exact_count, r,
+             ('0x'||substr(md5(CAST(r AS VARCHAR)||':'||term), 1, 8))::BIGINT
+               % 256 AS b
+           FROM cand),
+         est AS (SELECT term, exact_count, min(cnt) AS est_count
+                 FROM cb JOIN sketch USING (r, b) GROUP BY 1, 2)
+         SELECT term, exact_count, est_count,
+           est_count - exact_count AS overcount
+         FROM est ORDER BY exact_count DESC, term""",
     // Next-fit-decreasing compaction bins over the per-partition file
     // listing — see Layout.compactionPlan scaladoc.
     "store_compaction" ->

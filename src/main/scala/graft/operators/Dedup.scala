@@ -946,7 +946,9 @@ object Dedup {
     * suffix at differing offsets, so the row proves alignment
     * robustness; natural vocabulary collisions are deterministic too.
     */
-  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+  /** The staged corpus + sampled-window stream shared by
+    * [[substringSpans]] and [[substringSpansDelta]]. */
+  private def sampledWindows(s: SparkSession, dir: String): DataFrame = {
     val W = SubstrWindow
     val staged = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -958,22 +960,17 @@ object Dedup {
     // Guard length >= W BEFORE the sequence: Spark's sequence(0, n)
     // with n < 0 steps DOWNWARD (while DuckDB's generate_series is
     // empty) — the filter keeps both engines on the same rows.
-    val wins = staged
+    staged
       .filter(length(col("text")) >= W)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - W)).as("start"))
       .withColumn("h", md5(expr(s"substring(text, start + 1, $W)")))
       .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
       .select(col("doc_id"), col("start").cast("long").as("start"), col("h"))
+  }
 
-    val dupHashes = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("h")
-
-    val marked = wins.join(dupHashes, "h")
-      .select(col("doc_id"), col("start"), (col("start") + W).as("end"))
-
+  /** Merge duplicated-window marks into maximal per-document spans. */
+  private def mergeSpans(marked: DataFrame): DataFrame = {
     // Island merge: a mark opens a new span iff it starts past every
     // prior mark's end; islands = running count of openers.
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
@@ -990,5 +987,60 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_chars"))
       .orderBy("doc_id", "span_start")
+  }
+
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstrWindow
+    val wins = sampledWindows(s, dir)
+
+    val dupHashes = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+
+    val marked = wins.join(dupHashes, "h")
+      .select(col("doc_id"), col("start"), (col("start") + W).as("end"))
+
+    mergeSpans(marked)
+  }
+
+  /** Broadcast cap for [[substringSpansDelta]]'s batch window set:
+    * ~1 sampled window per 4 chars at ~60 B a row, so 20k delta docs of
+    * a few KB ≈ tens of MB — inside broadcast budgets. Above it the
+    * hash join falls back to shuffling both sides on the window hash. */
+  val SubstrDeltaBroadcastMaxDocs = 20000L
+
+  /** Incremental substring-span dedup — the delta form of
+    * [[substringSpans]], completing the delta family (minhash, wide
+    * SimHash): only the NEW batch's windows (top fifth of the id range,
+    * standing in for today's ingest) are tested against the STORE's
+    * windows, and the store is never paired against itself — per-ingest
+    * cost tracks the delta, not corpus². A span is reported for a batch
+    * document exactly where its sampled windows also occur in some
+    * store document; batch-internal duplication is left to the batch's
+    * own full pass and does NOT appear here.
+    *
+    * Scale: the batch window set broadcasts under
+    * [[SubstrDeltaBroadcastMaxDocs]]; the store-side window stream then
+    * flows map-side through a BroadcastHashJoin with zero corpus
+    * shuffle — the same direction as the minhash delta. Matched marks
+    * deduplicate by (doc, start) before the island merge (one batch
+    * window can hit many store documents). */
+  def substringSpansDelta(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstrWindow
+    val maxRow = Tables.documents(s, dir).agg(max(col("doc_id"))).head
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val from = maxId * 4 / 5
+    val wins = sampledWindows(s, dir).localCheckpoint(true)
+    val batch = wins.filter(col("doc_id") >= from)
+    val store = wins.filter(col("doc_id") < from)
+      .select(col("h"))
+    val bSide =
+      if (maxId - from + 1 <= SubstrDeltaBroadcastMaxDocs) broadcast(batch)
+      else batch
+    val marked = store.join(bSide, "h")
+      .select(col("doc_id"), col("start"), (col("start") + W).as("end"))
+      .distinct()
+    mergeSpans(marked)
   }
 }

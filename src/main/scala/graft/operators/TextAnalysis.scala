@@ -462,6 +462,60 @@ object TextAnalysis {
     * 100 TB the count tables get a DF floor (drop hapax bigrams) and
     * the join broadcasts the surviving model, exactly like the n-gram
     * Jaccard index's DF cap. */
+  /** Count-min-sketch rows (d) and buckets per row (w) for
+    * [[cmsHeavyHitters]]: ε ≈ e/w ≈ 1%, δ ≈ e^-d ≈ 2%. */
+  val CmsRows = 4
+  val CmsWidth = 256
+
+  /** Count-min-sketch heavy hitters with one-sided-error calibration —
+    * the bounded-state frequency sketch a 100 TB token stream needs
+    * when the exact term dictionary no longer fits: d×w counters
+    * (hash-bucketed sums), point estimate = min over the d rows. The
+    * row reports the sketch estimate NEXT TO the exact count for the
+    * exact top-20 terms, so the one-sided error contract (est ≥ exact,
+    * overcount bounded by colliding mass) is itself oracle-checked —
+    * the same estimate-vs-exact shape as the MinHash calibration row.
+    *
+    * Scale: the sketch build is one hash aggregate over d× the token
+    * stream with map-side partials collapsing each partition to ≤ d·w
+    * rows — the shuffle is O(partitions·d·w), independent of corpus
+    * size; the probe side is 20 terms. Bucket hashes are md5-prefix
+    * integers, bit-identical in DuckDB. */
+  def cmsHeavyHitters(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+
+    val bucket = expr(
+      s"""cast(conv(substring(md5(concat(cast(r as string), ':', term)),
+          1, 8), 16, 10) as bigint) % $CmsWidth""")
+
+    val sketch = toks
+      .select(col("term"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .withColumn("b", bucket)
+      .groupBy("r", "b")
+      .agg(count(lit(1)).as("cnt"))
+
+    // orderBy+limit → TakeOrderedAndProject: per-partition top-k heaps
+    // merged on the driver, no single-partition window over the
+    // dictionary.
+    val top = toks.groupBy("term")
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("term"))
+      .limit(topK)
+
+    top
+      .select(col("term"), col("exact_count"),
+        explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+      .withColumn("b", bucket)
+      .join(sketch, Seq("r", "b"))
+      .groupBy("term", "exact_count")
+      .agg(min(col("cnt")).as("est_count"))
+      .select(col("term"), col("exact_count"), col("est_count"),
+        (col("est_count") - col("exact_count")).as("overcount"))
+      .orderBy(col("exact_count").desc, col("term"))
+  }
+
   def ngramLm(s: SparkSession, dir: String): DataFrame = {
     // Bigrams come straight off the token ARRAY (adjacent-pair
     // transform + explode) — zero shuffle; a lead() window would

@@ -372,6 +372,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("dedup_substring_delta broadcasts the batch windows") {
+    // same incremental contract as the minhash/simhash deltas: the
+    // store-side window stream flows map-side through a
+    // BroadcastHashJoin (batch is the broadcast side); judged on the
+    // final adaptive plan
+    val df = SparkEntry.queries("dedup_substring_delta")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("doc_heavy_hitters_cms: distributed top-k, bounded-state sketch join") {
+    // the exact top-20 must come from per-partition heaps
+    // (TakeOrderedAndProject), not a single-partition window; the
+    // sketch probe joins by (row, bucket) key — never nested-loop
+    val p = planOf("doc_heavy_hitters_cms")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q31_salted_skew_join joins on the composite (key, salt)") {
+    // the salt column must reach the join keys — that is what fans a
+    // hot key across reducers; and salting must not degrade the join
+    // to a cartesian
+    val p = planOf("q31_salted_skew_join")
+    assert(p.contains("__salt"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("doc_ngram_lm forms bigrams from the array: no per-doc window shuffle") {
     // adjacent-pair transform on the token array replaces the lead()
     // window — the plan must not exchange the token stream by doc_id

@@ -146,6 +146,94 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("substring delta: batch-store dup reported, batch-batch dup is not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("subd").toString
+    try {
+      val storeRun = "store boilerplate run shared with one batch document xx"
+      val batchRun = "batch only duplicated run never seen in the store zzzz"
+      val pad = "p" // keep ids: max=25, cut=20 → batch = 20..25
+      val docs = ((1L to 19L).map { i =>
+        val t = if (i == 3L) s"store doc three $storeRun tail-$i"
+        else s"unique store content number $i with no shared windows $pad"
+        (i, t)
+      } ++ Seq(
+        // NB ids 21 = 3·7 carries the operator's planted %7 boilerplate
+        // (shared with store docs 7/14) — keep the batch-only twins on
+        // non-multiples of 7 so their only shared run is batchRun
+        20L -> s"batch doc twenty nothing shared here at all ${pad * 30}",
+        21L -> s"plain batch doc twenty one with its own words ${pad * 40}",
+        22L -> s"first batch twin $batchRun end-a",
+        23L -> s"batch doc hitting the store $storeRun end-c",
+        24L -> s"second batch twin extra prefix $batchRun end-b",
+        25L -> s"final plain batch doc unlike anything else ${pad * 50}"))
+        .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+      val delta = graft.operators.Dedup.substringSpansDelta(spark, tmp)
+        .collect()
+      val deltaDocs = delta.map(_.getAs[Long]("doc_id")).toSet
+      // doc 23 shares a run with STORE doc 3 → must be reported
+      assert(deltaDocs.contains(23L), s"got $deltaDocs")
+      // docs 22/24 share a run only with EACH OTHER (both in batch) →
+      // the delta pass must NOT report them (store is the only probe)
+      assert(!deltaDocs.contains(22L) && !deltaDocs.contains(24L),
+        s"batch-internal dup leaked into delta: $deltaDocs")
+      // and everything reported is a batch doc
+      assert(deltaDocs.forall(_ >= 20L))
+      // the full pass DOES see the batch-batch twins — the delta's
+      // exclusion is scope, not blindness
+      val full = graft.operators.Dedup.substringSpans(spark, tmp)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(full.contains(22L) && full.contains(24L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
+  // ── Count-min sketch ─────────────────────────────────────────────────
+
+  test("CMS heavy hitters: one-sided error, exact top-20, consistent arithmetic") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_count")
+      val est = r.getAs[Long]("est_count")
+      assert(est >= exact, s"${r.getAs[String]("term")}: est $est < exact $exact")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+    // descending exact order
+    val exacts = out.map(_.getAs[Long]("exact_count"))
+    assert(exacts.sameElements(exacts.sorted.reverse))
+  }
+
+  test("CMS: colliding terms inflate the estimate, min-over-rows bounds it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cms").toString
+    try {
+      // 300 distinct rare terms spread over 256 buckets/row force
+      // collisions with the two heavy terms in SOME row; the min over
+      // 4 rows must still keep every estimate >= exact (one-sided).
+      val rare = (1 to 300).map(i => s"rare$i").mkString(" ")
+      val docs = Seq(
+        (1L, ("heavy " * 50).trim, "en", "s", 0L),
+        (2L, ("common " * 30).trim + " " + rare, "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = graft.operators.TextAnalysis.cmsHeavyHitters(spark, tmp)
+        .collect()
+      val byTerm = out.map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("exact_count"), r.getAs[Long]("est_count"))).toMap
+      assert(byTerm("heavy") == ((50L, byTerm("heavy")._2)))
+      assert(byTerm("heavy")._2 >= 50L && byTerm("common")._2 >= 30L)
+      // sketch never undercounts any probed term
+      out.foreach(r =>
+        assert(r.getAs[Long]("overcount") >= 0L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
   // ── Compaction planner ───────────────────────────────────────────────
 
   test("compaction: bins respect target except single oversized files") {
@@ -222,6 +310,52 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((1L to 8L).map(out).toSet.size == 1)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(tmp))
+  }
+
+  // ── Hybrid RRF fusion ────────────────────────────────────────────────
+
+  test("hybrid RRF: fusion arithmetic reconciles against the two rank lists") {
+    import graft.operators.Retrieval
+    val bm = Retrieval.bm25Search(spark, sf, Retrieval.HybridDepth).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val out = Retrieval.hybridSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val d = r.getAs[Long]("doc_id")
+      val rrf = r.getAs[Long]("rrf_micro")
+      val inB = r.getAs[Long]("in_bm25") == 1L
+      // membership flag must agree with the standalone bm25 list, and
+      // the bm25 contribution must be exactly 1e6/(60+brank)
+      assert(inB == bm.contains((q, d)))
+      val bPart = bm.get((q, d)).map(rk => 1000000L / (60 + rk)).getOrElse(0L)
+      val vPart = rrf - bPart
+      assert(vPart == 0L || (vPart >= 1000000L / 80 && vPart <= 1000000L / 61),
+        s"vec contribution $vPart out of top-20 RRF range")
+    }
+    // ranks contiguous per query
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted
+        .sameElements(1L to rows.length))
+    }
+  }
+
+  // ── Salted skew join ─────────────────────────────────────────────────
+
+  test("salted skew-join row equals the plain unsalted join+aggregate") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("ubucket", pmod(col("user_id"), lit(10L)))
+    val dim = spark.range(0, 10)
+      .select(col("id").as("ubucket"), (col("id") * 3 + 1).as("weight"))
+    val plain = ev.join(dim, "ubucket")
+      .groupBy("ubucket")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("weight")), 2).as("sum_weighted"))
+      .orderBy("ubucket").collect().toSeq
+    val salted = graft.operators.Skew.saltedJoinStats(spark, sf)
+      .collect().toSeq
+    assert(salted == plain)
   }
 
   test("ngram LM on fixture: every doc scored, scores >= 1e6") {
