@@ -193,6 +193,8 @@ object SparkEntry {
       Similarity.annIvf(s, d)),
     "emb_ivf_append"      -> ((s: SparkSession, d: String) =>
       Similarity.ivfAppendReport(s, d)),
+    "emb_ann_recall"      -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecall(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
       Similarity.annPq(s, d)),
     "dedup_spans"         -> (Curation.spanDedup _),
@@ -3377,6 +3379,68 @@ object SparkEntry {
            SELECT doc_id, start, start + 40 AS e FROM sel2
            WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
          $substrIslandsSql""",
+    // Recall@10 of the IVF probe vs exact KNN, per query — see
+    // Similarity.ivfRecall scaladoc. Same seeds/argmax/cosine CTE
+    // machinery as the emb_ann_ivf and emb_knn_exact oracles.
+    "emb_ann_recall" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND 16),
+         proj AS (
+           SELECT e.vec_id, s.c,
+             list_dot_product(e.emb, s.cv) AS proj
+           FROM e CROSS JOIN seeds s),
+         assigned AS (
+           SELECT vec_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+               WHERE vec_id < 5),
+         qc AS (
+           SELECT vec_id AS query_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY proj DESC, c) AS rn
+             FROM proj WHERE vec_id < 5) WHERE rn <= 4),
+         cand AS (
+           SELECT qc.query_id, a.vec_id
+           FROM assigned a JOIN qc ON a.cell = qc.cell
+           WHERE a.vec_id != qc.query_id),
+         ann_scored AS (
+           SELECT c.query_id, c.vec_id,
+             list_dot_product(q.qv, e.emb) /
+               (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.emb, e.emb))) AS cosine
+           FROM cand c JOIN e ON e.vec_id = c.vec_id
+             JOIN q ON q.query_id = c.query_id),
+         ann AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+             FROM ann_scored) WHERE rank <= 10),
+         ex_scored AS (
+           SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, e.emb) /
+               (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.emb, e.emb))) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+             FROM ex_scored) WHERE rank <= 10),
+         ov AS (
+           SELECT a.query_id, count(*) AS n_overlap
+           FROM ann a JOIN exact x
+             ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+           GROUP BY 1)
+         SELECT q.query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n_overlap, 0) * 1000 // 10 AS BIGINT)
+             AS recall_permille
+         FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""",
     // Count-min-sketch heavy hitters calibrated against exact counts —
     // see TextAnalysis.cmsHeavyHitters scaladoc.
     "doc_heavy_hitters_cms" ->

@@ -676,6 +676,70 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Recall@k calibration of the IVF probe against exact KNN — the
+    * number an ANN deployment actually tunes nprobe by: for each of the
+    * first `nQueries` vectors, the IVF candidate top-k (probing the
+    * query's [[IvfNprobe]] best cells, self excluded) is intersected
+    * with the exact top-k over the ENTIRE corpus (same self-exclusion).
+    * One row per query: overlap count and recall in permille. Both
+    * rankings and the intersection are integer/argmax arithmetic over
+    * the same left-to-right dot products as the standalone rows, so the
+    * oracle re-derives the figure bit-exactly — this is a COMPOSITION
+    * row over `emb_ann_ivf` and `emb_knn_exact`'s machineries, pinning
+    * the seam (candidate domains, self-exclusion, tie-breaks) between
+    * them.
+    *
+    * Scale: queries broadcast; the exact side is the brute-force scan
+    * the recall DEFINITION requires (run on a sample in production);
+    * the ANN side inherits the IVF plan. The final intersection joins
+    * two ≤ k·|queries|-row sets. */
+  def ivfRecall(s: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, nlist: Int = IvfNlist,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val seeds = ivfSeeds(s, dir, nlist)
+    val assigned = ivfAssign(s, dir, nlist)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val qcells = e.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .flatMap { case (qid, emb) =>
+        topCells(emb, seeds, nprobe).map(c => (qid, c))
+      }
+      .toDF("query_id", "cell")
+
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ann = assigned.join(broadcast(qcells), "cell")
+      .join(e.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+
+    val exact = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+
+    val overlap = exact.join(ann, Seq("query_id", "vec_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    queries.select("query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 1000 div $k").as("recall_permille"))
+      .orderBy("query_id")
+  }
+
   // ── Deterministic random-hyperplane LSH ───────────────────────────────
   // Hyperplane i, dimension d has sign +1 iff bit 13 of
   // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both

@@ -288,6 +288,25 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ── IVF recall calibration ───────────────────────────────────────────
+
+  test("ivf recall: bounded permille; probing ALL cells recovers exact recall") {
+    import graft.operators.Similarity
+    val partial = Similarity.ivfRecall(spark, sf).collect()
+    assert(partial.length == 5)
+    partial.foreach { r =>
+      val p = r.getAs[Long]("recall_permille")
+      assert(p >= 0 && p <= 1000)
+      assert(p == r.getAs[Long]("n_overlap") * 100)
+    }
+    // nprobe = nlist ⇒ the candidate set is the whole corpus ⇒ the ANN
+    // top-10 IS the exact top-10 ⇒ recall exactly 1000 for every query
+    val full = Similarity.ivfRecall(spark, sf,
+      nprobe = Similarity.IvfNlist).collect()
+    assert(full.forall(_.getAs[Long]("recall_permille") == 1000L),
+      full.mkString(","))
+  }
+
   // ── Bigram LM score ──────────────────────────────────────────────────
 
   test("ngram LM: scrambled doc scores more surprising than fluent twin") {
