@@ -91,7 +91,18 @@ object ScaleProbe {
     // index append (store build + batch-sized partitioned append; its
     // e is write-bound linear by construction, pinned so a future
     // regression toward re-quantization shows up)
-    "dedup_minhash_delta", "dedup_simhash_wide_delta", "emb_ivf_append")
+    "dedup_minhash_delta", "dedup_simhash_wide_delta", "emb_ivf_append",
+    // r13 second-session additions: the stride-1 window stream (the
+    // heaviest new per-char kernel — its contract is linear in corpus
+    // chars, duplicate test by hash aggregate, never all-pairs), its
+    // delta form (batch-broadcast contract like the other deltas), the
+    // BM25 postings path (broadcast term filter must keep the shuffle
+    // O(matched), so growth tracks matched postings), the zero-shuffle
+    // bigram LM (model join grows with vocab², stream linearly), and
+    // the CMS sketch (shuffle is O(partitions·d·w) by contract — the
+    // flattest growth on the list if the partial aggregation holds)
+    "dedup_substring", "dedup_substring_delta", "q_search_bm25",
+    "doc_ngram_lm", "doc_heavy_hitters_cms")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

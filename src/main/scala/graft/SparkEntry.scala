@@ -255,6 +255,7 @@ object SparkEntry {
     "q31_salted_skew_join" -> (graft.operators.Skew.saltedJoinStats _),
     "dedup_substring"     -> (Dedup.substringSpans _),
     "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
+    "dedup_substring_apply" -> (Dedup.substringApplyStats _),
     "doc_heavy_hitters_cms" -> ((s: SparkSession, d: String) =>
       TextAnalysis.cmsHeavyHitters(s, d)),
     "store_compaction"    -> (Layout.compactionPlan _),
@@ -379,9 +380,10 @@ object SparkEntry {
        sel AS (SELECT doc_id, start, h FROM wins
                WHERE substring(h, 1, 1) IN ('0','4','8','c'))"""
 
-  /** Island-merge tail (over a `marked(doc_id, start, e)` CTE) shared
-    * by the two substring-dedup oracles — mirrors Dedup.mergeSpans. */
-  private val substrIslandsSql: String =
+  /** Island-merge CTEs (over a `marked(doc_id, start, e)` CTE) ending
+    * in a `spans` CTE — shared by the three substring-dedup oracles;
+    * mirrors Dedup.mergeSpans. */
+  private val substrSpansCte: String =
     """flagged AS (
          SELECT doc_id, start, e,
            CASE WHEN start > coalesce(max(e) OVER (
@@ -393,10 +395,16 @@ object SparkEntry {
          SELECT doc_id, start, e,
            CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY start
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-         FROM flagged)
-       SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
-         max(e) - min(start) AS span_chars
-       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+         FROM flagged),
+       spans AS (
+         SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+           max(e) - min(start) AS span_chars
+         FROM isl GROUP BY doc_id, island)"""
+
+  /** Default span-row projection over [[substrSpansCte]]. */
+  private val substrSpansSelect: String =
+    """SELECT doc_id, span_start, span_end, span_chars
+       FROM spans ORDER BY doc_id, span_start"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3367,7 +3375,8 @@ object SparkEntry {
                   HAVING count(DISTINCT doc_id) >= 2),
          marked AS (SELECT doc_id, start, start + 40 AS e
                     FROM sel JOIN duph USING (h)),
-         $substrIslandsSql""",
+         $substrSpansCte
+         $substrSpansSelect""",
     // Incremental form: batch (top fifth of ids) windows tested against
     // the STORE's windows only — see Dedup.substringSpansDelta scaladoc.
     "dedup_substring_delta" ->
@@ -3378,7 +3387,34 @@ object SparkEntry {
          marked AS (
            SELECT doc_id, start, start + 40 AS e FROM sel2
            WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
-         $substrIslandsSql""",
+         $substrSpansCte
+         $substrSpansSelect""",
+    // Apply-side accounting of the span cut, per source — see
+    // Dedup.substringApplyStats scaladoc.
+    "dedup_substring_apply" ->
+      s"""WITH $substrSelCte,
+         duph AS (SELECT h FROM sel GROUP BY h
+                  HAVING count(DISTINCT doc_id) >= 2),
+         marked AS (SELECT doc_id, start, start + 40 AS e
+                    FROM sel JOIN duph USING (h)),
+         $substrSpansCte,
+         per_doc AS (
+           SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(span_chars) AS BIGINT) AS cut_chars
+           FROM spans GROUP BY 1),
+         sizes AS (
+           SELECT d.doc_id, d.source,
+             CAST(length(st.text) AS BIGINT) AS chars
+           FROM documents d JOIN staged st ON d.doc_id = st.doc_id)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_docs_affected,
+           CAST(sum(coalesce(p.cut_chars, 0)) AS BIGINT) AS cut_chars,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(coalesce(p.cut_chars, 0)) * 1000 // sum(chars)
+             AS BIGINT) AS removed_permille
+         FROM sizes LEFT JOIN per_doc p USING (doc_id)
+         GROUP BY source ORDER BY source""",
     // Recall@10 of the IVF probe vs exact KNN, per query — see
     // Similarity.ivfRecall scaladoc. Same seeds/argmax/cosine CTE
     // machinery as the emb_ann_ivf and emb_knn_exact oracles.

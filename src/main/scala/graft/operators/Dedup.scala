@@ -916,6 +916,11 @@ object Dedup {
     * boilerplate detectable while exercising the same kernel. */
   val SubstrWindow = 40
 
+  /** Planted boilerplate suffix for the %7 docs of the staged corpus
+    * (leading space included — it is part of the appended text). */
+  val SubstrBoilerplate =
+    " copyright notice all rights reserved worldwide terms"
+
   /** Exact duplicated-substring spans across documents — the
     * training-data dedup the pair-level kernels can't express: two
     * documents that are globally dissimilar may still share a long
@@ -953,8 +958,7 @@ object Dedup {
     val staged = Tables.documents(s, dir)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
-          concat(col("text"),
-            lit(" copyright notice all rights reserved worldwide terms")))
+          concat(col("text"), lit(SubstrBoilerplate)))
           .otherwise(col("text")).as("text"))
 
     // Guard length >= W BEFORE the sequence: Spark's sequence(0, n)
@@ -1042,5 +1046,39 @@ object Dedup {
       .select(col("doc_id"), col("start"), (col("start") + W).as("end"))
       .distinct()
     mergeSpans(marked)
+  }
+
+  /** The APPLY side of [[substringSpans]]: what cutting the duplicated
+    * spans would do to the corpus, reported per source — the
+    * before/after accounting a curator reads before committing a
+    * span-cut pass (the C4/ExactSubstr papers report exactly this
+    * "% of chars removed" figure). One row per source: documents
+    * affected, total span chars cut, corpus chars (of the STAGED text
+    * the spans index into), and removal permille.
+    *
+    * Scale: spans are the bounded output of the span pass; attaching
+    * sources is one hash join on doc id; the rollup is ≤ |sources|
+    * rows. */
+  def substringApplyStats(s: SparkSession, dir: String): DataFrame = {
+    val spans = substringSpans(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_chars")).as("cut_chars"))
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0,
+          length(col("text")) + lit(SubstrBoilerplate.length))
+          .otherwise(length(col("text"))).cast("long").as("chars"))
+    staged.join(spans, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_affected"),
+        sum(coalesce(col("cut_chars"), lit(0L))).as("cut_chars"),
+        sum(col("chars")).as("total_chars"))
+      .withColumn("removed_permille",
+        expr("cut_chars * 1000 div total_chars"))
+      .orderBy("source")
   }
 }

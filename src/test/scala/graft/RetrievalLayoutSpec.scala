@@ -191,6 +191,21 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.File(tmp))
   }
 
+  test("substring apply stats reconcile with the span rows") {
+    import graft.operators.Dedup
+    val spans = Dedup.substringSpans(spark, sf).collect()
+    val out = Dedup.substringApplyStats(spark, sf).collect()
+    val totalCut = out.map(_.getAs[Long]("cut_chars")).sum
+    assert(totalCut == spans.map(_.getAs[Long]("span_chars")).sum)
+    val affected = out.map(_.getAs[Long]("n_docs_affected")).sum
+    assert(affected == spans.map(_.getAs[Long]("doc_id")).distinct.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cut_chars") <= r.getAs[Long]("total_chars"))
+      assert(r.getAs[Long]("removed_permille") ==
+        r.getAs[Long]("cut_chars") * 1000 / r.getAs[Long]("total_chars"))
+    }
+  }
+
   // ── Count-min sketch ─────────────────────────────────────────────────
 
   test("CMS heavy hitters: one-sided error, exact top-20, consistent arithmetic") {
