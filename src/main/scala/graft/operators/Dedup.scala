@@ -995,7 +995,10 @@ object Dedup {
 
   def substringSpans(s: SparkSession, dir: String): DataFrame = {
     val W = SubstrWindow
-    val wins = sampledWindows(s, dir)
+    // checkpoint the SAMPLED stream: it feeds both the duplicate test
+    // and the join-back — without it the md5-per-window scan (the
+    // operator's dominant cost) runs twice
+    val wins = sampledWindows(s, dir).localCheckpoint(true)
 
     val dupHashes = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
