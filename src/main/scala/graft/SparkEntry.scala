@@ -256,6 +256,7 @@ object SparkEntry {
     "dedup_substring"     -> (Dedup.substringSpans _),
     "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
     "dedup_substring_apply" -> (Dedup.substringApplyStats _),
+    "stream_substr_parity" -> (Dedup.substrDeltaStreamParity _),
     "doc_heavy_hitters_cms" -> ((s: SparkSession, d: String) =>
       TextAnalysis.cmsHeavyHitters(s, d)),
     "store_compaction"    -> (Layout.compactionPlan _),
@@ -405,6 +406,20 @@ object SparkEntry {
   private val substrSpansSelect: String =
     """SELECT doc_id, span_start, span_end, span_chars
        FROM spans ORDER BY doc_id, span_start"""
+
+  /** Shared oracle of `dedup_substring_delta` and
+    * `stream_substr_parity`: batch windows (ids ≥ the 4/5 cut) probed
+    * against the store's window set only. */
+  private lazy val substrDeltaOracleSql: String =
+    s"""WITH $substrSelCte,
+       cut AS (SELECT max(doc_id) * 4 // 5 AS cut FROM documents),
+       sel2 AS (SELECT s.*, c.cut FROM sel s CROSS JOIN cut c),
+       store AS (SELECT h FROM sel2 WHERE doc_id < cut),
+       marked AS (
+         SELECT doc_id, start, start + 40 AS e FROM sel2
+         WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
+       $substrSpansCte
+       $substrSpansSelect"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3379,16 +3394,11 @@ object SparkEntry {
          $substrSpansSelect""",
     // Incremental form: batch (top fifth of ids) windows tested against
     // the STORE's windows only — see Dedup.substringSpansDelta scaladoc.
-    "dedup_substring_delta" ->
-      s"""WITH $substrSelCte,
-         cut AS (SELECT max(doc_id) * 4 // 5 AS cut FROM documents),
-         sel2 AS (SELECT s.*, c.cut FROM sel s CROSS JOIN cut c),
-         store AS (SELECT h FROM sel2 WHERE doc_id < cut),
-         marked AS (
-           SELECT doc_id, start, start + 40 AS e FROM sel2
-           WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
-         $substrSpansCte
-         $substrSpansSelect""",
+    "dedup_substring_delta" -> substrDeltaOracleSql,
+    // The SAME oracle pins the micro-batched streaming form — a mark
+    // lost or replayed across micro-batch boundaries is a hash
+    // mismatch (see Dedup.substrDeltaStreamParity).
+    "stream_substr_parity" -> substrDeltaOracleSql,
     // Apply-side accounting of the span cut, per source — see
     // Dedup.substringApplyStats scaladoc.
     "dedup_substring_apply" ->

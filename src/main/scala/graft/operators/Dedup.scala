@@ -951,16 +951,16 @@ object Dedup {
     * suffix at differing offsets, so the row proves alignment
     * robustness; natural vocabulary collisions are deterministic too.
     */
-  /** The staged corpus + sampled-window stream shared by
-    * [[substringSpans]] and [[substringSpansDelta]]. */
-  private def sampledWindows(s: SparkSession, dir: String): DataFrame = {
-    val W = SubstrWindow
-    val staged = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(SubstrBoilerplate)))
-          .otherwise(col("text")).as("text"))
+  /** Planted-boilerplate staging of a (doc_id, text) frame. */
+  private def stagedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(SubstrBoilerplate)))
+        .otherwise(col("text")).as("text"))
 
+  /** Sampled-window stream of an already-staged (doc_id, text) frame. */
+  private def sampledWindowsOf(staged: DataFrame): DataFrame = {
+    val W = SubstrWindow
     // Guard length >= W BEFORE the sequence: Spark's sequence(0, n)
     // with n < 0 steps DOWNWARD (while DuckDB's generate_series is
     // empty) — the filter keeps both engines on the same rows.
@@ -972,6 +972,12 @@ object Dedup {
       .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
       .select(col("doc_id"), col("start").cast("long").as("start"), col("h"))
   }
+
+  /** The staged corpus + sampled-window stream shared by
+    * [[substringSpans]] and [[substringSpansDelta]]. */
+  private def sampledWindows(s: SparkSession, dir: String): DataFrame =
+    sampledWindowsOf(stagedDocs(
+      Tables.documents(s, dir).select("doc_id", "text")))
 
   /** Merge duplicated-window marks into maximal per-document spans. */
   private def mergeSpans(marked: DataFrame): DataFrame = {
@@ -1049,6 +1055,72 @@ object Dedup {
       .select(col("doc_id"), col("start"), (col("start") + W).as("end"))
       .distinct()
     mergeSpans(marked)
+  }
+
+  /** [[substringSpansDelta]] run as a STREAM: the day's batch arrives
+    * as micro-batches (two ascending id-range file slices,
+    * maxFilesPerTrigger=1), each foreachBatch windows ONLY its slice,
+    * probes the same fixed store window set, and appends its marks;
+    * the final island merge over the accumulated marks must equal the
+    * one-shot delta bit-for-bit — the two rows share one oracle, so a
+    * mark lost or replayed across micro-batch boundaries is a hash
+    * mismatch. Mark appends are idempotent under replay (distinct
+    * before the merge), the same guard the chunk-store sink uses.
+    *
+    * Scale: per-trigger work is the window kernel over that slice plus
+    * the store hash join — state never accumulates in the stream; the
+    * store set plays the role the frozen quantizer plays in
+    * `stream_ivf_parity`. */
+  def substrDeltaStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val maxRow = Tables.documents(s, dir).agg(max(col("doc_id"))).head
+    if (maxRow.isNullAt(0)) return substringSpansDelta(s, dir)
+    val from = maxRow.getLong(0) * 4 / 5
+    val W = SubstrWindow
+    val storeWins = sampledWindows(s, dir)
+      .filter(col("doc_id") < from)
+      .select("h").localCheckpoint(true)
+
+    val base = java.nio.file.Files.createTempDirectory("substrstream")
+    try {
+      Tables.documents(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") >= from)
+        .repartitionByRange(2, col("doc_id"))
+        .write.parquet(s"$base/in")
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val marksDir = s"$base/marks"
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          sampledWindowsOf(stagedDocs(b))
+            .join(storeWins, "h")
+            .select(col("doc_id"), col("start"),
+              (col("start") + W).as("end"))
+            .distinct()
+            .write.mode("append").parquet(marksDir)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val marks =
+        if (new java.io.File(marksDir).exists())
+          s.read.parquet(marksDir).distinct()
+        else s.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("start"),
+            lit(0L).as("end")).limit(0)
+      // materialize before the temp tree is deleted (the ivf stream
+      // parity's pattern)
+      mergeSpans(marks).localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
   /** The APPLY side of [[substringSpans]]: what cutting the duplicated

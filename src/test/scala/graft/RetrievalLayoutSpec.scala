@@ -206,6 +206,14 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streamed substring delta equals the one-shot delta on the fixture") {
+    import graft.operators.Dedup
+    val batch = Dedup.substringSpansDelta(spark, sf).collect().toSeq
+    val stream = Dedup.substrDeltaStreamParity(spark, sf).collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty) // %7-planted docs exist in the top fifth
+  }
+
   // ── Count-min sketch ─────────────────────────────────────────────────
 
   test("CMS heavy hitters: one-sided error, exact top-20, consistent arithmetic") {
