@@ -324,7 +324,7 @@ object SparkEntry {
     * scoring arithmetic cannot drift between them. Mirrors
     * Retrieval.bm25Search's integer rationalization exactly. */
   private val bm25RankedCte: String =
-    """bm_d AS (SELECT doc_id, string_split(text,' ') AS toks
+    s"""bm_d AS (SELECT doc_id, string_split(text,' ') AS toks
                 FROM documents),
        bm_dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM bm_d),
        bm_tok AS (SELECT doc_id, unnest(toks) AS term FROM bm_d),
@@ -334,8 +334,8 @@ object SparkEntry {
        bm_stats AS (SELECT count(*) AS n_docs,
                       CAST(sum(dl) AS BIGINT) // count(*) AS avg_dl
                     FROM bm_dl),
-       bm_q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),
-         (1,'vector'),(1,'hash'),(1,'scan'),(2,'customer'),(2,'query')),
+       bm_q(query_id, term) AS (VALUES ${Retrieval.benchQueries
+      .map { case (q, t) => s"($q,'$t')" }.mkString(",")}),
        bm_scored AS (
          SELECT q.query_id, tf.doc_id,
            ((2*s.n_docs - 2*dft.df + 1) * 1000000) // (2*dft.df + 1)
@@ -362,21 +362,23 @@ object SparkEntry {
   /** Staged-corpus + sampled-window CTE stack shared by the
     * `dedup_substring` and `dedup_substring_delta` oracles — mirrors
     * Dedup.sampledWindows exactly (planted %7 boilerplate, length
-    * guard, md5 content-defined 1/4 sampling). */
+    * guard, md5 content-defined 1/4 sampling). Window width and
+    * boilerplate interpolate from the Scala constants (repo anti-drift
+    * convention). */
   private val substrSelCte: String =
-    """staged AS (
+    s"""staged AS (
          SELECT doc_id, CASE WHEN doc_id % 7 = 0
-           THEN text ||
-             ' copyright notice all rights reserved worldwide terms'
+           THEN text || '${Dedup.SubstrBoilerplate}'
            ELSE text END AS text
          FROM documents),
        w0 AS (
          SELECT doc_id, text,
-           unnest(range(0, length(text) - 39)) AS gs
-         FROM staged WHERE length(text) >= 40),
+           unnest(range(0, length(text) - ${Dedup.SubstrWindow - 1})) AS gs
+         FROM staged WHERE length(text) >= ${Dedup.SubstrWindow}),
        wins AS (
          SELECT doc_id, CAST(gs AS BIGINT) AS start,
-           md5(substring(text, CAST(gs + 1 AS INT), 40)) AS h
+           md5(substring(text, CAST(gs + 1 AS INT), ${Dedup.SubstrWindow}))
+             AS h
          FROM w0),
        sel AS (SELECT doc_id, start, h FROM wins
                WHERE substring(h, 1, 1) IN ('0','4','8','c'))"""
@@ -416,7 +418,7 @@ object SparkEntry {
        sel2 AS (SELECT s.*, c.cut FROM sel s CROSS JOIN cut c),
        store AS (SELECT h FROM sel2 WHERE doc_id < cut),
        marked AS (
-         SELECT doc_id, start, start + 40 AS e FROM sel2
+         SELECT doc_id, start, start + ${Dedup.SubstrWindow} AS e FROM sel2
          WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
        $substrSpansCte
        $substrSpansSelect"""
@@ -3371,7 +3373,8 @@ object SparkEntry {
          FROM rf WHERE rank <= 5 ORDER BY query_id, rank""",
     // Salting must be RESULT-INVISIBLE: the oracle is the plain join.
     "q31_salted_skew_join" ->
-      """WITH ev AS (SELECT user_id % 10 AS ubucket, value FROM events),
+      """WITH ev AS (SELECT ((user_id % 10) + 10) % 10 AS ubucket, value
+                     FROM events),
          dim AS (SELECT CAST(i AS BIGINT) AS ubucket,
                    CAST(i*3 + 1 AS BIGINT) AS weight
                  FROM (SELECT unnest(range(0, 10)) AS i)),
@@ -3388,7 +3391,7 @@ object SparkEntry {
       s"""WITH $substrSelCte,
          duph AS (SELECT h FROM sel GROUP BY h
                   HAVING count(DISTINCT doc_id) >= 2),
-         marked AS (SELECT doc_id, start, start + 40 AS e
+         marked AS (SELECT doc_id, start, start + ${Dedup.SubstrWindow} AS e
                     FROM sel JOIN duph USING (h)),
          $substrSpansCte
          $substrSpansSelect""",
@@ -3405,7 +3408,7 @@ object SparkEntry {
       s"""WITH $substrSelCte,
          duph AS (SELECT h FROM sel GROUP BY h
                   HAVING count(DISTINCT doc_id) >= 2),
-         marked AS (SELECT doc_id, start, start + 40 AS e
+         marked AS (SELECT doc_id, start, start + ${Dedup.SubstrWindow} AS e
                     FROM sel JOIN duph USING (h)),
          $substrSpansCte,
          per_doc AS (
@@ -3490,23 +3493,24 @@ object SparkEntry {
     // Count-min-sketch heavy hitters calibrated against exact counts —
     // see TextAnalysis.cmsHeavyHitters scaladoc.
     "doc_heavy_hitters_cms" ->
-      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS term
+      s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS term
                       FROM documents),
-         rows0 AS (SELECT term, unnest(range(0, 4)) AS r FROM tok),
+         rows0 AS (SELECT term,
+             unnest(range(0, ${TextAnalysis.CmsRows})) AS r FROM tok),
          rb AS (SELECT r,
              ('0x'||substr(md5(CAST(r AS VARCHAR)||':'||term), 1, 8))::BIGINT
-               % 256 AS b
+               % ${TextAnalysis.CmsWidth} AS b
            FROM rows0),
          sketch AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
          exact AS (SELECT term, count(*) AS exact_count FROM tok
                    GROUP BY 1),
          top AS (SELECT term, exact_count FROM exact
                  ORDER BY exact_count DESC, term LIMIT 20),
-         cand AS (SELECT term, exact_count, unnest(range(0, 4)) AS r
-                  FROM top),
+         cand AS (SELECT term, exact_count,
+             unnest(range(0, ${TextAnalysis.CmsRows})) AS r FROM top),
          cb AS (SELECT term, exact_count, r,
              ('0x'||substr(md5(CAST(r AS VARCHAR)||':'||term), 1, 8))::BIGINT
-               % 256 AS b
+               % ${TextAnalysis.CmsWidth} AS b
            FROM cand),
          est AS (SELECT term, exact_count, min(cnt) AS est_count
                  FROM cb JOIN sketch USING (r, b) GROUP BY 1, 2)
@@ -3516,7 +3520,7 @@ object SparkEntry {
     // Next-fit-decreasing compaction bins over the per-partition file
     // listing — see Layout.compactionPlan scaladoc.
     "store_compaction" ->
-      """WITH files AS (SELECT source AS part, doc_id AS file_id,
+      s"""WITH files AS (SELECT source AS part, doc_id AS file_id,
              n_chars AS bytes FROM documents),
          w AS (
            SELECT part, file_id, bytes,
@@ -3526,7 +3530,7 @@ object SparkEntry {
                AS BIGINT) AS cum_before
            FROM files),
          b AS (SELECT part, file_id, bytes,
-                 cum_before // 4000 AS bin FROM w)
+                 cum_before // ${Layout.CompactionTarget} AS bin FROM w)
          SELECT part, bin, count(*) AS n_files,
            CAST(sum(bytes) AS BIGINT) AS total_bytes,
            max(bytes) AS max_file_bytes, min(file_id) AS first_file
@@ -3557,13 +3561,17 @@ object SparkEntry {
          bounds AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
            min(us) AS min_us, max(us) AS max_us FROM ev),
          dims AS (
-           SELECT ((user_id - min_u) * 1024) // (max_u - min_u + 1) AS x,
-             ((us - min_us) * 1024) // (max_us - min_us + 1) AS y
+           SELECT ((user_id - min_u) * ${1L << graft.operators.Layout.ZBits})
+               // (max_u - min_u + 1) AS x,
+             ((us - min_us) * ${1L << graft.operators.Layout.ZBits})
+               // (max_us - min_us + 1) AS y
            FROM ev CROSS JOIN bounds),
          z AS (SELECT x, y,
              ${graft.operators.Layout.zInterleaveSql("x", "y")} AS zkey
            FROM dims),
-         f AS (SELECT x, y, zkey >> 14 AS file_id FROM z)
+         f AS (SELECT x, y,
+             zkey >> ${2 * graft.operators.Layout.ZBits - 6} AS file_id
+           FROM z)
          SELECT CAST(file_id AS BIGINT) AS file_id, count(*) AS n_rows,
            min(x) AS x_min, max(x) AS x_max,
            min(y) AS y_min, max(y) AS y_max

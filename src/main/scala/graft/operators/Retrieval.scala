@@ -23,9 +23,7 @@ import graft.Tables
   *
   * Cross-engine determinism: BM25's k1=1.2 / b=0.75 tf saturation is
   * rationalized to pure BIGINT arithmetic (below) and the log-idf is
-  * replaced by its Robertson–Spärck-Jones ratio argument, scaled — both
-  * monotone in df, so ranking semantics are preserved while every score
-  * is an exact integer identical in DuckDB:
+  * replaced by its Robertson–Spärck-Jones ratio argument, scaled:
   *
   *   idf_scaled     = ((2N - 2df + 1) * 1e6) div (2df + 1)
   *   tfpart_micro   = (44*A*tf*1e6) div (20*A*tf + 6*A + 18*dl)
@@ -33,9 +31,21 @@ import graft.Tables
   *                    -- with k1=6/5, b=3/4, avgdl truncated to A=S div N
   *   score          = Σ_terms idf_scaled * tfpart_micro div 1e6
   *
-  * With A ≤ ~1e5 chars-per-doc and tf ≤ dl, 44*A*tf*1e6 stays well
-  * inside Long; a 100 TB corpus would lift the 1e6 scale into
-  * DECIMAL(38,0) but keep the same rational form.
+  * The linear idf ratio is monotone in df PER TERM (a rarer term always
+  * outweighs a commoner one), but it weights rare terms more
+  * aggressively than log-idf, so MULTI-term totals can order documents
+  * differently than textbook BM25 — this engine's scoring function is
+  * the linear-idf variant, chosen because every score is an exact
+  * integer identical in DuckDB (log cannot be made bit-stable across
+  * engines).
+  *
+  * Overflow envelope: the binding term is the score product
+  * idf_scaled (≈ 0.67e6·N at df=1) × tfpart_micro (≤ 2.2e6) ≈
+  * 1.5e12·N — inside Long up to N ≈ 6e6 documents. Beyond that a
+  * deployment drops the per-factor scale to 1e3 or lifts the product
+  * into DECIMAL(38,0) (Spark and DuckDB both support it), keeping the
+  * same rational form. The tfpart numerator 44·A·tf·1e6 binds later
+  * (A ≤ ~1e5 chars, tf ≤ dl keeps it ≤ ~1e17).
   */
 object Retrieval {
 
