@@ -958,19 +958,47 @@ object Dedup {
         concat(col("text"), lit(SubstrBoilerplate)))
         .otherwise(col("text")).as("text"))
 
-  /** Sampled-window stream of an already-staged (doc_id, text) frame. */
+  /** Sampled-window stream of an already-staged (doc_id, text) frame.
+    *
+    * Typed per-partition kernel rather than the relational
+    * explode(sequence)+substring+md5 form: the explode duplicates the
+    * FULL document text onto every one of its ~|text| window rows
+    * (300× data multiplication before the md5 even runs) — the same
+    * reason [[simhashSignatures]] is a typed pass. Parity with the
+    * DuckDB oracle: md5 over the window's UTF-8 bytes, lowercase hex,
+    * high-nibble mod-4 sampling — identical for the BMP text this
+    * corpus carries (Java indexes UTF-16 units where SQL counts code
+    * points; like the other typed string kernels, supplementary-plane
+    * text would need a code-point walk). */
   private def sampledWindowsOf(staged: DataFrame): DataFrame = {
+    val s = staged.sparkSession
+    import s.implicits._
     val W = SubstrWindow
-    // Guard length >= W BEFORE the sequence: Spark's sequence(0, n)
-    // with n < 0 steps DOWNWARD (while DuckDB's generate_series is
-    // empty) — the filter keeps both engines on the same rows.
-    staged
-      .filter(length(col("text")) >= W)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - W)).as("start"))
-      .withColumn("h", md5(expr(s"substring(text, start + 1, $W)")))
-      .filter(substring(col("h"), 1, 1).isin("0", "4", "8", "c"))
-      .select(col("doc_id"), col("start").cast("long").as("start"), col("h"))
+    staged.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        it.flatMap { case (id, text) =>
+          if (text.length < W) Iterator.empty
+          else (0 to text.length - W).iterator.flatMap { st =>
+            val h = md.digest(
+              text.substring(st, st + W).getBytes("UTF-8"))
+            // sampled iff the first hex char is 0/4/8/c — the high
+            // nibble of byte 0 divisible by 4
+            if ((((h(0) >> 4) & 0xf) & 0x3) == 0) {
+              val sb = new java.lang.StringBuilder(32)
+              var i = 0
+              while (i < 16) {
+                sb.append(hexDigits((h(i) >> 4) & 0xf))
+                sb.append(hexDigits(h(i) & 0xf))
+                i += 1
+              }
+              Iterator.single((id, st.toLong, sb.toString))
+            } else Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "start", "h")
   }
 
   /** The staged corpus + sampled-window stream shared by
