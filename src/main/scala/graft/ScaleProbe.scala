@@ -381,23 +381,24 @@ within-replica dots preserved); and file counts scale with k with
 a single-file replica serialized its scans and distorted the curve.
 
 **r13 second-session rows, adjudicated.** The five new watch rows all
-sit well under linear at 10x. `dedup_substring` (e~=0.03): the
-per-char md5 window stream is the dominant cost but parallelizes
-flat across 32 cores at these sizes; its true data-path exponent is 1
-by construction (every char yields a window) and will surface once the
-stream outgrows the core count — the contract being probed is the
-ABSENCE of a pair-explosion term, which holds (the duplicate test is
-one hash aggregate; the planted %7 boilerplate makes cross-replica
-duplicates grow linearly, not quadratically, and the span counts
-confirm it). `dedup_substring_delta` (e<0): batch-broadcast contract
-holds — only the store scan grows, the join state tracks the batch.
-`q_search_bm25` (e~=0.22): matched postings are SCALE-INVARIANT under
-the rotated replicas (query terms only exist in replica 0), so the
-residual growth isolates the corpus-stats scan + token explode — the
-part the broadcast term filter cannot remove; a persisted-index
-deployment removes it too. `doc_ngram_lm` (e~=0.59): the bigram model
-grows with replica vocabulary (each rotation mints a disjoint vocab),
-so the model-join side grows ~linearly while the stream side stays
+sit well under linear at 10x (this table reflects the TYPED window
+kernel — the earlier relational form read 6.8 s at 1x with its
+300x text multiplication; the typed pass reads 1.5 s and exposes the
+true data-path growth). `dedup_substring` (e~=0.52): the per-char md5
+window stream IS linear in corpus chars by construction — the contract
+being probed is the ABSENCE of a pair-explosion term, which holds (the
+duplicate test is one hash aggregate; the planted %7 boilerplate makes
+cross-replica duplicates grow linearly, not quadratically, and the
+span counts confirm it). `dedup_substring_delta` (e~=0.37):
+batch-broadcast contract holds — only the store-side window scan
+grows; the join state tracks the batch. `q_search_bm25` (e~=0.34):
+matched postings are SCALE-INVARIANT under the rotated replicas
+(query terms only exist in replica 0), so the residual growth
+isolates the corpus-stats scan + token explode — the part the
+broadcast term filter cannot remove; a persisted-index deployment
+removes it too. `doc_ngram_lm` (e~=0.56): the bigram model grows with
+replica vocabulary (each rotation mints a disjoint vocab), so the
+model-join side grows ~linearly while the stream side stays
 scan-bound — the DF-floor note in the scaladoc is the 100 TB lever.
 `doc_heavy_hitters_cms` (e<0): the flattest row on the list, as the
 sketch contract demands — the shuffle is O(partitions*d*w) regardless
