@@ -252,6 +252,8 @@ object SparkEntry {
       Retrieval.bm25Search(s, d)),
     "q_search_hybrid"     -> ((s: SparkSession, d: String) =>
       Retrieval.hybridSearch(s, d)),
+    "q_search_phrase"     -> ((s: SparkSession, d: String) =>
+      Retrieval.phraseSearch(s, d)),
     "q31_salted_skew_join" -> (graft.operators.Skew.saltedJoinStats _),
     "dedup_substring"     -> (Dedup.substringSpans _),
     "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
@@ -3371,6 +3373,37 @@ object SparkEntry {
            CAST(in_bm25 AS BIGINT) AS in_bm25,
            CAST(in_vec AS BIGINT) AS in_vec
          FROM rf WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Positional-phrase search: anchored postings intersection — see
+    // Retrieval.phraseSearch scaladoc. Phrase VALUES interpolate from
+    // the same constant the Spark side broadcasts.
+    "q_search_phrase" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks
+                     FROM documents),
+         p0 AS (SELECT doc_id, toks,
+                  unnest(range(1, len(toks) + 1)) AS i FROM d),
+         postings AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                        toks[CAST(i AS INT)] AS term FROM p0),
+         q(query_id, idx, term) AS (VALUES ${Retrieval.phraseQueries
+        .map { case (q, i, t) => s"($q,$i,'$t')" }.mkString(",")}),
+         plen AS (SELECT query_id, CAST(max(idx) + 1 AS BIGINT)
+                    AS phrase_len FROM q GROUP BY 1),
+         anch AS (SELECT q.query_id, p.doc_id, p.pos - q.idx AS anchor,
+                    q.idx
+                  FROM postings p JOIN q USING (term)),
+         occ AS (SELECT query_id, doc_id, anchor,
+                   count(DISTINCT idx) AS n_terms
+                 FROM anch GROUP BY 1, 2, 3),
+         hits AS (SELECT o.query_id, o.doc_id,
+                    count(*) AS n_occurrences
+                  FROM occ o JOIN plen USING (query_id)
+                  WHERE o.n_terms = plen.phrase_len GROUP BY 1, 2),
+         ranked AS (SELECT query_id, doc_id, n_occurrences,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_occurrences DESC, doc_id) AS rank
+           FROM hits)
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // Salting must be RESULT-INVISIBLE: the oracle is the plain join.
     "q31_salted_skew_join" ->
       """WITH ev AS (SELECT ((user_id % 10) + 10) % 10 AS ubucket, value

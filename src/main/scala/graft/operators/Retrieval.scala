@@ -114,6 +114,59 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** The fixed phrase-query set: (query_id, 0-based term index, term).
+    * Flattened for broadcast; phrase length = max index + 1 per query. */
+  val phraseQueries: Seq[(Long, Int, String)] = Seq(
+    (0L, 0, "table"), (0L, 1, "hash"),
+    (1L, 0, "customer"), (1L, 1, "join"),
+    (2L, 0, "merge"), (2L, 1, "group"))
+
+  /** Exact-phrase search over a POSITIONAL inverted index — the
+    * capability BM25's bag-of-words index can't express: "customer
+    * join" must match only adjacent occurrences in order. The classic
+    * positional-postings intersection runs as ONE anchored join: each
+    * matched posting proposes the phrase start `anchor = pos - idx`
+    * (its position minus its index within the phrase), and an anchor
+    * where ALL phrase terms landed (count(distinct idx) = phrase
+    * length) is one occurrence. Works for any phrase length with a
+    * single join and a single aggregate — no per-word self-join chain.
+    *
+    * Scale: the broadcast term filter prunes the positional postings
+    * map-side before any shuffle (the [[bm25Search]] contract); the
+    * anchor aggregate is a hash aggregate over matched postings only.
+    * Top-k per query by occurrence count (count desc, doc_id). */
+  def phraseSearch(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val phrases = phraseQueries.toDF("query_id", "idx", "term")
+    val phraseLen = phraseQueries.groupBy(_._1)
+      .map { case (q, xs) => (q, xs.map(_._2).max + 1) }
+      .toSeq.toDF("query_id", "phrase_len")
+
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "term")
+
+    val anchors = postings
+      .join(broadcast(phrases), "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("idx")).as("anchor"), col("idx"))
+      .groupBy("query_id", "doc_id", "anchor")
+      .agg(countDistinct(col("idx")).as("n_terms"))
+      .join(broadcast(phraseLen), "query_id")
+      .filter(col("n_terms") === col("phrase_len"))
+
+    anchors
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("n_occurrences").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_occurrences"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Depth of each per-modality candidate list feeding [[hybridSearch]]. */
   val HybridDepth = 20
 

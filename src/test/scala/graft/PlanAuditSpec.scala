@@ -349,6 +349,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_search_phrase prunes postings with broadcast terms, no self-join chain") {
+    // the anchored intersection is ONE join + one aggregate whatever
+    // the phrase length — a per-word self-join chain would smell as
+    // multiple SortMergeJoins
+    val p = planOf("q_search_phrase")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("dedup_substring never plans a pairwise join") {
     // duplicated windows are found by one hash aggregate on the window
     // hash and joined back by key — all-pairs would be a cartesian

@@ -67,6 +67,29 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.File(tmp))
   }
 
+  test("phrase search: order- and adjacency-sensitive, counts overlaps") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("phr").toString
+    try {
+      // query 0 is the phrase "table hash"
+      val docs = Seq(
+        (1L, "x table hash y", "en", "s", 0L),          // 1 occurrence
+        (2L, "x hash table y", "en", "s", 0L),          // reversed: none
+        (3L, "table x hash", "en", "s", 0L),            // gapped: none
+        (4L, "table hash z table hash", "en", "s", 0L)) // 2 occurrences
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = graft.operators.Retrieval.phraseSearch(spark, tmp)
+        .filter($"query_id" === 0L).collect()
+      val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_occurrences")).toMap
+      assert(byDoc == Map(1L -> 1L, 4L -> 2L), s"got $byDoc")
+      // rank 1 is the doc with more occurrences
+      assert(out.minBy(_.getAs[Long]("rank")).getAs[Long]("doc_id") == 4L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
   test("bm25 on fixture: 3 queries, k rows each, ranks contiguous") {
     val out = Retrieval.bm25Search(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
