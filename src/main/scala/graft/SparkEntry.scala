@@ -254,6 +254,8 @@ object SparkEntry {
       Retrieval.hybridSearch(s, d)),
     "q_search_phrase"     -> ((s: SparkSession, d: String) =>
       Retrieval.phraseSearch(s, d)),
+    "q_search_bm25_indexed" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25SearchIndexed(s, d)),
     "q31_salted_skew_join" -> (graft.operators.Skew.saltedJoinStats _),
     "dedup_substring"     -> (Dedup.substringSpans _),
     "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
@@ -424,6 +426,13 @@ object SparkEntry {
          WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
        $substrSpansCte
        $substrSpansSelect"""
+
+  /** Shared oracle of `q_search_bm25` and `q_search_bm25_indexed`. */
+  private lazy val bm25TopOracleSql: String =
+    s"""WITH $bm25RankedCte
+       SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+         matched_terms, score
+       FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3324,11 +3333,10 @@ object SparkEntry {
     // BM25 with integer-rationalized k1=1.2/b=0.75 tf saturation and the
     // scaled RSJ idf ratio (log-free) — see Retrieval.bm25Search scaladoc.
     // CTE stack shared with the hybrid-fusion oracle (bm25RankedCte).
-    "q_search_bm25" ->
-      s"""WITH $bm25RankedCte
-         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-           matched_terms, score
-         FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_search_bm25" -> bm25TopOracleSql,
+    // The persisted-index path must score identically to the inline
+    // path — one oracle pins both (Retrieval.bm25SearchIndexed).
+    "q_search_bm25_indexed" -> bm25TopOracleSql,
     // Reciprocal Rank Fusion of the BM25 and cosine-KNN top-20 lists
     // (k=60) — integer arithmetic; see Retrieval.hybridSearch scaladoc.
     "q_search_hybrid" ->

@@ -93,6 +93,14 @@ object Retrieval {
     // postings (one row per (doc, term)) — ≤ |query terms| output rows.
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
+    scoreBm25(tf, df, stats, queries, k)
+  }
+
+  /** The one scoring pipeline both BM25 entries share — inline
+    * ([[bm25Search]]) and persisted-index ([[bm25SearchIndexed]])
+    * inputs must score identically or their shared oracle catches it. */
+  private def scoreBm25(tf: DataFrame, df: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int): DataFrame =
     tf
       .join(broadcast(queries), "term")
       .join(broadcast(df), "term")
@@ -112,6 +120,54 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("matched_terms"), col("score"))
       .orderBy("query_id", "rank")
+
+  /** Persist the lexical index [[bm25Search]] derives inline: postings
+    * (doc_id, dl, term, tf) clustered by term so a term-filtered query
+    * scan skips row groups, document frequencies, and the 1-row corpus
+    * stats. This is the build-once path of a 100 TB deployment — the
+    * corpus is scanned exactly once here; every query afterwards
+    * touches only its own terms' postings ([[bm25SearchIndexed]]). */
+  def buildLexicalIndex(s: SparkSession, dir: String,
+      indexDir: String): Unit = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // cluster by term: min/max row-group stats then prune term filters
+    postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.parquet(s"$indexDir/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.parquet(s"$indexDir/df")
+    docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"), expr("sum_dl div n_docs").as("avg_dl"))
+      .write.parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 over a PERSISTED index — identical scoring arithmetic and
+    * output as [[bm25Search]] (the two rows share one oracle), but the
+    * only corpus-shaped input is the postings scan, and the query
+    * terms are LITERALS so the In-filter pushes into that scan
+    * (plan-audited): at 100 TB a query reads its terms' row groups,
+    * not the corpus. Builds into a temp dir here (the oracle-row
+    * form); a deployment calls [[buildLexicalIndex]] once. */
+  def bm25SearchIndexed(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("lexidx")
+    try {
+      buildLexicalIndex(s, dir, base.toString)
+      val terms = benchQueries.map(_._2).distinct
+      val tf = s.read.parquet(s"$base/postings")
+        .filter(col("term").isin(terms: _*))
+      val df = s.read.parquet(s"$base/df")
+        .filter(col("term").isin(terms: _*))
+      val stats = s.read.parquet(s"$base/stats")
+      val queries = benchQueries.toDF("query_id", "term")
+      scoreBm25(tf, df, stats, queries, k).localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
   /** The fixed phrase-query set: (query_id, 0-based term index, term).

@@ -67,6 +67,27 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.File(tmp))
   }
 
+  test("persisted lexical index: term pushdown + parity with the inline row") {
+    import graft.operators.Retrieval
+    val tmp = java.nio.file.Files.createTempDirectory("lex").toString
+    try {
+      Retrieval.buildLexicalIndex(spark, sf, tmp)
+      // the query-time contract: a term filter reaches the postings
+      // parquet scan as a pushed In-filter (row-group skipping works
+      // because the build clustered postings by term)
+      val probe = spark.read.parquet(s"$tmp/postings")
+        .filter(col("term").isin("spark", "join"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+        plan.take(2000))
+      // and the persisted path scores bit-identically to the inline row
+      val inline = Retrieval.bm25Search(spark, sf).collect().toSeq
+      val indexed = Retrieval.bm25SearchIndexed(spark, sf).collect().toSeq
+      assert(indexed == inline)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(tmp))
+  }
+
   test("phrase search: order- and adjacency-sensitive, counts overlaps") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("phr").toString
