@@ -265,6 +265,7 @@ object SparkEntry {
       TextAnalysis.cmsHeavyHitters(s, d)),
     "store_compaction"    -> (Layout.compactionPlan _),
     "layout_zorder"       -> (Layout.zorderStats _),
+    "layout_zorder_prune" -> (Layout.zorderPruneStats _),
     "doc_ngram_lm"        -> (TextAnalysis.ngramLm _)
   )
 
@@ -3594,6 +3595,44 @@ object SparkEntry {
            CAST(sum(surprise) // count(*) AS BIGINT) AS lm_score_micro
          FROM sc GROUP BY doc_id ORDER BY doc_id"""
   ) ++ Map(
+    // File-skipping comparison: the same rows laid out z-ordered vs
+    // time-linear, pruned by min/max stats under an x-only slice — see
+    // Layout.zorderPruneStats scaladoc. All constants interpolate.
+    "layout_zorder_prune" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         bounds AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+           min(us) AS min_us, max(us) AS max_us FROM ev),
+         dims AS (
+           SELECT ((user_id - min_u) * ${1L << graft.operators.Layout.ZBits})
+               // (max_u - min_u + 1) AS x,
+             ((us - min_us) * ${1L << graft.operators.Layout.ZBits})
+               // (max_us - min_us + 1) AS y
+           FROM ev CROSS JOIN bounds),
+         z AS (SELECT x, y,
+             ${graft.operators.Layout.zInterleaveSql("x", "y")} AS zkey
+           FROM dims),
+         lay AS (
+           SELECT 'linear_time' AS layout,
+             y >> ${graft.operators.Layout.ZBits - 6} AS file_id, x FROM z
+           UNION ALL
+           SELECT 'zorder',
+             zkey >> ${2 * graft.operators.Layout.ZBits - 6}, x FROM z),
+         pf AS (
+           SELECT layout, file_id, count(*) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             CAST(sum(CASE WHEN x BETWEEN ${graft.operators.Layout.PruneXLo}
+                 AND ${graft.operators.Layout.PruneXHi} THEN 1 ELSE 0 END)
+               AS BIGINT) AS rows_matched
+           FROM lay GROUP BY 1, 2)
+         SELECT layout, count(*) AS n_files,
+           CAST(sum(CASE WHEN x_max >= ${graft.operators.Layout.PruneXLo}
+               AND x_min <= ${graft.operators.Layout.PruneXHi}
+               THEN 1 ELSE 0 END) AS BIGINT) AS files_kept,
+           CAST(sum(CASE WHEN x_max >= ${graft.operators.Layout.PruneXLo}
+               AND x_min <= ${graft.operators.Layout.PruneXHi}
+               THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+           CAST(sum(rows_matched) AS BIGINT) AS rows_matched
+         FROM pf GROUP BY 1 ORDER BY layout""",
     // Z-order layout stats: the interleave expression is generated from
     // the same bit recipe the Spark side folds over
     // (Layout.zInterleaveSql), so the two cannot drift.

@@ -114,4 +114,65 @@ object Layout {
       Seq(s"((($x >> $i) & 1) << ${2 * i + 1})",
         s"((($y >> $i) & 1) << ${2 * i})")
     }.mkString(" + ")
+
+  /** The x-slice predicate [[zorderPruneStats]] measures: the middle
+    * eighth of the x domain. */
+  val PruneXLo = 256L
+  val PruneXHi = 383L
+
+  /** WHY z-order: the file-skipping comparison. The same events are
+    * laid out twice — Z-ordered (files = fixed-width z-ranges, as
+    * [[zorderStats]]) and time-linear (files = fixed-width y-ranges,
+    * what a naive append-by-arrival layout produces) — and a scan with
+    * an x-only predicate ([[PruneXLo]]..[[PruneXHi]], ⅛ of the user
+    * domain) prunes files on min/max column stats exactly as a
+    * lakehouse reader does. One row per layout: file count, files a
+    * stats-pruning scan must read, rows actually read vs rows matched.
+    * The time-linear layout keeps EVERY file (each spans the full user
+    * range); the Z-layout reads ~⅛ of them — that ratio is the whole
+    * argument for OPTIMIZE ZORDER and it is oracle-checked here, not
+    * asserted in prose.
+    *
+    * Scale: identical plan shape to [[zorderStats]] — one bounds
+    * aggregate broadcast, one hash aggregate per layout, a ≤128-row
+    * rollup; no global sort anywhere. */
+  def zorderPruneStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+    val dims = ev.crossJoin(broadcast(bounds))
+      .withColumn("x",
+        expr(s"((user_id - min_u) * ${1L << ZBits}) div (max_u - min_u + 1)"))
+      .withColumn("y",
+        expr(s"((us - min_us) * ${1L << ZBits}) div (max_us - min_us + 1)"))
+
+    val zkey = (0 until ZBits).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+    def layoutStats(name: String, fileId: Column): DataFrame =
+      dims.withColumn("file_id", fileId)
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          sum(when(col("x").between(PruneXLo, PruneXHi), 1L)
+            .otherwise(0L)).as("rows_matched"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("x_max") >= PruneXLo && col("x_min") <= PruneXHi,
+            1L).otherwise(0L)).as("files_kept"),
+          sum(when(col("x_max") >= PruneXLo && col("x_min") <= PruneXHi,
+            col("n_rows")).otherwise(0L)).as("rows_read"),
+          sum(col("rows_matched")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("files_kept"), col("rows_read"), col("rows_matched"))
+
+    layoutStats("linear_time", shiftright(col("y"), ZBits - 6))
+      .unionByName(layoutStats("zorder", shiftright(zkey, 2 * ZBits - 6)))
+      .orderBy("layout")
+  }
 }

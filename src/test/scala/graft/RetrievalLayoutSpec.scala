@@ -353,6 +353,21 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("zorder prune: z-layout reads exactly the slice, linear reads everything") {
+    val out = Layout.zorderPruneStats(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val lin = out("linear_time"); val zo = out("zorder")
+    // same universe, same matches
+    assert(lin.getAs[Long]("rows_matched") == zo.getAs[Long]("rows_matched"))
+    // time-linear: every file spans the full user range → zero skipping
+    assert(lin.getAs[Long]("files_kept") == lin.getAs[Long]("n_files"))
+    // z-order: the aligned x-slice (one high-3-bit bucket) keeps exactly
+    // 1/8 of the files and reads exactly the matching rows
+    assert(zo.getAs[Long]("files_kept") * 8 == zo.getAs[Long]("n_files"))
+    assert(zo.getAs[Long]("rows_read") == zo.getAs[Long]("rows_matched"))
+    assert(zo.getAs[Long]("rows_read") < lin.getAs[Long]("rows_read"))
+  }
+
   test("zorder interleave: Scala fold and generated SQL agree bit-for-bit") {
     import spark.implicits._
     // evaluate the generated DuckDB SQL string AS SPARK SQL on sample
