@@ -261,6 +261,7 @@ object SparkEntry {
     "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
     "dedup_substring_apply" -> (Dedup.substringApplyStats _),
     "stream_substr_parity" -> (Dedup.substrDeltaStreamParity _),
+    "sync_bloom_prefilter" -> (Sync.bloomPrefilterStats _),
     "doc_heavy_hitters_cms" -> ((s: SparkSession, d: String) =>
       TextAnalysis.cmsHeavyHitters(s, d)),
     "store_compaction"    -> (Layout.compactionPlan _),
@@ -3413,6 +3414,44 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
            CAST(n_occurrences AS BIGINT) AS n_occurrences
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Bloom prefilter over the known-URL set, fp-priced against ground
+    // truth — see Sync.bloomPrefilterStats scaladoc. m/k interpolate.
+    "sync_bloom_prefilter" ->
+      s"""WITH urls AS (SELECT doc_id, source,
+             'doc://' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         known AS (SELECT url FROM urls WHERE doc_id % 3 != 0),
+         kj AS (SELECT url,
+                  unnest(range(0, ${Sync.BloomHashes})) AS j FROM known),
+         kb AS (SELECT DISTINCT
+             ('0x'||substr(md5(CAST(j AS VARCHAR)||':'||url), 1, 8))::BIGINT
+               % ${Sync.BloomBits} AS bit
+           FROM kj),
+         cj AS (SELECT url,
+                  unnest(range(0, ${Sync.BloomHashes})) AS j FROM urls),
+         cb AS (SELECT url, j,
+             ('0x'||substr(md5(CAST(j AS VARCHAR)||':'||url), 1, 8))::BIGINT
+               % ${Sync.BloomBits} AS bit
+           FROM cj),
+         pass AS (
+           SELECT url FROM cb JOIN kb USING (bit)
+           GROUP BY url
+           HAVING count(DISTINCT j) = ${Sync.BloomHashes}),
+         agg AS (
+           SELECT source, count(*) AS n_candidates,
+             CAST(sum(CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN p.url IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bloom_pass,
+             CAST(sum(CASE WHEN p.url IS NOT NULL AND doc_id % 3 = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+           FROM urls u LEFT JOIN pass p ON u.url = p.url
+           GROUP BY source)
+         SELECT source, n_candidates, n_members, n_bloom_pass,
+           n_false_positives,
+           CASE WHEN n_candidates - n_members = 0 THEN 0
+             ELSE n_false_positives * 1000 // (n_candidates - n_members)
+             END AS fp_permille
+         FROM agg ORDER BY source""",
     // Salting must be RESULT-INVISIBLE: the oracle is the plain join.
     "q31_salted_skew_join" ->
       """WITH ev AS (SELECT ((user_id % 10) + 10) % 10 AS ubucket, value

@@ -512,4 +512,71 @@ object Sync {
           .otherwise("incremental").as("decision"))
       .orderBy("url_prefix")
   }
+
+  /** Bloom-filter bits (m) and hash count (k) for
+    * [[bloomPrefilterStats]]: n≈⅔·|docs| members in 4096 bits with 3
+    * hashes keeps the fixture's fp rate in the interesting single-
+    * digit-percent band. */
+  val BloomBits = 4096
+  val BloomHashes = 3
+
+  /** The crawler's knownUrls membership test as a BLOOM PREFILTER,
+    * with its false-positive cost measured next to ground truth — the
+    * reference holds the visited/known URL set in memory
+    * (content-processor.ts:321-933); at 100 TB the known set no longer
+    * fits and every frontier URL cannot afford an exact lookup, so the
+    * standard move is a bloom prefilter: bloom-negative URLs are
+    * certainly new (skip the store lookup entirely), bloom-positive
+    * URLs fall through to the exact check. This row builds the filter
+    * RELATIONALLY (bit table = distinct md5-derived bit positions of
+    * the known set — deterministic, so DuckDB re-derives every bit)
+    * and reports, per source: candidates, true members, bloom passes,
+    * false positives, and fp permille among true non-members — the
+    * number that prices the exact-check fallback.
+    *
+    * Scale: the bit table is ≤ [[BloomBits]] rows regardless of corpus
+    * size and broadcasts; probing is a map-side join per (candidate ×
+    * k hashes), never a shuffle of the known set. (A deployment with a
+    * driver-side build would use spark.util.sketch.BloomFilter and
+    * broadcast the bitset object; the relational form keeps the
+    * arithmetic oracle-checkable and is how you build the filter ONCE
+    * distributedly when the member set itself is TB-scale.) */
+  def bloomPrefilterStats(s: SparkSession, dir: String): DataFrame = {
+    val urls = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        concat(lit("doc://"), col("doc_id")).as("url"))
+    // known set: two-thirds of the corpus (doc_id % 3 != 0)
+    val known = urls.filter(col("doc_id") % 3 =!= 0).select("url")
+    val hashes = explode(sequence(lit(0), lit(BloomHashes - 1))).as("j")
+    def bit = expr(
+      s"""cast(conv(substring(md5(concat(cast(j as string), ':', url)),
+          1, 8), 16, 10) as bigint) % $BloomBits""")
+    val bits = known.select(col("url"), hashes)
+      .withColumn("bit", bit).select("bit").distinct()
+
+    val passes = urls.select(col("url"), hashes)
+      .withColumn("bit", bit)
+      .join(broadcast(bits), "bit")
+      .groupBy("url")
+      .agg(countDistinct(col("j")).as("nj"))
+      .filter(col("nj") === BloomHashes)
+      .select(col("url"), lit(1L).as("bloom_pass"))
+
+    urls
+      .withColumn("is_member",
+        (col("doc_id") % 3 =!= 0).cast("long"))
+      .join(passes, Seq("url"), "left")
+      .withColumn("bloom_pass", coalesce(col("bloom_pass"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("is_member")).as("n_members"),
+        sum(col("bloom_pass")).as("n_bloom_pass"),
+        sum(when(col("bloom_pass") === 1L && col("is_member") === 0L, 1L)
+          .otherwise(0L)).as("n_false_positives"))
+      .withColumn("fp_permille", expr(
+        """CASE WHEN n_candidates - n_members = 0 THEN 0L
+           ELSE n_false_positives * 1000 div (n_candidates - n_members)
+           END"""))
+      .orderBy("source")
+  }
 }

@@ -387,6 +387,27 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ── Bloom prefilter ──────────────────────────────────────────────────
+
+  test("bloom prefilter: zero false negatives, fp rate in the designed band") {
+    val out = graft.operators.Sync.bloomPrefilterStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // every true member MUST bloom-pass (no false negatives — the
+      // property that makes bloom-negative skippable without a lookup)
+      assert(r.getAs[Long]("n_bloom_pass") >=
+        r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("n_bloom_pass") ==
+        r.getAs[Long]("n_members") + r.getAs[Long]("n_false_positives"))
+    }
+    // aggregate fp rate must sit well below the exact-check break-even
+    val fp = out.map(_.getAs[Long]("n_false_positives")).sum
+    val nonMembers = out.map(r =>
+      r.getAs[Long]("n_candidates") - r.getAs[Long]("n_members")).sum
+    assert(fp * 1000 <= nonMembers * 100,
+      s"fp rate ${fp}/$nonMembers exceeds 10%")
+  }
+
   // ── IVF recall calibration ───────────────────────────────────────────
 
   test("ivf recall: bounded permille; probing ALL cells recovers exact recall") {
