@@ -133,6 +133,10 @@ object SparkEntry {
     "dedup_simhash_wide_delta" -> (Dedup.simhashWideDelta _),
     "dedup_clusters_wide" -> (Dedup.simhashWideClusters _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
+    "dedup_keep_best"     -> ((s: SparkSession, d: String) => {
+      guard3206(s, d, "dedup_keep_best")
+      Dedup.keepBest(s, d)
+    }),
     "dedup_clusters"      -> ((s: SparkSession, d: String) => {
       guard3206(s, d, "dedup_clusters")
       Dedup.simhashClusters(s, d)
@@ -428,6 +432,41 @@ object SparkEntry {
          WHERE doc_id >= cut AND h IN (SELECT h FROM store)),
        $substrSpansCte
        $substrSpansSelect"""
+
+  /** SimHash 32/6 signatures → pairs → edges → recursive reachability,
+    * through the `reach` CTE — shared by the `dedup_clusters` and
+    * `dedup_keep_best` oracles (both rows sit behind guard3206, so the
+    * 32/6 route in this SQL is always the route the engine took). */
+  private lazy val simhashReachCte: String =
+    s"""WITH RECURSIVE
+       ws AS (SELECT doc_id, string_split(text,' ') AS w
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(w)-1),
+                i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
+              FROM ws),
+       x AS (SELECT doc_id,
+               ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
+       bits AS (SELECT unnest(range(0,32)) AS b),
+       sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s
+               FROM x CROSS JOIN bits GROUP BY 1,2),
+       sig AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                          ELSE 0 END) AS BIGINT) AS simhash
+               FROM sgn GROUP BY 1),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash))
+           <= ${graft.operators.Dedup.SimhashMaxDist}),
+       edges AS (
+         SELECT doc_a AS s, doc_b AS d FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT doc_id AS start, doc_id AS node FROM documents
+         UNION
+         SELECT r.start, e.d FROM reach r JOIN edges e ON e.s = r.node)"""
 
   /** Shared oracle of `q_search_bm25` and `q_search_bm25_indexed`. */
   private lazy val bm25TopOracleSql: String =
@@ -1420,38 +1459,34 @@ object SparkEntry {
              AS is_canonical
          FROM reach GROUP BY 1 ORDER BY 1""",
     "dedup_clusters" ->
-      s"""WITH RECURSIVE
-         ws AS (SELECT doc_id, string_split(text,' ') AS w
-                FROM documents
-                WHERE len(string_split(text,' ')) >= 3),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                  range(1, len(w)-1),
-                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS shingle
-                FROM ws),
-         x AS (SELECT doc_id,
-                 ('0x'||substr(sha256(shingle),1,8))::BIGINT AS w32 FROM sh),
-         bits AS (SELECT unnest(range(0,32)) AS b),
-         sgn AS (SELECT doc_id, b, sum(2*((w32 >> b) & 1) - 1) AS s
-                 FROM x CROSS JOIN bits GROUP BY 1,2),
-         sig AS (SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
-                            ELSE 0 END) AS BIGINT) AS simhash
-                 FROM sgn GROUP BY 1),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxDist}),
-         edges AS (
-           SELECT doc_a AS s, doc_b AS d FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach AS (
-           SELECT doc_id AS start, doc_id AS node FROM documents
-           UNION
-           SELECT r.start, e.d FROM reach r JOIN edges e ON e.s = r.node)
+      s"""$simhashReachCte
          SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
            CAST(CASE WHEN start = min(node) THEN 1 ELSE 0 END AS BIGINT)
              AS is_canonical
          FROM reach GROUP BY 1 ORDER BY 1""",
+    // Quality-aware retention over the same components: keep the
+    // LONGEST member per cluster — see Dedup.keepBest scaladoc. The
+    // component CTE stack is shared with dedup_clusters.
+    "dedup_keep_best" ->
+      s"""$simhashReachCte,
+         comp AS (SELECT start AS doc_id,
+                    CAST(min(node) AS BIGINT) AS cluster_id
+                  FROM reach GROUP BY 1),
+         sized AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+                   FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+         keepers AS (
+           SELECT cluster_id, doc_id AS keeper_id,
+             n_chars AS keeper_chars
+           FROM (SELECT cluster_id, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM sized) WHERE rn = 1),
+         sizes AS (SELECT cluster_id, count(*) AS n_members
+                   FROM comp GROUP BY 1)
+         SELECT s.cluster_id, s.n_members, k.keeper_id, k.keeper_chars,
+           s.n_members - 1 AS n_dropped
+         FROM sizes s JOIN keepers k ON s.cluster_id = k.cluster_id
+         ORDER BY s.cluster_id""",
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb

@@ -734,6 +734,37 @@ object Dedup {
   def simhashClusters(s: SparkSession, dir: String): DataFrame =
     clusters(s, dir, nearDupPairsAuto(s, dir))
 
+  /** Quality-aware cluster RETENTION — what production dedup actually
+    * ships: within each near-dup cluster keep the BEST member (longest
+    * content here, the keep-longest heuristic; ties to the lowest id),
+    * not the arbitrary first. One row per cluster: size, the keeper,
+    * its length, and how many members a retention pass would drop.
+    * Composition over two green layers — [[simhashClusters]] (the
+    * cluster assignment) and the documents table — so the oracle
+    * replays the component CTE and re-derives the argmax.
+    *
+    * Scale: inherits the clusters machinery (size-routed pair kernel,
+    * pointer-jumped components); keeper selection is one window over
+    * (cluster, member) rows — partitioned by cluster, never global. */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val comp = simhashClusters(s, dir).select("doc_id", "cluster_id")
+    val sized = comp.join(
+      Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+    val keepers = sized
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("n_chars").as("keeper_chars"))
+    comp.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .join(keepers, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("keeper_id"),
+        col("keeper_chars"), (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** The dedup ENDGAME on the SCALE kernel: connected components over
     * the wide (60-bit/dist-3) pairs of the planted-copy corpus — the
     * full 100 TB chain (wide signatures → adaptive banding → union-find

@@ -387,6 +387,29 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ── Keep-best retention ──────────────────────────────────────────────
+
+  test("keep-best: keeper is each cluster's longest member, totals reconcile") {
+    import graft.operators.Dedup
+    val clusters = Dedup.simhashClusters(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_id")).toMap
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_chars")).toMap
+    val out = Dedup.keepBest(spark, sf).collect()
+    // total membership covers the corpus exactly once
+    assert(out.map(_.getAs[Long]("n_members")).sum == clusters.size)
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters.collect { case (d, c) if c == cid => d }
+      val best = members.minBy(d => (-chars(d), d))
+      assert(r.getAs[Long]("keeper_id") == best)
+      assert(r.getAs[Long]("keeper_chars") == chars(best))
+      assert(r.getAs[Long]("n_dropped") == members.size - 1)
+    }
+  }
+
   // ── Bloom prefilter ──────────────────────────────────────────────────
 
   test("bloom prefilter: zero false negatives, fp rate in the designed band") {
