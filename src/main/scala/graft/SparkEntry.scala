@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, DocPipeline, Ingest, Layout, Relational, Retrieval, Similarity, Sync, TextAnalysis}
+import graft.operators.{Curation, Dedup, DocPipeline, Ingest, Layout, MatView, Relational, Retrieval, Similarity, Stats, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -271,7 +271,10 @@ object SparkEntry {
     "store_compaction"    -> (Layout.compactionPlan _),
     "layout_zorder"       -> (Layout.zorderStats _),
     "layout_zorder_prune" -> (Layout.zorderPruneStats _),
-    "doc_ngram_lm"        -> (TextAnalysis.ngramLm _)
+    "doc_ngram_lm"        -> (TextAnalysis.ngramLm _),
+    "mv_incremental"      -> (MatView.incrementalRefresh _),
+    "stream_mv_parity"    -> (MatView.mvStreamParity _),
+    "stats_table_profile" -> (Stats.tableProfile _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -3729,8 +3732,68 @@ object SparkEntry {
          SELECT CAST(file_id AS BIGINT) AS file_id, count(*) AS n_rows,
            min(x) AS x_min, max(x) AS x_max,
            min(y) AS y_min, max(y) AS y_max
-         FROM f GROUP BY 1 ORDER BY file_id"""
+         FROM f GROUP BY 1 ORDER BY file_id""",
+    // Incremental MV maintenance: the engine refreshes through the
+    // signed-merge + affected-group-recompute path (MatView.scala);
+    // the oracle recomputes the same aggregates from the final base
+    // state (store minus %10=3 deletes plus %10=7 inserts =
+    // l_orderkey % 10 <> 3), so any defect in the signed merge, the
+    // zero-count drop, or the delete-affected min/max recompute
+    // shifts a value and fails the hash.
+    "mv_incremental" -> mvRefreshOracleSql,
+    // The streaming MV maintenance must land the IDENTICAL view as the
+    // batch refresh — one shared oracle, so rows lost/replayed across
+    // micro-batch boundaries or stale-store maintenance hash-mismatch.
+    "stream_mv_parity" -> mvRefreshOracleSql,
+    // ANALYZE-style stats: every cell recomputed from scratch per
+    // column; min/max aggregate in native type then cast, exactly as
+    // the Spark side does, and the broadcast flag re-derives from the
+    // same byte rollup.
+    "stats_table_profile" -> statsProfileOracleSql
   )
+
+  /** Oracle for `stats_table_profile`: one UNION ALL branch per
+    * profiled (table, column), generated from the same spec list shape
+    * Stats.tableProfile uses. */
+  private lazy val statsProfileOracleSql: String = {
+    val specs = Seq(
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_mktsegment", "c_nationkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_returnflag"))
+    val branches = specs.flatMap { case (t, cols) =>
+      cols.map { c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col_name,
+           count(*) AS n_rows,
+           count(*) - count($c) AS n_null,
+           count(DISTINCT $c) AS ndv,
+           CAST(min($c) AS VARCHAR) AS min_s,
+           CAST(max($c) AS VARCHAR) AS max_s,
+           CAST(COALESCE(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT)
+             AS total_len
+           FROM $t"""
+      }
+    }.mkString(" UNION ALL ")
+    s"""WITH p AS ($branches),
+       t AS (SELECT tbl, CAST(sum(total_len) AS BIGINT) AS tbl_est_bytes
+             FROM p GROUP BY 1)
+       SELECT p.tbl, p.col_name, p.n_rows, p.n_null, p.ndv, p.min_s,
+         p.max_s, p.total_len, t.tbl_est_bytes,
+         t.tbl_est_bytes < ${graft.operators.Stats.BroadcastBytes}
+           AS broadcastable
+       FROM p JOIN t USING (tbl) ORDER BY tbl, col_name"""
+  }
+
+  /** Shared full-recompute oracle for the incremental-MV rows: the
+    * engine refreshes through the signed-merge + affected-group-
+    * recompute path (MatView.scala); the oracle recomputes the same
+    * aggregates from the final base state (store minus the %10=3
+    * deletes plus the %10=7 inserts = `l_orderkey % 10 <> 3`). */
+  private lazy val mvRefreshOracleSql: String =
+    """SELECT l_partkey, count(*) AS n_rows,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+       FROM lineitem WHERE l_orderkey % 10 <> 3
+       GROUP BY 1 ORDER BY l_partkey"""
 
   /** Shared CTE stack for the sync oracles: deterministic stored/incoming
     * corpora + 128-char token chunks + per-url hash-multiset signatures. */

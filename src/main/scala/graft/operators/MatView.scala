@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental materialized-view maintenance — the aggregate-refresh
+  * pattern a 100 TB warehouse runs instead of nightly recompute. The
+  * reference recomputes nothing (its per-URL hash diff, SURVEY §2.5, is
+  * row-level); this family is the ENGINE-level generalization: a
+  * grouped-aggregate MV kept current under a delta of inserts AND
+  * deletes by
+  *
+  *   1. a SIGNED partial-aggregate merge for the self-maintainable
+  *      aggregates (count, sum): MV' = MV ⊎ agg(+adds) ⊎ agg(−dels),
+  *      groups whose count reaches zero dropped — cost is
+  *      O(|delta| + |MV groups touched|), never a base-table scan;
+  *   2. an AFFECTED-GROUP recompute for the non-self-maintainable
+  *      aggregates (min/max under deletes): only groups that actually
+  *      lost rows re-scan the maintained base table, semi-joined down
+  *      to that key set. Insert-only groups never re-scan — inserts
+  *      maintain min/max by a least/greatest merge.
+  *
+  * At 100 TB the delete-affected key set is daily-delta-sized
+  * (broadcast range), so the recompute reads one semi-join-pruned
+  * sliver of the base while the signed merge never touches the base at
+  * all: the refresh is two hash aggregates over the delta, one join
+  * onto the MV, and one key-pruned scan.
+  */
+object MatView {
+
+  /** Delta construction over lineitem, by orderkey arithmetic so the
+    * oracle can re-derive the final state: yesterday's store is every
+    * row with `l_orderkey % 10 <> 7`; today's delta INSERTS the
+    * `% 10 = 7` rows and DELETES the stored `% 10 = 3` rows, so the
+    * maintained base table is exactly `l_orderkey % 10 <> 3`.
+    * `(l_orderkey, l_linenumber)` rides along as the row identity the
+    * streaming path's store MERGE deletes by. */
+  private def parts(s: SparkSession, dir: String) = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+    val store = li.filter(pmod(col("l_orderkey"), lit(10)) =!= 7)
+    val adds  = li.filter(pmod(col("l_orderkey"), lit(10)) === 7)
+    val dels  = store.filter(pmod(col("l_orderkey"), lit(10)) === 3)
+    (store, adds, dels)
+  }
+
+  /** Aggregate a base slice into MV shape. */
+  private def aggMv(base: DataFrame): DataFrame =
+    base.groupBy("l_partkey").agg(
+      count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  /** The refresh kernel shared by the batch row and the streaming
+    * parity row: apply a signed delta (`sgn` = +1 insert / −1 delete)
+    * to an MV in (l_partkey, n_rows, sum_qty, min_ship, max_ship)
+    * shape. `newBase` is the POST-maintenance base table — read ONLY
+    * for delete-affected groups, semi-joined (broadcast: the key set is
+    * delta-bounded) down to exactly those keys. least/greatest skip
+    * nulls, so brand-new groups (no MV row) and fully-replaced groups
+    * (no surviving kept row) fall through to the present side alone. */
+  private[graft] def applyDelta(mv: DataFrame, delta: DataFrame,
+      newBase: DataFrame): DataFrame = {
+    val m = mv.select(col("l_partkey"), col("n_rows").as("n0"),
+      col("sum_qty").as("s0"), col("min_ship").as("m0"),
+      col("max_ship").as("x0"))
+    // One shuffle of the delta: count/sum merge deltas, insert-side
+    // min/max candidates, and the per-group delete marker together.
+    val dAgg = delta.groupBy("l_partkey").agg(
+      sum(col("sgn")).as("dn"),
+      sum(col("sgn") * col("qty")).as("ds"),
+      min(when(col("sgn") === 1, col("l_shipdate"))).as("add_min"),
+      max(when(col("sgn") === 1, col("l_shipdate"))).as("add_max"),
+      max(col("sgn") === -1).as("has_del"))
+
+    val merged = m.join(dAgg, Seq("l_partkey"), "full_outer")
+      .withColumn("n1",
+        coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+      .withColumn("s1",
+        coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+      .withColumn("has_del", coalesce(col("has_del"), lit(false)))
+      .filter(col("n1") > 0)
+
+    val delKeys = merged.filter(col("has_del")).select("l_partkey")
+    val recomputed = newBase
+      .join(broadcast(delKeys), Seq("l_partkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(min(col("l_shipdate")).as("rm"), max(col("l_shipdate")).as("rx"))
+
+    merged.join(recomputed, Seq("l_partkey"), "left")
+      .select(
+        col("l_partkey"),
+        col("n1").as("n_rows"),
+        col("s1").as("sum_qty"),
+        when(col("has_del"), col("rm"))
+          .otherwise(least(col("m0"), col("add_min"))).as("min_ship"),
+        when(col("has_del"), col("rx"))
+          .otherwise(greatest(col("x0"), col("add_max"))).as("max_ship"))
+  }
+
+  /** The per-partkey MV refreshed THROUGH the incremental path: MV0
+    * from the store, one signed merge + affected-group recompute for
+    * the whole delta. The DuckDB oracle recomputes the same aggregates
+    * from the final base state (`l_orderkey % 10 <> 3`) — a defect in
+    * the signed merge, the zero-count group drop, the insert-side
+    * least/greatest merge, or the delete-affected recompute shifts a
+    * value and fails the hash. */
+  def incrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val (store, adds, dels) = parts(s, dir)
+    val delta = adds.withColumn("sgn", lit(1L))
+      .unionByName(dels.withColumn("sgn", lit(-1L)))
+    val newBase = store
+      .filter(pmod(col("l_orderkey"), lit(10)) =!= 3).unionByName(adds)
+    applyDelta(aggMv(store), delta, newBase).orderBy("l_partkey")
+  }
+
+  /** Full-recompute MV over the maintained base state — the expensive
+    * path [[incrementalRefresh]] exists to avoid; specs reconcile the
+    * two so the kernel can never drift from recompute semantics. */
+  def fullRefresh(s: SparkSession, dir: String): DataFrame = {
+    val (store, adds, _) = parts(s, dir)
+    aggMv(store.filter(pmod(col("l_orderkey"), lit(10)) =!= 3)
+      .unionByName(adds)).orderBy("l_partkey")
+  }
+
+  /** Streaming form — the delta ARRIVES as a stream and each
+    * micro-batch maintains BOTH the persisted base store (anti-join
+    * delete + append, the row-level MERGE the engine's chunk store
+    * runs) and the persisted MV through [[applyDelta]], fed
+    * micro-batch-sized. The final MV must be identical to the batch
+    * refresh's, so the two rows share one DuckDB oracle: a delta row
+    * lost or replayed across micro-batch boundaries, maintenance
+    * applied against a stale store version, or the streaming path
+    * drifting from the batch kernel all land as a hash mismatch.
+    * Three orderkey-range slices replay in ascending mtime order so
+    * micro-batch boundaries are deterministic; each batch carries a
+    * mix of inserts and deletes. */
+  def mvStreamParity(s: SparkSession, dir: String): DataFrame = {
+    if (Tables.lineitem(s, dir).take(1).isEmpty)
+      return incrementalRefresh(s, dir)
+    val (store, adds, dels) = parts(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("mvstream")
+    try {
+      store.write.parquet(s"$base/store/v0")
+      aggMv(store).write.parquet(s"$base/mv/v0")
+      adds.withColumn("sgn", lit(1L))
+        .unionByName(dels.withColumn("sgn", lit(-1L)))
+        .repartitionByRange(3, col("l_orderkey"))
+        .write.parquet(s"$base/in")
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("l_partkey", LongType),
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("qty", LongType),
+        StructField("l_shipdate", TimestampType),
+        StructField("sgn", LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      var v = 0
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val cur = s.read.parquet(s"$base/store/v$v")
+          val bDelKeys = b.filter(col("sgn") === -1)
+            .select("l_orderkey", "l_linenumber")
+          val nb = cur.join(broadcast(bDelKeys),
+              Seq("l_orderkey", "l_linenumber"), "left_anti")
+            .unionByName(b.filter(col("sgn") === 1).drop("sgn"))
+          nb.write.parquet(s"$base/store/v${v + 1}")
+          val newBase = s.read.parquet(s"$base/store/v${v + 1}")
+          applyDelta(s.read.parquet(s"$base/mv/v$v"), b, newBase)
+            .write.parquet(s"$base/mv/v${v + 1}")
+          v += 1
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/mv/v$v").orderBy("l_partkey")
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+}

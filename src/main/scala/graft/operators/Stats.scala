@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ANALYZE-style table/column statistics — the numbers a cost-based
+  * planner actually spends: row counts, null counts, NDV, min/max, and
+  * byte estimates, rolled up into the broadcast decision that picks
+  * BroadcastHashJoin over SortMergeJoin. The reference has no planner
+  * (SURVEY §4 — its "optimizer" is the sync-skip cascade); this is
+  * engine-side surface a 100 TB deployment relies on every query.
+  *
+  * Shape: one aggregate PER COLUMN over a single-column projection —
+  * each scan is column-pruned to the one column it profiles (parquet
+  * reads only that column's pages), and exact NDV costs one distinct
+  * aggregate per column. The production path for very wide corpora is
+  * one pass with `approx_count_distinct` (mergeable HLL sketches, all
+  * columns at once); StatsSpec pins that calibration (approx within
+  * 5% of exact on every profiled column) plus the decision's ground
+  * truth: the tables flagged broadcastable here are exactly the ones
+  * q3/q16's adaptive plans broadcast.
+  */
+object Stats {
+
+  /** Broadcast-decision threshold (bytes of profiled-column payload) —
+    * deliberately far under Spark's 10 MB `autoBroadcastJoinThreshold`
+    * so the flag is conservative the way a planner wants: never
+    * broadcast-flag a table whose TOTAL width could blow the limit
+    * when unprofiled columns ride along. */
+  val BroadcastBytes = 100000L
+
+  /** Per-(table, column) stats + per-table byte estimate + broadcast
+    * flag. The DuckDB oracle recomputes every cell from scratch —
+    * min/max are aggregated in the column's native type and THEN cast
+    * to string, so numeric and lexicographic orderings both stay
+    * engine-exact. */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val specs: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("nation", Tables.nation(s, dir),
+        Seq("n_nationkey", "n_name", "n_regionkey")),
+      ("customer", Tables.customer(s, dir),
+        Seq("c_custkey", "c_mktsegment", "c_nationkey")),
+      ("lineitem", Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_returnflag")))
+    val perCol = specs.flatMap { case (t, df, cols) =>
+      cols.map { c =>
+        df.select(col(c).as("v")).agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("ndv"),
+          min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s"),
+          coalesce(sum(length(col("v").cast("string"))), lit(0L))
+            .as("total_len"))
+          .select(lit(t).as("tbl"), lit(c).as("col_name"), col("n_rows"),
+            col("n_null"), col("ndv"), col("min_s"), col("max_s"),
+            col("total_len"))
+      }
+    }.reduce(_ unionByName _)
+    val perTbl = perCol.groupBy("tbl")
+      .agg(sum(col("total_len")).as("tbl_est_bytes"))
+    perCol.join(broadcast(perTbl), Seq("tbl"))
+      .withColumn("broadcastable", col("tbl_est_bytes") < BroadcastBytes)
+      .orderBy("tbl", "col_name")
+  }
+
+  /** One-pass approximate profile (the 100 TB shape): every column's
+    * HLL NDV estimate from a single scan per table, no distinct
+    * shuffle. Spec-calibrated against [[tableProfile]]'s exact NDVs;
+    * not an oracle row itself (sketch estimates are
+    * implementation-defined). */
+  def tableProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val specs: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("nation", Tables.nation(s, dir),
+        Seq("n_nationkey", "n_name", "n_regionkey")),
+      ("customer", Tables.customer(s, dir),
+        Seq("c_custkey", "c_mktsegment", "c_nationkey")),
+      ("lineitem", Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_returnflag")))
+    specs.map { case (t, df, cols) =>
+      val aggs = cols.flatMap { c => Seq(
+        approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
+        coalesce(sum(length(col(c).cast("string"))), lit(0L))
+          .as(s"len_$c"))
+      }
+      val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stacked = cols.map { c =>
+        row.select(lit(t).as("tbl"), lit(c).as("col_name"),
+          col("n_rows"), col(s"ndv_$c").as("ndv_approx"),
+          col(s"len_$c").as("total_len"))
+      }.reduce(_ unionByName _)
+      stacked
+    }.reduce(_ unionByName _).orderBy("tbl", "col_name")
+  }
+}

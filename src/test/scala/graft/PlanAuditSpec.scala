@@ -421,4 +421,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("doc_ngram_lm")
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("mv_incremental recomputes min/max via a broadcast semi-join") {
+    // the incremental-MV scale contract: the maintained base table is
+    // only read for delete-affected groups, semi-joined to a
+    // broadcast key set — a shuffled semi-join would mean every daily
+    // refresh exchanges the base table on the group key
+    val df = SparkEntry.queries("mv_incremental")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(3000))
+  }
+
+  test("stats_table_profile scans are column-pruned to the profiled column") {
+    // each per-column aggregate must push a one-column ReadSchema into
+    // its parquet scan — a profile that drags full rows through the
+    // NDV shuffle reads the whole table once per column at 100 TB
+    val p = planOf("stats_table_profile")
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
+      p.take(4000))
+    assert(p.contains("ReadSchema: struct<n_name:string>"), p.take(4000))
+  }
 }

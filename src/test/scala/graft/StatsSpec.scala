@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.Stats
+
+/** Table-stats semantics: the one-pass HLL profile must calibrate
+  * against the exact profile, and the broadcast flag must agree with
+  * what the engine's adaptive plans actually do with the same tables. */
+class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("approx profile calibrates within 5% of exact NDV per column") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Stats.tableProfile(spark, dir)
+      .select("tbl", "col_name", "ndv").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val approx = Stats.tableProfileApprox(spark, dir)
+      .select("tbl", "col_name", "ndv_approx").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, n / 20),
+        s"$k: exact=$n approx=$a")
+    }
+  }
+
+  test("broadcast flags contrast at sf0.01 and match the q3 plan") {
+    val dir = "/root/testdata/sf0.01"
+    val flags = Stats.tableProfile(spark, dir)
+      .select("tbl", "broadcastable").distinct().collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(flags("nation") && flags("customer"),
+      s"dims must flag broadcastable: $flags")
+    assert(!flags("lineitem"),
+      s"the fact table must not flag broadcastable: $flags")
+    // ground truth: the engine's own adaptive q3 plan broadcasts the
+    // dimension side the stats flag as broadcastable
+    val q3 = SparkEntry.queries("q3_join_agg")(spark, dir)
+    q3.collect()
+    val p = q3.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("total_len and null accounting are exact on a planted column") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("statsspec").toString
+    Seq((1L, "aa"), (2L, null), (3L, "bbbb")).toDF("n_nationkey", "n_name")
+      .withColumn("n_regionkey", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(s"$d/nation.parquet")
+    // reuse the real loaders for the other two tables via sf0.001
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("customer", "lineitem"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.parquet(s"$d/$t.parquet")
+    val rows = Stats.tableProfile(spark, d)
+      .filter(org.apache.spark.sql.functions.col("tbl") === "nation")
+      .collect().map(r => r.getString(1) -> r).toMap
+    val name = rows("n_name")
+    assert(name.getLong(3) == 1L, "one null in n_name")
+    assert(name.getLong(4) == 2L, "ndv excludes the null")
+    assert(name.getLong(7) == 6L, "total_len counts only non-null chars")
+    assert(name.getString(5) == "aa" && name.getString(6) == "bbbb")
+  }
+}
