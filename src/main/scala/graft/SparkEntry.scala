@@ -230,6 +230,7 @@ object SparkEntry {
         sinkEvery = graft.operators.Graph.SinkEvery)),
     "graph_degree"        -> (graft.operators.Graph.degreeStats _),
     "graph_components"    -> (graft.operators.Graph.components _),
+    "graph_components_delta" -> (graft.operators.Graph.componentsDelta _),
     "graph_triangles"     -> (graft.operators.Graph.triangleStats _),
     "doc_blocklist_filter" -> (Curation.blocklistFilter _),
     "doc_mixture_epochs"  -> (Curation.mixtureEpochs _),
@@ -3091,21 +3092,12 @@ object SparkEntry {
          FROM nodes LEFT JOIN o ON o.src = nodes.url
                     LEFT JOIN i ON i.dst = nodes.url
          ORDER BY url"""),
-    "graph_components" ->
-      s"""WITH RECURSIVE
-         p AS (SELECT doc_id//2 AS a, doc_id AS b FROM documents
-               WHERE doc_id % ${graft.operators.Graph.HubEvery} = 0
-                 AND doc_id > 0),
-         edges AS (SELECT a AS s, b AS d FROM p
-                   UNION ALL SELECT b, a FROM p),
-         reach AS (
-           SELECT doc_id AS start, doc_id AS node FROM documents
-           UNION
-           SELECT r.start, e.d FROM reach r JOIN edges e ON e.s = r.node)
-         SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
-           CAST(CASE WHEN start = min(node) THEN 1 ELSE 0 END AS BIGINT)
-             AS is_canonical
-         FROM reach GROUP BY 1 ORDER BY 1""",
+    "graph_components" -> graphComponentsOracleSql,
+    // the incremental path (quotient-graph merge over yesterday's
+    // labels) must land the IDENTICAL labelling as full recompute —
+    // one shared oracle, so a wrong quotient merge or a label left
+    // stale hash-mismatches
+    "graph_components_delta" -> graphComponentsOracleSql,
     "graph_triangles" -> (graphCteHeader +
       """und AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
                  FROM edges WHERE least(src,dst) < greatest(src,dst)),
@@ -3782,6 +3774,25 @@ object SparkEntry {
            AS broadcastable
        FROM p JOIN t USING (tbl) ORDER BY tbl, col_name"""
   }
+
+  /** Shared full-recompute oracle for graph_components and its
+    * incremental form: min-reachable-node labelling over the hub
+    * overlay edges via a recursive CTE. */
+  private lazy val graphComponentsOracleSql: String =
+    s"""WITH RECURSIVE
+       p AS (SELECT doc_id//2 AS a, doc_id AS b FROM documents
+             WHERE doc_id % ${graft.operators.Graph.HubEvery} = 0
+               AND doc_id > 0),
+       edges AS (SELECT a AS s, b AS d FROM p
+                 UNION ALL SELECT b, a FROM p),
+       reach AS (
+         SELECT doc_id AS start, doc_id AS node FROM documents
+         UNION
+         SELECT r.start, e.d FROM reach r JOIN edges e ON e.s = r.node)
+       SELECT start AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id,
+         CAST(CASE WHEN start = min(node) THEN 1 ELSE 0 END AS BIGINT)
+           AS is_canonical
+       FROM reach GROUP BY 1 ORDER BY 1"""
 
   /** Shared full-recompute oracle for the incremental-MV rows: the
     * engine refreshes through the signed-merge + affected-group-

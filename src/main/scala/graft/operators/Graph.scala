@@ -109,6 +109,71 @@ object Graph {
     Dedup.clusters(s, dir, pairs)
   }
 
+  /** Incremental connected components — the delta form of
+    * [[components]], completing the delta family (minhash, wide
+    * SimHash, substring, IVF append, MV refresh) on the graph side.
+    * Yesterday's labels are the materialized state (rebuilt here from
+    * the pre-cut edges as fixture construction; production reads the
+    * stored label table); today's delta edges (hub edges whose child
+    * id is in the top fifth of the id range) are applied by
+    *
+    *   1. mapping each delta endpoint to its old label — two joins
+    *      with the BROADCAST delta against the label table, so the
+    *      corpus-sized state streams map-side and is never shuffled;
+    *   2. component labelling on the QUOTIENT graph those label pairs
+    *      form — delta-sized, not corpus-sized (merging components is
+    *      label-level work: old labels are component minima, and min
+    *      composes associatively, so quotient minima ARE final
+    *      minima);
+    *   3. one broadcast relabel join applying the quotient map back
+    *      over the label table; untouched components pass through.
+    *
+    * Edge DELETIONS are out of scope by design (component splits are
+    * not incrementally maintainable without per-edge spanning
+    * structure; production handles them by periodic rebuild).
+    * Shares graph_components' full-recompute DuckDB oracle: the
+    * incremental path must land the identical labelling. */
+  def componentsDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) return components(s, dir)
+    val cut = maxRow.getLong(0) * 4 / 5
+    val pairs = Tables.documents(s, dir)
+      .filter(col("doc_id") % HubEvery === 0 && col("doc_id") > 0)
+      .select(expr("doc_id div 2").as("doc_a"), col("doc_id").as("doc_b"))
+    val oldLabels = Dedup.clusters(s, dir, pairs.filter(col("doc_b") < cut))
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(true)
+    val delta = pairs.filter(col("doc_b") >= cut)
+    // both hops keep the DELTA side broadcast: the corpus-sized label
+    // table streams map-side through each probe, never shuffled
+    val withQa = oldLabels
+      .withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("cluster_id", "qa")
+      .join(broadcast(delta), Seq("doc_a"))
+    val qEdges = oldLabels
+      .withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("cluster_id", "qb")
+      .join(broadcast(withQa), Seq("doc_b"))
+      .filter(col("qa") =!= col("qb"))
+      .select(col("qa").as("doc_a"), col("qb").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val qVerts = qEdges.select(col("doc_a").as("doc_id"))
+      .unionByName(qEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val relabel = Dedup.clustersOf(qVerts, qEdges)
+      .select(col("doc_id").as("old_label"),
+        col("cluster_id").as("new_label"))
+    oldLabels
+      .join(broadcast(relabel), col("cluster_id") === col("old_label"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Triangle census of the undirected link graph: global triangle /
     * wedge counts and the clustering coefficient (permille — integer,
     * like every ratio oracle here). Triangles signal boilerplate nav

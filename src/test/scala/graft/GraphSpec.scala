@@ -145,4 +145,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top >= 20L * (Graph.Scale / n) / 2,
       "top-20 mass implausibly small")
   }
+
+  test("componentsDelta equals full recompute and does real merge work") {
+    import org.apache.spark.sql.functions._
+    val full = Graph.components(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inc = Graph.componentsDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc == full)
+    // the construction must not be vacuous: yesterday's labelling
+    // (pre-cut edges only) has to differ from the final one, i.e. the
+    // delta edges genuinely merge previously-distinct components
+    val maxId = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId * 4 / 5
+    val oldPairs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % Graph.HubEvery === 0 && col("doc_id") > 0)
+      .select(expr("doc_id div 2").as("doc_a"), col("doc_id").as("doc_b"))
+      .filter(col("doc_b") < cut)
+    val old = graft.operators.Dedup.clusters(spark, dir, oldPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val changed = old.count { case (id, lab) => full(id) != lab }
+    assert(changed > 0, "delta edges merged nothing — vacuous fixture")
+  }
 }

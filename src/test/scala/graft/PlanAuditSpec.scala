@@ -422,6 +422,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("graph_components_delta never shuffles the label table") {
+    // the incremental contract: both endpoint-label probes and the
+    // final relabel keep the delta side broadcast — a SortMergeJoin
+    // would mean the corpus-sized label state exchanges on every
+    // daily delta
+    val df = SparkEntry.queries("graph_components_delta")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("mv_incremental recomputes min/max via a broadcast semi-join") {
     // the incremental-MV scale contract: the maintained base table is
     // only read for delete-affected groups, semi-joined to a
