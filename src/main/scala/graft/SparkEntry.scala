@@ -199,6 +199,8 @@ object SparkEntry {
       Similarity.ivfAppendReport(s, d)),
     "emb_ann_recall"      -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecall(s, d)),
+    "emb_pq_recall"       -> ((s: SparkSession, d: String) =>
+      Similarity.pqRecall(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
       Similarity.annPq(s, d)),
     "dedup_spans"         -> (Curation.spanDedup _),
@@ -3281,75 +3283,26 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, rank, term, tf, df, score FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",
-    "emb_ann_pq" ->
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-           FROM embeddings),
-         -- codebooks: subvectors of the 16 seed embeddings (vec_id
-         -- 1..16), 8 subspaces x 8 dims. Every distance is
-         -- (dot(a,a) - 2*dot(a,b)) + dot(b,b) over list_dot_product's
-         -- left-to-right accumulation, and the ADC total is the
-         -- explicitly left-associated 8-term chain — bit-identical to
-         -- the Scala kernel's ascending loops (grouped sum() would be
-         -- order-unspecified and near-dup vectors share codes).
-         seeds AS (
-           SELECT vec_id - 1 AS c, emb AS cv FROM e
-           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
-         ms AS (SELECT unnest(range(0,8)) AS m),
-         d AS (
-           SELECT e.vec_id, ms.m, s.c,
-             (list_dot_product(e.emb[ms.m*8+1 : ms.m*8+8],
-                               e.emb[ms.m*8+1 : ms.m*8+8])
-              - 2 * list_dot_product(e.emb[ms.m*8+1 : ms.m*8+8],
-                                     s.cv[ms.m*8+1 : ms.m*8+8]))
-             + list_dot_product(s.cv[ms.m*8+1 : ms.m*8+8],
-                                s.cv[ms.m*8+1 : ms.m*8+8]) AS d2
-           FROM e CROSS JOIN ms CROSS JOIN seeds s),
-         codes AS (
-           SELECT vec_id, m, c FROM (
-             SELECT vec_id, m, c, row_number() OVER (
-               PARTITION BY vec_id, m ORDER BY d2 ASC, c) AS rn
-             FROM d WHERE vec_id != 0) WHERE rn = 1),
-         p AS (
-           SELECT vec_id,
-             max(CASE WHEN m=0 THEN c END) AS c0,
-             max(CASE WHEN m=1 THEN c END) AS c1,
-             max(CASE WHEN m=2 THEN c END) AS c2,
-             max(CASE WHEN m=3 THEN c END) AS c3,
-             max(CASE WHEN m=4 THEN c END) AS c4,
-             max(CASE WHEN m=5 THEN c END) AS c5,
-             max(CASE WHEN m=6 THEN c END) AS c6,
-             max(CASE WHEN m=7 THEN c END) AS c7
-           FROM codes GROUP BY 1),
-         t AS (SELECT m, c, d2 FROM d WHERE vec_id = 0),
-         adc AS (
-           SELECT p.vec_id,
-             ((((((t0.d2 + t1.d2) + t2.d2) + t3.d2) + t4.d2)
-               + t5.d2) + t6.d2) + t7.d2 AS adc
-           FROM p
-             JOIN t t0 ON t0.m=0 AND t0.c=p.c0
-             JOIN t t1 ON t1.m=1 AND t1.c=p.c1
-             JOIN t t2 ON t2.m=2 AND t2.c=p.c2
-             JOIN t t3 ON t3.m=3 AND t3.c=p.c3
-             JOIN t t4 ON t4.m=4 AND t4.c=p.c4
-             JOIN t t5 ON t5.m=5 AND t5.c=p.c5
-             JOIN t t6 ON t6.m=6 AND t6.c=p.c6
-             JOIN t t7 ON t7.m=7 AND t7.c=p.c7),
-         short AS (
-           SELECT vec_id FROM (
-             SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id)
-               AS rn FROM adc) WHERE rn <= 50),
-         qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
-         scored AS (
-           SELECT sh.vec_id,
+    "emb_ann_pq" -> (pqTopkCteSql +
+      " SELECT rank, vec_id FROM topk WHERE rank <= 10 ORDER BY rank"),
+    // PQ recall calibration: the shortlist-reranked top-10 against the
+    // exact top-10 for the same query — the PQ twin of emb_ann_recall,
+    // sharing the PQ CTE stack so the scorers cannot drift.
+    "emb_pq_recall" -> (pqTopkCteSql + """,
+         allscored AS (
+           SELECT e.vec_id,
              list_dot_product(qv, emb) /
                (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
                AS cosine
-           FROM short sh JOIN e ON e.vec_id = sh.vec_id CROSS JOIN qv),
-         topk AS (
+           FROM e CROSS JOIN qv WHERE e.vec_id != 0),
+         exactk AS (
            SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
-             AS rank FROM scored)
-         SELECT rank, vec_id FROM topk WHERE rank <= 10 ORDER BY rank""",
+             AS rank FROM allscored)
+         SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) * 1000 // 10 AS BIGINT) AS recall_permille
+         FROM (SELECT vec_id FROM topk WHERE rank <= 10) t
+           JOIN (SELECT vec_id FROM exactk WHERE rank <= 10) x
+           USING (vec_id)"""),
     "emb_quantize_int8" ->
       """WITH e AS (SELECT vec_id,
            CAST(list_min(embedding) AS DOUBLE) AS vmin,
@@ -3774,6 +3727,78 @@ object SparkEntry {
            AS broadcastable
        FROM p JOIN t USING (tbl) ORDER BY tbl, col_name"""
   }
+
+  /** PQ shortlist-then-rerank top-k CTE stack shared by emb_ann_pq
+    * and emb_pq_recall: ends at `topk` (exact-cosine rerank of the
+    * ADC shortlist) with `e` and `qv` still in scope. */
+  private lazy val pqTopkCteSql: String =
+    s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         -- codebooks: subvectors of the 16 seed embeddings (vec_id
+         -- 1..16), 8 subspaces x 8 dims. Every distance is
+         -- (dot(a,a) - 2*dot(a,b)) + dot(b,b) over list_dot_product's
+         -- left-to-right accumulation, and the ADC total is the
+         -- explicitly left-associated 8-term chain — bit-identical to
+         -- the Scala kernel's ascending loops (grouped sum() would be
+         -- order-unspecified and near-dup vectors share codes).
+         seeds AS (
+           SELECT vec_id - 1 AS c, emb AS cv FROM e
+           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
+         ms AS (SELECT unnest(range(0,8)) AS m),
+         d AS (
+           SELECT e.vec_id, ms.m, s.c,
+             (list_dot_product(e.emb[ms.m*8+1 : ms.m*8+8],
+                               e.emb[ms.m*8+1 : ms.m*8+8])
+              - 2 * list_dot_product(e.emb[ms.m*8+1 : ms.m*8+8],
+                                     s.cv[ms.m*8+1 : ms.m*8+8]))
+             + list_dot_product(s.cv[ms.m*8+1 : ms.m*8+8],
+                                s.cv[ms.m*8+1 : ms.m*8+8]) AS d2
+           FROM e CROSS JOIN ms CROSS JOIN seeds s),
+         codes AS (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c, row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d2 ASC, c) AS rn
+             FROM d WHERE vec_id != 0) WHERE rn = 1),
+         p AS (
+           SELECT vec_id,
+             max(CASE WHEN m=0 THEN c END) AS c0,
+             max(CASE WHEN m=1 THEN c END) AS c1,
+             max(CASE WHEN m=2 THEN c END) AS c2,
+             max(CASE WHEN m=3 THEN c END) AS c3,
+             max(CASE WHEN m=4 THEN c END) AS c4,
+             max(CASE WHEN m=5 THEN c END) AS c5,
+             max(CASE WHEN m=6 THEN c END) AS c6,
+             max(CASE WHEN m=7 THEN c END) AS c7
+           FROM codes GROUP BY 1),
+         t AS (SELECT m, c, d2 FROM d WHERE vec_id = 0),
+         adc AS (
+           SELECT p.vec_id,
+             ((((((t0.d2 + t1.d2) + t2.d2) + t3.d2) + t4.d2)
+               + t5.d2) + t6.d2) + t7.d2 AS adc
+           FROM p
+             JOIN t t0 ON t0.m=0 AND t0.c=p.c0
+             JOIN t t1 ON t1.m=1 AND t1.c=p.c1
+             JOIN t t2 ON t2.m=2 AND t2.c=p.c2
+             JOIN t t3 ON t3.m=3 AND t3.c=p.c3
+             JOIN t t4 ON t4.m=4 AND t4.c=p.c4
+             JOIN t t5 ON t5.m=5 AND t5.c=p.c5
+             JOIN t t6 ON t6.m=6 AND t6.c=p.c6
+             JOIN t t7 ON t7.m=7 AND t7.c=p.c7),
+         short AS (
+           SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id)
+               AS rn FROM adc) WHERE rn <= 50),
+         qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+         scored AS (
+           SELECT sh.vec_id,
+             list_dot_product(qv, emb) /
+               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
+               AS cosine
+           FROM short sh JOIN e ON e.vec_id = sh.vec_id CROSS JOIN qv),
+         topk AS (
+           SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+             AS rank FROM scored)"""
 
   /** Shared full-recompute oracle for graph_components and its
     * incremental form: min-reachable-node labelling over the hub

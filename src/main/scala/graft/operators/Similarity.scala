@@ -620,6 +620,34 @@ object Similarity {
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
+  /** PQ recall calibration — the PQ twin of [[ivfRecall]], completing
+    * the approximate-vs-exact calibration family: overlap of
+    * [[annPq]]'s shortlist-reranked top-k with the exact cosine top-k
+    * for the same query, as one (n_overlap, recall_permille) row.
+    * Both rankings are double-precision with id tie-breaks, so the
+    * DuckDB oracle (which shares the PQ CTE stack with emb_ann_pq)
+    * re-derives the identical sets. Scale shape: the PQ side is the
+    * ADC map + driver-k shortlist of [[annPq]]; the exact side is one
+    * broadcast-query corpus pass — the calibration you run on a
+    * sample before trusting the sketch at 100 TB. */
+  def pqRecall(s: SparkSession, dir: String, k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val pqIds = annPq(s, dir, k, shortlist).select("vec_id")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+      .select("vec_id")
+    pqIds.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        expr(s"n_overlap * 1000 div $k").as("recall_permille"))
+  }
+
   /** Probe a built IVF index: rank the persisted centroids against the
     * query on the driver (nlist dot products — pure math, no corpus
     * pass), read only the `nprobe` best partitions, exact cosine

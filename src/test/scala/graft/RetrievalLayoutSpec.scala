@@ -450,6 +450,21 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       full.mkString(","))
   }
 
+  test("pq recall: bounded permille; corpus-wide shortlist recovers exact") {
+    import graft.operators.Similarity
+    val partial = Similarity.pqRecall(spark, sf).collect()
+    assert(partial.length == 1)
+    val p = partial.head.getAs[Long]("recall_permille")
+    assert(p >= 0 && p <= 1000)
+    assert(p == partial.head.getAs[Long]("n_overlap") * 100)
+    // shortlist ≥ corpus ⇒ the rerank scans everything ⇒ the PQ top-10
+    // IS the exact top-10 ⇒ recall exactly 1000
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    val full = Similarity.pqRecall(spark, sf, shortlist = n).collect()
+    assert(full.head.getAs[Long]("recall_permille") == 1000L,
+      full.mkString(","))
+  }
+
   // ── Bigram LM score ──────────────────────────────────────────────────
 
   test("ngram LM: scrambled doc scores more surprising than fluent twin") {
