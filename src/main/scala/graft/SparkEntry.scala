@@ -277,7 +277,8 @@ object SparkEntry {
     "doc_ngram_lm"        -> (TextAnalysis.ngramLm _),
     "mv_incremental"      -> (MatView.incrementalRefresh _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
-    "stats_table_profile" -> (Stats.tableProfile _)
+    "stats_table_profile" -> (Stats.tableProfile _),
+    "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -3690,6 +3691,29 @@ object SparkEntry {
     // batch refresh — one shared oracle, so rows lost/replayed across
     // micro-batch boundaries or stale-store maintenance hash-mismatch.
     "stream_mv_parity" -> mvRefreshOracleSql,
+    // CSV ingest accounting: Spark PARSES the staged lines (schema-on-
+    // read, quoted commas, PERMISSIVE corrupt capture); the oracle
+    // re-derives every count by arithmetic from documents — a parse
+    // that shifts a column, loses a quoted comma, or misroutes a
+    // malformed line changes a sum and fails the hash. Good-row-only
+    // sums keep the row independent of which FIELDS of a malformed
+    // line the parser salvages (version-specific behavior).
+    "src_scan_csv" ->
+      """WITH base AS (
+           SELECT doc_id, lang, n_chars,
+             CASE WHEN doc_id % 13 = 5 THEN '_corrupt' ELSE lang END
+               AS grp,
+             doc_id % 13 <> 5 AS good
+           FROM documents)
+         SELECT grp AS lang, count(*) AS n_rows,
+           CAST(COALESCE(sum(CASE WHEN good THEN doc_id END), 0)
+             AS BIGINT) AS sum_doc_id,
+           CAST(COALESCE(sum(CASE WHEN good THEN n_chars END), 0)
+             AS BIGINT) AS sum_chars,
+           CAST(COALESCE(sum(CASE WHEN good
+             THEN 2 + length(CAST(doc_id AS VARCHAR)) END), 0)
+             AS BIGINT) AS sum_title_len
+         FROM base GROUP BY 1 ORDER BY lang""",
     // ANALYZE-style stats: every cell recomputed from scratch per
     // column; min/max aggregate in native type then cast, exactly as
     // the Spark side does, and the broadcast flag re-derives from the
