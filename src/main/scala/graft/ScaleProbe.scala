@@ -102,7 +102,16 @@ object ScaleProbe {
     // the CMS sketch (shuffle is O(partitions·d·w) by contract — the
     // flattest growth on the list if the partial aggregation holds)
     "dedup_substring", "dedup_substring_delta", "q_search_bm25",
-    "doc_ngram_lm", "doc_heavy_hitters_cms")
+    "doc_ngram_lm", "doc_heavy_hitters_cms",
+    // r14 additions: the incremental-MV refresh (signed merge over the
+    // delta + key-pruned recompute — growth must track delta and
+    // group count, never the base-scan a full refresh pays), the
+    // quotient-graph incremental components (label table streams
+    // map-side; growth tracks the label-build, the merge itself is
+    // delta-sized), the per-column stats scan (column-pruned linear),
+    // and the CSV parse path (linear in staged bytes)
+    "mv_incremental", "graph_components_delta", "stats_table_profile",
+    "src_scan_csv")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =
@@ -404,6 +413,24 @@ scan-bound — the DF-floor note in the scaladoc is the 100 TB lever.
 sketch contract demands — the shuffle is O(partitions*d*w) regardless
 of corpus size; only the token scan grows, and it stays inside the
 fixed-cost floor at these scales.
+
+**r14 rows, adjudicated.** `mv_incremental` (e~=0.39): the signed
+merge is delta-sized and the min/max recompute semi-joins to the
+delete-touched keys — the residual growth is the MV0 build (a
+one-aggregate base pass the fixture must pay to CONSTRUCT yesterday's
+state; production reads it) plus group-count growth, both linear
+shares of a sub-second row. `graph_components_delta` (e~=0.19): the
+quotient merge is delta-sized by contract; what grows is yesterday's
+label build (same fixture-construction share) and the broadcast-probe
+map side, and the flat exponent confirms the label table never
+re-pairs. `stats_table_profile` (e~=0.07): nine column-pruned
+single-column scans — the two small dims are scale-fixed cost and
+the three lineitem columns grow linearly but sit inside the floor;
+the 100 TB path swaps the exact-NDV shuffle for the one-pass HLL
+variant (spec-calibrated within 5%). `src_scan_csv` (e~=0.08): stage
+write + splittable CSV parse + one hash aggregate, all linear in
+staged bytes; the documents table is small enough at these scales
+that session floor dominates.
 """)
     sb.append("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALEPROBE.md"),

@@ -201,6 +201,8 @@ object SparkEntry {
       Similarity.ivfRecall(s, d)),
     "emb_pq_recall"       -> ((s: SparkSession, d: String) =>
       Similarity.pqRecall(s, d)),
+    "emb_ivf_rebalance"   -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRebalanceReport(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
       Similarity.annPq(s, d)),
     "dedup_spans"         -> (Curation.spanDedup _),
@@ -309,11 +311,11 @@ object SparkEntry {
            FROM $prev f LEFT JOIN best$k b ON TRUE)"""
   }
 
-  /** Shared oracle of `emb_ivf_append` and `stream_ivf_parity`: the
-    * final index occupancy from the bit-exact seed-quantizer
-    * assignment rule (emb_ann_ivf's machinery), appended share broken
-    * out at the id cut. */
-  private def ivfAppendOracleSql: String =
+  /** Seed-quantizer assignment CTE (bit-exact emb_ann_ivf machinery)
+    * plus the delta id-cut — shared prefix of the IVF maintenance
+    * oracles (`emb_ivf_append`, `stream_ivf_parity`,
+    * `emb_ivf_rebalance`). */
+  private def ivfAssignedCteSql: String =
     s"""WITH e AS (SELECT vec_id,
            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
          FROM embeddings),
@@ -328,13 +330,41 @@ object SparkEntry {
          SELECT vec_id, c AS cell FROM (
            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
              ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
-       cut AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings)
+       cut AS (SELECT (MAX(vec_id) * 4) // 5 AS cut FROM embeddings)"""
+
+  /** Shared oracle of `emb_ivf_append` and `stream_ivf_parity`: the
+    * final index occupancy from the bit-exact seed-quantizer
+    * assignment rule (emb_ann_ivf's machinery), appended share broken
+    * out at the id cut. */
+  private def ivfAppendOracleSql: String =
+    ivfAssignedCteSql +
+    s"""
        SELECT CAST(a.cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
          CAST(SUM(CASE WHEN a.vec_id >= c.cut THEN 1 ELSE 0 END)
            AS BIGINT) AS n_appended,
          MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
        FROM assigned a CROSS JOIN cut c
        GROUP BY a.cell ORDER BY cell"""
+
+  /** Oracle of `emb_ivf_rebalance`: per-cell occupancy before/after
+    * the delta append and the split decision (occupancy > 2x the mean
+    * after absorbing the delta) — the trigger a 100 TB index uses to
+    * schedule quantizer refresh instead of re-clustering on a timer. */
+  private def ivfRebalanceOracleSql: String =
+    ivfAssignedCteSql +
+    s""",
+       occ AS (
+         SELECT a.cell, COUNT(*) AS n_after,
+           CAST(SUM(CASE WHEN a.vec_id < c.cut THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_before
+         FROM assigned a CROSS JOIN cut c GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total FROM occ)
+       SELECT CAST(cell AS BIGINT) AS cell, n_before, n_after,
+         (n_after - n_before) * 1000 // nullif(n_before, 0)
+           AS growth_permille,
+         CAST(CASE WHEN n_after * ${Similarity.IvfNlist} > 2 * total
+           THEN 1 ELSE 0 END AS BIGINT) AS needs_split
+       FROM occ CROSS JOIN tot ORDER BY cell"""
 
   /** BM25 oracle CTE stack (through per-query ranking, unlimited) —
     * shared by the `q_search_bm25` and `q_search_hybrid` oracles so the
@@ -1614,6 +1644,7 @@ object SparkEntry {
     // the streaming append (foreachBatch per micro-batch) must land
     // the IDENTICAL final index — one oracle serves both rows
     "stream_ivf_parity" -> ivfAppendOracleSql,
+    "emb_ivf_rebalance" -> ivfRebalanceOracleSql,
     // construction-rule oracle for the planted Lloyd geometry
     // (Similarity.lloydPlantedCluster): vec_ids 1..16 are the seeds,
     // one per cell in order; the rest land on (i % 37) % 16. The

@@ -125,25 +125,35 @@ object MatView {
       .unionByName(adds)).orderBy("l_partkey")
   }
 
+  /** Buckets of the streaming store — the MERGE granularity: a batch
+    * rewrites only the buckets its keys land in. */
+  val StoreBuckets = 16
+
   /** Streaming form — the delta ARRIVES as a stream and each
-    * micro-batch maintains BOTH the persisted base store (anti-join
-    * delete + append, the row-level MERGE the engine's chunk store
-    * runs) and the persisted MV through [[applyDelta]], fed
-    * micro-batch-sized. The final MV must be identical to the batch
-    * refresh's, so the two rows share one DuckDB oracle: a delta row
-    * lost or replayed across micro-batch boundaries, maintenance
-    * applied against a stale store version, or the streaming path
-    * drifting from the batch kernel all land as a hash mismatch.
-    * Three orderkey-range slices replay in ascending mtime order so
-    * micro-batch boundaries are deterministic; each batch carries a
-    * mix of inserts and deletes. */
+    * micro-batch maintains BOTH the persisted base store and the
+    * persisted MV through [[applyDelta]], fed micro-batch-sized. The
+    * store is bucket-partitioned on hash(l_orderkey) and each batch's
+    * MERGE (partition-pruned slice read → anti-join delete → append)
+    * writes back through DYNAMIC partition overwrite, so only the
+    * delta-touched buckets rewrite — the Spark-native equivalent of a
+    * Delta MERGE touching delta-sized files, not a store rewrite per
+    * trigger. The final MV must be identical to the batch refresh's,
+    * so the two rows share one DuckDB oracle: a delta row lost or
+    * replayed across micro-batch boundaries, a bucket overwritten
+    * with a stale slice, or the streaming path drifting from the
+    * batch kernel all land as a hash mismatch. Three orderkey-range
+    * slices replay in ascending mtime order so micro-batch boundaries
+    * are deterministic; each batch carries a mix of inserts and
+    * deletes. */
   def mvStreamParity(s: SparkSession, dir: String): DataFrame = {
     if (Tables.lineitem(s, dir).take(1).isEmpty)
       return incrementalRefresh(s, dir)
     val (store, adds, dels) = parts(s, dir)
+    val bucket = pmod(col("l_orderkey"), lit(StoreBuckets.toLong))
     val base = java.nio.file.Files.createTempDirectory("mvstream")
     try {
-      store.write.parquet(s"$base/store/v0")
+      store.withColumn("bucket", bucket)
+        .write.partitionBy("bucket").parquet(s"$base/store")
       aggMv(store).write.parquet(s"$base/mv/v0")
       adds.withColumn("sgn", lit(1L))
         .unionByName(dels.withColumn("sgn", lit(-1L)))
@@ -167,14 +177,25 @@ object MatView {
       var v = 0
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val cur = s.read.parquet(s"$base/store/v$v")
+          val bk = b.withColumn("bucket", bucket)
+          val touched = bk.select(col("bucket").cast("long"))
+            .distinct().collect().map(_.getLong(0))
+          // partition-pruned slice read: only the touched buckets
+          val slice = s.read.parquet(s"$base/store")
+            .filter(col("bucket")
+              .isin(touched.toIndexedSeq.map(java.lang.Long.valueOf): _*))
           val bDelKeys = b.filter(col("sgn") === -1)
             .select("l_orderkey", "l_linenumber")
-          val nb = cur.join(broadcast(bDelKeys),
+          // materialized before the overwrite: Spark (correctly)
+          // refuses to overwrite a path still being read
+          val newSlice = slice.join(broadcast(bDelKeys),
               Seq("l_orderkey", "l_linenumber"), "left_anti")
-            .unionByName(b.filter(col("sgn") === 1).drop("sgn"))
-          nb.write.parquet(s"$base/store/v${v + 1}")
-          val newBase = s.read.parquet(s"$base/store/v${v + 1}")
+            .unionByName(bk.filter(col("sgn") === 1).drop("sgn"))
+            .localCheckpoint(true)
+          newSlice.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(s"$base/store")
+          val newBase = s.read.parquet(s"$base/store")
           applyDelta(s.read.parquet(s"$base/mv/v$v"), b, newBase)
             .write.parquet(s"$base/mv/v${v + 1}")
           v += 1

@@ -620,6 +620,36 @@ object Similarity {
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
+  /** IVF rebalance decision report — the maintenance trigger that
+    * closes the index loop (build → append → MEASURE → split):
+    * per-cell occupancy before/after the delta append (the
+    * emb_ivf_append construction: delta = top fifth of the id range),
+    * growth permille, and the split flag (occupancy > 2x the
+    * post-append mean) a 100 TB index uses to schedule quantizer
+    * refresh for exactly the hot cells instead of re-clustering the
+    * corpus on a timer. One assignment pass + one 16-row aggregate;
+    * the mean rides a broadcast 1-row crossJoin. All-integer outputs;
+    * empty cells divide to NULL growth via nullif, same as the
+    * oracle. */
+  def ivfRebalanceReport(s: SparkSession, dir: String,
+      nlist: Int = IvfNlist): DataFrame = {
+    val maxRow = Tables.embeddings(s, dir).agg(max(col("vec_id"))).head()
+    val cut = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) * 4 / 5
+    val occ = ivfAssign(s, dir, nlist)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("vec_id") < cut, 1L).otherwise(0L)).as("n_before"))
+    val tot = occ.agg(sum(col("n_after")).as("total"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell").cast("long").as("cell"), col("n_before"),
+        col("n_after"),
+        expr("(n_after - n_before) * 1000 div nullif(n_before, CAST(0 AS BIGINT))")
+          .as("growth_permille"),
+        (col("n_after") * nlist > col("total") * 2).cast("long")
+          .as("needs_split"))
+      .orderBy("cell")
+  }
+
   /** PQ recall calibration — the PQ twin of [[ivfRecall]], completing
     * the approximate-vs-exact calibration family: overlap of
     * [[annPq]]'s shortlist-reranked top-k with the exact cosine top-k

@@ -450,6 +450,26 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       full.mkString(","))
   }
 
+  test("ivf rebalance report: occupancy identities and split rule") {
+    import graft.operators.Similarity
+    val rows = Similarity.ivfRebalanceReport(spark, sf).collect()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_after")).sum == n,
+      "every vector lands in exactly one cell")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") >= r.getAs[Long]("n_before"))
+      val split = r.getAs[Long]("needs_split") == 1L
+      val rule = r.getAs[Long]("n_after") * Similarity.IvfNlist > 2 * n
+      assert(split == rule, s"split flag must be the >2x-mean rule: $r")
+      if (r.getAs[Long]("n_before") > 0) {
+        val g = r.getAs[Long]("growth_permille")
+        val expected = (r.getAs[Long]("n_after") - r.getAs[Long]("n_before")) *
+          1000 / r.getAs[Long]("n_before")
+        assert(g == expected)
+      } else assert(r.isNullAt(r.fieldIndex("growth_permille")))
+    }
+  }
+
   test("pq recall: bounded permille; corpus-wide shortlist recovers exact") {
     import graft.operators.Similarity
     val partial = Similarity.pqRecall(spark, sf).collect()
