@@ -70,6 +70,7 @@ object SparkEntry {
     "q28_grouping_sets"   -> (Relational.q28GroupingSets _),
     "q29_pivot"           -> (Relational.q29Pivot _),
     "q30_activity_islands" -> (Relational.q30ActivityIslands _),
+    "q32_range_frame"     -> (Relational.q32RangeFrame _),
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
@@ -3479,6 +3480,19 @@ object SparkEntry {
          SELECT ubucket, count(*) AS n_events,
            round(CAST(sum(value * weight) AS DOUBLE), 2) AS sum_weighted
          FROM j GROUP BY 1 ORDER BY 1""",
+    // Value-based RANGE frame (peer-inclusive, preceding hour);
+    // floor-before-sum is the portable integer rationalization —
+    // Spark's double→long cast truncates, DuckDB's rounds.
+    "q32_range_frame" ->
+      """SELECT user_id, event_id,
+         count(*) OVER w AS n_last_hour,
+         CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_floor_last_hour
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     // Exact substring-span dedup: stride-1 40-char windows, md5
     // content-defined 1/4 sampling, cross-doc duplicate test, island
     // merge — see Dedup.substringSpans scaladoc. CTE stacks shared with

@@ -481,4 +481,30 @@ object Relational {
         min(col("start_d")).as("first_day"))
       .orderBy("user_id")
   }
+
+  /** Value-based RANGE window frame — the one frame spec the checklist
+    * still lacked (q7 is ROWS, q14 is tumbling, q15/q30 are gap-based):
+    * per event, the count and floor-integer sum of the same user's
+    * events in the PRECEDING HOUR by event time. RANGE frames are
+    * peer-inclusive (ties in `us` share a frame), which the oracle
+    * exercises wherever the fixture has same-microsecond events.
+    * floor-before-sum keeps the aggregate integer-exact cross-engine
+    * (Spark's double→long cast truncates while DuckDB's rounds — floor
+    * is the portable rationalization).
+    * Scale: one hash exchange on user_id; the running range frame
+    * evaluates inside each user partition with a sliding two-pointer,
+    * no self-join (the naive equivalent is an O(n·frame) range
+    * self-join). */
+  def q32RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value")).cast("long").as("fv"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("fv")).over(w).as("sum_floor_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
 }
