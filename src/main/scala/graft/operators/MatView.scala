@@ -125,39 +125,42 @@ object MatView {
       .unionByName(adds)).orderBy("l_partkey")
   }
 
-  /** Buckets of the streaming store — the MERGE granularity: a batch
-    * rewrites only the buckets its keys land in. */
-  val StoreBuckets = 16
-
   /** Streaming form — the delta ARRIVES as a stream and each
     * micro-batch maintains BOTH the persisted base store and the
     * persisted MV through [[applyDelta]], fed micro-batch-sized. The
-    * store is bucket-partitioned on hash(l_orderkey) and each batch's
-    * MERGE (partition-pruned slice read → anti-join delete → append)
-    * writes back through DYNAMIC partition overwrite, so only the
-    * delta-touched buckets rewrite — the Spark-native equivalent of a
-    * Delta MERGE touching delta-sized files, not a store rewrite per
-    * trigger. The final MV must be identical to the batch refresh's,
-    * so the two rows share one DuckDB oracle: a delta row lost or
-    * replayed across micro-batch boundaries, a bucket overwritten
-    * with a stale slice, or the streaming path drifting from the
-    * batch kernel all land as a hash mismatch. Three orderkey-range
-    * slices replay in ascending mtime order so micro-batch boundaries
-    * are deterministic; each batch carries a mix of inserts and
-    * deletes. */
+    * store runs MERGE-ON-READ: each batch appends only delta-sized
+    * files (insert rows to the add log, delete keys to the tombstone
+    * log — a uniform delta touches every hash bucket, so a
+    * copy-on-write store would rewrite itself per trigger; tombstones
+    * keep per-batch write IO strictly O(delta), the Delta/Iceberg
+    * deletion-vector strategy) and reads reconstruct current state as
+    * base ANTI-JOIN tombstones UNION adds, with the tombstone side
+    * broadcast (delta-sized by construction). Periodic folding of the
+    * logs is the compaction job store_compaction plans. The final MV
+    * must be identical to the batch refresh's, so the two rows share
+    * one DuckDB oracle: a delta row lost or replayed across
+    * micro-batch boundaries, a tombstone dropped, or the streaming
+    * path drifting from the batch kernel all land as a hash mismatch.
+    * Two orderkey-range slices replay in ascending mtime order so
+    * micro-batch boundaries are deterministic; each batch carries a
+    * mix of inserts and deletes (two batches exercise every boundary
+    * class — first-batch bootstrap and tombstone accumulation — at
+    * two-thirds the protocol cost of three). */
   def mvStreamParity(s: SparkSession, dir: String): DataFrame = {
     if (Tables.lineitem(s, dir).take(1).isEmpty)
       return incrementalRefresh(s, dir)
     val (store, adds, dels) = parts(s, dir)
-    val bucket = pmod(col("l_orderkey"), lit(StoreBuckets.toLong))
     val base = java.nio.file.Files.createTempDirectory("mvstream")
     try {
-      store.withColumn("bucket", bucket)
-        .write.partitionBy("bucket").parquet(s"$base/store")
+      store.write.parquet(s"$base/store0")
       aggMv(store).write.parquet(s"$base/mv/v0")
+      // typed empty logs so the first in-batch read always has a schema
+      dels.select("l_orderkey", "l_linenumber").limit(0)
+        .write.parquet(s"$base/dels")
+      adds.limit(0).write.parquet(s"$base/adds")
       adds.withColumn("sgn", lit(1L))
         .unionByName(dels.withColumn("sgn", lit(-1L)))
-        .repartitionByRange(3, col("l_orderkey"))
+        .repartitionByRange(2, col("l_orderkey"))
         .write.parquet(s"$base/in")
       val t0 = System.currentTimeMillis() - 3600 * 1000L
       new java.io.File(s"$base/in").listFiles()
@@ -177,25 +180,16 @@ object MatView {
       var v = 0
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val bk = b.withColumn("bucket", bucket)
-          val touched = bk.select(col("bucket").cast("long"))
-            .distinct().collect().map(_.getLong(0))
-          // partition-pruned slice read: only the touched buckets
-          val slice = s.read.parquet(s"$base/store")
-            .filter(col("bucket")
-              .isin(touched.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-          val bDelKeys = b.filter(col("sgn") === -1)
-            .select("l_orderkey", "l_linenumber")
-          // materialized before the overwrite: Spark (correctly)
-          // refuses to overwrite a path still being read
-          val newSlice = slice.join(broadcast(bDelKeys),
+          // delta-sized appends — the only write IO of the batch
+          b.filter(col("sgn") === -1).select("l_orderkey", "l_linenumber")
+            .coalesce(1).write.mode("append").parquet(s"$base/dels")
+          b.filter(col("sgn") === 1).drop("sgn")
+            .coalesce(1).write.mode("append").parquet(s"$base/adds")
+          // merge-on-read reconstruction of the maintained base
+          val newBase = s.read.parquet(s"$base/store0")
+            .join(broadcast(s.read.parquet(s"$base/dels")),
               Seq("l_orderkey", "l_linenumber"), "left_anti")
-            .unionByName(bk.filter(col("sgn") === 1).drop("sgn"))
-            .localCheckpoint(true)
-          newSlice.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket").parquet(s"$base/store")
-          val newBase = s.read.parquet(s"$base/store")
+            .unionByName(s.read.parquet(s"$base/adds"))
           applyDelta(s.read.parquet(s"$base/mv/v$v"), b, newBase)
             .write.parquet(s"$base/mv/v${v + 1}")
           v += 1
