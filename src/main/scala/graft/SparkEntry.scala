@@ -3767,14 +3767,11 @@ object SparkEntry {
   )
 
   /** Oracle for `stats_table_profile`: one UNION ALL branch per
-    * profiled (table, column), generated from the same spec list shape
-    * Stats.tableProfile uses. */
+    * profiled (table, column), generated from THE spec list
+    * (Stats.ProfileSpec) the exact and approx profiles consume — the
+    * three cannot drift. */
   private lazy val statsProfileOracleSql: String = {
-    val specs = Seq(
-      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
-      "customer" -> Seq("c_custkey", "c_mktsegment", "c_nationkey"),
-      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_returnflag"))
-    val branches = specs.flatMap { case (t, cols) =>
+    val branches = graft.operators.Stats.ProfileSpec.flatMap { case (t, cols) =>
       cols.map { c =>
         s"""SELECT '$t' AS tbl, '$c' AS col_name,
            count(*) AS n_rows,
@@ -3895,8 +3892,9 @@ object SparkEntry {
     * deletes plus the %10=7 inserts = `l_orderkey % 10 <> 3`). */
   private lazy val mvRefreshOracleSql: String =
     """SELECT l_partkey, count(*) AS n_rows,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
        FROM lineitem WHERE l_orderkey % 10 <> 3
        GROUP BY 1 ORDER BY l_partkey"""
 

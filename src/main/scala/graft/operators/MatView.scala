@@ -53,6 +53,17 @@ object MatView {
       min(col("l_shipdate")).as("min_ship"),
       max(col("l_shipdate")).as("max_ship"))
 
+  /** Row-level output finisher: timestamps leave as formatted strings
+    * (the repo's oracle-parity rule — raw timestamps hash differently
+    * across the LTZ/NTZ parquet shapes; strings are shape-invariant
+    * under the pinned UTC session). The internal kernel stays on
+    * native timestamps. */
+  private def finish(mv: DataFrame): DataFrame =
+    mv.select(col("l_partkey"), col("n_rows"), col("sum_qty"),
+      date_format(col("min_ship"), "yyyy-MM-dd").as("min_ship"),
+      date_format(col("max_ship"), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("l_partkey")
+
   /** The refresh kernel shared by the batch row and the streaming
     * parity row: apply a signed delta (`sgn` = +1 insert / −1 delete)
     * to an MV in (l_partkey, n_rows, sum_qty, min_ship, max_ship)
@@ -113,7 +124,7 @@ object MatView {
       .unionByName(dels.withColumn("sgn", lit(-1L)))
     val newBase = store
       .filter(pmod(col("l_orderkey"), lit(10)) =!= 3).unionByName(adds)
-    applyDelta(aggMv(store), delta, newBase).orderBy("l_partkey")
+    finish(applyDelta(aggMv(store), delta, newBase))
   }
 
   /** Full-recompute MV over the maintained base state — the expensive
@@ -121,8 +132,8 @@ object MatView {
     * two so the kernel can never drift from recompute semantics. */
   def fullRefresh(s: SparkSession, dir: String): DataFrame = {
     val (store, adds, _) = parts(s, dir)
-    aggMv(store.filter(pmod(col("l_orderkey"), lit(10)) =!= 3)
-      .unionByName(adds)).orderBy("l_partkey")
+    finish(aggMv(store.filter(pmod(col("l_orderkey"), lit(10)) =!= 3)
+      .unionByName(adds)))
   }
 
   /** Streaming form — the delta ARRIVES as a stream and each
@@ -167,15 +178,11 @@ object MatView {
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
         .zipWithIndex
         .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("l_partkey", LongType),
-        StructField("l_orderkey", LongType),
-        StructField("l_linenumber", IntegerType),
-        StructField("qty", LongType),
-        StructField("l_shipdate", TimestampType),
-        StructField("sgn", LongType)))
-      val stream = s.readStream.schema(schema)
+      // schema from the staged files themselves: the parquet timestamp
+      // shape (LTZ vs NTZ) must flow through unchanged or the
+      // streaming kernel type-diverges from the batch kernel
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/in").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       var v = 0
       val q = stream.writeStream
@@ -185,11 +192,14 @@ object MatView {
             .coalesce(1).write.mode("append").parquet(s"$base/dels")
           b.filter(col("sgn") === 1).drop("sgn")
             .coalesce(1).write.mode("append").parquet(s"$base/adds")
-          // merge-on-read reconstruction of the maintained base
+          // merge-on-read reconstruction of the maintained base:
+          // tombstones apply to the WHOLE live set (base files AND
+          // appended files — a delete may target a row an earlier
+          // micro-batch inserted, exactly as deletion vectors do)
           val newBase = s.read.parquet(s"$base/store0")
+            .unionByName(s.read.parquet(s"$base/adds"))
             .join(broadcast(s.read.parquet(s"$base/dels")),
               Seq("l_orderkey", "l_linenumber"), "left_anti")
-            .unionByName(s.read.parquet(s"$base/adds"))
           applyDelta(s.read.parquet(s"$base/mv/v$v"), b, newBase)
             .write.parquet(s"$base/mv/v${v + 1}")
           v += 1
@@ -197,8 +207,7 @@ object MatView {
         }
         .option("checkpointLocation", s"$base/ckpt").start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/mv/v$v").orderBy("l_partkey")
-        .localCheckpoint(true)
+      finish(s.read.parquet(s"$base/mv/v$v")).localCheckpoint(true)
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 }

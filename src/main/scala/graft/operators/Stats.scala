@@ -30,20 +30,33 @@ object Stats {
     * when unprofiled columns ride along. */
   val BroadcastBytes = 100000L
 
+  /** The single (table → profiled columns) spec list: the exact
+    * profile, the one-pass approx profile, and the generated DuckDB
+    * oracle (SparkEntry.statsProfileOracleSql) all consume THIS value,
+    * so a column added or renamed in one place cannot drift from the
+    * other two. */
+  val ProfileSpec: Seq[(String, Seq[String])] = Seq(
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_mktsegment", "c_nationkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_returnflag"))
+
+  private def specTables(s: SparkSession,
+      dir: String): Seq[(String, DataFrame, Seq[String])] =
+    ProfileSpec.map { case (t, cols) =>
+      (t, Tables.load(s, dir, t), cols)
+    }
+
   /** Per-(table, column) stats + per-table byte estimate + broadcast
     * flag. The DuckDB oracle recomputes every cell from scratch —
     * min/max are aggregated in the column's native type and THEN cast
     * to string, so numeric and lexicographic orderings both stay
     * engine-exact. */
-  def tableProfile(s: SparkSession, dir: String): DataFrame = {
-    val specs: Seq[(String, DataFrame, Seq[String])] = Seq(
-      ("nation", Tables.nation(s, dir),
-        Seq("n_nationkey", "n_name", "n_regionkey")),
-      ("customer", Tables.customer(s, dir),
-        Seq("c_custkey", "c_mktsegment", "c_nationkey")),
-      ("lineitem", Tables.lineitem(s, dir),
-        Seq("l_orderkey", "l_partkey", "l_returnflag")))
-    val perCol = specs.flatMap { case (t, df, cols) =>
+  /** The un-materialized per-(table, column) aggregate union — exposed
+    * so PlanAuditSpec can assert its scans are column-pruned (the
+    * production path materializes it before the rollup/join reuse,
+    * which truncates the lineage the audit needs to see). */
+  private[graft] def perColumnStats(s: SparkSession, dir: String): DataFrame =
+    specTables(s, dir).flatMap { case (t, df, cols) =>
       cols.map { c =>
         df.select(col(c).as("v")).agg(
           count(lit(1)).as("n_rows"),
@@ -58,6 +71,12 @@ object Stats {
             col("total_len"))
       }
     }.reduce(_ unionByName _)
+
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: perCol feeds both the rollup and the join
+    // probe side — without this every column scan + NDV aggregate
+    // runs twice
+    val perCol = perColumnStats(s, dir).localCheckpoint(true)
     val perTbl = perCol.groupBy("tbl")
       .agg(sum(col("total_len")).as("tbl_est_bytes"))
     perCol.join(broadcast(perTbl), Seq("tbl"))
@@ -71,14 +90,7 @@ object Stats {
     * not an oracle row itself (sketch estimates are
     * implementation-defined). */
   def tableProfileApprox(s: SparkSession, dir: String): DataFrame = {
-    val specs: Seq[(String, DataFrame, Seq[String])] = Seq(
-      ("nation", Tables.nation(s, dir),
-        Seq("n_nationkey", "n_name", "n_regionkey")),
-      ("customer", Tables.customer(s, dir),
-        Seq("c_custkey", "c_mktsegment", "c_nationkey")),
-      ("lineitem", Tables.lineitem(s, dir),
-        Seq("l_orderkey", "l_partkey", "l_returnflag")))
-    specs.map { case (t, df, cols) =>
+    specTables(s, dir).map { case (t, df, cols) =>
       val aggs = cols.flatMap { c => Seq(
         approx_count_distinct(col(c), 0.02).as(s"ndv_$c"),
         coalesce(sum(length(col(c).cast("string"))), lit(0L))

@@ -451,8 +451,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stats_table_profile scans are column-pruned to the profiled column") {
     // each per-column aggregate must push a one-column ReadSchema into
     // its parquet scan — a profile that drags full rows through the
-    // NDV shuffle reads the whole table once per column at 100 TB
-    val p = planOf("stats_table_profile")
+    // NDV shuffle reads the whole table once per column at 100 TB.
+    // Audited on the pre-materialization stage: the production path
+    // checkpoints it (so the rollup + join reuse one execution), which
+    // truncates the lineage this evidence lives in.
+    val p = graft.operators.Stats.perColumnStats(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
       p.take(4000))
     assert(p.contains("ReadSchema: struct<n_name:string>"), p.take(4000))
