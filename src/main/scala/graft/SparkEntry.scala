@@ -228,6 +228,7 @@ object SparkEntry {
       Curation.curationRunsAuto(s, d)
     }),
     "doc_sample_balanced" -> (Curation.balancedSample _),
+    "curation_token_budget" -> (Curation.tokenBudgetSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),
     "graph_pagerank_sink" -> ((s: SparkSession, d: String) =>
@@ -281,7 +282,9 @@ object SparkEntry {
     "mv_incremental"      -> (MatView.incrementalRefresh _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
-    "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _)
+    "stats_quantile_sketch" -> (Stats.quantileSketch _),
+    "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _),
+    "src_scan_jsonl"      -> (graft.sources.JsonlSource.scanJsonl _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -3281,6 +3284,31 @@ object SparkEntry {
            FROM d JOIN rates r ON d.source = r.source)
          SELECT doc_id, source, rate_permille, bucket FROM x
          WHERE bucket < rate_permille ORDER BY doc_id""",
+    // Exact token-budget assembly: per source, documents in sha-bucket
+    // order until the cumulative token count reaches the budget — the
+    // running-sum cutoff is re-derived with the identical window.
+    "curation_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             CAST((length(text)+3)//4 AS BIGINT) AS tok,
+             ('0x'||substr(sha256('smp:'||doc_id),1,12))::BIGINT % 1000
+               AS bucket
+           FROM documents),
+         c AS (SELECT source, tok, bucket,
+             sum(tok) OVER (PARTITION BY source ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok
+           FROM d)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tokens_kept,
+           CAST(max(cum_tok) AS BIGINT) AS cum_at_cut,
+           CAST(max(bucket) AS BIGINT) AS last_bucket,
+           CAST(${graft.operators.Curation.TokenBudget} AS BIGINT)
+             AS budget,
+           CAST(sum(tok) * 1000 //
+             ${graft.operators.Curation.TokenBudget} AS BIGINT)
+             AS fill_permille
+         FROM c WHERE cum_tok <= ${graft.operators.Curation.TokenBudget}
+         GROUP BY 1 ORDER BY source""",
     "curation_funnel" -> (funnelCtes +
       "\nSELECT stage, n_docs, n_tokens FROM fun ORDER BY stage"),
     "curation_runs" -> (funnelCtes + """
@@ -3759,11 +3787,77 @@ object SparkEntry {
              THEN 2 + length(CAST(doc_id AS VARCHAR)) END), 0)
              AS BIGINT) AS sum_title_len
          FROM base GROUP BY 1 ORDER BY lang""",
+    // JSONL ingest accounting: Spark PARSES the staged lines (nested
+    // struct, string array, two planted malformation classes — typed
+    // and structural); the oracle re-derives every count by arithmetic
+    // from documents. Nested-field extraction, array sizing, and
+    // quarantine routing all feed the hash; good-row-only sums keep
+    // the row independent of what the parser salvages from a corrupt
+    // line.
+    "src_scan_jsonl" ->
+      """WITH base AS (
+           SELECT doc_id, lang, n_chars,
+             CASE WHEN doc_id % 13 = 5 OR doc_id % 17 = 3
+               THEN '_corrupt' ELSE lang END AS grp,
+             doc_id % 13 <> 5 AND doc_id % 17 <> 3 AS good
+           FROM documents)
+         SELECT grp AS lang, count(*) AS n_rows,
+           CAST(COALESCE(sum(CASE WHEN good THEN doc_id END), 0)
+             AS BIGINT) AS sum_doc_id,
+           CAST(COALESCE(sum(CASE WHEN good THEN n_chars END), 0)
+             AS BIGINT) AS sum_chars,
+           CAST(COALESCE(sum(CASE WHEN good THEN doc_id % 3 + 1 END), 0)
+             AS BIGINT) AS sum_tags
+         FROM base GROUP BY 1 ORDER BY lang""",
     // ANALYZE-style stats: every cell recomputed from scratch per
     // column; min/max aggregate in native type then cast, exactly as
     // the Spark side does, and the broadcast flag re-derives from the
     // same byte rollup.
-    "stats_table_profile" -> statsProfileOracleSql
+    "stats_table_profile" -> statsProfileOracleSql,
+    // Mergeable-histogram quantile estimate CALIBRATED against the
+    // exact rank statistic — the whole kernel (milli-unit BIGINT
+    // rationalization, scan-derived bucket width, deterministic
+    // in-bucket interpolation, domain-permille error) re-derives in
+    // pure integer SQL; the oracle's exact side uses a global
+    // row_number where the engine uses histogram-located bucket
+    // refinement, so the two must agree on the rank VALUE.
+    "stats_quantile_sketch" ->
+      s"""WITH v AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v
+             FROM events),
+         st AS (SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n,
+             (max(v) - min(v)) // ${graft.operators.Stats.QuantileBuckets}
+               + 1 AS w
+           FROM v),
+         b AS (SELECT v, (v - vmin) // w AS bucket FROM v, st),
+         hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+         cum AS (SELECT bucket, cnt,
+             CAST(COALESCE(sum(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM hist),
+         tgt AS (SELECT p, 1 + (n - 1) * p // 1000 AS target
+           FROM (SELECT unnest([${
+             graft.operators.Stats.QuantilesPermille.mkString(",")}]) AS p),
+             st),
+         loc AS (SELECT p, target, c.bucket, c.cnt, c.cum_before
+           FROM tgt JOIN cum c
+             ON target > c.cum_before AND target <= c.cum_before + c.cnt),
+         ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+         ex AS (SELECT p, v AS exact_v FROM loc JOIN ranked ON rk = target)
+         SELECT CAST(l.p AS BIGINT) AS p,
+           CAST(l.target AS BIGINT) AS target_rank,
+           CAST(l.bucket AS BIGINT) AS bucket,
+           CAST(st.vmin + l.bucket * st.w
+             + (l.target - l.cum_before - 1) * st.w // l.cnt AS BIGINT)
+             AS est_v,
+           CAST(ex.exact_v AS BIGINT) AS exact_v,
+           CAST(CASE WHEN st.vmax > st.vmin THEN
+             abs(st.vmin + l.bucket * st.w
+               + (l.target - l.cum_before - 1) * st.w // l.cnt
+               - ex.exact_v) * 1000 // (st.vmax - st.vmin)
+             ELSE 0 END AS BIGINT) AS err_permille
+         FROM loc l CROSS JOIN st JOIN ex ON l.p = ex.p
+         ORDER BY p"""
   )
 
   /** Oracle for `stats_table_profile`: one UNION ALL branch per

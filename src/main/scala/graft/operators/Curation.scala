@@ -223,6 +223,46 @@ object Curation {
       docId.cast("string")), 256), 1, 12), 16, 10)
       .cast("long") % 1000
 
+  /** Per-source token budget of [[tokenBudgetSample]]. */
+  val TokenBudget = 10000L
+
+  /** Exact token-budget sampling — the third mixture executor next to
+    * rate-based ([[stratifiedSample]]) and min-balanced
+    * ([[balancedSample]]): each source keeps documents in
+    * deterministic hash order ([[shaBucket]], doc_id tie-break) until
+    * its cumulative token count reaches [[TokenBudget]] — how a
+    * training-set assembly hits an exact per-source budget instead of
+    * an expected rate. Sources whose corpus undershoots the budget
+    * keep everything (fill < 1000‰); a source whose first hash-ordered
+    * document alone exceeds it keeps nothing and drops from the
+    * report, matching the oracle.
+    *
+    * Scale: one hash exchange on source + per-source sort for the
+    * running sum — heavier than the scan-side rate filter, and
+    * sort-skewed by the largest source; the 100 TB variant first caps
+    * the sorted set with a rate-estimate prefilter (a stratified pass
+    * at ~2x the budget's expected rate), which keeps this exact
+    * cutoff while sorting only the survivors. */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+      .withColumn("bucket", shaBucket(col("doc_id")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bucket"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tok", sum(col("tok")).over(w))
+      .filter(col("cum_tok") <= TokenBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens_kept"),
+        max(col("cum_tok")).as("cum_at_cut"),
+        max(col("bucket")).as("last_bucket"))
+      .withColumn("budget", lit(TokenBudget))
+      .withColumn("fill_permille",
+        expr(s"tokens_kept * 1000 div $TokenBudget"))
+      .orderBy("source")
+  }
+
   /** Shard count of [[shardShuffle]] — 32 at test scale; a 100 TB run
     * raises it so each shard's sort fits an executor (the shape is
     * shard-count-invariant: one hash exchange + per-shard sort). */

@@ -105,4 +105,69 @@ object Stats {
       stacked
     }.reduce(_ unionByName _).orderBy("tbl", "col_name")
   }
+
+  /** Quantile probe points (permille) of [[quantileSketch]]. */
+  val QuantilesPermille: Seq[Long] = Seq(500L, 900L, 990L)
+
+  /** Histogram resolution of [[quantileSketch]]. */
+  val QuantileBuckets = 256L
+
+  /** Single-pass mergeable quantile estimation CALIBRATED against the
+    * exact rank statistic — the quantile twin of the CMS row
+    * (`doc_heavy_hitters_cms`): exact percentiles need a global sort,
+    * so at 100 TB a planner/monitor runs a fixed-width histogram (one
+    * map-side-combining aggregate, mergeable across partitions and
+    * days) and pays a bounded interpolation error. Values rationalize
+    * to BIGINT milli-units; the bucket width derives from the scanned
+    * min/max, so the whole kernel is integer arithmetic both engines
+    * compute bit-exactly.
+    *
+    * The exact side is itself the scalable two-pass refinement, not a
+    * global sort: the cumulative histogram LOCATES the bucket holding
+    * each target rank, and only that bucket's members (≈N/256) are
+    * rank-selected — at 100 TB the refinement recurses until a bucket
+    * fits an executor; here one level suffices and the plan audit pins
+    * that the full corpus is never globally sorted. Emits per probe:
+    * target rank, located bucket, histogram estimate, exact value, and
+    * the estimate's error in permille of the value domain (the
+    * calibration contract the oracle re-derives). */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val v = Tables.events(s, dir)
+      .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+    val st = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"))
+      .withColumn("w", expr(s"(vmax - vmin) div $QuantileBuckets + 1"))
+    val withB = v.crossJoin(broadcast(st))
+      .withColumn("bucket", expr("(v - vmin) div w"))
+    val hist = withB.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // cumulative counts over the ≤257-row histogram AGGREGATE only
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tgt = QuantilesPermille.toDF("p").crossJoin(broadcast(st))
+      .withColumn("target", expr("1 + (n - 1) * p div 1000"))
+    val loc = broadcast(tgt).join(cum,
+        col("target") > col("cum_before") &&
+        col("target") <= col("cum_before") + col("cnt"))
+      .withColumn("est_v", expr(
+        "vmin + bucket * w + (target - cum_before - 1) * w div cnt"))
+      .select("p", "target", "bucket", "cnt", "cum_before", "est_v",
+        "vmin", "vmax")
+    val exact = withB.select("v", "bucket")
+      .join(broadcast(loc.select("p", "target", "bucket", "cum_before")),
+        Seq("bucket"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("p").orderBy("v")))
+      .filter(col("rk") === col("target") - col("cum_before"))
+      .select(col("p"), col("v").as("exact_v"))
+    loc.join(exact, Seq("p"))
+      .select(col("p"), col("target").as("target_rank"), col("bucket"),
+        col("est_v"), col("exact_v"),
+        when(col("vmax") > col("vmin"),
+          expr("abs(est_v - exact_v) * 1000 div (vmax - vmin)"))
+          .otherwise(lit(0L)).as("err_permille"))
+      .orderBy("p")
+  }
 }

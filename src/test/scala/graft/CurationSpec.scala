@@ -264,6 +264,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenBudgetSample: exact prefix cutoff — under budget, and the next doc would breach it") {
+    val rows = Curation.tokenBudgetSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent per-source recompute of the hash-ordered prefix walk
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tok", expr("CAST((length(text) + 3) div 4 AS BIGINT)"))
+      .withColumn("bucket", Curation.shaBucket(col("doc_id")))
+      .select("source", "doc_id", "bucket", "tok")
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, rs) =>
+        src -> rs.sortBy(r =>
+          (r.getAs[Long]("bucket"), r.getAs[Long]("doc_id")))
+          .map(_.getAs[Long]("tok")).toList
+      }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nDocs, kept, cut) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Long]("cum_at_cut"))
+      assert(kept == cut, s"$src: running sum at the cut must equal the kept total")
+      assert(kept <= Curation.TokenBudget, s"$src breaches the budget")
+      assert(r.getAs[Long]("fill_permille") == kept * 1000 / Curation.TokenBudget)
+      val toks = docs(src)
+      if (nDocs < toks.length)
+        assert(kept + toks(nDocs.toInt) > Curation.TokenBudget,
+          s"$src: cutoff is not maximal — the next hash-ordered doc still fits")
+      else assert(kept == toks.sum, s"$src: kept everything but totals drift")
+    }
+  }
+
   test("quantizeInt8: codes span 0..255 and hit both range endpoints") {
     val rows = Similarity.quantizeInt8(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -53,6 +53,36 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("quantileSketch: estimate stays inside the located bucket, error bounded by one bucket width") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Stats.quantileSketch(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("p")).toSeq == Stats.QuantilesPermille)
+    // independent domain stats
+    val st = Tables.events(spark, dir)
+      .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      .agg(min("v"), max("v"), count(lit(1))).collect().head
+    val (vmin, vmax, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val w = (vmax - vmin) / Stats.QuantileBuckets + 1
+    rows.foreach { r =>
+      val (p, tgt, b, est, exact) = (r.getAs[Long]("p"),
+        r.getAs[Long]("target_rank"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("est_v"), r.getAs[Long]("exact_v"))
+      assert(tgt == 1 + (n - 1) * p / 1000 && tgt >= 1 && tgt <= n)
+      val lo = vmin + b * w
+      assert(est >= lo && est < lo + w, s"p=$p estimate escapes its bucket")
+      assert(exact >= lo && exact < lo + w,
+        s"p=$p exact rank value must sit in the located bucket")
+      assert(math.abs(est - exact) < w,
+        s"p=$p error must be bounded by one bucket width")
+      assert(r.getAs[Long]("err_permille") ==
+        math.abs(est - exact) * 1000 / (vmax - vmin))
+    }
+    // rank statistics are monotone in p
+    val ex = rows.map(_.getAs[Long]("exact_v"))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a <= b })
+  }
+
   test("total_len and null accounting are exact on a planted column") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("statsspec").toString
