@@ -102,6 +102,7 @@ object SparkEntry {
     "doc_get_chunks"      -> ((s: SparkSession, d: String) =>
       DocPipeline.getChunks(s, d)),
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
+    "doc_audio_levels"    -> (DocPipeline.audioLevelReport _),
     "doc_media_resize"    -> (DocPipeline.mediaResize _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
@@ -1065,6 +1066,24 @@ object SparkEntry {
            CAST(COUNT(*) FILTER (WHERE acc <> 0) AS BIGINT) AS nnz,
            CAST(SUM(acc * (slot + 1)) AS BIGINT) AS checksum
          FROM sl GROUP BY doc_id ORDER BY path""",
+    // Real PCM decode audit: Spark ENCODES a WAV per doc and must
+    // decode it back sample-exactly (RIFF walk, 16-bit LE sign
+    // extension); the oracle re-derives every level from the
+    // construction arithmetic without seeing a byte — any container or
+    // sample-read drift fails the hash.
+    "doc_audio_levels" ->
+      s"""WITH n AS (SELECT doc_id, 100 + doc_id % 50 AS ns
+             FROM documents),
+         sm AS (SELECT doc_id, ns,
+             abs(((doc_id * 31 + k * 7919) % 65536) - 32768) AS a
+           FROM n, unnest(range(0, ns)) AS t(k))
+         SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+           CAST(max(a) AS BIGINT) AS peak,
+           CAST(sum(a) AS BIGINT) AS sum_abs,
+           CAST(COUNT(*) FILTER (WHERE a >=
+             ${graft.operators.Multimodal.NearClipAbs}) AS BIGINT)
+             AS n_clip
+         FROM sm GROUP BY doc_id, ns ORDER BY doc_id""",
     "doc_langid" ->
       """WITH h AS (
            SELECT doc_id, lang,

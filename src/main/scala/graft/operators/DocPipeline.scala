@@ -427,4 +427,28 @@ object DocPipeline {
     * feature kernel (sample count, non-zero slots, weighted checksum). */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.featureDiagnostics(s, docBinaries(s, dir)).orderBy("path")
+
+  /** Audio level audit over REAL encoded PCM: every doc stages a mono
+    * 16-bit WAV whose samples derive deterministically from its id
+    * (`100 + id % 50` samples, `((id·31 + k·7919) mod 2¹⁶) − 2¹⁵`),
+    * and Spark must genuinely decode the container back — RIFF chunk
+    * walk, LE sample extraction, sign handling all feed the DuckDB
+    * hash, which re-derives the level report from the construction
+    * arithmetic without ever seeing the bytes. Encode and decode are
+    * both pure per-row kernels: zero shuffle beyond the final sort. */
+  def audioLevelReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavs = Tables.documents(s, dir).select("doc_id")
+      .as[Long]
+      .map { id =>
+        val n = (100 + id % 50).toInt
+        val samples = Array.tabulate(n)(k =>
+          (((id * 31 + k * 7919L) % 65536L) - 32768L).toInt)
+        ("wav://" + id, "audio/wav", Multimodal.encodeWavPcm16(samples, 8000))
+      }.toDF("path", "mime", "content")
+    Multimodal.audioLevels(s, wavs)
+      .withColumn("doc_id", expr("CAST(substring(path, 7) AS BIGINT)"))
+      .select("doc_id", "n_samples", "peak", "sum_abs", "n_clip")
+      .orderBy("doc_id")
+  }
 }

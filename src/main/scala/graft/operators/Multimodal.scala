@@ -337,4 +337,98 @@ object Multimodal {
       }
       .toDF("path", "n_samples", "nnz", "checksum")
   }
+
+  // ── PCM sample decode (dependency-free) ──────────────────────────────
+  // The step past header cataloging: real 16-bit PCM sample extraction
+  // from the WAV data chunk — the level/clipping audit an audio-corpus
+  // curation pass runs (silence gating, clipping rejection) needs the
+  // SAMPLES, not just the container metadata. No codec required: PCM in
+  // a RIFF container is the one audio format whose payload is raw.
+
+  /** Near-full-scale threshold of [[decodePcmLevels]]'s clip count. */
+  val NearClipAbs = 32700
+
+  /** Mono 16-bit little-endian PCM WAV at `rate` Hz around the given
+    * samples — the canonical 44-byte header + data chunk (pad byte on
+    * odd sizes, per RIFF word alignment). */
+  def encodeWavPcm16(samples: Array[Int], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen + (dataLen & 1))
+    def put4(i: Int, v: Long): Unit = { out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte }
+    def put2(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte }
+    def putTag(i: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, i)
+    putTag(0, "RIFF"); put4(4, 36L + dataLen + (dataLen & 1))
+    putTag(8, "WAVE"); putTag(12, "fmt "); put4(16, 16L)
+    put2(20, 1); put2(22, 1); put4(24, rate); put4(28, rate * 2L)
+    put2(32, 2); put2(34, 16); putTag(36, "data"); put4(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      put2(44 + i * 2, samples(i) & 0xffff); i += 1
+    }
+    out
+  }
+
+  /** Real PCM level audit over a WAV payload: chunk-walks to 'fmt ' and
+    * 'data' (same walk as [[decodeWavHeader]]), then reads every 16-bit
+    * LE sample — (n_samples, peak |amplitude|, sum of |amplitudes|,
+    * count at/above [[NearClipAbs]]). None for non-PCM / non-16-bit /
+    * truncated payloads (an audit must never fabricate levels). */
+  def decodePcmLevels(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var i = 12L
+    var fmtOk = false
+    var dataOff = -1L
+    var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val o = i.toInt
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = i32le(b, o + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 24 <= b.length)
+        // PCM (tag 1), mono, 16-bit — the only payload shape whose
+        // samples are raw bytes
+        fmtOk = u16le(b, o + 8) == 1 && u16le(b, o + 10) == 1 &&
+          u16le(b, o + 22) == 16
+      if (id == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataOff + dataLen > b.length ||
+      dataLen % 2 != 0) return None
+    var (n, peak, sumAbs, clip) = (0L, 0L, 0L, 0L)
+    var p = dataOff.toInt
+    val end = (dataOff + dataLen).toInt
+    while (p + 1 < end) {
+      val v = (u16le(b, p) << 16) >> 16 // sign-extend
+      val a = math.abs(v.toLong)
+      n += 1; sumAbs += a
+      if (a > peak) peak = a
+      if (a >= NearClipAbs) clip += 1
+      p += 2
+    }
+    Some((n, peak, sumAbs, clip))
+  }
+
+  /** Per-payload PCM level report over an audio binary corpus: decode
+    * is a pure per-row kernel (zero shuffle); payloads the decoder
+    * rejects surface with n_samples = -1 (quarantined, never dropped
+    * or fabricated). */
+  def audioLevels(s: SparkSession, binaries: DataFrame): DataFrame = {
+    import s.implicits._
+    binaries.select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        decodePcmLevels(bytes) match {
+          case Some((n, peak, sumAbs, clip)) => (path, n, peak, sumAbs, clip)
+          case None => (path, -1L, 0L, 0L, 0L)
+        }
+      }
+      .toDF("path", "n_samples", "peak", "sum_abs", "n_clip")
+  }
 }

@@ -152,4 +152,32 @@ class ImageHeaderSpec extends AnyFunSuite {
     // zero timescale must not divide
     assert(Multimodal.decodeMp4Header(mp4(mvhdV0(0, 1200))).isEmpty)
   }
+
+  test("PCM encode/decode roundtrip: sign extension, peak, clip count") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 32700)
+    val bytes = Multimodal.encodeWavPcm16(samples, 8000)
+    // the header the catalog path reads agrees with the encode
+    assert(Multimodal.decodeWavHeader(bytes)
+      .contains((1, 8000, 16, samples.length * 2 * 1000L / 16000L)))
+    val Some((n, peak, sumAbs, clip)) = Multimodal.decodePcmLevels(bytes)
+    assert(n == samples.length)
+    assert(peak == 32768L, "|-32768| is the true peak — unsigned reads would miss it")
+    assert(sumAbs == samples.map(v => math.abs(v.toLong)).sum)
+    assert(clip == 3L, "32767, -32768 and 32700 sit at/above NearClipAbs")
+  }
+
+  test("PCM decode rejects what it cannot audit") {
+    // non-PCM format tag
+    val b = Multimodal.encodeWavPcm16(Array(1, 2, 3), 8000)
+    b(20) = 3 // IEEE float tag
+    assert(Multimodal.decodePcmLevels(b).isEmpty)
+    // data chunk running past the payload
+    val t = Multimodal.encodeWavPcm16(Array(1, 2, 3), 8000)
+    t(40) = 100 // declared data length > actual bytes
+    assert(Multimodal.decodePcmLevels(t).isEmpty)
+    assert(Multimodal.decodePcmLevels("garbage".getBytes).isEmpty)
+    // odd sample count round-trips through the RIFF pad byte
+    val odd = Multimodal.encodeWavPcm16(Array(7, -7, 9), 8000)
+    assert(Multimodal.decodePcmLevels(odd).map(_._1).contains(3L))
+  }
 }
