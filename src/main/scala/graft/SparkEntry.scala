@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, DocPipeline, Ingest, Layout, MatView, Relational, Retrieval, Similarity, Stats, Sync, TextAnalysis}
+import graft.operators.{Compliance, Curation, Dedup, DocPipeline, Ingest, Layout, MatView, Relational, Retrieval, Similarity, Stats, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -281,6 +281,7 @@ object SparkEntry {
     "layout_zorder_prune" -> (Layout.zorderPruneStats _),
     "doc_ngram_lm"        -> (TextAnalysis.ngramLm _),
     "mv_incremental"      -> (MatView.incrementalRefresh _),
+    "compliance_purge_e2e" -> (graft.operators.Compliance.purgeSweep _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
@@ -3779,6 +3780,44 @@ object SparkEntry {
     // zero-count drop, or the delete-affected min/max recompute
     // shifts a value and fails the hash.
     "mv_incremental" -> mvRefreshOracleSql,
+    // Subject-erasure sweep: the engine purges through each surface's
+    // own incremental path (store tombstones, MV signed delta, index
+    // partition-pruned rewrite); the oracle rebuilds every surface
+    // from scratch minus the subjects — a surface the sweep missed, a
+    // lost tombstone, or a fully-purged index cell left behind all
+    // shift a count or checksum. The index side shares the bit-exact
+    // seed-quantizer assignment CTE with the IVF maintenance oracles.
+    "compliance_purge_e2e" -> (ivfAssignedCteSql +
+      s""",
+         cp_d AS (SELECT doc_id, source, (length(text) + 3) // 4 AS tok
+             FROM documents),
+         cp_lv AS (SELECT * FROM cp_d
+             WHERE doc_id % ${Compliance.PurgeMod} <> ${Compliance.PurgeRes}),
+         cp_np AS (SELECT count(*) AS np FROM cp_d
+             WHERE doc_id % ${Compliance.PurgeMod} = ${Compliance.PurgeRes}),
+         cp_ilv AS (SELECT vec_id FROM assigned
+             WHERE vec_id % ${Compliance.PurgeMod} <> ${Compliance.PurgeRes}),
+         cp_ipg AS (SELECT vec_id, cell FROM assigned
+             WHERE vec_id % ${Compliance.PurgeMod} = ${Compliance.PurgeRes})
+         SELECT 'index' AS surface, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(sum(vec_id), 0) AS BIGINT) AS checksum,
+           CAST((SELECT count(DISTINCT cell) FROM cp_ipg) AS BIGINT)
+             AS n_groups,
+           CAST((SELECT count(*) FROM cp_ipg) AS BIGINT) AS n_purged
+         FROM cp_ilv
+         UNION ALL
+         SELECT 'mv', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(tok), 0) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST((SELECT np FROM cp_np) AS BIGINT)
+         FROM cp_lv
+         UNION ALL
+         SELECT 'store', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(doc_id), 0) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST((SELECT np FROM cp_np) AS BIGINT)
+         FROM cp_lv
+         ORDER BY surface"""),
     // The streaming MV maintenance must land the IDENTICAL view as the
     // batch refresh — one shared oracle, so rows lost/replayed across
     // micro-batch boundaries or stale-store maintenance hash-mismatch.
