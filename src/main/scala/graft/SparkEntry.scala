@@ -269,6 +269,7 @@ object SparkEntry {
     "q_search_bm25_indexed" -> ((s: SparkSession, d: String) =>
       Retrieval.bm25SearchIndexed(s, d)),
     "q31_salted_skew_join" -> (graft.operators.Skew.saltedJoinStats _),
+    "q33_salted_agg"      -> (graft.operators.Skew.saltedAggStats _),
     "dedup_substring"     -> (Dedup.substringSpans _),
     "dedup_substring_delta" -> (Dedup.substringSpansDelta _),
     "dedup_substring_apply" -> (Dedup.substringApplyStats _),
@@ -3528,6 +3529,20 @@ object SparkEntry {
          SELECT ubucket, count(*) AS n_events,
            round(CAST(sum(value * weight) AS DOUBLE), 2) AS sum_weighted
          FROM j GROUP BY 1 ORDER BY 1""",
+    // Two-stage salted aggregation must also be result-invisible: the
+    // oracle is the direct unsalted aggregate. Values rationalize to
+    // integer cents before summing so partial-then-merge BIGINT
+    // addition is associative — no float-ulp drift between the staged
+    // and single-pass shapes.
+    "q33_salted_agg" ->
+      """WITH e AS (SELECT ((user_id % 10) + 10) % 10 AS ubucket,
+                     user_id, CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events)
+         SELECT ubucket, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           min(c) AS min_cents, max(c) AS max_cents
+         FROM e GROUP BY 1 ORDER BY 1""",
     // Value-based RANGE frame (peer-inclusive, preceding hour);
     // floor-before-sum is the portable integer rationalization —
     // Spark's double→long cast truncates, DuckDB's rounds.

@@ -63,4 +63,49 @@ object Skew {
         round(sum(col("value") * col("weight")), 2).as("sum_weighted"))
       .orderBy("ubucket")
   }
+
+  /** Two-stage salted aggregation — the AGGREGATE twin of
+    * [[saltedJoin]]: a partial aggregate keyed by (key, salt) fans
+    * each hot key across `saltBuckets` reducers, and a second
+    * #keys-row merge re-collapses the algebraic partials (count→sum,
+    * sum→sum, min→min, max→max). For plain sums Spark's hash
+    * aggregate already map-side-combines; the case that genuinely
+    * needs the explicit shape is EXACT DISTINCT under skew, where
+    * `count(distinct u)` would route every (hot key, u) pair through
+    * one reducer — here the distinct stage shuffles by (key, u)
+    * (spreading the hot key over the full cluster) and only then
+    * counts per key. Results must equal the direct aggregation
+    * byte-for-byte — that equality is the contract, so the oracle is
+    * simply the unsalted aggregate. */
+  def saltedAgg(df: DataFrame, key: String, distinctCol: String,
+      valueCol: String, saltBuckets: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("p_n"), sum(col(valueCol)).as("p_sum"),
+        min(col(valueCol)).as("p_min"), max(col(valueCol)).as("p_max"))
+    val merged = partial.groupBy(col(key))
+      .agg(sum(col("p_n")).as("n_events"), sum(col("p_sum")).as("sum_v"),
+        min(col("p_min")).as("min_v"), max(col("p_max")).as("max_v"))
+    val distincts = df.select(col(key), col(distinctCol)).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as("n_distinct"))
+    merged.join(broadcast(distincts), Seq(key))
+  }
+
+  /** Oracle-checked salted-aggregation row: events bucketed to the hot
+    * key domain (user_id mod 10), values rationalized to integer cents
+    * BEFORE summing (associative BIGINT addition — partial-then-merge
+    * and single-pass sums cannot drift by a float ulp). The DuckDB
+    * oracle is the direct unsalted aggregate. */
+  def saltedAggStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .withColumn("ubucket", pmod(col("user_id"), lit(10L)))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    saltedAgg(ev, "ubucket", "user_id", "cents")
+      .select(col("ubucket"), col("n_events"),
+        col("n_distinct").as("n_users"), col("sum_v").as("sum_cents"),
+        col("min_v").as("min_cents"), col("max_v").as("max_cents"))
+      .orderBy("ubucket")
+  }
 }

@@ -95,6 +95,26 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel.nonEmpty && kernel.sameElements(agg))
   }
 
+  test("saltedAgg equals the direct aggregate and actually fans the partial stage") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val staged = Skew.saltedAggStats(spark, dir)
+    val direct = graft.Tables.events(spark, dir)
+      .withColumn("ubucket", pmod(col("user_id"), lit(10L)))
+      .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("ubucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum("c").as("sum_cents"), min("c").as("min_cents"),
+        max("c").as("max_cents"))
+      .orderBy("ubucket")
+    assert(staged.collect().toSeq == direct.collect().toSeq,
+      "salting must be result-invisible")
+    // the partial stage really groups by (key, salt)
+    val plan = staged.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan.take(2000))
+  }
+
   test("hotKeys surfaces the dominant key") {
     import spark.implicits._
     val big = (1 to 500).map(i =>
