@@ -287,7 +287,8 @@ object SparkEntry {
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
     "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _),
-    "src_scan_jsonl"      -> (graft.sources.JsonlSource.scanJsonl _)
+    "src_scan_jsonl"      -> (graft.sources.JsonlSource.scanJsonl _),
+    "src_scan_evolution"  -> (graft.sources.EvolvingSource.scanEvolved _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -3882,6 +3883,25 @@ object SparkEntry {
            CAST(COALESCE(sum(CASE WHEN good THEN doc_id % 3 + 1 END), 0)
              AS BIGINT) AS sum_tags
          FROM base GROUP BY 1 ORDER BY lang""",
+    // Schema-evolution read: Spark must merge three producer
+    // generations' file schemas and null-backfill retired/not-yet-born
+    // columns; the oracle re-derives the per-generation null
+    // accounting from the documents table and the generation rules
+    // alone.
+    "src_scan_evolution" ->
+      """WITH g AS (SELECT doc_id % 3 AS gen, doc_id, source, lang,
+             n_chars FROM documents)
+         SELECT gen, count(*) AS n_rows,
+           CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_source_null,
+           CAST(sum(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_null,
+           CAST(sum(CASE WHEN gen <> 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chars_null,
+           CAST(COALESCE(sum(CASE WHEN gen = 2 THEN n_chars END), 0)
+             AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM g GROUP BY 1 ORDER BY gen""",
     // ANALYZE-style stats: every cell recomputed from scratch per
     // column; min/max aggregate in native type then cast, exactly as
     // the Spark side does, and the broadcast flag re-derives from the
