@@ -283,6 +283,7 @@ object SparkEntry {
     "doc_ngram_lm"        -> (TextAnalysis.ngramLm _),
     "mv_incremental"      -> (MatView.incrementalRefresh _),
     "compliance_purge_e2e" -> (graft.operators.Compliance.purgeSweep _),
+    "stream_purge_parity" -> (graft.operators.Compliance.purgeSweepStream _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
@@ -373,6 +374,42 @@ object SparkEntry {
          CAST(CASE WHEN n_after * ${Similarity.IvfNlist} > 2 * total
            THEN 1 ELSE 0 END AS BIGINT) AS needs_split
        FROM occ CROSS JOIN tot ORDER BY cell"""
+
+  /** Shared oracle of `compliance_purge_e2e` and `stream_purge_parity`:
+    * every surface rebuilt from scratch minus the purge subjects — the
+    * index side rides the bit-exact seed-quantizer assignment CTE the
+    * IVF maintenance oracles share. */
+  private def compliancePurgeOracleSql: String = ivfAssignedCteSql +
+    s""",
+       cp_d AS (SELECT doc_id, source, (length(text) + 3) // 4 AS tok
+           FROM documents),
+       cp_lv AS (SELECT * FROM cp_d
+           WHERE doc_id % ${Compliance.PurgeMod} <> ${Compliance.PurgeRes}),
+       cp_np AS (SELECT count(*) AS np FROM cp_d
+           WHERE doc_id % ${Compliance.PurgeMod} = ${Compliance.PurgeRes}),
+       cp_ilv AS (SELECT vec_id FROM assigned
+           WHERE vec_id % ${Compliance.PurgeMod} <> ${Compliance.PurgeRes}),
+       cp_ipg AS (SELECT vec_id, cell FROM assigned
+           WHERE vec_id % ${Compliance.PurgeMod} = ${Compliance.PurgeRes})
+       SELECT 'index' AS surface, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(sum(vec_id), 0) AS BIGINT) AS checksum,
+         CAST((SELECT count(DISTINCT cell) FROM cp_ipg) AS BIGINT)
+           AS n_groups,
+         CAST((SELECT count(*) FROM cp_ipg) AS BIGINT) AS n_purged
+       FROM cp_ilv
+       UNION ALL
+       SELECT 'mv', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(tok), 0) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST((SELECT np FROM cp_np) AS BIGINT)
+       FROM cp_lv
+       UNION ALL
+       SELECT 'store', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(doc_id), 0) AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST((SELECT np FROM cp_np) AS BIGINT)
+       FROM cp_lv
+       ORDER BY surface"""
 
   /** BM25 oracle CTE stack (through per-query ranking, unlimited) —
     * shared by the `q_search_bm25` and `q_search_hybrid` oracles so the
@@ -3803,37 +3840,12 @@ object SparkEntry {
     // lost tombstone, or a fully-purged index cell left behind all
     // shift a count or checksum. The index side shares the bit-exact
     // seed-quantizer assignment CTE with the IVF maintenance oracles.
-    "compliance_purge_e2e" -> (ivfAssignedCteSql +
-      s""",
-         cp_d AS (SELECT doc_id, source, (length(text) + 3) // 4 AS tok
-             FROM documents),
-         cp_lv AS (SELECT * FROM cp_d
-             WHERE doc_id % ${Compliance.PurgeMod} <> ${Compliance.PurgeRes}),
-         cp_np AS (SELECT count(*) AS np FROM cp_d
-             WHERE doc_id % ${Compliance.PurgeMod} = ${Compliance.PurgeRes}),
-         cp_ilv AS (SELECT vec_id FROM assigned
-             WHERE vec_id % ${Compliance.PurgeMod} <> ${Compliance.PurgeRes}),
-         cp_ipg AS (SELECT vec_id, cell FROM assigned
-             WHERE vec_id % ${Compliance.PurgeMod} = ${Compliance.PurgeRes})
-         SELECT 'index' AS surface, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(COALESCE(sum(vec_id), 0) AS BIGINT) AS checksum,
-           CAST((SELECT count(DISTINCT cell) FROM cp_ipg) AS BIGINT)
-             AS n_groups,
-           CAST((SELECT count(*) FROM cp_ipg) AS BIGINT) AS n_purged
-         FROM cp_ilv
-         UNION ALL
-         SELECT 'mv', CAST(count(*) AS BIGINT),
-           CAST(COALESCE(sum(tok), 0) AS BIGINT),
-           CAST(count(DISTINCT source) AS BIGINT),
-           CAST((SELECT np FROM cp_np) AS BIGINT)
-         FROM cp_lv
-         UNION ALL
-         SELECT 'store', CAST(count(*) AS BIGINT),
-           CAST(COALESCE(sum(doc_id), 0) AS BIGINT),
-           CAST(0 AS BIGINT),
-           CAST((SELECT np FROM cp_np) AS BIGINT)
-         FROM cp_lv
-         ORDER BY surface"""),
+    "compliance_purge_e2e" -> compliancePurgeOracleSql,
+    // The streaming sweep must land the IDENTICAL final state: shared
+    // oracle, so a request lost/replayed across micro-batch boundaries
+    // or maintenance reading stale state between triggers is a hash
+    // mismatch.
+    "stream_purge_parity" -> compliancePurgeOracleSql,
     // The streaming MV maintenance must land the IDENTICAL view as the
     // batch refresh — one shared oracle, so rows lost/replayed across
     // micro-batch boundaries or stale-store maintenance hash-mismatch.

@@ -32,8 +32,13 @@ import graft.Tables
   * cross-surface identities are part of the contract (live store rows
   * == MV's total docs) — so a seam bug (a tombstone the MV never heard
   * about) is both an internal inconsistency and a DuckDB hash mismatch.
-  * ComplianceSpec additionally pins purge == rebuild-from-scratch on
-  * every surface and that no live row satisfies the purge predicate. */
+  * Purge counts are read back from PERSISTED state (distinct tombstone
+  * keys; index occupancy drop), not from the request, so a lost or
+  * double-applied batch shifts the report. ComplianceSpec additionally
+  * pins purge == rebuild-from-scratch on every surface and a planted
+  * fully-purged-cell fixture; the streaming twin
+  * ([[purgeSweepStream]]) shares this oracle, so requests lost or
+  * replayed across micro-batch boundaries land as a hash mismatch. */
 object Compliance {
 
   /** Purge-subject rule of the fixture: every id ≡ 4 (mod 10). */
@@ -45,93 +50,152 @@ object Compliance {
   private def purged(c: org.apache.spark.sql.Column) =
     pmod(c, lit(PurgeMod)) === PurgeRes
 
-  /** Build the three persisted surfaces under `base`, apply the purge
-    * through each surface's own incremental maintenance path, and
-    * return the per-surface reconciliation. */
+  /** Build the three persisted surfaces under `base`. */
+  private def buildSurfaces(s: SparkSession, dir: String,
+      base: String): Unit = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tok.as("tok"))
+    docs.write.parquet(s"$base/store/adds")
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"))
+      .write.parquet(s"$base/mv")
+    Similarity.ivfAssign(s, dir)
+      .write.partitionBy("cell").parquet(s"$base/index")
+  }
+
+  /** Apply ONE purge request batch (columns doc_id, source, tok)
+    * through each surface's incremental path. Tombstone appends are
+    * idempotent by key (the report counts distinct keys); the MV
+    * delta and index rewrite are keyed to exactly this batch. */
+  private def applyPurgeBatch(s: SparkSession, base: String,
+      keys: DataFrame): Unit = {
+    val k = keys.localCheckpoint(true)
+    // store: tombstone append — O(request) write IO
+    k.select("doc_id").write.mode("append")
+      .parquet(s"$base/store/tombstones")
+    // mv: delete-only signed delta merged into the persisted view
+    val delta = k.groupBy("source")
+      .agg(count(lit(1)).as("d_docs"), sum(col("tok")).as("d_tok"))
+    val mv2 = s.read.parquet(s"$base/mv")
+      .join(broadcast(delta), Seq("source"), "left_outer")
+      .select(col("source"),
+        (col("n_docs") - coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (col("sum_tok") - coalesce(col("d_tok"), lit(0L))).as("sum_tok"))
+      .filter(col("n_docs") > 0)
+      .localCheckpoint(true)
+    mv2.write.mode("overwrite").parquet(s"$base/mv")
+    // index: rewrite ONLY the cells holding one of this batch's codes
+    val idx = s.read.parquet(s"$base/index")
+    val batchIds = k.select(col("doc_id").as("vec_id"))
+    val affected = idx.join(broadcast(batchIds), Seq("vec_id"))
+      .select("cell").distinct().localCheckpoint(true)
+    val survivors = idx.join(broadcast(affected), Seq("cell"))
+      .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+      .localCheckpoint(true)
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$base/index")
+    // dynamic overwrite never touches a partition it writes no rows
+    // for — a cell whose EVERY code was purged must be deleted
+    // explicitly (bounded by nlist: a metadata-scale driver loop)
+    val emptied = affected.except(survivors.select("cell").distinct())
+      .collect().map(_.get(0))
+    emptied.foreach { c =>
+      Sync.deleteTree(new java.io.File(s"$base/index/cell=$c"))
+    }
+  }
+
+  /** Reconciliation across the three PERSISTED surfaces. */
+  private def report(s: SparkSession, dir: String,
+      base: String): DataFrame = {
+    val nTomb = s.read.parquet(s"$base/store/tombstones")
+      .select("doc_id").distinct().count()
+    val live = s.read.parquet(s"$base/store/adds")
+      .join(broadcast(s.read.parquet(s"$base/store/tombstones")),
+        Seq("doc_id"), "left_anti")
+    val storeRow = live.agg(
+      lit("store").as("surface"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("checksum"),
+      lit(0L).as("n_groups")).withColumn("n_purged", lit(nTomb))
+    val mvRow = s.read.parquet(s"$base/mv").agg(
+      lit("mv").as("surface"),
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("sum_tok")), lit(0L)).as("checksum"),
+      count(lit(1)).as("n_groups")).withColumn("n_purged", lit(nTomb))
+    // affected-cell count re-derives from the assignment rule (what
+    // the oracle pins); occupancy drop is read from the index itself
+    val nCells = Similarity.ivfAssign(s, dir)
+      .filter(purged(col("vec_id")))
+      .select("cell").distinct().count()
+    val nBase = Tables.embeddings(s, dir).count()
+    val idxRow = s.read.parquet(s"$base/index").agg(
+      lit("index").as("surface"),
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("vec_id")), lit(0L)).as("checksum"),
+      lit(nCells).as("n_groups"),
+      (lit(nBase) - count(lit(1))).as("n_purged"))
+    storeRow.unionByName(mvRow).unionByName(idxRow)
+      .select(col("surface"), col("n_rows").cast("long"),
+        col("checksum").cast("long"), col("n_groups").cast("long"),
+        col("n_purged").cast("long"))
+      .orderBy("surface")
+      .localCheckpoint(true)
+  }
+
+  /** Batch sweep: build, apply the whole request in one pass,
+    * reconcile. */
   def purgeSweep(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("purge")
     try {
-      val docs = Tables.documents(s, dir)
+      buildSurfaces(s, dir, base.toString)
+      val keys = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), tok.as("tok"))
+        .filter(purged(col("doc_id")))
+      applyPurgeBatch(s, base.toString, keys)
+      report(s, dir, base.toString)
+    } finally Sync.deleteTree(base.toFile)
+  }
 
-      // ── build: document store (adds log) + MV + cell-partitioned index
-      docs.write.parquet(s"$base/store/adds")
-      docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"))
-        .write.parquet(s"$base/mv")
-      Similarity.ivfAssign(s, dir)
-        .write.partitionBy("cell").parquet(s"$base/index")
-
-      // ── the purge request: subject keys only (never the base tables)
-      val purgeKeys = docs.filter(purged(col("doc_id")))
-        .select("doc_id", "source", "tok")
-        .localCheckpoint(true)
-
-      // store: tombstone append, merge-on-read reconstruction
-      purgeKeys.select("doc_id").write.parquet(s"$base/store/tombstones")
-      val live = s.read.parquet(s"$base/store/adds")
-        .join(broadcast(s.read.parquet(s"$base/store/tombstones")),
-          Seq("doc_id"), "left_anti")
-
-      // mv: delete-only signed delta merged into the persisted view
-      val delta = purgeKeys.groupBy("source")
-        .agg(count(lit(1)).as("d_docs"), sum(col("tok")).as("d_tok"))
-      val mv2 = s.read.parquet(s"$base/mv")
-        .join(broadcast(delta), Seq("source"), "left_outer")
-        .select(col("source"),
-          (col("n_docs") - coalesce(col("d_docs"), lit(0L))).as("n_docs"),
-          (col("sum_tok") - coalesce(col("d_tok"), lit(0L))).as("sum_tok"))
-        .filter(col("n_docs") > 0)
-        .localCheckpoint(true)
-      mv2.write.mode("overwrite").parquet(s"$base/mv")
-
-      // index: rewrite ONLY the cells holding a purged code
-      val idx = s.read.parquet(s"$base/index")
-      val affected = idx.filter(purged(col("vec_id")))
-        .select("cell").distinct().localCheckpoint(true)
-      val nCells = affected.count()
-      val survivors = idx.join(broadcast(affected), Seq("cell"))
-        .filter(!purged(col("vec_id")))
-        .select("vec_id", "cell")
-        .localCheckpoint(true)
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(s"$base/index")
-      // dynamic overwrite never touches a partition it writes no rows
-      // for — a cell whose EVERY code was purged must be deleted
-      // explicitly (bounded by nlist: a metadata-scale driver loop)
-      val emptied = affected.except(survivors.select("cell").distinct())
-        .collect().map(_.get(0))
-      emptied.foreach { c =>
-        Sync.deleteTree(new java.io.File(s"$base/index/cell=$c"))
-      }
-
-      // ── reconciliation across the three surfaces
-      val storeRow = live.agg(
-        lit("store").as("surface"),
-        count(lit(1)).as("n_rows"),
-        coalesce(sum(col("doc_id")), lit(0L)).as("checksum"),
-        lit(0L).as("n_groups")).withColumn("n_purged",
-        lit(purgeKeys.count()))
-      val mvRow = s.read.parquet(s"$base/mv").agg(
-        lit("mv").as("surface"),
-        coalesce(sum(col("n_docs")), lit(0L)).as("n_rows"),
-        coalesce(sum(col("sum_tok")), lit(0L)).as("checksum"),
-        count(lit(1)).as("n_groups")).withColumn("n_purged",
-        lit(purgeKeys.count()))
-      val idx2 = s.read.parquet(s"$base/index")
-      val idxRow = idx2.agg(
-        lit("index").as("surface"),
-        count(lit(1)).as("n_rows"),
-        coalesce(sum(col("vec_id")), lit(0L)).as("checksum"),
-        lit(nCells).as("n_groups")).withColumn("n_purged",
-        lit(Tables.embeddings(s, dir).filter(purged(col("vec_id"))).count()))
-      storeRow.unionByName(mvRow).unionByName(idxRow)
-        .select(col("surface"), col("n_rows").cast("long"),
-          col("checksum").cast("long"), col("n_groups").cast("long"),
-          col("n_purged").cast("long"))
-        .orderBy("surface")
-        .localCheckpoint(true)
+  /** Streaming sweep: the SAME purge request arrives as a stream of
+    * key files (two ascending id-range slices), each micro-batch
+    * applied through [[applyPurgeBatch]] via foreachBatch. The final
+    * report must be IDENTICAL to the batch sweep's — the two rows
+    * share one DuckDB oracle, so a request lost or replayed across
+    * micro-batch boundaries, or maintenance reading stale state
+    * between triggers, lands as a hash mismatch. */
+  def purgeSweepStream(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("purgestream")
+    try {
+      buildSurfaces(s, dir, base.toString)
+      val keys = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), tok.as("tok"))
+        .filter(purged(col("doc_id")))
+      keys.repartitionByRange(2, col("doc_id"))
+        .write.parquet(s"$base/requests")
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      new java.io.File(s"$base/requests").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/requests")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) applyPurgeBatch(s, base.toString, b)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      report(s, dir, base.toString)
     } finally Sync.deleteTree(base.toFile)
   }
 }

@@ -67,7 +67,10 @@ class ComplianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vecs = (1 to 16).map(id => (id.toLong, oneHot(id - 1))) ++
       Seq((21L, oneHot(0)), (24L, oneHot(3)), (34L, oneHot(13)))
     vecs.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
-    (1 to 20).map(i => (i.toLong, s"s${i % 3}", "x" * (4 * i)))
+    // purge requests are SUBJECT-keyed (doc ids), so the subject ids
+    // must cover the planted vec ids 24 and 34 for the cells to empty
+    ((1 to 20) ++ Seq(24, 34)).map(i =>
+        (i.toLong, s"s${i % 3}", "x" * (4 * i)))
       .toDF("doc_id", "source", "text")
       .write.parquet(s"$d/documents.parquet")
     val rows = Compliance.purgeSweep(spark, d).collect()
