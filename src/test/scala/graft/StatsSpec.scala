@@ -83,6 +83,46 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.zip(ex.tail).forall { case (a, b) => a <= b })
   }
 
+  test("KMinAgg: order-insensitive, bounded, exact under k; union dominates its parts") {
+    import graft.operators.Stats.KMinAgg
+    val xs = (1 to 500).map(i => (i * 2654435761L) % (1L << 52)).distinct
+    val fwd = xs.foldLeft(Array.emptyLongArray)(KMinAgg.insert)
+    val rev = xs.reverse.foldLeft(Array.emptyLongArray)(KMinAgg.insert)
+    assert(fwd.toSeq == rev.toSeq, "sketch must be insertion-order-insensitive")
+    assert(fwd.length == Stats.KmvK)
+    assert(fwd.toSeq == fwd.toSeq.sorted.distinct, "sorted distinct invariant")
+    assert(fwd.toSeq == xs.sorted.take(Stats.KmvK),
+      "sketch IS the k smallest distinct values")
+    // split-and-merge equals single-pass (the mergeability contract)
+    val (l, r) = xs.splitAt(137)
+    val merged = KMinAgg.merge(
+      l.foldLeft(Array.emptyLongArray)(KMinAgg.insert),
+      r.foldLeft(Array.emptyLongArray)(KMinAgg.insert))
+    assert(merged.toSeq == fwd.toSeq)
+    // exact under k
+    val small = Array(5L, 3L, 9L)
+    assert(Stats.kmvEstimate(
+      small.foldLeft(Array.emptyLongArray)(KMinAgg.insert)) == 3L)
+  }
+
+  test("kmvDistinct: union estimates dominate their saturated parts; errors bounded") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Stats.kmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 15, "5 type rows + 10 pair rows")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("err_permille") <= 500,
+        s"${r.getString(0)}: KMV at k=64 must land within 50% on this fixture")
+    }
+    rows.keys.filter(_.startsWith("union:")).foreach { k =>
+      val Array(a, b) = k.stripPrefix("union:").split('|')
+      val (ea, eb) = (rows(s"type:$a").getAs[Long]("n_est"),
+        rows(s"type:$b").getAs[Long]("n_est"))
+      assert(math.max(ea, eb) <= rows(k).getAs[Long]("n_est"),
+        s"$k: a union's h_k can only shrink, so its estimate dominates")
+    }
+  }
+
   test("total_len and null accounting are exact on a planted column") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("statsspec").toString
