@@ -111,7 +111,18 @@ object ScaleProbe {
     // delta-sized), the per-column stats scan (column-pruned linear),
     // and the CSV parse path (linear in staged bytes)
     "mv_incremental", "graph_components_delta", "stats_table_profile",
-    "src_scan_csv")
+    "src_scan_csv",
+    // r13 fourth-session additions: the composed erasure sweep (builds
+    // all three surfaces then purges through their incremental paths —
+    // growth must track surface build, the purge itself is
+    // request-sized), the KMV distinct shuffle (distinct exchange +
+    // k-bounded aggregator state), the histogram-quantile kernel
+    // (linear scan + bucket-local refinement, never a global sort),
+    // the per-row PCM codec and JSONL parse (both linear in staged
+    // bytes), and the two-stage salted aggregate (partial fan-out +
+    // #keys-row merge)
+    "compliance_purge_e2e", "stats_kmv_distinct", "stats_quantile_sketch",
+    "doc_audio_levels", "src_scan_jsonl", "q33_salted_agg")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

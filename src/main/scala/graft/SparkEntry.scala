@@ -232,6 +232,7 @@ object SparkEntry {
     "curation_token_budget" -> (Curation.tokenBudgetSample _),
     "graph_pagerank"      -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d)),
+    "graph_sssp"          -> (graft.operators.Graph.sssp _),
     "graph_pagerank_sink" -> ((s: SparkSession, d: String) =>
       graft.operators.Graph.pageRank(s, d,
         sinkEvery = graft.operators.Graph.SinkEvery)),
@@ -284,6 +285,7 @@ object SparkEntry {
     "mv_incremental"      -> (MatView.incrementalRefresh _),
     "compliance_purge_e2e" -> (graft.operators.Compliance.purgeSweep _),
     "stream_purge_parity" -> (graft.operators.Compliance.purgeSweepStream _),
+    "store_time_travel"   -> (graft.sources.ChunkStore.timeTravelReport _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
@@ -3176,6 +3178,10 @@ object SparkEntry {
            (end_off - 1) // ${Curation.SeqLen}
              - (end_off - n_tokens) // ${Curation.SeqLen} + 1 AS n_seqs
          FROM w ORDER BY doc_id""",
+    // Bounded-hop weighted SSSP: 8 unrolled Bellman-Ford relaxations
+    // over the id-space link graph with the deterministic weight rule
+    // — all-integer, so distances hash-match exactly.
+    "graph_sssp" -> ssspOracleSql,
     "graph_pagerank" -> (graphCteHeader +
       pagerankIterCtes(withSinks = false) +
       "\nSELECT url, r FROM r10 ORDER BY r DESC, url LIMIT 20"),
@@ -3896,6 +3902,28 @@ object SparkEntry {
            CAST(COALESCE(sum(CASE WHEN good THEN doc_id % 3 + 1 END), 0)
              AS BIGINT) AS sum_tags
          FROM base GROUP BY 1 ORDER BY lang""",
+    // Time travel over the versioned store: three upserts (inserts +
+    // planted updates), every version read back as-of its pointer;
+    // the oracle re-derives each snapshot's membership and content
+    // lengths from the construction arithmetic — a leaked write, a
+    // dropped update, or a pointer off-by-one shifts a sum.
+    "store_time_travel" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents)
+         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_urls,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(len) AS BIGINT) AS sum_len
+         FROM d WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT 1, count(*), CAST(sum(doc_id) AS BIGINT),
+           CAST(sum(len + CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 0 END)
+             AS BIGINT)
+         FROM d WHERE doc_id % 3 IN (0, 1)
+         UNION ALL
+         SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT),
+           CAST(sum(len + CASE WHEN doc_id % 6 IN (0, 3) THEN 3 ELSE 0
+             END) AS BIGINT)
+         FROM d WHERE doc_id % 3 IN (0, 1, 2)
+         ORDER BY version""",
     // Schema-evolution read: Spark must merge three producer
     // generations' file schemas and null-backfill retired/not-yet-born
     // columns; the oracle re-derives the per-generation null
@@ -4148,6 +4176,42 @@ object SparkEntry {
     * interpolated, so the oracle can't drift from the implementation
     * when a parameter changes. Ends mid-WITH: callers append their own
     * CTEs and the final SELECT. */
+  /** Oracle of `graph_sssp`: the id-space weighted link graph plus
+    * [[graft.operators.Graph.SsspRounds]] unrolled relaxation rounds
+    * (recursive CTEs can't aggregate in the recursive term; unrolling
+    * is exact), every constant interpolated from the Graph object so
+    * the two sides cannot drift. */
+  private def ssspOracleSql: String = {
+    import graft.operators.Graph._
+    val rounds = (1 to SsspRounds).map { k =>
+      s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d${k - 1}
+           UNION ALL
+           SELECT e.dst, d.dist + e.w FROM d${k - 1} d
+             JOIN ed e ON d.node = e.src) GROUP BY 1)"""
+    }.mkString(",\n         ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       ed AS (
+         SELECT src, dst, 1 + (3 * src + dst) % $SsspWeightMod AS w
+         FROM (
+           SELECT doc_id AS src,
+             (doc_id*$LinkMulA+$LinkAddA) % (SELECT n FROM nn) AS dst
+           FROM documents
+           UNION
+           SELECT doc_id,
+             (doc_id*$LinkMulB+$LinkAddB) % (SELECT n FROM nn)
+           FROM documents
+           UNION
+           SELECT doc_id, doc_id//2
+           FROM documents WHERE doc_id % $HubEvery = 0)),
+       d0 AS (SELECT CAST($SsspSource AS BIGINT) AS node,
+           CAST(0 AS BIGINT) AS dist
+         FROM documents WHERE doc_id = $SsspSource),
+       $rounds
+       SELECT 'doc://'||node AS url, CAST(dist AS BIGINT) AS dist
+       FROM d$SsspRounds ORDER BY url"""
+  }
+
   private val graphCteHeader: String = {
     import graft.operators.Graph._
     s"""WITH nn AS (SELECT count(*) AS n FROM documents),

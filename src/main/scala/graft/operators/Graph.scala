@@ -279,4 +279,56 @@ object Graph {
     }
     r.orderBy(col("r").desc, col("url")).limit(20)
   }
+
+  /** Relaxation rounds of [[sssp]] — distances are exact for every
+    * path of ≤ SsspRounds hops (Bellman-Ford truncation; the crawl
+    * radius a scheduler actually budgets). */
+  val SsspRounds = 8
+
+  /** Source node of [[sssp]] (the site root, `doc://0`). */
+  val SsspSource = 0L
+
+  /** Edge-weight rule of [[sssp]]: 1 + (3·src + dst) mod 9 — a
+    * deterministic integer cost in [1, 9] standing in for fetch
+    * latency, so the oracle re-derives every weight. */
+  val SsspWeightMod = 9L
+
+  /** Bounded-hop single-source shortest paths over the weighted crawl
+    * graph — the cost-aware frontier metric (crawl_frontier's BFS is
+    * its unit-weight special case): which pages are reachable from
+    * the root within the hop budget, and at what cumulative cost. One
+    * equi-join + min-groupBy per round (the PageRank shape), frontier
+    * lineage truncated per round; distances are all-integer so the
+    * 8-round unrolled DuckDB mirror hash-matches exactly.
+    *
+    * Scale: per-round work is |dist ⋈ edges| — edges are scanned once
+    * per round through a map-side-combining min; nothing grows with
+    * rounds but the (bounded) distance table. At a 100 TB crawl graph
+    * the same loop runs with the distance table bucketed on node so
+    * the per-round join co-locates. */
+  def sssp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    val idEdges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * LinkMulA + LinkAddA) % n).as("dst"))
+      .unionByName(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * LinkMulB + LinkAddB) % n).as("dst")))
+      .unionByName(docs.filter(col("doc_id") % HubEvery === 0)
+        .select(col("doc_id").as("src"), expr("doc_id div 2").as("dst")))
+      .distinct()
+      .withColumn("w",
+        lit(1L) + pmod(col("src") * 3 + col("dst"), lit(SsspWeightMod)))
+      .localCheckpoint(true)
+    var dist = docs.filter(col("doc_id") === SsspSource)
+      .select(col("doc_id").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = dist.join(idEdges, dist("node") === idEdges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(concat(lit("doc://"), col("node")).as("url"),
+      col("dist").cast("long").as("dist")).orderBy("url")
+  }
 }

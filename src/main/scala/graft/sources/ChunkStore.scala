@@ -165,6 +165,47 @@ object ChunkStore {
     doomed
   }
 
+  /** Snapshot-isolation (time-travel) report over the versioned store:
+    * three upserts build versions v0..v2 — inserts plus planted
+    * UPDATES (`doc_id % 6 = 0` re-written in the second upsert,
+    * `% 6 = 3` in the third) — and then every historical version is
+    * read back AS OF its pointer. The full-version layout makes time
+    * travel a directory read (Delta/Iceberg resolve the same question
+    * through their log); this row pins that versions are genuinely
+    * immutable snapshots: a later upsert that leaked into an earlier
+    * version's directory, a merge that dropped an update, or a
+    * pointer off-by-one all shift a sum. The DuckDB oracle re-derives
+    * every snapshot's membership and content lengths from the
+    * construction arithmetic.
+    *
+    * Scale: each upsert is the plan-level MERGE (anti-join + union —
+    * one shuffle on url); reports are one aggregate per version. */
+  def timeTravelReport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("ttravel")
+    try {
+      val root = s"$base/store"
+      val d = graft.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
+      val b0 = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val b1 = d.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 0)
+          .withColumn("text", concat(col("text"), lit("-r1"))))
+      val b2 = d.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 3)
+          .withColumn("text", concat(col("text"), lit("-r2"))))
+      Seq(b0, b1, b2).foreach(b => upsertVersioned(s, root, b))
+      (0L to 2L).map { v =>
+        s.read.parquet(s"$root/v$v").agg(
+          lit(v).as("version"), count(lit(1)).as("n_urls"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

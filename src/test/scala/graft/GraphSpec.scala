@@ -168,4 +168,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val changed = old.count { case (id, lab) => full(id) != lab }
     assert(changed > 0, "delta edges merged nothing — vacuous fixture")
   }
+
+  test("sssp matches an independent driver-side Bellman-Ford, hop for hop") {
+    val got = Graph.sssp(spark, dir).collect()
+      .map(r => r.getString(0).stripPrefix("doc://").toLong ->
+        r.getLong(1)).toMap
+    assert(got(Graph.SsspSource) == 0L)
+    // independent reconstruction: plain Scala arrays, same rounds
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = docs.length.toLong
+    val edges = docs.flatMap { i =>
+      val base = Seq(i -> ((i * Graph.LinkMulA + Graph.LinkAddA) % n),
+        i -> ((i * Graph.LinkMulB + Graph.LinkAddB) % n))
+      (if (i % Graph.HubEvery == 0) base :+ (i -> (i / 2)) else base)
+    }.distinct.map { case (s, d) =>
+      (s, d, 1L + (3 * s + d) % Graph.SsspWeightMod)
+    }
+    var dist = Map(Graph.SsspSource -> 0L)
+    for (_ <- 1 to Graph.SsspRounds) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => d -> (ds + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(got == dist, "engine distances must equal the reference walk")
+    // non-vacuous: weighted distances differentiate beyond hop counts
+    assert(got.values.toSet.size > Graph.SsspRounds,
+      "weights must spread distances beyond pure hop depth")
+  }
 }

@@ -448,6 +448,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(3000))
   }
 
+  test("stats_quantile_sketch never globally sorts the corpus") {
+    // the exact side rank-selects inside the histogram-located bucket:
+    // the only window sorts run per-probe over bucket members, and the
+    // histogram cumsum runs over the ≤257-row aggregate — a
+    // single-partition window over the raw values would be the global
+    // sort the sketch exists to avoid
+    val p = planOf("stats_quantile_sketch")
+    assert(!p.contains("Sort [v#"), p.take(3000)) // no bare global sort
+    assert(p.contains("BroadcastExchange"), // stats + located buckets ride broadcasts
+      p.take(3000))
+  }
+
+  test("doc_audio_levels is a zero-shuffle per-row codec (plus final sort)") {
+    val p = planOf("doc_audio_levels")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("curation_token_budget: one hash exchange on source feeds the running sum") {
+    val p = planOf("curation_token_budget")
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+    // the window must be per-source, never single-partition
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS") ||
+      !p.contains("RunningWindowFunction"), p.take(3000))
+  }
+
+  test("q33_salted_agg fans partials on (key, salt) and broadcasts the distinct counts") {
+    val df = SparkEntry.queries("q33_salted_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("__salt"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("stats_table_profile scans are column-pruned to the profiled column") {
     // each per-column aggregate must push a one-column ReadSchema into
     // its parquet scan — a profile that drags full rows through the
