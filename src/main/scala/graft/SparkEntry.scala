@@ -71,6 +71,7 @@ object SparkEntry {
     "q29_pivot"           -> (Relational.q29Pivot _),
     "q30_activity_islands" -> (Relational.q30ActivityIslands _),
     "q32_range_frame"     -> (Relational.q32RangeFrame _),
+    "q34_sql_correlated"  -> (Relational.q34SqlCorrelated _),
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
@@ -3579,6 +3580,11 @@ object SparkEntry {
     // integer cents before summing so partial-then-merge BIGINT
     // addition is associative — no float-ulp drift between the staged
     // and single-pass shapes.
+    // SQL front-end row: the ORACLE IS THE SAME STRING the Spark side
+    // executes — cross-engine drift is impossible by construction;
+    // what's under test is Catalyst's subquery decorrelation
+    // (EXISTS/NOT EXISTS/scalar-agg → semi/anti/agg-join).
+    "q34_sql_correlated" -> Relational.CorrelatedSql,
     "q33_salted_agg" ->
       """WITH e AS (SELECT ((user_id % 10) + 10) % 10 AS ubucket,
                      user_id, CAST(round(value * 100) AS BIGINT) AS c

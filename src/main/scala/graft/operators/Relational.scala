@@ -507,4 +507,39 @@ object Relational {
         sum(col("fv")).over(w).as("sum_floor_last_hour"))
       .orderBy("user_id", "event_id")
   }
+
+  /** The SQL FRONT-END row: every other query declares its plan via
+    * the DataFrame API; this one enters through `spark.sql` over temp
+    * views with the subquery shapes Catalyst must DECORRELATE —
+    * a correlated EXISTS, a correlated NOT EXISTS, and a correlated
+    * scalar aggregate subquery — because at 100 TB these rewrite into
+    * semi-join / anti-join / aggregate-then-join, not per-row probes.
+    * The oracle runs the IDENTICAL ANSI text in DuckDB; cents
+    * rationalization keeps the money sum integer-exact cross-engine. */
+  def q34SqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(CorrelatedSql)
+  }
+
+  /** The shared ANSI text of [[q34SqlCorrelated]] — the Spark side
+    * executes THIS string and the oracle map hands the same string to
+    * DuckDB, so the two engines cannot drift by construction. */
+  val CorrelatedSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders,
+         (SELECT CAST(COALESCE(sum(CAST(round(o.o_totalprice * 100)
+            AS BIGINT)), 0) AS BIGINT) FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderstatus = 'F') AS filled_cents
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 100000)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+                 AND o.o_totalprice < 1000)
+       ORDER BY c.c_custkey"""
 }

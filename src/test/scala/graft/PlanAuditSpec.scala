@@ -482,6 +482,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q34_sql_correlated decorrelates every subquery into joins") {
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti, scalar aggregates →
+    // aggregate-then-join; a surviving per-row subquery node would be
+    // the O(rows × probe) shape decorrelation exists to prevent
+    val p = planOf("q34_sql_correlated")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.toLowerCase.contains("scalarsubquery("), p.take(3000))
+  }
+
   test("stats_table_profile scans are column-pruned to the profiled column") {
     // each per-column aggregate must push a one-column ReadSchema into
     // its parquet scan — a profile that drags full rows through the
