@@ -442,6 +442,23 @@ variant (spec-calibrated within 5%). `src_scan_csv` (e~=0.08): stage
 write + splittable CSV parse + one hash aggregate, all linear in
 staged bytes; the documents table is small enough at these scales
 that session floor dominates.
+
+**r13 fourth-session rows, adjudicated.** `compliance_purge_e2e`
+(e~=0.34): the sweep's growth is the three surface BUILDS (store
+write, MV aggregate, index assignment — all linear scans the fixture
+must pay to construct the state production already has); the purge
+itself is request-sized by contract (tombstone append + delta merge +
+affected-cell rewrite), and the sub-linear exponent confirms no
+surface re-pairs. `stats_kmv_distinct` (e~=0.12): the distinct
+exchange grows linearly but the aggregator state is k-bounded per
+group and the pair folds touch #types*k longs regardless of corpus —
+near-floor growth is the sketch contract. `stats_quantile_sketch`
+(e~=0.14): one linear histogram scan + bucket-local refinement; the
+absence of a global-sort term is the point, and the flat curve shows
+it. `doc_audio_levels` (e~=0.08) and `src_scan_jsonl` (e~=0.04):
+per-row codec and splittable parse, linear in staged bytes, inside
+the session floor at these scales. `q33_salted_agg` (e~=0.08): the
+partial fan-out adds a bounded #keys*salt merge regardless of scale.
 """)
     sb.append("\n")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALEPROBE.md"),
