@@ -50,12 +50,23 @@ object Compliance {
   private def purged(c: org.apache.spark.sql.Column) =
     pmod(c, lit(PurgeMod)) === PurgeRes
 
-  /** Build the three persisted surfaces under `base`. */
+  // explicit read schemas: an EMPTY corpus writes surface directories
+  // with no data files (a partitioned write of zero rows emits only
+  // _SUCCESS), and schema inference would fail there — the sweep must
+  // degrade to an all-zero report, not an AnalysisException
+  private val StoreSchema = "doc_id LONG, source STRING, tok LONG"
+  private val MvSchema = "source STRING, n_docs LONG, sum_tok LONG"
+  private val IndexSchema = "vec_id LONG, cell INT"
+
+  /** Build the three persisted surfaces under `base` (plus the empty
+    * tombstone log, so a run with zero purge batches still reports). */
   private def buildSurfaces(s: SparkSession, dir: String,
       base: String): Unit = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), tok.as("tok"))
     docs.write.parquet(s"$base/store/adds")
+    docs.select("doc_id").limit(0)
+      .write.parquet(s"$base/store/tombstones")
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"))
       .write.parquet(s"$base/mv")
@@ -76,7 +87,7 @@ object Compliance {
     // mv: delete-only signed delta merged into the persisted view
     val delta = k.groupBy("source")
       .agg(count(lit(1)).as("d_docs"), sum(col("tok")).as("d_tok"))
-    val mv2 = s.read.parquet(s"$base/mv")
+    val mv2 = s.read.schema(MvSchema).parquet(s"$base/mv")
       .join(broadcast(delta), Seq("source"), "left_outer")
       .select(col("source"),
         (col("n_docs") - coalesce(col("d_docs"), lit(0L))).as("n_docs"),
@@ -85,7 +96,7 @@ object Compliance {
       .localCheckpoint(true)
     mv2.write.mode("overwrite").parquet(s"$base/mv")
     // index: rewrite ONLY the cells holding one of this batch's codes
-    val idx = s.read.parquet(s"$base/index")
+    val idx = s.read.schema(IndexSchema).parquet(s"$base/index")
     val batchIds = k.select(col("doc_id").as("vec_id"))
     val affected = idx.join(broadcast(batchIds), Seq("vec_id"))
       .select("cell").distinct().localCheckpoint(true)
@@ -109,17 +120,18 @@ object Compliance {
   /** Reconciliation across the three PERSISTED surfaces. */
   private def report(s: SparkSession, dir: String,
       base: String): DataFrame = {
-    val nTomb = s.read.parquet(s"$base/store/tombstones")
+    val nTomb = s.read.schema("doc_id LONG")
+      .parquet(s"$base/store/tombstones")
       .select("doc_id").distinct().count()
-    val live = s.read.parquet(s"$base/store/adds")
-      .join(broadcast(s.read.parquet(s"$base/store/tombstones")),
-        Seq("doc_id"), "left_anti")
+    val live = s.read.schema(StoreSchema).parquet(s"$base/store/adds")
+      .join(broadcast(s.read.schema("doc_id LONG")
+        .parquet(s"$base/store/tombstones")), Seq("doc_id"), "left_anti")
     val storeRow = live.agg(
       lit("store").as("surface"),
       count(lit(1)).as("n_rows"),
       coalesce(sum(col("doc_id")), lit(0L)).as("checksum"),
       lit(0L).as("n_groups")).withColumn("n_purged", lit(nTomb))
-    val mvRow = s.read.parquet(s"$base/mv").agg(
+    val mvRow = s.read.schema(MvSchema).parquet(s"$base/mv").agg(
       lit("mv").as("surface"),
       coalesce(sum(col("n_docs")), lit(0L)).as("n_rows"),
       coalesce(sum(col("sum_tok")), lit(0L)).as("checksum"),
@@ -130,7 +142,8 @@ object Compliance {
       .filter(purged(col("vec_id")))
       .select("cell").distinct().count()
     val nBase = Tables.embeddings(s, dir).count()
-    val idxRow = s.read.parquet(s"$base/index").agg(
+    val idxRow = s.read.schema(IndexSchema)
+      .parquet(s"$base/index").agg(
       lit("index").as("surface"),
       count(lit(1)).as("n_rows"),
       coalesce(sum(col("vec_id")), lit(0L)).as("checksum"),
