@@ -70,8 +70,12 @@ object Compliance {
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"))
       .write.parquet(s"$base/mv")
-    Similarity.ivfAssign(s, dir)
-      .write.partitionBy("cell").parquet(s"$base/index")
+    val assigned = Similarity.ivfAssign(s, dir).localCheckpoint(true)
+    assigned.write.partitionBy("cell").parquet(s"$base/index")
+    // build-time manifest (index size) + the touched-cell log the
+    // report reads — so reconciliation never rescans the base tables
+    assigned.agg(count(lit(1)).as("n_base")).write.parquet(s"$base/meta")
+    assigned.select("cell").limit(0).write.parquet(s"$base/index_touched")
   }
 
   /** Apply ONE purge request batch (columns doc_id, source, tok)
@@ -100,6 +104,7 @@ object Compliance {
     val batchIds = k.select(col("doc_id").as("vec_id"))
     val affected = idx.join(broadcast(batchIds), Seq("vec_id"))
       .select("cell").distinct().localCheckpoint(true)
+    affected.write.mode("append").parquet(s"$base/index_touched")
     val survivors = idx.join(broadcast(affected), Seq("cell"))
       .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
       .select("vec_id", "cell")
@@ -136,12 +141,14 @@ object Compliance {
       coalesce(sum(col("n_docs")), lit(0L)).as("n_rows"),
       coalesce(sum(col("sum_tok")), lit(0L)).as("checksum"),
       count(lit(1)).as("n_groups")).withColumn("n_purged", lit(nTomb))
-    // affected-cell count re-derives from the assignment rule (what
-    // the oracle pins); occupancy drop is read from the index itself
-    val nCells = Similarity.ivfAssign(s, dir)
-      .filter(purged(col("vec_id")))
-      .select("cell").distinct().count()
-    val nBase = Tables.embeddings(s, dir).count()
+    // affected cells and the index baseline come from PERSISTED state
+    // (the touched-cell log and the build-time manifest) — the report
+    // never rescans the base tables; occupancy drop is read from the
+    // index itself
+    val nCells = s.read.schema("cell INT")
+      .parquet(s"$base/index_touched").distinct().count()
+    val nBase = s.read.schema("n_base LONG").parquet(s"$base/meta")
+      .agg(coalesce(sum(col("n_base")), lit(0L))).head().getLong(0)
     val idxRow = s.read.schema(IndexSchema)
       .parquet(s"$base/index").agg(
       lit("index").as("surface"),
@@ -193,13 +200,7 @@ object Compliance {
         .zipWithIndex
         .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
       val stream = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("tok",
-            org.apache.spark.sql.types.LongType))))
+        .schema(StoreSchema) // requests carry exactly the store shape
         .option("maxFilesPerTrigger", 1).parquet(s"$base/requests")
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>

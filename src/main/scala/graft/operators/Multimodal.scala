@@ -384,6 +384,7 @@ object Multimodal {
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
     var i = 12L
+    var fmtSeen = false
     var fmtOk = false
     var dataOff = -1L
     var dataLen = -1L
@@ -391,12 +392,19 @@ object Multimodal {
       val o = i.toInt
       val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = i32le(b, o + 4).toLong & 0xffffffffL
-      if (id == "fmt " && i + 24 <= b.length)
+      // first-wins on both chunks, and the fmt fields are only read
+      // when the chunk DECLARES them (size >= 16) — a short fmt chunk
+      // must not have the next chunk's bytes decoded as format fields,
+      // and a duplicate data chunk must not silently replace the
+      // payload being audited
+      if (id == "fmt " && !fmtSeen && size >= 16 && i + 24 <= b.length) {
+        fmtSeen = true
         // PCM (tag 1), mono, 16-bit — the only payload shape whose
         // samples are raw bytes
         fmtOk = u16le(b, o + 8) == 1 && u16le(b, o + 10) == 1 &&
           u16le(b, o + 22) == 16
-      if (id == "data") { dataOff = i + 8; dataLen = size }
+      }
+      if (id == "data" && dataOff < 0) { dataOff = i + 8; dataLen = size }
       i += 8 + size + (size & 1)
     }
     if (!fmtOk || dataOff < 0 || dataOff + dataLen > b.length ||

@@ -191,8 +191,9 @@ object Stats {
     } yield (types(i), types(j))
     val ests = types.map(t => (s"type:$t", kmvEstimate(sketches(t)))) ++
       pairs.map { case (a, b) =>
-        (s"union:$a|$b", kmvEstimate(KMinAgg.merge(
-          sketches(a).clone(), sketches(b))))
+        // merge is purely functional — inputs are never mutated
+        (s"union:$a|$b",
+          kmvEstimate(KMinAgg.merge(sketches(a), sketches(b))))
       }
     val estDf = ests.toDF("scope", "n_est")
     val tex = ev.groupBy("event_type")

@@ -73,17 +73,18 @@ class ComplianceSpec extends AnyFunSuite with BeforeAndAfterAll {
         (i.toLong, s"s${i % 3}", "x" * (4 * i)))
       .toDF("doc_id", "source", "text")
       .write.parquet(s"$d/documents.parquet")
-    val rows = Compliance.purgeSweep(spark, d).collect()
-      .map(r => r.getString(0) -> r).toMap
-    // live ids: 1..16 minus {4,14}, plus 21 → 15 codes. If the emptied
-    // cell directories survived, their stale files would re-surface the
-    // purged codes and inflate this count.
-    assert(rows("index").getLong(1) == 15L)
-    assert(rows("index").getLong(2) ==
-      (1 to 16).filter(i => i != 4 && i != 14).map(_.toLong).sum + 21L)
-    assert(rows("index").getLong(3) == 2L,
-      "purged codes span exactly cells 3 and 13")
-    assert(rows("index").getLong(4) == 4L, "4, 14, 24, 34 are purged")
-    graft.operators.Sync.deleteTree(new java.io.File(d))
+    try {
+      val rows = Compliance.purgeSweep(spark, d).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // live ids: 1..16 minus {4,14}, plus 21 → 15 codes. If the
+      // emptied cell directories survived, their stale files would
+      // re-surface the purged codes and inflate this count.
+      assert(rows("index").getLong(1) == 15L)
+      assert(rows("index").getLong(2) ==
+        (1 to 16).filter(i => i != 4 && i != 14).map(_.toLong).sum + 21L)
+      assert(rows("index").getLong(3) == 2L,
+        "purged codes span exactly cells 3 and 13")
+      assert(rows("index").getLong(4) == 4L, "4, 14, 24, 34 are purged")
+    } finally graft.operators.Sync.deleteTree(new java.io.File(d))
   }
 }
