@@ -204,6 +204,8 @@ object SparkEntry {
       Similarity.ivfRecall(s, d)),
     "emb_pq_recall"       -> ((s: SparkSession, d: String) =>
       Similarity.pqRecall(s, d)),
+    "emb_mrl_recall"      -> ((s: SparkSession, d: String) =>
+      Similarity.mrlRecall(s, d)),
     "emb_ivf_rebalance"   -> ((s: SparkSession, d: String) =>
       Similarity.ivfRebalanceReport(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
@@ -3655,6 +3657,48 @@ object SparkEntry {
     // Recall@10 of the IVF probe vs exact KNN, per query — see
     // Similarity.ivfRecall scaladoc. Same seeds/argmax/cosine CTE
     // machinery as the emb_ann_ivf and emb_knn_exact oracles.
+    // Matryoshka-truncation recall: exact prefix-dim top-k vs exact
+    // full-dim top-k, both re-derived with list slicing and the same
+    // ascending-dimension double accumulation.
+    "emb_mrl_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+               WHERE vec_id < 5),
+         pairs AS (SELECT q.query_id, q.qv, e.vec_id, e.emb
+           FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+         fulltop AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, emb) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(emb, emb))) DESC, vec_id)
+               AS rank
+             FROM pairs) WHERE rank <= 10),
+         trunctop AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY
+                 list_dot_product(qv[1:${Similarity.MrlPrefixDims}],
+                     emb[1:${Similarity.MrlPrefixDims}]) /
+                   (sqrt(list_dot_product(qv[1:${Similarity.MrlPrefixDims}],
+                       qv[1:${Similarity.MrlPrefixDims}]))
+                    * sqrt(list_dot_product(emb[1:${Similarity.MrlPrefixDims}],
+                       emb[1:${Similarity.MrlPrefixDims}]))) DESC, vec_id)
+               AS rank
+             FROM pairs) WHERE rank <= 10),
+         ov AS (
+           SELECT f.query_id, count(*) AS n_overlap
+           FROM fulltop f JOIN trunctop t
+             ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+           GROUP BY 1)
+         SELECT q.query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n_overlap, 0) * 1000 // 10 AS BIGINT)
+             AS recall_permille
+         FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""",
     "emb_ann_recall" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb

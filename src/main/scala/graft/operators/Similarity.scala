@@ -798,6 +798,55 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Prefix width of [[mrlRecall]] — the truncated tier an MRL-style
+    * deployment would serve candidates from (16 of 64 dims = 4×
+    * cheaper scans and smaller indexes). */
+  val MrlPrefixDims = 16
+
+  /** Matryoshka-truncation recall calibration — the modern embedding
+    * question next to the IVF/PQ rows: if retrieval runs on only the
+    * FIRST [[MrlPrefixDims]] dimensions (MRL-trained models
+    * front-load information; a deployment serves the cheap prefix tier
+    * and re-ranks with full vectors), how much of the exact full-dim
+    * top-k survives? Both sides are exact brute-force cosines — what's
+    * calibrated is the TRUNCATION, not an index — so the DuckDB oracle
+    * re-derives the entire row with list slicing and the same
+    * ascending-dimension double accumulation. On the synthetic
+    * fixture the prefix carries no privileged information, so this
+    * measures the uncalibrated floor; spec pins that prefix = full
+    * width recovers recall 1000 exactly. */
+  def mrlRecall(s: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, prefixDims: Int = MrlPrefixDims): DataFrame = {
+    graft.functions.VectorExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    def topk(scored: DataFrame): DataFrame = scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+    val pairs = e.select("vec_id", "embedding")
+      .crossJoin(broadcast(queries))
+    val full = topk(pairs.withColumn("cosine",
+      cosineExpr("qv", "embedding")))
+    val trunc = topk(pairs
+      .withColumn("ta", expr(s"slice(embedding, 1, $prefixDims)"))
+      .withColumn("tq", expr(s"slice(qv, 1, $prefixDims)"))
+      .withColumn("cosine", cosineExpr("tq", "ta")))
+    val overlap = full.join(trunc, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select("query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 1000 div $k")
+          .as("recall_permille"))
+      .orderBy("query_id")
+  }
+
   // ── Deterministic random-hyperplane LSH ───────────────────────────────
   // Hyperplane i, dimension d has sign +1 iff bit 13 of
   // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both

@@ -450,6 +450,24 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       full.mkString(","))
   }
 
+  test("mrl recall: bounded permille; full-width prefix recovers exact recall") {
+    import graft.operators.Similarity
+    val partial = Similarity.mrlRecall(spark, sf).collect()
+    assert(partial.length == 5)
+    partial.foreach { r =>
+      val p = r.getAs[Long]("recall_permille")
+      assert(p >= 0 && p <= 1000)
+      assert(p == r.getAs[Long]("n_overlap") * 100)
+    }
+    // prefix = full dimensionality ⇒ truncated cosine IS the full
+    // cosine ⇒ recall exactly 1000 for every query
+    val dims = graft.Tables.embeddings(spark, sf)
+      .selectExpr("size(embedding)").head().getInt(0)
+    val full = Similarity.mrlRecall(spark, sf, prefixDims = dims).collect()
+    assert(full.forall(_.getAs[Long]("recall_permille") == 1000L),
+      full.mkString(","))
+  }
+
   test("ivf rebalance report: occupancy identities and split rule") {
     import graft.operators.Similarity
     val rows = Similarity.ivfRebalanceReport(spark, sf).collect()
