@@ -293,6 +293,7 @@ object SparkEntry {
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
     "stats_kmv_distinct"  -> (Stats.kmvDistinct _),
+    "stream_kmv_parity"   -> (Stats.kmvDistinctStream _),
     "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _),
     "src_scan_jsonl"      -> (graft.sources.JsonlSource.scanJsonl _),
     "src_scan_evolution"  -> (graft.sources.EvolvingSource.scanEvolved _)
@@ -4002,45 +4003,11 @@ object SparkEntry {
     // estimates and pairwise union estimates derived by folding
     // finished sketches (never re-scanning), all re-derived in SQL —
     // 52-bit sha hashes, k smallest distinct, integer estimate.
-    "stats_kmv_distinct" ->
-      s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
-         uh AS (SELECT DISTINCT event_type,
-             ('0x'||substr(sha256(CAST(user_id AS VARCHAR)),1,13))::BIGINT
-               AS h
-           FROM ev),
-         rk AS (SELECT event_type, h, row_number() OVER
-             (PARTITION BY event_type ORDER BY h) AS rn FROM uh),
-         sk AS (SELECT event_type, count(*) AS sz, max(h) AS hk
-           FROM rk WHERE rn <= ${Stats.KmvK} GROUP BY 1),
-         tex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-           FROM ev GROUP BY 1),
-         trow AS (SELECT 'type:'||s.event_type AS scope, t.n_exact,
-             CASE WHEN s.sz < ${Stats.KmvK} THEN s.sz
-               ELSE ${Stats.KmvK - 1} * ${Stats.KmvDomain} // s.hk END
-               AS n_est
-           FROM sk s JOIN tex t USING (event_type)),
-         types AS (SELECT DISTINCT event_type AS t FROM ev),
-         prs AS (SELECT a.t AS ta, b.t AS tb FROM types a
-           JOIN types b ON a.t < b.t),
-         puh AS (SELECT DISTINCT ta, tb, h FROM prs
-           JOIN uh ON uh.event_type IN (ta, tb)),
-         prk AS (SELECT ta, tb, h, row_number() OVER
-             (PARTITION BY ta, tb ORDER BY h) AS rn FROM puh),
-         psk AS (SELECT ta, tb, count(*) AS sz, max(h) AS hk
-           FROM prk WHERE rn <= ${Stats.KmvK} GROUP BY 1, 2),
-         pex AS (SELECT ta, tb, count(DISTINCT user_id) AS n_exact
-           FROM prs JOIN ev ON ev.event_type IN (ta, tb) GROUP BY 1, 2),
-         prow AS (SELECT 'union:'||p.ta||'|'||p.tb AS scope, x.n_exact,
-             CASE WHEN p.sz < ${Stats.KmvK} THEN p.sz
-               ELSE ${Stats.KmvK - 1} * ${Stats.KmvDomain} // p.hk END
-               AS n_est
-           FROM psk p JOIN pex x ON p.ta = x.ta AND p.tb = x.tb)
-         SELECT scope, CAST(n_exact AS BIGINT) AS n_exact,
-           CAST(n_est AS BIGINT) AS n_est,
-           CAST(abs(n_est - n_exact) * 1000 // n_exact AS BIGINT)
-             AS err_permille
-         FROM (SELECT * FROM trow UNION ALL SELECT * FROM prow)
-         ORDER BY scope""",
+    "stats_kmv_distinct" -> kmvOracleSql,
+    // The micro-batched sketch maintenance must land IDENTICAL
+    // estimates — shared oracle, so a batch lost/double-merged or a
+    // non-associative merge is a hash mismatch.
+    "stream_kmv_parity" -> kmvOracleSql,
     // Mergeable-histogram quantile estimate CALIBRATED against the
     // exact rank statistic — the whole kernel (milli-unit BIGINT
     // rationalization, scan-derived bucket width, deterministic
@@ -4226,6 +4193,50 @@ object SparkEntry {
     * interpolated, so the oracle can't drift from the implementation
     * when a parameter changes. Ends mid-WITH: callers append their own
     * CTEs and the final SELECT. */
+  /** Shared oracle of `stats_kmv_distinct` and `stream_kmv_parity`:
+    * 52-bit sha hashes, k smallest distinct per scope, integer
+    * estimate — the streaming sketch maintenance must land the
+    * identical report. */
+  private def kmvOracleSql: String =
+    s"""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+       uh AS (SELECT DISTINCT event_type,
+           ('0x'||substr(sha256(CAST(user_id AS VARCHAR)),1,13))::BIGINT
+             AS h
+         FROM ev),
+       rk AS (SELECT event_type, h, row_number() OVER
+           (PARTITION BY event_type ORDER BY h) AS rn FROM uh),
+       sk AS (SELECT event_type, count(*) AS sz, max(h) AS hk
+         FROM rk WHERE rn <= ${Stats.KmvK} GROUP BY 1),
+       tex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         FROM ev GROUP BY 1),
+       trow AS (SELECT 'type:'||s.event_type AS scope, t.n_exact,
+           CASE WHEN s.sz < ${Stats.KmvK} THEN s.sz
+             ELSE ${Stats.KmvK - 1} * ${Stats.KmvDomain} // s.hk END
+             AS n_est
+         FROM sk s JOIN tex t USING (event_type)),
+       types AS (SELECT DISTINCT event_type AS t FROM ev),
+       prs AS (SELECT a.t AS ta, b.t AS tb FROM types a
+         JOIN types b ON a.t < b.t),
+       puh AS (SELECT DISTINCT ta, tb, h FROM prs
+         JOIN uh ON uh.event_type IN (ta, tb)),
+       prk AS (SELECT ta, tb, h, row_number() OVER
+           (PARTITION BY ta, tb ORDER BY h) AS rn FROM puh),
+       psk AS (SELECT ta, tb, count(*) AS sz, max(h) AS hk
+         FROM prk WHERE rn <= ${Stats.KmvK} GROUP BY 1, 2),
+       pex AS (SELECT ta, tb, count(DISTINCT user_id) AS n_exact
+         FROM prs JOIN ev ON ev.event_type IN (ta, tb) GROUP BY 1, 2),
+       prow AS (SELECT 'union:'||p.ta||'|'||p.tb AS scope, x.n_exact,
+           CASE WHEN p.sz < ${Stats.KmvK} THEN p.sz
+             ELSE ${Stats.KmvK - 1} * ${Stats.KmvDomain} // p.hk END
+             AS n_est
+         FROM psk p JOIN pex x ON p.ta = x.ta AND p.tb = x.tb)
+       SELECT scope, CAST(n_exact AS BIGINT) AS n_exact,
+         CAST(n_est AS BIGINT) AS n_est,
+         CAST(abs(n_est - n_exact) * 1000 // n_exact AS BIGINT)
+           AS err_permille
+       FROM (SELECT * FROM trow UNION ALL SELECT * FROM prow)
+       ORDER BY scope"""
+
   /** Oracle of `graph_sssp`: the id-space weighted link graph plus
     * [[graft.operators.Graph.SsspRounds]] unrolled relaxation rounds
     * (recursive CTEs can't aggregate in the recursive term; unrolling

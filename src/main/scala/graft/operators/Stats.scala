@@ -176,8 +176,7 @@ object Stats {
     * k-row metadata: the driver-side pair fold touches #types·k longs. */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir).select("event_type", "user_id")
-    val uh = ev.select(col("event_type"),
+    val uh = Tables.events(s, dir).select(col("event_type"),
         conv(substring(sha2(col("user_id").cast("string"), 256), 1, 13),
           16, 10).cast("long").as("h"))
       .distinct()
@@ -185,6 +184,17 @@ object Stats {
       .groupByKey(_._1).mapValues(_._2)
       .agg(KMinAgg.toColumn.name("sk"))
       .collect().toMap // #types × k longs — metadata
+    kmvReport(s, dir, sketches)
+  }
+
+  /** Shared reporting tail of [[kmvDistinct]] and [[kmvDistinctStream]]:
+    * per-type + pairwise-union estimates from FINISHED sketches,
+    * exact sides from the base table — one definition, so the batch
+    * and streaming rows cannot drift. */
+  private def kmvReport(s: SparkSession, dir: String,
+      sketches: Map[String, Array[Long]]): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select("event_type", "user_id")
     val types = sketches.keys.toSeq.sorted
     val pairs = for {
       i <- types.indices; j <- (i + 1) until types.size
@@ -213,6 +223,73 @@ object Stats {
         col("n_est").cast("long"),
         expr("abs(n_est - n_exact) * 1000 div n_exact").as("err_permille"))
       .orderBy("scope")
+  }
+
+  /** Streaming twin of [[kmvDistinct]] — the sketch-MERGE contract
+    * exercised across micro-batch boundaries: events arrive as a file
+    * stream (two ascending id-range slices), each batch's per-type
+    * sketches fold into a persisted sketch table via the same
+    * associative [[KMinAgg.merge]], and the final estimates come from
+    * the PERSISTED state while the exact sides come from the full
+    * table. Result must be IDENTICAL to the one-shot row — the two
+    * share one DuckDB oracle — so a batch lost or double-merged, or a
+    * merge that isn't truly associative/idempotent-under-distinct,
+    * lands as a hash mismatch. Sketch state is #types × k longs:
+    * driver-side folding IS the production shape (sketches are
+    * metadata; the data-scale work is each batch's distinct scan). */
+  def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("kmvstream")
+    try {
+      val statePath = s"$base/state"
+      Seq.empty[(String, Array[Long])].toDF("event_type", "sk")
+        .write.parquet(statePath)
+      Tables.events(s, dir)
+        .select("event_id", "event_type", "user_id")
+        .repartitionByRange(2, col("event_id"))
+        .write.parquet(s"$base/in")
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      val stream = s.readStream
+        .schema("event_id LONG, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val batchSk = b.select(col("event_type"),
+                conv(substring(sha2(col("user_id").cast("string"), 256),
+                  1, 13), 16, 10).cast("long").as("h"))
+              .distinct()
+              .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+              .agg(KMinAgg.toColumn.name("sk"))
+              .collect().toMap
+            val prior = s.read.schema("event_type STRING, sk ARRAY<LONG>")
+              .parquet(statePath)
+              .as[(String, Array[Long])].collect().toMap
+            val merged = (prior.keySet ++ batchSk.keySet).toSeq.map { t =>
+              (prior.get(t), batchSk.get(t)) match {
+                case (Some(a), Some(c)) => (t, KMinAgg.merge(a, c))
+                case (Some(a), None) => (t, a)
+                case (None, Some(c)) => (t, c)
+                case (None, None) => (t, Array.emptyLongArray)
+              }
+            }
+            val next = merged.toDF("event_type", "sk")
+              .localCheckpoint(true)
+            next.write.mode("overwrite").parquet(statePath)
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val sketches = s.read.schema("event_type STRING, sk ARRAY<LONG>")
+        .parquet(statePath)
+        .as[(String, Array[Long])].collect().toMap
+      kmvReport(s, dir, sketches)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
   /** Quantile probe points (permille) of [[quantileSketch]]. */
