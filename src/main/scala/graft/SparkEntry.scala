@@ -72,6 +72,7 @@ object SparkEntry {
     "q30_activity_islands" -> (Relational.q30ActivityIslands _),
     "q32_range_frame"     -> (Relational.q32RangeFrame _),
     "q34_sql_correlated"  -> (Relational.q34SqlCorrelated _),
+    "q35_null_semantics"  -> (Relational.q35NullSemantics _),
     "q21_intersect"       -> (Relational.q21Intersect _),
     "q22_cube"            -> (Relational.q22Cube _),
     "doc_chunk_markdown"  -> (DocPipeline.chunkMarkdownDocs _),
@@ -3583,6 +3584,31 @@ object SparkEntry {
     // integer cents before summing so partial-then-merge BIGINT
     // addition is associative — no float-ulp drift between the staged
     // and single-pass shapes.
+    // Three-valued-logic battery: the null corners engines classically
+    // diverge on, every cell re-derived — `= NULL` never true,
+    // null-safe self-equality total, NOT IN null-drop, null-bearing
+    // NOT IN list matching nothing, count(col) vs count(*), aggregate
+    // null-skip, all-null-sum sentinel.
+    "q35_null_semantics" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+             nullif(o_orderpriority, '3-MEDIUM') AS p FROM orders)
+         SELECT count(*) AS n_total,
+           CAST(count(*) FILTER (WHERE p IS NULL) AS BIGINT) AS n_p_null,
+           CAST(count(p) AS BIGINT) AS n_count_p,
+           CAST(count(*) FILTER (WHERE p = NULL) AS BIGINT)
+             AS n_eq_null_true,
+           CAST(count(*) FILTER (WHERE p IS NOT DISTINCT FROM p)
+             AS BIGINT) AS n_nullsafe_self,
+           CAST(count(*) FILTER (WHERE p NOT IN ('1-URGENT', '2-HIGH'))
+             AS BIGINT) AS n_not_in,
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F', NULL))
+             AS BIGINT) AS n_not_in_nullable_list,
+           CAST(min(CASE WHEN p IS NULL THEN o_orderkey END) AS BIGINT)
+             AS min_key_null_p,
+           min(p) AS min_p,
+           CAST(COALESCE(sum(CASE WHEN FALSE THEN 1 END), -1) AS BIGINT)
+             AS all_null_sum_sentinel
+         FROM o""",
     // SQL front-end row: the ORACLE IS THE SAME STRING the Spark side
     // executes — cross-engine drift is impossible by construction;
     // what's under test is Catalyst's subquery decorrelation

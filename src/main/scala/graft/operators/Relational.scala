@@ -522,6 +522,48 @@ object Relational {
     s.sql(CorrelatedSql)
   }
 
+  /** Three-valued-logic battery — the null-semantics corners where
+    * engines classically diverge, pinned cell-exact: `= NULL` never
+    * true, null-safe self-equality always true, NOT IN silently
+    * dropping null-valued rows, NOT IN against a null-bearing list
+    * matching NOTHING, count(col) vs count(*), aggregate null-skip
+    * (min/sum ignore nulls), and the all-null-sum sentinel. One
+    * aggregate over a projection with planted nulls
+    * (`nullif(o_orderpriority, '3-MEDIUM')`); zero joins, zero
+    * windows — pure scan + agg. */
+  def q35NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("p"))
+    o.agg(
+      count(lit(1)).as("n_total"),
+      sum(col("p").isNull.cast("long")).as("n_p_null"),
+      count(col("p")).as("n_count_p"),
+      // `p = NULL` is NULL for every row — never counts
+      coalesce(sum((col("p") === lit(null).cast("string")).cast("long")),
+        lit(0L)).as("n_eq_null_true"),
+      // null-safe equality: true for EVERY row, nulls included
+      sum(col("p") <=> col("p") cast "long").as("n_nullsafe_self"),
+      // NOT IN drops null-valued rows (NULL, not true)
+      coalesce(sum((!col("p").isin("1-URGENT", "2-HIGH")).cast("long")),
+        lit(0L)).as("n_not_in"),
+      // NOT IN against a null-bearing list matches NOTHING
+      coalesce(sum(expr("o_orderstatus NOT IN ('F', NULL)").cast("long")),
+        lit(0L)).as("n_not_in_nullable_list"),
+      // min/sum skip nulls: the conditional min lands on real rows
+      min(when(col("p").isNull, col("o_orderkey"))).as("min_key_null_p"),
+      min(col("p")).as("min_p"),
+      // an all-null sum is NULL, not 0 — the sentinel proves it
+      coalesce(sum(when(lit(false), 1L)), lit(-1L))
+        .as("all_null_sum_sentinel"))
+      .select(col("n_total").cast("long"), col("n_p_null").cast("long"),
+        col("n_count_p").cast("long"), col("n_eq_null_true").cast("long"),
+        col("n_nullsafe_self").cast("long"), col("n_not_in").cast("long"),
+        col("n_not_in_nullable_list").cast("long"),
+        col("min_key_null_p").cast("long"), col("min_p"),
+        col("all_null_sum_sentinel").cast("long"))
+  }
+
   /** The shared ANSI text of [[q34SqlCorrelated]] — the Spark side
     * executes THIS string and the oracle map hands the same string to
     * DuckDB, so the two engines cannot drift by construction. */
