@@ -69,7 +69,7 @@ object Compliance {
       .write.parquet(s"$base/store/tombstones")
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"))
-      .write.parquet(s"$base/mv")
+      .write.parquet(s"$base/mv/binit")
     val assigned = Similarity.ivfAssign(s, dir).localCheckpoint(true)
     assigned.write.partitionBy("cell").parquet(s"$base/index")
     // build-time manifest (index size) + the touched-cell log the
@@ -78,27 +78,55 @@ object Compliance {
     assigned.select("cell").limit(0).write.parquet(s"$base/index_touched")
   }
 
+  /** Pointer to the last COMMITTED MV version; flipping it is the
+    * batch's commit point. */
+  private def mvPointer(base: String) = new java.io.File(s"$base/mv/LATEST")
+
+  /** Last batch id the MV pointer has committed (-1 before any). */
+  private def lastApplied(base: String): Long = {
+    val f = mvPointer(base)
+    if (f.exists())
+      java.nio.file.Files.readString(f.toPath).trim.toLong
+    else -1L
+  }
+
+  /** Directory of the committed MV state. */
+  private def mvCurrent(base: String): String = {
+    val last = lastApplied(base)
+    if (last < 0) s"$base/mv/binit" else s"$base/mv/b$last"
+  }
+
   /** Apply ONE purge request batch (columns doc_id, source, tok)
-    * through each surface's incremental path. Tombstone appends are
-    * idempotent by key (the report counts distinct keys); the MV
-    * delta and index rewrite are keyed to exactly this batch. */
+    * through each surface's incremental path, EXACTLY-ONCE-EFFECTIVE
+    * under foreachBatch's at-least-once replay. Tombstone appends and
+    * the index rewrite are naturally idempotent/convergent (distinct
+    * keys; a re-rewrite of already-purged cells is a no-op), but the
+    * MV's SIGNED DELTA is not — a replayed batch would subtract
+    * twice. So the MV runs the versioned-MERGE discipline
+    * (ChunkStore's pattern with DETERMINISTIC version names): the new
+    * state is computed from the last COMMITTED version and written to
+    * a directory named by this batch id, and the pointer flip is the
+    * commit. Replay before the flip recomputes the identical version
+    * from the identical committed base; replay after the flip is
+    * skipped outright at the top. */
   private def applyPurgeBatch(s: SparkSession, base: String,
-      keys: DataFrame): Unit = {
+      keys: DataFrame, batchId: Long = 0L): Unit = {
+    if (lastApplied(base) >= batchId) return // replayed after commit
     val k = keys.localCheckpoint(true)
     // store: tombstone append — O(request) write IO
     k.select("doc_id").write.mode("append")
       .parquet(s"$base/store/tombstones")
-    // mv: delete-only signed delta merged into the persisted view
+    // mv: delete-only signed delta, committed-version in, b<id> out
     val delta = k.groupBy("source")
       .agg(count(lit(1)).as("d_docs"), sum(col("tok")).as("d_tok"))
-    val mv2 = s.read.schema(MvSchema).parquet(s"$base/mv")
+    val mv2 = s.read.schema(MvSchema).parquet(mvCurrent(base))
       .join(broadcast(delta), Seq("source"), "left_outer")
       .select(col("source"),
         (col("n_docs") - coalesce(col("d_docs"), lit(0L))).as("n_docs"),
         (col("sum_tok") - coalesce(col("d_tok"), lit(0L))).as("sum_tok"))
       .filter(col("n_docs") > 0)
       .localCheckpoint(true)
-    mv2.write.mode("overwrite").parquet(s"$base/mv")
+    mv2.write.mode("overwrite").parquet(s"$base/mv/b$batchId")
     // index: rewrite ONLY the cells holding one of this batch's codes
     val idx = s.read.schema(IndexSchema).parquet(s"$base/index")
     val batchIds = k.select(col("doc_id").as("vec_id"))
@@ -120,6 +148,14 @@ object Compliance {
     emptied.foreach { c =>
       Sync.deleteTree(new java.io.File(s"$base/index/cell=$c"))
     }
+    // commit: atomic pointer flip AFTER every surface landed
+    val ptr = mvPointer(base)
+    ptr.getParentFile.mkdirs()
+    val tmp = new java.io.File(s"$base/mv", s"LATEST.tmp$batchId")
+    java.nio.file.Files.writeString(tmp.toPath, batchId.toString)
+    java.nio.file.Files.move(tmp.toPath, ptr.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Reconciliation across the three PERSISTED surfaces. */
@@ -136,7 +172,7 @@ object Compliance {
       count(lit(1)).as("n_rows"),
       coalesce(sum(col("doc_id")), lit(0L)).as("checksum"),
       lit(0L).as("n_groups")).withColumn("n_purged", lit(nTomb))
-    val mvRow = s.read.schema(MvSchema).parquet(s"$base/mv").agg(
+    val mvRow = s.read.schema(MvSchema).parquet(mvCurrent(base)).agg(
       lit("mv").as("surface"),
       coalesce(sum(col("n_docs")), lit(0L)).as("n_rows"),
       coalesce(sum(col("sum_tok")), lit(0L)).as("checksum"),
@@ -203,8 +239,8 @@ object Compliance {
         .schema(StoreSchema) // requests carry exactly the store shape
         .option("maxFilesPerTrigger", 1).parquet(s"$base/requests")
       val q = stream.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) applyPurgeBatch(s, base.toString, b)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) applyPurgeBatch(s, base.toString, b, id)
           ()
         }
         .option("checkpointLocation", s"$base/ckpt").start()

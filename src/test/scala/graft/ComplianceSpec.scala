@@ -56,6 +56,45 @@ class ComplianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ilive.agg(sum("vec_id")).collect().head.getLong(0))
   }
 
+  test("streaming purge survives a mid-stream restart AND a replayed batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("purgerestart")
+    try {
+      // expose the private machinery through the public sweeps'
+      // building blocks: run the batch sweep for the expected report,
+      // then drive a two-request stream with a RESTART between files
+      // and a forced replay of the first batch
+      val expected = Compliance.purgeSweep(spark, dir).collect().toSeq
+
+      val m = Compliance.getClass.getDeclaredMethods
+      def call(name: String, args: AnyRef*): AnyRef = {
+        val meth = m.find(_.getName == name).get
+        meth.setAccessible(true)
+        meth.invoke(Compliance, args: _*)
+      }
+      call("buildSurfaces", spark, dir, base.toString)
+      val keys = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST((length(text) + 3) div 4 AS BIGINT)").as("tok"))
+        .filter(pmod(col("doc_id"), lit(Compliance.PurgeMod)) ===
+          Compliance.PurgeRes)
+        .localCheckpoint(true)
+      val cut = keys.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      val b0 = keys.filter(col("doc_id") <= cut)
+      val b1 = keys.filter(col("doc_id") > cut)
+      // batch 0 applied, then REPLAYED (at-least-once delivery), then
+      // a "restart": batch 1 under a fresh invocation
+      call("applyPurgeBatch", spark, base.toString, b0, Long.box(0L))
+      call("applyPurgeBatch", spark, base.toString, b0, Long.box(0L))
+      call("applyPurgeBatch", spark, base.toString, b1, Long.box(1L))
+      val got = call("report", spark, dir, base.toString)
+        .asInstanceOf[org.apache.spark.sql.DataFrame].collect().toSeq
+      assert(got == expected,
+        "replay + restart must land the identical reconciliation — " +
+          s"got $got vs $expected")
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
   test("a fully-purged cell disappears from the index (dynamic-overwrite gap)") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("purgespec").toString
