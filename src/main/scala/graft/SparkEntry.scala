@@ -290,6 +290,8 @@ object SparkEntry {
     "compliance_purge_e2e" -> (graft.operators.Compliance.purgeSweep _),
     "stream_purge_parity" -> (graft.operators.Compliance.purgeSweepStream _),
     "store_time_travel"   -> (graft.sources.ChunkStore.timeTravelReport _),
+    "store_txn_log"       -> (graft.sources.TxnLogStore.txnLogReport _),
+    "store_change_feed"   -> (graft.sources.ChunkStore.changeFeedReport _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
@@ -4000,6 +4002,48 @@ object SparkEntry {
            CAST(sum(len + CASE WHEN doc_id % 6 IN (0, 3) THEN 3 ELSE 0
              END) AS BIGINT)
          FROM d WHERE doc_id % 3 IN (0, 1, 2)
+         ORDER BY version""",
+    // CDC between consecutive store versions: change classes
+    // re-derived from the fixture's residue arithmetic — a feed that
+    // compares keys instead of content misses every update.
+    "store_change_feed" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS r3, doc_id % 6 AS r6
+           FROM documents)
+         SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
+           CAST(count(*) FILTER (WHERE r3 = 1) AS BIGINT) AS n_inserted,
+           CAST(count(*) FILTER (WHERE r6 = 0) AS BIGINT) AS n_updated,
+           CAST(count(*) FILTER (WHERE r3 = 0 AND r6 <> 0) AS BIGINT)
+             AS n_unchanged,
+           CAST(0 AS BIGINT) AS n_deleted,
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE r3 = 1), 0) AS BIGINT)
+             AS sum_id_inserted,
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE r6 = 0), 0) AS BIGINT)
+             AS sum_id_updated
+         FROM d
+         UNION ALL
+         SELECT 1, 2,
+           CAST(count(*) FILTER (WHERE r3 = 2) AS BIGINT),
+           CAST(count(*) FILTER (WHERE r6 = 3) AS BIGINT),
+           CAST(count(*) FILTER (WHERE r3 IN (0, 1) AND r6 <> 3)
+             AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE r3 = 2), 0) AS BIGINT),
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE r6 = 3), 0) AS BIGINT)
+         FROM d ORDER BY from_v""",
+    // Transaction-log snapshots: three commits (add A+B; add C remove
+    // A; add D) folded per version — the oracle re-derives membership
+    // from the slice arithmetic (v0: slices 0,1; v1: 1,2; v2: 1,2,3).
+    "store_txn_log" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+         SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+           count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         FROM d WHERE r IN (0, 1)
+         UNION ALL
+         SELECT 1, 2, count(*), CAST(sum(doc_id) AS BIGINT)
+         FROM d WHERE r IN (1, 2)
+         UNION ALL
+         SELECT 2, 3, count(*), CAST(sum(doc_id) AS BIGINT)
+         FROM d WHERE r IN (1, 2, 3)
          ORDER BY version""",
     // Schema-evolution read: Spark must merge three producer
     // generations' file schemas and null-backfill retired/not-yet-born

@@ -180,21 +180,30 @@ object ChunkStore {
     *
     * Scale: each upsert is the plan-level MERGE (anti-join + union —
     * one shuffle on url); reports are one aggregate per version. */
+  /** Stage the shared three-upsert fixture of [[timeTravelReport]] and
+    * [[changeFeedReport]] under `root`: inserts per `doc_id % 3`
+    * residue, planted UPDATES (`% 6 = 0` re-written in the second
+    * upsert, `% 6 = 3` in the third). */
+  private def buildVersionedFixture(s: SparkSession, dir: String,
+      root: String): Unit = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
+    val b0 = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = d.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .withColumn("text", concat(col("text"), lit("-r1"))))
+    val b2 = d.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .withColumn("text", concat(col("text"), lit("-r2"))))
+    Seq(b0, b1, b2).foreach(b => upsertVersioned(s, root, b))
+  }
+
   def timeTravelReport(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("ttravel")
     try {
       val root = s"$base/store"
-      val d = graft.Tables.documents(s, dir)
-        .select(col("doc_id"),
-          concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
-      val b0 = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-      val b1 = d.filter(pmod(col("doc_id"), lit(3)) === 1)
-        .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 0)
-          .withColumn("text", concat(col("text"), lit("-r1"))))
-      val b2 = d.filter(pmod(col("doc_id"), lit(3)) === 2)
-        .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 3)
-          .withColumn("text", concat(col("text"), lit("-r2"))))
-      Seq(b0, b1, b2).foreach(b => upsertVersioned(s, root, b))
+      buildVersionedFixture(s, dir, root)
       (0L to 2L).map { v =>
         s.read.parquet(s"$root/v$v").agg(
           lit(v).as("version"), count(lit(1)).as("n_urls"),
@@ -202,6 +211,60 @@ object ChunkStore {
           sum(length(col("text")).cast("long")).as("sum_len"))
       }.reduce(_ unionByName _)
         .orderBy("version")
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
+  /** Change-data-capture feed between consecutive store versions —
+    * what a downstream consumes to stay incremental without rescanning
+    * the table: per transition v→v+1, row-level change classes
+    * (inserted / updated / unchanged — the upsert discipline never
+    * deletes, so a nonzero delete count would itself be a defect)
+    * derived by a full-outer url join comparing content. The DuckDB
+    * oracle re-derives every class from the fixture's residue
+    * arithmetic — a change feed that misses an update (the classic CDC
+    * bug: comparing keys, not content) or double-reports an insert
+    * shifts a count.
+    *
+    * Scale: one url-keyed join per transition (both sides
+    * version-sized); a production feed persists per-commit change
+    * files instead of diffing snapshots — the diff here doubles as the
+    * VALIDATOR such a feed would be checked against. */
+  def changeFeedReport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("cdcfeed")
+    try {
+      val root = s"$base/store"
+      buildVersionedFixture(s, dir, root)
+      (0L to 1L).map { v =>
+        val prev = s.read.parquet(s"$root/v$v")
+          .select(col("url"), col("doc_id").as("id_a"),
+            col("text").as("text_a"))
+        val next = s.read.parquet(s"$root/v${v + 1}")
+          .select(col("url"), col("doc_id").as("id_b"),
+            col("text").as("text_b"))
+        prev.join(next, Seq("url"), "full_outer")
+          .agg(lit(v).as("from_v"), lit(v + 1).as("to_v"),
+            sum(col("id_a").isNull.cast("long")).as("n_inserted"),
+            sum((col("id_a").isNotNull && col("id_b").isNotNull &&
+              col("text_a") =!= col("text_b")).cast("long"))
+              .as("n_updated"),
+            sum((col("id_a").isNotNull && col("id_b").isNotNull &&
+              col("text_a") === col("text_b")).cast("long"))
+              .as("n_unchanged"),
+            sum(col("id_b").isNull.cast("long")).as("n_deleted"),
+            coalesce(sum(when(col("id_a").isNull, col("id_b"))), lit(0L))
+              .as("sum_id_inserted"),
+            coalesce(sum(when(col("id_a").isNotNull &&
+              col("id_b").isNotNull &&
+              col("text_a") =!= col("text_b"), col("id_b"))), lit(0L))
+              .as("sum_id_updated"))
+      }.reduce(_ unionByName _)
+        .select(col("from_v"), col("to_v"),
+          col("n_inserted").cast("long"), col("n_updated").cast("long"),
+          col("n_unchanged").cast("long"), col("n_deleted").cast("long"),
+          col("sum_id_inserted").cast("long"),
+          col("sum_id_updated").cast("long"))
+        .orderBy("from_v")
         .localCheckpoint(true)
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Transaction-log table layout — the third store discipline in this
+  * engine, completing the spectrum:
+  *
+  *   - full-version copies ([[ChunkStore.upsertVersioned]]): O(table)
+  *     per commit, trivial time travel;
+  *   - merge-on-read tombstones (the `stream_mv_parity` store):
+  *     O(delta) writes, reads reconstruct;
+  *   - TRANSACTION LOG (this): O(delta) commits as ordered JSON action
+  *     files (`add` / `remove` of immutable data files), where a
+  *     snapshot at version v is the fold of actions 0..v — the
+  *     Delta/Iceberg layout, scaled down to its essence. Data files
+  *     are immutable; logical deletes and rewrites are log entries;
+  *     readers at any version see exactly the files its prefix of the
+  *     log retains.
+  *
+  * The row stages three commits over document slices (add A+B; add C
+  * while removing A — a rewrite; add D) and reads EVERY version back by
+  * folding the log — the DuckDB oracle re-derives each snapshot's
+  * membership from the slice arithmetic, so a mis-folded remove, a
+  * commit applied out of order, or a snapshot reading an evicted file
+  * all shift a sum.
+  *
+  * Scale: a commit writes one action file + the new data files
+  * (O(delta)); a snapshot read is a log fold (metadata-scale) + a scan
+  * of exactly the retained files. */
+object TxnLogStore {
+
+  /** Append one commit (ordered action file `NNNNN.json`). */
+  private[graft] def commit(root: String, version: Long,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$root/_log")
+    dir.mkdirs()
+    val lines =
+      adds.map(f => s"""{"act":"add","file":"$f"}""") ++
+        removes.map(f => s"""{"act":"remove","file":"$f"}""")
+    val tmp = new java.io.File(dir, f"$version%05d.json.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, lines.mkString("\n"))
+    // atomic publish: a reader never sees a half-written commit
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, f"$version%05d.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Live file set at `version`: fold of the ordered log prefix. */
+  private[graft] def liveFiles(s: SparkSession, root: String,
+      version: Long): Seq[String] = {
+    val actions = Option(new java.io.File(s"$root/_log").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{5}\\.json"))
+      .sortBy(_.getName)
+      .takeWhile(_.getName.stripSuffix(".json").toLong <= version)
+    actions.foldLeft(Vector.empty[String]) { (live, f) =>
+      val lines = java.nio.file.Files.readString(f.toPath)
+        .split("\n").filter(_.nonEmpty)
+      lines.foldLeft(live) { (acc, l) =>
+        // minimal, dependency-free action parse (fields are paths the
+        // writer itself produced — no escaping needed)
+        val file = l.split("\"file\":\"")(1).takeWhile(_ != '"')
+        if (l.contains("\"act\":\"add\"")) acc :+ file
+        else acc.filterNot(_ == file)
+      }
+    }
+  }
+
+  /** Stage the three-commit fixture and report every snapshot:
+    * per version, live file count plus row count / id checksum of the
+    * folded table state. */
+  def txnLogReport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("txnlog")
+    try {
+      val root = s"$base/store"
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      def slice(r: Int): DataFrame =
+        docs.filter(pmod(col("doc_id"), lit(4)) === r)
+      // immutable data files, one per slice
+      (0 to 3).foreach(r => slice(r).write.parquet(s"$root/f$r"))
+      commit(root, 0L, Seq("f0", "f1"), Seq.empty)
+      commit(root, 1L, Seq("f2"), Seq("f0")) // rewrite: f0 evicted
+      commit(root, 2L, Seq("f3"), Seq.empty)
+      (0L to 2L).map { v =>
+        val files = liveFiles(s, root, v)
+        val state =
+          if (files.isEmpty)
+            s.createDataFrame(s.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  org.apache.spark.sql.types.LongType))))
+          else s.read.schema("doc_id LONG")
+            .parquet(files.map(f => s"$root/$f"): _*)
+        state.agg(lit(v).as("version"),
+          lit(files.length.toLong).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_id"))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_files"), col("n_rows").cast("long"),
+          col("sum_doc_id").cast("long"))
+        .orderBy("version")
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+}

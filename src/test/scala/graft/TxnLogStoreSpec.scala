@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sources.TxnLogStore
+
+/** Log-fold semantics of the transaction-log store beyond the oracle
+  * row: ordered prefix folding, remove eviction, version boundaries,
+  * and atomic commit publication. */
+class TxnLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("snapshot = fold of the ordered log prefix; removes evict") {
+    val root = java.nio.file.Files.createTempDirectory("txnspec").toString
+    try {
+      TxnLogStore.commit(root, 0L, Seq("a", "b"), Seq.empty)
+      TxnLogStore.commit(root, 1L, Seq("c"), Seq("a"))
+      TxnLogStore.commit(root, 2L, Seq("d"), Seq.empty)
+      assert(TxnLogStore.liveFiles(spark, root, 0L) == Seq("a", "b"))
+      assert(TxnLogStore.liveFiles(spark, root, 1L) == Seq("b", "c"))
+      assert(TxnLogStore.liveFiles(spark, root, 2L) == Seq("b", "c", "d"))
+      // a version beyond the log sees the full fold; before it, nothing
+      assert(TxnLogStore.liveFiles(spark, root, 99L) == Seq("b", "c", "d"))
+      assert(TxnLogStore.liveFiles(spark, root, -1L).isEmpty)
+      // a stranded tmp file (crashed writer) is never folded
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$root/_log/00003.json.tmp").toPath,
+        """{"act":"add","file":"ghost"}""")
+      assert(TxnLogStore.liveFiles(spark, root, 99L) == Seq("b", "c", "d"))
+    } finally graft.operators.Sync.deleteTree(new java.io.File(root))
+  }
+}
