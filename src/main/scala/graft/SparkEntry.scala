@@ -292,6 +292,7 @@ object SparkEntry {
     "store_time_travel"   -> (graft.sources.ChunkStore.timeTravelReport _),
     "store_txn_log"       -> (graft.sources.TxnLogStore.txnLogReport _),
     "store_change_feed"   -> (graft.sources.ChunkStore.changeFeedReport _),
+    "crawl_robots"        -> (graft.sources.RobotsTxt.robotsReport _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
@@ -4003,6 +4004,28 @@ object SparkEntry {
              END) AS BIGINT)
          FROM d WHERE doc_id % 3 IN (0, 1, 2)
          ORDER BY version""",
+    // robots.txt evaluation: the engine PARSES the staged per-domain
+    // robots text (group selection incl. a poisoned `*` group,
+    // longest-match precedence, Allow tie-break); the oracle
+    // re-derives every verdict as pure prefix arithmetic.
+    "crawl_robots" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS domain,
+             CAST(doc_id AS VARCHAR) AS ds,
+             CAST((doc_id % 20) % 10 AS VARCHAR) AS f,
+             CAST((doc_id % 20 + 3) % 10 AS VARCHAR) AS g
+           FROM documents),
+         v AS (SELECT domain, doc_id,
+             NOT (starts_with(ds, f) AND NOT starts_with(ds, f || g))
+               AS allowed
+           FROM d)
+         SELECT domain, count(*) AS n_urls,
+           CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_blocked,
+           CAST(COALESCE(sum(CASE WHEN NOT allowed THEN doc_id END), 0)
+             AS BIGINT) AS sum_id_blocked
+         FROM v GROUP BY 1 ORDER BY domain""",
     // CDC between consecutive store versions: change classes
     // re-derived from the fixture's residue arithmetic — a feed that
     // compares keys instead of content misses every update.
