@@ -39,12 +39,51 @@ object TxnLogStore {
     val lines =
       adds.map(f => s"""{"act":"add","file":"$f"}""") ++
         removes.map(f => s"""{"act":"remove","file":"$f"}""")
-    val tmp = new java.io.File(dir, f"$version%05d.json.tmp")
+    val tmp = new java.io.File(dir,
+      f"$version%05d.json.tmp${java.lang.Thread.currentThread().getId}%d")
     java.nio.file.Files.writeString(tmp.toPath, lines.mkString("\n"))
-    // atomic publish: a reader never sees a half-written commit
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, f"$version%05d.json").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // atomic publish AND atomic arbitration: link(2) fails with
+    // FileAlreadyExistsException if the version is already taken
+    // (POSIX rename would silently REPLACE a racing writer's commit),
+    // and readers only ever see the fully-written file
+    try java.nio.file.Files.createLink(
+      new java.io.File(dir, f"$version%05d.json").toPath, tmp.toPath)
+    finally java.nio.file.Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Optimistic-concurrency commit — the multi-writer discipline the
+    * full-version store explicitly disclaims
+    * ([[ChunkStore.upsertVersioned]] is single-writer by contract):
+    * read the latest version, attempt version+1, and let the
+    * FILESYSTEM arbitrate — `ATOMIC_MOVE` onto an existing action
+    * file fails, so exactly one of two racing writers wins each
+    * version and the loser re-reads and retries against the new head
+    * (re-validation of semantic conflicts between the lost round's
+    * actions and its own is the caller's job, as in Delta/Iceberg).
+    * Returns the version actually committed. */
+  private[graft] def commitOptimistic(root: String, adds: Seq[String],
+      removes: Seq[String], maxRetries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val next = latestVersion(root) + 1
+      try {
+        commit(root, next, adds, removes)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race — re-read the head and retry
+      }
+    }
+    sys.error(s"commitOptimistic: lost $maxRetries races under $root")
+  }
+
+  /** Highest committed version in the log (-1 when empty). */
+  private[graft] def latestVersion(root: String): Long = {
+    val fs = Option(new java.io.File(s"$root/_log").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{5}\\.json"))
+    if (fs.isEmpty) -1L
+    else fs.map(_.getName.stripSuffix(".json").toLong).max
   }
 
   /** Live file set at `version`: fold of the ordered log prefix. */

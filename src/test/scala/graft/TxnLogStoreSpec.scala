@@ -37,4 +37,38 @@ class TxnLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(TxnLogStore.liveFiles(spark, root, 99L) == Seq("b", "c", "d"))
     } finally graft.operators.Sync.deleteTree(new java.io.File(root))
   }
+
+  test("optimistic commits: racing writers never lose a commit") {
+    val root = java.nio.file.Files.createTempDirectory("txnrace").toString
+    try {
+      // a committed version can never be stolen: direct re-commit of
+      // an existing version must fail, not silently replace
+      TxnLogStore.commit(root, 0L, Seq("a"), Seq.empty)
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        TxnLogStore.commit(root, 0L, Seq("thief"), Seq.empty)
+      }
+      assert(TxnLogStore.liveFiles(spark, root, 0L) == Seq("a"))
+      // 4 threads × 5 optimistic commits: 20 total, all 20 versions
+      // distinct and every writer's files present in the final fold
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (0 until 4).map { w =>
+        scala.concurrent.Future {
+          (0 until 5).map(i =>
+            TxnLogStore.commitOptimistic(root, Seq(s"w$w-$i"), Seq.empty))
+        }
+      }
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(60, "s")).flatten
+      pool.shutdown()
+      assert(versions.toSet.size == 20, s"duplicate versions: $versions")
+      assert(versions.min == 1L && versions.max == 20L)
+      val live = TxnLogStore.liveFiles(spark, root, 20L)
+      val expected = (for (w <- 0 until 4; i <- 0 until 5)
+        yield s"w$w-$i").toSet + "a"
+      assert(live.toSet == expected, "a racing commit was lost")
+    } finally graft.operators.Sync.deleteTree(new java.io.File(root))
+  }
 }
