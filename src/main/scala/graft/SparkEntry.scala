@@ -285,6 +285,7 @@ object SparkEntry {
     "store_compaction"    -> (Layout.compactionPlan _),
     "layout_zorder"       -> (Layout.zorderStats _),
     "layout_zorder_prune" -> (Layout.zorderPruneStats _),
+    "layout_hilbert_prune" -> (Layout.hilbertPruneStats _),
     "doc_ngram_lm"        -> (TextAnalysis.ngramLm _),
     "mv_incremental"      -> (MatView.incrementalRefresh _),
     "compliance_purge_e2e" -> (graft.operators.Compliance.purgeSweep _),
@@ -3854,6 +3855,50 @@ object SparkEntry {
     // File-skipping comparison: the same rows laid out z-ordered vs
     // time-linear, pruned by min/max stats under an x-only slice — see
     // Layout.zorderPruneStats scaladoc. All constants interpolate.
+    // Hilbert vs Z vs linear: the Morton key re-derives from the
+    // shared bit recipe; the Hilbert key walks the generated CTE
+    // rounds (same reflect-and-swap recipe as the Scala kernel).
+    "layout_hilbert_prune" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         bounds AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+           min(us) AS min_us, max(us) AS max_us FROM ev),
+         dims AS (
+           SELECT ((user_id - min_u) * ${1L << graft.operators.Layout.ZBits})
+               // (max_u - min_u + 1) AS x,
+             ((us - min_us) * ${1L << graft.operators.Layout.ZBits})
+               // (max_us - min_us + 1) AS y
+           FROM ev CROSS JOIN bounds),
+         ${graft.operators.Layout.hilbertCteSql("dims")},
+         z AS (SELECT x, y,
+             ${graft.operators.Layout.zInterleaveSql("x", "y")} AS zkey
+           FROM dims),
+         lay AS (
+           SELECT 'hilbert' AS layout,
+             d >> ${2 * graft.operators.Layout.ZBits - 6} AS file_id,
+             x0 AS x
+           FROM h${graft.operators.Layout.ZBits}
+           UNION ALL
+           SELECT 'linear_time',
+             y >> ${graft.operators.Layout.ZBits - 6}, x FROM z
+           UNION ALL
+           SELECT 'zorder',
+             zkey >> ${2 * graft.operators.Layout.ZBits - 6}, x FROM z),
+         pf AS (
+           SELECT layout, file_id, count(*) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             CAST(sum(CASE WHEN x BETWEEN ${graft.operators.Layout.PruneXLo}
+                 AND ${graft.operators.Layout.PruneXHi} THEN 1 ELSE 0 END)
+               AS BIGINT) AS rows_matched
+           FROM lay GROUP BY 1, 2)
+         SELECT layout, count(*) AS n_files,
+           CAST(sum(CASE WHEN x_max >= ${graft.operators.Layout.PruneXLo}
+               AND x_min <= ${graft.operators.Layout.PruneXHi}
+               THEN 1 ELSE 0 END) AS BIGINT) AS files_kept,
+           CAST(sum(CASE WHEN x_max >= ${graft.operators.Layout.PruneXLo}
+               AND x_min <= ${graft.operators.Layout.PruneXHi}
+               THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+           CAST(sum(rows_matched) AS BIGINT) AS rows_matched
+         FROM pf GROUP BY 1 ORDER BY layout""",
     "layout_zorder_prune" ->
       s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          bounds AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,

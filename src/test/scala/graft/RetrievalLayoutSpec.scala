@@ -468,6 +468,42 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       full.mkString(","))
   }
 
+  test("hilbert curve: unit-step adjacency (the property Morton lacks); prune dominates") {
+    import graft.operators.Layout
+    // the defining Hilbert property: consecutive distances are
+    // manhattan-adjacent cells — invert a sample of the curve and walk
+    val n = 1 << Layout.ZBits
+    val inv = new java.util.HashMap[Long, (Long, Long)]()
+    // sample a contiguous d-range by scanning a grid band
+    for (x <- 0L until 64L; y <- 0L until 64L)
+      inv.put(Layout.hilbertD(x, y), (x, y))
+    var adjacentChecked = 0
+    val it = inv.keySet().iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      if (inv.containsKey(d + 1)) {
+        val (x1, y1) = inv.get(d)
+        val (x2, y2) = inv.get(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"d=$d: ($x1,$y1) -> ($x2,$y2) is not a unit step")
+        adjacentChecked += 1
+      }
+    }
+    assert(adjacentChecked > 1000, "the sampled band must cover steps")
+    // first quadrant order of the classic curve
+    assert(Layout.hilbertD(0, 0) == 0)
+    // distinctness over the sampled square (a bijection on the grid)
+    assert(inv.size() == 64 * 64)
+    // and the row's headline claim: hilbert prunes at least as well
+    val rows = Layout.hilbertPruneStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("hilbert").getLong(2) <= rows("zorder").getLong(2),
+      "hilbert files_kept must not exceed zorder's")
+    assert(rows("zorder").getLong(2) < rows("linear_time").getLong(2))
+    assert(rows.values.map(_.getLong(4)).toSet.size == 1,
+      "rows_matched is layout-invariant")
+  }
+
   test("ivf rebalance report: occupancy identities and split rule") {
     import graft.operators.Similarity
     val rows = Similarity.ivfRebalanceReport(spark, sf).collect()
