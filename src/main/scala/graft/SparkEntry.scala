@@ -207,6 +207,8 @@ object SparkEntry {
       Similarity.pqRecall(s, d)),
     "emb_mrl_recall"      -> ((s: SparkSession, d: String) =>
       Similarity.mrlRecall(s, d)),
+    "emb_bq_recall"       -> ((s: SparkSession, d: String) =>
+      Similarity.bqRecall(s, d)),
     "emb_ivf_rebalance"   -> ((s: SparkSession, d: String) =>
       Similarity.ivfRebalanceReport(s, d)),
     "emb_ann_pq"          -> ((s: SparkSession, d: String) =>
@@ -3688,6 +3690,65 @@ object SparkEntry {
     // Recall@10 of the IVF probe vs exact KNN, per query — see
     // Similarity.ivfRecall scaladoc. Same seeds/argmax/cosine CTE
     // machinery as the emb_ann_ivf and emb_knn_exact oracles.
+    // Binary-quantization recall: sign-bit packing re-derived via
+    // shift arithmetic, Hamming via bit_count, exact-cosine rerank of
+    // the shortlist — quantize/popcount/rerank all cross-engine exact.
+    "emb_bq_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM embeddings),
+         pk AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32), d ->
+               CASE WHEN emb[CAST(d AS INTEGER) + 1] >= 0
+                 THEN CAST(1 AS BIGINT) << CAST(d AS INTEGER)
+                 ELSE 0 END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(32, 64), d ->
+               CASE WHEN emb[CAST(d AS INTEGER) + 1] >= 0
+                 THEN CAST(1 AS BIGINT) << (CAST(d AS INTEGER) - 32)
+                 ELSE 0 END)) AS BIGINT) AS w1
+           FROM e),
+         q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+               WHERE vec_id < 5),
+         qp AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+               FROM pk WHERE vec_id < 5),
+         cand AS (
+           SELECT query_id, vec_id FROM (
+             SELECT qp.query_id, p.vec_id, row_number() OVER (
+               PARTITION BY qp.query_id ORDER BY
+                 bit_count(xor(p.w0, qp.qw0))
+                   + bit_count(xor(p.w1, qp.qw1)), p.vec_id) AS hrank
+             FROM pk p CROSS JOIN qp WHERE p.vec_id != qp.query_id)
+           WHERE hrank <= ${Similarity.BqShortlist}),
+         ann AS (
+           SELECT query_id, vec_id FROM (
+             SELECT c.query_id, c.vec_id, row_number() OVER (
+               PARTITION BY c.query_id ORDER BY
+                 list_dot_product(q.qv, e.emb) /
+                   (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                 c.vec_id) AS rank
+             FROM cand c JOIN e ON e.vec_id = c.vec_id
+               JOIN q ON q.query_id = c.query_id) WHERE rank <= 10),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id, row_number() OVER (
+               PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, e.emb) /
+                   (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                 e.vec_id) AS rank
+             FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+           WHERE rank <= 10),
+         ov AS (
+           SELECT a.query_id, count(*) AS n_overlap
+           FROM ann a JOIN exact x
+             ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+           GROUP BY 1)
+         SELECT q.query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n_overlap, 0) * 1000 // 10 AS BIGINT)
+             AS recall_permille
+         FROM q LEFT JOIN ov USING (query_id) ORDER BY query_id""",
     // Matryoshka-truncation recall: exact prefix-dim top-k vs exact
     // full-dim top-k, both re-derived with list slicing and the same
     // ascending-dimension double accumulation.

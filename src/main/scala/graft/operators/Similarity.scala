@@ -847,6 +847,79 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Shortlist size of [[bqRecall]]'s Hamming candidate stage. */
+  val BqShortlist = 50
+
+  /** Binary-quantization recall calibration — the 32× compression tier
+    * modern vector stores ship under names like BQ/RaBitQ: one SIGN
+    * BIT per dimension (64 dims → two 32-bit words), candidates by
+    * Hamming distance (pure popcount — integer, branchless, SIMD-
+    * friendly at scale), then an exact-cosine rerank of the top
+    * [[BqShortlist]]. Hamming on sign bits approximates angular
+    * distance (the 1-bit special case of the hyperplane-LSH bound), so
+    * the shortlist catches most true neighbors and the rerank restores
+    * exact order — recall@10 against exact full-precision top-10 is
+    * the calibration the oracle hashes. Packing is a zero-shuffle
+    * typed kernel; the DuckDB mirror re-packs via shift arithmetic and
+    * bit_count, so quantization, popcount, and rerank all cross-check
+    * bit-exactly. Spec pins that a corpus-wide shortlist recovers
+    * recall 1000. */
+  def bqRecall(s: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, shortlist: Int = BqShortlist): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val packed = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        var w0 = 0L; var w1 = 0L
+        var d = 0
+        while (d < 32) { if (emb(d) >= 0) w0 |= 1L << d; d += 1 }
+        while (d < 64) { if (emb(d) >= 0) w1 |= 1L << (d - 32); d += 1 }
+        (id, w0, w1)
+      }.toDF("vec_id", "w0", "w1")
+      .localCheckpoint(true) // packed twice-scanned (queries + corpus)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val qPacked = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("w0").as("qw0"),
+        col("w1").as("qw1"))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("vec_id"))
+    val cand = packed.crossJoin(broadcast(qPacked))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ham", expr(
+        "bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)"))
+      .withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= shortlist)
+      .select("query_id", "vec_id")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ann = cand
+      .join(e.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+    val exact = e.select("vec_id", "embedding")
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineExpr("qv", "embedding"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+    val overlap = exact.join(ann, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select("query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 1000 div $k")
+          .as("recall_permille"))
+      .orderBy("query_id")
+  }
+
   // ── Deterministic random-hyperplane LSH ───────────────────────────────
   // Hyperplane i, dimension d has sign +1 iff bit 13 of
   // ((i*37 + d*101) * 2654435761) is set — a pure integer hash both

@@ -468,6 +468,23 @@ class RetrievalLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       full.mkString(","))
   }
 
+  test("bq recall: bounded permille; corpus-wide shortlist recovers exact recall") {
+    import graft.operators.Similarity
+    val partial = Similarity.bqRecall(spark, sf).collect()
+    assert(partial.length == 5)
+    partial.foreach { r =>
+      val p = r.getAs[Long]("recall_permille")
+      assert(p >= 0 && p <= 1000)
+      assert(p == r.getAs[Long]("n_overlap") * 100)
+    }
+    // shortlist = corpus ⇒ the rerank sees every vector ⇒ the BQ
+    // top-10 IS the exact top-10 ⇒ recall exactly 1000
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    val full = Similarity.bqRecall(spark, sf, shortlist = n).collect()
+    assert(full.forall(_.getAs[Long]("recall_permille") == 1000L),
+      full.mkString(","))
+  }
+
   test("hilbert curve: unit-step adjacency (the property Morton lacks); prune dominates") {
     import graft.operators.Layout
     // the defining Hilbert property: consecutive distances are
