@@ -296,6 +296,7 @@ object SparkEntry {
     "store_txn_log"       -> (graft.sources.TxnLogStore.txnLogReport _),
     "store_change_feed"   -> (graft.sources.ChunkStore.changeFeedReport _),
     "crawl_robots"        -> (graft.sources.RobotsTxt.robotsReport _),
+    "crawl_politeness"    -> (graft.sources.Crawler.politenessSchedule _),
     "stream_mv_parity"    -> (MatView.mvStreamParity _),
     "stats_table_profile" -> (Stats.tableProfile _),
     "stats_quantile_sketch" -> (Stats.quantileSketch _),
@@ -4110,6 +4111,24 @@ object SparkEntry {
              END) AS BIGINT)
          FROM d WHERE doc_id % 3 IN (0, 1, 2)
          ORDER BY version""",
+    // Politeness token bucket: the engine walks per-URL ranks; the
+    // oracle derives the same aggregates in CLOSED FORM (n over burst
+    // B at delay D: makespan = max(0, n-B)·D, total wait =
+    // D·(n-B)(n-B+1)/2) — two independent derivations of the contract.
+    "crawl_politeness" -> {
+      import graft.sources.Crawler.{PolitenessBurst => B,
+        PolitenessDelayMs => D}
+      s"""WITH d AS (SELECT doc_id % 20 AS domain, count(*) AS n
+             FROM documents GROUP BY 1),
+         x AS (SELECT domain, n,
+             CASE WHEN n > $B THEN n - $B ELSE 0 END AS q FROM d)
+         SELECT domain, CAST(n AS BIGINT) AS n_urls,
+           CAST(CASE WHEN n < $B THEN n ELSE $B END AS BIGINT)
+             AS n_immediate,
+           CAST(q * $D AS BIGINT) AS makespan_ms,
+           CAST(q * (q + 1) * $D // 2 AS BIGINT) AS total_wait_ms
+         FROM x ORDER BY domain"""
+    },
     // robots.txt evaluation: the engine PARSES the staged per-domain
     // robots text (group selection incl. a poisoned `*` group,
     // longest-match precedence, Allow tie-break); the oracle
