@@ -304,7 +304,8 @@ object SparkEntry {
     "stream_kmv_parity"   -> (Stats.kmvDistinctStream _),
     "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _),
     "src_scan_jsonl"      -> (graft.sources.JsonlSource.scanJsonl _),
-    "src_scan_evolution"  -> (graft.sources.EvolvingSource.scanEvolved _)
+    "src_scan_evolution"  -> (graft.sources.EvolvingSource.scanEvolved _),
+    "src_scan_contract"   -> (graft.sources.EvolvingSource.scanContract _)
   )
 
   /** One unrolled BPE training round for the `doc_token_bpe` oracle:
@@ -4193,6 +4194,20 @@ object SparkEntry {
          SELECT 2, 3, count(*), CAST(sum(doc_id) AS BIGINT)
          FROM d WHERE r IN (1, 2, 3)
          ORDER BY version""",
+    // Schema-contract enforcement: a rogue fourth producer's rows are
+    // quarantined (any out-of-contract column non-null), never
+    // silently projected into the contract shape.
+    "src_scan_contract" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS gen FROM documents)
+         SELECT gen,
+           CAST(count(*) * CASE WHEN gen = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_rows,
+           count(*) AS n_in_contract,
+           CAST(count(*) * CASE WHEN gen = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id_in_contract,
+           'chars_total,debug_blob' AS rogue_columns
+         FROM d GROUP BY gen ORDER BY gen""",
     // Schema-evolution read: Spark must merge three producer
     // generations' file schemas and null-backfill retired/not-yet-born
     // columns; the oracle re-derives the per-generation null

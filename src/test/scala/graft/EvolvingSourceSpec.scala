@@ -43,4 +43,25 @@ class EvolvingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_rows")).sum == docs.count(),
       "no generation's files may be dropped by the merge")
   }
+
+  test("contract enforcement: rogue rows quarantined, clean twins kept") {
+    val rows = EvolvingSource.scanContract(spark, dir).collect()
+      .map(r => r.getAs[Long]("gen") -> r).toMap
+    val byGen = Tables.documents(spark, dir)
+      .groupBy(pmod(col("doc_id"), lit(3)).as("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("g") -> r.getAs[Long]("n")).toMap
+    // gen 0 appears twice (clean + rogue re-export): the clean rows
+    // stay in contract, the rogue twins quarantine — same ids, so a
+    // dedup-by-id "fix" would be wrong and is implicitly pinned here
+    assert(rows(0L).getAs[Long]("n_rows") == 2 * byGen(0L))
+    assert(rows(0L).getAs[Long]("n_in_contract") == byGen(0L))
+    assert(rows(0L).getAs[Long]("n_quarantined") == byGen(0L))
+    Seq(1L, 2L).foreach { g =>
+      assert(rows(g).getAs[Long]("n_quarantined") == 0L)
+      assert(rows(g).getAs[Long]("n_in_contract") == byGen(g))
+    }
+    assert(rows(0L).getAs[String]("rogue_columns") ==
+      "chars_total,debug_blob")
+  }
 }
