@@ -294,6 +294,7 @@ object SparkEntry {
     "stream_purge_parity" -> (graft.operators.Compliance.purgeSweepStream _),
     "store_time_travel"   -> (graft.sources.ChunkStore.timeTravelReport _),
     "store_txn_log"       -> (graft.sources.TxnLogStore.txnLogReport _),
+    "stream_txn_parity"   -> (graft.sources.TxnLogStore.txnLogStreamReport _),
     "store_change_feed"   -> (graft.sources.ChunkStore.changeFeedReport _),
     "crawl_robots"        -> (graft.sources.RobotsTxt.robotsReport _),
     "crawl_politeness"    -> (graft.sources.Crawler.politenessSchedule _),
@@ -390,6 +391,22 @@ object SparkEntry {
          CAST(CASE WHEN n_after * ${Similarity.IvfNlist} > 2 * total
            THEN 1 ELSE 0 END AS BIGINT) AS needs_split
        FROM occ CROSS JOIN tot ORDER BY cell"""
+
+  /** Shared oracle of `store_txn_log` and `stream_txn_parity`: each
+    * snapshot's membership re-derived from the slice arithmetic
+    * (v0: slices 0,1; v1: 1,2; v2: 1,2,3). */
+  private def txnLogOracleSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+       SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+         count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+       FROM d WHERE r IN (0, 1)
+       UNION ALL
+       SELECT 1, 2, count(*), CAST(sum(doc_id) AS BIGINT)
+       FROM d WHERE r IN (1, 2)
+       UNION ALL
+       SELECT 2, 3, count(*), CAST(sum(doc_id) AS BIGINT)
+       FROM d WHERE r IN (1, 2, 3)
+       ORDER BY version"""
 
   /** Shared oracle of `compliance_purge_e2e` and `stream_purge_parity`:
     * every surface rebuilt from scratch minus the purge subjects — the
@@ -4182,18 +4199,11 @@ object SparkEntry {
     // Transaction-log snapshots: three commits (add A+B; add C remove
     // A; add D) folded per version — the oracle re-derives membership
     // from the slice arithmetic (v0: slices 0,1; v1: 1,2; v2: 1,2,3).
-    "store_txn_log" ->
-      """WITH d AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
-         SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
-           count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-         FROM d WHERE r IN (0, 1)
-         UNION ALL
-         SELECT 1, 2, count(*), CAST(sum(doc_id) AS BIGINT)
-         FROM d WHERE r IN (1, 2)
-         UNION ALL
-         SELECT 2, 3, count(*), CAST(sum(doc_id) AS BIGINT)
-         FROM d WHERE r IN (1, 2, 3)
-         ORDER BY version""",
+    "store_txn_log" -> txnLogOracleSql,
+    // The streamed commits must fold to IDENTICAL snapshots — shared
+    // oracle; a commit lost, re-versioned by a replay, or applied out
+    // of order is a hash mismatch.
+    "stream_txn_parity" -> txnLogOracleSql,
     // Schema-contract enforcement: a rogue fourth producer's rows are
     // quarantined (any out-of-contract column non-null), never
     // silently projected into the contract shape.

@@ -55,7 +55,7 @@ object TxnLogStore {
     * full-version store explicitly disclaims
     * ([[ChunkStore.upsertVersioned]] is single-writer by contract):
     * read the latest version, attempt version+1, and let the
-    * FILESYSTEM arbitrate — `ATOMIC_MOVE` onto an existing action
+    * FILESYSTEM arbitrate — link(2) onto an existing action
     * file fails, so exactly one of two racing writers wins each
     * version and the loser re-reads and retries against the new head
     * (re-validation of semantic conflicts between the lost round's
@@ -107,6 +107,39 @@ object TxnLogStore {
     }
   }
 
+  /** Stage the immutable data files of the three-commit fixture. */
+  private def stageDataFiles(s: SparkSession, dir: String,
+      root: String): Unit = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    (0 to 3).foreach(r =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === r)
+        .write.parquet(s"$root/f$r"))
+  }
+
+  /** The per-version snapshot report shared by the batch and streaming
+    * rows. */
+  private def snapshotReport(s: SparkSession, root: String): DataFrame =
+    (0L to 2L).map { v =>
+      val files = liveFiles(s, root, v)
+      val state =
+        if (files.isEmpty)
+          s.createDataFrame(s.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType))))
+        else s.read.schema("doc_id LONG")
+          .parquet(files.map(f => s"$root/$f"): _*)
+      state.agg(lit(v).as("version"),
+        lit(files.length.toLong).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_id"))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("n_files"), col("n_rows").cast("long"),
+        col("sum_doc_id").cast("long"))
+      .orderBy("version")
+      .localCheckpoint(true)
+
   /** Stage the three-commit fixture and report every snapshot:
     * per version, live file count plus row count / id checksum of the
     * folded table state. */
@@ -114,34 +147,58 @@ object TxnLogStore {
     val base = java.nio.file.Files.createTempDirectory("txnlog")
     try {
       val root = s"$base/store"
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      def slice(r: Int): DataFrame =
-        docs.filter(pmod(col("doc_id"), lit(4)) === r)
-      // immutable data files, one per slice
-      (0 to 3).foreach(r => slice(r).write.parquet(s"$root/f$r"))
+      stageDataFiles(s, dir, root)
       commit(root, 0L, Seq("f0", "f1"), Seq.empty)
       commit(root, 1L, Seq("f2"), Seq("f0")) // rewrite: f0 evicted
       commit(root, 2L, Seq("f3"), Seq.empty)
-      (0L to 2L).map { v =>
-        val files = liveFiles(s, root, v)
-        val state =
-          if (files.isEmpty)
-            s.createDataFrame(s.sparkContext
-              .emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("doc_id",
-                  org.apache.spark.sql.types.LongType))))
-          else s.read.schema("doc_id LONG")
-            .parquet(files.map(f => s"$root/$f"): _*)
-        state.agg(lit(v).as("version"),
-          lit(files.length.toLong).as("n_files"),
-          count(lit(1)).as("n_rows"),
-          coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_id"))
-      }.reduce(_ unionByName _)
-        .select(col("version"), col("n_files"), col("n_rows").cast("long"),
-          col("sum_doc_id").cast("long"))
-        .orderBy("version")
-        .localCheckpoint(true)
+      snapshotReport(s, root)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
+  /** Streaming twin of [[txnLogReport]]: the SAME three commits arrive
+    * as a micro-batch stream of commit requests, applied through
+    * foreachBatch with the version DERIVED FROM THE BATCH ID — so a
+    * replayed batch re-attempts its own version and the link(2)
+    * collision makes the replay a detected no-op (exactly-once without
+    * a separate applied-marker: the log's own arbitration is the
+    * marker). The final snapshot report must be IDENTICAL to the batch
+    * row's — the two share one DuckDB oracle, so a commit lost,
+    * re-versioned, or applied out of order lands as a hash mismatch. */
+  def txnLogStreamReport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("txnlogstream")
+    try {
+      val root = s"$base/store"
+      stageDataFiles(s, dir, root)
+      val reqDir = new java.io.File(s"$base/requests")
+      reqDir.mkdirs()
+      val reqs = Seq(
+        """{"adds":"f0,f1","removes":""}""",
+        """{"adds":"f2","removes":"f0"}""",
+        """{"adds":"f3","removes":""}""")
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      reqs.zipWithIndex.foreach { case (line, i) =>
+        val f = new java.io.File(reqDir, s"commit$i.json")
+        java.nio.file.Files.writeString(f.toPath, line)
+        f.setLastModified(t0 + i * 60000L)
+      }
+      val stream = s.readStream
+        .schema("adds STRING, removes STRING")
+        .option("maxFilesPerTrigger", 1).json(reqDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.collect().foreach { r =>
+            def split(c: String): Seq[String] = Option(r.getAs[String](c))
+              .getOrElse("").split(",").filter(_.nonEmpty).toSeq
+            try commit(root, id, split("adds"), split("removes"))
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => ()
+            } // replayed batch: its version already committed
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      snapshotReport(s, root)
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 }
