@@ -295,6 +295,7 @@ object SparkEntry {
     "store_time_travel"   -> (graft.sources.ChunkStore.timeTravelReport _),
     "store_txn_log"       -> (graft.sources.TxnLogStore.txnLogReport _),
     "stream_txn_parity"   -> (graft.sources.TxnLogStore.txnLogStreamReport _),
+    "store_compact_txn"   -> (graft.sources.TxnLogStore.compactionTxnReport _),
     "store_change_feed"   -> (graft.sources.ChunkStore.changeFeedReport _),
     "crawl_robots"        -> (graft.sources.RobotsTxt.robotsReport _),
     "crawl_politeness"    -> (graft.sources.Crawler.politenessSchedule _),
@@ -4204,6 +4205,14 @@ object SparkEntry {
     // oracle; a commit lost, re-versioned by a replay, or applied out
     // of order is a hash mismatch.
     "stream_txn_parity" -> txnLogOracleSql,
+    // Compaction through the log: v3 swaps every live file for one
+    // compacted file — membership identical to v2 (content
+    // preservation), n_files drops to 1, earlier snapshots untouched.
+    "store_compact_txn" -> (txnLogOracleSql.replace("ORDER BY version",
+      """UNION ALL
+       SELECT 3, 1, count(*), CAST(sum(doc_id) AS BIGINT)
+       FROM d WHERE r IN (1, 2, 3)
+       ORDER BY version""")),
     // Schema-contract enforcement: a rogue fourth producer's rows are
     // quarantined (any out-of-contract column non-null), never
     // silently projected into the contract shape.

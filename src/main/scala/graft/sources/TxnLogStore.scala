@@ -201,4 +201,46 @@ object TxnLogStore {
       snapshotReport(s, root)
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
+
+  /** Compaction THROUGH the log — the job `store_compaction` plans,
+    * executed with transaction-log semantics: the live files of the
+    * head snapshot rewrite into one compacted file and a single commit
+    * atomically swaps them (add the compacted file, remove every
+    * input) — readers at the old version still see the old files
+    * (time travel is undisturbed), readers at the new version see ONE
+    * file with byte-identical content. The report appends the
+    * post-compaction snapshot to the three fixture snapshots; content
+    * preservation (same rows, same checksum, fewer files) is the
+    * contract the shared-construction oracle re-derives. */
+  def compactionTxnReport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("txncompact")
+    try {
+      val root = s"$base/store"
+      stageDataFiles(s, dir, root)
+      commit(root, 0L, Seq("f0", "f1"), Seq.empty)
+      commit(root, 1L, Seq("f2"), Seq("f0"))
+      commit(root, 2L, Seq("f3"), Seq.empty)
+      // the compaction job: rewrite the head's live set into one file,
+      // swap atomically in a single commit
+      val head = latestVersion(root)
+      val live = liveFiles(s, root, head)
+      s.read.schema("doc_id LONG")
+        .parquet(live.map(f => s"$root/$f"): _*)
+        .coalesce(1).write.parquet(s"$root/fc")
+      commitOptimistic(root, Seq("fc"), live)
+      (0L to 3L).map { v =>
+        val files = liveFiles(s, root, v)
+        s.read.schema("doc_id LONG")
+          .parquet(files.map(f => s"$root/$f"): _*)
+          .agg(lit(v).as("version"),
+            lit(files.length.toLong).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_id"))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_files"),
+          col("n_rows").cast("long"), col("sum_doc_id").cast("long"))
+        .orderBy("version")
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
 }
