@@ -296,6 +296,7 @@ object SparkEntry {
     "store_txn_log"       -> (graft.sources.TxnLogStore.txnLogReport _),
     "stream_txn_parity"   -> (graft.sources.TxnLogStore.txnLogStreamReport _),
     "store_compact_txn"   -> (graft.sources.TxnLogStore.compactionTxnReport _),
+    "store_vacuum_txn"    -> (graft.sources.TxnLogStore.vacuumTxnReport _),
     "store_change_feed"   -> (graft.sources.ChunkStore.changeFeedReport _),
     "crawl_robots"        -> (graft.sources.RobotsTxt.robotsReport _),
     "crawl_politeness"    -> (graft.sources.Crawler.politenessSchedule _),
@@ -4205,6 +4206,16 @@ object SparkEntry {
     // oracle; a commit lost, re-versioned by a replay, or applied out
     // of order is a hash mismatch.
     "stream_txn_parity" -> txnLogOracleSql,
+    // Vacuum to the head after compaction: 5 staged file dirs, only
+    // the compacted one referenced — 4 vacuumed, head content intact.
+    "store_vacuum_txn" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+         SELECT CAST(5 AS BIGINT) AS n_disk_before,
+           CAST(1 AS BIGINT) AS n_disk_after,
+           CAST(4 AS BIGINT) AS n_vacuumed,
+           count(*) AS head_rows,
+           CAST(sum(doc_id) AS BIGINT) AS head_sum
+         FROM d WHERE r IN (1, 2, 3)""",
     // Compaction through the log: v3 swaps every live file for one
     // compacted file — membership identical to v2 (content
     // preservation), n_files drops to 1, earlier snapshots untouched.

@@ -243,4 +243,65 @@ object TxnLogStore {
         .localCheckpoint(true)
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
+
+  /** Vacuum with a retention horizon — the space-for-history trade the
+    * log layout defers: data files referenced by NO snapshot at or
+    * after `retainFrom` are deleted from disk (the log itself is kept
+    * — history stays auditable, but time travel before the horizon
+    * now fails at read, which is exactly Delta VACUUM's contract).
+    * Returns the deleted file names. Metadata-scale: a log fold per
+    * retained version. */
+  private[graft] def vacuum(s: SparkSession, root: String,
+      retainFrom: Long): Seq[String] = {
+    val head = latestVersion(root)
+    val referenced = (retainFrom to head)
+      .flatMap(v => liveFiles(s, root, v)).toSet
+    val onDisk = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != "_log")
+      .map(_.getName).toSeq.sorted
+    val doomed = onDisk.filterNot(referenced.contains)
+    doomed.foreach(f =>
+      graft.operators.Sync.deleteTree(new java.io.File(s"$root/$f")))
+    doomed
+  }
+
+  /** The vacuum row: build, compact, vacuum to the head, and report —
+    * disk files before/after, what vacuum deleted, and the head
+    * snapshot's content read AFTER the deletion (proving the retained
+    * reader path never referenced a vacuumed file). Oracle: pure
+    * construction arithmetic (5 staged files; head references only the
+    * compacted one; membership = slices 1,2,3). */
+  def vacuumTxnReport(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("txnvacuum")
+    try {
+      val root = s"$base/store"
+      stageDataFiles(s, dir, root)
+      commit(root, 0L, Seq("f0", "f1"), Seq.empty)
+      commit(root, 1L, Seq("f2"), Seq("f0"))
+      commit(root, 2L, Seq("f3"), Seq.empty)
+      val live = liveFiles(s, root, latestVersion(root))
+      s.read.schema("doc_id LONG")
+        .parquet(live.map(f => s"$root/$f"): _*)
+        .coalesce(1).write.parquet(s"$root/fc")
+      commitOptimistic(root, Seq("fc"), live)
+      def diskFiles: Long = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName != "_log").toLong
+      val before = diskFiles
+      val head = latestVersion(root)
+      val deleted = vacuum(s, root, retainFrom = head)
+      val after = diskFiles
+      s.read.schema("doc_id LONG")
+        .parquet(liveFiles(s, root, head).map(f => s"$root/$f"): _*)
+        .agg(lit(before).as("n_disk_before"), lit(after).as("n_disk_after"),
+          lit(deleted.length.toLong).as("n_vacuumed"),
+          count(lit(1)).as("head_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("head_sum"))
+        .select(col("n_disk_before"), col("n_disk_after"),
+          col("n_vacuumed"), col("head_rows").cast("long"),
+          col("head_sum").cast("long"))
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
 }

@@ -38,6 +38,35 @@ class TxnLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.operators.Sync.deleteTree(new java.io.File(root))
   }
 
+  test("vacuum honors the retention horizon and keeps retained reads whole") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("vacspec").toString
+    try {
+      val root = s"$base/store"
+      (0 to 2).foreach(r => Seq.tabulate(5)(i => (r * 10 + i).toLong)
+        .toDF("doc_id").write.parquet(s"$root/f$r"))
+      TxnLogStore.commit(root, 0L, Seq("f0", "f1"), Seq.empty)
+      TxnLogStore.commit(root, 1L, Seq("f2"), Seq("f0"))
+      // retain from v1: f0 is referenced by v0 only → vacuumed;
+      // f1 and f2 are referenced by v1 → kept
+      val deleted = TxnLogStore.vacuum(spark, root, retainFrom = 1L)
+      assert(deleted == Seq("f0"))
+      // the retained snapshot still reads completely
+      val v1 = TxnLogStore.liveFiles(spark, root, 1L)
+      assert(v1 == Seq("f1", "f2"))
+      assert(spark.read.schema("doc_id LONG")
+        .parquet(v1.map(f => s"$root/$f"): _*).count() == 10L)
+      // time travel BEFORE the horizon now fails at read — the traded
+      // contract, not a silent wrong answer
+      intercept[Exception] {
+        spark.read.schema("doc_id LONG")
+          .parquet(TxnLogStore.liveFiles(spark, root, 0L)
+            .map(f => s"$root/$f"): _*).count()
+      }
+    } finally graft.operators.Sync.deleteTree(new java.io.File(base))
+  }
+
   test("optimistic commits: racing writers never lose a commit") {
     val root = java.nio.file.Files.createTempDirectory("txnrace").toString
     try {
