@@ -157,6 +157,41 @@ object MatView {
     * mix of inserts and deletes (two batches exercise every boundary
     * class — first-batch bootstrap and tombstone accumulation — at
     * two-thirds the protocol cost of three). */
+  /** One micro-batch of streaming MV maintenance — replay-safe by
+    * construction: every write of batch `id` lands in a directory
+    * KEYED BY THE BATCH ID and is overwritten whole, so a replayed
+    * batch rewrites identical content instead of appending a second
+    * copy (append-mode logs plus a driver-side version counter would
+    * double-apply the delta on retry) — the same exactly-once
+    * discipline as the TxnLog link(2) arbitration and the Compliance
+    * versioned pointer flip. A fully-committed batch (_SUCCESS on its
+    * MV version, the LAST write of the batch) short-circuits
+    * entirely. */
+  private[graft] def mvApplyBatch(s: SparkSession, base: String,
+      b: DataFrame, id: Long): Unit = {
+    if (!new java.io.File(s"$base/mv/v${id + 1}/_SUCCESS").exists()) {
+      // delta-sized writes — the only write IO of the batch
+      b.filter(col("sgn") === -1).select("l_orderkey", "l_linenumber")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/dels/b$id")
+      b.filter(col("sgn") === 1).drop("sgn")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/adds/b$id")
+      // merge-on-read reconstruction of the maintained base:
+      // tombstones apply to the WHOLE live set (base files AND
+      // appended files — a delete may target a row an earlier
+      // micro-batch inserted, exactly as deletion vectors do)
+      def log(path: String): DataFrame =
+        s.read.option("recursiveFileLookup", "true").parquet(path)
+      val newBase = s.read.parquet(s"$base/store0")
+        .unionByName(log(s"$base/adds"))
+        .join(broadcast(log(s"$base/dels")),
+          Seq("l_orderkey", "l_linenumber"), "left_anti")
+      applyDelta(s.read.parquet(s"$base/mv/v$id"), b, newBase)
+        .write.mode("overwrite").parquet(s"$base/mv/v${id + 1}")
+    }
+  }
+
   def mvStreamParity(s: SparkSession, dir: String): DataFrame = {
     if (Tables.lineitem(s, dir).take(1).isEmpty)
       return incrementalRefresh(s, dir)
@@ -166,9 +201,10 @@ object MatView {
       store.write.parquet(s"$base/store0")
       aggMv(store).write.parquet(s"$base/mv/v0")
       // typed empty logs so the first in-batch read always has a schema
+      // (per-batch subdirectories; reads recurse over all of them)
       dels.select("l_orderkey", "l_linenumber").limit(0)
-        .write.parquet(s"$base/dels")
-      adds.limit(0).write.parquet(s"$base/adds")
+        .write.parquet(s"$base/dels/b_init")
+      adds.limit(0).write.parquet(s"$base/adds/b_init")
       adds.withColumn("sgn", lit(1L))
         .unionByName(dels.withColumn("sgn", lit(-1L)))
         .repartitionByRange(2, col("l_orderkey"))
@@ -184,30 +220,14 @@ object MatView {
       val stream = s.readStream
         .schema(s.read.parquet(s"$base/in").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-      var v = 0
       val q = stream.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          // delta-sized appends — the only write IO of the batch
-          b.filter(col("sgn") === -1).select("l_orderkey", "l_linenumber")
-            .coalesce(1).write.mode("append").parquet(s"$base/dels")
-          b.filter(col("sgn") === 1).drop("sgn")
-            .coalesce(1).write.mode("append").parquet(s"$base/adds")
-          // merge-on-read reconstruction of the maintained base:
-          // tombstones apply to the WHOLE live set (base files AND
-          // appended files — a delete may target a row an earlier
-          // micro-batch inserted, exactly as deletion vectors do)
-          val newBase = s.read.parquet(s"$base/store0")
-            .unionByName(s.read.parquet(s"$base/adds"))
-            .join(broadcast(s.read.parquet(s"$base/dels")),
-              Seq("l_orderkey", "l_linenumber"), "left_anti")
-          applyDelta(s.read.parquet(s"$base/mv/v$v"), b, newBase)
-            .write.parquet(s"$base/mv/v${v + 1}")
-          v += 1
-          ()
-        }
+        .foreachBatch((b: DataFrame, id: Long) =>
+          mvApplyBatch(s, base.toString, b, id))
         .option("checkpointLocation", s"$base/ckpt").start()
       try q.processAllAvailable() finally q.stop()
-      finish(s.read.parquet(s"$base/mv/v$v")).localCheckpoint(true)
+      val head = new java.io.File(s"$base/mv").listFiles()
+        .map(_.getName.stripPrefix("v").toInt).max
+      finish(s.read.parquet(s"$base/mv/v$head")).localCheckpoint(true)
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 }

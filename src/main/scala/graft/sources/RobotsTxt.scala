@@ -68,10 +68,22 @@ object RobotsTxt {
     }
     val all = groups ++ last.toList
     val a = agent.toLowerCase
-    all.find(_.agents.exists(ua => ua != "*" && a.contains(ua)))
-      .orElse(all.find(_.agents.contains("*")))
-      .map(_.rules)
-      .getOrElse(Nil)
+    // Most-specific match per RFC 9309 §2.2.1: among non-'*' groups
+    // whose token the agent contains, the LONGEST token wins (file
+    // order must not let a generic 'bot' group shadow an exact
+    // 'graftbot' group later in the file), and every group naming that
+    // same winning token contributes its rules (groups with identical
+    // user-agent lines merge).
+    val token = all.iterator
+      .flatMap(_.agents.filter(ua => ua != "*" && a.contains(ua)))
+      .maxByOption(_.length)
+    token match {
+      case Some(t) =>
+        all.filter(_.agents.contains(t)).flatMap(_.rules)
+      case None =>
+        val wild = all.filter(_.agents.contains("*"))
+        wild.flatMap(_.rules)
+    }
   }
 
   /** RFC 9309 evaluation: longest matching rule wins; Allow wins ties;

@@ -77,11 +77,22 @@ object TxnLogStore {
     sys.error(s"commitOptimistic: lost $maxRetries races under $root")
   }
 
+  /** Action files in the log, ordered by NUMERIC version. The writer
+    * pads to five digits for human-friendly listings, but the reader
+    * accepts any width (`\d+`) and orders by parsed value — a log that
+    * reaches version 100000 writes a six-digit name and must not
+    * become invisible to its own readers (which would stall
+    * [[latestVersion]] and make [[commitOptimistic]] exhaust retries
+    * against its own commit). */
+  private def actionFiles(root: String): Array[java.io.File] =
+    Option(new java.io.File(s"$root/_log").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+\\.json"))
+      .sortBy(_.getName.stripSuffix(".json").toLong)
+
   /** Highest committed version in the log (-1 when empty). */
   private[graft] def latestVersion(root: String): Long = {
-    val fs = Option(new java.io.File(s"$root/_log").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.matches("\\d{5}\\.json"))
+    val fs = actionFiles(root)
     if (fs.isEmpty) -1L
     else fs.map(_.getName.stripSuffix(".json").toLong).max
   }
@@ -89,10 +100,7 @@ object TxnLogStore {
   /** Live file set at `version`: fold of the ordered log prefix. */
   private[graft] def liveFiles(s: SparkSession, root: String,
       version: Long): Seq[String] = {
-    val actions = Option(new java.io.File(s"$root/_log").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.matches("\\d{5}\\.json"))
-      .sortBy(_.getName)
+    val actions = actionFiles(root)
       .takeWhile(_.getName.stripSuffix(".json").toLong <= version)
     actions.foldLeft(Vector.empty[String]) { (live, f) =>
       val lines = java.nio.file.Files.readString(f.toPath)
@@ -164,6 +172,39 @@ object TxnLogStore {
     * marker). The final snapshot report must be IDENTICAL to the batch
     * row's — the two share one DuckDB oracle, so a commit lost,
     * re-versioned, or applied out of order lands as a hash mismatch. */
+  /** Apply one micro-batch of commit requests at version = batch id.
+    *
+    * This sink consumes commit REQUESTS (metadata-sized rows), and the
+    * commit version derives from the batch id — so a batch carrying
+    * more than one row would silently DROP every row after the first
+    * (the second commit at version=id collides with the first and is
+    * swallowed as a "replay"). The limit(2) bounds the driver-side
+    * pull regardless of how large a misrouted batch is, and the guard
+    * fails loudly instead of losing a commit: data-sized streams
+    * belong on a data path (the merge-on-read store of
+    * `stream_mv_parity`, [[ChunkStore.upsertVersioned]]), never this
+    * commit stream. */
+  private[graft] def applyCommitBatch(root: String,
+      b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val rows = b.limit(2).collect()
+    require(rows.length <= 1,
+      s"txnLogStreamReport: micro-batch $id carries >1 commit " +
+        "request, but versions derive from the batch id — the " +
+        "second request would be silently dropped as a phantom " +
+        "replay. One commit request per micro-batch " +
+        "(maxFilesPerTrigger=1); route data-sized streams to a " +
+        "data sink (merge-on-read store / ChunkStore), not the " +
+        "transaction-log commit stream.")
+    rows.foreach { r =>
+      def split(c: String): Seq[String] = Option(r.getAs[String](c))
+        .getOrElse("").split(",").filter(_.nonEmpty).toSeq
+      try commit(root, id, split("adds"), split("removes"))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } // replayed batch: its version already committed
+    }
+  }
+
   def txnLogStreamReport(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("txnlogstream")
     try {
@@ -185,17 +226,8 @@ object TxnLogStore {
         .schema("adds STRING, removes STRING")
         .option("maxFilesPerTrigger", 1).json(reqDir.toString)
       val q = stream.writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          b.collect().foreach { r =>
-            def split(c: String): Seq[String] = Option(r.getAs[String](c))
-              .getOrElse("").split(",").filter(_.nonEmpty).toSeq
-            try commit(root, id, split("adds"), split("removes"))
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException => ()
-            } // replayed batch: its version already committed
-          }
-          ()
-        }
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          applyCommitBatch(root, b, id))
         .option("checkpointLocation", s"$base/ckpt").start()
       try q.processAllAvailable() finally q.stop()
       snapshotReport(s, root)

@@ -53,6 +53,46 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(RobotsTxt.isAllowed(List((true, "")), "/whatever"))
   }
 
+  test("longest agent token wins over file order; same-token groups merge") {
+    // a generic 'bot' group EARLIER in the file must not shadow the
+    // exact 'graftbot' group later (RFC 9309 most-specific match)
+    val shadowed =
+      """User-agent: bot
+        |Disallow: /generic/
+        |
+        |User-agent: graftbot
+        |Disallow: /exact/
+        |""".stripMargin
+    assert(RobotsTxt.parse(shadowed, "graftbot") ==
+      List((false, "/exact/")))
+    // an agent matching only the generic token still gets that group
+    assert(RobotsTxt.parse(shadowed, "otherbot") ==
+      List((false, "/generic/")))
+    // two groups naming the SAME token merge their rules in file order
+    val split =
+      """User-agent: graftbot
+        |Disallow: /one/
+        |
+        |User-agent: other
+        |Disallow: /decoy/
+        |
+        |User-agent: graftbot
+        |Allow: /one/ok
+        |""".stripMargin
+    assert(RobotsTxt.parse(split, "graftbot") ==
+      List((false, "/one/"), (true, "/one/ok")))
+    // split * groups merge too
+    val wildSplit =
+      """User-agent: *
+        |Disallow: /a/
+        |
+        |User-agent: *
+        |Disallow: /b/
+        |""".stripMargin
+    assert(RobotsTxt.parse(wildSplit, "anyone") ==
+      List((false, "/a/"), (false, "/b/")))
+  }
+
   test("evaluation matches the fixture arithmetic on sampled ids") {
     // domain 7: f=7, g=0 → /p/7... blocked unless id starts with 70
     val rules = RobotsTxt.parse(

@@ -67,6 +67,59 @@ class TxnLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.operators.Sync.deleteTree(new java.io.File(base))
   }
 
+  test("versions past the five-digit pad stay visible to readers") {
+    val root = java.nio.file.Files.createTempDirectory("txnwide").toString
+    try {
+      // version 100000 writes a SIX-digit action file; a strict \d{5}
+      // reader would never see it — latestVersion would stall at 99999
+      // and commitOptimistic would exhaust retries against the
+      // writer's own invisible commit
+      TxnLogStore.commit(root, 99999L, Seq("a"), Seq.empty)
+      TxnLogStore.commit(root, 100000L, Seq("b"), Seq("a"))
+      assert(TxnLogStore.latestVersion(root) == 100000L)
+      assert(TxnLogStore.liveFiles(spark, root, 100000L) == Seq("b"))
+      // numeric ordering, not lexicographic: 100000.json sorts AFTER
+      // 99999.json even though it compares lower as a string
+      assert(TxnLogStore.liveFiles(spark, root, 99999L) == Seq("a"))
+      val next = TxnLogStore.commitOptimistic(root, Seq("c"), Seq.empty)
+      assert(next == 100001L)
+    } finally graft.operators.Sync.deleteTree(new java.io.File(root))
+  }
+
+  test("streaming commit sink refuses a multi-row micro-batch") {
+    val base = java.nio.file.Files.createTempDirectory("txnmulti")
+    try {
+      val root = s"$base/store"
+      val reqDir = new java.io.File(s"$base/requests")
+      reqDir.mkdirs()
+      // TWO requests in ONE file: maxFilesPerTrigger=1 still delivers
+      // both rows in a single micro-batch, so version=batchId would
+      // silently drop the second commit as a phantom replay — the
+      // guard must fail the batch loudly instead
+      java.nio.file.Files.writeString(
+        new java.io.File(reqDir, "commit0.json").toPath,
+        """{"adds":"f0","removes":""}""" + "\n" +
+          """{"adds":"f1","removes":""}""")
+      val stream = spark.readStream
+        .schema("adds STRING, removes STRING")
+        .option("maxFilesPerTrigger", 1).json(reqDir.toString)
+      val q = stream.writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxnLogStore.applyCommitBatch(root, b, id))
+        .option("checkpointLocation", s"$base/ckpt").start()
+      val ex = intercept[Exception] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains(">1 commit")),
+        s"unexpected failure: ${messages(ex).mkString(" | ")}")
+      // nothing was committed — the log is empty, not half-applied
+      assert(TxnLogStore.latestVersion(root) == -1L)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
   test("optimistic commits: racing writers never lose a commit") {
     val root = java.nio.file.Files.createTempDirectory("txnrace").toString
     try {
