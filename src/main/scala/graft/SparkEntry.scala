@@ -164,6 +164,7 @@ object SparkEntry {
     "sync_list_diff"      -> (Sync.listDiff _),
     "sync_resume"         -> (Sync.resumeDecisions _),
     "sync_run_e2e"        -> (Sync.syncRunE2e _),
+    "ingest_code_e2e"     -> (graft.sources.GitCode.codeSyncE2e _),
     "store_markdown_upsert" -> (graft.sources.MarkdownStore.upsertQuery _),
     "ctl_chunk_inspect"   -> (graft.sources.ChunkStore.inspectQuery _),
     "ingest_html"         -> (Ingest.ingestHtml _),
@@ -2111,6 +2112,119 @@ object SparkEntry {
          SELECT 'store', url||'#'||lpad(chunk_index::VARCHAR, 4, '0'),
            chunk_id||'|'||total_chunks
          FROM store3_chunks
+         ORDER BY kind, key""",
+    "ingest_code_e2e" ->
+      """WITH t1 AS (
+           SELECT doc_id, 'src/f'||doc_id||'.py' AS path, text
+           FROM documents WHERE doc_id < 120),
+         t2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 120 AND doc_id % 10 = 7
+                  THEN 'src/moved/f'||doc_id||'.py'
+                  ELSE 'src/f'||doc_id||'.py' END AS path,
+             CASE WHEN doc_id < 120 AND doc_id % 10 = 1 THEN text||' v2'
+                  ELSE text END AS text
+           FROM documents
+           WHERE (doc_id < 120 AND doc_id % 10 <> 3)
+              OR (doc_id >= 120 AND doc_id < 135)),
+         t3 AS (
+           SELECT doc_id, path,
+             CASE WHEN doc_id % 12 = 5 THEN text||' v3' ELSE text END
+               AS text
+           FROM t2 WHERE NOT (doc_id % 9 = 0 AND doc_id < 135)
+           UNION ALL
+           SELECT doc_id, 'src/f'||doc_id||'.py', text
+           FROM documents WHERE doc_id >= 135 AND doc_id < 145),
+         u1 AS (SELECT doc_id,
+             'https://github.com/acme/docs/blob/main/'||path AS url, text
+           FROM t1),
+         u2 AS (SELECT doc_id,
+             'https://github.com/acme/docs/blob/main/'||path AS url, text
+           FROM t2),
+         u3 AS (SELECT doc_id,
+             'https://github.com/acme/docs/blob/main/'||path AS url, text
+           FROM t3),
+         c1 AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM u1) a) b
+           WHERE piece <> ''),
+         c2 AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM u2) a) b
+           WHERE piece <> ''),
+         c3 AS (
+           SELECT url,
+             row_number() OVER (PARTITION BY url ORDER BY i) - 1
+               AS chunk_index,
+             count(*) OVER (PARTITION BY url) AS total_chunks,
+             sha256(url||'::'||piece) AS chunk_id
+           FROM (SELECT url, i,
+                   trim(substring(text, CAST(i*128+1 AS INT), 128)) AS piece
+                 FROM (SELECT url, text,
+                         unnest(range(0,
+                           CAST(ceil(length(text)/128.0) AS BIGINT))) AS i
+                       FROM u3) a) b
+           WHERE piece <> ''),
+         -- run 2's processed set: diff adds + modifies + rename-new
+         proc2 AS (
+           SELECT url FROM u2
+           WHERE (doc_id >= 120 AND doc_id < 135)
+              OR (doc_id < 120 AND (doc_id % 10 = 1 OR doc_id % 10 = 7))),
+         -- run 2's delete urls that actually held chunks (D + R-old)
+         del2 AS (
+           SELECT DISTINCT c1.url FROM c1
+           WHERE c1.url IN (
+             SELECT 'https://github.com/acme/docs/blob/main/'||path
+             FROM t1 WHERE doc_id % 10 = 3 OR doc_id % 10 = 7)),
+         -- run 3 (full-scan fallback) obsolete cleanup: stored urls
+         -- (store v1 = exactly t2's chunks) absent from the new scan
+         del3 AS (
+           SELECT DISTINCT url FROM c2
+           WHERE url NOT IN (SELECT url FROM u3))
+         SELECT 'counters' AS kind, 'run:1' AS key,
+           'mode=full|files='||(SELECT count(*) FROM t1)
+           ||'|emb='||(SELECT count(*) FROM c1)
+           ||'|del=0|ver=0' AS payload
+         UNION ALL
+         SELECT 'counters', 'run:2',
+           'mode=incremental|files='||(SELECT count(*) FROM proc2)
+           ||'|emb='||(SELECT count(*) FROM c2
+                       WHERE url IN (SELECT url FROM proc2)
+                         AND chunk_id NOT IN (SELECT chunk_id FROM c1))
+           ||'|del='||(SELECT count(*) FROM del2)
+           ||'|ver=1'
+         UNION ALL
+         SELECT 'counters', 'run:3',
+           'mode=full|files='||(SELECT count(*) FROM t3)
+           ||'|emb='||(SELECT count(*) FROM c3
+                       WHERE chunk_id NOT IN (SELECT chunk_id FROM c2))
+           ||'|del='||(SELECT count(*) FROM del3)
+           ||'|ver=2'
+         UNION ALL
+         SELECT 'counters', 'run:4',
+           'mode=incremental|files=0|emb=0|del=0|ver=3'
+         UNION ALL
+         SELECT 'store', url||'#'||lpad(chunk_index::VARCHAR, 4, '0'),
+           chunk_id||'|'||total_chunks
+         FROM c3
          ORDER BY kind, key""",
     "ingest_html" ->
       """SELECT 'doc://'||doc_id AS url, CAST(0 AS BIGINT) AS chunk_index,

@@ -208,7 +208,8 @@ object Sync {
   /** Token chunks with chunk_index/total_chunks bookkeeping for an
     * arbitrary (url, text) corpus — the store-facing variant of
     * chunksOf. */
-  private def chunksOfUrls(docs: DataFrame, chunkSize: Int): DataFrame = {
+  private[graft] def chunksOfUrls(docs: DataFrame,
+      chunkSize: Int): DataFrame = {
     val idx = docs
       .withColumn("i", explode(sequence(lit(0),
         ceil(length(col("text")).cast("double") / chunkSize).cast("int") - 1)))
