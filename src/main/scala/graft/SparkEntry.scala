@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Compliance, Curation, Dedup, DocPipeline, Ingest, Layout, MatView, Relational, Retrieval, Similarity, Stats, Sync, TextAnalysis}
+import graft.operators.{Compliance, Curation, Dedup, DocPipeline, Ingest, Layout, MatView, Notifier, Relational, Retrieval, Similarity, Stats, Sync, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -193,6 +193,7 @@ object SparkEntry {
     "ctl_run_stats"       -> (Ingest.runStatsDaily _),
     "ctl_schedule_reconcile" -> (Ingest.scheduleReconcile _),
     "ctl_config_registry" -> (Ingest.configRegistry _),
+    "ctl_notify"          -> (Notifier.notifyReport _),
     "src_scan_filters" -> (graft.sources.LocalDirectory.scanFilters _),
     "src_scan_allowed" -> (graft.sources.LocalDirectory.scanAllowed _),
     "src_scan_s3" -> (graft.sources.LocalDirectory.scanS3 _),
@@ -3108,6 +3109,91 @@ object SparkEntry {
          FROM scanned sc FULL OUTER JOIN stored st
            ON sc.config_id = st.config_id
          ORDER BY config_id""",
+    "ctl_notify" ->
+      """WITH runs AS (
+           SELECT doc_id AS id,
+             CASE doc_id % 5 WHEN 0 THEN 'succeeded' WHEN 1 THEN 'failed'
+               WHEN 2 THEN 'canceled' WHEN 3 THEN 'skipped'
+               ELSE 'running' END AS status,
+             'cfg_'||(doc_id % 7) AS cfg,
+             CASE WHEN doc_id % 2 = 0 THEN 'all' ELSE 'failures' END
+               AS mode,
+             CASE WHEN doc_id % 2 = 0 THEN 'schedule' ELSE 'manual' END
+               AS trig,
+             (doc_id % 6 < 3) AS has_url,
+             (doc_id % 9 <> 0) AS has_dur,
+             (doc_id * 7919) % 8000 AS dur_s,
+             doc_id % 3 AS warn, doc_id % 2 AS err,
+             doc_id % 8 AS n_src
+           FROM documents WHERE doc_id < 60),
+         srcs AS (
+           SELECT id, unnest(range(0, n_src)) AS j FROM runs),
+         srcs2 AS (
+           SELECT id, j, 'prod_'||j AS product,
+             ((id + j) % 3 = 0) AS failed,
+             CASE WHEN (id + j) % 2 = 0 THEN 'boom_'||j END AS serr
+           FROM srcs),
+         fails AS (
+           SELECT id, j, product, coalesce(serr, 'failed') AS emsg,
+             row_number() OVER (PARTITION BY id ORDER BY j) AS rk,
+             count(*) OVER (PARTITION BY id) AS total
+           FROM srcs2 WHERE failed),
+         fail_agg AS (
+           SELECT id, max(total) AS n_failed,
+             string_agg(
+               CASE WHEN rk <= 5 THEN '• *'||product||'*: '||emsg END,
+               chr(10) ORDER BY rk) AS shown
+           FROM fails GROUP BY id),
+         assembled AS (
+           SELECT r.*, coalesce(f.n_failed, 0) AS n_failed, f.shown,
+             CASE r.status WHEN 'succeeded' THEN '✅'
+               WHEN 'failed' THEN '❌' ELSE '⚠️' END AS emoji,
+             CASE r.status WHEN 'canceled' THEN 'was canceled'
+               ELSE r.status END AS verb,
+             CASE WHEN r.status IN ('failed','canceled') AND r.id % 4 = 0
+               THEN 'exit code '||(r.id % 3) END AS rerr
+           FROM runs r LEFT JOIN fail_agg f ON f.id = r.id),
+         payload AS (
+           SELECT id, mode, status,
+             (status IN ('succeeded','failed','canceled')
+               AND NOT (mode = 'failures' AND status = 'succeeded'))
+               AS notified,
+             emoji||' doc2vec sync *'||cfg||'* '||verb||
+               CASE WHEN has_url
+                 THEN ' — <https://ctl.example.com/runs/'||id
+                   ||'|view run #'||id||'>'
+                 ELSE ' (run #'||id||')' END
+             || CASE WHEN n_src > 0
+                  THEN chr(10)||(n_src - n_failed)||'/'||n_src
+                    ||' sources ok' ELSE '' END
+             || CASE WHEN n_failed > 0 THEN chr(10)||shown||
+                  CASE WHEN n_failed > 5
+                    THEN chr(10)||'• …and '||(n_failed - 5)
+                      ||' more'
+                    ELSE '' END
+                ELSE '' END
+             || CASE WHEN rerr IS NOT NULL AND n_failed = 0
+                  THEN chr(10)||rerr ELSE '' END AS body,
+             'doc2vec sync '||cfg||' '||verb AS fallback,
+             'trigger: '||trig
+             || CASE WHEN has_dur THEN ' · duration: '||
+                  CASE WHEN dur_s < 60 THEN dur_s||'s'
+                    WHEN dur_s // 60 < 60
+                      THEN (dur_s // 60)||'m '||(dur_s % 60)||'s'
+                    ELSE (dur_s // 3600)||'h '||((dur_s // 60) % 60)||'m'
+                  END
+                ELSE '' END
+             || CASE WHEN warn > 0 THEN ' · warnings: '||warn
+                ELSE '' END
+             || CASE WHEN err > 0 THEN ' · errors: '||err
+                ELSE '' END AS meta
+           FROM assembled)
+         SELECT id AS run_id, mode AS notify_mode, status,
+           CAST(notified AS VARCHAR) AS notified,
+           CASE WHEN notified THEN fallback ELSE '' END AS fallback,
+           CASE WHEN notified THEN body ELSE '' END AS body,
+           CASE WHEN notified THEN meta ELSE '' END AS meta
+         FROM payload ORDER BY run_id""",
     "ctl_schedule_reconcile" ->
       """WITH last AS (
            SELECT user_id AS config_id,
