@@ -44,9 +44,15 @@ object ChunkStore {
       failures: Long): String =
     if (failures == 0) candidate else old
 
+  /** Partitioned by (product_name, version) — the collection scope of
+    * SURVEY §1.3 (reference database.ts:28 keys one collection per
+    * `<product>_<version>`): a query scoped to one product+version
+    * prunes to exactly that directory pair at PLANNING time, so a
+    * one-table-many-versions store never scans other versions' files.
+    * PlanAuditSpec pins the pruning against the live plan. */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .partitionBy("product_name")
+      .partitionBy("product_name", "version")
       .parquet(path)
 
   // ── Versioned store: the MERGE pattern without a transactional table

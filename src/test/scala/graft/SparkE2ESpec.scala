@@ -155,10 +155,14 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunks = chunkCorpus(run1Docs)
     val tmp = java.nio.file.Files.createTempDirectory("store").toString + "/chunks"
     ChunkStore.write(chunks.toDF(), tmp)
-    // physical layout: one directory per product partition
+    // physical layout: product_name=… / version=… directory pairs —
+    // the (product, version) collection scope of SURVEY §1.3
     val partDirs = new java.io.File(tmp).listFiles()
-      .filter(_.isDirectory).map(_.getName)
-    assert(partDirs.exists(_.startsWith("product_name=")))
+      .filter(_.isDirectory)
+    assert(partDirs.exists(_.getName.startsWith("product_name=")))
+    assert(partDirs.filter(_.getName.startsWith("product_name="))
+      .forall(_.listFiles().exists(_.getName.startsWith("version="))),
+      "every product partition must nest version partitions")
     val back = ChunkStore.read(spark, tmp)
     assert(back.count() == chunks.count())
     assert(back.select("chunk_id").except(
