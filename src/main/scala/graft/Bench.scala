@@ -68,6 +68,42 @@ object Bench {
     (merged, names)
   }
 
+  /** Whole-run-load refusal (round-13 verdict #2): segment retimes
+    * self-heal a transient spike, but load that spans the ENTIRE run
+    * defeats them — every sentinel is equally inflated, the ratio
+    * stays flat, and the artifact presents uniformly-slow medians as
+    * a clean reading (three consecutive driver artifacts were
+    * adjudicated by hand for exactly this). The fix needs a reference
+    * OUTSIDE the run: the quiet-box sentinel floor persisted from
+    * previous clean runs. When this run's own floor (its best sentinel
+    * — the closest the box ever came to quiet) sits more than
+    * `threshold` above that baseline, the box was loaded the whole
+    * time and NO reading deserves a headline. */
+  def environmentInvalid(runFloor: Double, baselineFloor: Option[Double],
+      threshold: Double = 1.5): Boolean =
+    baselineFloor.exists(b => runFloor > threshold * b)
+
+  /** Baseline maintenance: only a clean (unflagged, not
+    * environment-invalid) run may update the floor, and it only
+    * ratchets DOWN — a loaded run must never poison the reference its
+    * successors are judged against. Returns the value to persist. */
+  def updatedBaseline(existing: Option[Double], runFloor: Double,
+      runClean: Boolean): Option[Double] =
+    if (runClean) Some(existing.fold(runFloor)(math.min(_, runFloor)))
+    else existing
+
+  /** Minimal flat-JSON map IO for the baseline file (one float per
+    * bench environment key) — no JSON dependency in this build. */
+  def parseBaselines(text: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  def renderBaselines(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(v))
+    }.mkString("{", ",", "}")
+
   /** Round number for artifact naming: one past the newest harness
     * BENCH_r<N>.json, but never behind a BENCH_DETAIL_r<N>*.json
     * already written this round. Round 12 postmortem: deriving from
@@ -107,6 +143,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.quietStreamingProbes()
 
     // warmup: session/codegen/parquet-footer costs land here, not on the
     // first timed query
@@ -144,6 +181,13 @@ object Bench {
       .createTempDirectory("graft_bench_cache").toString
     graft.operators.Curation.stageFunnelInputs(spark, sfDir, curationCache)
     sys.props(graft.operators.Curation.CacheProp) = curationCache
+    // Session cache for the streaming parity rows' read-only input
+    // corpora: each row stages its replay files once and re-reads them
+    // on every later invocation (warmup rep included). Outputs,
+    // stores, and checkpoints stay per-run; results are bit-identical
+    // (Verify never sets this prop and keeps build-per-run behavior).
+    sys.props(graft.streaming.StageCache.Prop) = java.nio.file.Files
+      .createTempDirectory("graft_bench_streams").toString
 
     sentinel() // warm the sentinel plan itself
     // INTERLEAVED sentinels: one before the run, one every
@@ -201,6 +245,28 @@ object Bench {
     val sentinelRatio =
       sentinels.max / math.max(1e-9, sentinels.min)
     val loadFlagged = sentinelRatio > 2.0
+    // Whole-run load check against the persisted quiet-box floor —
+    // the blind spot interleaved sentinels cannot see (uniform load
+    // keeps the ratio flat). Keyed by sf dir + cpu count: both change
+    // what "quiet" means.
+    val envKey = s"$sfDir@${cpus}cpus"
+    val baselinePath =
+      java.nio.file.Paths.get("BENCH_SENTINEL_BASELINE.json")
+    val baselines: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath))
+        parseBaselines(new String(
+          java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
+      else Map.empty
+    val runFloor = sentinels.min
+    val baselineFloor = baselines.get(envKey)
+    val envInvalid = environmentInvalid(runFloor, baselineFloor)
+    updatedBaseline(baselineFloor, runFloor,
+      runClean = !loadFlagged && !envInvalid).foreach { b =>
+      if (!baselineFloor.contains(b))
+        java.nio.file.Files.write(baselinePath,
+          (renderBaselines(baselines + (envKey -> b)) + "\n")
+            .getBytes("UTF-8"))
+    }
     // Self-healing under load (round-11 postmortem: the driver artifact
     // was 37% inflated and needed a judge-side re-run to adjudicate):
     // any segment whose bracketing sentinels sit >1.5x above the run's
@@ -236,7 +302,18 @@ object Bench {
     // the map (they contribute least to `value` and to regression
     // triage), recording how many were dropped as "omitted". `value`
     // stays the total over ALL queries either way.
-    val total = if (healed.nonEmpty) healed.map(_._2._1).sum else 0.0
+    // An environment-invalid run REFUSES its headline total (-1.0 — a
+    // value no real run produces) and reports per-query MINs instead of
+    // medians: the mins are the least-inflated readings the run has,
+    // useful for triage, but nothing from this run may be read as a
+    // regression signal (environment_invalid says so in both
+    // artifacts). A clean run reports medians as always.
+    val total =
+      if (envInvalid) -1.0
+      else if (healed.nonEmpty) healed.map(_._2._1).sum
+      else 0.0
+    def headlineReading(v: (Double, Double)): Double =
+      if (envInvalid) v._2 else v._1
     // The f interpolator formats with the JVM default locale (a German
     // locale would emit "0,123" = invalid JSON); pin Locale.ROOT.
     def fmt(v: Double): String =
@@ -245,7 +322,7 @@ object Bench {
       val qs = keep.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"queries_are_mins":$envInvalid,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"sf":"$sfDir"}"""
     }
     // Full per-query map (nothing omitted, µs precision) goes to a
     // committed artifact — the tail-window line below keeps only the
@@ -274,8 +351,9 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimeFailedJson = retimeFailed.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val baselineJson = baselineFloor.map(fmt6).getOrElse("null")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"sentinel_floor":${fmt6(runFloor)},"baseline_floor":$baselineJson,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"sf":"$sfDir"}"""
     val defaultDetail =
       java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json")
     val existingClean = java.nio.file.Files.exists(defaultDetail) &&
@@ -283,10 +361,11 @@ object Bench {
         .contains("\"load_flagged\":false")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
-        detailTarget(roundN, loadFlagged, existingClean)),
+        detailTarget(roundN, loadFlagged || envInvalid, existingClean)),
       (detailJson + "\n").getBytes("UTF-8"))
     val budget = 1800 // leaves room for sbt's trailing [success] line
-    var keep = healed.map { case (k, (med, _)) => k -> med }.sortBy(-_._2)
+    var keep = healed.map { case (k, v) => k -> headlineReading(v) }
+      .sortBy(-_._2)
     while (keep.nonEmpty && line(keep, healed.length - keep.length).length > budget)
       keep = keep.dropRight(1)
     println(line(keep, healed.length - keep.length))

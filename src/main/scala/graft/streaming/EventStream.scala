@@ -271,7 +271,8 @@ object EventStream {
     * url-replacement, so state never accumulates in the query. */
   def streamBatchParity(s: SparkSession, dir: String): DataFrame =
     parityRun(s, dir, deletePhase = false,
-      docFilter = Some(col("doc_id") < ParityFixtureDocs))
+      docFilter = Some(col("doc_id") < ParityFixtureDocs),
+      cacheTag = "p1000")
 
   /** Streaming DELETION parity as an ORACLE row — [[streamBatchParity]]
     * plus the purge path: after the 4 ingest micro-batches build the
@@ -284,7 +285,8 @@ object EventStream {
     * with every surviving chunk bit-identical. */
   def streamDeleteParity(s: SparkSession, dir: String): DataFrame =
     parityRun(s, dir, deletePhase = true,
-      docFilter = Some(col("doc_id") < ParityFixtureDocs))
+      docFilter = Some(col("doc_id") < ParityFixtureDocs),
+      cacheTag = "p1000")
 
   /** Protocol rows prove PROTOCOL correctness (multi-micro-batch
     * versioned merges, purge, reuse) — their evidential value is in the
@@ -306,7 +308,7 @@ object EventStream {
     * evidence is pinned separately in the embedWithReuse test. */
   def streamResyncParity(s: SparkSession, dir: String): DataFrame =
     parityRun(s, dir, deletePhase = false, resyncPhase = true,
-      docFilter = Some(col("doc_id") < 200))
+      docFilter = Some(col("doc_id") < 200), cacheTag = "p200")
 
   /** Event cap for the aggregation-parity rows: like the store-parity
     * rows, their evidence is in micro-batches crossed and watermark
@@ -363,13 +365,15 @@ object EventStream {
     if (real.take(1).isEmpty)
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    val base = stageReplay(s, real)
-    val outDir = base.resolve("out").toString
-    val stream = readStaged(protocolSession(s), base)
+    val (inBase, cached) = stageReplay(s, real,
+      s"replay_agg_${StageCache.dirKey(dir)}")
+    val work = java.nio.file.Files.createTempDirectory("aggwork")
+    val outDir = work.resolve("out").toString
+    val stream = readStaged(protocolSession(s), inBase)
     val agg = if (session) sessionWindows(stream) else windowedCounts(stream)
     val q = agg.writeStream.format("parquet")
       .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val emitted = s.read.parquet(outDir)
@@ -386,7 +390,8 @@ object EventStream {
         round(col("total_value"), 2).as("total_value"))
         .orderBy("window_start_us", "event_type")
     val pinned = result.localCheckpoint(true)
-    deleteRecursively(base.toFile)
+    deleteRecursively(work.toFile)
+    if (!cached) deleteRecursively(inBase.toFile)
     pinned
   }
 
@@ -394,34 +399,38 @@ object EventStream {
     * time-range slices with ascending file mtimes (the source replays
     * oldest first, so no real event ever falls behind the watermark),
     * then two sentinel files (same far-future timestamp, user -1) that
-    * flush the final watermark. Returns the staging root. */
-  private def stageReplay(s: SparkSession,
-      real: DataFrame): java.nio.file.Path = {
+    * flush the final watermark. Session-cached under `cacheKey` when
+    * the bench's [[StageCache]] is active (the staged replay is a pure
+    * function of the corpus — cached files keep their mtimes, so
+    * replay order is unchanged); returns (staging root, cached). */
+  private def stageReplay(s: SparkSession, real: DataFrame,
+      cacheKey: String): (java.nio.file.Path, Boolean) = {
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("streamagg")
-    // explicit, all-in-the-past mtimes: the file source replays oldest
-    // mtime first, so slice order is fully deterministic
-    def stampDir(d: String, t: Long): Unit =
-      new java.io.File(d).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        .zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
-    val t0 = System.currentTimeMillis() - 3600 * 1000L
-    real.repartitionByRange(4, col("ts")).write.parquet(s"$base/in0")
-    stampDir(s"$base/in0", t0)
-    val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
-    val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
-    val sentinelBase = Seq((future, -1L, "__sentinel__", 0.0))
-      .toDF("ts", "user_id", "event_type", "value")
-    // mirror any extra caller columns (e.g. event_id) so every staged
-    // file carries one schema
-    val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
-    sentinel.coalesce(1).write.parquet(s"$base/in1")
-    stampDir(s"$base/in1", t0 + 10 * 60000L)
-    sentinel.coalesce(1).write.parquet(s"$base/in2")
-    stampDir(s"$base/in2", t0 + 11 * 60000L)
-    base
+    StageCache.resolve(cacheKey) { base =>
+      // explicit, all-in-the-past mtimes: the file source replays oldest
+      // mtime first, so slice order is fully deterministic
+      def stampDir(d: String, t: Long): Unit =
+        new java.io.File(d).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      real.repartitionByRange(4, col("ts")).write
+        .mode("overwrite").parquet(s"$base/in0")
+      stampDir(s"$base/in0", t0)
+      val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
+      val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+      val sentinelBase = Seq((future, -1L, "__sentinel__", 0.0))
+        .toDF("ts", "user_id", "event_type", "value")
+      // mirror any extra caller columns (e.g. event_id) so every staged
+      // file carries one schema
+      val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
+      sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in1")
+      stampDir(s"$base/in1", t0 + 10 * 60000L)
+      sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in2")
+      stampDir(s"$base/in2", t0 + 11 * 60000L)
+    }
   }
 
   private def readStaged(s: SparkSession,
@@ -477,18 +486,20 @@ object EventStream {
           StructField("click_ts_us", LongType),
           StructField("err_ts_us", LongType),
           StructField("err_value", DoubleType))))
-    val base = stageReplay(s, real)
-    val outDir = base.resolve("out").toString
+    val (inBase, cached) = stageReplay(s, real,
+      s"replay_join_${StageCache.dirKey(dir)}")
+    val work = java.nio.file.Files.createTempDirectory("joinwork")
+    val outDir = work.resolve("out").toString
     val stream = protocolSession(s).readStream
       .schema(StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType),
         StructField("event_id", LongType))))
-      .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+      .option("maxFilesPerTrigger", 1).parquet(s"$inBase/in*")
     val q = clickErrorJoin(stream).writeStream.format("parquet")
       .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val result = s.read.parquet(outDir)
@@ -497,7 +508,8 @@ object EventStream {
         unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
       .orderBy("click_id", "err_ts_us")
     val pinned = result.localCheckpoint(true)
-    deleteRecursively(base.toFile)
+    deleteRecursively(work.toFile)
+    if (!cached) deleteRecursively(inBase.toFile)
     pinned
   }
 
@@ -521,13 +533,16 @@ object EventStream {
           StructField("user_id", LongType),
           StructField("n_events", LongType),
           StructField("total_value", DoubleType))))
-    val base = stageReplay(s, real)
-    val outDir = base.resolve("out").toString
+    // same corpus shape as the agg rows → shares their staged replay
+    val (inBase, cached) = stageReplay(s, real,
+      s"replay_agg_${StageCache.dirKey(dir)}")
+    val work = java.nio.file.Files.createTempDirectory("statework")
+    val outDir = work.resolve("out").toString
     val sess = protocolSession(s)
-    val q = sessionStates(sess, readStaged(sess, base)).toDF()
+    val q = sessionStates(sess, readStaged(sess, inBase)).toDF()
       .writeStream.format("parquet")
       .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val result = s.read.parquet(outDir)
@@ -538,13 +553,15 @@ object EventStream {
           .as("total_value"))
       .orderBy("user_id")
     val pinned = result.localCheckpoint(true)
-    deleteRecursively(base.toFile)
+    deleteRecursively(work.toFile)
+    if (!cached) deleteRecursively(inBase.toFile)
     pinned
   }
 
   private def parityRun(s: SparkSession, dir: String,
       deletePhase: Boolean, resyncPhase: Boolean = false,
-      docFilter: Option[Column] = None): DataFrame = {
+      docFilter: Option[Column] = None,
+      cacheTag: String = "all"): DataFrame = {
     def phase[T](label: String)(f: => T): T =
       if (sys.props.contains("graft.parity.debug")) {
         val t0 = System.nanoTime()
@@ -561,41 +578,52 @@ object EventStream {
           lit("\n\n"), col("text")).as("content"))
     val pageSchema = StructType(Seq(
       StructField("url", StringType), StructField("content", StringType)))
-    def runIngest(inDir: String, ckpt: String, nFiles: Int): Unit = {
+    // batch/delete parity keep the r10 4-micro-batch contract; the
+    // resync row runs 2+2 (two syncs; per-trigger streaming overhead
+    // dominates this row, and two batches per sync already exercise
+    // cross-batch reuse). The staged page files are session-cached
+    // (pure function of the corpus slice); store/checkpoints are
+    // always fresh.
+    val nFiles = if (resyncPhase) 2 else 4
+    val (inBase, cachedIn) = StageCache.resolve(
+      s"parity_in_${cacheTag}_${nFiles}_${StageCache.dirKey(dir)}") { d =>
       phase("stage_input") {
-        pages.repartition(nFiles).write.parquet(inDir) }
+        pages.repartition(nFiles).write.mode("overwrite")
+          .parquet(d.resolve("in").toString) }
+    }
+    def runIngest(ckpt: String): Unit = {
       val stream = s.readStream.schema(pageSchema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inBase.resolve("in").toString)
       val q = ingestStream(stream, store, ckpt,
         embedReuse = resyncPhase)
       phase("ingest_stream") {
         try q.processAllAvailable() finally q.stop() }
     }
-    // batch/delete parity keep the r10 4-micro-batch contract; the
-    // resync row runs 2+2 (two syncs; per-trigger streaming overhead
-    // dominates this row, and two batches per sync already exercise
-    // cross-batch reuse)
-    runIngest(base.resolve("in").toString,
-      base.resolve("ckpt").toString, if (resyncPhase) 2 else 4)
+    runIngest(base.resolve("ckpt").toString)
     if (resyncPhase)
-      // the same pages again: a fully redundant second sync
-      runIngest(base.resolve("in2").toString,
-        base.resolve("ckpt2").toString, 2)
+      // the same pages again through a FRESH checkpoint: a fully
+      // redundant second sync (the at-least-once world's re-crawl)
+      runIngest(base.resolve("ckpt2").toString)
     if (deletePhase) {
       // second run: the re-crawl's 404s arrive as a tombstone stream
-      val tomb = base.resolve("tombstones").toString
-      graft.Tables.documents(s, dir)
-        .filter(docFilter.getOrElse(lit(true)))
-        .filter(col("doc_id") % 13 === 0)
-        .select(concat(lit("doc://"), col("doc_id")).as("url"))
-        .repartition(2)
-        .write.parquet(tomb)
+      val (tombBase, cachedTomb) = StageCache.resolve(
+        s"parity_tomb_${cacheTag}_${StageCache.dirKey(dir)}") { d =>
+        graft.Tables.documents(s, dir)
+          .filter(docFilter.getOrElse(lit(true)))
+          .filter(col("doc_id") % 13 === 0)
+          .select(concat(lit("doc://"), col("doc_id")).as("url"))
+          .repartition(2)
+          .write.mode("overwrite").parquet(d.resolve("tomb").toString)
+      }
       val tombStream = s.readStream
         .schema(StructType(Seq(StructField("url", StringType))))
-        .option("maxFilesPerTrigger", 1).parquet(tomb)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tombBase.resolve("tomb").toString)
       val dq = deleteStream(tombStream, store,
         base.resolve("ckpt_del").toString)
       try dq.processAllAvailable() finally dq.stop()
+      if (!cachedTomb) deleteRecursively(tombBase.toFile)
     }
     // an empty corpus stages only empty files — no micro-batch ever
     // merges, the store is never created, and the row is 0 rows (the
@@ -622,7 +650,10 @@ object EventStream {
     // as a registered bench row this otherwise leaks a corpus-sized
     // temp copy (input + versioned store + checkpoint) per invocation
     val pinned = phase("pin_result") { result.localCheckpoint(true) }
-    phase("teardown") { deleteRecursively(base.toFile) }
+    phase("teardown") {
+      deleteRecursively(base.toFile)
+      if (!cachedIn) deleteRecursively(inBase.toFile)
+    }
     pinned
   }
 

@@ -43,6 +43,46 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(healed.drop(20).forall(_._2._1 == 0.3))
   }
 
+  test("whole-run load is refused against the persisted quiet floor") {
+    // the blind spot segment retimes can't fix: load spanning the run
+    // keeps every sentinel equally inflated (flat ratio, unflagged) —
+    // only the cross-run baseline catches it. Floor 0.9 vs quiet
+    // baseline 0.4: >1.5x → refuse.
+    assert(Bench.environmentInvalid(0.9, Some(0.4)))
+    // at or under the threshold: valid
+    assert(!Bench.environmentInvalid(0.6, Some(0.4)))
+    assert(!Bench.environmentInvalid(0.4, Some(0.4)))
+    // first run ever (no baseline): nothing to refuse against
+    assert(!Bench.environmentInvalid(99.0, None))
+  }
+
+  test("only clean runs ratchet the baseline floor, and only downward") {
+    // first clean run establishes the floor
+    assert(Bench.updatedBaseline(None, 0.5, runClean = true)
+      .contains(0.5))
+    // a faster clean run ratchets down
+    assert(Bench.updatedBaseline(Some(0.5), 0.4, runClean = true)
+      .contains(0.4))
+    // a slower clean run never raises it
+    assert(Bench.updatedBaseline(Some(0.4), 0.5, runClean = true)
+      .contains(0.4))
+    // a loaded/invalid run must not poison the reference
+    assert(Bench.updatedBaseline(Some(0.4), 2.0, runClean = false)
+      .contains(0.4))
+    assert(Bench.updatedBaseline(None, 2.0, runClean = false).isEmpty)
+  }
+
+  test("baseline file round-trips through the flat-JSON codec") {
+    val m = Map("/root/testdata/sf0.1@32cpus" -> 0.412345,
+      "/root/testdata/sf0.01@8cpus" -> 0.1)
+    val rendered = Bench.renderBaselines(m)
+    val back = Bench.parseBaselines(rendered)
+    assert(back.keySet == m.keySet)
+    m.foreach { case (k, v) => assert(math.abs(back(k) - v) < 1e-6) }
+    // unreadable text degrades to empty, never throws
+    assert(Bench.parseBaselines("not json at all").isEmpty)
+  }
+
   test("artifact round never falls behind an in-round detail file") {
     // fresh repo: first run is round 1
     assert(Bench.artifactRound(Seq.empty) == 1)

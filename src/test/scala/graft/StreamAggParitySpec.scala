@@ -27,6 +27,36 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("staged-replay cache reuses inputs and leaves results identical") {
+    import graft.streaming.StageCache
+    val cache = java.nio.file.Files.createTempDirectory("stagecache")
+    sys.props(StageCache.Prop) = cache.toString
+    try {
+      val first = EventStream.streamWindowParity(spark, dir).collect().toSeq
+      // the replay landed in the cache with its completion marker
+      val stagedDirs = cache.toFile.listFiles().filter(_.isDirectory)
+      assert(stagedDirs.exists(d =>
+        d.getName.startsWith("replay_agg_") &&
+          new java.io.File(d, "_STAGED").exists()),
+        s"expected a marker-gated replay dir, got " +
+          s"${stagedDirs.map(_.getName).mkString(",")}")
+      val stamp = stagedDirs.head.lastModified()
+      // second invocation: same result, inputs NOT re-staged
+      val second = EventStream.streamWindowParity(spark, dir).collect().toSeq
+      assert(first == second, "cached replay changed the result")
+      assert(stagedDirs.head.lastModified() == stamp,
+        "second run re-staged the cached inputs")
+      // the state row shares the agg rows' staged replay (same corpus)
+      EventStream.streamStateParity(spark, dir).collect()
+      assert(cache.toFile.listFiles()
+        .count(d => d.getName.startsWith("replay_agg_")) == 1,
+        "state row must reuse the agg rows' replay, not stage its own")
+    } finally {
+      sys.props.remove(StageCache.Prop)
+      graft.operators.Sync.deleteTree(cache.toFile)
+    }
+  }
+
   test("session_window gap boundary: an exact-gap event merges") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
