@@ -186,6 +186,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    // optional 3rd arg: comma-separated query filter (focused local
+    // probing — a filtered run prints timings but never rewrites
+    // SCALEPROBE.md, which documents the full set)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -252,14 +257,17 @@ object ScaleProbe {
       math.min(timeOnce(name, dir), timeOnce(name, dir))
     }
 
-    val times: Seq[(String, Map[Int, Double])] = probeQueries.map { q =>
-      val byScale = scales.map { k =>
-        val t = timed(q, dirs(k))
-        println(f"[scaleprobe] $q%-24s x$k%-3d ${t}%8.3f s")
-        k -> t
-      }.toMap
-      q -> byScale
-    }
+    val times: Seq[(String, Map[Int, Double])] = probeQueries
+      .filter(q => only.forall(_.contains(q)))
+      .map { q =>
+        val byScale = scales.map { k =>
+          val t = timed(q, dirs(k))
+          println(f"[scaleprobe] $q%-24s x$k%-3d ${t}%8.3f s")
+          k -> t
+        }.toMap
+        q -> byScale
+      }
+    if (only.isDefined) { spark.stop(); return }
 
     // AQE evidence: final adaptive join strategies of the un-hinted
     // dim joins at 10x
@@ -416,10 +424,18 @@ matched postings are SCALE-INVARIANT under the rotated replicas
 (query terms only exist in replica 0), so the residual growth
 isolates the corpus-stats scan + token explode — the part the
 broadcast term filter cannot remove; a persisted-index deployment
-removes it too. `doc_ngram_lm` (e~=0.56): the bigram model grows with
-replica vocabulary (each rotation mints a disjoint vocab), so the
-model-join side grows ~linearly while the stream side stays
-scan-bound — the DF-floor note in the scaladoc is the 100 TB lever.
+removes it too. `doc_ngram_lm`: ADJUDICATED AND FIXED in r14 — the r13
+probe read its steepest 3x->10x tail (0.75 -> 3.27 s, segment slope
+~1.2), and measuring the components root-caused it: the bigram MODEL
+is tiny (931 -> 9,310 distinct bigrams at 10x — always broadcastable;
+the r13 "vocabulary growth" hypothesis was wrong in magnitude), while
+the bigram STREAM is exactly linear (265,704 -> 2,657,040 rows) and
+the old plan shuffled that stream TWICE — once joining c2 on (w1,w2),
+again joining c1 on w1. The kernel now enriches the model first
+(model-sized join) and hits the stream once; re-probed after the fix:
+1.42 / 1.78 / 3.67 s, 3x->10x segment slope 0.60 (halved). The
+scaladoc's DF floor remains the 100 TB lever for keeping the enriched
+model broadcastable.
 `doc_heavy_hitters_cms` (e<0): the flattest row on the list, as the
 sketch contract demands — the shuffle is O(partitions*d*w) regardless
 of corpus size; only the token scan grows, and it stays inside the

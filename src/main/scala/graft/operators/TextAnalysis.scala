@@ -532,11 +532,21 @@ object TextAnalysis {
 
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    // Enrich the MODEL with the unigram totals first (model-sized join
+    // — |c2| rows vs |c1| rows), then hit the token stream exactly
+    // once. Joining the stream to c2 and then AGAIN to c1 shuffled the
+    // corpus-sized bigram stream twice; the r13 probe put doc_ngram_lm
+    // at 0.75→3.27 s from 3x→10x with the model-join side driving the
+    // tail (each replica mints a disjoint vocabulary, so |c2| grows
+    // ~linearly with the corpus). Pre-scoring the model also lets AQE
+    // broadcast ONE enriched table; at 100 TB the documented DF floor
+    // (drop hapax bigrams) is what keeps that table broadcastable.
+    val model = c2.join(c1, Seq("w1"))
+      .withColumn("surprise_micro", expr("(c1 * 1000000L) div c2"))
+      .select("w1", "w2", "surprise_micro")
 
     bigrams
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .withColumn("surprise_micro", expr("(c1 * 1000000L) div c2"))
+      .join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(surprise_micro) div count(1)").as("lm_score_micro"))
