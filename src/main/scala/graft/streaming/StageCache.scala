@@ -24,6 +24,40 @@ object StageCache {
   /** Sanitized cache-key fragment for a testdata dir. */
   def dirKey(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]+", "_")
 
+  /** For fixtures the run MUTATES in place (a purge sweep's surfaces,
+    * a merge-on-read store): stage the pristine tree once under the
+    * cache, then COPY it into the per-run work dir — a sub-second file
+    * copy (the staged surfaces are fixture-sized) replacing seconds of
+    * Spark fixture-build jobs per invocation. mtimes are preserved so
+    * staged replay order survives the copy. Uncached (Verify), builds
+    * directly into `into` — today's behavior, no extra IO. */
+  def materialize(key: String, into: java.nio.file.Path)(
+      build: java.nio.file.Path => Unit): Unit =
+    sys.props.get(Prop) match {
+      case Some(_) =>
+        val (staged, _) = resolve(key)(build)
+        copyTree(staged, into)
+      case None => build(into)
+    }
+
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val rel = src.relativize(p)
+      if (rel.toString != "_STAGED") {
+        val target = dst.resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+    } finally walk.close()
+  }
+
   /** Resolve the staging dir for `key`: under the cache root when the
     * prop is set (building at most once), else a fresh temp dir built
     * unconditionally. Returns (path, cached) — a cached dir must NOT
