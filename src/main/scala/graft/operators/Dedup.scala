@@ -1166,7 +1166,7 @@ object Dedup {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/in")
       val marksDir = s"$base/marks"
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
