@@ -68,6 +68,36 @@ object Bench {
     (merged, names)
   }
 
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Time one query's reps; a rep whose body THROWS contributes no
+    * reading. Round-14 postmortem: a query broken by a stale read path
+    * threw on every invocation, yet the bench recorded the elapsed
+    * time OF THE THROW (0.30 s) as its reading — the broken row looked
+    * like the fastest query on the board while Verify silently dropped
+    * it, so it vanished from one artifact and lied in the other.
+    * Returns Left(errorLabel) when EVERY rep threw — the row then
+    * carries error status in the artifact and is excluded from the
+    * headline total — else Right((median, min)) over the successful
+    * reps only. */
+  def timeReps(nReps: Int, run: () => Unit): Either[String, (Double, Double)] = {
+    var err: String = "unknown"
+    val times = (1 to nReps).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try { run(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        err = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(120)
+        None
+      }
+    }
+    if (times.isEmpty) Left(err) else Right((median(times), times.min))
+  }
+
   /** Whole-run-load refusal (round-13 verdict #2): segment retimes
     * self-heal a transient spike, but load that spans the ENTIRE run
     * defeats them — every sentinel is equally inflated, the ratio
@@ -91,6 +121,28 @@ object Bench {
       runClean: Boolean): Option[Double] =
     if (runClean) Some(existing.fold(runFloor)(math.min(_, runFloor)))
     else existing
+
+  /** Full baseline lifecycle for one run (round-14 verdict #6 +
+    * ADVICE): a down-only ratchet has no recovery path after a
+    * PERMANENT slowdown (hardware/VM change at the same cpu count) —
+    * every future run would be environment_invalid forever, and
+    * invalid runs never touched the baseline. So: a clean run ratchets
+    * down and clears the invalid streak; a load-flagged run holds
+    * everything (transient load is not evidence of change); an
+    * environment-invalid run increments the streak, and the
+    * `reseedAfter`-th consecutive one RE-SEEDS the baseline to its own
+    * floor — that run still refuses its headline, but the next run is
+    * judged against the new hardware's reality. The artifact reports
+    * `baseline_reseeded` so a reader knows the reference moved.
+    * Returns (floorToPersist, newInvalidStreak, reseeded). */
+  def baselineTransition(existing: Option[Double], invalidStreak: Int,
+      runFloor: Double, loadFlagged: Boolean, envInvalid: Boolean,
+      reseedAfter: Int = 3): (Option[Double], Int, Boolean) =
+    if (envInvalid) {
+      if (invalidStreak + 1 >= reseedAfter) (Some(runFloor), 0, true)
+      else (existing, invalidStreak + 1, false)
+    } else if (loadFlagged) (existing, invalidStreak, false)
+    else (updatedBaseline(existing, runFloor, runClean = true), 0, false)
 
   /** Minimal flat-JSON map IO for the baseline file (one float per
     * bench environment key) — no JSON dependency in this build. */
@@ -150,11 +202,6 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
 
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
     // Load sentinel: the SAME fixed query timed right before the first
     // and right after the last bench query. Median-of-reps absorbs
     // cache-order drift but cannot absorb a competing workload that
@@ -186,8 +233,16 @@ object Bench {
     // on every later invocation (warmup rep included). Outputs,
     // stores, and checkpoints stay per-run; results are bit-identical
     // (Verify never sets this prop and keeps build-per-run behavior).
-    sys.props(graft.streaming.StageCache.Prop) = java.nio.file.Files
-      .createTempDirectory("graft_bench_streams").toString
+    val streamCacheRoot = java.nio.file.Files
+      .createTempDirectory("graft_bench_streams")
+    sys.props(graft.streaming.StageCache.Prop) = streamCacheRoot.toString
+    // The staging roots hold corpus-sized replay trees; without this
+    // hook every bench run leaked them in /tmp (r14 ADVICE). A hook
+    // (not end-of-main deletion) so a crashed run cleans up too.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      graft.operators.Sync.deleteTree(streamCacheRoot.toFile)
+      graft.operators.Sync.deleteTree(new java.io.File(curationCache))
+    }))
 
     sentinel() // warm the sentinel plan itself
     // INTERLEAVED sentinels: one before the run, one every
@@ -218,7 +273,11 @@ object Bench {
       "ingest_issues_e2e", "ingest_tickets_e2e", "ingest_articles_e2e")
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinel()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    // A query whose every rep THROWS is an errored row: named loudly on
+    // stderr, carried as error status in both artifacts, and excluded
+    // from the headline total — never timed-by-its-throw (round-14 #2b).
+    val errored = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.flatMap {
       case ((name, fn), qi) =>
         if (qi > 0 && qi % segmentSize == 0) sentinels += sentinel()
         // One untimed warmup rep per query: round 7 showed untouched
@@ -228,16 +287,17 @@ object Bench {
         // timed reps decouples each measurement from name order.
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val nReps = if (protocolRows.contains(name)) 1 else reps
-        val times = (1 to nReps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
         // median for the headline (robust to one bad rep), min for
         // triage: a load spike inflates median and min differently —
         // a REAL regression moves both, a loaded box moves only the
         // median/max side.
-        name -> (median(times), times.min)
+        timeReps(nReps, () => { fn(spark, sfDir).count(); () }) match {
+          case Right(reading) => Some(name -> reading)
+          case Left(e) =>
+            errored(name) = e
+            System.err.println(s"[bench] ERRORED $name: $e")
+            None
+        }
     }
     sentinels += sentinel()
     val sentinelStart = sentinels.head
@@ -247,9 +307,14 @@ object Bench {
     val loadFlagged = sentinelRatio > 2.0
     // Whole-run load check against the persisted quiet-box floor —
     // the blind spot interleaved sentinels cannot see (uniform load
-    // keeps the ratio flat). Keyed by sf dir + cpu count: both change
-    // what "quiet" means.
-    val envKey = s"$sfDir@${cpus}cpus"
+    // keeps the ratio flat). Keyed by sf dir + cpu count + machine
+    // identity (r14 ADVICE: a different host with the same cpu count
+    // must not be judged against this box's floor — it seeds its own
+    // entry from its first clean run instead).
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "unknown" }
+    val envKey = s"$sfDir@${cpus}cpus@$host"
     val baselinePath =
       java.nio.file.Paths.get("BENCH_SENTINEL_BASELINE.json")
     val baselines: Map[String, Double] =
@@ -258,15 +323,31 @@ object Bench {
           java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
       else Map.empty
     val runFloor = sentinels.min
+    // legacy entries (pre-host keys) keep refusing loaded runs on the
+    // same box across the key migration
     val baselineFloor = baselines.get(envKey)
+      .orElse(baselines.get(s"$sfDir@${cpus}cpus"))
     val envInvalid = environmentInvalid(runFloor, baselineFloor)
-    updatedBaseline(baselineFloor, runFloor,
-      runClean = !loadFlagged && !envInvalid).foreach { b =>
-      if (!baselineFloor.contains(b))
-        java.nio.file.Files.write(baselinePath,
-          (renderBaselines(baselines + (envKey -> b)) + "\n")
-            .getBytes("UTF-8"))
-    }
+    // -Dgraft.bench.resetBaseline=true: explicit operator re-seed after
+    // a known hardware change (skips the 3-invalid-run wait)
+    val forceReset = sys.props.get("graft.bench.resetBaseline")
+      .contains("true")
+    val streakKey = s"$envKey#invalid_streak"
+    val invalidStreak = baselines.get(streakKey).map(_.toInt).getOrElse(0)
+    val (newFloor, newStreak, reseeded0) = baselineTransition(
+      baselineFloor, invalidStreak, runFloor, loadFlagged, envInvalid)
+    val reseeded = reseeded0 || (forceReset && envInvalid)
+    val persistFloor = if (reseeded) Some(runFloor) else newFloor
+    val persistStreak = if (reseeded) 0 else newStreak
+    // zero streaks are dropped rather than persisted — the steady
+    // (clean-run) state leaves the file byte-identical run over run
+    val updated = (baselines ++
+      persistFloor.map(envKey -> _) +
+      (streakKey -> persistStreak.toDouble))
+      .filter { case (k, v) => !k.endsWith("#invalid_streak") || v != 0.0 }
+    if (updated != baselines)
+      java.nio.file.Files.write(baselinePath,
+        (renderBaselines(updated) + "\n").getBytes("UTF-8"))
     // Self-healing under load (round-11 postmortem: the driver artifact
     // was 37% inflated and needed a judge-side re-run to adjudicate):
     // any segment whose bracketing sentinels sit >1.5x above the run's
@@ -308,6 +389,15 @@ object Bench {
     // useful for triage, but nothing from this run may be read as a
     // regression signal (environment_invalid says so in both
     // artifacts). A clean run reports medians as always.
+    // errored rows by name (tail line) and with their exception labels
+    // (detail artifact) — a broken query must be visible in BOTH
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val erroredNamesJson =
+      errored.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val erroredJson = errored.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total =
       if (envInvalid) -1.0
       else if (healed.nonEmpty) healed.map(_._2._1).sum
@@ -322,7 +412,7 @@ object Bench {
       val qs = keep.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"queries_are_mins":$envInvalid,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"error_n":${errored.size},"errored":$erroredNamesJson,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"queries_are_mins":$envInvalid,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"sf":"$sfDir"}"""
     }
     // Full per-query map (nothing omitted, µs precision) goes to a
     // committed artifact — the tail-window line below keeps only the
@@ -353,7 +443,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val baselineJson = baselineFloor.map(fmt6).getOrElse("null")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"sentinel_floor":${fmt6(runFloor)},"baseline_floor":$baselineJson,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"sentinel_floor":${fmt6(runFloor)},"baseline_floor":$baselineJson,"baseline_reseeded":$reseeded,"invalid_streak":$persistStreak,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"errored":$erroredJson,"sf":"$sfDir"}"""
     val defaultDetail =
       java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json")
     val existingClean = java.nio.file.Files.exists(defaultDetail) &&

@@ -3124,7 +3124,7 @@ object SparkEntry {
              (doc_id % 9 <> 0) AS has_dur,
              (doc_id * 7919) % 8000 AS dur_s,
              doc_id % 3 AS warn, doc_id % 2 AS err,
-             doc_id % 8 AS n_src
+             doc_id % 20 AS n_src
            FROM documents WHERE doc_id < 60),
          srcs AS (
            SELECT id, unnest(range(0, n_src)) AS j FROM runs),

@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Post-run correctness gate (round-14 #2a): a registered query that
+    * throws, or one that somehow never executed, must be a LOUD, named,
+    * nonzero-exit failure — round 14 shipped a query broken by a stale
+    * read path and it silently fell out of the oracle surface (204/204
+    * "green" with 205 registered). Pure so the gate is testable without
+    * a session. Returns the failure report, or None when clean. */
+  def gateReport(registered: Set[String], executed: Set[String],
+      failed: Seq[(String, String)]): Option[String] = {
+    val missing = (registered -- executed).toSeq.sorted
+    if (missing.isEmpty && failed.isEmpty) None
+    else Some((missing.map(n => s"NOT EXECUTED: $n") ++
+      failed.sortBy(_._1).map { case (n, e) => s"FAILED: $n — $e" })
+      .mkString("\n"))
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (local dev)
@@ -22,13 +38,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     LogHygiene.quietStreamingProbes()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val executed = scala.collection.mutable.LinkedHashSet[String]()
+    selected.foreach { case (name, fn) =>
+      executed += name
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] FAILED $name: ${failed(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,5 +67,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // gate LAST so the oracle json + every healthy dump still land for
+    // the driver's compare even when one row is broken — but the broken
+    // row itself exits the process nonzero with a named report instead
+    // of silently shrinking the oracle surface (round-14 #2a)
+    gateReport(selected.keySet, executed.toSet, failed.toSeq).foreach {
+      report =>
+        System.err.println(
+          s"[verify] CORRECTNESS GATE FAILED (${failed.size} failed)\n" +
+            report)
+        sys.exit(1)
+    }
   }
 }

@@ -115,8 +115,11 @@ object Notifier {
 
   /** The ctl_notify oracle row: a run corpus derived from documents
     * arithmetic — statuses across all five classes (terminal,
-    * 'skipped', 'running'), 0-7 sources per run with planted failures
-    * (so the five-entry cap and the overflow line both occur), missing
+    * 'skipped', 'running'), 0-19 sources per run with planted failures
+    * — every-3rd-source failure over up to 19 sources yields runs with
+    * 6-7 failed sources, so the five-entry cap and the '…and N more'
+    * overflow line both occur IN THE ORACLE (r14 ADVICE: at 0-7
+    * sources the cap was pinned only by NotifierSpec) — missing
     * timestamps, run-level errors that per-source failures shadow, and
     * both notify modes — replayed through [[shouldNotify]] and
     * [[buildRunMessage]]. Suppressed runs emit empty payloads, so the
@@ -134,7 +137,7 @@ object Notifier {
           case 3 => "skipped"
           case _ => "running"
         }
-        val nSrc = (id % 8).toInt
+        val nSrc = (id % 20).toInt
         val sources = (0 until nSrc).map { j =>
           SourceStat(s"prod_$j", ok = (id + j) % 3 != 0,
             error = if ((id + j) % 2 == 0) Some(s"boom_$j") else None)

@@ -21,8 +21,29 @@ package graft.streaming
 object StageCache {
   val Prop = "graft.stream.cache"
 
-  /** Sanitized cache-key fragment for a testdata dir. */
-  def dirKey(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]+", "_")
+  /** Sanitized cache-key fragment for a testdata dir, INCLUDING a
+    * corpus fingerprint (round-14 verdict #5): the path alone would
+    * replay stale fixtures if the corpus at that path were regenerated
+    * within one bench process. The fingerprint folds every file's
+    * (relative name, length, mtime) — one level of directory recursion
+    * covers parquet dirs' part files — so a regenerated corpus changes
+    * the key and forces a rebuild. A handful of stat calls per
+    * invocation; no file contents are read. */
+  def dirKey(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]+", "_") + "_" +
+      java.lang.Long.toHexString(fingerprint(new java.io.File(dir)))
+
+  private[graft] def fingerprint(root: java.io.File): Long = {
+    def entries(f: java.io.File, depth: Int): Seq[java.io.File] =
+      if (f.isDirectory && depth < 2)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .flatMap(entries(_, depth + 1))
+      else Seq(f)
+    entries(root, 0).foldLeft(1125899906842597L) { (h, f) =>
+      val s = s"${f.getName}:${f.length}:${f.lastModified}"
+      s.foldLeft(h * 31 + 17)((a, c) => a * 31 + c)
+    }
+  }
 
   /** For fixtures the run MUTATES in place (a purge sweep's surfaces,
     * a merge-on-read store): stage the pristine tree once under the
@@ -58,23 +79,34 @@ object StageCache {
     } finally walk.close()
   }
 
+  // Per-key build locks: two threads sharing a key must not race the
+  // marker check-then-wipe-then-build — one's deleteTree could destroy
+  // the other's half-built tree and the marker would then bless a
+  // corrupt cache (r14 ADVICE). Bench runs rows serially today, but
+  // nothing enforced that contract until this lock did.
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Resolve the staging dir for `key`: under the cache root when the
-    * prop is set (building at most once), else a fresh temp dir built
-    * unconditionally. Returns (path, cached) — a cached dir must NOT
-    * be deleted by the caller's teardown. */
+    * prop is set (building at most once; concurrent callers of the
+    * same key serialize on a per-key lock), else a fresh temp dir
+    * built unconditionally. Returns (path, cached) — a cached dir must
+    * NOT be deleted by the caller's teardown. */
   def resolve(key: String)(
       build: java.nio.file.Path => Unit): (java.nio.file.Path, Boolean) =
     sys.props.get(Prop) match {
       case Some(root) =>
-        val dir = java.nio.file.Paths.get(root, key)
-        val marker = dir.resolve("_STAGED")
-        if (!java.nio.file.Files.exists(marker)) {
-          graft.operators.Sync.deleteTree(dir.toFile)
-          java.nio.file.Files.createDirectories(dir)
-          build(dir)
-          java.nio.file.Files.writeString(marker, "ok")
+        keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+          val dir = java.nio.file.Paths.get(root, key)
+          val marker = dir.resolve("_STAGED")
+          if (!java.nio.file.Files.exists(marker)) {
+            graft.operators.Sync.deleteTree(dir.toFile)
+            java.nio.file.Files.createDirectories(dir)
+            build(dir)
+            java.nio.file.Files.writeString(marker, "ok")
+          }
+          (dir, true)
         }
-        (dir, true)
       case None =>
         val dir = java.nio.file.Files.createTempDirectory("graftstage")
         build(dir)

@@ -121,4 +121,57 @@ class BenchRetimeSpec extends AnyFunSuite {
       _ => -1.0)
     assert(healed2.forall(_._2._1 == 1.0))
   }
+
+  test("baseline re-seeds after 3 consecutive environment-invalid runs") {
+    // round-14 verdict #6: the down-only ratchet had no recovery after
+    // a permanent hardware slowdown — every run invalid forever.
+    val b = Some(0.4)
+    // invalid runs 1 and 2: hold the baseline, count the streak
+    assert(Bench.baselineTransition(b, 0, 0.9, loadFlagged = false,
+      envInvalid = true) == ((b, 1, false)))
+    assert(Bench.baselineTransition(b, 1, 0.9, loadFlagged = false,
+      envInvalid = true) == ((b, 2, false)))
+    // the 3rd consecutive invalid run re-seeds to its own floor
+    assert(Bench.baselineTransition(b, 2, 0.9, loadFlagged = false,
+      envInvalid = true) == ((Some(0.9), 0, true)))
+    // a clean run in between clears the streak and ratchets down
+    assert(Bench.baselineTransition(b, 2, 0.3, loadFlagged = false,
+      envInvalid = false) == ((Some(0.3), 0, false)))
+    // a merely load-flagged run holds everything: transient load is
+    // not evidence of a hardware change
+    assert(Bench.baselineTransition(b, 2, 0.9, loadFlagged = true,
+      envInvalid = false) == ((b, 2, false)))
+  }
+
+  test("a rep that throws contributes no reading; all-throw errors the row") {
+    // round-14 #2b: a broken query must never be timed by its throw —
+    // an always-throwing body yields an errored row with the exception
+    // named, not a 0.3 s reading
+    val left = Bench.timeReps(3,
+      () => throw new IllegalStateException("stale read path"))
+    assert(left == Left("IllegalStateException: stale read path"))
+    // a flaky rep is simply dropped: median/min come from the
+    // successful reps only
+    var rep = 0
+    val right = Bench.timeReps(3, () => {
+      rep += 1
+      if (rep == 1) throw new RuntimeException("transient")
+    })
+    assert(right.isRight)
+    val (med, mn) = right.toOption.get
+    assert(med >= mn && mn >= 0.0)
+  }
+
+  test("verify's gate names throwing and never-executed queries, nonzero") {
+    // round-14 #2a: the gate must catch BOTH a query that threw and a
+    // registered query the run loop somehow skipped
+    assert(Verify.gateReport(Set("a", "b"), Set("a", "b"),
+      Seq.empty).isEmpty)
+    val r1 = Verify.gateReport(Set("a", "b"), Set("a", "b"),
+      Seq("b" -> "AnalysisException: PATH_NOT_FOUND"))
+    assert(r1.exists(s => s.contains("FAILED: b") &&
+      s.contains("PATH_NOT_FOUND")))
+    val r2 = Verify.gateReport(Set("a", "b", "c"), Set("a"), Seq.empty)
+    assert(r2.contains("NOT EXECUTED: b\nNOT EXECUTED: c"))
+  }
 }

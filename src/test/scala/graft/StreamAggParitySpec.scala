@@ -57,6 +57,38 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a regenerated corpus at the same path forces a re-stage") {
+    // round-14 verdict #5: the cache key was the sf-dir PATH only — a
+    // corpus regenerated in place within one bench process would have
+    // replayed stale fixtures. dirKey now folds a (name,length,mtime)
+    // fingerprint, so mutation at the same path changes the key.
+    import graft.streaming.StageCache
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("corpusfp")
+    val f = corpus.resolve("documents.parquet")
+    Files.writeString(f, "v1 corpus bytes")
+    val cache = Files.createTempDirectory("stagecachefp")
+    sys.props(StageCache.Prop) = cache.toString
+    try {
+      var builds = 0
+      def stage(): Unit = {
+        StageCache.resolve(s"row_${StageCache.dirKey(corpus.toString)}") {
+          _ => builds += 1 }
+        ()
+      }
+      stage(); stage()
+      assert(builds == 1, "unchanged corpus must replay the cached stage")
+      Files.writeString(f, "v2 regenerated with different length")
+      assert(f.toFile.setLastModified(f.toFile.lastModified() + 60000))
+      stage()
+      assert(builds == 2, "mutated corpus must force a re-stage")
+    } finally {
+      sys.props.remove(StageCache.Prop)
+      graft.operators.Sync.deleteTree(cache.toFile)
+      graft.operators.Sync.deleteTree(corpus.toFile)
+    }
+  }
+
   test("session_window gap boundary: an exact-gap event merges") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
