@@ -454,9 +454,21 @@ object EventStream {
     * production scale the SAME queries run with production partition
     * counts; this is a fixture-size-to-partition-count match, not a
     * semantics switch. */
-  private def protocolSession(s: SparkSession): SparkSession = {
+  private def protocolSession(s: SparkSession,
+      noDataBatches: Boolean = true): SparkSession = {
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
+    // The stream-stream join row opts out of no-data micro-batches:
+    // its inner join emits matches only on DATA batches, and the
+    // watermark flush the other rows need from a trailing no-data
+    // batch is already provided by the two sentinel DATA files — so
+    // the extra empty batch per trigger (each paying 2 sides × 4
+    // state-store instance commits) buys nothing for this row. The
+    // windowed/session agg rows KEEP no-data batches: their final
+    // append-mode emission relies on the default semantics.
+    if (!noDataBatches)
+      child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
     child
   }
 
@@ -490,7 +502,7 @@ object EventStream {
       s"replay_join_${StageCache.dirKey(dir)}")
     val work = java.nio.file.Files.createTempDirectory("joinwork")
     val outDir = work.resolve("out").toString
-    val stream = protocolSession(s).readStream
+    val stream = protocolSession(s, noDataBatches = false).readStream
       .schema(StructType(Seq(
         StructField("ts", TimestampType), StructField("user_id", LongType),
         StructField("event_type", StringType),
