@@ -369,7 +369,8 @@ object EventStream {
       s"replay_agg_${StageCache.dirKey(dir)}")
     val work = java.nio.file.Files.createTempDirectory("aggwork")
     val outDir = work.resolve("out").toString
-    val stream = readStaged(protocolSession(s), inBase)
+    val stream = readStaged(protocolSession(s, noDataBatches = false),
+      inBase)
     val agg = if (session) sessionWindows(stream) else windowedCounts(stream)
     val q = agg.writeStream.format("parquet")
       .option("path", outDir)
@@ -458,14 +459,16 @@ object EventStream {
       noDataBatches: Boolean = true): SparkSession = {
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
-    // The stream-stream join row opts out of no-data micro-batches:
-    // its inner join emits matches only on DATA batches, and the
-    // watermark flush the other rows need from a trailing no-data
-    // batch is already provided by the two sentinel DATA files — so
-    // the extra empty batch per trigger (each paying 2 sides × 4
-    // state-store instance commits) buys nothing for this row. The
-    // windowed/session agg rows KEEP no-data batches: their final
-    // append-mode emission relies on the default semantics.
+    // The staged-replay stateful rows opt out of no-data micro-batches:
+    // the two-sentinel protocol already provides the flush a no-data
+    // batch exists for (the first sentinel DATA file advances the
+    // watermark, the second triggers the batch that applies it — see
+    // aggParityRun), the join's inner join emits matches only on data
+    // batches, and the custom-state row uses NoTimeout — so the extra
+    // empty batch after every watermark advance (each paying
+    // state-store instance commits across all partitions, x2 sides for
+    // the join) buys nothing for any of them. Measured medians in
+    // SCALEPROBE.md; oracle rows re-matched at sf0.01.
     if (!noDataBatches)
       child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         "false")
@@ -550,7 +553,7 @@ object EventStream {
       s"replay_agg_${StageCache.dirKey(dir)}")
     val work = java.nio.file.Files.createTempDirectory("statework")
     val outDir = work.resolve("out").toString
-    val sess = protocolSession(s)
+    val sess = protocolSession(s, noDataBatches = false)
     val q = sessionStates(sess, readStaged(sess, inBase)).toDF()
       .writeStream.format("parquet")
       .option("path", outDir)
