@@ -90,6 +90,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamStateParity(s, d)),
     "stream_join_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamJoinParity(s, d)),
+    "stream_dedup_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamDedupParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -991,6 +993,13 @@ object SparkEntry {
            AND r.user_id = c.user_id
            AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
          ORDER BY click_id, err_ts_us""",
+    "stream_dedup_parity" ->
+      s"""SELECT event_id, user_id,
+           CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us,
+           event_type, round(value, 2) AS value
+         FROM events WHERE event_id < ${
+           graft.streaming.EventStream.AggParityEvents}
+         ORDER BY event_id""",
     "stream_state_parity" ->
       s"""SELECT user_id, count(*) AS n_events,
            round(sum(value), 2) AS total_value

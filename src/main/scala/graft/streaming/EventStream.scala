@@ -573,6 +573,98 @@ object EventStream {
     pinned
   }
 
+  /** Exactly-once ingestion parity as an ORACLE row: the at-least-once
+    * world's event dedup. The staged replay deterministically plants
+    * BOTH duplicate shapes a redelivering source produces — within-
+    * batch duplicates (every `event_id % 101 == 0` row appears twice
+    * in its own slice) and cross-batch redeliveries (every
+    * `event_id % 5 == 0` row of slice k is delivered AGAIN in slice
+    * k+1) — then streams the 4 slices one file per micro-batch through
+    * `withWatermark(ts, delay).dropDuplicatesWithinWatermark
+    * ("event_id")`, with `delay` = one slice's time width + 1 h margin
+    * so every redelivery lands inside the dedup guarantee window at
+    * ANY corpus scale (watermark after batch k-1 sits a full margin
+    * below slice k-1's oldest event — nothing redeliverable is evicted
+    * or late). The DuckDB oracle is the plain batch DISTINCT of the
+    * real events: a duplicate leaking through (state lost across a
+    * micro-batch boundary, or evicted before the redelivery landed) or
+    * a first occurrence suppressed is a hash mismatch.
+    *
+    * Scale: dedup state is keyed by event_id and evicted at
+    * `ts + delay` as the watermark passes — bounded by the redelivery
+    * horizon regardless of stream length, the exact contract that
+    * makes exactly-once ingestion viable at 100 TB (state never holds
+    * the corpus, only the watermark window). */
+  def streamDedupParity(s: SparkSession, dir: String): DataFrame = {
+    val real = graft.Tables.events(s, dir)
+      .filter(col("event_id") < AggParityEvents)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+    if (real.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("ts_us", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+    val b = real.agg(min(col("ts")), max(col("ts"))).head()
+    val lo = b.getTimestamp(0).getTime
+    val span = math.max(1L, b.getTimestamp(1).getTime - lo + 1)
+    // delay covers one replay slice plus margin: watermark after batch
+    // k-1 = max(k-1) - delay <= min(k-1) - 1h, so slice k-1's state is
+    // fully alive and none of its redeliveries arrive late
+    val delayMs = span / 4 + 3600 * 1000L
+    val (inBase, cached) = StageCache.resolve(
+      s"replay_dedup_${StageCache.dirKey(dir)}") { base =>
+      val sliced = real.withColumn("slice",
+        least(lit(3), floor((unix_millis(col("ts")) - lit(lo)) * 4.0 /
+          lit(span.toDouble))).cast("int"))
+        .localCheckpoint(true)
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      (0 to 3).foreach { k =>
+        val slice = sliced.filter(col("slice") === k).drop("slice")
+        val withinDups = slice.filter(col("event_id") % 101 === 0)
+        val redelivered =
+          if (k == 0) slice.limit(0)
+          else sliced.filter(col("slice") === k - 1).drop("slice")
+            .filter(col("event_id") % 5 === 0)
+        slice.unionAll(withinDups).unionAll(redelivered)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in$k")
+        new java.io.File(s"$base/in$k").listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .foreach(_.setLastModified(t0 + k * 60000L))
+      }
+    }
+    val work = java.nio.file.Files.createTempDirectory("dedupwork")
+    val outDir = work.resolve("out").toString
+    val stream = protocolSession(s, noDataBatches = false).readStream
+      .schema(StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$inBase/in*")
+    val q = stream.withWatermark("ts", s"$delayMs milliseconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val result = s.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(work.toFile)
+    if (!cached) deleteRecursively(inBase.toFile)
+    pinned
+  }
+
   private def parityRun(s: SparkSession, dir: String,
       deletePhase: Boolean, resyncPhase: Boolean = false,
       docFilter: Option[Column] = None,

@@ -57,6 +57,49 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming dedup: planted duplicates are suppressed exactly") {
+    // the staged replay must actually CONTAIN duplicates (otherwise
+    // the oracle row would pass vacuously), and the deduped output
+    // must equal the batch distinct of the real events bit-for-bit
+    import graft.streaming.{EventStream, StageCache}
+    val cache = java.nio.file.Files.createTempDirectory("dedupcache")
+    sys.props(StageCache.Prop) = cache.toString
+    try {
+      val out = EventStream.streamDedupParity(spark, dir)
+      val real = graft.Tables.events(spark, dir)
+        .filter(col("event_id") < EventStream.AggParityEvents)
+      val staged = spark.read.parquet(
+        cache.toFile.listFiles()
+          .filter(_.getName.startsWith("replay_dedup_"))
+          .head.toPath.resolve("in*").toString)
+      val nStaged = staged.count()
+      val nReal = real.count()
+      assert(nStaged > nReal,
+        s"staged replay must plant duplicates ($nStaged vs $nReal real)")
+      // both duplicate shapes present: within-slice and redelivered
+      assert(staged.filter(col("event_id") % 101 === 0).count() >
+        real.filter(col("event_id") % 101 === 0).count(),
+        "within-batch duplicates missing from the staged replay")
+      assert(nStaged - real.filter(col("event_id") % 101 === 0).count() >
+        nReal, "cross-batch redeliveries missing from the staged replay")
+      // output = batch distinct, exactly once each
+      assert(out.count() == nReal, "dedup must emit each event once")
+      assert(out.groupBy("event_id").count()
+        .filter(col("count") > 1).isEmpty,
+        "an event_id was emitted more than once")
+      val expected = real
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          round(col("value"), 2).as("value"))
+      assert(out.exceptAll(expected).isEmpty &&
+        expected.exceptAll(out).isEmpty,
+        "deduped stream differs from the batch distinct")
+    } finally {
+      sys.props.remove(StageCache.Prop)
+      graft.operators.Sync.deleteTree(cache.toFile)
+    }
+  }
+
   test("a regenerated corpus at the same path forces a re-stage") {
     // round-14 verdict #5: the cache key was the sf-dir PATH only — a
     // corpus regenerated in place within one bench process would have
