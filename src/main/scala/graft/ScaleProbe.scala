@@ -84,6 +84,11 @@ object ScaleProbe {
     // the banded-LSH embedding dedup (the one vector-heavy join shape
     // not yet probed; candidates from band equi-joins, never corpus²)
     "stream_batch_parity", "dedup_embedding",
+    // r15 addition: the exactly-once event dedup (capped fixture like
+    // the other parity rows, so its cell pins that the cap holds; the
+    // interesting scale property — state bounded by the watermark
+    // window, not stream length — is structural, see PLANS.md)
+    "stream_dedup_parity",
     // r13 additions: the incremental verdicts — their contract is that
     // only the batch side grows the join state (store streams map-side
     // through a broadcast), so growth must track the batch delta, not
