@@ -92,6 +92,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamJoinParity(s, d)),
     "stream_dedup_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamDedupParity(s, d)),
+    "stream_late_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamLateParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -993,6 +995,29 @@ object SparkEntry {
            AND r.user_id = c.user_id
            AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
          ORDER BY click_id, err_ts_us""",
+    // the late-replay drop rule: the same quartile assignment the
+    // stager uses (identical double arithmetic on epoch millis), with
+    // slice 1 — the slice delivered after the watermark passed it —
+    // excluded row-by-row, straddling windows keeping their other rows
+    "stream_late_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, event_type, value
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         b AS (
+           SELECT min(epoch_ms(ts)) AS lo,
+             max(epoch_ms(ts)) - min(epoch_ms(ts)) + 1 AS span
+           FROM e),
+         s AS (
+           SELECT ts, event_type, value,
+             least(3, floor((epoch_ms(ts) - lo) * 4.0 / span)) AS slice
+           FROM e CROSS JOIN b)
+         SELECT (epoch_us(ts) // 300000000) * 300000000
+             AS window_start_us,
+           event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+         FROM s WHERE slice <> 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_dedup_parity" ->
       s"""SELECT event_id, user_id,
            CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us,

@@ -665,6 +665,108 @@ object EventStream {
     pinned
   }
 
+  /** Watermark LATE-DATA semantics as an ORACLE row — the complement
+    * of [[streamWindowParity]]: that row proves time-ordered replay
+    * loses nothing; this one pins exactly what the watermark DROPS
+    * when data arrives out of order. The four time-range slices replay
+    * as 0, 2, 3, 1 — slice 1 is delivered LAST, two slices late — so
+    * every slice-1 row sits below even the LATE-EVENTS watermark,
+    * which under Spark's multi-stateful-operator default
+    * (`statefulOperator.allowMultiple=true`) lags the eviction
+    * watermark by one micro-batch: a row is dropped against the
+    * watermark of the PREVIOUS batch, not the current one (verified
+    * empirically on 4.1.2 — a row one batch late is still aggregated
+    * and its window emitted at close; two batches late it is dropped;
+    * with `allowMultiple=false` one batch suffices). The windowed
+    * aggregation must therefore drop ALL of slice 1 and NOTHING else
+    * (boundary windows straddling the slice-1/slice-2 cut were emitted
+    * when the eviction watermark passed them and the late slice-1 rows
+    * must not resurrect them). The DuckDB oracle recomputes the same
+    * quartile assignment and aggregates `slice <> 1`: a late row
+    * leaking into a window, or an on-time row dropped with it, is a
+    * hash mismatch.
+    * Two far-future sentinel data files flush slice 3's windows, as in
+    * [[aggParityRun]]; the builder REQUIRES the late construction to
+    * be decidable (slice 2 advances the watermark past slice 1) so a
+    * pathological corpus fails loudly instead of silently mismatching.
+    *
+    * Scale: this is the semantics that bounds state at 100 TB — the
+    * watermark is the contract that lets Spark evict closed windows;
+    * the row pins that eviction drops late stragglers deterministically
+    * rather than corrupting closed aggregates. */
+  def streamLateParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val real = graft.Tables.events(s, dir)
+      .filter(col("event_id") < AggParityEvents)
+      .select(col("ts"), col("event_type"), col("value"))
+    if (real.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("window_start_us", LongType),
+          StructField("event_type", StringType),
+          StructField("n", LongType),
+          StructField("total_value", DoubleType))))
+    val (inBase, cached) = StageCache.resolve(
+      s"replay_late_${StageCache.dirKey(dir)}") { base =>
+      val b = real.agg(min(col("ts")), max(col("ts"))).head()
+      val lo = b.getTimestamp(0).getTime
+      val maxTs = b.getTimestamp(1)
+      val span = math.max(1L, maxTs.getTime - lo + 1)
+      val sliced = real.withColumn("slice",
+        least(lit(3), floor((unix_millis(col("ts")) - lit(lo)) * 4.0 /
+          lit(span.toDouble))).cast("int"))
+        .localCheckpoint(true)
+      // decidability: by slice-1's batch, the LAGGED late-events
+      // watermark is max(slice 2) - 10 min (the watermark the previous
+      // batch ran with); it must sit past ALL of slice 1, else
+      // "slice 1 is dropped" is not what Spark computes
+      val mx = sliced.groupBy(col("slice"))
+        .agg(max(unix_millis(col("ts"))).as("mx"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(mx.contains(1) && mx.contains(2) &&
+        mx(2) - 10 * 60000L > mx(1),
+        s"late-parity corpus not decidable: slice maxes $mx")
+      val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+      val sentinel = Seq((future, "__sentinel__", 0.0))
+        .toDF("ts", "event_type", "value")
+      // replay order: slice 0, slice 2, slice 3, slice 1 (LATE),
+      // sentinel, sentinel
+      val files: Seq[DataFrame] = Seq(0, 2, 3, 1)
+        .map(k => sliced.filter(col("slice") === k).drop("slice")) ++
+        Seq(sentinel, sentinel)
+      val t0 = System.currentTimeMillis() - 3600 * 1000L
+      files.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$base/in$i")
+        new java.io.File(s"$base/in$i").listFiles()
+          .filter(_.getName.startsWith("part-"))
+          .foreach(_.setLastModified(t0 + i * 60000L))
+      }
+    }
+    val work = java.nio.file.Files.createTempDirectory("latework")
+    val outDir = work.resolve("out").toString
+    val stream = protocolSession(s, noDataBatches = false).readStream
+      .schema(StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$inBase/in*")
+    val q = windowedCounts(stream).writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val result = s.read.parquet(outDir)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("window_start_us", "event_type")
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(work.toFile)
+    if (!cached) deleteRecursively(inBase.toFile)
+    pinned
+  }
+
   private def parityRun(s: SparkSession, dir: String,
       deletePhase: Boolean, resyncPhase: Boolean = false,
       docFilter: Option[Column] = None,

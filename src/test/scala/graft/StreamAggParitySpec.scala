@@ -100,6 +100,41 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("late replay drops exactly the late slice, nothing else") {
+    // the row's premise, asserted independently of the DuckDB hash:
+    // the staged replay really delivers slice 1 after slice 2 (late by
+    // construction), and the emitted aggregate equals the batch
+    // aggregate over everything EXCEPT slice 1 — total row weight
+    // n(batch_all) - n(slice1)
+    import graft.streaming.{EventStream, StageCache}
+    val cache = java.nio.file.Files.createTempDirectory("latecache")
+    sys.props(StageCache.Prop) = cache.toString
+    try {
+      val out = EventStream.streamLateParity(spark, dir)
+      val emitted = out.agg(sum(col("n"))).head().getLong(0)
+      val real = graft.Tables.events(spark, dir)
+        .filter(col("event_id") < EventStream.AggParityEvents)
+      val nReal = real.count()
+      val staged = cache.toFile.listFiles()
+        .filter(_.getName.startsWith("replay_late_")).head
+      // in3 is the late file (replay order 0,2,3,1): non-empty, and
+      // every row older than the newest row of in1 (= slice 2)
+      val late = spark.read.parquet(s"$staged/in3")
+      val nLate = late.count()
+      assert(nLate > 0, "late slice must not be empty")
+      val maxLate = late.agg(max(col("ts"))).head().getTimestamp(0)
+      val minPrev = spark.read.parquet(s"$staged/in1")
+        .agg(min(col("ts"))).head().getTimestamp(0)
+      assert(maxLate.before(minPrev),
+        "slice 1 must be entirely older than the already-played slice 2")
+      assert(emitted == nReal - nLate,
+        s"emitted weight $emitted != all $nReal minus late $nLate")
+    } finally {
+      sys.props.remove(StageCache.Prop)
+      graft.operators.Sync.deleteTree(cache.toFile)
+    }
+  }
+
   test("a regenerated corpus at the same path forces a re-stage") {
     // round-14 verdict #5: the cache key was the sf-dir PATH only — a
     // corpus regenerated in place within one bench process would have
