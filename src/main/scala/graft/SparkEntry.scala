@@ -94,6 +94,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamDedupParity(s, d)),
     "stream_late_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamLateParity(s, d)),
+    "stream_rocksdb_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamRocksdbParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -598,6 +600,20 @@ object SparkEntry {
          matched_terms, score
        FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Shared by stream_window_parity and stream_rocksdb_parity: the two
+    * rows run the same windowed aggregation on different state
+    * backends and must hash-match the same batch derivation. */
+  private val windowParityOracleSql: String =
+    s"""WITH e AS (
+         SELECT ts::TIMESTAMP AS ts, event_type, value
+         FROM events WHERE event_id < ${
+           graft.streaming.EventStream.AggParityEvents})
+       SELECT (epoch_us(ts) // 300000000) * 300000000
+           AS window_start_us,
+         event_type, count(*) AS n,
+         round(sum(value), 2) AS total_value
+       FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -937,16 +953,10 @@ object SparkEntry {
     // the append-mode output equals the full batch result); caps
     // interpolate EventStream.AggParityEvents so engine and oracle
     // can never drift apart by hand-edit
-    "stream_window_parity" ->
-      s"""WITH e AS (
-           SELECT ts::TIMESTAMP AS ts, event_type, value
-           FROM events WHERE event_id < ${
-             graft.streaming.EventStream.AggParityEvents})
-         SELECT (epoch_us(ts) // 300000000) * 300000000
-             AS window_start_us,
-           event_type, count(*) AS n,
-           round(sum(value), 2) AS total_value
-         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_window_parity" -> windowParityOracleSql,
+    // the RocksDB-backend run shares the default-backend oracle BY
+    // DESIGN: state-backend choice must be invisible to results
+    "stream_rocksdb_parity" -> windowParityOracleSql,
     // the batch derivation of the streaming curation pipeline: gate
     // (word floor + the stratified sampler's sha bucket at 500‰) then
     // global (doc_id, pos) first-claim span dedup — ascending-order

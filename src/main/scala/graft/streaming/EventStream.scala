@@ -344,8 +344,18 @@ object EventStream {
     * watermark, the second triggers the batch that applies it. The
     * sentinels' own window/session never closes, so they are never
     * emitted — the oracle is pure batch SQL over the real events. */
+  /** [[streamWindowParity]] on the RocksDB state store — identical
+    * query, identical staged replay, identical ORACLE (the two rows
+    * share one DuckDB derivation): state-backend choice must be
+    * invisible to results. RocksDB is the backend a 100 TB deployment
+    * runs (state on executor-local disk, not heap); the run REQUIREs
+    * RocksDB snapshot artifacts in the checkpoint so a silent fallback
+    * to the default provider can never pass as parity. */
+  def streamRocksdbParity(s: SparkSession, dir: String): DataFrame =
+    aggParityRun(s, dir, session = false, rocksdb = true)
+
   private def aggParityRun(s: SparkSession, dir: String,
-      session: Boolean): DataFrame = {
+      session: Boolean, rocksdb: Boolean = false): DataFrame = {
     import s.implicits._
     val real = graft.Tables.events(s, dir)
       .filter(col("event_id") < AggParityEvents)
@@ -369,14 +379,28 @@ object EventStream {
       s"replay_agg_${StageCache.dirKey(dir)}")
     val work = java.nio.file.Files.createTempDirectory("aggwork")
     val outDir = work.resolve("out").toString
-    val stream = readStaged(protocolSession(s, noDataBatches = false),
-      inBase)
+    val stream = readStaged(
+      protocolSession(s, noDataBatches = false, rocksdb = rocksdb), inBase)
     val agg = if (session) sessionWindows(stream) else windowedCounts(stream)
     val q = agg.writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
+    if (rocksdb) {
+      // self-pin: the checkpoint must hold RocksDB snapshot artifacts
+      // (NN.zip / NN.changelog; the default provider writes NN.delta)
+      // — a dropped conf would silently fall back and still "pass"
+      val stateRoot = work.resolve("ckpt").resolve("state").toFile
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
+        else Seq(f)
+      val names = files(stateRoot).map(_.getName)
+      require(names.exists(n => n.endsWith(".zip") ||
+          n.endsWith(".changelog")) && !names.exists(_.endsWith(".delta")),
+        s"RocksDB state artifacts missing — provider fell back: " +
+          names.take(10).mkString(","))
+    }
     val emitted = s.read.parquet(outDir)
     val result =
       if (session) emitted.select(
@@ -456,9 +480,20 @@ object EventStream {
     * counts; this is a fixture-size-to-partition-count match, not a
     * semantics switch. */
   private def protocolSession(s: SparkSession,
-      noDataBatches: Boolean = true): SparkSession = {
+      noDataBatches: Boolean = true,
+      rocksdb: Boolean = false): SparkSession = {
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "4")
+    // RocksDB state store: the 100 TB state backend (state spills to
+    // local disk instead of living on the executor heap the way the
+    // default HDFS-backed provider's maps do). The rocksdb parity row
+    // runs the SAME windowed aggregation against it and shares the
+    // default-backend row's oracle — bit-identical results across
+    // state backends is the portability contract.
+    if (rocksdb)
+      child.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
     // The staged-replay stateful rows opt out of no-data micro-batches:
     // the two-sentinel protocol already provides the flush a no-data
     // batch exists for (the first sentinel DATA file advances the

@@ -173,5 +173,8 @@ class BenchRetimeSpec extends AnyFunSuite {
       s.contains("PATH_NOT_FOUND")))
     val r2 = Verify.gateReport(Set("a", "b", "c"), Set("a"), Seq.empty)
     assert(r2.contains("NOT EXECUTED: b\nNOT EXECUTED: c"))
+    // an oracle key with no registered query compares nothing — gate it
+    val r3 = Verify.gateReport(Set("a"), Set("a"), Seq.empty, Set("ghost"))
+    assert(r3.contains("ORPHAN ORACLE: ghost"))
   }
 }

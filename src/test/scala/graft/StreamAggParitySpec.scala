@@ -100,6 +100,27 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rocksdb state backend emits bit-identical windowed results") {
+    // state-backend portability: the RocksDB run must equal the
+    // default-backend run exactly (they also share one DuckDB oracle);
+    // the provider REQUIRE inside the run pins that RocksDB was
+    // actually used, so this cannot pass via a silent fallback
+    import graft.streaming.{EventStream, StageCache}
+    val cache = java.nio.file.Files.createTempDirectory("rockscache")
+    sys.props(StageCache.Prop) = cache.toString
+    try {
+      val default = EventStream.streamWindowParity(spark, dir)
+        .collect().toSeq
+      val rocks = EventStream.streamRocksdbParity(spark, dir)
+        .collect().toSeq
+      assert(rocks == default,
+        "RocksDB-backed run differs from the default-backend run")
+    } finally {
+      sys.props.remove(StageCache.Prop)
+      graft.operators.Sync.deleteTree(cache.toFile)
+    }
+  }
+
   test("late replay drops exactly the late slice, nothing else") {
     // the row's premise, asserted independently of the DuckDB hash:
     // the staged replay really delivers slice 1 after slice 2 (late by
