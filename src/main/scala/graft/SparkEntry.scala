@@ -314,6 +314,7 @@ object SparkEntry {
     "stats_kmv_distinct"  -> (Stats.kmvDistinct _),
     "stream_kmv_parity"   -> (Stats.kmvDistinctStream _),
     "src_scan_csv"        -> (graft.sources.CsvSource.scanCsv _),
+    "src_scan_orc"        -> (graft.sources.OrcSource.scanOrc _),
     "src_scan_jsonl"      -> (graft.sources.JsonlSource.scanJsonl _),
     "src_scan_evolution"  -> (graft.sources.EvolvingSource.scanEvolved _),
     "src_scan_contract"   -> (graft.sources.EvolvingSource.scanContract _)
@@ -4315,6 +4316,19 @@ object SparkEntry {
     // malformed line changes a sum and fails the hash. Good-row-only
     // sums keep the row independent of which FIELDS of a malformed
     // line the parser salvages (version-specific behavior).
+    // ORC round-trip: Spark stages documents as lang-partitioned ORC
+    // (token array riding along) and reads back through a pruned,
+    // pushed-down scan; the oracle computes the same aggregate from
+    // the ORIGINAL parquet, so format fidelity feeds the hash
+    "src_scan_orc" ->
+      """SELECT lang, source, count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS sum_tokens
+         FROM documents
+         WHERE lang IN ('en', 'fr') AND n_chars >= 200
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "src_scan_csv" ->
       """WITH base AS (
            SELECT doc_id, lang, n_chars,

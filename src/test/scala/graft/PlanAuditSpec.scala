@@ -507,6 +507,39 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ReadSchema: struct<n_name:string>"), p.take(4000))
   }
 
+  test("orc scan prunes lang partitions and pushes the n_chars filter") {
+    import org.apache.spark.sql.functions.{col, split}
+    // the src_scan_orc read side: of 5 lang partition dirs only the 2
+    // selected ones may reach IO, and the row-level predicate must be
+    // pushed to the ORC reader rather than filtered post-scan
+    val base = java.nio.file.Files.createTempDirectory("orcplan")
+    try {
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          split(col("text"), " ", -1).as("tokens"), col("lang"))
+        .write.partitionBy("lang").orc(s"$base/in")
+      // the scan stage alone (same read+filter the full query plans;
+      // the aggregate on top would wrap the plan in AQE and hide the
+      // FileSourceScanExec from collectLeaves)
+      val df = spark.read.orc(s"$base/in")
+        .filter(col("lang").isin("en", "fr") && col("n_chars") >= 200)
+      df.count()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(fail("no FileSourceScanExec in the plan"))
+      val pf = scan.partitionFilters.mkString(";")
+      assert(pf.contains("lang"),
+        s"lang must reach the scan's PartitionFilters: $pf")
+      assert(scan.selectedPartitions.partitionCount == 2,
+        s"expected 2 pruned lang partitions, scanned " +
+          s"${scan.selectedPartitions.partitionCount}")
+      assert(scan.metadata.get("PushedFilters").exists(
+          _.contains("GreaterThanOrEqual(n_chars,200)")),
+        s"n_chars predicate not pushed: ${scan.metadata.get("PushedFilters")}")
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
   test("chunk store prunes to one (product_name, version) partition pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
