@@ -96,6 +96,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamLateParity(s, d)),
     "stream_rocksdb_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamRocksdbParity(s, d)),
+    "stream_enrich_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamEnrichParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -1029,6 +1031,23 @@ object SparkEntry {
            round(sum(value), 2) AS total_value
          FROM s WHERE slice <> 1
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // stream-static enrichment: batch left join against the gapped
+    // broadcast dim — per-micro-batch re-broadcast must be invisible
+    "stream_enrich_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         d AS (
+           SELECT c_custkey, n_name, c_mktsegment
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey % 3 <> 0)
+         SELECT CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, e.user_id,
+           e.event_type, round(e.value, 2) AS value,
+           COALESCE(d.n_name, 'unknown') AS nation,
+           COALESCE(d.c_mktsegment, 'unknown') AS segment
+         FROM e LEFT JOIN d ON e.user_id = d.c_custkey
+         ORDER BY ts_us, user_id, event_type""",
     "stream_dedup_parity" ->
       s"""SELECT event_id, user_id,
            CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us,

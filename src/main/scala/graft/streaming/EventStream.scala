@@ -344,6 +344,70 @@ object EventStream {
     * watermark, the second triggers the batch that applies it. The
     * sentinels' own window/session never closes, so they are never
     * emitted — the oracle is pure batch SQL over the real events. */
+  /** Stream-static enrichment parity as an ORACLE row: the most common
+    * streaming pattern of all — each micro-batch left-outer joins a
+    * BROADCAST static dimension (customer × nation, with every 3rd
+    * customer withheld so the null path is live) and emits enriched
+    * rows immediately. STATELESS by design: no watermark, no state
+    * store — the static side is re-broadcast per micro-batch and the
+    * stream side never buffers, which is why this shape scales to
+    * unbounded streams for free. The DuckDB oracle is the plain batch
+    * left join; a dropped unmatched row, a duplicated match across the
+    * micro-batch boundary, or a stale dim snapshot is a hash mismatch.
+    * Replays the 4 range slices WITHOUT the sentinel files — a
+    * stateless query needs no watermark flush, so the two sentinel
+    * trigger rounds would be pure overhead. */
+  def streamEnrichParity(s: SparkSession, dir: String): DataFrame = {
+    val real = graft.Tables.events(s, dir)
+      .filter(col("event_id") < AggParityEvents)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    if (real.take(1).isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("ts_us", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("nation", StringType),
+          StructField("segment", StringType))))
+    val (inBase, cached) = stageReplay(s, real,
+      s"replay_enrich_${StageCache.dirKey(dir)}", sentinels = false)
+    // materialize the dim once: the stream re-plans (and re-broadcasts)
+    // the static side EVERY micro-batch, so without this each trigger
+    // re-runs the customer×nation join from the parquet scans
+    val dim = graft.Tables.customer(s, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .join(graft.Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("c_mktsegment"))
+      .localCheckpoint(true)
+    val work = java.nio.file.Files.createTempDirectory("enrichwork")
+    val outDir = work.resolve("out").toString
+    val sess = protocolSession(s, noDataBatches = false)
+    val stream = readStaged(sess, inBase)
+    val joined = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"),
+        "left_outer")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"),
+        coalesce(col("n_name"), lit("unknown")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val result = s.read.parquet(outDir)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), round(col("value"), 2).as("value"),
+        col("nation"), col("segment"))
+      .orderBy("ts_us", "user_id", "event_type")
+    val pinned = result.localCheckpoint(true)
+    deleteRecursively(work.toFile)
+    if (!cached) deleteRecursively(inBase.toFile)
+    pinned
+  }
+
   /** [[streamWindowParity]] on the RocksDB state store — identical
     * query, identical staged replay, identical ORACLE (the two rows
     * share one DuckDB derivation): state-backend choice must be
@@ -429,7 +493,8 @@ object EventStream {
     * function of the corpus — cached files keep their mtimes, so
     * replay order is unchanged); returns (staging root, cached). */
   private def stageReplay(s: SparkSession, real: DataFrame,
-      cacheKey: String): (java.nio.file.Path, Boolean) = {
+      cacheKey: String, sentinels: Boolean = true):
+      (java.nio.file.Path, Boolean) = {
     import s.implicits._
     StageCache.resolve(cacheKey) { base =>
       // explicit, all-in-the-past mtimes: the file source replays oldest
@@ -443,18 +508,24 @@ object EventStream {
       real.repartitionByRange(4, col("ts")).write
         .mode("overwrite").parquet(s"$base/in0")
       stampDir(s"$base/in0", t0)
-      val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
-      val future = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
-      val sentinelBase = Seq((future, -1L, "__sentinel__", 0.0))
-        .toDF("ts", "user_id", "event_type", "value")
-      // mirror any extra caller columns (e.g. event_id) so every staged
-      // file carries one schema
-      val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
-        if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
-      sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in1")
-      stampDir(s"$base/in1", t0 + 10 * 60000L)
-      sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in2")
-      stampDir(s"$base/in2", t0 + 11 * 60000L)
+      // stateless consumers (the enrich row) need no watermark flush:
+      // they replay the 4 range slices only, skipping the 2 sentinel
+      // trigger rounds entirely
+      if (sentinels) {
+        val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
+        val future =
+          new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+        val sentinelBase = Seq((future, -1L, "__sentinel__", 0.0))
+          .toDF("ts", "user_id", "event_type", "value")
+        // mirror any extra caller columns (e.g. event_id) so every
+        // staged file carries one schema
+        val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
+          if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
+        sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in1")
+        stampDir(s"$base/in1", t0 + 10 * 60000L)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in2")
+        stampDir(s"$base/in2", t0 + 11 * 60000L)
+      }
     }
   }
 
