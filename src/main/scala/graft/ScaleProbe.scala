@@ -84,11 +84,15 @@ object ScaleProbe {
     // the banded-LSH embedding dedup (the one vector-heavy join shape
     // not yet probed; candidates from band equi-joins, never corpus²)
     "stream_batch_parity", "dedup_embedding",
-    // r15 addition: the exactly-once event dedup (capped fixture like
+    // r15 additions: the exactly-once event dedup (capped fixture like
     // the other parity rows, so its cell pins that the cap holds; the
     // interesting scale property — state bounded by the watermark
-    // window, not stream length — is structural, see PLANS.md)
-    "stream_dedup_parity",
+    // window, not stream length — is structural, see PLANS.md), the
+    // ORC round-trip (stage write + pruned scan, linear in staged
+    // bytes like the CSV/JSONL rows), and the stream-static broadcast
+    // enrichment (dim grows with the corpus but stays broadcast-sized;
+    // the stream side is the capped replay)
+    "stream_dedup_parity", "src_scan_orc", "stream_enrich_parity",
     // r13 additions: the incremental verdicts — their contract is that
     // only the batch side grows the join state (store streams map-side
     // through a broadcast), so growth must track the batch delta, not
