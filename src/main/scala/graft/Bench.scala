@@ -134,15 +134,22 @@ object Bench {
     * floor — that run still refuses its headline, but the next run is
     * judged against the new hardware's reality. The artifact reports
     * `baseline_reseeded` so a reader knows the reference moved.
+    *
+    * Only QUIET-but-invalid runs count toward the streak: a flat
+    * sentinel ratio with a high floor is the signature of a permanent
+    * change, while a load-flagged run — even one whose floor also
+    * exceeds the threshold — is transient-load evidence and holds
+    * everything (checked FIRST, so three bursty-loaded runs can never
+    * re-seed the baseline to an inflated floor).
     * Returns (floorToPersist, newInvalidStreak, reseeded). */
   def baselineTransition(existing: Option[Double], invalidStreak: Int,
       runFloor: Double, loadFlagged: Boolean, envInvalid: Boolean,
       reseedAfter: Int = 3): (Option[Double], Int, Boolean) =
-    if (envInvalid) {
+    if (loadFlagged) (existing, invalidStreak, false)
+    else if (envInvalid) {
       if (invalidStreak + 1 >= reseedAfter) (Some(runFloor), 0, true)
       else (existing, invalidStreak + 1, false)
-    } else if (loadFlagged) (existing, invalidStreak, false)
-    else (updatedBaseline(existing, runFloor, runClean = true), 0, false)
+    } else (updatedBaseline(existing, runFloor, runClean = true), 0, false)
 
   /** Minimal flat-JSON map IO for the baseline file (one float per
     * bench environment key) — no JSON dependency in this build. */
@@ -281,8 +288,13 @@ object Bench {
     // A query whose every rep THROWS is an errored row: named loudly on
     // stderr, carried as error status in both artifacts, and excluded
     // from the headline total — never timed-by-its-throw (round-14 #2b).
+    // Errored rows keep a PLACEHOLDER slot in `results` so the
+    // sentinel-segment indexing (one sentinel per segmentSize queries,
+    // positional) still attributes every query to the segment its
+    // sentinels actually bracketed; they are filtered out after the
+    // retime pass.
     val errored = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), qi) =>
         if (qi > 0 && qi % segmentSize == 0) sentinels += sentinel()
         // One untimed warmup rep per query: round 7 showed untouched
@@ -297,11 +309,11 @@ object Bench {
         // a REAL regression moves both, a loaded box moves only the
         // median/max side.
         timeReps(nReps, () => { fn(spark, sfDir).count(); () }) match {
-          case Right(reading) => Some(name -> reading)
+          case Right(reading) => name -> reading
           case Left(e) =>
             errored(name) = e
             System.err.println(s"[bench] ERRORED $name: $e")
-            None
+            name -> (0.0, 0.0)
         }
     }
     sentinels += sentinel()
@@ -328,10 +340,12 @@ object Bench {
           java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
       else Map.empty
     val runFloor = sentinels.min
-    // legacy entries (pre-host keys) keep refusing loaded runs on the
-    // same box across the key migration
+    // host-keyed only: a DIFFERENT host with the same cpu count must
+    // seed its own entry from its first clean run, never inherit this
+    // box's floor (the committed baseline already carries the
+    // host-keyed entry, so no legacy fallback is needed on this box —
+    // and the legacy key is pruned below once its host entry exists)
     val baselineFloor = baselines.get(envKey)
-      .orElse(baselines.get(s"$sfDir@${cpus}cpus"))
     val envInvalid = environmentInvalid(runFloor, baselineFloor)
     // -Dgraft.bench.resetBaseline=true: explicit operator re-seed after
     // a known hardware change (skips the 3-invalid-run wait)
@@ -345,11 +359,17 @@ object Bench {
     val persistFloor = if (reseeded) Some(runFloor) else newFloor
     val persistStreak = if (reseeded) 0 else newStreak
     // zero streaks are dropped rather than persisted — the steady
-    // (clean-run) state leaves the file byte-identical run over run
-    val updated = (baselines ++
+    // (clean-run) state leaves the file byte-identical run over run —
+    // and the pre-host-key legacy entry is pruned once its host-keyed
+    // successor exists (a different host must not inherit it)
+    val legacyKey = s"$sfDir@${cpus}cpus"
+    val withNew = baselines ++
       persistFloor.map(envKey -> _) +
-      (streakKey -> persistStreak.toDouble))
+      (streakKey -> persistStreak.toDouble)
+    val hostEntryExists = withNew.contains(envKey)
+    val updated = withNew
       .filter { case (k, v) => !k.endsWith("#invalid_streak") || v != 0.0 }
+      .filter { case (k, _) => k != legacyKey || !hostEntryExists }
     if (updated != baselines)
       java.nio.file.Files.write(baselinePath,
         (renderBaselines(updated) + "\n").getBytes("UTF-8"))
@@ -363,22 +383,31 @@ object Bench {
     // per query and changes nothing; the artifact lists what was
     // re-timed either way.
     val retimeFailed = scala.collection.mutable.ArrayBuffer[String]()
-    val (healed, retimedNames) = applyRetimes(results, sentinels.toSeq,
-      segmentSize, name => {
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          // name the failure in the artifact — a swallowed -1.0 plus a
-          // tail-truncated stack trace left round 12's retime failure
-          // unattributable (ADVICE item)
-          retimeFailed += s"$name:${e.getClass.getSimpleName}"
-          System.err.println(s"[bench] retime failed $name: " +
-            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(120)}")
-          -1.0
-        }
-      })
+    val (healedAll, retimedAll) = applyRetimes(results, sentinels.toSeq,
+      segmentSize, name =>
+        // an errored row's placeholder must not trigger a re-run of a
+        // known-broken query; -1 keeps the (ignored) original reading
+        if (errored.contains(name)) -1.0
+        else {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            // name the failure in the artifact — a swallowed -1.0 plus
+            // a tail-truncated stack trace left round 12's retime
+            // failure unattributable (ADVICE item)
+            retimeFailed += s"$name:${e.getClass.getSimpleName}"
+            System.err.println(s"[bench] retime failed $name: " +
+              s"${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).take(120))
+            -1.0
+          }
+        })
+    // errored placeholders served their segment-alignment purpose;
+    // everything downstream (headline total, artifacts) excludes them
+    val healed = healedAll.filterNot { case (n, _) => errored.contains(n) }
+    val retimedNames = retimedAll.filterNot(errored.contains)
     // The harness records only the LAST ~2000 chars of this process's
     // output (BENCH_r*.json "tail"); a metrics line longer than that is
     // cut mid-line and never parses — rounds 1-6 all recorded
@@ -395,9 +424,18 @@ object Bench {
     // regression signal (environment_invalid says so in both
     // artifacts). A clean run reports medians as always.
     // errored rows by name (tail line) and with their exception labels
-    // (detail artifact) — a broken query must be visible in BOTH
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // (detail artifact) — a broken query must be visible in BOTH.
+    // Escapes ALL control chars, not just quote/backslash: an exception
+    // message can carry a NUL (e.g. from corrupt bytes in a path) that
+    // the \s+ collapse in timeReps does not touch, and one raw control
+    // char makes the whole artifact unparseable (Verify's q() learned
+    // this first).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val erroredNamesJson =
       errored.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val erroredJson = errored.toSeq.sortBy(_._1)

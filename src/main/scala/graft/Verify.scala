@@ -43,9 +43,7 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    val executed = scala.collection.mutable.LinkedHashSet[String]()
     selected.foreach { case (name, fn) =>
-      executed += name
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,6 +51,12 @@ object Verify {
         System.err.println(s"[verify] FAILED $name: ${failed(name)}")
       }
     }
+    // OBSERVATIONAL executed-set: what is actually ON DISK for the
+    // driver to compare (plus named failures), not loop-local
+    // bookkeeping — a loop-derived set shrinks together with any
+    // upstream bug that drops a query and can never flag it
+    val executed = selected.keySet.filter(n =>
+      new java.io.File(s"$outDir/$n").isDirectory) ++ failed.keySet
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -76,7 +80,7 @@ object Verify {
     // an oracle key with no registered query would compare nothing,
     // silently — same failure class as a throwing query
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    gateReport(selected.keySet, executed.toSet, failed.toSeq,
+    gateReport(selected.keySet, executed, failed.toSeq,
       orphans).foreach {
       report =>
         System.err.println(

@@ -492,22 +492,27 @@ object EventStream {
     * the bench's [[StageCache]] is active (the staged replay is a pure
     * function of the corpus — cached files keep their mtimes, so
     * replay order is unchanged); returns (staging root, cached). */
+  /** Stamp a staged dir's part files with explicit, all-in-the-past,
+    * name-ordered ascending mtimes: the file source replays oldest
+    * mtime first, so replay order is fully deterministic — including
+    * WITHIN a multi-part dir. The single stamping implementation for
+    * every replay stager (three copies drifted before r15 hoisted it:
+    * the single-part stagers had silently dropped the name sort). */
+  private def stampParts(d: String, t: Long): Unit =
+    new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
+
   private def stageReplay(s: SparkSession, real: DataFrame,
       cacheKey: String, sentinels: Boolean = true):
       (java.nio.file.Path, Boolean) = {
     import s.implicits._
     StageCache.resolve(cacheKey) { base =>
-      // explicit, all-in-the-past mtimes: the file source replays oldest
-      // mtime first, so slice order is fully deterministic
-      def stampDir(d: String, t: Long): Unit =
-        new java.io.File(d).listFiles()
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .zipWithIndex
-          .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
       val t0 = System.currentTimeMillis() - 3600 * 1000L
       real.repartitionByRange(4, col("ts")).write
         .mode("overwrite").parquet(s"$base/in0")
-      stampDir(s"$base/in0", t0)
+      stampParts(s"$base/in0", t0)
       // stateless consumers (the enrich row) need no watermark flush:
       // they replay the 4 range slices only, skipping the 2 sentinel
       // trigger rounds entirely
@@ -522,9 +527,9 @@ object EventStream {
         val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
           if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
         sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in1")
-        stampDir(s"$base/in1", t0 + 10 * 60000L)
+        stampParts(s"$base/in1", t0 + 10 * 60000L)
         sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in2")
-        stampDir(s"$base/in2", t0 + 11 * 60000L)
+        stampParts(s"$base/in2", t0 + 11 * 60000L)
       }
     }
   }
@@ -738,9 +743,7 @@ object EventStream {
             .filter(col("event_id") % 5 === 0)
         slice.unionAll(withinDups).unionAll(redelivered)
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in$k")
-        new java.io.File(s"$base/in$k").listFiles()
-          .filter(_.getName.startsWith("part-"))
-          .foreach(_.setLastModified(t0 + k * 60000L))
+        stampParts(s"$base/in$k", t0 + k * 60000L)
       }
     }
     val work = java.nio.file.Files.createTempDirectory("dedupwork")
@@ -844,9 +847,7 @@ object EventStream {
       val t0 = System.currentTimeMillis() - 3600 * 1000L
       files.zipWithIndex.foreach { case (df, i) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$base/in$i")
-        new java.io.File(s"$base/in$i").listFiles()
-          .filter(_.getName.startsWith("part-"))
-          .foreach(_.setLastModified(t0 + i * 60000L))
+        stampParts(s"$base/in$i", t0 + i * 60000L)
       }
     }
     val work = java.nio.file.Files.createTempDirectory("latework")

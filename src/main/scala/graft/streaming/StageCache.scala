@@ -24,23 +24,29 @@ object StageCache {
   /** Sanitized cache-key fragment for a testdata dir, INCLUDING a
     * corpus fingerprint (round-14 verdict #5): the path alone would
     * replay stale fixtures if the corpus at that path were regenerated
-    * within one bench process. The fingerprint folds every file's
-    * (relative name, length, mtime) — one level of directory recursion
-    * covers parquet dirs' part files — so a regenerated corpus changes
-    * the key and forces a rebuild. A handful of stat calls per
-    * invocation; no file contents are read. */
+    * within one bench process. The fingerprint folds every FILE's
+    * (root-relative path, length, mtime) with full directory recursion
+    * — so a file rewritten anywhere in a nested layout (e.g. a
+    * partitioned table's leaf) changes the key and forces a rebuild;
+    * hashing only leaf names or capping the depth would let a
+    * regenerated nested corpus keep its stale key. A handful of stat
+    * calls per invocation; no file contents are read. */
   def dirKey(dir: String): String =
     dir.replaceAll("[^a-zA-Z0-9]+", "_") + "_" +
       java.lang.Long.toHexString(fingerprint(new java.io.File(dir)))
 
   private[graft] def fingerprint(root: java.io.File): Long = {
-    def entries(f: java.io.File, depth: Int): Seq[java.io.File] =
-      if (f.isDirectory && depth < 2)
+    def entries(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
-          .flatMap(entries(_, depth + 1))
+          .flatMap(entries)
       else Seq(f)
-    entries(root, 0).foldLeft(1125899906842597L) { (h, f) =>
-      val s = s"${f.getName}:${f.length}:${f.lastModified}"
+    val rootPath = root.toPath.toAbsolutePath
+    entries(root).foldLeft(1125899906842597L) { (h, f) =>
+      val rel =
+        try rootPath.relativize(f.toPath.toAbsolutePath).toString
+        catch { case _: IllegalArgumentException => f.getPath }
+      val s = s"$rel:${f.length}:${f.lastModified}"
       s.foldLeft(h * 31 + 17)((a, c) => a * 31 + c)
     }
   }

@@ -141,6 +141,11 @@ class BenchRetimeSpec extends AnyFunSuite {
     // not evidence of a hardware change
     assert(Bench.baselineTransition(b, 2, 0.9, loadFlagged = true,
       envInvalid = false) == ((b, 2, false)))
+    // a run that is BOTH load-flagged and environment-invalid is
+    // transient-load evidence, not a hardware change: it must neither
+    // advance the streak nor (on the 3rd) re-seed to a loaded floor
+    assert(Bench.baselineTransition(b, 2, 0.9, loadFlagged = true,
+      envInvalid = true) == ((b, 2, false)))
   }
 
   test("a rep that throws contributes no reading; all-throw errors the row") {
