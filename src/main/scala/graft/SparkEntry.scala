@@ -98,6 +98,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamRocksdbParity(s, d)),
     "stream_enrich_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamEnrichParity(s, d)),
+    "stream_outer_join_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamOuterJoinParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -1055,6 +1057,28 @@ object SparkEntry {
          FROM events WHERE event_id < ${
            graft.streaming.EventStream.AggParityEvents}
          ORDER BY event_id""",
+    // the outer variant: unmatched clicks must surface exactly once
+    // with null err columns — the filtered CTEs keep the event_type
+    // predicates out of the LEFT JOIN's ON clause, where they would
+    // wrongly preserve non-click rows
+    "stream_outer_join_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value,
+             event_id
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         c AS (
+           SELECT event_id AS click_id, user_id, ts FROM e
+           WHERE event_type = 'click'),
+         r AS (
+           SELECT user_id, ts, value FROM e WHERE event_type = 'error')
+         SELECT c.click_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(r.ts) AS err_ts_us,
+           r.value AS err_value
+         FROM c LEFT JOIN r
+           ON r.user_id = c.user_id
+           AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
+         ORDER BY click_id, err_ts_us""",
     "stream_state_parity" ->
       s"""SELECT user_id, count(*) AS n_events,
            round(sum(value), 2) AS total_value

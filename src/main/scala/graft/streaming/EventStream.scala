@@ -372,7 +372,7 @@ object EventStream {
           StructField("nation", StringType),
           StructField("segment", StringType))))
     val (inBase, cached) = stageReplay(s, real,
-      s"replay_enrich_${StageCache.dirKey(dir)}", sentinels = false)
+      s"replay_enrich_${StageCache.dirKey(dir)}", nSentinels = 0)
     // materialize the dim once: the stream re-plans (and re-broadcasts)
     // the static side EVERY micro-batch, so without this each trigger
     // re-runs the customer×nation join from the parquet scans
@@ -505,7 +505,8 @@ object EventStream {
       .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
 
   private def stageReplay(s: SparkSession, real: DataFrame,
-      cacheKey: String, sentinels: Boolean = true):
+      cacheKey: String, nSentinels: Int = 2,
+      sentinelTypes: Seq[String] = Seq("__sentinel__")):
       (java.nio.file.Path, Boolean) = {
     import s.implicits._
     StageCache.resolve(cacheKey) { base =>
@@ -513,23 +514,34 @@ object EventStream {
       real.repartitionByRange(4, col("ts")).write
         .mode("overwrite").parquet(s"$base/in0")
       stampParts(s"$base/in0", t0)
-      // stateless consumers (the enrich row) need no watermark flush:
-      // they replay the 4 range slices only, skipping the 2 sentinel
-      // trigger rounds entirely
-      if (sentinels) {
+      // sentinel count is per-consumer: stateless rows (enrich) need
+      // no watermark flush and take 0; the stateful rows take the
+      // standard 2 (advance, then apply); the OUTER join takes 3 —
+      // its null emission rides state EVICTION, and under the lagged
+      // watermark (statefulOperator.allowMultiple) the eviction pass
+      // of sentinel batch k runs with batch k-1's watermark, so the
+      // corpus's final hour of unmatched rows needs one extra batch
+      // under the far-future watermark to flush
+      if (nSentinels > 0) {
         val maxTs = real.agg(max(col("ts"))).head().getTimestamp(0)
         val future =
           new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
-        val sentinelBase = Seq((future, -1L, "__sentinel__", 0.0))
+        // sentinelTypes: consumers that FILTER BY event_type before
+        // their watermark node (the joins) never see a '__sentinel__'
+        // row, so their watermark would stall at the last real event —
+        // they stage one sentinel row per REAL type instead (id/user
+        // -1, filtered out of the result after the join)
+        val sentinelBase = sentinelTypes.map(t => (future, -1L, t, 0.0))
           .toDF("ts", "user_id", "event_type", "value")
         // mirror any extra caller columns (e.g. event_id) so every
         // staged file carries one schema
         val sentinel = real.columns.foldLeft(sentinelBase) { (df, c) =>
           if (df.columns.contains(c)) df else df.withColumn(c, lit(-1L)) }
-        sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in1")
-        stampParts(s"$base/in1", t0 + 10 * 60000L)
-        sentinel.coalesce(1).write.mode("overwrite").parquet(s"$base/in2")
-        stampParts(s"$base/in2", t0 + 11 * 60000L)
+        (1 to nSentinels).foreach { i =>
+          sentinel.coalesce(1).write.mode("overwrite")
+            .parquet(s"$base/in$i")
+          stampParts(s"$base/in$i", t0 + (9 + i) * 60000L)
+        }
       }
     }
   }
@@ -598,7 +610,29 @@ object EventStream {
     * time-ordered slices stay inside the margin). An error evicted too
     * early, a match emitted twice across the micro-batch boundary, or
     * a boundary condition flipped (>= vs >) is a hash mismatch. */
-  def streamJoinParity(s: SparkSession, dir: String): DataFrame = {
+  def streamJoinParity(s: SparkSession, dir: String): DataFrame =
+    joinParityRun(s, dir, "inner")
+
+  /** Stream-stream LEFT OUTER interval join as an ORACLE row — the
+    * semantics the inner row cannot pin: an unmatched click emits
+    * exactly once, with nulls, and only AFTER the watermark has passed
+    * its join window (emitting it earlier would be wrong if a matching
+    * error could still arrive; never emitting it loses the row). The
+    * two sentinel data files push the final watermark 48 h past the
+    * corpus, so every held click flushes — matched rows with their
+    * matches, unmatched ones with null err columns — and the DuckDB
+    * oracle is the plain batch LEFT JOIN: a null row emitted early
+    * (duplicated against its late match), suppressed entirely, or
+    * emitted twice across the flush boundary is a hash mismatch.
+    *
+    * Scale: same bounded-state contract as the inner row — both sides
+    * evict at the watermark minus the interval bound; the outer
+    * emission rides the same eviction pass, costing nothing extra. */
+  def streamOuterJoinParity(s: SparkSession, dir: String): DataFrame =
+    joinParityRun(s, dir, "left_outer")
+
+  private def joinParityRun(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val real = graft.Tables.events(s, dir)
       .filter(col("event_id") < AggParityEvents)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"),
@@ -612,8 +646,16 @@ object EventStream {
           StructField("click_ts_us", LongType),
           StructField("err_ts_us", LongType),
           StructField("err_value", DoubleType))))
-    val (inBase, cached) = stageReplay(s, real,
-      s"replay_join_${StageCache.dirKey(dir)}")
+    // the outer row stages its own replay with a 3rd sentinel (see
+    // stageReplay: null emission rides eviction, which runs one batch
+    // behind under the lagged watermark); the inner row keeps the
+    // shared 2-sentinel staging
+    val (inBase, cached) =
+      if (joinType == "inner")
+        stageReplay(s, real, s"replay_join_${StageCache.dirKey(dir)}")
+      else stageReplay(s, real,
+        s"replay_ojoin_${StageCache.dirKey(dir)}", nSentinels = 3,
+        sentinelTypes = Seq("click", "error"))
     val work = java.nio.file.Files.createTempDirectory("joinwork")
     val outDir = work.resolve("out").toString
     val stream = protocolSession(s, noDataBatches = false).readStream
@@ -623,12 +665,21 @@ object EventStream {
         StructField("value", DoubleType),
         StructField("event_id", LongType))))
       .option("maxFilesPerTrigger", 1).parquet(s"$inBase/in*")
-    val q = clickErrorJoin(stream).writeStream.format("parquet")
+    // NO sentinel filter inside the streaming query: a filter on a
+    // left-side column is pushed below the click branch's
+    // EventTimeWatermark node (observed in the physical plan), which
+    // silently removes the typed sentinel rows BEFORE the watermark
+    // they exist to advance. The sentinel rows also never surface on
+    // their own — their eviction bound (future + 1 h) lies past the
+    // final watermark — so they are dropped on the batch read-back
+    // side below, belt and braces.
+    val q = clickErrorJoin(stream, joinType).writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val result = s.read.parquet(outDir)
+      .filter(col("click_id") =!= -1L)
       .select(col("click_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_ts_us"),
         unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
@@ -982,7 +1033,8 @@ object EventStream {
     * state on BOTH sides is evicted as the watermark advances — the
     * scale-correct form of a streaming enrichment join (an unbounded
     * condition would buffer both streams forever). */
-  def clickErrorJoin(events: DataFrame): DataFrame = {
+  def clickErrorJoin(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -994,7 +1046,7 @@ object EventStream {
     clicks.join(errors,
       col("user_id") === col("err_user") &&
         col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
-        col("err_ts") < col("click_ts"))
+        col("err_ts") < col("click_ts"), joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("err_ts"), col("err_value"))
   }
