@@ -93,6 +93,7 @@ object ScaleProbe {
     // enrichment (dim grows with the corpus but stays broadcast-sized;
     // the stream side is the capped replay)
     "stream_dedup_parity", "src_scan_orc", "stream_enrich_parity",
+    "stream_outer_join_parity",
     // r13 additions: the incremental verdicts — their contract is that
     // only the batch side grows the join state (store streams map-side
     // through a broadcast), so growth must track the batch delta, not
