@@ -1035,21 +1035,26 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // stream-static enrichment: batch left join against the gapped
     // broadcast dim — per-micro-batch re-broadcast must be invisible
+    // event_id rides along as the ORDER BY tie-breaker so the sort key
+    // is unique by construction (a (ts,user,type) tie at a larger
+    // corpus would otherwise make row order engine-dependent)
     "stream_enrich_parity" ->
       s"""WITH e AS (
-           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value
+           SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+             value
            FROM events WHERE event_id < ${
              graft.streaming.EventStream.AggParityEvents}),
          d AS (
            SELECT c_custkey, n_name, c_mktsegment
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            WHERE c_custkey % 3 <> 0)
-         SELECT CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, e.user_id,
+         SELECT e.event_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, e.user_id,
            e.event_type, round(e.value, 2) AS value,
            COALESCE(d.n_name, 'unknown') AS nation,
            COALESCE(d.c_mktsegment, 'unknown') AS segment
          FROM e LEFT JOIN d ON e.user_id = d.c_custkey
-         ORDER BY ts_us, user_id, event_type""",
+         ORDER BY ts_us, user_id, event_type, e.event_id""",
     "stream_dedup_parity" ->
       s"""SELECT event_id, user_id,
            CAST(epoch_us(ts::TIMESTAMP) AS BIGINT) AS ts_us,
@@ -2566,8 +2571,10 @@ object SparkEntry {
            lines[CAST(i + 1 AS INT)] AS line
          FROM sl ORDER BY doc_id, line_no""",
     // legacy .doc byte-walk: piece-table text (CP1252 + UTF-16 pieces),
-    // the fcMin/fcMac legacy route (id%13), and the fEncrypted stub
-    // route (id%17, checked first) replayed from the same word slices
+    // the fcMin/fcMac legacy route (id%13), the fast-saved route
+    // (id%11: fComplex + out-of-order pieces + ccpText body truncation
+    // — first 8 words / rest as two paragraphs), and the fEncrypted
+    // stub route (id%17, checked first) replayed from the same words
     "doc_word_lines" ->
       """WITH w AS (
            SELECT doc_id,
@@ -2579,6 +2586,11 @@ object SparkEntry {
              CASE WHEN doc_id % 17 = 0 THEN
                ['# f' || doc_id, '', '[stub]']
              WHEN doc_id % 13 = 0 THEN
+               ['# f' || doc_id, '', array_to_string(words, ' ')]
+             WHEN doc_id % 11 = 0 AND len(words) > 8 THEN
+               ['# f' || doc_id, '', array_to_string(words[1:8], ' '),
+                array_to_string(words[9:12], ' ')]
+             WHEN doc_id % 11 = 0 THEN
                ['# f' || doc_id, '', array_to_string(words, ' ')]
              WHEN len(words) > 6 THEN
                ['# f' || doc_id, '', array_to_string(words[1:6], ' '),

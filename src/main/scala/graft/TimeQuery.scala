@@ -32,14 +32,26 @@ object TimeQuery {
     LogHygiene.quietStreamingProbes()
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
+    // shutdown hook (matching the bench's pattern) so a crashed run
+    // cleans up too, and the props don't leak into a later session in
+    // the same JVM (r15 ADVICE: curation_* invocations leaked the
+    // curation temp dir and left both props set)
     val cacheRoot = java.nio.file.Files
       .createTempDirectory("graft_timeq_streams")
     sys.props(graft.streaming.StageCache.Prop) = cacheRoot.toString
-    if (name.startsWith("curation_")) {
-      val c = java.nio.file.Files.createTempDirectory("graft_timeq_cache")
-      graft.operators.Curation.stageFunnelInputs(spark, sfDir, c.toString)
-      sys.props(graft.operators.Curation.CacheProp) = c.toString
-    }
+    val curationCache: Option[java.nio.file.Path] =
+      if (name.startsWith("curation_")) {
+        val c = java.nio.file.Files.createTempDirectory("graft_timeq_cache")
+        graft.operators.Curation.stageFunnelInputs(spark, sfDir, c.toString)
+        sys.props(graft.operators.Curation.CacheProp) = c.toString
+        Some(c)
+      } else None
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      graft.operators.Sync.deleteTree(cacheRoot.toFile)
+      curationCache.foreach(c => graft.operators.Sync.deleteTree(c.toFile))
+      sys.props.remove(graft.streaming.StageCache.Prop)
+      sys.props.remove(graft.operators.Curation.CacheProp)
+    }))
     val fn = SparkEntry.queries(name)
     val times = (0 until n + 1).map { i =>
       val t0 = System.nanoTime()
@@ -50,7 +62,6 @@ object TimeQuery {
       dt
     }.drop(1)
     println(f"[timequery] $name median ${Bench.median(times)}%.3f min ${times.min}%.3f max ${times.max}%.3f")
-    graft.operators.Sync.deleteTree(cacheRoot.toFile)
     spark.stop()
   }
 }

@@ -209,7 +209,10 @@ object DocPipeline {
     * content-processor.ts:1411-1440). Three routes, selected by id
     * arithmetic so DuckDB replays the output from the same words:
     * piece-table documents (CP1252-compressed + UTF-16 pieces, the
-    * default), pre-Clx legacy documents (fcMin/fcMac, id % 13 = 0), and
+    * default), pre-Clx legacy documents (fcMin/fcMac, id % 13 = 0),
+    * fast-saved documents (id % 11 = 0: fComplex, out-of-physical-order
+    * pieces from an incremental save, two Prc revision blocks, and a
+    * header section past ccpText that getBody parity must exclude), and
     * fEncrypted documents (id % 17 = 0) which must surface the labeled
     * stub — a decoder that ignored the flag would walk the still-present
     * piece table and emit text, failing the row. The stub's
@@ -228,6 +231,7 @@ object DocPipeline {
             DocFixture.pieceTableDoc(words.take(6), words.drop(6),
               encrypted = true)
           else if (id % 13 == 0) DocFixture.legacyDoc(words)
+          else if (id % 11 == 0) DocFixture.fastSavedDoc(words)
           else DocFixture.pieceTableDoc(words.take(6), words.drop(6))
         val md = DocumentConverters
           .convertFileToMarkdown(s"f$id.doc", bytes).getOrElse("")

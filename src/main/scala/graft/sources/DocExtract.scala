@@ -18,9 +18,20 @@ import scala.collection.mutable.ArrayBuffer
   *     CP1252-compressed vs UTF-16LE encoding, and the legacy
   *     fcMin/fcMac fallback for files without a Clx.
   *
-  * Anything outside that core (encrypted files, fastsaved revision
-  * chains beyond the piece table) returns None and keeps the labeled
-  * stub upstream. Runs inside per-row kernels: no state, executor-safe.
+  * Fast-saved (fComplex) documents are fully covered by the same walk:
+  * an incremental save appends revision text at arbitrary file offsets
+  * and splices it into the piece table, so pieces arrive out of
+  * physical order with stale unreferenced regions between them — all
+  * invisible to a reader that addresses each piece by its own fc. The
+  * piece table also spans the non-body sections (footnotes, headers,
+  * annotations — common in fast-saved files), so the text is truncated
+  * to the FIB's ccpText main-body range, matching word-extractor's
+  * getBody() (reference: content-processor.ts:1411-1427).
+  *
+  * Encrypted payloads (fEncrypted) return None and keep the labeled
+  * stub upstream — parity with the reference, whose word-extractor
+  * throws on them. Runs inside per-row kernels: no state,
+  * executor-safe.
   */
 object DocExtract {
 
@@ -238,8 +249,19 @@ object DocExtract {
       // stub instead (the reference's word-extractor throws here too).
       if (((fibFlags >> 8) & 1) == 1) return None
       val whichTbl = (fibFlags >> 9) & 1
+      // ccpText (FibRgLw97, FIB offset 0x4C): CP count of the MAIN BODY.
+      // The piece table continues past it into footnote/header/
+      // annotation sections — ubiquitous in fast-saved files — and
+      // word-extractor's getBody() returns only [0, ccpText). 0 (our
+      // pre-Clx fixtures, some minimal writers) means "unrecorded":
+      // keep the full piece-table text.
+      val ccpText =
+        if (wd.length >= 0x50) u32(wd, 0x4C).toInt else 0
       val text = cfb.stream(s"${whichTbl}Table")
         .flatMap(pieceTableText(wd, _))
+        .map(t =>
+          if (ccpText > 0 && ccpText < t.length) t.substring(0, ccpText)
+          else t)
         .orElse {
           // legacy fallback: contiguous text at fcMin..fcMac
           val fcMin = u32(wd, 24).toInt

@@ -126,6 +126,76 @@ object DocFixture {
     buildCfb(Seq("WordDocument" -> wd, "0Table" -> tbl))
   }
 
+  /** Fast-saved (incrementally saved) document — the shape word
+    * processors actually produced under Word's "allow fast saves": the
+    * body text is PHYSICALLY scattered (the middle third lives at a
+    * HIGHER file offset than the tail, exactly what an insert-then-
+    * fast-save does: the insert is appended at the end of the stream
+    * and spliced into the piece table), the FIB carries fComplex
+    * (FibBase bit 2), two Prc revision-property blocks precede the
+    * Pcdt, and the piece table continues past the body into a header
+    * section that ccpText must exclude from getBody output. A decoder
+    * that assumed file-order pieces, choked on multiple Prc blocks, or
+    * returned the whole piece-table range would all fail this fixture.
+    * The logical body is one line when `words.length <= 8`, else two
+    * (first 8 words / rest) — SQL-replayable by construction. */
+  def fastSavedDoc(words: Seq[String]): Array[Byte] = {
+    val wd = fib(encrypted = false)
+    putU16(wd, 0x0A, (u16(wd, 0x0A) | 0x0004)) // fComplex
+    val body =
+      if (words.length > 8)
+        words.take(8).mkString(" ") + "\r" + words.drop(8).mkString(" ") +
+          "\r"
+      else words.mkString(" ") + "\r"
+    // split the body into thirds: s1 and s3 are the "original" save
+    // (contiguous CP1252 at 1024), s2 is the fast-save insert appended
+    // at 3072 as UTF-16 — physically AFTER s3 but logically between
+    val p1 = body.length / 3
+    val p2 = 2 * body.length / 3
+    val (s1, s2, s3) =
+      (body.substring(0, p1), body.substring(p1, p2), body.substring(p2))
+    val header = "Running header text\r"
+    System.arraycopy(s1.getBytes(Ascii), 0, wd, 1024, s1.length)
+    System.arraycopy(s3.getBytes(Ascii), 0, wd, 1024 + s1.length,
+      s3.length)
+    val s2b = s2.getBytes(Utf16)
+    System.arraycopy(s2b, 0, wd, 3072, s2b.length)
+    System.arraycopy(header.getBytes(Ascii), 0, wd, 3584, header.length)
+    putU32(wd, 0x4C, body.length.toLong) // ccpText: body only
+    // pieces in CP order; fc out of physical order on purpose
+    val pieces = Seq(
+      (s1.length, (1024L * 2) | (1L << 30)),
+      (s2.length, 3072L),
+      (s3.length, ((1024L + s1.length) * 2) | (1L << 30)),
+      (header.length, ((3584L) * 2) | (1L << 30)))
+    val n = pieces.length
+    val tbl = new Array[Byte](4096)
+    var p = 64
+    // two Prc blocks (revision grpprls a fast save leaves behind)
+    Seq(6, 2).foreach { g =>
+      tbl(p) = 0x01; putU16(tbl, p + 1, g); p += 3 + g
+    }
+    tbl(p) = 0x02
+    val lcbPlc = 4 * (n + 1) + 8 * n
+    putU32(tbl, p + 1, lcbPlc.toLong)
+    val plc = p + 5
+    var cp = 0L
+    pieces.zipWithIndex.foreach { case ((chars, _), i) =>
+      putU32(tbl, plc + 4 * i, cp); cp += chars
+    }
+    putU32(tbl, plc + 4 * n, cp)
+    val pcds = plc + 4 * (n + 1)
+    pieces.zipWithIndex.foreach { case ((_, fc), i) =>
+      putU32(tbl, pcds + 8 * i + 2, fc)
+    }
+    putU32(wd, 0x01A2, 64L)
+    putU32(wd, 0x01A6, (p + 5 + lcbPlc - 64).toLong)
+    buildCfb(Seq("WordDocument" -> wd, "0Table" -> tbl))
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+
   /** Pre-Clx legacy document: contiguous CP1252 text at fcMin..fcMac,
     * no table stream at all. */
   def legacyDoc(words: Seq[String]): Array[Byte] = {

@@ -358,13 +358,19 @@ object EventStream {
     * stateless query needs no watermark flush, so the two sentinel
     * trigger rounds would be pure overhead. */
   def streamEnrichParity(s: SparkSession, dir: String): DataFrame = {
+    // event_id rides along purely as the ORDER BY tie-breaker: the
+    // (ts_us, user_id, event_type) prefix is tie-free at today's SFs
+    // but not guaranteed unique, and a tie at a larger corpus would
+    // make Spark-vs-DuckDB row order nondeterministic (r15 ADVICE)
     val real = graft.Tables.events(s, dir)
       .filter(col("event_id") < AggParityEvents)
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
     if (real.take(1).isEmpty)
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
+          StructField("event_id", LongType),
           StructField("ts_us", LongType),
           StructField("user_id", LongType),
           StructField("event_type", StringType),
@@ -385,11 +391,12 @@ object EventStream {
     val work = java.nio.file.Files.createTempDirectory("enrichwork")
     val outDir = work.resolve("out").toString
     val sess = protocolSession(s, noDataBatches = false)
-    val stream = readStaged(sess, inBase)
+    val stream = readStaged(sess, inBase, withEventId = true)
     val joined = stream
       .join(broadcast(dim), col("user_id") === col("c_custkey"),
         "left_outer")
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"),
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
         coalesce(col("n_name"), lit("unknown")).as("nation"),
         coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
     val q = joined.writeStream.format("parquet")
@@ -398,10 +405,11 @@ object EventStream {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val result = s.read.parquet(outDir)
-      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"),
         col("event_type"), round(col("value"), 2).as("value"),
         col("nation"), col("segment"))
-      .orderBy("ts_us", "user_id", "event_type")
+      .orderBy("ts_us", "user_id", "event_type", "event_id")
     val pinned = result.localCheckpoint(true)
     deleteRecursively(work.toFile)
     if (!cached) deleteRecursively(inBase.toFile)
@@ -499,7 +507,10 @@ object EventStream {
     * every replay stager (three copies drifted before r15 hoisted it:
     * the single-part stagers had silently dropped the name sort). */
   private def stampParts(d: String, t: Long): Unit =
-    new java.io.File(d).listFiles()
+    // listFiles() returns null (not empty) for a missing/unreadable
+    // dir — fail with the path, not an anonymous NPE (r15 ADVICE)
+    Option(new java.io.File(d).listFiles())
+      .getOrElse(sys.error(s"staged replay dir missing or unreadable: $d"))
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       .zipWithIndex
       .foreach { case (f, i) => f.setLastModified(t + i * 60000L) }
@@ -547,13 +558,17 @@ object EventStream {
   }
 
   private def readStaged(s: SparkSession,
-      base: java.nio.file.Path): DataFrame =
+      base: java.nio.file.Path, withEventId: Boolean = false): DataFrame = {
+    val core = Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))
+    val fields =
+      if (withEventId) StructField("event_id", LongType) +: core else core
     s.readStream
-      .schema(StructType(Seq(
-        StructField("ts", TimestampType), StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType))))
+      .schema(StructType(fields))
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in*")
+  }
 
   /** Child session for the stateful parity rows' streaming queries.
     * The state-store instance count per stateful operator is pinned to

@@ -155,16 +155,75 @@ class BenchRetimeSpec extends AnyFunSuite {
     val left = Bench.timeReps(3,
       () => throw new IllegalStateException("stale read path"))
     assert(left == Left("IllegalStateException: stale read path"))
-    // a flaky rep is simply dropped: median/min come from the
-    // successful reps only
+    // a flaky rep is dropped from the reading but COUNTED (r15 ADVICE:
+    // a 2-of-3-throw query used to report its lone surviving rep with
+    // no flag anywhere) — median/min come from the successful reps only
     var rep = 0
     val right = Bench.timeReps(3, () => {
       rep += 1
       if (rep == 1) throw new RuntimeException("transient")
     })
     assert(right.isRight)
-    val (med, mn) = right.toOption.get
+    val ((med, mn), failed) = right.toOption.get
     assert(med >= mn && mn >= 0.0)
+    assert(failed == 1)
+    // a fully healthy query reports zero failed reps
+    assert(Bench.timeReps(2, () => ()).toOption.get._2 == 0)
+  }
+
+  test("drift gate: a row inflated vs its prior-round reading re-reps " +
+      "in isolation and self-adjudicates") {
+    // r15 verdict #1: three rows sat 14x/7x/3.6x their clean priors in
+    // segments whose sentinels stayed quiet — nothing in the run could
+    // see it. The prior-round committed detail is the reference.
+    val prior = Map("a" -> 0.23, "b" -> 1.0, "c" -> 1.27, "d" -> 0.05)
+    val inRun = Seq(
+      "a" -> (3.25, 3.1),  // 14x prior: suspect
+      "b" -> (1.4, 1.3),   // 1.4x: clean
+      "c" -> (4.54, 4.4),  // 3.6x: suspect
+      "d" -> (0.3, 0.3),   // 6x but only +0.25s absolute: below minDelta
+      "e" -> (9.0, 8.8))   // no prior reading: cannot be judged
+    assert(Bench.driftSuspects(inRun, prior) == Seq("a", "c"))
+    // phantom case: the isolated re-rep collapses toward prior and the
+    // row keeps the better reading; report carries all three numbers
+    val rereps = Map("a" -> 0.25, "c" -> 4.6)
+    val (merged, report) =
+      Bench.applyDriftRereps(inRun, Seq("a", "c"), rereps)
+    assert(merged.toMap.apply("a") == ((0.25, 0.25)))
+    // real-regression case: c's re-rep CONFIRMS the reading — row keeps
+    // its in-run median (min of 4.54 and 4.6), report shows both
+    assert(merged.toMap.apply("c") == ((4.54, 4.4)))
+    assert(merged.toMap.apply("b") == ((1.4, 1.3)))
+    assert(report == Seq(("a", 3.25, 0.25), ("c", 4.54, 4.6)))
+    // a crashed re-rep (-1) keeps the original reading
+    val (kept, _) = Bench.applyDriftRereps(inRun, Seq("a"), _ => -1.0)
+    assert(kept.toMap.apply("a") == ((3.25, 3.1)))
+    // exactly 2.5x is NOT a suspect (strict >)
+    assert(Bench.driftSuspects(Seq("x" -> (2.5, 2.5)),
+      Map("x" -> 1.0)).isEmpty)
+  }
+
+  test("drift gate reference selection: newest prior-round clean-slot " +
+      "detail, never a _loaded sibling, never this round's own file") {
+    val files = Seq("BENCH_DETAIL_r13.json", "BENCH_DETAIL_r14.json",
+      "BENCH_DETAIL_r15_loaded.json", "BENCH_DETAIL_r16.json",
+      "BENCH_r15.json", "CORRECTNESS_r15.json")
+    assert(Bench.priorDetailName(files, 16).contains(
+      "BENCH_DETAIL_r14.json"))
+    assert(Bench.priorDetailName(Seq("BENCH_DETAIL_r16.json"), 16).isEmpty)
+    assert(Bench.priorDetailName(Seq.empty, 16).isEmpty)
+  }
+
+  test("drift gate parses the queries map out of a detail artifact") {
+    val detail = """{"metric":"total","value":174.2,"unit":"sec",""" +
+      """"queries":{"q_a":0.230000,"q_b":1.270000},""" +
+      """"queries_min":{"q_a":0.200000,"q_b":1.100000},""" +
+      """"load_flagged":false}"""
+    val m = Bench.parseQueriesMap(detail)
+    assert(m == Map("q_a" -> 0.23, "q_b" -> 1.27))
+    // degenerate inputs never throw
+    assert(Bench.parseQueriesMap("").isEmpty)
+    assert(Bench.parseQueriesMap("{\"queries\":{").isEmpty)
   }
 
   test("verify's gate names throwing and never-executed queries, nonzero") {

@@ -172,6 +172,37 @@ class DocExtractSpec extends AnyFunSuite {
       "# l\n\nalpha beta gamma delta epsilon zeta eta theta")
   }
 
+  test("fast-saved doc: fComplex, out-of-order pieces, Prc blocks, " +
+      "ccpText excludes the header section") {
+    import graft.sources.DocFixture
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // 12 words: two paragraphs (first 8 / last 4); the middle third of
+    // the text physically lives at offset 3072 — AFTER the tail at
+    // ~1024 — and the trailing header piece must not leak into the body
+    val md = DocExtract.docToMarkdown("fs.doc", DocFixture.fastSavedDoc(words))
+    assert(md.contains("# fs\n\nalpha beta gamma delta epsilon zeta " +
+      "eta theta\niota kappa lambda mu"))
+    assert(!md.get.contains("Running header"))
+    // short doc: single paragraph through the same scattered layout
+    val short = DocExtract.docToMarkdown("s.doc",
+      DocFixture.fastSavedDoc(words.take(5)))
+    assert(short.contains("# s\n\nalpha beta gamma delta epsilon"))
+    assert(!short.get.contains("Running header"))
+    // the dispatcher route is the production path
+    val via = DocumentConverters.convertFileToMarkdown("d/fs.doc",
+      DocFixture.fastSavedDoc(words)).get
+    assert(via.startsWith("# fs\n\nalpha beta"))
+  }
+
+  test("ccpText truncation only applies when recorded (>0)") {
+    import graft.sources.DocFixture
+    // pieceTableDoc leaves ccpText = 0: the full piece-table text stays
+    val full = DocExtract.docToMarkdown("p.doc",
+      DocFixture.pieceTableDoc(Seq("one", "two"), Seq("three")))
+    assert(full.contains("# p\n\none two\nthree"))
+  }
+
   test("dispatcher routes a real .doc through the byte decoder") {
     val wd = fibSkeleton()
     val body = "Dispatcher path works.".getBytes(Ascii)
