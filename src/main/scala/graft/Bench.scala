@@ -356,7 +356,7 @@ object Bench {
     val protocolRows = Set("stream_batch_parity", "stream_delete_parity",
       "stream_resync_parity", "stream_window_parity", "stream_dedup_parity",
       "stream_late_parity", "stream_rocksdb_parity", "stream_enrich_parity",
-      "stream_outer_join_parity",
+      "stream_outer_join_parity", "stream_full_outer_join_parity",
       "stream_session_parity", "stream_state_parity",
       "stream_curate_parity", "stream_ivf_parity",
       "stream_substr_parity", "stream_mv_parity", "sync_run_e2e",

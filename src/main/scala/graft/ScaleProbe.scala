@@ -94,6 +94,10 @@ object ScaleProbe {
     // the stream side is the capped replay)
     "stream_dedup_parity", "src_scan_orc", "stream_enrich_parity",
     "stream_outer_join_parity",
+    // r16: the FULL OUTER interval join — same capped-fixture contract
+    // as the inner/left rows (state bounded by watermark eviction on
+    // both sides), probed to confirm the cap holds
+    "stream_full_outer_join_parity",
     // r13 additions: the incremental verdicts — their contract is that
     // only the batch side grows the join state (store streams map-side
     // through a broadcast), so growth must track the batch delta, not
@@ -196,11 +200,15 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
-    // optional 3rd arg: comma-separated query filter (focused local
-    // probing — a filtered run prints timings but never rewrites
-    // SCALEPROBE.md, which documents the full set)
+    // optional 3rd arg: "--deep" extends the steepest kernels to 30x
+    // (r15 verdict #6: the ~0.5-0.6 exponents have headroom in the
+    // 128 GiB box at 30x — confirm they hold or find where they bend);
+    // otherwise a comma-separated query filter (focused local probing).
+    // Neither mode rewrites SCALEPROBE.md, which documents the full set
+    // — deep results are printed as a ready-to-paste markdown table.
+    val deep = args.length > 2 && args(2) == "--deep"
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && !deep) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -219,7 +227,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scales = Seq(1, 3, 10)
+    val scales = if (deep) Seq(1, 3, 10, 30) else Seq(1, 3, 10)
     val dirs: Map[Int, String] = scales.map { k =>
       if (k == 1) k -> base
       else {
@@ -265,6 +273,34 @@ object ScaleProbe {
     def timed(name: String, dir: String): Double = {
       if (timeOnce(name, dir) < 0) return -1.0
       math.min(timeOnce(name, dir), timeOnce(name, dir))
+    }
+
+    // Deep mode: the steepest standard-probe kernels (largest e in the
+    // committed 1x-10x table) re-timed with a 30x endpoint. Reported
+    // with BOTH the whole-range exponent and the 10x->30x segment
+    // slope: a kernel whose true cost curve bends upward shows it in
+    // the last segment first, while the whole-range e still averages
+    // over the fixed-overhead-deflated early cells.
+    if (deep) {
+      val steep = Seq("doc_ngram_lm", "crawl_frontier", "dedup_substring",
+        "graph_pagerank", "dedup_minhash_calib")
+      println("| query | 1x sec | 3x sec | 10x sec | 30x sec | " +
+        "e(1x-30x) | slope(10x-30x) |")
+      println("|---|---|---|---|---|---|---|")
+      steep.foreach { q =>
+        val m = scales.map { k =>
+          val t = timed(q, dirs(k))
+          println(f"[scaleprobe] $q%-24s x$k%-3d ${t}%8.3f s")
+          k -> t
+        }.toMap
+        val e30 = math.log(math.max(m(30), 1e-3) / math.max(m(1), 1e-3)) /
+          math.log(30.0)
+        val seg = math.log(math.max(m(30), 1e-3) / math.max(m(10), 1e-3)) /
+          math.log(3.0)
+        println(f"| $q | ${m(1)}%.3f | ${m(3)}%.3f | ${m(10)}%.3f | " +
+          f"${m(30)}%.3f | $e30%.3f | $seg%.3f |")
+      }
+      spark.stop(); return
     }
 
     val times: Seq[(String, Map[Int, Double])] = probeQueries

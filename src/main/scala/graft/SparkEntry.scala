@@ -100,6 +100,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamEnrichParity(s, d)),
     "stream_outer_join_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamOuterJoinParity(s, d)),
+    "stream_full_outer_join_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamFullOuterJoinParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -211,6 +213,8 @@ object SparkEntry {
       Similarity.annMllibPlanted(s, d)),
     "emb_ann_ivf"         -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
+    "emb_knn_rewrite"     -> ((s: SparkSession, d: String) =>
+      Similarity.knnRewriteIvf(s, d)),
     "emb_ivf_append"      -> ((s: SparkSession, d: String) =>
       Similarity.ivfAppendReport(s, d)),
     "emb_ann_recall"      -> ((s: SparkSession, d: String) =>
@@ -351,6 +355,50 @@ object SparkEntry {
                '[' || COALESCE(b.a, '') || COALESCE(b.b, '') || ']') AS syms
            FROM $prev f LEFT JOIN best$k b ON TRUE)"""
   }
+
+  /** The IVF top-k oracle — shared verbatim by `emb_ann_ivf` (the
+    * explicit declarative IVF plan) and `emb_knn_rewrite` (the same
+    * result computed through the KnnIvfRewrite optimizer rule): both
+    * engine paths must reproduce this quantizer arithmetic exactly. */
+  private def annIvfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+         FROM embeddings),
+       -- data-adaptive centroids: the embeddings of seed vectors
+       -- vec_id 1..16 (cell c = seed vec_id c+1). list_dot_product
+       -- accumulates left-to-right, the same order as the Scala
+       -- kernel, so the doubles (and thus the argmax below) are
+       -- bit-identical across engines
+       seeds AS (
+         SELECT vec_id - 1 AS c, emb AS cv FROM e
+         WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
+       proj AS (
+         SELECT e.vec_id, s.c,
+           list_dot_product(e.emb, s.cv) AS proj
+         FROM e CROSS JOIN seeds s),
+       assigned AS (
+         SELECT vec_id, c AS cell FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+             ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
+       qcells AS (
+         SELECT c AS cell FROM (
+           SELECT c, row_number() OVER (ORDER BY proj DESC, c) AS rn
+           FROM proj WHERE vec_id = 0) WHERE rn <= ${Similarity.IvfNprobe}),
+       qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+       cand AS (
+         SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
+         WHERE a.vec_id != 0),
+       scored AS (
+         SELECT c.vec_id,
+           list_dot_product(qv, emb) /
+             (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
+             AS cosine
+         FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv),
+       topk AS (
+         SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
+           AS rank
+         FROM scored)
+       SELECT rank, vec_id FROM topk WHERE rank <= 10 ORDER BY rank"""
 
   /** Seed-quantizer assignment CTE (bit-exact emb_ann_ivf machinery)
     * plus the delta id-cut — shared prefix of the IVF maintenance
@@ -1084,6 +1132,29 @@ object SparkEntry {
            ON r.user_id = c.user_id
            AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
          ORDER BY click_id, err_ts_us""",
+    // the FULL variant: unmatched rows from BOTH sides, user taken
+    // from whichever side is present; null ordering pinned NULLS FIRST
+    // (DuckDB defaults nulls-last on ASC, Spark nulls-first)
+    "stream_full_outer_join_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value,
+             event_id
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         c AS (
+           SELECT event_id AS click_id, user_id, ts FROM e
+           WHERE event_type = 'click'),
+         r AS (
+           SELECT user_id, ts, value FROM e WHERE event_type = 'error')
+         SELECT c.click_id,
+           COALESCE(c.user_id, r.user_id) AS user_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(r.ts) AS err_ts_us,
+           r.value AS err_value
+         FROM c FULL JOIN r
+           ON r.user_id = c.user_id
+           AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
+         ORDER BY click_id NULLS FIRST, user_id,
+           err_ts_us NULLS FIRST, err_value""",
     "stream_state_parity" ->
       s"""SELECT user_id, count(*) AS n_events,
            round(sum(value), 2) AS total_value
@@ -1918,45 +1989,11 @@ object SparkEntry {
          FROM (SELECT unnest(range(1, 11)) AS j)
          WHERE EXISTS (SELECT 1 FROM embeddings WHERE vec_id = 0)
          ORDER BY rank""",
-    "emb_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-           FROM embeddings),
-         -- data-adaptive centroids: the embeddings of seed vectors
-         -- vec_id 1..16 (cell c = seed vec_id c+1). list_dot_product
-         -- accumulates left-to-right, the same order as the Scala
-         -- kernel, so the doubles (and thus the argmax below) are
-         -- bit-identical across engines
-         seeds AS (
-           SELECT vec_id - 1 AS c, emb AS cv FROM e
-           WHERE vec_id BETWEEN 1 AND ${Similarity.IvfNlist}),
-         proj AS (
-           SELECT e.vec_id, s.c,
-             list_dot_product(e.emb, s.cv) AS proj
-           FROM e CROSS JOIN seeds s),
-         assigned AS (
-           SELECT vec_id, c AS cell FROM (
-             SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
-               ORDER BY proj DESC, c) AS rn FROM proj) WHERE rn = 1),
-         qcells AS (
-           SELECT c AS cell FROM (
-             SELECT c, row_number() OVER (ORDER BY proj DESC, c) AS rn
-             FROM proj WHERE vec_id = 0) WHERE rn <= ${Similarity.IvfNprobe}),
-         qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
-         cand AS (
-           SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
-           WHERE a.vec_id != 0),
-         scored AS (
-           SELECT c.vec_id,
-             list_dot_product(qv, emb) /
-               (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(emb,emb)))
-               AS cosine
-           FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv),
-         topk AS (
-           SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id)
-             AS rank
-           FROM scored)
-         SELECT rank, vec_id FROM topk WHERE rank <= 10 ORDER BY rank""",
+    "emb_ann_ivf" -> annIvfOracleSql,
+    // the optimizer-rewrite row computes the SAME result through
+    // KnnIvfRewrite (declarative top-k rewritten onto the registered
+    // index) — one oracle, two paths, pinning the rewrite's semantics
+    "emb_knn_rewrite" -> annIvfOracleSql,
     "q_query_documentation" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb

@@ -734,6 +734,89 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Staged raw-seed IVF indexes for the optimizer-rewrite row, one per
+    * corpus dir: built once (cell-partitioned parquet under a temp
+    * root), registered in [[graft.plans.KnnIndexRegistry]], reused
+    * across invocations — build-once/probe-many is the serving shape.
+    * The temp root is removed on JVM exit. */
+  private val rewriteIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** SURVEY §4 optional-Catalyst item 3, the ORACLE row: the user
+    * writes the brute-force KNN plan — `ORDER BY cosine(q, embedding)
+    * DESC LIMIT k` over the index table, no mention of cells — and
+    * [[graft.plans.KnnIvfRewrite]] rewrites it onto the registered IVF
+    * index by injecting the coarse-quantizer partition filter at
+    * optimization time. The index uses the RAW seed quantizer (vec_id
+    * 1..nlist, argmax projection — `emb_ann_ivf`'s machinery, not the
+    * Lloyd-refined build), so the rewritten plan's result is
+    * bit-identical to the explicit IVF path and the row SHARES
+    * `emb_ann_ivf`'s DuckDB oracle: a rewrite that fired on the wrong
+    * shape, pruned the wrong cells, or failed to fire at all (falling
+    * back to exact KNN, whose top-k differs from IVF's on this corpus)
+    * is a hash mismatch. The plan itself is pinned in PlanAuditSpec
+    * (PartitionFilters: cell IN (...), ≤ nprobe/nlist of partitions
+    * scanned). */
+  /** Stage + register the rewrite row's index for `dir` (idempotent);
+    * returns the index path. Exposed package-private so PlanAuditSpec
+    * can pin the scan stage in isolation (AQE hides the scan from a
+    * whole-query collectLeaves). */
+  private[graft] def ensureRewriteIndex(s: SparkSession, dir: String,
+      nlist: Int = IvfNlist, nprobe: Int = IvfNprobe): String = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    graft.plans.KnnIvfRewrite.register(s)
+    val seeds = ivfSeeds(s, dir, nlist)
+    val idx = rewriteIndexCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_knn_rewrite_idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.operators.Sync.deleteTree(root.toFile)))
+      val p = root.resolve("ivf").toString
+      Tables.embeddings(s, dir)
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .map { case (id, emb) => (id, emb, argmaxCell(emb, seeds)) }
+        .toDF("vec_id", "embedding", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+      p
+    })
+    // (re-)register every call: the registry is process-global and a
+    // spec's clear() must not strand a cached index unregistered
+    graft.plans.KnnIndexRegistry.register(idx, seeds, nprobe)
+    idx
+  }
+
+  /** The declarative KNN the user writes against the index table — no
+    * cell column anywhere; [[graft.plans.KnnIvfRewrite]] injects the
+    * quantizer prune. Split from the rank projection so the plan pin
+    * can audit the scan stage. */
+  private[graft] def knnRewriteScan(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    val idx = ensureRewriteIndex(s, dir)
+    // the query vector as a SQL literal: vec 0's embedding, each float
+    // through a string cast (shortest-repr round-trip, so the folded
+    // literal is bit-identical to the stored vector)
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val qSql =
+      qv.map(v => s"CAST('$v' AS FLOAT)").mkString("array(", ",", ")")
+    val cosSql = s"dot_f($qSql, embedding) / (sqrt(dot_f($qSql, $qSql))" +
+      s" * sqrt(dot_f(embedding, embedding)))"
+    s.read.parquet(idx)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine", expr(cosSql))
+      .orderBy(expr(cosSql).desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def knnRewriteIvf(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    knnRewriteScan(s, dir, k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("rank").cast("long").as("rank"), col("vec_id"))
+      .orderBy("rank")
+
   /** Recall@k calibration of the IVF probe against exact KNN — the
     * number an ANN deployment actually tunes nprobe by: for each of the
     * first `nQueries` vectors, the IVF candidate top-k (probing the

@@ -646,6 +646,21 @@ object EventStream {
   def streamOuterJoinParity(s: SparkSession, dir: String): DataFrame =
     joinParityRun(s, dir, "left_outer")
 
+  /** Stream-stream FULL OUTER interval join as an ORACLE row — the one
+    * join mode the family still lacked: BOTH sides' unmatched rows must
+    * surface exactly once with nulls, each riding its own side's state
+    * eviction (an unmatched click flushes when the watermark passes its
+    * join window; an unmatched error when it passes err_ts + 1 h, the
+    * latest click that could still reference it). The DuckDB oracle is
+    * the plain batch FULL JOIN with null ordering pinned on both
+    * engines. Reuses the LEFT OUTER machinery end-to-end: typed
+    * click+error sentinels (the event-type filters sit below the
+    * watermark nodes) and the 3-sentinel replay for the lagged
+    * eviction pass. Same bounded-state contract at 100 TB: both sides
+    * evict at the watermark minus the interval bound. */
+  def streamFullOuterJoinParity(s: SparkSession, dir: String): DataFrame =
+    joinParityRun(s, dir, "full_outer")
+
   private def joinParityRun(s: SparkSession, dir: String,
       joinType: String): DataFrame = {
     val real = graft.Tables.events(s, dir)
@@ -668,6 +683,8 @@ object EventStream {
     val (inBase, cached) =
       if (joinType == "inner")
         stageReplay(s, real, s"replay_join_${StageCache.dirKey(dir)}")
+      // left and full outer share one staged replay: identical corpus,
+      // sentinel count, and sentinel types
       else stageReplay(s, real,
         s"replay_ojoin_${StageCache.dirKey(dir)}", nSentinels = 3,
         sentinelTypes = Seq("click", "error"))
@@ -693,12 +710,30 @@ object EventStream {
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    val result = s.read.parquet(outDir)
-      .filter(col("click_id") =!= -1L)
-      .select(col("click_id"), col("user_id"),
-        unix_micros(col("click_ts")).as("click_ts_us"),
-        unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
-      .orderBy("click_id", "err_ts_us")
+    // Sentinel drop: inner/left rows always carry the click-side id, so
+    // click_id != -1 suffices. A FULL OUTER unmatched-error row has a
+    // NULL click_id (which != -1 would silently drop) — there the
+    // coalesced user column is the discriminator: sentinel rows on
+    // EITHER side carry user -1, real events never do.
+    // Ordering: click_id is null for unmatched errors and err_ts_us for
+    // unmatched clicks — NULLS FIRST explicitly on both engines (Spark
+    // defaults nulls-first on ASC, DuckDB nulls-LAST), with user_id +
+    // err_ts_us completing a deterministic key for the null-click rows.
+    val raw = s.read.parquet(outDir)
+    val result =
+      if (joinType == "full_outer")
+        raw.filter(col("user_id") =!= -1L)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"),
+            unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
+          .orderBy(col("click_id").asc_nulls_first, col("user_id"),
+            col("err_ts_us").asc_nulls_first, col("err_value"))
+      else
+        raw.filter(col("click_id") =!= -1L)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"),
+            unix_micros(col("err_ts")).as("err_ts_us"), col("err_value"))
+          .orderBy("click_id", "err_ts_us")
     val pinned = result.localCheckpoint(true)
     deleteRecursively(work.toFile)
     if (!cached) deleteRecursively(inBase.toFile)
@@ -1062,8 +1097,12 @@ object EventStream {
       col("user_id") === col("err_user") &&
         col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
         col("err_ts") < col("click_ts"), joinType)
-      .select(col("click_id"), col("user_id"), col("click_ts"),
-        col("err_ts"), col("err_value"))
+      // coalesce: inner/left rows always carry the click-side user, but
+      // a FULL OUTER unmatched-error row has a null click side — its
+      // user comes from err_user (values identical for inner/left)
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("err_user")).as("user_id"),
+        col("click_ts"), col("err_ts"), col("err_value"))
   }
 
   /** Streaming exact dedup with BOUNDED state: event_id-keyed

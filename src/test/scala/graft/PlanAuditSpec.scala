@@ -540,6 +540,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
+  test("emb_knn_rewrite: the optimizer rule prunes the index scan to " +
+      "nprobe cell partitions") {
+    // SURVEY §4 item 3's plan evidence: the user-level query is a plain
+    // ORDER BY cosine DESC LIMIT k — no cell column anywhere — yet the
+    // physical index scan must carry the injected quantizer predicate
+    // in PartitionFilters and read at most nprobe of nlist partitions
+    // the scan stage alone (the rank window on top wraps the plan in
+    // AQE and hides the FileSourceScanExec from collectLeaves — same
+    // technique as the ORC pin)
+    val df = graft.operators.Similarity.knnRewriteScan(spark, dir)
+    df.count()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(
+              _.contains("graft_knn_rewrite_idx")) => f
+      }.getOrElse(fail("no index FileSourceScanExec in the plan"))
+    assert(scan.partitionFilters.mkString(";").contains("cell"),
+      s"cell not in PartitionFilters: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount <=
+        graft.operators.Similarity.IvfNprobe,
+      s"scanned ${scan.selectedPartitions.partitionCount} cells, " +
+        s"nprobe is ${graft.operators.Similarity.IvfNprobe}")
+  }
+
   test("chunk store prunes to one (product_name, version) partition pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
