@@ -791,31 +791,46 @@ object Similarity {
     * quantizer prune. Split from the rank projection so the plan pin
     * can audit the scan stage. */
   private[graft] def knnRewriteScan(s: SparkSession, dir: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): Option[DataFrame] = {
     import s.implicits._
+    // empty corpus: no query vector, no index to build — the caller
+    // emits the typed empty frame
+    val q0 = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].take(1)
+    if (q0.isEmpty) return None
     val idx = ensureRewriteIndex(s, dir)
     // the query vector as a SQL literal: vec 0's embedding, each float
     // through a string cast (shortest-repr round-trip, so the folded
     // literal is bit-identical to the stored vector)
-    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select("embedding").as[Array[Float]].head()
+    val qv = q0.head
     val qSql =
       qv.map(v => s"CAST('$v' AS FLOAT)").mkString("array(", ",", ")")
     val cosSql = s"dot_f($qSql, embedding) / (sqrt(dot_f($qSql, $qSql))" +
       s" * sqrt(dot_f(embedding, embedding)))"
-    s.read.parquet(idx)
+    Some(s.read.parquet(idx)
       .filter(col("vec_id") =!= 0)
       .withColumn("cosine", expr(cosSql))
       .orderBy(expr(cosSql).desc, col("vec_id"))
-      .limit(k)
+      .limit(k))
   }
 
   def knnRewriteIvf(s: SparkSession, dir: String, k: Int = 10): DataFrame =
-    knnRewriteScan(s, dir, k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))))
-      .select(col("rank").cast("long").as("rank"), col("vec_id"))
-      .orderBy("rank")
+    knnRewriteScan(s, dir, k) match {
+      case Some(scan) =>
+        scan
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cosine").desc, col("vec_id"))))
+          .select(col("rank").cast("long").as("rank"), col("vec_id"))
+          .orderBy("rank")
+      case None =>
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType))))
+    }
 
   /** Recall@k calibration of the IVF probe against exact KNN — the
     * number an ANN deployment actually tunes nprobe by: for each of the

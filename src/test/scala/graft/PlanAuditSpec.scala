@@ -550,6 +550,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // AQE and hides the FileSourceScanExec from collectLeaves — same
     // technique as the ORC pin)
     val df = graft.operators.Similarity.knnRewriteScan(spark, dir)
+      .getOrElse(fail("non-empty corpus must yield a scan"))
     df.count()
     val scan = df.queryExecution.executedPlan.collectLeaves()
       .collectFirst {
