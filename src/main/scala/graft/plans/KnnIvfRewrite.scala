@@ -143,11 +143,25 @@ object KnnIvfRewrite extends Rule[LogicalPlan] {
   private def toFloats(e: Expression): Array[Float] =
     e.eval(null).asInstanceOf[ArrayData].toFloatArray
 
+  /** The ranked relation, reached ONLY through row-preserving nodes
+    * (Project/Filter): dropping candidate rows of the relation being
+    * ranked is what the approximate contract licenses — pruning a scan
+    * buried under a join or aggregate would instead distort
+    * intermediate values feeding the sort, which top-k does not
+    * legitimize. */
+  private def findRelation(p: LogicalPlan): Option[LogicalRelation] =
+    p match {
+      case proj: Project => findRelation(proj.child)
+      case f: Filter => findRelation(f.child)
+      case rel: LogicalRelation => Some(rel)
+      case _ => None
+    }
+
   private def rewrite(order: Seq[SortOrder],
       child: LogicalPlan): Option[LogicalPlan] = {
     // the index relation: single-root file scan of a registered path,
     // exposing the quantizer's `cell` partition column, not yet rewritten
-    val target = child.collectFirst {
+    val target = findRelation(child).collect {
       case rel @ LogicalRelation(fs: HadoopFsRelation, out, _, _, _)
           if rel.getTagValue(RewrittenTag).isEmpty &&
             out.exists(_.name == "cell") &&
@@ -161,10 +175,17 @@ object KnnIvfRewrite extends Rule[LogicalPlan] {
         val cells = graft.operators.Similarity
           .topCells(qv, entry.seeds, entry.nprobe)
         val cellAttr = rel.output.find(_.name == "cell").get
+        // literal type tracks the partition column's inferred type (a
+        // type-mismatched In would be an invalid post-analysis plan)
+        val lits = cells.toIndexedSeq.map { c =>
+          cellAttr.dataType match {
+            case org.apache.spark.sql.types.LongType => Literal(c.toLong)
+            case _ => Literal(c)
+          }
+        }
         val tagged = rel.copy()
         tagged.setTagValue(RewrittenTag, true)
-        val pruned = Filter(
-          In(cellAttr, cells.toIndexedSeq.map(c => Literal(c))), tagged)
+        val pruned = Filter(In(cellAttr, lits), tagged)
         child.transform { case r: LogicalRelation if r.eq(rel) => pruned }
       }
     }
