@@ -124,4 +124,57 @@ class KnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = "cell#\\d+ IN \\(".r.findAllIn(opt).length
     assert(n == 1, s"expected exactly one IN filter, got $n in:\n$opt")
   }
+
+  test("a registered scan under a join never rewrites: pruning below " +
+      "a non-row-preserving node would distort the sorted values") {
+    setUp()
+    import spark.implicits._
+    val weights = Seq((0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0))
+      .toDF("cell", "w")
+    val df = spark.read.parquet(idx)
+      .join(weights, "cell")
+      .orderBy(expr(cosSql(rows.head._2)).desc, col("vec_id"))
+      .limit(5)
+      .select("vec_id")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("cell#\\d+ IN \\(".r.findFirstIn(opt).isEmpty,
+      s"rewrite fired under a join:\n$opt")
+    // and the result is the exact top-k over the full joined corpus
+    val exact = rows.filter(_._1 != -1)
+      .sortBy { case (_, v, _) => -cosine(rows.head._2, v) }
+      .take(5).map(_._1)
+    assert(df.collect().map(_.getLong(0)).toSeq == exact.toSeq)
+  }
+
+  test("a Long-typed cell column rewrites with Long literals and " +
+      "still prunes to nprobe partitions") {
+    setUp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    val df = spark.read.schema(schema).parquet(idx)
+      .orderBy(expr(cosSql(rows.head._2)).desc, col("vec_id"))
+      .limit(5).select("vec_id")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("cell#\\d+L IN \\(".r.findFirstIn(opt).isDefined,
+      s"no Long-typed cell filter in:\n$opt")
+    val cells = graft.operators.Similarity
+      .topCells(rows.head._2, seeds, 2)
+    val expected = spark.read.schema(schema).parquet(idx)
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
+      .orderBy(expr(cosSql(rows.head._2)).desc, col("vec_id"))
+      .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(df.collect().map(_.getLong(0)).toSeq == expected)
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
 }
