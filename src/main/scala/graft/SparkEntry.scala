@@ -2610,8 +2610,12 @@ object SparkEntry {
     // legacy .doc byte-walk: piece-table text (CP1252 + UTF-16 pieces),
     // the fcMin/fcMac legacy route (id%13), the fast-saved route
     // (id%11: fComplex + out-of-order pieces + ccpText body truncation
-    // — first 8 words / rest as two paragraphs), and the fEncrypted
-    // stub route (id%17, checked first) replayed from the same words
+    // — first 8 words / rest as two paragraphs), the Office Binary RC4
+    // route (id%17, checked first: REALLY decrypted with the verified
+    // password, so it replays as the same two-piece text — a decoder
+    // that failed authentication or misapplied the block keystream
+    // would emit the stub or mojibake and miss the hash), and the
+    // XOR-obfuscated stub route (id%19) replayed from the same words
     "doc_word_lines" ->
       """WITH w AS (
            SELECT doc_id,
@@ -2620,7 +2624,12 @@ object SparkEntry {
            FROM documents),
          md AS (
            SELECT doc_id,
-             CASE WHEN doc_id % 17 = 0 THEN
+             CASE WHEN doc_id % 17 = 0 AND len(words) > 6 THEN
+               ['# f' || doc_id, '', array_to_string(words[1:6], ' '),
+                array_to_string(words[7:12], ' ')]
+             WHEN doc_id % 17 = 0 THEN
+               ['# f' || doc_id, '', array_to_string(words, ' ')]
+             WHEN doc_id % 19 = 0 THEN
                ['# f' || doc_id, '', '[stub]']
              WHEN doc_id % 13 = 0 THEN
                ['# f' || doc_id, '', array_to_string(words, ' ')]

@@ -212,13 +212,18 @@ object DocPipeline {
     * default), pre-Clx legacy documents (fcMin/fcMac, id % 13 = 0),
     * fast-saved documents (id % 11 = 0: fComplex, out-of-physical-order
     * pieces from an incremental save, two Prc revision blocks, and a
-    * header section past ccpText that getBody parity must exclude), and
-    * fEncrypted documents (id % 17 = 0) which must surface the labeled
-    * stub — a decoder that ignored the flag would walk the still-present
-    * piece table and emit text, failing the row. The stub's
-    * payload-hash token is normalized to '[stub]' (a container sha is
-    * not SQL-replayable); everything else is byte-exact. Per-row kernel,
-    * no shuffle. */
+    * header section past ccpText that getBody parity must exclude),
+    * Office Binary RC4-ENCRYPTED documents (id % 17 = 0, checked
+    * first) REALLY decrypted through [[graft.sources.OfficeCrypto]]
+    * with the pipeline's password config — MD5 key derivation,
+    * verifier authentication, per-512-byte-block RC4 over both streams
+    * past their clear prefixes; beyond-reference, word-extractor
+    * throws here — and XOR-OBFUSCATED documents (id % 19 = 0) which
+    * must surface the labeled stub: a decoder that ignored the
+    * fObfuscated flag would walk the still-present piece table and
+    * emit text, failing the row. The stub's payload-hash token is
+    * normalized to '[stub]' (a container sha is not SQL-replayable);
+    * everything else is byte-exact. Per-row kernel, no shuffle. */
   def wordLines(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.{DocFixture, DocumentConverters}
@@ -228,13 +233,17 @@ object DocPipeline {
           .filter(_.nonEmpty).take(12).toSeq
         val bytes =
           if (id % 17 == 0)
+            DocFixture.rc4EncryptedDoc(words.take(6), words.drop(6),
+              "open sesame")
+          else if (id % 19 == 0)
             DocFixture.pieceTableDoc(words.take(6), words.drop(6),
-              encrypted = true)
+              encrypted = true, obfuscated = true)
           else if (id % 13 == 0) DocFixture.legacyDoc(words)
           else if (id % 11 == 0) DocFixture.fastSavedDoc(words)
           else DocFixture.pieceTableDoc(words.take(6), words.drop(6))
         val md = DocumentConverters
-          .convertFileToMarkdown(s"f$id.doc", bytes).getOrElse("")
+          .convertFileToMarkdown(s"f$id.doc", bytes, Seq("open sesame"))
+          .getOrElse("")
         (id, md)
       }
       .toDF("doc_id", "markdown")

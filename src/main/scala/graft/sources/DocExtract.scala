@@ -28,10 +28,12 @@ import scala.collection.mutable.ArrayBuffer
   * to the FIB's ccpText main-body range, matching word-extractor's
   * getBody() (reference: content-processor.ts:1411-1427).
   *
-  * Encrypted payloads (fEncrypted) return None and keep the labeled
-  * stub upstream — parity with the reference, whose word-extractor
-  * throws on them. Runs inside per-row kernels: no state,
-  * executor-safe.
+  * Encrypted payloads (fEncrypted): Office Binary RC4 documents are
+  * REALLY decrypted when a caller-supplied password verifies (see
+  * [[OfficeCrypto]] — beyond-reference: word-extractor throws on
+  * them); XOR-obfuscated documents (fObfuscated) and wrong/missing
+  * passwords return None and keep the labeled stub upstream. Runs
+  * inside per-row kernels: no state, executor-safe.
   */
 object DocExtract {
 
@@ -235,42 +237,65 @@ object DocExtract {
   }
 
   /** Real .doc → markdown; None for payloads outside the supported
-    * core (callers fall back to the labeled stub). */
-  def docToMarkdown(fileName: String, bytes: Array[Byte]): Option[String] =
+    * core (callers fall back to the labeled stub). `passwords` are
+    * tried in order against RC4-encrypted documents — the reference's
+    * word-extractor throws on those unconditionally, so any non-empty
+    * list is beyond-reference capability (the curation pipeline's
+    * per-source password config, the analog of `qpdf --password`). */
+  def docToMarkdown(fileName: String, bytes: Array[Byte],
+      passwords: Seq[String] = Nil): Option[String] =
     try {
       if (!isCfb(bytes)) return None
       val cfb = new Cfb(bytes)
-      val wd = cfb.stream("WordDocument").getOrElse(return None)
-      if (wd.length < 0x01AA || u16(wd, 0) != 0xA5EC) return None
-      val fibFlags = u16(wd, 0x0A)
-      // fEncrypted ([MS-DOC] FibBase bit 8): encrypted / XOR-obfuscated
-      // payloads must NOT walk the piece table — the offsets point into
-      // ciphertext and would "decode" to mojibake. Bail to the labeled
-      // stub instead (the reference's word-extractor throws here too).
-      if (((fibFlags >> 8) & 1) == 1) return None
+      val wd0 = cfb.stream("WordDocument").getOrElse(return None)
+      if (wd0.length < 0x01AA || u16(wd0, 0) != 0xA5EC) return None
+      val fibFlags = u16(wd0, 0x0A)
       val whichTbl = (fibFlags >> 9) & 1
-      // ccpText (FibRgLw97, FIB offset 0x4C): CP count of the MAIN BODY.
-      // The piece table continues past it into footnote/header/
-      // annotation sections — ubiquitous in fast-saved files — and
-      // word-extractor's getBody() returns only [0, ccpText). 0 (our
-      // pre-Clx fixtures, some minimal writers) means "unrecorded":
-      // keep the full piece-table text.
-      val ccpText =
-        if (wd.length >= 0x50) u32(wd, 0x4C).toInt else 0
-      val text = cfb.stream(s"${whichTbl}Table")
-        .flatMap(pieceTableText(wd, _))
-        .map(t =>
-          if (ccpText > 0 && ccpText < t.length) t.substring(0, ccpText)
-          else t)
-        .orElse {
-          // legacy fallback: contiguous text at fcMin..fcMac
-          val fcMin = u32(wd, 24).toInt
-          val fcMac = u32(wd, 28).toInt
-          if (fcMin >= 0 && fcMin < fcMac && fcMac <= wd.length)
-            Some(cp1252(wd, fcMin, fcMac - fcMin))
-          else None
-        }
-      text.map(cleanText).filter(_.exists(!_.isWhitespace))
-        .map(DocumentConverters.docBodyMarkdown(fileName, _))
+      val tbl0 = cfb.stream(s"${whichTbl}Table")
+      // fEncrypted ([MS-DOC] FibBase bit 8): the piece-table offsets
+      // point into ciphertext — walking them undecrypted would "decode"
+      // to mojibake. fObfuscated (bit 15) selects the legacy XOR
+      // scheme, which stays a labeled stub; otherwise the Table stream
+      // heads with an Office Binary RC4 EncryptionHeader of `lKey`
+      // bytes (FIB offset 0x0E) and a verified password decrypts the
+      // WordDocument stream past its 0x44-byte clear FibBase prefix
+      // plus the Table stream past the header. No password that
+      // verifies → the labeled stub upstream, same as the reference.
+      val decrypted: Option[(Array[Byte], Option[Array[Byte]])] =
+        if (((fibFlags >> 8) & 1) == 0) Some((wd0, tbl0))
+        else if (((fibFlags >> 15) & 1) == 1) None
+        else for {
+          t <- tbl0
+          hdr <- OfficeCrypto.parseHeader(t, u32(wd0, 0x0E))
+          base <- passwords.iterator
+            .map(pw => OfficeCrypto.keyBase(pw, hdr.salt))
+            .find(OfficeCrypto.verify(_, hdr))
+        } yield (OfficeCrypto.cryptStream(wd0, base, 0x44),
+          Some(OfficeCrypto.cryptStream(t, base, OfficeCrypto.HeaderSize)))
+      decrypted.flatMap { case (wd, tblOpt) =>
+        // ccpText (FibRgLw97, FIB offset 0x4C): CP count of the MAIN
+        // BODY. The piece table continues past it into footnote/header/
+        // annotation sections — ubiquitous in fast-saved files — and
+        // word-extractor's getBody() returns only [0, ccpText). 0 (our
+        // pre-Clx fixtures, some minimal writers) means "unrecorded":
+        // keep the full piece-table text.
+        val ccpText =
+          if (wd.length >= 0x50) u32(wd, 0x4C).toInt else 0
+        val text = tblOpt
+          .flatMap(pieceTableText(wd, _))
+          .map(t =>
+            if (ccpText > 0 && ccpText < t.length) t.substring(0, ccpText)
+            else t)
+          .orElse {
+            // legacy fallback: contiguous text at fcMin..fcMac
+            val fcMin = u32(wd, 24).toInt
+            val fcMac = u32(wd, 28).toInt
+            if (fcMin >= 0 && fcMin < fcMac && fcMac <= wd.length)
+              Some(cp1252(wd, fcMin, fcMac - fcMin))
+            else None
+          }
+        text.map(cleanText).filter(_.exists(!_.isWhitespace))
+          .map(DocumentConverters.docBodyMarkdown(fileName, _))
+      }
     } catch { case _: Exception => None }
 }

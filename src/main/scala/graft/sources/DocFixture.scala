@@ -89,14 +89,20 @@ object DocFixture {
     wd
   }
 
-  /** Piece-table document: the first piece CP1252-compressed (words
+  /** Piece-table streams: the first piece CP1252-compressed (words
     * `a`, ASCII text + paragraph mark), the second UTF-16LE (words
     * `b`); `b` empty → a single compressed piece. `encrypted` sets the
     * FIB fEncrypted flag with the piece table left in place — a decoder
-    * without the flag check would walk it and emit the text. */
-  def pieceTableDoc(a: Seq[String], b: Seq[String],
-      encrypted: Boolean = false): Array[Byte] = {
+    * without the flag check would walk it and emit the text;
+    * `obfuscated` adds fObfuscated (the legacy XOR scheme the decoder
+    * declines). `tblOrigin` positions the Clx inside the table stream
+    * (the RC4 builder reserves the head for its EncryptionHeader). */
+  private def pieceDocStreams(a: Seq[String], b: Seq[String],
+      encrypted: Boolean, obfuscated: Boolean,
+      tblOrigin: Int): (Array[Byte], Array[Byte]) = {
     val wd = fib(encrypted)
+    if (obfuscated)
+      putU16(wd, 0x0A, u16(wd, 0x0A) | 0x8000) // fObfuscated bit 15
     val t1 = (a.mkString(" ") + "\r").getBytes(Ascii)
     System.arraycopy(t1, 0, wd, 1024, t1.length)
     val s2 = b.mkString(" ")
@@ -107,7 +113,7 @@ object DocFixture {
       if (b.isEmpty) Seq((t1.length, (1024L * 2) | (1L << 30)))
       else Seq((t1.length, (1024L * 2) | (1L << 30)), (s2.length, 2048L))
     val n = pieces.length
-    var p = 64
+    var p = tblOrigin
     tbl(p) = 0x02
     val lcbPlc = 4 * (n + 1) + 8 * n
     putU32(tbl, p + 1, lcbPlc.toLong)
@@ -121,10 +127,57 @@ object DocFixture {
     pieces.zipWithIndex.foreach { case ((_, fc), i) =>
       putU32(tbl, pcds + 8 * i + 2, fc)
     }
-    putU32(wd, 0x01A2, 64L)
+    putU32(wd, 0x01A2, tblOrigin.toLong)
     putU32(wd, 0x01A6, (5L + lcbPlc))
+    (wd, tbl)
+  }
+
+  def pieceTableDoc(a: Seq[String], b: Seq[String],
+      encrypted: Boolean = false, obfuscated: Boolean = false): Array[Byte] = {
+    val (wd, tbl) = pieceDocStreams(a, b, encrypted, obfuscated, 64)
     buildCfb(Seq("WordDocument" -> wd, "0Table" -> tbl))
   }
+
+  /** Office Binary RC4-encrypted document ([MS-OFFCRYPTO] 2.3.6): the
+    * piece-table body of [[pieceTableDoc]] with a 52-byte
+    * EncryptionHeader (version 1.1, salt, verifier pair) heading the
+    * table stream, `lKey` = 52 in the FIB, and both streams RC4-
+    * encrypted at natural offsets past their clear prefixes (0x44-byte
+    * FibBase / the header) with per-512-byte-block MD5 keys. Salt and
+    * verifier derive deterministically from the words so the fixture
+    * is corpus-stable; the decrypt side is the REAL
+    * [[OfficeCrypto]]/[[DocExtract]] path, which must authenticate the
+    * password before walking anything. */
+  def rc4EncryptedDoc(a: Seq[String], b: Seq[String],
+      password: String): Array[Byte] = {
+    val (wd, tbl) = pieceDocStreams(a, b, encrypted = true,
+      obfuscated = false, tblOrigin = 2 * OfficeCrypto.HeaderSize)
+    putU32(wd, 0x0E, OfficeCrypto.HeaderSize.toLong) // lKey
+    def md5(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val seedText = (a ++ b).mkString(" ")
+    val salt = md5(s"graft-doc-salt:$seedText")
+    val verifier = md5(s"graft-doc-verifier:$seedText")
+    val base = OfficeCrypto.keyBase(password, salt)
+    val rc4 = new OfficeCrypto.Rc4(OfficeCrypto.blockKey(base, 0))
+    val encVerifier = verifier.clone()
+    rc4.xor(encVerifier, 0, 16)
+    val encVerifierHash = md5Bytes(verifier)
+    rc4.xor(encVerifierHash, 0, 16) // same keystream, continued
+    putU16(tbl, 0, 1) // version major
+    putU16(tbl, 2, 1) // version minor
+    System.arraycopy(salt, 0, tbl, 4, 16)
+    System.arraycopy(encVerifier, 0, tbl, 20, 16)
+    System.arraycopy(encVerifierHash, 0, tbl, 36, 16)
+    buildCfb(Seq(
+      "WordDocument" -> OfficeCrypto.cryptStream(wd, base, 0x44),
+      "0Table" -> OfficeCrypto.cryptStream(tbl, base,
+        OfficeCrypto.HeaderSize)))
+  }
+
+  private def md5Bytes(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
 
   /** Fast-saved (incrementally saved) document — the shape word
     * processors actually produced under Word's "allow fast saves": the

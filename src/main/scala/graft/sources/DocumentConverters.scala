@@ -108,9 +108,16 @@ object DocumentConverters {
   }
 
   /** Dispatcher: bytes + filename → Markdown (or None for formats that
-    * should be skipped). */
+    * should be skipped). `docPasswords` are tried against RC4-encrypted
+    * legacy .doc payloads (the per-source password config a curation
+    * pipeline carries); the no-password overload keeps reference parity
+    * (encrypted docs → labeled stub). */
   def convertFileToMarkdown(fileName: String,
-      bytes: Array[Byte]): Option[String] = {
+      bytes: Array[Byte]): Option[String] =
+    convertFileToMarkdown(fileName, bytes, Nil)
+
+  def convertFileToMarkdown(fileName: String, bytes: Array[Byte],
+      docPasswords: Seq[String]): Option[String] = {
     val lower = fileName.toLowerCase
     val text = () => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     if (lower.endsWith(".md") || lower.endsWith(".markdown") ||
@@ -124,7 +131,7 @@ object DocumentConverters {
       Some(DocxExtract.docxToMarkdown(fileName, bytes)
         .getOrElse(docToMarkdownStub(fileName, bytes)))
     else if (lower.endsWith(".doc"))
-      Some(DocExtract.docToMarkdown(fileName, bytes)
+      Some(DocExtract.docToMarkdown(fileName, bytes, docPasswords)
         .getOrElse(docToMarkdownStub(fileName, bytes)))
     else None
   }

@@ -213,4 +213,60 @@ class DocExtractSpec extends AnyFunSuite {
     val md = DocumentConverters.convertFileToMarkdown("a/b/note.doc", doc).get
     assert(md == "# note\n\nDispatcher path works.")
   }
+
+  test("RC4-encrypted doc: the right password decrypts to the clear-" +
+      "text markdown; wrong/no password and tampering stay stubbed") {
+    import graft.sources.DocFixture
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val clearMd = DocExtract.docToMarkdown("e.doc",
+      DocFixture.pieceTableDoc(words.take(6), words.drop(6))).get
+    val enc = DocFixture.rc4EncryptedDoc(words.take(6), words.drop(6),
+      "open sesame")
+    // ciphertext really differs from plaintext where the body lives
+    assert(DocExtract.docToMarkdown("e.doc", enc,
+      Seq("open sesame")).contains(clearMd))
+    // password list semantics: tried in order, wrong ones don't open
+    assert(DocExtract.docToMarkdown("e.doc", enc,
+      Seq("nope", "open sesame")).contains(clearMd))
+    assert(DocExtract.docToMarkdown("e.doc", enc, Seq("nope")).isEmpty)
+    assert(DocExtract.docToMarkdown("e.doc", enc).isEmpty)
+    // dispatcher overload threads the password through
+    assert(DocumentConverters.convertFileToMarkdown("e.doc", enc,
+      Seq("open sesame")).get == clearMd)
+    assert(DocumentConverters.convertFileToMarkdown("e.doc", enc).get
+      .contains("stub-extracted"))
+    // a flipped bit in the verifier hash must fail authentication
+    // (tbl stream: header bytes live at sector offsets; flip inside
+    // the encrypted container copy of encVerifierHash)
+    val tampered = enc.clone()
+    // locate the 0Table stream content: find its salt by scanning for
+    // the version (1,1) header start in the container
+    val salt = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-doc-salt:${words.mkString(" ")}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hdrAt = tampered.indices.find(i =>
+      i + 20 <= tampered.length && tampered(i) == 1 && tampered(i + 1) == 0 &&
+        tampered(i + 2) == 1 && tampered(i + 3) == 0 &&
+        (0 until 16).forall(k => tampered(i + 4 + k) == salt(k))).get
+    tampered(hdrAt + 36) = (tampered(hdrAt + 36) ^ 0x01).toByte
+    assert(DocExtract.docToMarkdown("e.doc", tampered,
+      Seq("open sesame")).isEmpty)
+  }
+
+  test("fObfuscated (legacy XOR) doc declines even with passwords") {
+    import graft.sources.DocFixture
+    val words = Seq("alpha", "beta", "gamma")
+    val obf = DocFixture.pieceTableDoc(words, Seq.empty,
+      encrypted = true, obfuscated = true)
+    assert(DocExtract.docToMarkdown("o.doc", obf,
+      Seq("open sesame")).isEmpty)
+    assert(DocumentConverters.convertFileToMarkdown("o.doc", obf).get
+      .contains("stub-extracted"))
+    // fEncrypted without a valid RC4 header (lKey = 0) also declines
+    val noHdr = DocFixture.pieceTableDoc(words, Seq.empty,
+      encrypted = true)
+    assert(DocExtract.docToMarkdown("n.doc", noHdr,
+      Seq("open sesame")).isEmpty)
+  }
 }
