@@ -102,6 +102,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamOuterJoinParity(s, d)),
     "stream_full_outer_join_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamFullOuterJoinParity(s, d)),
+    "stream_semi_join_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamSemiJoinParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -1155,6 +1157,27 @@ object SparkEntry {
            AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
          ORDER BY click_id NULLS FIRST, user_id,
            err_ts_us NULLS FIRST, err_value""",
+    // the SEMI variant: a click surfaces once iff ANY error matched
+    // its interval — EXISTS, not a join, so a click with three matches
+    // stays one row and carries no error columns
+    "stream_semi_join_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value,
+             event_id
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         c AS (
+           SELECT event_id AS click_id, user_id, ts FROM e
+           WHERE event_type = 'click'),
+         r AS (
+           SELECT user_id, ts FROM e WHERE event_type = 'error')
+         SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_ts_us
+         FROM c
+         WHERE EXISTS (
+           SELECT 1 FROM r
+           WHERE r.user_id = c.user_id
+             AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts)
+         ORDER BY click_id""",
     "stream_state_parity" ->
       s"""SELECT user_id, count(*) AS n_events,
            round(sum(value), 2) AS total_value

@@ -661,6 +661,22 @@ object EventStream {
   def streamFullOuterJoinParity(s: SparkSession, dir: String): DataFrame =
     joinParityRun(s, dir, "full_outer")
 
+  /** Stream-stream LEFT SEMI interval join as an ORACLE row — the last
+    * join mode Spark's symmetric hash join supports that the family
+    * lacked: a click surfaces EXACTLY ONCE iff at least one error
+    * matched inside its interval, with no error columns in the output.
+    * The semantics the inner row cannot pin: a click matching three
+    * errors emits one row here (the inner row emits three), so the
+    * join must remember per-left-row matched state across micro-batches
+    * — a re-emission on a second match in a later batch, or a miss when
+    * the first match arrives after the click, is a hash mismatch
+    * against DuckDB's EXISTS. Shares the outer rows' staged replay
+    * (identical corpus, typed sentinels) so the bench stages it once;
+    * like the other modes, state is watermark-evicted on both sides at
+    * 100 TB. */
+  def streamSemiJoinParity(s: SparkSession, dir: String): DataFrame =
+    joinParityRun(s, dir, "left_semi")
+
   private def joinParityRun(s: SparkSession, dir: String,
       joinType: String): DataFrame = {
     val real = graft.Tables.events(s, dir)
@@ -670,12 +686,17 @@ object EventStream {
     if (real.take(1).isEmpty)
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("click_id", LongType),
-          StructField("user_id", LongType),
-          StructField("click_ts_us", LongType),
-          StructField("err_ts_us", LongType),
-          StructField("err_value", DoubleType))))
+        StructType(
+          if (joinType == "left_semi") Seq(
+            StructField("click_id", LongType),
+            StructField("user_id", LongType),
+            StructField("click_ts_us", LongType))
+          else Seq(
+            StructField("click_id", LongType),
+            StructField("user_id", LongType),
+            StructField("click_ts_us", LongType),
+            StructField("err_ts_us", LongType),
+            StructField("err_value", DoubleType))))
     // the outer row stages its own replay with a 3rd sentinel (see
     // stageReplay: null emission rides eviction, which runs one batch
     // behind under the lagged watermark); the inner row keeps the
@@ -683,8 +704,11 @@ object EventStream {
     val (inBase, cached) =
       if (joinType == "inner")
         stageReplay(s, real, s"replay_join_${StageCache.dirKey(dir)}")
-      // left and full outer share one staged replay: identical corpus,
-      // sentinel count, and sentinel types
+      // left/full outer and left semi share one staged replay:
+      // identical corpus, sentinel count, and sentinel types (semi
+      // emission is match-driven like inner, but the typed sentinels
+      // cost nothing when the staging is shared and keep the row
+      // correct even where an emission ends up riding eviction)
       else stageReplay(s, real,
         s"replay_ojoin_${StageCache.dirKey(dir)}", nSentinels = 3,
         sentinelTypes = Seq("click", "error"))
@@ -721,7 +745,12 @@ object EventStream {
     // err_ts_us completing a deterministic key for the null-click rows.
     val raw = s.read.parquet(outDir)
     val result =
-      if (joinType == "full_outer")
+      if (joinType == "left_semi")
+        raw.filter(col("click_id") =!= -1L)
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"))
+          .orderBy("click_id")
+      else if (joinType == "full_outer")
         raw.filter(col("user_id") =!= -1L)
           .select(col("click_id"), col("user_id"),
             unix_micros(col("click_ts")).as("click_ts_us"),
@@ -1093,14 +1122,18 @@ object EventStream {
       .select(col("user_id").as("err_user"), col("ts").as("err_ts"),
         col("value").as("err_value"))
       .withWatermark("err_ts", "10 minutes")
-    clicks.join(errors,
+    val joined = clicks.join(errors,
       col("user_id") === col("err_user") &&
         col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
         col("err_ts") < col("click_ts"), joinType)
+    // a LEFT SEMI join's output carries only left-side columns
+    if (joinType == "left_semi")
+      joined.select(col("click_id"), col("user_id"), col("click_ts"))
+    else
       // coalesce: inner/left rows always carry the click-side user, but
       // a FULL OUTER unmatched-error row has a null click side — its
       // user comes from err_user (values identical for inner/left)
-      .select(col("click_id"),
+      joined.select(col("click_id"),
         coalesce(col("user_id"), col("err_user")).as("user_id"),
         col("click_ts"), col("err_ts"), col("err_value"))
   }

@@ -263,6 +263,33 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed join matches differ from the batch interval join")
   }
 
+  test("stream-stream LEFT SEMI parity: one row per matched click, " +
+      "none for unmatched, no error columns") {
+    val streamed = EventStream.streamSemiJoinParity(spark, dir)
+    assert(streamed.columns.toSeq ==
+      Seq("click_id", "user_id", "click_ts_us"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id") < EventStream.AggParityEvents)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+    val batch = clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("err_ts") < col("click_ts"), "left_semi")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+    assert(streamed.count() > 0)
+    // exactly-once: click_id is unique in the semi output
+    assert(streamed.count() ==
+      streamed.select("click_id").distinct().count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed semi join differs from the batch left-semi join")
+  }
+
   test("streaming curation parity: kept set equals the batch derivation") {
     import org.apache.spark.sql.expressions.Window
     val streamed =
