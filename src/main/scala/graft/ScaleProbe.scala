@@ -96,8 +96,11 @@ object ScaleProbe {
     "stream_outer_join_parity",
     // r16: the FULL OUTER interval join — same capped-fixture contract
     // as the inner/left rows (state bounded by watermark eviction on
-    // both sides), probed to confirm the cap holds
+    // both sides), probed to confirm the cap holds — and the RIGHT
+    // OUTER + LEFT SEMI modes completing the family (same shared
+    // staged replay and eviction-bounded state)
     "stream_full_outer_join_parity",
+    "stream_right_outer_join_parity", "stream_semi_join_parity",
     // r13 additions: the incremental verdicts — their contract is that
     // only the batch side grows the join state (store streams map-side
     // through a broadcast), so growth must track the batch delta, not

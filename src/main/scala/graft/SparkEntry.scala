@@ -104,6 +104,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamFullOuterJoinParity(s, d)),
     "stream_semi_join_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamSemiJoinParity(s, d)),
+    "stream_right_outer_join_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamRightOuterJoinParity(s, d)),
     "stream_curate_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.CurationStream.streamCurateParity(s, d)),
     "stream_ivf_parity"   -> ((s: SparkSession, d: String) =>
@@ -1153,6 +1155,29 @@ object SparkEntry {
            epoch_us(c.ts) AS click_ts_us, epoch_us(r.ts) AS err_ts_us,
            r.value AS err_value
          FROM c FULL JOIN r
+           ON r.user_id = c.user_id
+           AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
+         ORDER BY click_id NULLS FIRST, user_id,
+           err_ts_us NULLS FIRST, err_value""",
+    // the RIGHT variant: unmatched errors surface once with a null
+    // click side — mirror of the left row, exercising the error
+    // side's eviction-driven null emission
+    "stream_right_outer_join_parity" ->
+      s"""WITH e AS (
+           SELECT ts::TIMESTAMP AS ts, user_id, event_type, value,
+             event_id
+           FROM events WHERE event_id < ${
+             graft.streaming.EventStream.AggParityEvents}),
+         c AS (
+           SELECT event_id AS click_id, user_id, ts FROM e
+           WHERE event_type = 'click'),
+         r AS (
+           SELECT user_id, ts, value FROM e WHERE event_type = 'error')
+         SELECT c.click_id,
+           COALESCE(c.user_id, r.user_id) AS user_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(r.ts) AS err_ts_us,
+           r.value AS err_value
+         FROM c RIGHT JOIN r
            ON r.user_id = c.user_id
            AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts
          ORDER BY click_id NULLS FIRST, user_id,

@@ -677,6 +677,18 @@ object EventStream {
   def streamSemiJoinParity(s: SparkSession, dir: String): DataFrame =
     joinParityRun(s, dir, "left_semi")
 
+  /** Stream-stream RIGHT OUTER interval join as an ORACLE row —
+    * completes the join-mode family (inner, left/right/full outer,
+    * left semi): an unmatched ERROR surfaces exactly once with a null
+    * click side when the watermark passes the last click that could
+    * still reference it (err_ts + 1 h), while matched rows emit as the
+    * inner join does. Mirror of the LEFT OUTER row, exercising the
+    * opposite side's state-eviction emission; same staged replay, same
+    * bounded-state contract. Oracle: DuckDB's batch RIGHT JOIN with
+    * NULLS FIRST pinned on both engines. */
+  def streamRightOuterJoinParity(s: SparkSession, dir: String): DataFrame =
+    joinParityRun(s, dir, "right_outer")
+
   private def joinParityRun(s: SparkSession, dir: String,
       joinType: String): DataFrame = {
     val real = graft.Tables.events(s, dir)
@@ -750,7 +762,7 @@ object EventStream {
           .select(col("click_id"), col("user_id"),
             unix_micros(col("click_ts")).as("click_ts_us"))
           .orderBy("click_id")
-      else if (joinType == "full_outer")
+      else if (joinType == "full_outer" || joinType == "right_outer")
         raw.filter(col("user_id") =!= -1L)
           .select(col("click_id"), col("user_id"),
             unix_micros(col("click_ts")).as("click_ts_us"),
