@@ -269,8 +269,11 @@ object DocPipeline {
     * /UE key unwrap (id % 97 = 0 — SPARSE on purpose: the R6 hash is
     * a password-KDF, slow by design at ~6 hardened derivations per
     * fixture+decode; the row needs route PRESENCE, not density, and a
-    * dense route put 9s of deliberate KDF work into the bench) — all
-    * decoding to the same words —
+    * dense route put 9s of deliberate KDF work into the bench), and
+    * V4 with an /Identity STREAM crypt filter (id % 23 = 0: a full
+    * /Encrypt dict but clear streams per Table 25 — a decoder that
+    * treated any /Encrypt as undecryptable would stub and miss the
+    * hash) — all decoding to the same words —
     * and owner-locked documents with a non-empty USER password
     * (id % 17 = 0) which must fall back to the labeled stub — a
     * decoder that skipped /U authentication would emit decrypt garbage
@@ -295,6 +298,13 @@ object DocPipeline {
             PdfFixture.encryptedPdf(words, 3, id0, literalOU = true)
           else if (id % 7 == 0) PdfFixture.encryptedPdf(words, 4, id0)
           else if (id % 97 == 0) PdfFixture.encryptedPdf(words, 6, id0)
+          // V4 with an /Identity STREAM crypt filter: a full /Encrypt
+          // dict but clear streams (Table 25 pass-through) — decodes
+          // to the same words, so the oracle's default branch replays
+          // it; a decoder that treated any /Encrypt as undecryptable
+          // would stub here and miss the hash
+          else if (id % 23 == 0)
+            PdfFixture.encryptedPdf(words, 4, id0, identityStmF = true)
           else PdfFixture.encryptedPdf(words, 3, id0)
         // the oracle's locked-route shape hardcodes the ONE-page stub;
         // pdfToMarkdownStub grows a page per KiB of fixture, so a

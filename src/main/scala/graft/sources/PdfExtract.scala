@@ -584,11 +584,12 @@ object PdfExtract {
   /** /Encrypt detection + empty-user-password authentication.
     * Supported: the standard handler — V 1-2 / R 2-3 (RC4), V 4 / R 4
     * with an /AESV2 crypt filter (AES-128-CBC, the PDF-1.6 default),
-    * and V 5 / R 5-6 with /AESV3 (AES-256, PDF 2.0: hardened hash,
-    * /UE key unwrap). Everything else — a real user password,
-    * Identity/custom stream filters, malformed entries — is
-    * Undecryptable: the caller falls back to the labeled stub instead
-    * of emitting garbage. */
+    * V 4 / R 4 with an /Identity STREAM filter (streams stored in the
+    * clear — authenticated, then read as plaintext), and V 5 / R 5-6
+    * with /AESV3 (AES-256, PDF 2.0: hardened hash, /UE key unwrap).
+    * Everything else — a real user password, custom/public-key crypt
+    * filters, malformed entries — is Undecryptable: the caller falls
+    * back to the labeled stub instead of emitting garbage. */
   private def cryptState(text: String, objs: Map[Int, PdfObj]): CryptState = {
     val ref = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(text)
     if (ref.isEmpty) return Plain
@@ -604,6 +605,25 @@ object PdfExtract {
           """/CFM\s*/AESV3\b""".r.findFirstIn(enc.body).isDefined &&
           """/StmF\s*/StdCF\b""".r.findFirstIn(enc.body).isDefined)
           v5Key(enc.body, r).map(Keyed(_, aes = true, perObject = false))
+        else if (v == 4 && r == 4 &&
+          """/StmF\s*/Identity\b""".r.findFirstIn(enc.body).isDefined)
+          // Identity stream crypt filter ([PDF 32000-1] §7.6.5, Table
+          // 25): stream data passes through UNdecrypted even though the
+          // document carries an /Encrypt dictionary (only strings /
+          // embedded files use the named filter). The extractor
+          // consumes stream content exclusively, so after the usual
+          // empty-user-password authentication the file reads as
+          // plaintext — without the auth gate a user-password-locked
+          // Identity file would leak past the stub contract.
+          for {
+            o <- stringEntry(enc.body, "O") if o.length >= 32
+            u <- stringEntry(enc.body, "U") if u.length >= 16
+            p <- intEntry(enc.body, "P")
+            fk = fileKey("", o, p, id0, r, 128,
+              !"""/EncryptMetadata\s+false\b""".r
+                .findFirstIn(enc.body).isDefined)
+            if userPwAuthenticates(fk, u, id0, r)
+          } yield Plain
         else if ((v <= 2 && (r == 2 || r == 3)) ||
           (v == 4 && r == 4 &&
             """/CFM\s*/AESV2\b""".r.findFirstIn(enc.body).isDefined &&

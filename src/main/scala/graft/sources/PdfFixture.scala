@@ -124,10 +124,10 @@ object PdfFixture {
   }
 
   private def assemble(objs: Seq[RawObj], id0: Array[Byte],
-      crypt: Option[(Int, String, String, Boolean)]): Array[Byte] = {
+      crypt: Option[(Int, String, String, Boolean, Boolean)]): Array[Byte] = {
     val (finalObjs, encryptFrag) = crypt match {
       case None => (objs, "")
-      case Some((r, userPw, ownerPw, literalOU)) if r >= 5 =>
+      case Some((r, userPw, ownerPw, literalOU, _)) if r >= 5 =>
         val (fileKey, dict) = v5Credentials(userPw, ownerPw, id0, r)
         val encNum = objs.map(_.num).max + 1
         val enc = objs.map { ro =>
@@ -143,8 +143,9 @@ object PdfFixture {
           }
         }
         (enc :+ RawObj(encNum, dict), s"/Encrypt $encNum 0 R ")
-      case Some((r, userPw, ownerPw, literalOU)) =>
+      case Some((r, userPw, ownerPw, literalOU, identityStmF)) =>
         require(r >= 2 && r <= 4, s"unsupported revision $r")
+        require(!identityStmF || r == 4, "Identity /StmF rides the V4 dict")
         val p = -44
         val lenBits = if (r == 2) 40 else 128
         val o = computeO(ownerPw, userPw, r, lenBits / 8)
@@ -162,24 +163,34 @@ object PdfFixture {
               } + ")"
           else s"<${hex(b)}>"
         val encNum = objs.map(_.num).max + 1
-        val enc = objs.map { ro =>
-          ro.stream match {
-            case None => ro
-            case Some(sb) if r <= 3 =>
-              ro.copy(stream = Some(rc4(objKey(fk, ro.num, 0), sb)))
-            case Some(sb) =>
-              val iv = PdfExtract.md5(id0,
-                Array((ro.num & 0xff).toByte))
-              val ct = aesEncrypt(objKey(fk, ro.num, 0, aes = true), iv, sb)
-              // AES changes stream length: rewrite the dict's /Length
-              ro.copy(
-                dict = ro.dict.replaceAll("/Length\\s+\\d+",
-                  s"/Length ${ct.length}"),
-                stream = Some(ct))
+        val enc =
+          // Identity /StmF: streams bypass encryption entirely — the
+          // plaintext objects ARE the file body ([PDF 32000-1] §7.6.5,
+          // Table 25: the Identity crypt filter passes data through)
+          if (identityStmF) objs
+          else objs.map { ro =>
+            ro.stream match {
+              case None => ro
+              case Some(sb) if r <= 3 =>
+                ro.copy(stream = Some(rc4(objKey(fk, ro.num, 0), sb)))
+              case Some(sb) =>
+                val iv = PdfExtract.md5(id0,
+                  Array((ro.num & 0xff).toByte))
+                val ct = aesEncrypt(objKey(fk, ro.num, 0, aes = true), iv, sb)
+                // AES changes stream length: rewrite the dict's /Length
+                ro.copy(
+                  dict = ro.dict.replaceAll("/Length\\s+\\d+",
+                    s"/Length ${ct.length}"),
+                  stream = Some(ct))
+            }
           }
-        }
         val dict =
-          if (r == 4)
+          if (identityStmF)
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+              "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen " +
+              "/Length 16 >> >> /StmF /Identity /StrF /StdCF " +
+              s"/O ${str(o)} /U ${str(u)} /P $p >>"
+          else if (r == 4)
             "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
               "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen " +
               "/Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
@@ -213,7 +224,8 @@ object PdfFixture {
     * instead of hex (both spellings occur in the wild). */
   def encryptedPdf(words: Seq[String], r: Int, id0: Array[Byte],
       userPw: String = "", ownerPw: String = "owner",
-      literalOU: Boolean = false): Array[Byte] = {
+      literalOU: Boolean = false,
+      identityStmF: Boolean = false): Array[Byte] = {
     val (l1, l2) = words.splitAt(3)
     val content =
       s"BT /F1 12 Tf 72 200 Td (${esc(l1.mkString(" "))}) Tj " +
@@ -225,7 +237,7 @@ object PdfFixture {
       RawObj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
       RawObj(4, s"<< /Length ${cb.length} /Filter /FlateDecode >>",
         Some(cb))),
-      id0, Some((r, userPw, ownerPw, literalOU)))
+      id0, Some((r, userPw, ownerPw, literalOU, identityStmF)))
   }
 
   /** A one-page PDF whose show-strings are CODE-ENCODED the way a
@@ -296,6 +308,6 @@ object PdfFixture {
           Some(packed))
       }
     assemble(objs, id0,
-      if (encrypted) Some((3, "", "owner", false)) else None)
+      if (encrypted) Some((3, "", "owner", false, false)) else None)
   }
 }

@@ -93,6 +93,22 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(PdfExtract.extractRuns(bytes).isEmpty)
   }
 
+  test("V4 /StmF /Identity: streams read as plaintext after auth; a " +
+      "user-password-locked Identity file still gates to the stub") {
+    val bytes = PdfFixture.encryptedPdf(words, r = 4, id0 = id0,
+      identityStmF = true)
+    // the file carries a full /Encrypt dict (V4/R4, AESV2 StdCF for
+    // strings) but its streams are stored in the clear — Table 25's
+    // Identity pass-through
+    val md = DocumentConverters.convertFileToMarkdown("f7.pdf", bytes).get
+    assert(md == "# f7\n\nalpha bravo charlie delta echo foxtrot")
+    // authentication still gates: a real user password means the /U
+    // check fails and the stub surfaces, clear streams notwithstanding
+    val locked = PdfFixture.encryptedPdf(words, r = 4, id0 = id0,
+      userPw = "locked", identityStmF = true)
+    assert(PdfExtract.extractRuns(locked).isEmpty)
+  }
+
   test("AES known-answer: FIPS-197 appendix C.1-style round trip") {
     // no hardcoded AES vector needed: the JDK cipher IS the reference;
     // pin the PDF-layer framing instead — IV prefix, PKCS#7 strip
