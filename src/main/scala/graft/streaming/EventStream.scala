@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Per-user session state for the stateful path (top-level for encoder
@@ -11,6 +13,41 @@ case class UserSessionState(userId: Long, nEvents: Long,
     totalValue: Double, lastTsMicros: Long)
 case class SessionUpdate(user_id: Long, n_events: Long,
     total_value: Double)
+
+/** [[EventStream.sessionStates]]' running-totals contract re-expressed
+  * on Spark 4's arbitrary-state API (`transformWithState`): per-user
+  * cumulative event count and value total in a named [[ValueState]],
+  * one cumulative update emitted per touched key per micro-batch.
+  * Top-level (not nested in the object) so the executor-side encoder
+  * codegen sees a stable class. TTL is NONE — the parity contract is
+  * exact equality with the batch aggregation, which unexpired state
+  * alone guarantees; production deployments bound idle keys with a
+  * processing-time [[TTLConfig]] instead of the fMGWS timeout dance. */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Double), SessionUpdate] {
+  @transient private var totals: ValueState[UserSessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserSessionState]("totals",
+      org.apache.spark.sql.Encoders.product[UserSessionState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long,
+      rows: Iterator[(Long, Long, Double)],
+      timerValues: TimerValues): Iterator[SessionUpdate] = {
+    val prev =
+      if (totals.exists()) totals.get()
+      else UserSessionState(userId, 0L, 0.0, 0L)
+    var n = prev.nEvents
+    var total = prev.totalValue
+    var lastTs = prev.lastTsMicros
+    rows.foreach { case (_, tsUs, v) =>
+      n += 1; total += v; if (tsUs > lastTs) lastTs = tsUs
+    }
+    totals.update(UserSessionState(userId, n, total, lastTs))
+    Iterator.single(SessionUpdate(userId, n, total))
+  }
+}
 
 /** Structured Streaming surface (SURVEY.md §2.10 "Streaming"): the
   * reference is batch-with-watermarks, so streaming is the engine's
@@ -789,8 +826,25 @@ object EventStream {
     * unambiguous) must equal the plain batch aggregation: state
     * carried across every micro-batch with nothing lost or double
     * counted. The sentinel user's updates are excluded. */
-  def streamStateParity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def streamStateParity(s: SparkSession, dir: String): DataFrame =
+    statefulParityRun(s, dir, tws = false)
+
+  /** The SAME running-totals contract on `transformWithState` — Spark
+    * 4's arbitrary-state successor to flatMapGroupsWithState
+    * ([[RunningTotalsProcessor]]: named ValueState, cumulative update
+    * per touched key per batch) — sharing [[streamStateParity]]'s
+    * staged replay AND its DuckDB oracle verbatim: the two APIs must
+    * be result-indistinguishable, state carried across every
+    * micro-batch either way. transformWithState only runs on the
+    * RocksDB state store provider (the 100 TB backend), so this row
+    * also pins the new API × RocksDB combination end-to-end; the
+    * provider refusing (or silently falling back — the operator
+    * itself throws on any other provider) fails the row loudly. */
+  def streamTwsParity(s: SparkSession, dir: String): DataFrame =
+    statefulParityRun(s, dir, tws = true)
+
+  private def statefulParityRun(s: SparkSession, dir: String,
+      tws: Boolean): DataFrame = {
     val real = graft.Tables.events(s, dir)
       .filter(col("event_id") < AggParityEvents)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -806,8 +860,11 @@ object EventStream {
       s"replay_agg_${StageCache.dirKey(dir)}")
     val work = java.nio.file.Files.createTempDirectory("statework")
     val outDir = work.resolve("out").toString
-    val sess = protocolSession(s, noDataBatches = false)
-    val q = sessionStates(sess, readStaged(sess, inBase)).toDF()
+    val sess = protocolSession(s, noDataBatches = false, rocksdb = tws)
+    val updates =
+      if (tws) twsRunningTotals(sess, readStaged(sess, inBase))
+      else sessionStates(sess, readStaged(sess, inBase))
+    val q = updates.toDF()
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", work.resolve("ckpt").toString)
