@@ -88,6 +88,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamSessionParity(s, d)),
     "stream_state_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamStateParity(s, d)),
+    "stream_tws_parity" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.streamTwsParity(s, d)),
     "stream_join_parity" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.streamJoinParity(s, d)),
     "stream_dedup_parity" -> ((s: SparkSession, d: String) =>
@@ -1204,6 +1206,15 @@ object SparkEntry {
              AND r.ts >= c.ts - INTERVAL 1 HOUR AND r.ts < c.ts)
          ORDER BY click_id""",
     "stream_state_parity" ->
+      s"""SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM events WHERE event_id < ${
+           graft.streaming.EventStream.AggParityEvents}
+         GROUP BY user_id ORDER BY user_id""",
+    // transformWithState twin: shares stream_state_parity's oracle
+    // VERBATIM — the two arbitrary-state APIs must be result-
+    // indistinguishable (and this row runs on the RocksDB provider).
+    "stream_tws_parity" ->
       s"""SELECT user_id, count(*) AS n_events,
            round(sum(value), 2) AS total_value
          FROM events WHERE event_id < ${

@@ -48,9 +48,16 @@ object CodeParsers {
       Some(CodeTree(0, source.length, stmts))
     case l if braceLangs(l) =>
       // regex literals exist only in the JS family; masking them for
-      // Go/Rust/Java would risk eating genuine division expressions
+      // Go/Rust/Java would risk eating genuine division expressions.
+      // Rust adds lifetimes ('a is not a char literal) and raw strings
+      // (r#"…"# with live-looking braces); Java/Kotlin/Scala add
+      // triple-quoted text blocks — each a lexical hazard that would
+      // corrupt bracket depth if left unmasked (the drift gauges in
+      // GrammarDriftSpec measure exactly this).
       val mask = codeMask(source, python = false,
-        jsRegex = l == "typescript" || l == "javascript")
+        jsRegex = l == "typescript" || l == "javascript",
+        rust = l == "rust",
+        tripleQuote = l == "java" || l == "kotlin" || l == "scala")
       val stmts = braceStatements(source, mask, 0, source.length)
         .map { case (s, e) => braceNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
@@ -146,10 +153,42 @@ object CodeParsers {
 
   private[operators] def codeMask(src: String,
       python: Boolean, ruby: Boolean = false,
-      jsRegex: Boolean = false): Array[Boolean] = {
+      jsRegex: Boolean = false,
+      rust: Boolean = false,
+      tripleQuote: Boolean = false): Array[Boolean] = {
     val n = src.length
     val mask = Array.fill(n)(true)
     val terminators = new TerminatorIndex(src) // lazy: free until queried
+
+    /** Exclusive end of a Rust raw string starting at `start` (`r"…"`,
+      * `r#"…"#`, `br##"…"##`), or -1 when the prefix doesn't open one.
+      * The body is uninterpreted — no escapes — and closes only at a
+      * `"` followed by the opener's exact hash count, so interior
+      * quotes, braces, and newlines are all string content. An
+      * unterminated raw string swallows the rest of the file (matching
+      * the real lexer's error recovery closely enough for masking). */
+    def rawStringEnd(start: Int): Int = {
+      var j = start
+      if (src.charAt(j) == 'b') j += 1
+      if (j >= n || src.charAt(j) != 'r') return -1
+      j += 1
+      var hashes = 0
+      while (j < n && src.charAt(j) == '#') { hashes += 1; j += 1 }
+      if (j >= n || src.charAt(j) != '"') return -1
+      j += 1
+      while (j < n) {
+        if (src.charAt(j) == '"') {
+          var k = j + 1
+          var h = 0
+          while (k < n && h < hashes && src.charAt(k) == '#') {
+            h += 1; k += 1
+          }
+          if (h == hashes) return k
+        }
+        j += 1
+      }
+      n
+    }
 
     /** Is a `/` at position i a regex literal opener? JS disambiguates
       * by what precedes: after an operand (identifier, number, `)`,

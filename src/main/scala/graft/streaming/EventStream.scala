@@ -1254,4 +1254,22 @@ object EventStream {
           Iterator.single(SessionUpdate(userId, n, total))
         })
   }
+
+  /** [[sessionStates]]' running-totals contract on `transformWithState`
+    * (Spark 4's arbitrary-state API, [[RunningTotalsProcessor]]): same
+    * input projection, same per-key cumulative update per micro-batch,
+    * result-indistinguishable by construction — [[streamTwsParity]]
+    * pins exactly that against the shared batch DuckDB oracle on the
+    * RocksDB provider (the only provider the operator accepts). */
+  def twsRunningTotals(spark: SparkSession,
+      events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -240,6 +240,22 @@ class StreamAggParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "final streamed state differs from the batch aggregation")
   }
 
+  test("transformWithState parity equals the batch per-user aggregation " +
+      "(RocksDB provider)") {
+    val streamed = EventStream.streamTwsParity(spark, dir)
+    val batch = Tables.events(spark, dir)
+      .filter(col("event_id") < EventStream.AggParityEvents)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    assert(streamed.filter(col("user_id") === -1L).isEmpty,
+      "sentinel user leaked into the final state set")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "transformWithState final state differs from the batch aggregation")
+  }
+
   test("stream-stream join parity equals the batch interval join") {
     val streamed = EventStream.streamJoinParity(spark, dir)
     val ev = Tables.events(spark, dir)
