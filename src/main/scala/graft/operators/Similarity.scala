@@ -201,6 +201,11 @@ object Similarity {
       .setBucketLength(1.0).setNumHashTables(4).setSeed(42L)
       .fit(vecs)
       .write.overwrite().save(modelDir)
+    // uniform index contract: the same manifest schema as the IVF/PQ
+    // families marks this directory as a graft index (kind=lsh); the
+    // hyperplanes themselves live in MLlib's own persisted model
+    graft.plans.KnnIndexRegistry
+      .writeManifest(modelDir, Array.empty, 0, "lsh")
   }
 
   /** Probe a [[buildMllibLsh]] model: load (KB-sized, no fit) and run
@@ -494,6 +499,11 @@ object Similarity {
     cents.zipWithIndex.map { case (emb, c) => (c, emb) }.toSeq
       .toDF("cell", "embedding")
       .write.mode("overwrite").parquet(indexDir + ".centroids")
+    // self-describing index: the in-dir manifest makes the KNN→IVF
+    // optimizer rewrite durable across sessions and JVMs — any session
+    // that sorts this path by cosine recovers the quantizer from disk
+    graft.plans.KnnIndexRegistry
+      .registerPersistent(indexDir, cents, IvfNprobe)
   }
 
   /** Incremental IVF maintenance — the index-side twin of the
@@ -685,13 +695,28 @@ object Similarity {
     * (asserted in SparkE2ESpec "partition-pruned probe"). Pass
     * `excludeId` to drop a known self-match *before* the limit so all
     * `k` result slots are real neighbors. */
+  /** Uniform index-metadata loader across the three persisted
+    * families (ivf / pq / ivf-pq): centroids from the in-dir manifest
+    * when present (one small-file read, bit-exact base64 floats — no
+    * Spark job), else the legacy `.centroids` parquet sidecar. Every
+    * probe routes through here, so "index exists → query accelerates"
+    * behaves identically whichever build wrote the index. */
+  private[graft] def indexSeeds(s: SparkSession,
+      indexDir: String): Array[Array[Float]] =
+    graft.plans.KnnIndexRegistry.readManifest(indexDir) match {
+      case Some((_, seeds, _)) if seeds.nonEmpty => seeds
+      case _ =>
+        import s.implicits._
+        s.read.parquet(indexDir + ".centroids")
+          .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    }
+
   def probeIvf(s: SparkSession, indexDir: String, queryVec: Array[Float],
       k: Int = 10, nprobe: Int = IvfNprobe,
       excludeId: Option[Long] = None): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
-    val seeds = s.read.parquet(indexDir + ".centroids")
-      .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    val seeds = indexSeeds(s, indexDir)
     val cells = topCells(queryVec, seeds, nprobe)
     val q = s.createDataFrame(Seq(Tuple1(queryVec))).toDF("qv")
     val scan = s.read.parquet(indexDir)
@@ -778,6 +803,9 @@ object Similarity {
         .map { case (id, emb) => (id, emb, argmaxCell(emb, seeds)) }
         .toDF("vec_id", "embedding", "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(p)
+      // durable registration: the manifest travels with the index, so
+      // a brand-new session recovers the quantizer on first lookup
+      graft.plans.KnnIndexRegistry.writeManifest(p, seeds, nprobe)
       p
     })
     // (re-)register every call: the registry is process-global and a
@@ -1243,6 +1271,7 @@ object Similarity {
     seeds.zipWithIndex.map { case (emb, c) => (c, emb) }.toSeq
       .toDF("cell", "embedding")
       .write.mode("overwrite").parquet(indexDir + ".centroids")
+    graft.plans.KnnIndexRegistry.writeManifest(indexDir, seeds, 0, "pq")
   }
 
   /** Probe a built PQ index: ADC-score the codes table (the only
@@ -1255,8 +1284,7 @@ object Similarity {
       excludeId: Option[Long] = None): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
-    val seeds = s.read.parquet(indexDir + ".centroids")
-      .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    val seeds = indexSeeds(s, indexDir)
     val subDim = queryVec.length / PqM
     val t = Array.tabulate(PqM, seeds.length)((m, c) =>
       pqSubDist(queryVec, seeds(c), m, subDim))
@@ -1304,6 +1332,8 @@ object Similarity {
     seeds.zipWithIndex.map { case (emb, c) => (c, emb) }.toSeq
       .toDF("cell", "embedding")
       .write.mode("overwrite").parquet(indexDir + ".centroids")
+    graft.plans.KnnIndexRegistry
+      .writeManifest(indexDir, seeds, IvfNprobe, "ivf-pq")
   }
 
   /** Probe an IVF-PQ index: rank centroids on the driver, read ONLY
@@ -1316,8 +1346,7 @@ object Similarity {
       shortlist: Int = 50, excludeId: Option[Long] = None): DataFrame = {
     import s.implicits._
     graft.functions.VectorExprs.register(s)
-    val seeds = s.read.parquet(indexDir + ".centroids")
-      .orderBy("cell").select("embedding").as[Array[Float]].collect()
+    val seeds = indexSeeds(s, indexDir)
     val cells = topCells(queryVec, seeds, nprobe)
     val subDim = queryVec.length / PqM
     val t = Array.tabulate(PqM, seeds.length)((m, c) =>

@@ -27,23 +27,145 @@ import graft.functions.DotProductF
 object KnnIndexRegistry {
   final case class Entry(seeds: Array[Array[Float]], nprobe: Int)
 
+  /** Manifest file written INSIDE the index directory. The underscore
+    * prefix makes Spark's file index treat it as metadata (like
+    * `_SUCCESS`), so it never pollutes the parquet scan — and because
+    * it travels WITH the index, any session that scans the path can
+    * recover the quantizer without out-of-band registration. This is
+    * what makes the registry durable: the in-memory map is just a
+    * cache over the on-disk manifests. */
+  val ManifestName = "_graft_knn_manifest"
+
   private val entries = TrieMap.empty[String, Entry]
+  /** Paths probed on disk and found manifest-less — cached so ordinary
+    * sorts over non-index tables pay the filesystem round-trip at most
+    * once per path per process. Invalidated by [[register]]/[[clear]]. */
+  private val misses = TrieMap.empty[String, Unit]
 
   private def canon(p: String): String =
     new java.io.File(p).getAbsolutePath.stripSuffix("/")
 
   def register(indexPath: String, seeds: Array[Array[Float]],
-      nprobe: Int): Unit =
-    entries(canon(indexPath)) = Entry(seeds, nprobe)
+      nprobe: Int): Unit = {
+    val k = canon(indexPath)
+    misses.remove(k)
+    entries(k) = Entry(seeds, nprobe)
+  }
+
+  /** Register AND persist: writes the manifest beside the index data so
+    * a brand-new session (or JVM) recovers the entry on first lookup.
+    * Seeds are serialized as base64 of their IEEE-754 bytes — the
+    * round-trip is bit-exact, so a recovered quantizer ranks cells
+    * identically to the session that built the index. */
+  def registerPersistent(indexPath: String, seeds: Array[Array[Float]],
+      nprobe: Int): Unit = {
+    writeManifest(indexPath, seeds, nprobe)
+    register(indexPath, seeds, nprobe)
+  }
 
   def unregister(indexPath: String): Unit = entries.remove(canon(indexPath))
 
-  def clear(): Unit = entries.clear()
+  def clear(): Unit = { entries.clear(); misses.clear() }
+
+  private def seedsToB64(seeds: Array[Array[Float]]): String = {
+    val dim = if (seeds.isEmpty) 0 else seeds(0).length
+    val bb = java.nio.ByteBuffer.allocate(4 * seeds.length * dim)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    seeds.foreach(_.foreach(bb.putFloat))
+    java.util.Base64.getEncoder.encodeToString(bb.array)
+  }
+
+  private def seedsFromB64(b64: String, dim: Int): Array[Array[Float]] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bytes.length / (4 * math.max(dim, 1)))(
+      Array.fill(dim)(bb.getFloat))
+  }
+
+  /** One manifest schema for every index family (`kind`: `ivf`,
+    * `ivf-pq`, `pq`, `lsh`) — "index exists → query accelerates" is
+    * uniform: each family's loader reads the same file; only the
+    * `ivf` kind additionally opts the path into the KNN→IVF optimizer
+    * rewrite (the other kinds' tables don't expose a raw `embedding`
+    * column, so pruning them under a cosine sort would be meaningless). */
+  def writeManifest(indexPath: String, seeds: Array[Array[Float]],
+      nprobe: Int, kind: String = "ivf"): Unit = {
+    val dim = if (seeds.isEmpty) 0 else seeds(0).length
+    val body =
+      s"""graft-knn-manifest v1
+         |kind=$kind
+         |nprobe=$nprobe
+         |dim=$dim
+         |seeds=${seedsToB64(seeds)}
+         |""".stripMargin
+    val p = new org.apache.hadoop.fs.Path(indexPath, ManifestName)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Generic manifest read for the family loaders: (kind, seeds,
+    * nprobe); malformed or absent → None. */
+  def readManifest(indexPath: String)
+      : Option[(String, Array[Array[Float]], Int)] =
+    readManifestAt(new org.apache.hadoop.fs.Path(indexPath))
+
+  /** Probe `<dir>/_graft_knn_manifest` on the index's own filesystem;
+    * malformed, absent, or a non-`ivf` kind → None for the REWRITE
+    * path (the rewrite stands down, exact scan runs — degraded
+    * performance, never a wrong answer). */
+  private[plans] def loadManifest(dir: org.apache.hadoop.fs.Path)
+      : Option[Entry] =
+    readManifestAt(dir).collect {
+      case ("ivf", seeds, nprobe) => Entry(seeds, nprobe)
+    }
+
+  private def readManifestAt(dir: org.apache.hadoop.fs.Path)
+      : Option[(String, Array[Array[Float]], Int)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, ManifestName)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val lines = text.linesIterator.toSeq
+      if (!lines.headOption.exists(_.startsWith("graft-knn-manifest")))
+        return None
+      val kv = lines.tail.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      for {
+        nprobe <- kv.get("nprobe").map(_.toInt)
+        dim <- kv.get("dim").map(_.toInt)
+        b64 <- kv.get("seeds")
+      } yield (kv.getOrElse("kind", "ivf"), seedsFromB64(b64, dim), nprobe)
+    } catch { case _: Exception => None }
 
   private[plans] def lookup(
       rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
     rootPaths match {
-      case Seq(p) => entries.get(p.toUri.getPath.stripSuffix("/"))
+      case Seq(p) =>
+        val key = p.toUri.getPath.stripSuffix("/")
+        entries.get(key).orElse {
+          if (misses.contains(key)) None
+          else loadManifest(p) match {
+            case some @ Some(e) => entries(key) = e; some
+            case None => misses(key) = (); None
+          }
+        }
       case _ => None
     }
 }

@@ -172,6 +172,65 @@ class KnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(0)).toSeq == expected)
   }
 
+  test("durability: a brand-new session with an EMPTY registry recovers " +
+      "the quantizer from the on-disk manifest and still rewrites") {
+    setUp()
+    graft.plans.KnnIndexRegistry.writeManifest(idx, seeds, 2)
+    graft.plans.KnnIndexRegistry.clear() // simulate process restart
+    val s2 = spark.newSession()
+    graft.functions.VectorExprs.register(s2)
+    graft.plans.KnnIvfRewrite.register(s2)
+    val df = s2.read.parquet(idx)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(expr(cosSql(rows.head._2)).desc, col("vec_id"))
+      .limit(5)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("cell#\\d+ IN \\(".r.findFirstIn(opt).isDefined,
+      s"manifest-recovered rewrite did not fire:\n$opt")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec"))
+    df.count()
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 probed cells, scanned " +
+        s"${scan.selectedPartitions.partitionCount}")
+    // bit-exact seed round-trip: the recovered quantizer ranks the
+    // SAME cells, so the result equals the in-memory-registered path
+    val cells = graft.operators.Similarity
+      .topCells(rows.head._2, seeds, 2)
+    val expected = s2.read.parquet(idx)
+      .filter(col("vec_id") =!= 0)
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*))
+      .orderBy(expr(cosSql(rows.head._2)).desc, col("vec_id"))
+      .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(df.select("vec_id").collect().map(_.getLong(0)).toSeq
+      == expected)
+  }
+
+  test("a corrupt manifest degrades to the exact scan — never a wrong " +
+      "answer, never a crash") {
+    setUp()
+    val broken = tmp.resolve("broken").toString
+    spark.read.parquet(idx).write.mode("overwrite")
+      .partitionBy("cell").parquet(broken)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(broken,
+        graft.plans.KnnIndexRegistry.ManifestName),
+      "graft-knn-manifest v1\nnprobe=garbage\n".getBytes)
+    graft.plans.KnnIndexRegistry.clear()
+    val df = spark.read.parquet(broken)
+      .orderBy(expr(cosSql(rows.head._2)).desc, col("vec_id"))
+      .limit(5).select("vec_id")
+    assert("cell#\\d+ IN \\(".r
+      .findFirstIn(df.queryExecution.optimizedPlan.toString).isEmpty)
+    // exact top-k over the full corpus
+    val exact = rows.sortBy { case (_, v, _) => -cosine(rows.head._2, v) }
+      .take(5).map(_._1)
+    assert(df.collect().map(_.getLong(0)).toSeq == exact.toSeq)
+    graft.plans.KnnIndexRegistry.clear()
+  }
+
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     def dot(x: Array[Float], y: Array[Float]): Double =
       x.zip(y).map { case (p, q) => p.toDouble * q }.sum
