@@ -124,6 +124,7 @@ object SparkEntry {
     "doc_binary_meta"     -> (DocPipeline.binaryMeta _),
     "doc_audio_levels"    -> (DocPipeline.audioLevelReport _),
     "doc_media_resize"    -> (DocPipeline.mediaResize _),
+    "doc_png_resize"      -> (DocPipeline.pngResize _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1341,6 +1342,37 @@ object SparkEntry {
            sha256(sha256(text) || ':224x224:' ||
              CAST(octet_length(encode(text)) AS VARCHAR)) AS resized_sha
          FROM documents ORDER BY path""",
+    // real PNG decode+resample replay: DuckDB recomputes the resized
+    // raster checksum from the pixel formula and the integer
+    // nearest-neighbor mapping (sx = tx*w//5, sy = ty*h//3) — PNG is
+    // lossless, so encode→inflate→defilter→resample must land on
+    // exactly these values
+    "doc_png_resize" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INTEGER) AS src_w,
+             CAST(8 + doc_id % 7 AS INTEGER) AS src_h,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                       WHEN doc_id % 3 = 1 THEN 4
+                       ELSE 3 END AS INTEGER) AS channels
+           FROM documents),
+         px AS (
+           SELECT doc_id, src_w, src_h, channels, t.i AS i,
+             (t.i // (5 * channels)) AS ty,
+             (t.i % (5 * channels)) // channels AS tx,
+             t.i % channels AS c
+           FROM d, unnest(range(0, 3 * 5 * d.channels)) AS t(i)),
+         v AS (
+           SELECT doc_id, src_w, src_h, channels, i,
+             (doc_id * 31 + (tx * src_w // 5) * 7 +
+              (ty * src_h // 3) * 13 + c * 101) % 256 AS val
+           FROM px)
+         SELECT doc_id, src_w, src_h, channels,
+           CAST(15 * channels AS BIGINT) AS n_resized_bytes,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, src_w, src_h, channels
+         ORDER BY doc_id""",
     "doc_frame_sample" ->
       """WITH d AS (
            SELECT 'doc://'||doc_id AS path,
@@ -2674,7 +2706,10 @@ object SparkEntry {
     // password, so it replays as the same two-piece text — a decoder
     // that failed authentication or misapplied the block keystream
     // would emit the stub or mojibake and miss the hash), and the
-    // XOR-obfuscated stub route (id%19) replayed from the same words
+    // XOR-obfuscated route (id%19: REALLY de-obfuscated via the
+    // verifier-matched 16-byte array, replaying as the same two-piece
+    // text — a decoder that declined or mis-rotated would emit the
+    // stub or mojibake and miss the hash)
     "doc_word_lines" ->
       """WITH w AS (
            SELECT doc_id,
@@ -2688,8 +2723,11 @@ object SparkEntry {
                 array_to_string(words[7:12], ' ')]
              WHEN doc_id % 17 = 0 THEN
                ['# f' || doc_id, '', array_to_string(words, ' ')]
+             WHEN doc_id % 19 = 0 AND len(words) > 6 THEN
+               ['# f' || doc_id, '', array_to_string(words[1:6], ' '),
+                array_to_string(words[7:12], ' ')]
              WHEN doc_id % 19 = 0 THEN
-               ['# f' || doc_id, '', '[stub]']
+               ['# f' || doc_id, '', array_to_string(words, ' ')]
              WHEN doc_id % 13 = 0 THEN
                ['# f' || doc_id, '', array_to_string(words, ' ')]
              WHEN doc_id % 11 = 0 AND len(words) > 8 THEN

@@ -345,9 +345,46 @@ object CodeParsers {
                 i = e - 1
               } else i += 1 // plain << operator: skip the second '<'
             }
-          } else if (c == '"' || c == '\'' || (!python && c == '`')) {
+          } else if (rust && (c == 'r' || c == 'b') &&
+              (i == 0 || {
+                val p = src.charAt(i - 1)
+                !p.isLetterOrDigit && p != '_'
+              }) && rawStringEnd(i) > 0) {
+            // Rust raw (or byte/raw-byte) string: the whole token —
+            // prefix, hashes, body, interior braces/quotes/NEWLINES —
+            // is string content; rawStringEnd already found the
+            // matching `"##…` closer
+            val end = rawStringEnd(i)
+            var k = i
+            while (k < end) { mask(k) = false; k += 1 }
+            i = end - 1
+          } else if (rust && c == '\'') {
+            // lifetime vs char literal: '\…' (escape) and 'X' (single
+            // char + closing quote) are char literals — masked through
+            // the closer so '{' or '\u{1F600}' can't corrupt bracket
+            // depth; anything else ('a in generics, 'static, loop
+            // labels) is a lifetime/label and stays live code
+            if (i + 1 < n && src.charAt(i + 1) == '\\') {
+              var j = i + 1
+              while (j < n && src.charAt(j) != '\n' &&
+                  !(src.charAt(j) == '\'' && src.charAt(j - 1) != '\\')) {
+                // a \' escape keeps scanning: step past the pair
+                if (src.charAt(j) == '\\' && j + 1 < n) j += 1
+                j += 1
+              }
+              var k = i
+              while (k <= math.min(j, n - 1)) { mask(k) = false; k += 1 }
+              i = math.min(j, n - 1)
+            } else if (i + 2 < n && src.charAt(i + 2) == '\'' &&
+                src.charAt(i + 1) != '\'') {
+              mask(i) = false; mask(i + 1) = false; mask(i + 2) = false
+              i += 2
+            } // else: lifetime — live, no state change
+          } else if (c == '"' || (c == '\'' && !rust) ||
+              (!python && c == '`')) {
             quote = c
-            triple = python && i + 2 < n &&
+            triple = (python || (tripleQuote && c == '"')) &&
+              i + 2 < n &&
               src.charAt(i + 1) == c && src.charAt(i + 2) == c
             state = 3
             if (triple) {

@@ -218,10 +218,12 @@ object DocPipeline {
     * with the pipeline's password config — MD5 key derivation,
     * verifier authentication, per-512-byte-block RC4 over both streams
     * past their clear prefixes; beyond-reference, word-extractor
-    * throws here — and XOR-OBFUSCATED documents (id % 19 = 0) which
-    * must surface the labeled stub: a decoder that ignored the
-    * fObfuscated flag would walk the still-present piece table and
-    * emit text, failing the row. The stub's payload-hash token is
+    * throws here — and XOR-OBFUSCATED documents (id % 19 = 0,
+    * [MS-OFFCRYPTO] 2.3.7) REALLY de-obfuscated: the password's
+    * 16-bit verifier must match lKey and the 16-byte obfuscation
+    * array must invert both streams exactly, or the route would emit
+    * the stub or mojibake and miss the row hash. The stub's
+    * payload-hash token (surfaced by undecodable containers) is
     * normalized to '[stub]' (a container sha is not SQL-replayable);
     * everything else is byte-exact. Per-row kernel, no shuffle. */
   def wordLines(s: SparkSession, dir: String): DataFrame = {
@@ -236,8 +238,8 @@ object DocPipeline {
             DocFixture.rc4EncryptedDoc(words.take(6), words.drop(6),
               "open sesame")
           else if (id % 19 == 0)
-            DocFixture.pieceTableDoc(words.take(6), words.drop(6),
-              encrypted = true, obfuscated = true)
+            DocFixture.xorObfuscatedDoc(words.take(6), words.drop(6),
+              "open sesame")
           else if (id % 13 == 0) DocFixture.legacyDoc(words)
           else if (id % 11 == 0) DocFixture.fastSavedDoc(words)
           else DocFixture.pieceTableDoc(words.take(6), words.drop(6))
@@ -439,6 +441,58 @@ object DocPipeline {
   def mediaResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeImages(s, docBinaries(s, dir), targetW = 224,
       targetH = 224).orderBy("path")
+
+  /** REAL-PNG resize as an oracle row: a deterministic PNG is
+    * synthesized per document (pixel (x,y,c) =
+    * (doc_id·31 + x·7 + y·13 + c·101) mod 256; size and channel count
+    * varied by id arithmetic across gray/RGB/RGBA), ENCODED with the
+    * row filter cycling through all five PNG filter types, then
+    * decoded through the REAL inflate+defilter path
+    * ([[Multimodal.decodePngPixels]]) and nearest-neighbor resampled
+    * to 5×3. Output is an integer checksum over the resized raster
+    * that DuckDB recomputes directly from the pixel formula and the
+    * resample's integer coordinate mapping — a wrong filter inversion,
+    * a dropped IDAT byte, or a drifted resample all shift it. PNG
+    * being lossless is what makes the formula replayable end-to-end.
+    * Per-row kernel, no shuffle. */
+  def pngResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val ch = (id % 3) match { case 0 => 1; case 1 => 4; case _ => 3 }
+        val pixels = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              pixels((y * w + x) * ch + c) =
+                ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val png = Multimodal.pngEncode(w, h, ch, pixels)
+        val img = Multimodal.decodePngPixels(png)
+          .getOrElse(throw new IllegalStateException(s"undecodable id=$id"))
+        val rs = Multimodal.resampleNearest(img, 5, 3)
+        var sum = 0L
+        var i = 0
+        while (i < rs.length) {
+          sum += (rs(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+        (id, w, h, ch, rs.length.toLong, sum)
+      }
+      .toDF("doc_id", "src_w", "src_h", "channels", "n_resized_bytes",
+        "checksum")
+      .orderBy("doc_id")
+  }
 
   /** Multimodal frame-sampling row: one row per sampled frame, stride 5
     * over a 16-bytes-per-frame stub demux at 30 fps. */

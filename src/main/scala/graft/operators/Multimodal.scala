@@ -12,12 +12,15 @@ import graft.functions.TextUtil
   * container headers — PNG, GIF, BMP, JPEG — with zero dependencies;
   * payloads without a recognizable header (audio/video containers,
   * arbitrary blobs) fall back to a clearly-marked deterministic stub.
-  * Pixel decode / resampling stays stubbed (no media codecs ship in
-  * this build), but the Spark-side plumbing is real and tested: binary
-  * schema, partition-local batching (the JVM analog of a Pandas-UDF
-  * batch), deterministic feature extraction, and metadata projection.
-  * Swapping the stubs for a real codec (javacv / soundfile behind
-  * mapInPandas on PySpark) changes no plan shape.
+  * PNG pixel decode and resampling are REAL (zlib ships in the JVM:
+  * IDAT inflate + per-row defilter, then integer nearest-neighbor);
+  * JPEG/GIF pixel decode stays stubbed (their entropy coding needs a
+  * codec this build doesn't ship), with the Spark-side plumbing —
+  * binary schema, partition-local batching (the JVM analog of a
+  * Pandas-UDF batch), deterministic feature extraction, metadata
+  * projection — identical on both paths. Swapping the remaining stubs
+  * for a real codec (javacv / soundfile behind mapInPandas on PySpark)
+  * changes no plan shape.
   */
 object Multimodal {
 
@@ -102,6 +105,224 @@ object Multimodal {
       return None
     }
     None
+  }
+
+  // ── PNG pixel decode (dependency-free: zlib ships in the JVM) ────────
+  // The one raster format fully decodable with nothing but
+  // java.util.zip: chunk walk → IDAT concat → Inflater → per-row
+  // defilter (all five PNG filter types). Same pattern as PdfExtract's
+  // Flate path. 8-bit depth, color types gray/truecolor/gray+alpha/
+  // RGBA/palette; 16-bit and Adam7 interlace decline to the metadata-
+  // only path (None) — a decode must be right or absent, never
+  // approximate.
+
+  /** Decoded raster: `pixels` is row-major, `channels` bytes/pixel. */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Full PNG pixel decode, or None for payloads outside the supported
+    * core (non-PNG, 16-bit, interlaced, truncated). Palette images
+    * expand through PLTE to 3-channel RGB. */
+  def decodePngPixels(b: Array[Byte]): Option[PngImage] =
+    try {
+      if (b.length < 33 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
+        b(2) != 'N' || b(3) != 'G') return None
+      var w = 0; var h = 0; var colorType = -1; var bitDepth = 0
+      var palette: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var done = false
+      while (!done && i + 8 <= b.length) {
+        val len = i32be(b, i)
+        if (len < 0 || i + 12 + len > b.length) return None
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            w = i32be(b, i + 8); h = i32be(b, i + 12)
+            bitDepth = b(i + 16) & 0xff
+            colorType = b(i + 17) & 0xff
+            if (b(i + 20) != 0) return None // Adam7 interlace
+            if (bitDepth != 8) return None
+          case "PLTE" =>
+            palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk
+        }
+        i += 12 + len
+      }
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (w <= 0 || h <= 0 || w.toLong * h * channels > (1L << 28))
+        return None
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        got += n
+      }
+      inf.end()
+      if (got < raw.length) return None
+      // defilter in place into the output raster
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (stride + 1)) & 0xff
+        val rowIn = y * (stride + 1) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val left = if (x >= channels) out(rowOut + x - channels) & 0xff
+            else 0
+          val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= channels)
+            out(rowOut - stride + x - channels) & 0xff else 0
+          val v = filter match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 => cur + paeth(left, up, ul)
+            case _ => return None
+          }
+          out(rowOut + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      if (colorType == 3) {
+        if (palette == null) return None
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val idx = (out(p) & 0xff) * 3
+          if (idx + 2 >= palette.length) return None
+          rgb(p * 3) = palette(idx)
+          rgb(p * 3 + 1) = palette(idx + 1)
+          rgb(p * 3 + 2) = palette(idx + 2)
+          p += 1
+        }
+        Some(PngImage(w, h, 3, rgb))
+      } else Some(PngImage(w, h, channels, out))
+    } catch { case _: Exception => None }
+
+  /** PNG encode (fixture-builder twin of [[decodePngPixels]], also the
+    * re-encode half a real resize pipeline needs): 8-bit, gray /
+    * truecolor / gray+alpha / RGBA, one IDAT, and the row filter type
+    * CYCLING through all five PNG filters (`y mod 5`) so every decoder
+    * filter branch is exercised by any multi-row image — a defilter
+    * bug cannot hide behind an all-None encode. */
+  def pngEncode(w: Int, h: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * channels, "bad raster size")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case _ => throw new IllegalArgumentException("channels")
+    }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val filter = y % 5
+      raw(y * (stride + 1)) = filter.toByte
+      val rowIn = y * stride
+      val rowOut = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(rowIn + x) & 0xff
+        val left = if (x >= channels) pixels(rowIn + x - channels) & 0xff
+          else 0
+        val up = if (y > 0) pixels(rowIn - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= channels)
+          pixels(rowIn - stride + x - channels) & 0xff else 0
+        val enc = filter match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(rowOut + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw)
+    deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      val lenB = Array((body.length >> 24).toByte,
+        (body.length >> 16).toByte, (body.length >> 8).toByte,
+        body.length.toByte)
+      out.write(lenB, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4)
+      out.write(body, 0, body.length)
+      val c = crc.getValue
+      out.write(Array((c >> 24).toByte, (c >> 16).toByte,
+        (c >> 8).toByte, c.toByte), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Nearest-neighbor resample — the deterministic integer kernel
+    * (source coord = floor(target * src / dst), the standard
+    * box-corner mapping): bit-exact across JVMs and replayable in SQL,
+    * which a convolution kernel's float rounding would not be. */
+  def resampleNearest(img: PngImage, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * img.channels)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * img.height / th
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx * img.width / tw
+        var c = 0
+        while (c < img.channels) {
+          out((ty * tw + tx) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
   }
 
   // ── Audio / video container headers (dependency-free) ────────────────
@@ -251,27 +472,36 @@ object Multimodal {
     else acc.map(v => (v / norm).toFloat)
   }
 
-  /** STUB resize kernel: records the target geometry and a
-    * deterministic content hash of the "resized" payload (real impl:
-    * decode → resample → re-encode inside the same batch). */
+  /** STUB resize kernel for payloads with no dependency-free decode
+    * path (JPEG/GIF entropy coding needs a codec): records the target
+    * geometry and a deterministic content hash of the "resized"
+    * payload. PNG payloads never reach this — they take the REAL
+    * decode → resample path in [[resizeImages]]. */
   def resizeStub(bytes: Array[Byte], sha: String, targetW: Int,
       targetH: Int): String =
     TextUtil.sha256Hex(s"$sha:${targetW}x$targetH:${bytes.length}")
 
   /** Image resize over a binary corpus: output keeps the original path
-    * plus target geometry and the resized payload hash. A pure per-row
-    * map, zero shuffle — a real decoder swaps into `resizeStub` with no
-    * plan change (and would batch internally if its library wants
-    * vectorized input; nothing here consumes a batch as a unit, so no
-    * grouped buffering). */
+    * plus target geometry and the resized payload hash. PNG payloads
+    * are REALLY decoded (IDAT inflate + defilter) and nearest-neighbor
+    * resampled — the hash is of the actual resized raster bytes; other
+    * formats fall back to the labeled stub (their entropy decode needs
+    * a codec this build doesn't ship). A pure per-row map, zero
+    * shuffle — widening the real path to more formats changes no plan
+    * shape. */
   def resizeImages(s: SparkSession, binaries: DataFrame,
       targetW: Int = 224, targetH: Int = 224): DataFrame = {
     import s.implicits._
     binaries.select("path", "mime", "content")
       .as[(String, String, Array[Byte])]
       .map { case (path, mime, bytes) =>
-        val sha = TextUtil.sha256HexBytes(bytes)
-        (path, mime, targetW, targetH, resizeStub(bytes, sha, targetW, targetH))
+        val resizedSha = decodePngPixels(bytes) match {
+          case Some(img) => TextUtil.sha256HexBytes(
+            resampleNearest(img, targetW, targetH))
+          case None => resizeStub(bytes,
+            TextUtil.sha256HexBytes(bytes), targetW, targetH)
+        }
+        (path, mime, targetW, targetH, resizedSha)
       }.toDF("path", "mime", "width", "height", "resized_sha")
   }
 

@@ -255,15 +255,30 @@ object DocExtract {
       // fEncrypted ([MS-DOC] FibBase bit 8): the piece-table offsets
       // point into ciphertext — walking them undecrypted would "decode"
       // to mojibake. fObfuscated (bit 15) selects the legacy XOR
-      // scheme, which stays a labeled stub; otherwise the Table stream
-      // heads with an Office Binary RC4 EncryptionHeader of `lKey`
-      // bytes (FIB offset 0x0E) and a verified password decrypts the
-      // WordDocument stream past its 0x44-byte clear FibBase prefix
-      // plus the Table stream past the header. No password that
-      // verifies → the labeled stub upstream, same as the reference.
+      // scheme ([MS-OFFCRYPTO] 2.3.7): lKey then holds the 16-bit
+      // password verifier instead of a header size, and a password
+      // whose CreatePasswordVerifier_Method1 matches it yields the
+      // 16-byte obfuscation array that de-obfuscates both streams
+      // (WordDocument past its clear FibBase, Table fully). Otherwise
+      // the Table stream heads with an Office Binary RC4
+      // EncryptionHeader of `lKey` bytes (FIB offset 0x0E) and a
+      // verified password decrypts the WordDocument stream past its
+      // 0x44-byte clear FibBase prefix plus the Table stream past the
+      // header. No password that verifies → the labeled stub
+      // upstream; the reference throws on BOTH schemes, so each
+      // decode is beyond-reference.
       val decrypted: Option[(Array[Byte], Option[Array[Byte]])] =
         if (((fibFlags >> 8) & 1) == 0) Some((wd0, tbl0))
-        else if (((fibFlags >> 15) & 1) == 1) None
+        else if (((fibFlags >> 15) & 1) == 1) {
+          val want = u32(wd0, 0x0E).toInt & 0xFFFF
+          passwords.iterator.filter(_.nonEmpty)
+            .find(OfficeCrypto.xorVerifier(_) == want)
+            .map { pw =>
+              val arr = OfficeCrypto.xorArray(pw)
+              (OfficeCrypto.xorCrypt(wd0, arr, 0x44, decode = true),
+                tbl0.map(OfficeCrypto.xorCrypt(_, arr, 0, decode = true)))
+            }
+        }
         else for {
           t <- tbl0
           hdr <- OfficeCrypto.parseHeader(t, u32(wd0, 0x0E))

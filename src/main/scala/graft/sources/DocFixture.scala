@@ -179,6 +179,26 @@ object DocFixture {
   private def md5Bytes(b: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5").digest(b)
 
+  /** XOR-obfuscated document ([MS-OFFCRYPTO] 2.3.7): the piece-table
+    * body of [[pieceTableDoc]] with fEncrypted+fObfuscated set, the
+    * password's 16-bit verifier in lKey, and both streams run through
+    * the 16-byte obfuscation array (WordDocument past its clear
+    * 0x44-byte FibBase, Table fully). The decode side is the REAL
+    * [[OfficeCrypto]] XOR path, which must match the verifier before
+    * de-obfuscating anything; the reference's word-extractor throws on
+    * these files unconditionally. */
+  def xorObfuscatedDoc(a: Seq[String], b: Seq[String],
+      password: String): Array[Byte] = {
+    val (wd, tbl) = pieceDocStreams(a, b, encrypted = true,
+      obfuscated = true, tblOrigin = 64)
+    putU32(wd, 0x0E, OfficeCrypto.xorVerifier(password).toLong) // lKey
+    val arr = OfficeCrypto.xorArray(password)
+    buildCfb(Seq(
+      "WordDocument" -> OfficeCrypto.xorCrypt(wd, arr, 0x44,
+        decode = false),
+      "0Table" -> OfficeCrypto.xorCrypt(tbl, arr, 0, decode = false)))
+  }
+
   /** Fast-saved (incrementally saved) document — the shape word
     * processors actually produced under Word's "allow fast saves": the
     * body text is PHYSICALLY scattered (the middle third lives at a

@@ -254,19 +254,67 @@ class DocExtractSpec extends AnyFunSuite {
       Seq("open sesame")).isEmpty)
   }
 
-  test("fObfuscated (legacy XOR) doc declines even with passwords") {
-    import graft.sources.DocFixture
-    val words = Seq("alpha", "beta", "gamma")
-    val obf = DocFixture.pieceTableDoc(words, Seq.empty,
-      encrypted = true, obfuscated = true)
+  test("fObfuscated (legacy XOR) doc: verifier-matched password " +
+      "de-obfuscates to the clear-text markdown") {
+    import graft.sources.{DocFixture, OfficeCrypto}
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val clearMd = DocExtract.docToMarkdown("o.doc",
+      DocFixture.pieceTableDoc(words.take(6), words.drop(6))).get
+    val obf = DocFixture.xorObfuscatedDoc(words.take(6), words.drop(6),
+      "open sesame")
+    // the body bytes really are obfuscated in the container
+    assert(!new String(obf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("alpha beta"))
     assert(DocExtract.docToMarkdown("o.doc", obf,
-      Seq("open sesame")).isEmpty)
+      Seq("open sesame")).contains(clearMd))
+    // password list semantics: tried in order, wrong ones don't match
+    assert(DocExtract.docToMarkdown("o.doc", obf,
+      Seq("nope", "open sesame")).contains(clearMd))
+    assert(DocExtract.docToMarkdown("o.doc", obf, Seq("nope")).isEmpty)
+    assert(DocExtract.docToMarkdown("o.doc", obf).isEmpty)
+    // dispatcher overload threads the password through
+    assert(DocumentConverters.convertFileToMarkdown("o.doc", obf,
+      Seq("open sesame")).get == clearMd)
     assert(DocumentConverters.convertFileToMarkdown("o.doc", obf).get
       .contains("stub-extracted"))
-    // fEncrypted without a valid RC4 header (lKey = 0) also declines
-    val noHdr = DocFixture.pieceTableDoc(words, Seq.empty,
-      encrypted = true)
-    assert(DocExtract.docToMarkdown("n.doc", noHdr,
+    // tamper: flip one bit in the stored verifier (lKey at FibBase
+    // offset 0x0E, located via the stream's 0xA5EC magic) —
+    // authentication must fail though the streams would still decode
+    val tampered = obf.clone()
+    val at = tampered.indices.find(i =>
+      i + 2 <= tampered.length &&
+        (tampered(i) & 0xff) == 0xEC && (tampered(i + 1) & 0xff) == 0xA5).get
+    tampered(at + 0x0E) = (tampered(at + 0x0E) ^ 0x01).toByte
+    assert(DocExtract.docToMarkdown("o.doc", tampered,
       Seq("open sesame")).isEmpty)
+  }
+
+  test("XOR derivation kernels: spec tables and verifier invariants") {
+    import graft.sources.OfficeCrypto
+    // verifier is 16-bit, deterministic, and password-sensitive
+    val v = OfficeCrypto.xorVerifier("open sesame")
+    assert(v == OfficeCrypto.xorVerifier("open sesame"))
+    assert((v & 0xFFFF) == v)
+    assert(v != OfficeCrypto.xorVerifier("open sesamf"))
+    assert(OfficeCrypto.xorVerifier("") == 0)
+    // the obfuscation array is 16 bytes and password-dependent
+    val a1 = OfficeCrypto.xorArray("open sesame")
+    val a2 = OfficeCrypto.xorArray("different")
+    assert(a1.length == 16 && !a1.sameElements(a2))
+    // xorCrypt round-trips at arbitrary prefixes and across the
+    // 512-byte block boundary where the index rotation kicks in
+    val rnd = new scala.util.Random(3)
+    val data = Array.fill(1500)(rnd.nextInt().toByte)
+    val enc = OfficeCrypto.xorCrypt(data, a1, 0x44, decode = false)
+    assert(!enc.sameElements(data))
+    assert(enc.take(0x44).sameElements(data.take(0x44))) // clear prefix
+    val dec = OfficeCrypto.xorCrypt(enc, a1, 0x44, decode = true)
+    assert(dec.sameElements(data))
+    // bytes in different 512-blocks at the same offset-mod-16 get
+    // different array elements (the per-block rotation)
+    val zeros = new Array[Byte](1024)
+    val ez = OfficeCrypto.xorCrypt(zeros, a1, 0, decode = false)
+    assert((0 until 16).exists(i => ez(i) != ez(512 + i)))
   }
 }

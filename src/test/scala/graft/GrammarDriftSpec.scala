@@ -277,4 +277,215 @@ class GrammarDriftSpec extends AnyFunSuite {
           missed.mkString("\n"))
     }
   }
+
+  /** Shared hand-labeled gauge for the remaining heavy brace languages
+    * (same contract as the Go gauge): every live column-0 line
+    * starting with a declaration keyword — or a symbol prefix like
+    * Rust's `#[` attribute / Java's `@` annotation, which tree-sitter
+    * makes a file-level node (attribute_item) or the start of the
+    * following declaration's node (modifiers) — must begin a top-level
+    * span. Zero-drift gate: hand labels have no corpus noise. */
+  private def gaugeHandLabeled(lang: String, starters: Set[String],
+      symbolPrefixes: Seq[String],
+      fixtures: Seq[(String, String)]): Unit =
+    fixtures.foreach { case (name, src) =>
+      val tree = CodeParsers.parse(lang, src)
+      assert(tree.isDefined, s"parse failed on $name")
+      val spanStarts = tree.get.children.map(_.start).toSet
+      val mask = CodeParsers.codeMask(src, python = false,
+        rust = lang == "rust",
+        tripleQuote = lang == "java" || lang == "kotlin")
+      var missed = List.empty[String]
+      var expected = 0
+      var lineStart = 0
+      while (lineStart < src.length) {
+        var lineEnd = src.indexOf('\n', lineStart)
+        if (lineEnd < 0) lineEnd = src.length
+        if (lineStart < lineEnd && mask(lineStart) &&
+            !src.charAt(lineStart).isWhitespace) {
+          val line = src.substring(lineStart, lineEnd)
+          var e = lineStart
+          while (e < lineEnd && src.charAt(e).isLetter) e += 1
+          val word = src.substring(lineStart, e)
+          val isKw = starters.contains(word) &&
+            (e >= lineEnd || !src.charAt(e).isLetterOrDigit)
+          if (isKw || symbolPrefixes.exists(line.startsWith)) {
+            expected += 1
+            if (!spanStarts.contains(lineStart)) missed ::= line.take(60)
+          }
+        }
+        lineStart = lineEnd + 1
+      }
+      assert(expected >= 4, s"$name: degenerate fixture ($expected)")
+      assert(missed.isEmpty,
+        s"$name drifted on ${missed.size}/$expected boundaries:\n" +
+          missed.mkString("\n"))
+    }
+
+  /** Rust — r17 landed the lexer hazards (raw strings, lifetimes) with
+    * no corpus evidence; this gauge attaches the number. The fixtures
+    * concentrate exactly those hazards: raw strings with interior
+    * braces, quotes, newlines, and FAKE column-0 items; lifetimes in
+    * generics (`'a` must not lex as an unterminated char literal);
+    * char literals holding brace/quote chars; attributes (their own
+    * tree-sitter attribute_item nodes); comments with braces.
+    * Reference semantics: code-chunker.ts:32-123 (tree-sitter-rust
+    * file-level items). */
+  test("span-boundary drift over hand-labeled Rust sources") {
+    val fixtures = Seq(
+      ("items.rs",
+        """use std::collections::HashMap;
+          |
+          |pub const MAX_DEPTH: usize = 8;
+          |
+          |static REGISTRY: &str = "global { registry }";
+          |
+          |#[derive(Clone, Debug)]
+          |pub struct Frame<'a> {
+          |    name: &'a str,
+          |    depth: usize,
+          |}
+          |
+          |#[cfg_attr(
+          |    feature = "extra",
+          |    derive(Default)
+          |)]
+          |struct Hidden;
+          |
+          |pub enum Shape {
+          |    Dot,
+          |    Box { w: u32, h: u32 },
+          |}
+          |
+          |impl<'a> Frame<'a> {
+          |    pub fn label(&self) -> String {
+          |        format!("{}:{}", self.name, self.depth)
+          |    }
+          |}
+          |
+          |pub trait Render {
+          |    fn render(&self) -> String;
+          |}
+          |
+          |mod inner {
+          |    pub fn helper() -> u32 { 41 }
+          |}
+          |
+          |macro_rules! count {
+          |    ($($x:expr),*) => { [$($x),*].len() };
+          |}
+          |
+          |pub fn main() {
+          |    let m: HashMap<&str, usize> = HashMap::new();
+          |    drop(m);
+          |}
+          |""".stripMargin),
+      ("hazards.rs",
+        """// a comment with unbalanced braces }}} {{
+          |const TEMPLATE: &str = r#"
+          |fn fake_item() { not real }
+          |struct NotReal {
+          |    "quotes" and {braces}
+          |"#;
+          |
+          |pub const OPEN: char = '{';
+          |const CLOSE: char = '}';
+          |const QUOTE: char = '"';
+          |
+          |fn lifetimes<'a, 'b>(x: &'a str, y: &'b str) -> &'a str {
+          |    /* block comment } with { braces */
+          |    if x.len() > y.len() { x } else { x }
+          |}
+          |
+          |const RAW_HASHES: &str = r##"nested "# quote-hash"##;
+          |
+          |pub fn after_hazards() -> u32 {
+          |    let b = b"byte { string";
+          |    b.len() as u32
+          |}
+          |
+          |static LAST: bool = true;
+          |""".stripMargin))
+    gaugeHandLabeled("rust",
+      Set("use", "pub", "fn", "struct", "enum", "impl", "trait", "mod",
+        "const", "static", "type", "macro", "unsafe", "extern"),
+      Seq("#["), fixtures)
+  }
+
+  /** Java — r17 landed text-block masking with no corpus evidence;
+    * gauged here. Hazards: text blocks with interior braces, quotes,
+    * newlines, and FAKE column-0 declarations; annotations (the start
+    * of the declaration's tree-sitter node via its modifiers child);
+    * javadoc and line comments with braces; strings holding braces.
+    * Reference semantics: code-chunker.ts:32-123 (tree-sitter-java
+    * file-level declarations). */
+  test("span-boundary drift over hand-labeled Java sources") {
+    val fixtures = Seq(
+      ("Types.java",
+        """package com.example.gauge;
+          |
+          |import java.util.List;
+          |import java.util.Map;
+          |
+          |public class Types {
+          |    private final Map<String, List<Integer>> index;
+          |
+          |    public Types(Map<String, List<Integer>> index) {
+          |        this.index = index;
+          |    }
+          |}
+          |
+          |interface Renderer {
+          |    String render(Object value);
+          |}
+          |
+          |enum Level {
+          |    LOW, MEDIUM, HIGH;
+          |}
+          |
+          |record Point(int x, int y) {
+          |    Point scaled(int k) { return new Point(x * k, y * k); }
+          |}
+          |
+          |abstract class Base {
+          |    abstract void run();
+          |}
+          |
+          |@Deprecated
+          |final class Legacy {
+          |    static final String BRACES = "text with { braces }";
+          |}
+          |""".stripMargin),
+      ("TextBlocks.java", {
+        val tq = "\"\"\"" // a Java text-block delimiter
+        s"""package com.example.gauge;
+           |
+           |// line comment with braces } {
+           |public class TextBlocks {
+           |    static final String JSON = $tq
+           |class FakeDecl {
+           |    {"key": {"nested": 1}} unbalanced {
+           |$tq;
+           |
+           |    /** javadoc with braces and } stray { */
+           |    String render(String name) {
+           |        return JSON + name + "literal } brace {";
+           |    }
+           |}
+           |
+           |@FunctionalInterface
+           |interface AfterBlock {
+           |    int apply(int v);
+           |}
+           |
+           |class Tail {
+           |    static final char OPEN = '{';
+           |}
+           |""".stripMargin
+      }))
+    gaugeHandLabeled("java",
+      Set("package", "import", "public", "final", "abstract", "sealed",
+        "class", "interface", "enum", "record"),
+      Seq("@"), fixtures)
+  }
 }

@@ -180,4 +180,109 @@ class ImageHeaderSpec extends AnyFunSuite {
     val odd = Multimodal.encodeWavPcm16(Array(7, -7, 9), 8000)
     assert(Multimodal.decodePcmLevels(odd).map(_._1).contains(3L))
   }
+
+  private def raster(w: Int, h: Int, ch: Int): Array[Byte] =
+    Array.tabulate(w * h * ch) { i =>
+      val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+      ((x * 7 + y * 13 + c * 101 + 5) % 256).toByte
+    }
+
+  test("PNG pixel codec: encode/decode round-trip across color types " +
+      "and all five row filters") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val px = raster(9, 7, ch) // 7 rows: filters 0..4 + 0..1 again
+      val png = Multimodal.pngEncode(9, 7, ch, px)
+      val img = Multimodal.decodePngPixels(png)
+        .getOrElse(fail(s"decode failed ch=$ch"))
+      assert(img.width == 9 && img.height == 7 && img.channels == ch)
+      assert(img.pixels.sameElements(px), s"pixel drift ch=$ch")
+    }
+  }
+
+  test("PNG decode cross-validated against the JDK's own ImageIO " +
+      "decoder (independent implementation, both directions)") {
+    // our encoder -> ImageIO decoder: catches complementary
+    // encoder/decoder bugs a round-trip can't see
+    val px = raster(11, 6, 3)
+    val png = Multimodal.pngEncode(11, 6, 3, px)
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(bi != null, "ImageIO rejected our PNG")
+    for (y <- 0 until 6; x <- 0 until 11) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * 11 + x) * 3
+      assert(((rgb >> 16) & 0xff) == (px(o) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (px(o + 1) & 0xff) &&
+        (rgb & 0xff) == (px(o + 2) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // ImageIO encoder -> our decoder: ImageIO picks its own filters
+    val bi2 = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5)
+      bi2.setRGB(x, y, ((x * 50) << 16) | ((y * 60) << 8) | (x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi2, "png", out))
+    val img = Multimodal.decodePngPixels(out.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO PNG"))
+    assert(img.width == 5 && img.height == 4 && img.channels == 3)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val o = (y * 5 + x) * 3
+      assert((img.pixels(o) & 0xff) == x * 50 &&
+        (img.pixels(o + 1) & 0xff) == y * 60 &&
+        (img.pixels(o + 2) & 0xff) == x + y,
+        s"pixel drift vs ImageIO encode at ($x,$y)")
+    }
+  }
+
+  test("PNG palette images expand through PLTE; unsupported shapes " +
+      "decline instead of guessing") {
+    // hand-build a 2x2 palette PNG: indices 0..3 -> distinct colors
+    val plte = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100,
+      110, 120)
+    val rows = Array[Byte](0, 0, 1, 0, 2, 3) // filter 0 + 2 indices/row
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rows); deflater.finish()
+    val zBuf = new Array[Byte](64)
+    val zLen = deflater.deflate(zBuf)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      bos.write(be32(body.length))
+      val tb = typ.getBytes
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      bos.write(tb); bos.write(body); bos.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(2) ++ be32(2) ++
+      Array[Byte](8, 3, 0, 0, 0))
+    chunk("PLTE", plte)
+    chunk("IDAT", zBuf.take(zLen))
+    chunk("IEND", Array.empty)
+    val img = Multimodal.decodePngPixels(bos.toByteArray)
+      .getOrElse(fail("palette decode failed"))
+    assert(img.channels == 3)
+    assert(img.pixels.sameElements(plte), "palette expansion order")
+    // 16-bit depth and truncated IDAT decline
+    val px = raster(4, 4, 3)
+    val good = Multimodal.pngEncode(4, 4, 3, px)
+    val deep = good.clone(); deep(24) = 16 // IHDR bit depth
+    assert(Multimodal.decodePngPixels(deep).isEmpty)
+    val cut = good.take(good.length - 20)
+    assert(Multimodal.decodePngPixels(cut).isEmpty)
+  }
+
+  test("resampleNearest: integer mapping and resizeImages routing") {
+    val px = raster(8, 6, 3)
+    val img = Multimodal.PngImage(8, 6, 3, px)
+    val rs = Multimodal.resampleNearest(img, 4, 3)
+    for (ty <- 0 until 3; tx <- 0 until 4; c <- 0 until 3) {
+      val sy = ty * 6 / 3; val sx = tx * 8 / 4
+      assert(rs((ty * 4 + tx) * 3 + c) == px((sy * 8 + sx) * 3 + c))
+    }
+    // upscale repeats source pixels, never reads out of range
+    val up = Multimodal.resampleNearest(img, 17, 13)
+    assert(up.length == 17 * 13 * 3)
+  }
 }
