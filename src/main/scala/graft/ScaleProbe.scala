@@ -139,7 +139,14 @@ object ScaleProbe {
     // bytes), and the two-stage salted aggregate (partial fan-out +
     // #keys-row merge)
     "compliance_purge_e2e", "stats_kmv_distinct", "stats_quantile_sketch",
-    "doc_audio_levels", "src_scan_jsonl", "q33_salted_agg")
+    "doc_audio_levels", "src_scan_jsonl", "q33_salted_agg",
+    // r18 additions: the real media codecs (PNG inflate+defilter+
+    // resample, GIF LZW+palette, MP4 sample-table demux) — per-row
+    // fixture kernels whose contract is linear in document count with
+    // zero shuffle; pinned so a future change that accidentally
+    // introduces a shuffle or superlinear kernel shows up — and the
+    // real XOR-obfuscated .doc route riding doc_word_lines' kernel
+    "doc_png_resize", "doc_gif_resize", "doc_mp4_demux")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -125,6 +125,8 @@ object SparkEntry {
     "doc_audio_levels"    -> (DocPipeline.audioLevelReport _),
     "doc_media_resize"    -> (DocPipeline.mediaResize _),
     "doc_png_resize"      -> (DocPipeline.pngResize _),
+    "doc_mp4_demux"       -> (DocPipeline.mp4Demux _),
+    "doc_gif_resize"      -> (DocPipeline.gifResize _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1373,6 +1375,56 @@ object SparkEntry {
          FROM v
          GROUP BY doc_id, src_w, src_h, channels
          ORDER BY doc_id""",
+    // real GIF-LZW decode replay: same checksum contract as
+    // doc_png_resize, with the raster derived from the palette/index
+    // formulas (GIF is lossless, palette expansion included)
+    "doc_gif_resize" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(6 + doc_id % 8 AS INTEGER) AS src_w,
+             CAST(6 + doc_id % 6 AS INTEGER) AS src_h,
+             CAST(4 + doc_id % 5 AS INTEGER) AS n_colors
+           FROM documents),
+         px AS (
+           SELECT doc_id, src_w, src_h, n_colors, t.i AS i,
+             (t.i // 15) AS ty,
+             (t.i % 15) // 3 AS tx,
+             t.i % 3 AS c
+           FROM d, unnest(range(0, 45)) AS t(i)),
+         v AS (
+           SELECT doc_id, src_w, src_h, n_colors, i,
+             (doc_id * 7 +
+              (((tx * src_w // 5) * 3 + (ty * src_h // 3) * 5 + doc_id)
+                % n_colors) * 29 +
+              c * 47) % 256 AS val
+           FROM px)
+         SELECT doc_id, src_w, src_h, n_colors,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, src_w, src_h, n_colors
+         ORDER BY doc_id""",
+    // real ISO-BMFF sample-table demux replay: absolute offsets are
+    // 24 (ftyp 16 B + mdat header 8 B, the fixture's mdat-first
+    // layout) plus the running size prefix sum; timestamps are the
+    // stts delta prefix sum at timescale 1000
+    "doc_mp4_demux" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(5 + doc_id % 7 AS INTEGER) AS n
+           FROM documents),
+         s AS (
+           SELECT doc_id, t.k AS k,
+             10 + (doc_id * 7 + t.k * 13) % 50 AS sz,
+             100 + (t.k % 3) * 50 AS delta
+           FROM d, unnest(range(0, n)) AS t(k))
+         SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           CAST(24 + COALESCE(sum(sz) OVER (PARTITION BY doc_id
+             ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+             PRECEDING), 0) AS BIGINT) AS byte_offset,
+           CAST(sz AS BIGINT) AS n_bytes,
+           CAST(COALESCE(sum(delta) OVER (PARTITION BY doc_id
+             ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+             PRECEDING), 0) AS BIGINT) AS ts_ms
+         FROM s ORDER BY doc_id, frame_idx""",
     "doc_frame_sample" ->
       """WITH d AS (
            SELECT 'doc://'||doc_id AS path,

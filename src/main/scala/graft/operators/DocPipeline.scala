@@ -494,6 +494,74 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL-GIF decode+resize as an oracle row, the GIF-LZW twin of
+    * [[pngResize]]: a palette GIF is synthesized per document
+    * (palette entry (p,c) = (id·7 + p·29 + c·47) mod 256, index (x,y)
+    * = (x·3 + y·5 + id) mod nColors, geometry/palette size varied by
+    * id), encoded through the from-spec LZW compressor, decoded
+    * through the REAL sub-block + GIF-LZW + palette path
+    * ([[Multimodal.decodeGifPixels]]), resampled to 5×3, and
+    * checksummed; DuckDB replays the checksum from the palette/index
+    * formulas and the integer resample mapping. A wrong LSB bit
+    * order, a mis-grown code width, or a palette mis-expansion all
+    * shift it. Per-row kernel, no shuffle. */
+  def gifResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val w = 6 + (id % 8).toInt
+        val h = 6 + (id % 6).toInt
+        val nCol = 4 + (id % 5).toInt
+        val palette = Array.tabulate(nCol * 3)(j =>
+          ((id * 7 + (j / 3) * 29 + (j % 3) * 47) % 256).toByte)
+        val indices = Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          ((x * 3 + y * 5 + id) % nCol).toByte
+        }
+        val gif = Multimodal.gifEncode(w, h, palette, indices)
+        val img = Multimodal.decodeGifPixels(gif).getOrElse(
+          throw new IllegalStateException(s"undecodable gif id=$id"))
+        val rs = Multimodal.resampleNearest(img, 5, 3)
+        var sum = 0L
+        var i = 0
+        while (i < rs.length) {
+          sum += (rs(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+        (id, w, h, nCol, sum)
+      }
+      .toDF("doc_id", "src_w", "src_h", "n_colors", "checksum")
+      .orderBy("doc_id")
+  }
+
+  /** REAL MP4 sample-table demux as an oracle row: a deterministic
+    * single-track ISO-BMFF container is synthesized per document
+    * (sample count/sizes/time-deltas from id arithmetic, mdat-first
+    * layout so the payload starts at the fixed byte 24), then demuxed
+    * through the REAL stbl walk ([[Multimodal.demuxMp4Samples]]:
+    * stsz/stco/stsc/stts + mdhd timescale). DuckDB replays each
+    * sample's absolute byte offset and timestamp as prefix sums over
+    * the same arithmetic — a mis-walked box, an off-by-one in the
+    * sample→chunk mapping, or a drifted stts run all shift a row.
+    * Per-row kernel with a bounded fan-out (≤11 samples/doc), no
+    * shuffle. */
+  def mp4Demux(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val n = 5 + (id % 7).toInt
+        val sizes = (0 until n).map(k => 10L + (id * 7 + k * 13) % 50)
+        val deltas = (0 until n).map(k => 100L + (k % 3) * 50)
+        val mp4 = Multimodal.mp4Fixture(sizes, deltas)
+        val samples = Multimodal.demuxMp4Samples(mp4).getOrElse(
+          throw new IllegalStateException(s"demux failed id=$id"))
+        samples.iterator.map(sm =>
+          (id, sm.idx.toLong, sm.offset, sm.size, sm.tsMs))
+      }
+      .toDF("doc_id", "frame_idx", "byte_offset", "n_bytes", "ts_ms")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Multimodal frame-sampling row: one row per sampled frame, stride 5
     * over a 16-bytes-per-frame stub demux at 30 fps. */
   def frameSample(s: SparkSession, dir: String): DataFrame =

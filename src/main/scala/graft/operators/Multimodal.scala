@@ -300,6 +300,221 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ── GIF pixel decode (dependency-free LZW) ───────────────────────────
+  // GIF's LZW differs from the TIFF/PDF flavor PdfExtract implements:
+  // LSB-first bit packing, a per-image minimum code size, clear = 2^n,
+  // EOD = 2^n+1, and the code width bumps (up to 12) with NO early
+  // change. Palette expansion through the global/local color table
+  // yields an RGB raster — the same [[PngImage]] shape the resize path
+  // consumes; interlaced images are de-scrambled from the 4-pass row
+  // order (ImageIO's own writer emits interlaced GIFs, so the
+  // cross-validation covers it).
+
+  /** GIF-flavor LZW: `minCode` from the image data's first byte. */
+  private def gifLzwDecode(data: Array[Byte], minCode: Int,
+      maxPixels: Int): Option[Array[Byte]] =
+    try {
+      if (minCode < 2 || minCode > 8) return None
+      val clear = 1 << minCode
+      val eod = clear + 1
+      val out = new java.io.ByteArrayOutputStream(maxPixels)
+      val extras = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var width = minCode + 1
+      var prev: Array[Byte] = null
+      var bitPos = 0
+      val nBits = data.length * 8
+      def next(): Int = {
+        if (bitPos + width > nBits) return eod // truncated: EOD
+        var v = 0
+        var i = 0
+        while (i < width) { // LSB-first
+          v |= ((data(bitPos >> 3) >> (bitPos & 7)) & 1) << i
+          bitPos += 1; i += 1
+        }
+        v
+      }
+      var done = false
+      while (!done && out.size < maxPixels) {
+        val code = next()
+        if (code == eod) done = true
+        else if (code == clear) {
+          extras.clear(); width = minCode + 1; prev = null
+        } else {
+          val entry: Array[Byte] =
+            if (code < clear) Array(code.toByte)
+            else if (code >= eod + 1 && code - eod - 1 < extras.length)
+              extras(code - eod - 1)
+            else if (prev != null && code == eod + 1 + extras.length)
+              prev :+ prev(0) // KwKwK
+            else return None
+          out.write(entry)
+          if (prev != null && eod + 1 + extras.length <= 4095)
+            extras += (prev :+ entry(0))
+          prev = entry
+          // GIF: bump when the next code no longer fits — no early
+          // change (the TIFF flavor's off-by-one twin)
+          if (eod + 1 + extras.length >= (1 << width) && width < 12)
+            width += 1
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Full GIF pixel decode of the FIRST image: LSD + color tables +
+    * sub-block concat + GIF-LZW + interlace de-scramble + palette
+    * expansion to RGB. None for palette-less or structurally corrupt
+    * payloads. */
+  def decodeGifPixels(b: Array[Byte]): Option[PngImage] =
+    try {
+      if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F')
+        return None
+      val packed = b(10) & 0xff
+      var palette: Array[Byte] = null
+      var i = 13
+      if ((packed & 0x80) != 0) {
+        val gctLen = 3 * (1 << ((packed & 7) + 1))
+        if (i + gctLen > b.length) return None
+        palette = java.util.Arrays.copyOfRange(b, i, i + gctLen)
+        i += gctLen
+      }
+      while (i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x21 => // extension: label + sub-blocks
+            i += 2
+            while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
+            i += 1 // block terminator
+          case 0x2c => // image descriptor
+            if (i + 10 > b.length) return None
+            val w = u16le(b, i + 5)
+            val h = u16le(b, i + 7)
+            val ipacked = b(i + 9) & 0xff
+            val interlaced = (ipacked & 0x40) != 0
+            i += 10
+            if ((ipacked & 0x80) != 0) { // local color table wins
+              val lctLen = 3 * (1 << ((ipacked & 7) + 1))
+              if (i + lctLen > b.length) return None
+              palette = java.util.Arrays.copyOfRange(b, i, i + lctLen)
+              i += lctLen
+            }
+            if (palette == null || i >= b.length) return None
+            val minCode = b(i) & 0xff
+            i += 1
+            val lzw = new java.io.ByteArrayOutputStream()
+            while (i < b.length && b(i) != 0) {
+              val len = b(i) & 0xff
+              if (i + 1 + len > b.length) return None
+              lzw.write(b, i + 1, len)
+              i += 1 + len
+            }
+            if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+            val idx0 = gifLzwDecode(lzw.toByteArray, minCode, w * h)
+              .getOrElse(return None)
+            if (idx0.length < w * h) return None
+            // interlaced images store rows in the 4-pass order
+            // (8k, 8k+4, 4k+2, 2k+1) — de-scramble to raster order
+            val idx = if (!interlaced) idx0 else {
+              val order = (0 until h by 8) ++ (4 until h by 8) ++
+                (2 until h by 4) ++ (1 until h by 2)
+              val re = new Array[Byte](w * h)
+              order.zipWithIndex.foreach { case (destRow, srcRow) =>
+                System.arraycopy(idx0, srcRow * w, re, destRow * w, w)
+              }
+              re
+            }
+            val rgb = new Array[Byte](w * h * 3)
+            var p = 0
+            while (p < w * h) {
+              val pi = (idx(p) & 0xff) * 3
+              if (pi + 2 >= palette.length) return None
+              rgb(p * 3) = palette(pi)
+              rgb(p * 3 + 1) = palette(pi + 1)
+              rgb(p * 3 + 2) = palette(pi + 2)
+              p += 1
+            }
+            return Some(PngImage(w, h, 3, rgb))
+          case 0x3b => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+  /** GIF encode (fixture-builder twin): global color table from
+    * `palette` (padded to a power of two), one non-interlaced image,
+    * and a from-spec LZW compressor that mirrors the decoder's table
+    * growth exactly — literal codes only (valid, if uncompressed), a
+    * Clear emitted whenever the table would overflow. */
+  def gifEncode(w: Int, h: Int, palette: Array[Byte],
+      indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == w * h && palette.length % 3 == 0)
+    val nColors = palette.length / 3
+    var bits = 2
+    while ((1 << bits) < nColors) bits += 1
+    if (bits > 8) throw new IllegalArgumentException("palette too big")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | (bits - 1)) // GCT present, 2^bits entries
+    out.write(0); out.write(0)
+    out.write(palette, 0, palette.length)
+    out.write(new Array[Byte](3 * ((1 << bits) - nColors)), 0,
+      3 * ((1 << bits) - nColors)) // pad table to 2^bits
+    out.write(0x2c) // image descriptor
+    out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no LCT, not interlaced
+    val minCode = math.max(2, bits)
+    out.write(minCode)
+    val clear = 1 << minCode
+    val eod = clear + 1
+    // LSB-first bit writer
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var accBits = 0
+    var width = minCode + 1
+    var tableNext = eod + 1
+    def put(code: Int): Unit = {
+      acc |= code << accBits
+      accBits += width
+      while (accBits >= 8) {
+        data.write(acc & 0xff); acc >>= 8; accBits -= 8
+      }
+    }
+    put(clear)
+    var k = 0
+    var emitted = 0 // literals since the last clear
+    while (k < indices.length) {
+      put(indices(k) & 0xff)
+      emitted += 1
+      // the decoder adds an entry per code after the first; track its
+      // width bumps and clear before its table could overflow
+      if (emitted >= 2) {
+        tableNext += 1
+        if (tableNext >= (1 << width) && width < 12) width += 1
+        if (tableNext > 4090) { // headroom before 4096
+          put(clear); width = minCode + 1; tableNext = eod + 1
+          emitted = 0
+        }
+      }
+      k += 1
+    }
+    put(eod)
+    if (accBits > 0) data.write(acc & 0xff)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) { // 255-byte sub-blocks
+      val len = math.min(255, bytes.length - off)
+      out.write(len)
+      out.write(bytes, off, len)
+      off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Nearest-neighbor resample — the deterministic integer kernel
     * (source coord = floor(target * src / dst), the standard
     * box-corner mapping): bit-exact across JVMs and replayable in SQL,
@@ -403,6 +618,164 @@ object Multimodal {
     } yield duration * 1000L / timescale
   }
 
+  /** One demuxed MP4 sample: index, absolute byte offset into the
+    * file, size in bytes, presentation time in ms. */
+  final case class Mp4Sample(idx: Int, offset: Long, size: Long,
+      tsMs: Long)
+
+  /** REAL MP4 (ISO-BMFF) sample-table demux — no codec needed: frame
+    * LOCATIONS and TIMING live entirely in the `stbl` box family.
+    * Walks moov → trak → mdia → (mdhd timescale) → minf → stbl, then
+    * derives per-sample (offset, size, ts) from stsz (sizes), stco
+    * (chunk offsets), stsc (sample→chunk runs) and stts (time
+    * deltas) — the standard quadruple every demuxer resolves. First
+    * track only (the fixture corpus is single-track; a multi-track
+    * variant is one more loop); co64/largesize out of scope → None.
+    * Decoding the frame BYTES would need a codec — but a training
+    * pipeline's frame SAMPLER only needs these offsets to slice
+    * `mdat`, which is exactly what this returns. */
+  def demuxMp4Samples(b: Array[Byte]): Option[Seq[Mp4Sample]] =
+    try {
+      def walk(from: Int, to: Int, name: String): Option[Int] = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = i32be(b, i).toLong & 0xffffffffL
+          val typ = new String(b, i + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (typ == name) return Some(i)
+          if (size < 8 || size > to - i) return None
+          i += size.toInt
+        }
+        None
+      }
+      def boxEnd(at: Int): Int =
+        at + (i32be(b, at).toLong & 0xffffffffL).toInt
+      if (b.length < 16) return None
+      val moov = walk(0, b.length, "moov").getOrElse(return None)
+      val trak = walk(moov + 8, math.min(boxEnd(moov), b.length), "trak")
+        .getOrElse(return None)
+      val trakEnd = math.min(boxEnd(trak), b.length)
+      val mdia = walk(trak + 8, trakEnd, "mdia").getOrElse(return None)
+      val mdiaEnd = math.min(boxEnd(mdia), b.length)
+      val mdhd = walk(mdia + 8, mdiaEnd, "mdhd").getOrElse(return None)
+      if (mdhd + 24 > b.length) return None
+      val mdhdVer = b(mdhd + 8) & 0xff
+      val timescale = (if (mdhdVer == 1) i32be(b, mdhd + 28)
+        else i32be(b, mdhd + 20)).toLong & 0xffffffffL
+      if (timescale <= 0) return None
+      val minf = walk(mdia + 8, mdiaEnd, "minf").getOrElse(return None)
+      val minfEnd = math.min(boxEnd(minf), b.length)
+      val stbl = walk(minf + 8, minfEnd, "stbl").getOrElse(return None)
+      val stblEnd = math.min(boxEnd(stbl), b.length)
+
+      // stsz: uniform size or per-sample table
+      val stsz = walk(stbl + 8, stblEnd, "stsz").getOrElse(return None)
+      val uniform = i32be(b, stsz + 12).toLong & 0xffffffffL
+      val nSamples = i32be(b, stsz + 16)
+      if (nSamples < 0 || nSamples > 100000) return None
+      val sizes = Array.tabulate(nSamples)(k =>
+        if (uniform != 0) uniform
+        else i32be(b, stsz + 20 + 4 * k).toLong & 0xffffffffL)
+
+      // stco: chunk offsets (u32 form)
+      val stco = walk(stbl + 8, stblEnd, "stco").getOrElse(return None)
+      val nChunks = i32be(b, stco + 12)
+      if (nChunks <= 0 || nChunks > 100000) return None
+      val chunkOff = Array.tabulate(nChunks)(c =>
+        i32be(b, stco + 16 + 4 * c).toLong & 0xffffffffL)
+
+      // stsc: (firstChunk, samplesPerChunk) runs → per-chunk counts
+      val stsc = walk(stbl + 8, stblEnd, "stsc").getOrElse(return None)
+      val nRuns = i32be(b, stsc + 12)
+      if (nRuns <= 0 || nRuns > 100000) return None
+      val runs = Array.tabulate(nRuns)(r =>
+        (i32be(b, stsc + 16 + 12 * r), i32be(b, stsc + 20 + 12 * r)))
+      val perChunk = Array.tabulate(nChunks) { c =>
+        // the run governing chunk c+1 (1-based) is the last run whose
+        // firstChunk <= c+1
+        var spc = runs(0)._2
+        var r = 0
+        while (r < nRuns && runs(r)._1 <= c + 1) { spc = runs(r)._2; r += 1 }
+        spc
+      }
+
+      // stts: (count, delta) runs → per-sample decode timestamps
+      val stts = walk(stbl + 8, stblEnd, "stts").getOrElse(return None)
+      val nTts = i32be(b, stts + 12)
+      if (nTts < 0 || nTts > 100000) return None
+
+      val out = Vector.newBuilder[Mp4Sample]
+      var sample = 0
+      var chunk = 0
+      var inChunk = 0
+      var off = if (nChunks > 0) chunkOff(0) else 0L
+      var ts = 0L
+      var ttsRun = 0
+      var ttsLeft = if (nTts > 0) i32be(b, stts + 16) else 0
+      var ttsDelta = if (nTts > 0) i32be(b, stts + 20).toLong else 0L
+      while (sample < nSamples && chunk < nChunks) {
+        out += Mp4Sample(sample, off, sizes(sample),
+          ts * 1000L / timescale)
+        off += sizes(sample)
+        ts += ttsDelta
+        ttsLeft -= 1
+        if (ttsLeft == 0 && ttsRun + 1 < nTts) {
+          ttsRun += 1
+          ttsLeft = i32be(b, stts + 16 + 8 * ttsRun)
+          ttsDelta = i32be(b, stts + 20 + 8 * ttsRun).toLong
+        }
+        inChunk += 1
+        if (inChunk >= perChunk(chunk)) {
+          chunk += 1
+          inChunk = 0
+          if (chunk < nChunks) off = chunkOff(chunk)
+        }
+        sample += 1
+      }
+      val samples = out.result()
+      if (samples.size != nSamples) return None // tables disagree
+      Some(samples)
+    } catch { case _: Exception => None }
+
+  /** Minimal single-track ISO-BMFF fixture with REAL sample tables:
+    * ftyp, then `mdat` (payload FIRST so stco offsets are known
+    * before moov is assembled — a legal and common layout), then
+    * moov(mvhd, trak(mdia(mdhd, minf(stbl(stts, stsc, stsz,
+    * stco))))). The mdat payload starts at byte 24 (16-byte ftyp +
+    * 8-byte mdat header) — the constant the demux oracle replays.
+    * Single chunk; `deltas` in timescale units. */
+  def mp4Fixture(sizes: Seq[Long], deltas: Seq[Long],
+      timescale: Int = 1000): Array[Byte] = {
+    require(sizes.length == deltas.length)
+    def be(v: Int): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0)) // 16 bytes
+    val payload = new Array[Byte](sizes.map(_.toInt).sum)
+    java.util.Arrays.fill(payload, 0x5a.toByte)
+    val mdat = box("mdat", payload)
+    val dataStart = ftyp.length + 8 // 24
+    val full = 0 // version+flags
+    val stts = box("stts", be(full) ++ be(deltas.length) ++
+      deltas.toArray.flatMap(d => be(1) ++ be(d.toInt)))
+    val stsc = box("stsc", be(full) ++ be(1) ++
+      be(1) ++ be(sizes.length) ++ be(1))
+    val stsz = box("stsz", be(full) ++ be(0) ++ be(sizes.length) ++
+      sizes.toArray.flatMap(sz => be(sz.toInt)))
+    val stco = box("stco", be(full) ++ be(1) ++ be(dataStart))
+    val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdhd = box("mdhd", be(full) ++ be(0) ++ be(0) ++
+      be(timescale) ++ be(deltas.map(_.toInt).sum))
+    val mdia = box("mdia", mdhd ++ minf)
+    val trak = box("trak", mdia)
+    val mvhd = box("mvhd", be(full) ++ be(0) ++ be(0) ++
+      be(timescale) ++ be(deltas.map(_.toInt).sum))
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Binary corpus → one typed-metadata row per payload, dispatching on
     * the real container headers: images get dimensions, WAV audio gets
     * channel/rate/duration, MP4 video gets duration; unrecognized
@@ -482,43 +855,53 @@ object Multimodal {
     TextUtil.sha256Hex(s"$sha:${targetW}x$targetH:${bytes.length}")
 
   /** Image resize over a binary corpus: output keeps the original path
-    * plus target geometry and the resized payload hash. PNG payloads
-    * are REALLY decoded (IDAT inflate + defilter) and nearest-neighbor
-    * resampled — the hash is of the actual resized raster bytes; other
-    * formats fall back to the labeled stub (their entropy decode needs
-    * a codec this build doesn't ship). A pure per-row map, zero
-    * shuffle — widening the real path to more formats changes no plan
-    * shape. */
+    * plus target geometry and the resized payload hash. PNG and GIF
+    * payloads are REALLY decoded (IDAT inflate + defilter / GIF-LZW +
+    * palette) and nearest-neighbor resampled — the hash is of the
+    * actual resized raster bytes; other formats fall back to the
+    * labeled stub (JPEG entropy decode needs a codec this build
+    * doesn't ship). A pure per-row map, zero shuffle — widening the
+    * real path to more formats changes no plan shape. */
   def resizeImages(s: SparkSession, binaries: DataFrame,
       targetW: Int = 224, targetH: Int = 224): DataFrame = {
     import s.implicits._
     binaries.select("path", "mime", "content")
       .as[(String, String, Array[Byte])]
       .map { case (path, mime, bytes) =>
-        val resizedSha = decodePngPixels(bytes) match {
-          case Some(img) => TextUtil.sha256HexBytes(
-            resampleNearest(img, targetW, targetH))
-          case None => resizeStub(bytes,
-            TextUtil.sha256HexBytes(bytes), targetW, targetH)
-        }
+        val resizedSha =
+          decodePngPixels(bytes).orElse(decodeGifPixels(bytes)) match {
+            case Some(img) => TextUtil.sha256HexBytes(
+              resampleNearest(img, targetW, targetH))
+            case None => resizeStub(bytes,
+              TextUtil.sha256HexBytes(bytes), targetW, targetH)
+          }
         (path, mime, targetW, targetH, resizedSha)
       }.toDF("path", "mime", "width", "height", "resized_sha")
   }
 
-  /** Video frame sampling: one output row per sampled frame (every
-    * `everyN`-th of a stub frame count derived from payload size; real
-    * impl: container demux). The one-to-many explode is the shape that
-    * matters — at scale each video row fans out to its sampled frames
-    * with no shuffle, and downstream feature extraction batches them. */
+  /** Video frame sampling: one output row per sampled frame. MP4
+    * payloads are REALLY demuxed — [[demuxMp4Samples]] resolves each
+    * sample's timestamp from the stbl tables, so the sampled rows
+    * carry true container timing; payloads without a parseable sample
+    * table use the labeled stub count (size/`bytesPerFrame` at `fps`).
+    * The one-to-many explode is the shape that matters — at scale each
+    * video row fans out to its sampled frames with no shuffle, and
+    * downstream feature extraction batches them. */
   def sampleFrames(s: SparkSession, binaries: DataFrame,
       everyN: Int = 30, fps: Int = 30, bytesPerFrame: Int = 256): DataFrame = {
     import s.implicits._
     binaries.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val nFrames = math.max(1, bytes.length / bytesPerFrame) // STUB count
-        (0 until nFrames by everyN).iterator.map { f =>
-          (path, f.toLong, f * 1000L / fps)
+        demuxMp4Samples(bytes) match {
+          case Some(samples) =>
+            samples.iterator.filter(_.idx % everyN == 0)
+              .map(sm => (path, sm.idx.toLong, sm.tsMs))
+          case None =>
+            val nFrames = math.max(1, bytes.length / bytesPerFrame) // STUB
+            (0 until nFrames by everyN).iterator.map { f =>
+              (path, f.toLong, f * 1000L / fps)
+            }
         }
       }
       .toDF("path", "frame_idx", "ts_ms")

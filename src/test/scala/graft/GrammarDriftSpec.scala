@@ -488,4 +488,56 @@ class GrammarDriftSpec extends AnyFunSuite {
         "class", "interface", "enum", "record"),
       Seq("@"), fixtures)
   }
+
+  /** Kotlin — the remaining heavy brace language from the r15 drift
+    * program: raw strings (`"""` with live-looking braces and fake
+    * column-0 declarations), char literals holding braces, top-level
+    * functions/properties, annotations. Same tripleQuote masking as
+    * Java, gauged on its own grammar's starters. */
+  test("span-boundary drift over hand-labeled Kotlin sources") {
+    val tq = "\"\"\""
+    val fixtures = Seq(
+      ("gauge.kt",
+        s"""package com.example.gauge
+           |
+           |import kotlin.math.max
+           |
+           |const val OPEN = '{'
+           |
+           |val template = $tq
+           |fun fake() { not real }
+           |class NotReal {
+           |    {"braces" { nested }
+           |$tq
+           |
+           |fun render(name: String): String {
+           |    val q = "quoted } brace {"
+           |    return template + name + q
+           |}
+           |
+           |data class Point(val x: Int, val y: Int)
+           |
+           |object Registry {
+           |    val items = mutableListOf<String>()
+           |}
+           |
+           |interface Shape {
+           |    fun area(): Int
+           |}
+           |
+           |enum class Level { LOW, HIGH }
+           |
+           |sealed class Node {
+           |    class Leaf(val v: Int) : Node()
+           |}
+           |
+           |@JvmName("tailFn")
+           |fun tail(): Int = max(1, 2)
+           |""".stripMargin))
+    gaugeHandLabeled("kotlin",
+      Set("package", "import", "const", "val", "var", "fun", "class",
+        "data", "object", "interface", "enum", "sealed", "abstract",
+        "open", "internal", "typealias", "annotation"),
+      Seq("@"), fixtures)
+  }
 }

@@ -273,6 +273,131 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(Multimodal.decodePngPixels(cut).isEmpty)
   }
 
+  private def gifFixture(w: Int, h: Int, nCol: Int)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val palette = Array.tabulate(nCol * 3)(j =>
+      ((j / 3) * 29 + (j % 3) * 47 + 11).toByte)
+    val indices = Array.tabulate(w * h)(p =>
+      ((p % w) * 3 + (p / w) * 5).%(nCol).toByte)
+    (Multimodal.gifEncode(w, h, palette, indices), palette, indices)
+  }
+
+  test("GIF pixel codec: LZW round-trip and palette expansion") {
+    for ((w, h, nCol) <- Seq((7, 5, 4), (13, 9, 7), (64, 48, 8))) {
+      val (gif, palette, indices) = gifFixture(w, h, nCol)
+      val img = Multimodal.decodeGifPixels(gif)
+        .getOrElse(fail(s"decode failed ${w}x$h/$nCol"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert(img.pixels(p * 3 + c) == palette((indices(p) & 0xff) * 3 + c),
+          s"pixel $p/$c drift at ${w}x$h/$nCol")
+    }
+    // a raster big enough to force LZW width growth past 9 bits and a
+    // mid-stream clear still round-trips
+    val (big, palette, indices) = gifFixture(120, 80, 8)
+    val img = Multimodal.decodeGifPixels(big).getOrElse(fail("big gif"))
+    assert((0 until 120 * 80).forall(p =>
+      img.pixels(p * 3) == palette((indices(p) & 0xff) * 3)))
+  }
+
+  test("GIF decode cross-validated against ImageIO, both directions") {
+    // our encoder -> ImageIO decoder
+    val (gif, palette, indices) = gifFixture(9, 6, 5)
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gif))
+    assert(bi != null, "ImageIO rejected our GIF")
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val rgb = bi.getRGB(x, y)
+      val pi = (indices(y * 9 + x) & 0xff) * 3
+      assert(((rgb >> 16) & 0xff) == (palette(pi) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (palette(pi + 1) & 0xff) &&
+        (rgb & 0xff) == (palette(pi + 2) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // ImageIO encoder -> our decoder (real compressor, GCE extensions)
+    val bi2 = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8)
+      bi2.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi2, "gif", out))
+    val img = Multimodal.decodeGifPixels(out.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO GIF"))
+    assert(img.width == 8 && img.height == 5)
+    for (y <- 0 until 5; x <- 0 until 8) {
+      val o = (y * 8 + x) * 3
+      val expected = if ((x + y) % 2 == 0) (255, 0, 0) else (0, 0, 255)
+      assert((img.pixels(o) & 0xff) == expected._1 &&
+        (img.pixels(o + 1) & 0xff) == expected._2 &&
+        (img.pixels(o + 2) & 0xff) == expected._3,
+        s"pixel drift vs ImageIO gif at ($x,$y)")
+    }
+  }
+
+  test("MP4 sample-table demux: offsets, sizes and stts timing from " +
+      "the fixture layout") {
+    val sizes = Seq(10L, 25L, 40L, 15L)
+    val deltas = Seq(100L, 100L, 150L, 150L)
+    val mp4 = Multimodal.mp4Fixture(sizes, deltas, timescale = 1000)
+    // sanity: the header walk also recognizes it
+    assert(Multimodal.decodeMp4Header(mp4).contains(500L))
+    val samples = Multimodal.demuxMp4Samples(mp4)
+      .getOrElse(fail("demux failed"))
+    assert(samples.map(_.size) == sizes)
+    // single chunk at byte 24: offsets are the running prefix sum
+    assert(samples.map(_.offset) == Seq(24L, 34L, 59L, 99L))
+    assert(samples.map(_.tsMs) == Seq(0L, 100L, 200L, 350L))
+    // the offsets really point inside mdat
+    assert(samples.forall(sm =>
+      sm.offset + sm.size <= 24 + sizes.sum))
+  }
+
+  test("MP4 demux: multi-chunk stsc mapping resets offsets per chunk") {
+    def be(v: Int): Array[Byte] = be32(v)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be(body.length + 8) ++ typ.getBytes ++ body
+    // 7 samples of 10 bytes over 3 chunks: 3 + 2 + 2
+    // (stsc runs: chunk 1 -> 3 samples, chunks 2.. -> 2 samples)
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0))
+    val payload = Array.fill(90)(0x11.toByte)
+    val mdat = box("mdat", payload)
+    // chunks at 24, 60, 90 (gaps are legal: mdat can hold slack)
+    val stts = box("stts", be(0) ++ be(1) ++ be(7) ++ be(40))
+    val stsc = box("stsc", be(0) ++ be(2) ++
+      (be(1) ++ be(3) ++ be(1)) ++ (be(2) ++ be(2) ++ be(1)))
+    val stsz = box("stsz", be(0) ++ be(10) ++ be(7)) // uniform size 10
+    val stco = box("stco", be(0) ++ be(3) ++ be(24) ++ be(60) ++ be(90))
+    val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdhd = box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(280))
+    val mdia = box("mdia", mdhd ++ minf)
+    val trak = box("trak", mdia)
+    val mvhd = box("mvhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(280))
+    val moov = box("moov", mvhd ++ trak)
+    val mp4 = ftyp ++ mdat ++ moov
+    val samples = Multimodal.demuxMp4Samples(mp4)
+      .getOrElse(fail("demux failed"))
+    assert(samples.map(_.offset) ==
+      Seq(24L, 34L, 44L, 60L, 70L, 90L, 100L))
+    assert(samples.map(_.tsMs) == (0 until 7).map(_ * 40L))
+    // real demux feeds sampleFrames' MP4 route: stride-2 keeps 0,2,4,6
+    assert(samples.filter(_.idx % 2 == 0).map(_.idx) == Seq(0, 2, 4, 6))
+  }
+
+  test("MP4 demux declines what it cannot resolve") {
+    assert(Multimodal.demuxMp4Samples("nonsense".getBytes).isEmpty)
+    val ok = Multimodal.mp4Fixture(Seq(10L, 10L), Seq(50L, 50L))
+    // corrupt the stbl walk: damage the stsz box type
+    val broken = ok.clone()
+    val at = broken.indices.find(i =>
+      broken(i) == 's' && broken(i + 1) == 't' && broken(i + 2) == 's' &&
+        broken(i + 3) == 'z').get
+    broken(at) = 'x'
+    assert(Multimodal.demuxMp4Samples(broken).isEmpty)
+    // truncation mid-moov declines
+    assert(Multimodal.demuxMp4Samples(ok.take(ok.length - 30)).isEmpty)
+  }
+
   test("resampleNearest: integer mapping and resizeImages routing") {
     val px = raster(8, 6, 3)
     val img = Multimodal.PngImage(8, 6, 3, px)
