@@ -127,6 +127,7 @@ object SparkEntry {
     "doc_png_resize"      -> (DocPipeline.pngResize _),
     "doc_mp4_demux"       -> (DocPipeline.mp4Demux _),
     "doc_gif_resize"      -> (DocPipeline.gifResize _),
+    "doc_jpeg_resize"     -> (DocPipeline.jpegResize _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1374,6 +1375,31 @@ object SparkEntry {
            CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
          FROM v
          GROUP BY doc_id, src_w, src_h, channels
+         ORDER BY doc_id""",
+    // real baseline-JPEG decode replay: DC-only fixture blocks decode
+    // to exactly flat 128 + dc*2 (quant 16, dc*16 ≡ 0 mod 8 → the
+    // IDCT value is integral), so DuckDB replays the resized raster
+    // checksum from the block formula; resample mapping as in the
+    // PNG/GIF rows (sx = tx*w//5, sy = ty*h//3)
+    "doc_jpeg_resize" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(8 * (2 + doc_id % 3) AS INTEGER) AS src_w,
+             CAST(8 * (2 + doc_id % 2) AS INTEGER) AS src_h
+           FROM documents),
+         px AS (
+           SELECT doc_id, src_w, src_h, t.i AS i,
+             (t.i // 5) AS ty, t.i % 5 AS tx
+           FROM d, unnest(range(0, 15)) AS t(i)),
+         v AS (
+           SELECT doc_id, src_w, src_h, i,
+             128 + 2 * (((doc_id + ((tx * src_w // 5) // 8) * 3 +
+                          ((ty * src_h // 3) // 8) * 7) % 50) - 25) AS val
+           FROM px)
+         SELECT doc_id, src_w, src_h,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, src_w, src_h
          ORDER BY doc_id""",
     // real GIF-LZW decode replay: same checksum contract as
     // doc_png_resize, with the raster derived from the palette/index

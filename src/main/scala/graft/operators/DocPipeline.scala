@@ -494,6 +494,48 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL-JPEG decode+resize as an oracle row: per document a
+    * baseline grayscale JPEG of DC-ONLY blocks is synthesized (block
+    * (bx,by)'s quantized DC = ((id + bx·3 + by·7) mod 50) − 25, quant
+    * 16 → the decoded block is exactly flat at 128 + dc·2: dc·16 is
+    * always ≡ 0 mod 8, so the IDCT result is integral with zero
+    * rounding ambiguity), then decoded through the REAL baseline path
+    * ([[Multimodal.decodeJpegPixels]]: canonical Huffman from DHT,
+    * unstuffed bit stream, DC prediction, zigzag dequant, IDCT) and
+    * resampled to 5×3. DuckDB replays the checksum from the flat-
+    * block formula — a broken Huffman walk, a mis-predicted DC chain,
+    * or a drifted IDCT scale all shift it. The GENERAL path (AC
+    * coefficients, ImageIO-written files) is pinned in ScalaTest with
+    * an independent-decoder cross-validation. Per-row kernel, no
+    * shuffle. */
+  def jpegResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val bw = 2 + (id % 3).toInt
+        val bh = 2 + (id % 2).toInt
+        val w = bw * 8
+        val h = bh * 8
+        val dcs = Array.tabulate(bw * bh) { p =>
+          val bx = p % bw; val by = p / bw
+          (((id + bx * 3 + by * 7) % 50) - 25).toInt
+        }
+        val jpg = Multimodal.jpegEncodeGrayDcOnly(w, h, dcs)
+        val img = Multimodal.decodeJpegPixels(jpg).getOrElse(
+          throw new IllegalStateException(s"undecodable jpeg id=$id"))
+        val rs = Multimodal.resampleNearest(img, 5, 3)
+        var sum = 0L
+        var i = 0
+        while (i < rs.length) {
+          sum += (rs(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+        (id, w, h, sum)
+      }
+      .toDF("doc_id", "src_w", "src_h", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** REAL-GIF decode+resize as an oracle row, the GIF-LZW twin of
     * [[pngResize]]: a palette GIF is synthesized per document
     * (palette entry (p,c) = (id·7 + p·29 + c·47) mod 256, index (x,y)

@@ -515,6 +515,337 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ── JPEG baseline decode (grayscale, dependency-free) ────────────────
+  // The entropy layer everyone assumes needs libjpeg is, for baseline
+  // sequential grayscale, ~200 lines of public spec [ITU T.81]:
+  // canonical Huffman tables from DHT, the 0xFF00-unstuffed bit
+  // stream, DC prediction + AC run-length per 8×8 block, zigzag
+  // dequantization, and the type-II inverse DCT. Color (multi-
+  // component) JPEGs decline to the stub — chroma upsampling choices
+  // are decoder-specific and a decode must be right or absent.
+
+  private lazy val jpegZigzag: Array[Int] = {
+    // generate the zigzag order (no memorized table to mistype):
+    // walk diagonals, alternating direction
+    val order = new Array[Int](64)
+    var x = 0; var y = 0
+    var i = 0
+    var up = true
+    while (i < 64) {
+      order(i) = y * 8 + x
+      i += 1
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+    }
+    order
+  }
+
+  private lazy val idctCos: Array[Double] =
+    Array.tabulate(8 * 8)(i =>
+      StrictMath.cos((2 * (i / 8) + 1) * (i % 8) * StrictMath.PI / 16))
+
+  /** Type-II 8×8 inverse DCT (double precision, StrictMath table —
+    * bit-reproducible), +128 level shift, clamp. For DC-only blocks
+    * the result is exactly flat at 128 + dc/8 (1/8 is exact in
+    * binary), which is what makes the oracle fixtures replayable. */
+  private def idctBlock(coef: Array[Double], out: Array[Int]): Unit = {
+    val c = idctCos
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 0.7071067811865476 else 1.0
+            val cv = if (v == 0) 0.7071067811865476 else 1.0
+            sum += cu * cv * coef(v * 8 + u) * c(x * 8 + u) * c(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.round(sum / 4.0 + 128.0).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    // canonical code → symbol, decoded bit by bit (max 16)
+    private val maxcode = new Array[Int](17)
+    private val mincode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxcode(l) = code - 1
+        if (counts(l - 1) == 0) maxcode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(nextBit: () => Int): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16) {
+        if (maxcode(l) >= 0 && code <= maxcode(l))
+          return symbols(valptr(l) + code - mincode(l))
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      throw new IllegalStateException("bad huffman code")
+    }
+  }
+
+  /** Baseline sequential GRAYSCALE JPEG → 1-channel raster; None for
+    * progressive, multi-component, 12-bit, or corrupt payloads. DRI /
+    * RSTn restart markers are honored (predictor reset + byte
+    * realign). */
+  def decodeJpegPixels(b: Array[Byte]): Option[PngImage] =
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[JpegHuff](4)
+      val acTabs = new Array[JpegHuff](4)
+      var w = 0; var h = 0; var qSel = -1
+      var dcSel = 0; var acSel = 0
+      var restartInterval = 0
+      var i = 2
+      var sos = -1
+      while (sos < 0 && i + 4 <= b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        val len = u16be(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (b(p) >> 4) & 0xf
+              val tq = b(p) & 0xf
+              if (pq != 0) return None // 16-bit tables: out of scope
+              quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (b(p) >> 4) & 0xf
+              val th = b(p) & 0xf
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+              val n = counts.sum
+              val symbols = Array.tabulate(n)(k => b(p + 17 + k) & 0xff)
+              val t = new JpegHuff(counts, symbols)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((b(seg) & 0xff) != 8) return None // 12-bit
+            h = u16be(b, seg + 1)
+            w = u16be(b, seg + 3)
+            if ((b(seg + 5) & 0xff) != 1) return None // grayscale only
+            if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
+            qSel = b(seg + 8) & 0xf
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+              0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline frame types
+          case 0xdd => restartInterval = u16be(b, seg)
+          case 0xda => // SOS
+            if ((b(seg) & 0xff) != 1) return None
+            dcSel = (b(seg + 2) >> 4) & 0xf
+            acSel = b(seg + 2) & 0xf
+            sos = i + 2 + len
+          case _ => () // APPn, COM, ...
+        }
+        i += 2 + len
+      }
+      if (sos < 0 || w <= 0 || h <= 0 || qSel < 0) return None
+      if (w.toLong * h > (1 << 26)) return None
+      val q = quant(qSel)
+      val dcT = dcTabs(dcSel)
+      val acT = acTabs(acSel)
+      if (q == null || dcT == null || acT == null) return None
+
+      // entropy-coded bit reader with byte unstuffing
+      var pos = sos
+      var acc = 0
+      var bits = 0
+      def nextBit(): Int = {
+        if (bits == 0) {
+          if (pos >= b.length) throw new IllegalStateException("eof")
+          var byteV = b(pos) & 0xff
+          pos += 1
+          if (byteV == 0xff) {
+            val m = if (pos < b.length) b(pos) & 0xff else 0xd9
+            if (m == 0x00) pos += 1
+            else throw new IllegalStateException("marker in stream")
+          }
+          acc = byteV
+          bits = 8
+        }
+        bits -= 1
+        (acc >> bits) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var k = 0
+        while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+        v
+      }
+      def extend(v: Int, t: Int): Int =
+        if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      val out = new Array[Byte](w * h)
+      val coef = new Array[Double](64)
+      val px = new Array[Int](64)
+      var pred = 0
+      var blocksDone = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (restartInterval > 0 && blocksDone > 0 &&
+            blocksDone % restartInterval == 0) {
+            // RST marker: byte-align, consume FF D0-D7, reset predictor
+            bits = 0
+            while (pos + 1 < b.length && !((b(pos) & 0xff) == 0xff &&
+              (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7))
+              pos += 1
+            pos += 2
+            pred = 0
+          }
+          java.util.Arrays.fill(coef, 0.0)
+          val t = dcT.decode(() => nextBit())
+          val diff = extend(receive(t), t)
+          pred += diff
+          coef(0) = pred.toDouble * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acT.decode(() => nextBit())
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r == 15) k += 16 else eob = true // ZRL / EOB
+            } else {
+              k += r
+              if (k > 63) return None
+              coef(jpegZigzag(k)) = extend(receive(s), s).toDouble *
+                q(k)
+              k += 1
+            }
+          }
+          idctBlock(coef, px)
+          var yy = 0
+          while (yy < 8) {
+            val ay = by * 8 + yy
+            if (ay < h) {
+              var xx = 0
+              while (xx < 8) {
+                val ax = bx * 8 + xx
+                if (ax < w) out(ay * w + ax) = px(yy * 8 + xx).toByte
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          blocksDone += 1
+          bx += 1
+        }
+        by += 1
+      }
+      Some(PngImage(w, h, 1, out))
+    } catch { case _: Exception => None }
+
+  /** Minimal baseline grayscale JPEG ENCODER for DC-only fixtures:
+    * every 8×8 block is flat (`dcBlocks`, raster order, the QUANTIZED
+    * DC values), custom canonical Huffman tables (12 four-bit DC
+    * category codes; a one-bit EOB-only AC table), quant table all
+    * `qdc`. A decoded block is exactly flat at
+    * `clamp(128 + dc*qdc/8)` — integer whenever dc*qdc ≡ 0 (mod 8),
+    * which is what the oracle replays. */
+  def jpegEncodeGrayDcOnly(w: Int, h: Int, dcBlocks: Array[Int],
+      qdc: Int = 16): Array[Byte] = {
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    require(dcBlocks.length == bw * bh)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8) // SOI
+    u16(0xffdb); u16(2 + 65); u8(0) // DQT table 0, 8-bit
+    (0 until 64).foreach(_ => u8(qdc))
+    u16(0xffc0); u16(8 + 3); u8(8); u16(h); u16(w); u8(1) // SOF0
+    u8(1); u8(0x11); u8(0) // comp 1, 1x1, qtable 0
+    // DHT: DC table 0 — 12 codes, all 4 bits, symbol k -> code k
+    u16(0xffc4); u16(2 + 17 + 12 + 17 + 1)
+    u8(0x00)
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12 // length 4
+    dcCounts.foreach(u8)
+    (0 until 12).foreach(u8)
+    // AC table 0 — one 1-bit code for EOB (0x00)
+    u8(0x10)
+    val acCounts = new Array[Int](16); acCounts(0) = 1
+    acCounts.foreach(u8)
+    u8(0x00)
+    u16(0xffda); u16(6 + 2); u8(1); u8(1); u8(0x00) // SOS
+    u8(0); u8(63); u8(0)
+    // entropy data
+    var acc = 0
+    var nbits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          data.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) data.write(0x00) // stuffing
+          acc = 0; nbits = 0
+        }
+        k -= 1
+      }
+    }
+    var pred = 0
+    dcBlocks.foreach { dc =>
+      val diff = dc - pred
+      pred = dc
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1
+      putBits(cat, 4) // DC category (code == symbol by construction)
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 1) // EOB
+    }
+    if (nbits > 0) putBits(0xff, 8 - nbits) // pad with 1s
+    out.write(data.toByteArray)
+    u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
   /** Nearest-neighbor resample — the deterministic integer kernel
     * (source coord = floor(target * src / dst), the standard
     * box-corner mapping): bit-exact across JVMs and replayable in SQL,
@@ -855,13 +1186,14 @@ object Multimodal {
     TextUtil.sha256Hex(s"$sha:${targetW}x$targetH:${bytes.length}")
 
   /** Image resize over a binary corpus: output keeps the original path
-    * plus target geometry and the resized payload hash. PNG and GIF
-    * payloads are REALLY decoded (IDAT inflate + defilter / GIF-LZW +
-    * palette) and nearest-neighbor resampled — the hash is of the
-    * actual resized raster bytes; other formats fall back to the
-    * labeled stub (JPEG entropy decode needs a codec this build
-    * doesn't ship). A pure per-row map, zero shuffle — widening the
-    * real path to more formats changes no plan shape. */
+    * plus target geometry and the resized payload hash. PNG, GIF and
+    * baseline grayscale JPEG payloads are REALLY decoded (IDAT
+    * inflate + defilter / GIF-LZW + palette / Huffman + IDCT) and
+    * nearest-neighbor resampled — the hash is of the actual resized
+    * raster bytes; the remaining formats (color/progressive JPEG)
+    * fall back to the labeled stub. A pure per-row map, zero
+    * shuffle — widening the real path to more formats changes no plan
+    * shape. */
   def resizeImages(s: SparkSession, binaries: DataFrame,
       targetW: Int = 224, targetH: Int = 224): DataFrame = {
     import s.implicits._
@@ -869,7 +1201,8 @@ object Multimodal {
       .as[(String, String, Array[Byte])]
       .map { case (path, mime, bytes) =>
         val resizedSha =
-          decodePngPixels(bytes).orElse(decodeGifPixels(bytes)) match {
+          decodePngPixels(bytes).orElse(decodeGifPixels(bytes))
+            .orElse(decodeJpegPixels(bytes)) match {
             case Some(img) => TextUtil.sha256HexBytes(
               resampleNearest(img, targetW, targetH))
             case None => resizeStub(bytes,

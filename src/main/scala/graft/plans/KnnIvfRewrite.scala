@@ -42,8 +42,18 @@ object KnnIndexRegistry {
     * once per path per process. Invalidated by [[register]]/[[clear]]. */
   private val misses = TrieMap.empty[String, Unit]
 
-  private def canon(p: String): String =
-    new java.io.File(p).getAbsolutePath.stripSuffix("/")
+  /** Canonical registry key: local paths (no scheme, or `file:`)
+    * normalize to the bare absolute path so `register("/x")` matches a
+    * scan of `file:/x`; any other filesystem keeps its full
+    * scheme+authority URI — at cluster scale `hdfs://nn/x` and a local
+    * `/x` are different indexes and must not collide. */
+  private def canon(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val u = hp.toUri
+    if (u.getScheme == null || u.getScheme == "file")
+      new java.io.File(u.getPath).getAbsolutePath.stripSuffix("/")
+    else hp.toString.stripSuffix("/")
+  }
 
   def register(indexPath: String, seeds: Array[Array[Float]],
       nprobe: Int): Unit = {
@@ -158,7 +168,7 @@ object KnnIndexRegistry {
       rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
     rootPaths match {
       case Seq(p) =>
-        val key = p.toUri.getPath.stripSuffix("/")
+        val key = canon(p.toString)
         entries.get(key).orElse {
           if (misses.contains(key)) None
           else loadManifest(p) match {

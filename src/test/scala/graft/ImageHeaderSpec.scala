@@ -334,6 +334,69 @@ class ImageHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG baseline decode: DC-only fixture decodes to exact flat " +
+      "blocks; ImageIO agrees byte-for-byte") {
+    val (bw, bh) = (4, 3)
+    val dcs = Array.tabulate(bw * bh)(p => ((p * 11) % 50) - 25)
+    val jpg = Multimodal.jpegEncodeGrayDcOnly(bw * 8, bh * 8, dcs)
+    val img = Multimodal.decodeJpegPixels(jpg)
+      .getOrElse(fail("decode failed"))
+    assert(img.width == 32 && img.height == 24 && img.channels == 1)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val dc = dcs((y / 8) * bw + (x / 8))
+      assert((img.pixels(y * 32 + x) & 0xff) == 128 + dc * 2,
+        s"flat-block drift at ($x,$y)")
+    }
+    // independent decoder: ImageIO (libjpeg-style integer IDCT) lands
+    // on the same exact values for DC-only blocks. Raw raster samples,
+    // NOT getRGB — that would run the nonlinear GRAY→sRGB conversion
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(bi != null, "ImageIO rejected our JPEG")
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val dc = dcs((y / 8) * bw + (x / 8))
+      assert(bi.getRaster.getSample(x, y, 0) == 128 + dc * 2,
+        s"ImageIO disagrees at ($x,$y)")
+    }
+  }
+
+  test("JPEG general path (AC coefficients, standard tables) tracks " +
+      "ImageIO's decode within 1 level; color JPEG declines") {
+    // a real gradient image compressed by ImageIO's encoder exercises
+    // AC run-lengths, the standard Huffman tables, and non-trivial
+    // IDCT inputs; our double IDCT may differ from its integer IDCT
+    // by at most one level
+    val bi = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = (x * 5 + y * 3 + ((x * y) % 7) * 10) % 256
+      bi.getRaster.setSample(x, y, 0, v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", out))
+    val jpg = out.toByteArray
+    val img = Multimodal.decodeJpegPixels(jpg)
+      .getOrElse(fail("our decoder rejected an ImageIO JPEG"))
+    assert(img.width == 40 && img.height == 24 && img.channels == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val d = math.abs((img.pixels(y * 40 + x) & 0xff) -
+        ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 1, s"IDCT drift vs ImageIO: max |diff| = $maxDiff")
+    // color (3-component) JPEG: decline to the stub, never guess
+    val rgb = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "jpg", out2))
+    assert(Multimodal.decodeJpegPixels(out2.toByteArray).isEmpty)
+    // truncated entropy stream declines
+    assert(Multimodal.decodeJpegPixels(jpg.take(jpg.length / 2)).isEmpty)
+  }
+
   test("MP4 sample-table demux: offsets, sizes and stts timing from " +
       "the fixture layout") {
     val sizes = Seq(10L, 25L, 40L, 15L)
