@@ -128,6 +128,8 @@ object SparkEntry {
     "doc_mp4_demux"       -> (DocPipeline.mp4Demux _),
     "doc_gif_resize"      -> (DocPipeline.gifResize _),
     "doc_jpeg_resize"     -> (DocPipeline.jpegResize _),
+    "doc_jpeg_color"      -> (DocPipeline.jpegColorResize _),
+    "doc_jpeg_prog"       -> (DocPipeline.jpegProgResize _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1396,6 +1398,96 @@ object SparkEntry {
              128 + 2 * (((doc_id + ((tx * src_w // 5) // 8) * 3 +
                           ((ty * src_h // 3) // 8) * 7) % 50) - 25) AS val
            FROM px)
+         SELECT doc_id, src_w, src_h,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, src_w, src_h
+         ORDER BY doc_id""",
+    // real COLOR-JPEG decode replay: per-component flat YCbCr blocks
+    // (128 + 2*dc, same exact-IDCT argument as doc_jpeg_resize), then
+    // DuckDB recomputes the SAME fixed-point YCbCr->RGB the decoder
+    // uses (libjpeg 16-bit constants; numerators provably >= 0, so
+    // `//` floor-division == the decoder's arithmetic shift)
+    "doc_jpeg_color" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(8 * (2 + doc_id % 3) AS INTEGER) AS src_w,
+             CAST(8 * (2 + doc_id % 2) AS INTEGER) AS src_h
+           FROM documents),
+         px AS (
+           SELECT doc_id, src_w, src_h, t.i AS i,
+             (t.i // 15) AS ty,
+             (t.i % 15) // 3 AS tx,
+             t.i % 3 AS c
+           FROM d, unnest(range(0, 45)) AS t(i)),
+         blk AS (
+           SELECT doc_id, src_w, src_h, i, c,
+             ((tx * src_w // 5) // 8) AS bx,
+             ((ty * src_h // 3) // 8) AS by
+           FROM px),
+         ycc AS (
+           SELECT doc_id, src_w, src_h, i, c,
+             128 + 2 * (((doc_id + bx * 3 + by * 7) % 50) - 25) AS yv,
+             128 + 2 * (((doc_id * 5 + bx * 11 + by * 2) % 40) - 20) AS cb,
+             128 + 2 * (((doc_id * 3 + bx * 5 + by * 13) % 40) - 20) AS cr
+           FROM blk),
+         v AS (
+           SELECT doc_id, src_w, src_h, i,
+             CASE c
+               WHEN 0 THEN least(255, greatest(0,
+                 (yv * 65536 + 91881 * (cr - 128) + 32768) // 65536))
+               WHEN 1 THEN least(255, greatest(0,
+                 (yv * 65536 - 22554 * (cb - 128)
+                  - 46802 * (cr - 128) + 32768) // 65536))
+               ELSE least(255, greatest(0,
+                 (yv * 65536 + 116130 * (cb - 128) + 32768) // 65536))
+             END AS val
+           FROM ycc)
+         SELECT doc_id, src_w, src_h,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, src_w, src_h
+         ORDER BY doc_id""",
+    // real PROGRESSIVE-JPEG decode replay: identical contract to
+    // doc_jpeg_color (flat YCbCr blocks, fixed-point RGB) but the
+    // Spark side decodes a multi-scan SOF2 file — only the DC-grid
+    // formulas differ, so a progressive-path bug (scan sequencing,
+    // EOB runs, coefficient buffer) shifts the checksum
+    "doc_jpeg_prog" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(8 * (2 + doc_id % 3) AS INTEGER) AS src_w,
+             CAST(8 * (2 + doc_id % 2) AS INTEGER) AS src_h
+           FROM documents),
+         px AS (
+           SELECT doc_id, src_w, src_h, t.i AS i,
+             (t.i // 15) AS ty,
+             (t.i % 15) // 3 AS tx,
+             t.i % 3 AS c
+           FROM d, unnest(range(0, 45)) AS t(i)),
+         blk AS (
+           SELECT doc_id, src_w, src_h, i, c,
+             ((tx * src_w // 5) // 8) AS bx,
+             ((ty * src_h // 3) // 8) AS by
+           FROM px),
+         ycc AS (
+           SELECT doc_id, src_w, src_h, i, c,
+             128 + 2 * (((doc_id * 7 + bx * 5 + by * 3) % 50) - 25) AS yv,
+             128 + 2 * (((doc_id + bx * 2 + by * 11) % 40) - 20) AS cb,
+             128 + 2 * (((doc_id * 11 + bx * 7 + by * 5) % 40) - 20) AS cr
+           FROM blk),
+         v AS (
+           SELECT doc_id, src_w, src_h, i,
+             CASE c
+               WHEN 0 THEN least(255, greatest(0,
+                 (yv * 65536 + 91881 * (cr - 128) + 32768) // 65536))
+               WHEN 1 THEN least(255, greatest(0,
+                 (yv * 65536 - 22554 * (cb - 128)
+                  - 46802 * (cr - 128) + 32768) // 65536))
+               ELSE least(255, greatest(0,
+                 (yv * 65536 + 116130 * (cb - 128) + 32768) // 65536))
+             END AS val
+           FROM ycc)
          SELECT doc_id, src_w, src_h,
            CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
          FROM v

@@ -47,22 +47,35 @@ object CodeParsers {
         .map { case (s, e) => rubyNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
     case l if braceLangs(l) =>
-      // regex literals exist only in the JS family; masking them for
-      // Go/Rust/Java would risk eating genuine division expressions.
-      // Rust adds lifetimes ('a is not a char literal) and raw strings
-      // (r#"…"# with live-looking braces); Java/Kotlin/Scala add
-      // triple-quoted text blocks — each a lexical hazard that would
-      // corrupt bracket depth if left unmasked (the drift gauges in
-      // GrammarDriftSpec measure exactly this).
-      val mask = codeMask(source, python = false,
-        jsRegex = l == "typescript" || l == "javascript",
-        rust = l == "rust",
-        tripleQuote = l == "java" || l == "kotlin" || l == "scala")
+      val mask = braceMask(l, source)
       val stmts = braceStatements(source, mask, 0, source.length)
         .map { case (s, e) => braceNode(source, mask, s, e) }
       Some(CodeTree(0, source.length, stmts))
     case _ => None
   }
+
+  /** Per-language lexical mask for the brace family — the single place
+    * the flag dispatch lives, shared by [[parse]] and the drift gauges
+    * (so a gauge can never measure a different mask than the parser
+    * runs). Regex literals exist only in the JS family; masking them
+    * for Go/Rust/Java would risk eating genuine division expressions.
+    * Rust adds lifetimes ('a is not a char literal) and raw strings
+    * (r#"…"# with live-looking braces); Java/Kotlin/Scala add
+    * triple-quoted text blocks; C/C++ add R"(…)" raw strings and
+    * digit-separator apostrophes (1'000'000); C# adds @"…" verbatim
+    * strings ("" escape, spans newlines) and `"""` raw strings; Swift
+    * adds `"""` multiline and #"…"# extended raw strings — each a
+    * lexical hazard that would corrupt bracket depth if left unmasked
+    * (the drift gauges in GrammarDriftSpec measure exactly this). */
+  private[operators] def braceMask(l: String, source: String): Array[Boolean] =
+    codeMask(source, python = false,
+      jsRegex = l == "typescript" || l == "javascript",
+      rust = l == "rust",
+      cpp = l == "c" || l == "cpp",
+      csharp = l == "csharp",
+      swift = l == "swift",
+      tripleQuote = l == "java" || l == "kotlin" || l == "scala" ||
+        l == "csharp" || l == "swift")
 
   // ── Lexical mask ──────────────────────────────────────────────────────
 
@@ -155,6 +168,9 @@ object CodeParsers {
       python: Boolean, ruby: Boolean = false,
       jsRegex: Boolean = false,
       rust: Boolean = false,
+      cpp: Boolean = false,
+      csharp: Boolean = false,
+      swift: Boolean = false,
       tripleQuote: Boolean = false): Array[Boolean] = {
     val n = src.length
     val mask = Array.fill(n)(true)
@@ -172,6 +188,66 @@ object CodeParsers {
       if (src.charAt(j) == 'b') j += 1
       if (j >= n || src.charAt(j) != 'r') return -1
       j += 1
+      var hashes = 0
+      while (j < n && src.charAt(j) == '#') { hashes += 1; j += 1 }
+      if (j >= n || src.charAt(j) != '"') return -1
+      j += 1
+      while (j < n) {
+        if (src.charAt(j) == '"') {
+          var k = j + 1
+          var h = 0
+          while (k < n && h < hashes && src.charAt(k) == '#') {
+            h += 1; k += 1
+          }
+          if (h == hashes) return k
+        }
+        j += 1
+      }
+      n
+    }
+
+    /** Exclusive end of a C++ raw string `R"delim(…)delim"` starting
+      * at the `R`, or -1 when it doesn't open one. The body is
+      * uninterpreted — no escapes — and closes only at the exact
+      * `)delim"` sequence, so interior quotes, braces, and newlines
+      * are all string content. (The rare L/u/U/u8-prefixed forms are
+      * not detected — their `R` has an identifier char before it.) */
+    def cppRawEnd(start: Int): Int = {
+      var j = start + 1
+      if (j >= n || src.charAt(j) != '"') return -1
+      j += 1
+      val dStart = j
+      while (j < n && j - dStart <= 16 && {
+        val d = src.charAt(j)
+        d != '(' && d != ')' && d != '\\' && d != '"' && !d.isWhitespace
+      }) j += 1
+      if (j >= n || src.charAt(j) != '(') return -1
+      val closer = ")" + src.substring(dStart, j) + "\""
+      val idx = src.indexOf(closer, j + 1)
+      if (idx < 0) n else idx + closer.length
+    }
+
+    /** Exclusive end of a C# verbatim string body starting at its
+      * opening `"`: backslash is NOT an escape, `""` is the quote
+      * escape, newlines are content. Unterminated swallows the file. */
+    def verbatimEnd(start: Int): Int = {
+      var j = start + 1
+      while (j < n) {
+        if (src.charAt(j) == '"') {
+          if (j + 1 < n && src.charAt(j + 1) == '"') j += 2
+          else return j + 1
+        } else j += 1
+      }
+      n
+    }
+
+    /** Exclusive end of a Swift extended raw string `#"…"#` /
+      * `##"…"##` / `#"""…"""#` starting at the first `#`, or -1. No
+      * escapes bind at fewer hashes than the opener; the closer is a
+      * `"` directly followed by the opener's hash count (for the
+      * multiline form that quote is the last of the closing `"""`). */
+    def swiftRawEnd(start: Int): Int = {
+      var j = start
       var hashes = 0
       while (j < n && src.charAt(j) == '#') { hashes += 1; j += 1 }
       if (j >= n || src.charAt(j) != '"') return -1
@@ -380,6 +456,40 @@ object CodeParsers {
               mask(i) = false; mask(i + 1) = false; mask(i + 2) = false
               i += 2
             } // else: lifetime — live, no state change
+          } else if (cpp && c == 'R' && (i == 0 || {
+              val p = src.charAt(i - 1)
+              !p.isLetterOrDigit && p != '_'
+            }) && cppRawEnd(i) > 0) {
+            val end = cppRawEnd(i)
+            var k = i
+            while (k < end) { mask(k) = false; k += 1 }
+            i = end - 1
+          } else if (cpp && c == '\'' && i > 0 && i + 1 < n && {
+              def hex(ch: Char) = ch.isDigit ||
+                (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+              hex(src.charAt(i - 1)) && hex(src.charAt(i + 1))
+            }) {
+            // C++14/C23 digit separator (1'000'000, 0xFF'FF): not a
+            // char-literal opener; the apostrophe stays live code
+          } else if (csharp && ((c == '@' && i + 1 < n &&
+              (src.charAt(i + 1) == '"' || (src.charAt(i + 1) == '$' &&
+                i + 2 < n && src.charAt(i + 2) == '"'))) ||
+              (c == '$' && i + 2 < n && src.charAt(i + 1) == '@' &&
+                src.charAt(i + 2) == '"'))) {
+            // verbatim (possibly interpolated) string: @"…", @$"…",
+            // $@"…" — "" escapes, newlines are content. Interpolation
+            // braces inside are balanced pairs, so masking the whole
+            // token wholesale cannot skew bracket depth
+            val q = if (src.charAt(i + 1) == '"') i + 1 else i + 2
+            val end = verbatimEnd(q)
+            var k = i
+            while (k < end) { mask(k) = false; k += 1 }
+            i = end - 1
+          } else if (swift && c == '#' && swiftRawEnd(i) > 0) {
+            val end = swiftRawEnd(i)
+            var k = i
+            while (k < end) { mask(k) = false; k += 1 }
+            i = end - 1
           } else if (c == '"' || (c == '\'' && !rust) ||
               (!python && c == '`')) {
             quote = c

@@ -536,6 +536,89 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL-COLOR-JPEG decode+resize as an oracle row — the 3-component
+    * twin of [[jpegResize]]: per document a baseline YCbCr 4:4:4 JPEG
+    * of DC-ONLY blocks is synthesized (block (bx,by)'s quantized DCs:
+    * Y = ((id + bx·3 + by·7) mod 50) − 25, Cb = ((id·5 + bx·11 +
+    * by·2) mod 40) − 20, Cr = ((id·3 + bx·5 + by·13) mod 40) − 20,
+    * quant 16 → each component decodes exactly flat at 128 + dc·2),
+    * decoded through the REAL interleaved-MCU color path
+    * ([[Multimodal.decodeJpegPixels]]: per-component Huffman/DC
+    * chains, IDCT, fixed-point [[Multimodal.ycbcrToRgb]]), resampled
+    * to 5×3×RGB, and checksummed. DuckDB replays the checksum through
+    * the SAME integer color-conversion formula (`//`-division on
+    * provably-non-negative numerators) — a mis-interleaved MCU, a
+    * crossed DC predictor, or a drifted conversion constant all shift
+    * it. Per-row kernel, no shuffle. */
+  def jpegColorResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val bw = 2 + (id % 3).toInt
+        val bh = 2 + (id % 2).toInt
+        val w = bw * 8
+        val h = bh * 8
+        def grid(f: (Int, Int) => Long): Array[Int] =
+          Array.tabulate(bw * bh)(p => f(p % bw, p / bw).toInt)
+        val dcY = grid((bx, by) => ((id + bx * 3 + by * 7) % 50) - 25)
+        val dcCb = grid((bx, by) => ((id * 5 + bx * 11 + by * 2) % 40) - 20)
+        val dcCr = grid((bx, by) => ((id * 3 + bx * 5 + by * 13) % 40) - 20)
+        val jpg = Multimodal.jpegEncodeColorDcOnly(w, h, dcY, dcCb, dcCr)
+        val img = Multimodal.decodeJpegPixels(jpg).getOrElse(
+          throw new IllegalStateException(s"undecodable color jpeg id=$id"))
+        require(img.channels == 3, s"expected RGB for id=$id")
+        val rs = Multimodal.resampleNearest(img, 5, 3)
+        var sum = 0L
+        var i = 0
+        while (i < rs.length) {
+          sum += (rs(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+        (id, w, h, sum)
+      }
+      .toDF("doc_id", "src_w", "src_h", "checksum")
+      .orderBy("doc_id")
+  }
+
+  /** REAL-PROGRESSIVE-JPEG decode+resize as an oracle row: the same
+    * flat-block contract as [[jpegColorResize]] but the file is a
+    * multi-scan SOF2 ([[Multimodal.jpegEncodeProgDcOnly]]: an
+    * interleaved DC-first scan plus one EOB-run AC scan per
+    * component), so the §G.1.2 progressive machinery — scan
+    * sequencing, coefficient buffering, EOB-run bookkeeping,
+    * end-of-file IDCT — is what produces the checksum DuckDB replays
+    * from the per-component flat-block + fixed-point-RGB formulas.
+    * Per-row kernel, no shuffle. */
+  def jpegProgResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val bw = 2 + (id % 3).toInt
+        val bh = 2 + (id % 2).toInt
+        val w = bw * 8
+        val h = bh * 8
+        def grid(f: (Int, Int) => Long): Array[Int] =
+          Array.tabulate(bw * bh)(p => f(p % bw, p / bw).toInt)
+        val dcY = grid((bx, by) => ((id * 7 + bx * 5 + by * 3) % 50) - 25)
+        val dcCb = grid((bx, by) => ((id + bx * 2 + by * 11) % 40) - 20)
+        val dcCr = grid((bx, by) => ((id * 11 + bx * 7 + by * 5) % 40) - 20)
+        val jpg = Multimodal.jpegEncodeProgDcOnly(w, h, dcY, dcCb, dcCr)
+        val img = Multimodal.decodeJpegPixels(jpg).getOrElse(
+          throw new IllegalStateException(s"undecodable prog jpeg id=$id"))
+        require(img.channels == 3, s"expected RGB for id=$id")
+        val rs = Multimodal.resampleNearest(img, 5, 3)
+        var sum = 0L
+        var i = 0
+        while (i < rs.length) {
+          sum += (rs(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+        (id, w, h, sum)
+      }
+      .toDF("doc_id", "src_w", "src_h", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** REAL-GIF decode+resize as an oracle row, the GIF-LZW twin of
     * [[pngResize]]: a palette GIF is synthesized per document
     * (palette entry (p,c) = (id·7 + p·29 + c·47) mod 256, index (x,y)

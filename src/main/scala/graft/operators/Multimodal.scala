@@ -12,15 +12,19 @@ import graft.functions.TextUtil
   * container headers — PNG, GIF, BMP, JPEG — with zero dependencies;
   * payloads without a recognizable header (audio/video containers,
   * arbitrary blobs) fall back to a clearly-marked deterministic stub.
-  * PNG pixel decode and resampling are REAL (zlib ships in the JVM:
-  * IDAT inflate + per-row defilter, then integer nearest-neighbor);
-  * JPEG/GIF pixel decode stays stubbed (their entropy coding needs a
-  * codec this build doesn't ship), with the Spark-side plumbing —
-  * binary schema, partition-local batching (the JVM analog of a
-  * Pandas-UDF batch), deterministic feature extraction, metadata
-  * projection — identical on both paths. Swapping the remaining stubs
-  * for a real codec (javacv / soundfile behind mapInPandas on PySpark)
-  * changes no plan shape.
+  * Pixel decode and resampling are REAL for PNG (zlib ships in the
+  * JVM: IDAT inflate + per-row defilter), GIF (from-spec LZW +
+  * palette + interlace), and JPEG — baseline grayscale AND
+  * 3-component YCbCr color with 1–2× sampling factors AND
+  * progressive/SOF2 (canonical Huffman, DC prediction, spectral
+  * selection + successive approximation, zigzag dequant, IDCT,
+  * fixed-point color conversion) — then integer nearest-neighbor
+  * resampled. Only video frame-byte decode (H.264 etc.) remains a
+  * codec-bound stub, with the Spark-side plumbing — binary schema,
+  * partition-local batching (the JVM analog of a Pandas-UDF batch),
+  * deterministic feature extraction, metadata projection — identical
+  * on both paths. Swapping that stub for a real codec (javacv behind
+  * mapInPandas on PySpark) changes no plan shape.
   */
 object Multimodal {
 
@@ -515,14 +519,14 @@ object Multimodal {
     out.toByteArray
   }
 
-  // ── JPEG baseline decode (grayscale, dependency-free) ────────────────
+  // ── JPEG baseline decode (dependency-free) ───────────────────────────
   // The entropy layer everyone assumes needs libjpeg is, for baseline
-  // sequential grayscale, ~200 lines of public spec [ITU T.81]:
-  // canonical Huffman tables from DHT, the 0xFF00-unstuffed bit
-  // stream, DC prediction + AC run-length per 8×8 block, zigzag
-  // dequantization, and the type-II inverse DCT. Color (multi-
-  // component) JPEGs decline to the stub — chroma upsampling choices
-  // are decoder-specific and a decode must be right or absent.
+  // sequential JPEG, ~300 lines of public spec [ITU T.81]: canonical
+  // Huffman tables from DHT, the 0xFF00-unstuffed bit stream, DC
+  // prediction + AC run-length per 8×8 block, zigzag dequantization,
+  // the type-II inverse DCT, and for color the interleaved-MCU walk +
+  // replicate chroma upsampling + JFIF fixed-point YCbCr→RGB.
+  // Progressive JPEGs decline to the stub.
 
   private lazy val jpegZigzag: Array[Int] = {
     // generate the zigzag order (no memorized table to mistype):
@@ -614,10 +618,32 @@ object Multimodal {
     }
   }
 
-  /** Baseline sequential GRAYSCALE JPEG → 1-channel raster; None for
-    * progressive, multi-component, 12-bit, or corrupt payloads. DRI /
-    * RSTn restart markers are honored (predictor reset + byte
-    * realign). */
+  /** Fixed-point JFIF YCbCr→RGB (libjpeg's 16-bit constants:
+    * FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=46802,
+    * FIX(1.77200)=116130), round-half-up at the fixed point, clamp.
+    * Pure integer arithmetic — bit-reproducible across JVMs AND
+    * replayable in SQL (the `doc_jpeg_color` oracle recomputes it
+    * with `//`-division on provably-non-negative numerators). */
+  def ycbcrToRgb(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val y16 = yv << 16
+    val cbd = cb - 128
+    val crd = cr - 128
+    def c8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    (c8((y16 + 91881 * crd + 32768) >> 16),
+      c8((y16 - 22554 * cbd - 46802 * crd + 32768) >> 16),
+      c8((y16 + 116130 * cbd + 32768) >> 16))
+  }
+
+  /** Baseline sequential JPEG → raster. GRAYSCALE (1 component) gives
+    * a 1-channel raster; COLOR (3-component YCbCr, one interleaved
+    * scan, sampling factors 1–2 per axis: 4:4:4 / 4:2:2 / 4:4:0 /
+    * 4:2:0) decodes per-component planes MCU by MCU, upsamples chroma
+    * by sample replication, and converts through the fixed-point
+    * [[ycbcrToRgb]] to a 3-channel raster. PROGRESSIVE (SOF2) frames
+    * route to [[decodeJpegProgressive]]'s multi-scan path. None for
+    * 12-bit, 4-component (CMYK), baseline-multi-scan, or corrupt
+    * payloads. DRI / RSTn restart markers are honored per MCU
+    * (predictor reset + byte realign). */
   def decodeJpegPixels(b: Array[Byte]): Option[PngImage] =
     try {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
@@ -625,8 +651,11 @@ object Multimodal {
       val quant = new Array[Array[Int]](4)
       val dcTabs = new Array[JpegHuff](4)
       val acTabs = new Array[JpegHuff](4)
-      var w = 0; var h = 0; var qSel = -1
-      var dcSel = 0; var acSel = 0
+      var w = 0; var h = 0
+      var nComp = 0
+      val compH = new Array[Int](3); val compV = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      val compDc = new Array[Int](3); val compAc = new Array[Int](3)
       var restartInterval = 0
       var i = 2
       var sos = -1
@@ -662,28 +691,51 @@ object Multimodal {
             if ((b(seg) & 0xff) != 8) return None // 12-bit
             h = u16be(b, seg + 1)
             w = u16be(b, seg + 3)
-            if ((b(seg + 5) & 0xff) != 1) return None // grayscale only
-            if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
-            qSel = b(seg + 8) & 0xf
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            nComp = b(seg + 5) & 0xff
+            if (nComp != 1 && nComp != 3) return None // CMYK etc.
+            var c = 0
+            while (c < nComp) {
+              val sf = b(seg + 7 + c * 3) & 0xff
+              compH(c) = (sf >> 4) & 0xf
+              compV(c) = sf & 0xf
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return None
+              compQ(c) = b(seg + 8 + c * 3) & 0xf
+              c += 1
+            }
+            if (nComp == 1) {
+              // single-component scans are non-interleaved: the data
+              // units walk ceil(w/8)×ceil(h/8) regardless of declared
+              // sampling factors
+              compH(0) = 1; compV(0) = 1
+            }
+          case 0xc2 => // progressive: its own multi-scan decode path
+            return decodeJpegProgressive(b)
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
               0xcb | 0xcd | 0xce | 0xcf =>
-            return None // non-baseline frame types
+            return None // other non-baseline frame types
           case 0xdd => restartInterval = u16be(b, seg)
-          case 0xda => // SOS
-            if ((b(seg) & 0xff) != 1) return None
-            dcSel = (b(seg + 2) >> 4) & 0xf
-            acSel = b(seg + 2) & 0xf
+          case 0xda => // SOS — must cover every frame component
+            if ((b(seg) & 0xff) != nComp) return None // multi-scan
+            var c = 0
+            while (c < nComp) {
+              compDc(c) = (b(seg + 2 + c * 2) >> 4) & 0xf
+              compAc(c) = b(seg + 2 + c * 2) & 0xf
+              c += 1
+            }
             sos = i + 2 + len
           case _ => () // APPn, COM, ...
         }
         i += 2 + len
       }
-      if (sos < 0 || w <= 0 || h <= 0 || qSel < 0) return None
-      if (w.toLong * h > (1 << 26)) return None
-      val q = quant(qSel)
-      val dcT = dcTabs(dcSel)
-      val acT = acTabs(acSel)
-      if (q == null || dcT == null || acT == null) return None
+      if (sos < 0 || w <= 0 || h <= 0 || nComp == 0) return None
+      if (w.toLong * h * nComp > (1 << 27)) return None
+      var cchk = 0
+      while (cchk < nComp) {
+        if (quant(compQ(cchk)) == null || dcTabs(compDc(cchk)) == null ||
+          acTabs(compAc(cchk)) == null) return None
+        cchk += 1
+      }
 
       // entropy-coded bit reader with byte unstuffing
       var pos = sos
@@ -714,68 +766,499 @@ object Multimodal {
       def extend(v: Int, t: Int): Int =
         if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-      val bw = (w + 7) / 8
-      val bh = (h + 7) / 8
-      val out = new Array[Byte](w * h)
+      val hMax = (0 until nComp).map(compH).max
+      val vMax = (0 until nComp).map(compV).max
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      // MCU-padded per-component planes at each component's own
+      // sampled resolution
+      val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+      val planes = Array.tabulate(nComp)(c =>
+        new Array[Byte](planeW(c) * mcusY * compV(c) * 8))
       val coef = new Array[Double](64)
       val px = new Array[Int](64)
-      var pred = 0
-      var blocksDone = 0
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
-          if (restartInterval > 0 && blocksDone > 0 &&
-            blocksDone % restartInterval == 0) {
-            // RST marker: byte-align, consume FF D0-D7, reset predictor
+      val pred = new Array[Int](3)
+      var mcusDone = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcusDone > 0 &&
+            mcusDone % restartInterval == 0) {
+            // RST marker: byte-align, consume FF D0-D7, reset predictors
             bits = 0
             while (pos + 1 < b.length && !((b(pos) & 0xff) == 0xff &&
               (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7))
               pos += 1
             pos += 2
-            pred = 0
+            java.util.Arrays.fill(pred, 0)
           }
-          java.util.Arrays.fill(coef, 0.0)
-          val t = dcT.decode(() => nextBit())
-          val diff = extend(receive(t), t)
-          pred += diff
-          coef(0) = pred.toDouble * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
+          var c = 0
+          while (c < nComp) {
+            val dcT = dcTabs(compDc(c))
+            val acT = acTabs(compAc(c))
+            val q = quant(compQ(c))
+            var sv = 0
+            while (sv < compV(c)) {
+              var sh = 0
+              while (sh < compH(c)) {
+                java.util.Arrays.fill(coef, 0.0)
+                val t = dcT.decode(() => nextBit())
+                val diff = extend(receive(t), t)
+                pred(c) += diff
+                coef(0) = pred(c).toDouble * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acT.decode(() => nextBit())
+                  val r = rs >> 4
+                  val s = rs & 15
+                  if (s == 0) {
+                    if (r == 15) k += 16 else eob = true // ZRL / EOB
+                  } else {
+                    k += r
+                    if (k > 63) return None
+                    coef(jpegZigzag(k)) = extend(receive(s), s).toDouble *
+                      q(k)
+                    k += 1
+                  }
+                }
+                idctBlock(coef, px)
+                val plane = planes(c)
+                val pw = planeW(c)
+                val ox = (mx * compH(c) + sh) * 8
+                val oy = (my * compV(c) + sv) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    plane((oy + yy) * pw + ox + xx) =
+                      px(yy * 8 + xx).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                sh += 1
+              }
+              sv += 1
+            }
+            c += 1
+          }
+          mcusDone += 1
+          mx += 1
+        }
+        my += 1
+      }
+      Some(jpegPlanesToImage(nComp, planes, planeW, compH, compV,
+        hMax, vMax, w, h))
+    } catch { case _: Exception => None }
+
+  /** MCU-padded per-component sample planes → final raster: crop the
+    * luma plane (grayscale) or replicate-upsample chroma to frame
+    * resolution and convert through [[ycbcrToRgb]] (color). Shared by
+    * the baseline and progressive decode paths. */
+  private def jpegPlanesToImage(nComp: Int, planes: Array[Array[Byte]],
+      planeW: Array[Int], compH: Array[Int], compV: Array[Int],
+      hMax: Int, vMax: Int, w: Int, h: Int): PngImage =
+    if (nComp == 1) {
+      // crop the MCU-padded luma plane to the frame geometry
+      val out = new Array[Byte](w * h)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        y += 1
+      }
+      PngImage(w, h, 1, out)
+    } else {
+      // replicate-upsample chroma to frame resolution, convert
+      val out = new Array[Byte](w * h * 3)
+      val pY = planes(0); val pCb = planes(1); val pCr = planes(2)
+      val wY = planeW(0); val wCb = planeW(1); val wCr = planeW(2)
+      val hy0 = compH(0); val vy0 = compV(0)
+      val hc1 = compH(1); val vc1 = compV(1)
+      val hc2 = compH(2); val vc2 = compV(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = pY((y * vy0 / vMax) * wY + x * hy0 / hMax) & 0xff
+          val cb = pCb((y * vc1 / vMax) * wCb + x * hc1 / hMax) & 0xff
+          val cr = pCr((y * vc2 / vMax) * wCr + x * hc2 / hMax) & 0xff
+          val (r, g, bl) = ycbcrToRgb(yv, cb, cr)
+          val o = (y * w + x) * 3
+          out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = bl.toByte
+          x += 1
+        }
+        y += 1
+      }
+      PngImage(w, h, 3, out)
+    }
+
+  /** PROGRESSIVE JPEG (SOF2) decode [ITU T.81 §G]. Progressive files
+    * deliver the DCT coefficients over MULTIPLE scans — spectral
+    * selection (a scan carries one frequency band Ss..Se of one or
+    * all components) crossed with successive approximation (a first
+    * scan delivers each coefficient's high bits at point transform
+    * Al, refinement scans append one bit each) — so unlike the
+    * baseline path the whole coefficient field is buffered (Short per
+    * coefficient) and dequantize+IDCT runs once at EOI. The
+    * refinement-scan algorithms (DC: one bit per block; AC: the
+    * correction-bit walk with EOB runs, §G.1.2.3) follow the spec's
+    * flowcharts. Restart markers reset DC predictors AND the EOB run.
+    * Most web JPEGs are progressive, which is why the training-data
+    * decode path can't leave this to a stub. */
+  private def decodeJpegProgressive(b: Array[Byte]): Option[PngImage] =
+    try {
+      val n = b.length
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[JpegHuff](4)
+      val acTabs = new Array[JpegHuff](4)
+      var w = 0; var h = 0; var nComp = 0
+      val compId = new Array[Int](3)
+      val compH = new Array[Int](3); val compV = new Array[Int](3)
+      val compQ = new Array[Int](3)
+      var restartInterval = 0
+      var hMax = 1; var vMax = 1
+      var mcusX = 0; var mcusY = 0
+      var coefs: Array[Array[Short]] = null
+      var blocksPerRow: Array[Int] = null
+      var blockRows: Array[Int] = null
+
+      /** Decode one scan's entropy data; returns the offset of the
+        * next marker. Closes over the table/frame state above. */
+      def decodeScan(dataStart: Int, scanComps: Array[Int],
+          dcSel: Array[Int], acSel: Array[Int],
+          ss: Int, se: Int, ah: Int, al: Int): Int = {
+        var pos = dataStart
+        var acc = 0
+        var bits = 0
+        var eobrun = 0
+        val pred = new Array[Int](3)
+        def nextBit(): Int = {
+          if (bits == 0) {
+            if (pos >= n) throw new IllegalStateException("eof")
+            var byteV = b(pos) & 0xff
+            pos += 1
+            if (byteV == 0xff) {
+              val m = if (pos < n) b(pos) & 0xff else 0xd9
+              if (m == 0x00) pos += 1
+              else throw new IllegalStateException("marker in stream")
+            }
+            acc = byteV
+            bits = 8
+          }
+          bits -= 1
+          (acc >> bits) & 1
+        }
+        def receive(nb: Int): Int = {
+          var v = 0
+          var k = 0
+          while (k < nb) { v = (v << 1) | nextBit(); k += 1 }
+          v
+        }
+        def extend(v: Int, t: Int): Int =
+          if (t == 0) 0
+          else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+        val p1 = 1 << al
+        val m1 = -(1 << al)
+        def correctionBit(arr: Array[Short], z: Int): Unit =
+          if (nextBit() == 1 && (arr(z) & p1) == 0)
+            arr(z) = (arr(z) + (if (arr(z) >= 0) p1 else m1)).toShort
+
+        def dcFirst(c: Int, off: Int): Unit = {
+          val t = dcTabs(dcSel(c)).decode(() => nextBit())
+          pred(c) += extend(receive(t), t)
+          coefs(c)(off) = (pred(c) << al).toShort
+        }
+        def dcRefine(c: Int, off: Int): Unit =
+          if (nextBit() == 1)
+            coefs(c)(off) = (coefs(c)(off) | p1).toShort
+        def acFirst(c: Int, off: Int): Unit = {
+          if (eobrun > 0) { eobrun -= 1; return }
+          val acT = acTabs(acSel(c))
+          val arr = coefs(c)
+          var k = ss
+          var brk = false
+          while (k <= se && !brk) {
             val rs = acT.decode(() => nextBit())
             val r = rs >> 4
             val s = rs & 15
             if (s == 0) {
-              if (r == 15) k += 16 else eob = true // ZRL / EOB
+              if (r == 15) k += 16 // ZRL
+              else { // EOBn: this block is run member 0
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += receive(r)
+                brk = true
+              }
             } else {
               k += r
-              if (k > 63) return None
-              coef(jpegZigzag(k)) = extend(receive(s), s).toDouble *
-                q(k)
+              if (k > 63) throw new IllegalStateException("band overrun")
+              arr(off + jpegZigzag(k)) =
+                (extend(receive(s), s) << al).toShort
               k += 1
             }
           }
-          idctBlock(coef, px)
-          var yy = 0
-          while (yy < 8) {
-            val ay = by * 8 + yy
-            if (ay < h) {
-              var xx = 0
-              while (xx < 8) {
-                val ax = bx * 8 + xx
-                if (ax < w) out(ay * w + ax) = px(yy * 8 + xx).toByte
-                xx += 1
+        }
+        def acRefine(c: Int, off: Int): Unit = {
+          val acT = acTabs(acSel(c))
+          val arr = coefs(c)
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = acT.decode(() => nextBit())
+              var r = rs >> 4
+              val s = rs & 15
+              var newval = 0
+              if (s == 0) {
+                if (r < 15) { // EOBn: corrections continue below, then
+                  eobrun = 1 << r //  this block counts as run member 0
+                  if (r > 0) eobrun += receive(r)
+                  brk = true
+                } // r == 15 (ZRL): advance 16 zero-history coefficients
+              } else { // s is 1 in a refinement scan: a newly-nonzero
+                newval = if (nextBit() == 1) p1 else m1
+              }
+              if (!brk) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = off + jpegZigzag(k)
+                  if (arr(z) != 0) correctionBit(arr, z)
+                  else if (r == 0) {
+                    if (newval != 0) arr(z) = newval.toShort
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
               }
             }
-            yy += 1
           }
-          blocksDone += 1
-          bx += 1
+          if (eobrun > 0) {
+            // correction bits across the rest of the band, then this
+            // block is consumed from the run
+            while (k <= se) {
+              val z = off + jpegZigzag(k)
+              if (arr(z) != 0) correctionBit(arr, z)
+              k += 1
+            }
+            eobrun -= 1
+          }
         }
-        by += 1
+        def restart(): Unit = {
+          bits = 0
+          while (pos + 1 < n && !((b(pos) & 0xff) == 0xff &&
+            (b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7))
+            pos += 1
+          pos += 2
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+        if (ss == 0 && se != 0) throw new IllegalStateException("bad band")
+        if (ss > 0 && scanComps.length != 1)
+          throw new IllegalStateException("interleaved AC scan")
+        var unitsDone = 0
+        if (scanComps.length == 1) {
+          // non-interleaved: walk the component's own block grid
+          val c = scanComps(0)
+          val bWide = ((w * compH(c) + hMax - 1) / hMax + 7) / 8
+          val bHigh = ((h * compV(c) + vMax - 1) / vMax + 7) / 8
+          var by = 0
+          while (by < bHigh) {
+            var bx = 0
+            while (bx < bWide) {
+              if (restartInterval > 0 && unitsDone > 0 &&
+                unitsDone % restartInterval == 0) restart()
+              val off = (by * blocksPerRow(c) + bx) * 64
+              if (ss == 0) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+              else { if (ah == 0) acFirst(c, off) else acRefine(c, off) }
+              unitsDone += 1
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          // interleaved (DC scans only): frame MCU walk
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (restartInterval > 0 && unitsDone > 0 &&
+                unitsDone % restartInterval == 0) restart()
+              var ci = 0
+              while (ci < scanComps.length) {
+                val c = scanComps(ci)
+                var sv = 0
+                while (sv < compV(c)) {
+                  var sh = 0
+                  while (sh < compH(c)) {
+                    val off = ((my * compV(c) + sv) * blocksPerRow(c) +
+                      mx * compH(c) + sh) * 64
+                    if (ah == 0) dcFirst(c, off) else dcRefine(c, off)
+                    sh += 1
+                  }
+                  sv += 1
+                }
+                ci += 1
+              }
+              unitsDone += 1
+              mx += 1
+            }
+            my += 1
+          }
+        }
+        // byte-align and report where the next marker starts
+        while (pos + 1 < n && !((b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) != 0x00)) pos += 1
+        pos
       }
-      Some(PngImage(w, h, 1, out))
+
+      var i = 2
+      var sawEoi = false
+      while (!sawEoi && i + 2 <= n) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9) sawEoi = true // EOI
+        else if (marker == 0xff) i += 1 // fill byte before a marker
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+          i += 2 // standalone markers
+        else {
+          if (i + 4 > n) return None
+          val len = u16be(b, i + 2)
+          if (len < 2 || i + 2 + len > n) return None
+          val seg = i + 4
+          var advanced = false
+          marker match {
+            case 0xdb =>
+              var p = seg
+              while (p < i + 2 + len) {
+                val pq = (b(p) >> 4) & 0xf
+                val tq = b(p) & 0xf
+                if (pq != 0) return None
+                quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+                p += 65
+              }
+            case 0xc4 =>
+              var p = seg
+              while (p < i + 2 + len) {
+                val tc = (b(p) >> 4) & 0xf
+                val th = b(p) & 0xf
+                val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+                val nsym = counts.sum
+                val symbols = Array.tabulate(nsym)(k => b(p + 17 + k) & 0xff)
+                val t = new JpegHuff(counts, symbols)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + nsym
+              }
+            case 0xc2 =>
+              if ((b(seg) & 0xff) != 8) return None // 12-bit
+              h = u16be(b, seg + 1)
+              w = u16be(b, seg + 3)
+              nComp = b(seg + 5) & 0xff
+              if (nComp != 1 && nComp != 3) return None
+              if (w <= 0 || h <= 0) return None
+              if (w.toLong * h * nComp > (1 << 26)) return None
+              var c = 0
+              while (c < nComp) {
+                compId(c) = b(seg + 6 + c * 3) & 0xff
+                val sf = b(seg + 7 + c * 3) & 0xff
+                compH(c) = (sf >> 4) & 0xf
+                compV(c) = sf & 0xf
+                if (compH(c) < 1 || compH(c) > 2 ||
+                  compV(c) < 1 || compV(c) > 2) return None
+                compQ(c) = b(seg + 8 + c * 3) & 0xf
+                c += 1
+              }
+              if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+              hMax = (0 until nComp).map(compH).max
+              vMax = (0 until nComp).map(compV).max
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              blocksPerRow = Array.tabulate(nComp)(k => mcusX * compH(k))
+              blockRows = Array.tabulate(nComp)(k => mcusY * compV(k))
+              coefs = Array.tabulate(nComp)(k =>
+                new Array[Short](blocksPerRow(k) * blockRows(k) * 64))
+            case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                0xcb | 0xcd | 0xce | 0xcf =>
+              return None // a second, non-progressive frame
+            case 0xdd => restartInterval = u16be(b, seg)
+            case 0xda =>
+              if (coefs == null) return None // scan before frame
+              val ns = b(seg) & 0xff
+              if (ns < 1 || ns > nComp) return None
+              val scanComps = new Array[Int](ns)
+              val dcSel = new Array[Int](3)
+              val acSel = new Array[Int](3)
+              var sc = 0
+              while (sc < ns) {
+                val id = b(seg + 1 + sc * 2) & 0xff
+                val idx = (0 until nComp).indexWhere(compId(_) == id)
+                if (idx < 0) return None
+                scanComps(sc) = idx
+                dcSel(idx) = (b(seg + 2 + sc * 2) >> 4) & 0xf
+                acSel(idx) = b(seg + 2 + sc * 2) & 0xf
+                sc += 1
+              }
+              val ss = b(seg + 1 + 2 * ns) & 0xff
+              val se = b(seg + 2 + 2 * ns) & 0xff
+              val a = b(seg + 3 + 2 * ns) & 0xff
+              i = decodeScan(i + 2 + len, scanComps, dcSel, acSel,
+                ss, se, (a >> 4) & 0xf, a & 0xf)
+              advanced = true
+            case _ => () // APPn, COM, DNL, ...
+          }
+          if (!advanced) i += 2 + len
+        }
+      }
+      if (coefs == null) return None
+      // all scans absorbed: dequantize + IDCT each block into planes
+      val planeW = Array.tabulate(nComp)(c => blocksPerRow(c) * 8)
+      val planes = Array.tabulate(nComp)(c =>
+        new Array[Byte](planeW(c) * blockRows(c) * 8))
+      val coefD = new Array[Double](64)
+      val px = new Array[Int](64)
+      var c = 0
+      while (c < nComp) {
+        val q = quant(compQ(c))
+        if (q == null) return None
+        // dequant table in NATURAL order (coefficients are stored at
+        // their natural positions; q is in zigzag order)
+        val qNat = new Array[Int](64)
+        var k = 0
+        while (k < 64) { qNat(jpegZigzag(k)) = q(k); k += 1 }
+        val arr = coefs(c)
+        val pw = planeW(c)
+        val plane = planes(c)
+        var by = 0
+        while (by < blockRows(c)) {
+          var bx = 0
+          while (bx < blocksPerRow(c)) {
+            val off = (by * blocksPerRow(c) + bx) * 64
+            var j = 0
+            while (j < 64) {
+              coefD(j) = arr(off + j).toDouble * qNat(j)
+              j += 1
+            }
+            idctBlock(coefD, px)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((by * 8 + yy) * pw + bx * 8 + xx) =
+                  px(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      Some(jpegPlanesToImage(nComp, planes, planeW, compH, compV,
+        hMax, vMax, w, h))
     } catch { case _: Exception => None }
 
   /** Minimal baseline grayscale JPEG ENCODER for DC-only fixtures:
@@ -842,6 +1325,187 @@ object Multimodal {
     }
     if (nbits > 0) putBits(0xff, 8 - nbits) // pad with 1s
     out.write(data.toByteArray)
+    u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** Baseline COLOR (YCbCr 4:4:4) JPEG ENCODER for DC-only fixtures —
+    * the 3-component twin of [[jpegEncodeGrayDcOnly]]: all three
+    * components at 1×1 sampling share quant table 0 (flat `qdc`) and
+    * the same DC/AC Huffman tables; each MCU interleaves one flat
+    * block per component (quantized DCs from `dcY`/`dcCb`/`dcCr`,
+    * raster block order). A decoded block is exactly flat at
+    * `clamp(128 + dc*qdc/8)` per component BEFORE color conversion,
+    * so the RGB raster is replayable through [[ycbcrToRgb]]'s integer
+    * formula — which is what the `doc_jpeg_color` oracle does. */
+  def jpegEncodeColorDcOnly(w: Int, h: Int, dcY: Array[Int],
+      dcCb: Array[Int], dcCr: Array[Int], qdc: Int = 16): Array[Byte] = {
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    require(dcY.length == bw * bh && dcCb.length == bw * bh &&
+      dcCr.length == bw * bh)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8) // SOI
+    u16(0xffdb); u16(2 + 65); u8(0) // DQT table 0, 8-bit
+    (0 until 64).foreach(_ => u8(qdc))
+    u16(0xffc0); u16(8 + 9); u8(8); u16(h); u16(w); u8(3) // SOF0
+    u8(1); u8(0x11); u8(0) // Y,  1x1, qtable 0
+    u8(2); u8(0x11); u8(0) // Cb, 1x1, qtable 0
+    u8(3); u8(0x11); u8(0) // Cr, 1x1, qtable 0
+    // DHT: DC table 0 — 12 codes, all 4 bits, symbol k -> code k
+    u16(0xffc4); u16(2 + 17 + 12 + 17 + 1)
+    u8(0x00)
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12 // length 4
+    dcCounts.foreach(u8)
+    (0 until 12).foreach(u8)
+    // AC table 0 — one 1-bit code for EOB (0x00)
+    u8(0x10)
+    val acCounts = new Array[Int](16); acCounts(0) = 1
+    acCounts.foreach(u8)
+    u8(0x00)
+    u16(0xffda); u16(6 + 6) // SOS: 3 components, all DC0/AC0
+    u8(3); u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(63); u8(0)
+    var acc = 0
+    var nbits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          data.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) data.write(0x00) // stuffing
+          acc = 0; nbits = 0
+        }
+        k -= 1
+      }
+    }
+    val preds = new Array[Int](3)
+    def putBlock(c: Int, dc: Int): Unit = {
+      val diff = dc - preds(c)
+      preds(c) = dc
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1
+      putBits(cat, 4)
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 1) // EOB
+    }
+    var p = 0
+    while (p < bw * bh) { // MCU order == block raster order at 4:4:4
+      putBlock(0, dcY(p)); putBlock(1, dcCb(p)); putBlock(2, dcCr(p))
+      p += 1
+    }
+    if (nbits > 0) putBits(0xff, 8 - nbits) // pad with 1s
+    out.write(data.toByteArray)
+    u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE (SOF2) color JPEG ENCODER for DC-only fixtures — the
+    * multi-scan twin of [[jpegEncodeColorDcOnly]]: a YCbCr 4:4:4
+    * frame delivered as four scans — one interleaved DC-first scan
+    * (Al=0, identical DC entropy coding to baseline) followed by one
+    * AC scan per component whose entire block grid is covered by a
+    * single EOB RUN (EOBn symbol r = ⌊log2 nBlocks⌋ + r appended
+    * bits), so the decoder's EOB-run bookkeeping, non-interleaved
+    * per-component block walks, and coefficient buffering all execute
+    * while the decoded raster stays exactly flat at
+    * `clamp(128 + dc*qdc/8)` per component — the same SQL-replayable
+    * contract as the baseline fixtures. */
+  def jpegEncodeProgDcOnly(w: Int, h: Int, dcY: Array[Int],
+      dcCb: Array[Int], dcCr: Array[Int], qdc: Int = 16): Array[Byte] = {
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    require(dcY.length == bw * bh && dcCb.length == bw * bh &&
+      dcCr.length == bw * bh)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8) // SOI
+    u16(0xffdb); u16(2 + 65); u8(0) // DQT table 0, 8-bit
+    (0 until 64).foreach(_ => u8(qdc))
+    u16(0xffc2); u16(8 + 9); u8(8); u16(h); u16(w); u8(3) // SOF2
+    u8(1); u8(0x11); u8(0) // Y,  1x1, qtable 0
+    u8(2); u8(0x11); u8(0) // Cb, 1x1, qtable 0
+    u8(3); u8(0x11); u8(0) // Cr, 1x1, qtable 0
+    // DHT: DC table 0 — 12 codes, all 4 bits, symbol k -> code k;
+    // AC table 0 — 15 codes, all 4 bits, symbol r<<4 (EOBn) -> code r
+    u16(0xffc4); u16(2 + 17 + 12 + 17 + 15)
+    u8(0x00)
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12 // length 4
+    dcCounts.foreach(u8)
+    (0 until 12).foreach(u8)
+    u8(0x10)
+    val acCounts = new Array[Int](16); acCounts(3) = 15 // length 4
+    acCounts.foreach(u8)
+    (0 until 15).foreach(r => u8(r << 4))
+
+    var acc = 0
+    var nbits = 0
+    var data = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, nb: Int): Unit = {
+      var k = nb - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          data.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) data.write(0x00) // stuffing
+          acc = 0; nbits = 0
+        }
+        k -= 1
+      }
+    }
+    def flushScan(): Unit = {
+      if (nbits > 0) putBits(0xff, 8 - nbits) // pad with 1s
+      out.write(data.toByteArray)
+      data = new java.io.ByteArrayOutputStream()
+    }
+
+    // scan 1: DC first, all three components, interleaved, Ah=0 Al=0
+    u16(0xffda); u16(6 + 6)
+    u8(3); u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(0); u8(0) // Ss=0 Se=0 AhAl=0
+    val preds = new Array[Int](3)
+    def putDc(c: Int, dc: Int): Unit = {
+      val diff = dc - preds(c)
+      preds(c) = dc
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1
+      putBits(cat, 4)
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    var p = 0
+    while (p < bw * bh) {
+      putDc(0, dcY(p)); putDc(1, dcCb(p)); putDc(2, dcCr(p))
+      p += 1
+    }
+    flushScan()
+
+    // scans 2-4: AC band 1..63 per component, one EOB run covering
+    // the whole block grid (run = nBlocks: EOBn r = floor(log2 run),
+    // then r bits of run - 2^r)
+    var comp = 1
+    while (comp <= 3) {
+      u16(0xffda); u16(6 + 2)
+      u8(1); u8(comp); u8(0x00)
+      u8(1); u8(63); u8(0) // Ss=1 Se=63 AhAl=0
+      val nBlocks = bw * bh
+      var r = 0
+      while ((1 << (r + 1)) <= nBlocks) r += 1
+      putBits(r, 4) // EOBn symbol r<<4 has canonical code r
+      if (r > 0) putBits(nBlocks - (1 << r), r)
+      flushScan()
+      comp += 1
+    }
     u16(0xffd9) // EOI
     out.toByteArray
   }
@@ -1187,13 +1851,13 @@ object Multimodal {
 
   /** Image resize over a binary corpus: output keeps the original path
     * plus target geometry and the resized payload hash. PNG, GIF and
-    * baseline grayscale JPEG payloads are REALLY decoded (IDAT
-    * inflate + defilter / GIF-LZW + palette / Huffman + IDCT) and
+    * JPEG (baseline grayscale, YCbCr color, AND progressive) payloads
+    * are REALLY decoded (IDAT inflate + defilter / GIF-LZW + palette
+    * / Huffman + IDCT + fixed-point color conversion) and
     * nearest-neighbor resampled — the hash is of the actual resized
-    * raster bytes; the remaining formats (color/progressive JPEG)
-    * fall back to the labeled stub. A pure per-row map, zero
-    * shuffle — widening the real path to more formats changes no plan
-    * shape. */
+    * raster bytes; unrecognized payloads fall back to the labeled
+    * stub. A pure per-row map, zero shuffle — widening the real path
+    * to more formats changes no plan shape. */
   def resizeImages(s: SparkSession, binaries: DataFrame,
       targetW: Int = 224, targetH: Int = 224): DataFrame = {
     import s.implicits._

@@ -292,9 +292,7 @@ class GrammarDriftSpec extends AnyFunSuite {
       val tree = CodeParsers.parse(lang, src)
       assert(tree.isDefined, s"parse failed on $name")
       val spanStarts = tree.get.children.map(_.start).toSet
-      val mask = CodeParsers.codeMask(src, python = false,
-        rust = lang == "rust",
-        tripleQuote = lang == "java" || lang == "kotlin")
+      val mask = CodeParsers.braceMask(lang, src)
       var missed = List.empty[String]
       var expected = 0
       var lineStart = 0
@@ -539,5 +537,222 @@ class GrammarDriftSpec extends AnyFunSuite {
         "data", "object", "interface", "enum", "sealed", "abstract",
         "open", "internal", "typealias", "annotation"),
       Seq("@"), fixtures)
+  }
+
+  /** C — hazards: char literals holding braces/quotes, C23 digit
+    * separators (an unmasked 1'000 would open a phantom char literal
+    * and swallow code), strings and comments with braces, preprocessor
+    * lines (their own tree-sitter preproc_* file-level nodes).
+    * Reference semantics: code-chunker.ts:32-123 (tree-sitter-c). */
+  test("span-boundary drift over hand-labeled C sources") {
+    val fixtures = Seq(
+      ("gauge.c",
+        """#include <stdio.h>
+          |#include <stdlib.h>
+          |
+          |#define MAX_DEPTH 8
+          |
+          |static const char OPEN = '{';
+          |static const char QUOTE = '"';
+          |static const long BIG = 1'000'000;
+          |
+          |/* block comment with braces } { */
+          |struct point {
+          |    int x;
+          |    int y;
+          |};
+          |
+          |typedef struct point point_t;
+          |
+          |static const char *kJson = "{\"key\": {\"nested\": 1}} un{";
+          |
+          |// line comment with a stray }
+          |int area(point_t p) {
+          |    return p.x * p.y;
+          |}
+          |
+          |enum level { LOW, HIGH };
+          |
+          |union value {
+          |    int i;
+          |    float f;
+          |};
+          |
+          |void describe(const char *name) {
+          |    printf("%s: { %c }\n", name, OPEN);
+          |}
+          |""".stripMargin))
+    gaugeHandLabeled("c",
+      Set("int", "void", "char", "float", "double", "long", "short",
+        "unsigned", "signed", "static", "extern", "const", "struct",
+        "union", "enum", "typedef", "inline", "union"),
+      Seq("#"), fixtures)
+  }
+
+  /** C++ — hazards beyond C: raw strings (`R"delim(…)delim"` with
+    * interior braces, quotes, newlines, and FAKE column-0
+    * declarations), digit separators, templates, namespaces.
+    * Reference semantics: code-chunker.ts:32-123 (tree-sitter-cpp). */
+  test("span-boundary drift over hand-labeled C++ sources") {
+    val fixtures = Seq(
+      ("gauge.cpp",
+        """#include <map>
+          |#include <string>
+          |
+          |constexpr long kBig = 2'000'000;
+          |
+          |const char* kJson = R"({"key": {"nested": 1}} unbalanced {)";
+          |
+          |const char* kBlock = R"cpp(
+          |class FakeDecl {
+          |    void not_real() { }
+          |} dangling {
+          |)cpp";
+          |
+          |template <typename T>
+          |class Registry {
+          | public:
+          |    void add(const std::string& k, T v) { items_[k] = v; }
+          | private:
+          |    std::map<std::string, T> items_;
+          |};
+          |
+          |struct Point {
+          |    int x = 0;
+          |    int y = 0;
+          |};
+          |
+          |static const char kOpen = '{';
+          |
+          |inline int area(const Point& p) {
+          |    return p.x * p.y;
+          |}
+          |
+          |namespace gauge { inline int two() { return 2; } }
+          |""".stripMargin))
+    gaugeHandLabeled("cpp",
+      Set("int", "void", "char", "bool", "auto", "static", "extern",
+        "const", "constexpr", "struct", "class", "enum", "typedef",
+        "using", "template", "inline", "namespace", "virtual"),
+      Seq("#"), fixtures)
+  }
+
+  /** C# — hazards: verbatim strings (`@"…"` — backslash is NOT an
+    * escape, `""` is, newlines are content — holding braces and FAKE
+    * column-0 declarations), interpolated-verbatim `$@"…"`, raw
+    * `\"\"\"` strings, attributes. File-scoped namespace keeps the
+    * declarations at column 0. Reference semantics:
+    * code-chunker.ts:32-123 (tree-sitter-c-sharp). */
+  test("span-boundary drift over hand-labeled C# sources") {
+    val tq = "\"\"\""
+    val fixtures = Seq(
+      ("Gauge.cs",
+        s"""using System;
+           |using System.Collections.Generic;
+           |
+           |namespace Gauge;
+           |
+           |public static class Fixtures
+           |{
+           |    private const string Json = @"
+           |public class FakeDecl {
+           |    { ""k"": { ""n"": 1 } } unbalanced {
+           |";
+           |
+           |    private static readonly string Raw = $tq
+           |class AlsoFake {
+           |    still not code {
+           |$tq;
+           |
+           |    public static string Render(string name) =>
+           |        $$@"{{ ""name"": ""{name}"" }} dangling {{";
+           |}
+           |
+           |[Serializable]
+           |public record Point(int X, int Y);
+           |
+           |public interface IShape
+           |{
+           |    int Area();
+           |}
+           |
+           |internal enum Level
+           |{
+           |    Low,
+           |    High,
+           |}
+           |
+           |public struct Pair
+           |{
+           |    public char Open; // '{' lives in comments too }
+           |}
+           |""".stripMargin))
+    gaugeHandLabeled("csharp",
+      Set("using", "namespace", "public", "internal", "private",
+        "static", "sealed", "abstract", "partial", "class",
+        "interface", "enum", "record", "struct", "readonly"),
+      Seq("["), fixtures)
+  }
+
+  /** Swift — hazards: multiline `\"\"\"` strings, extended raw
+    * `#"…"#` strings (no escapes at fewer hashes), `#if` compiler
+    * directives (live `#` that must NOT lex as a raw-string opener),
+    * char-free but interpolation-heavy literals, attributes.
+    * Reference semantics: code-chunker.ts:32-123 (tree-sitter-swift). */
+  test("span-boundary drift over hand-labeled Swift sources") {
+    val tq = "\"\"\""
+    val fixtures = Seq(
+      ("gauge.swift",
+        s"""import Foundation
+           |
+           |let template = $tq
+           |func fake() { not real }
+           |struct NotReal {
+           |    { nested } dangling {
+           |$tq
+           |
+           |let pattern = #"{"key": "}{"} raw " quote"#
+           |
+           |let block = #$tq
+           |class StillFake {
+           |    unbalanced {
+           |$tq#
+           |
+           |#if DEBUG
+           |let debugFlag = true
+           |#endif
+           |
+           |struct Point {
+           |    var x = 0
+           |    var y = 0
+           |}
+           |
+           |protocol Shape {
+           |    func area() -> Int
+           |}
+           |
+           |enum Level {
+           |    case low
+           |    case high
+           |}
+           |
+           |final class Registry {
+           |    var items: [String: Int] = [:]
+           |}
+           |
+           |@discardableResult
+           |func render(_ name: String) -> String {
+           |    return template + name + "literal } brace {"
+           |}
+           |
+           |extension Point {
+           |    func area() -> Int { x * y }
+           |}
+           |""".stripMargin))
+    gaugeHandLabeled("swift",
+      Set("import", "let", "var", "func", "class", "struct", "enum",
+        "protocol", "extension", "final", "public", "private",
+        "typealias", "actor", "indirect"),
+      Seq("@", "#if", "#endif"), fixtures)
   }
 }

@@ -361,7 +361,7 @@ class ImageHeaderSpec extends AnyFunSuite {
   }
 
   test("JPEG general path (AC coefficients, standard tables) tracks " +
-      "ImageIO's decode within 1 level; color JPEG declines") {
+      "ImageIO's decode within 1 level; truncated stream declines") {
     // a real gradient image compressed by ImageIO's encoder exercises
     // AC run-lengths, the standard Huffman tables, and non-trivial
     // IDCT inputs; our double IDCT may differ from its integer IDCT
@@ -387,14 +387,225 @@ class ImageHeaderSpec extends AnyFunSuite {
       maxDiff = math.max(maxDiff, d)
     }
     assert(maxDiff <= 1, s"IDCT drift vs ImageIO: max |diff| = $maxDiff")
-    // color (3-component) JPEG: decline to the stub, never guess
-    val rgb = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val out2 = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(rgb, "jpg", out2))
-    assert(Multimodal.decodeJpegPixels(out2.toByteArray).isEmpty)
     // truncated entropy stream declines
     assert(Multimodal.decodeJpegPixels(jpg.take(jpg.length / 2)).isEmpty)
+  }
+
+  test("JPEG color decode: DC-only 4:4:4 fixture decodes to the exact " +
+      "fixed-point RGB; ImageIO agrees within 1 level") {
+    val (bw, bh) = (3, 2)
+    val dcY = Array.tabulate(bw * bh)(p => ((p * 11) % 50) - 25)
+    val dcCb = Array.tabulate(bw * bh)(p => ((p * 7) % 40) - 20)
+    val dcCr = Array.tabulate(bw * bh)(p => ((p * 13) % 40) - 20)
+    val jpg = Multimodal.jpegEncodeColorDcOnly(bw * 8, bh * 8,
+      dcY, dcCb, dcCr)
+    val img = Multimodal.decodeJpegPixels(jpg)
+      .getOrElse(fail("color decode failed"))
+    assert(img.width == 24 && img.height == 16 && img.channels == 3)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val p = (y / 8) * bw + (x / 8)
+      val (er, eg, eb) = Multimodal.ycbcrToRgb(
+        128 + dcY(p) * 2, 128 + dcCb(p) * 2, 128 + dcCr(p) * 2)
+      val o = (y * 24 + x) * 3
+      assert((img.pixels(o) & 0xff) == er &&
+        (img.pixels(o + 1) & 0xff) == eg &&
+        (img.pixels(o + 2) & 0xff) == eb,
+        s"fixed-point RGB drift at ($x,$y)")
+    }
+    // independent decoder cross-validation: libjpeg rounds each
+    // conversion TERM before summing where we round the sum — at most
+    // one level apart, never more
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(bi != null, "ImageIO rejected our color JPEG")
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * 24 + x) * 3
+      assert(math.abs(((rgb >> 16) & 0xff) - (img.pixels(o) & 0xff)) <= 1 &&
+        math.abs(((rgb >> 8) & 0xff) - (img.pixels(o + 1) & 0xff)) <= 1 &&
+        math.abs((rgb & 0xff) - (img.pixels(o + 2) & 0xff)) <= 1,
+        s"ImageIO color disagrees at ($x,$y)")
+    }
+  }
+
+  test("JPEG color decode: ImageIO-written 4:2:0 files (flat color and " +
+      "gray ramp) track ImageIO's decode") {
+    // flat color: chroma is constant, so subsampled-chroma upsampling
+    // choices (ours: replication; libjpeg: fancy/triangular) agree
+    // everywhere and only conversion rounding remains
+    val flat = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = flat.createGraphics()
+    g2.setColor(new java.awt.Color(200, 80, 40))
+    g2.fillRect(0, 0, 20, 12)
+    g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(flat, "jpg", out))
+    val img = Multimodal.decodeJpegPixels(out.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO color JPEG"))
+    assert(img.width == 20 && img.height == 12 && img.channels == 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    for (y <- 0 until 12; x <- 0 until 20; c <- 0 until 3) {
+      val rv = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs(rv - (img.pixels((y * 20 + x) * 3 + c) & 0xff))
+      assert(d <= 2, s"flat-color drift $d at ($x,$y,$c)")
+    }
+    // gray ramp (r=g=b): Cb=Cr=128 constant, Y full-resolution, so
+    // the luma gradient exercises interleaved MCUs + AC coefficients
+    // while chroma upsampling stays degenerate
+    val ramp = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = (x * 5 + y * 3) % 256
+      ramp.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(ramp, "jpg", out2))
+    val img2 = Multimodal.decodeJpegPixels(out2.toByteArray)
+      .getOrElse(fail("our decoder rejected the ramp JPEG"))
+    val ref2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out2.toByteArray))
+    var maxDiff = 0
+    for (y <- 0 until 24; x <- 0 until 40; c <- 0 until 3) {
+      val rv = (ref2.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      maxDiff = math.max(maxDiff,
+        math.abs(rv - (img2.pixels((y * 40 + x) * 3 + c) & 0xff)))
+    }
+    assert(maxDiff <= 2, s"ramp drift vs ImageIO: max |diff| = $maxDiff")
+  }
+
+  private def writeProgressive(
+      bi: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = out.toByteArray
+    // sanity: the writer really emitted SOF2 (progressive), so the
+    // comparisons below exercise the multi-scan path, not baseline
+    var i = 2
+    var sof2 = false
+    var done = false
+    while (!done && i + 4 <= bytes.length) {
+      val m = bytes(i + 1) & 0xff
+      if (m == 0xc2) { sof2 = true; done = true }
+      else if (m == 0xda) done = true
+      else i += 2 + (((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff))
+    }
+    assert(sof2, "ImageIO did not write a progressive JPEG")
+    bytes
+  }
+
+  test("JPEG progressive decode (SOF2, multi-scan): gray and color " +
+      "track ImageIO's own progressive decode") {
+    // IJG's standard progression script (what ImageIO emits) crosses
+    // spectral selection with successive approximation: DC first at
+    // Al=1 + DC refine, AC bands 1-5 and 6-63 at Al=2 with two
+    // refinement passes, EOB runs throughout — every branch of the
+    // §G.1.2 decoder runs on this one file
+    val gray = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = (x * 5 + y * 3 + ((x * y) % 7) * 10) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val pjpg = writeProgressive(gray)
+    val img = Multimodal.decodeJpegPixels(pjpg)
+      .getOrElse(fail("progressive gray decode failed"))
+    assert(img.width == 40 && img.height == 24 && img.channels == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pjpg))
+    var maxDiff = 0
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val d = math.abs((img.pixels(y * 40 + x) & 0xff) -
+        ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 1, s"progressive gray drift: max |diff| = $maxDiff")
+
+    // color progressive, gray-ramp content (constant chroma keeps the
+    // upsampling comparison exact; the Y channel carries the scans)
+    val ramp = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = (x * 5 + y * 3) % 256
+      ramp.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val cjpg = writeProgressive(ramp)
+    val cimg = Multimodal.decodeJpegPixels(cjpg)
+      .getOrElse(fail("progressive color decode failed"))
+    assert(cimg.width == 40 && cimg.height == 24 && cimg.channels == 3)
+    val cref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cjpg))
+    var cMax = 0
+    for (y <- 0 until 24; x <- 0 until 40; c <- 0 until 3) {
+      val rv = (cref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      cMax = math.max(cMax,
+        math.abs(rv - (cimg.pixels((y * 40 + x) * 3 + c) & 0xff)))
+    }
+    assert(cMax <= 2, s"progressive color drift: max |diff| = $cMax")
+
+    // flat color progressive: chroma scans carry real (non-zero)
+    // coefficients through the Cb/Cr band scans
+    val flat = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = flat.createGraphics()
+    g2.setColor(new java.awt.Color(60, 180, 220))
+    g2.fillRect(0, 0, 20, 12)
+    g2.dispose()
+    val fjpg = writeProgressive(flat)
+    val fimg = Multimodal.decodeJpegPixels(fjpg)
+      .getOrElse(fail("progressive flat decode failed"))
+    val fref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(fjpg))
+    for (y <- 0 until 12; x <- 0 until 20; c <- 0 until 3) {
+      val rv = (fref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs(rv - (fimg.pixels((y * 20 + x) * 3 + c) & 0xff))
+      assert(d <= 2, s"progressive flat drift $d at ($x,$y,$c)")
+    }
+    // truncated progressive still declines at the header level
+    assert(Multimodal.decodeJpegPixels(cjpg.take(20)).isEmpty)
+  }
+
+  test("JPEG progressive DC-only fixture (DC scan + EOB-run AC scans) " +
+      "decodes to the exact fixed-point RGB; ImageIO agrees within 1") {
+    val (bw, bh) = (3, 2)
+    val dcY = Array.tabulate(bw * bh)(p => ((p * 13) % 50) - 25)
+    val dcCb = Array.tabulate(bw * bh)(p => ((p * 9) % 40) - 20)
+    val dcCr = Array.tabulate(bw * bh)(p => ((p * 5) % 40) - 20)
+    val jpg = Multimodal.jpegEncodeProgDcOnly(bw * 8, bh * 8,
+      dcY, dcCb, dcCr)
+    val img = Multimodal.decodeJpegPixels(jpg)
+      .getOrElse(fail("progressive fixture decode failed"))
+    assert(img.width == 24 && img.height == 16 && img.channels == 3)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val p = (y / 8) * bw + (x / 8)
+      val (er, eg, eb) = Multimodal.ycbcrToRgb(
+        128 + dcY(p) * 2, 128 + dcCb(p) * 2, 128 + dcCr(p) * 2)
+      val o = (y * 24 + x) * 3
+      assert((img.pixels(o) & 0xff) == er &&
+        (img.pixels(o + 1) & 0xff) == eg &&
+        (img.pixels(o + 2) & 0xff) == eb,
+        s"progressive fixture drift at ($x,$y)")
+    }
+    // the independent decoder accepts the multi-scan layout too
+    val bi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(bi != null, "ImageIO rejected our progressive JPEG")
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * 24 + x) * 3
+      assert(math.abs(((rgb >> 16) & 0xff) - (img.pixels(o) & 0xff)) <= 1 &&
+        math.abs(((rgb >> 8) & 0xff) - (img.pixels(o + 1) & 0xff)) <= 1 &&
+        math.abs((rgb & 0xff) - (img.pixels(o + 2) & 0xff)) <= 1,
+        s"ImageIO disagrees on the progressive fixture at ($x,$y)")
+    }
   }
 
   test("MP4 sample-table demux: offsets, sizes and stts timing from " +
