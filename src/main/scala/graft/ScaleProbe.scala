@@ -146,7 +146,13 @@ object ScaleProbe {
     // zero shuffle; pinned so a future change that accidentally
     // introduces a shuffle or superlinear kernel shows up — and the
     // real XOR-obfuscated .doc route riding doc_word_lines' kernel
-    "doc_png_resize", "doc_gif_resize", "doc_mp4_demux")
+    "doc_png_resize", "doc_gif_resize", "doc_mp4_demux",
+    // r18 session-4 additions: the color and PROGRESSIVE JPEG decode
+    // rows — the heaviest per-row codec kernels (3 entropy-coded
+    // components; the progressive row re-walks the file once per
+    // scan) — same linear/zero-shuffle contract as the other codec
+    // rows
+    "doc_jpeg_color", "doc_jpeg_prog")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -64,9 +64,11 @@ object CodeParsers {
     * triple-quoted text blocks; C/C++ add R"(…)" raw strings and
     * digit-separator apostrophes (1'000'000); C# adds @"…" verbatim
     * strings ("" escape, spans newlines) and `"""` raw strings; Swift
-    * adds `"""` multiline and #"…"# extended raw strings — each a
-    * lexical hazard that would corrupt bracket depth if left unmasked
-    * (the drift gauges in GrammarDriftSpec measure exactly this). */
+    * adds `"""` multiline and #"…"# extended raw strings; PHP adds
+    * heredocs/nowdocs (`<<<LABEL` bodies, flexible closers) and `#`
+    * line comments — each a lexical hazard that would corrupt bracket
+    * depth if left unmasked (the drift gauges in GrammarDriftSpec
+    * measure exactly this). */
   private[operators] def braceMask(l: String, source: String): Array[Boolean] =
     codeMask(source, python = false,
       jsRegex = l == "typescript" || l == "javascript",
@@ -74,6 +76,7 @@ object CodeParsers {
       cpp = l == "c" || l == "cpp",
       csharp = l == "csharp",
       swift = l == "swift",
+      php = l == "php",
       tripleQuote = l == "java" || l == "kotlin" || l == "scala" ||
         l == "csharp" || l == "swift")
 
@@ -171,6 +174,7 @@ object CodeParsers {
       cpp: Boolean = false,
       csharp: Boolean = false,
       swift: Boolean = false,
+      php: Boolean = false,
       tripleQuote: Boolean = false): Array[Boolean] = {
     val n = src.length
     val mask = Array.fill(n)(true)
@@ -346,7 +350,7 @@ object CodeParsers {
     val heredocs = scala.collection.mutable.Queue[(String, Boolean)]()
     while (i < n) {
       val c = src.charAt(i)
-      if (ruby && c == '\n' && heredocs.nonEmpty &&
+      if ((ruby || php) && c == '\n' && heredocs.nonEmpty &&
           (state == 0 || state == 1)) {
         // the queued heredocs open here: their bodies (and interior
         // newlines) are string content until each terminator line
@@ -358,9 +362,27 @@ object CodeParsers {
           var lineEnd = j
           while (lineEnd < n && src.charAt(lineEnd) != '\n') lineEnd += 1
           val line = src.substring(j, lineEnd)
-          val isTerm = if (flex) line.trim == delim else line == delim
+          // PHP 7.3 flexible closers: indented, and followed by the
+          // rest of the expression (`EOT;`, `EOT)`, `EOT . $x`) — the
+          // label just can't continue into a longer identifier
+          val isTerm =
+            if (php) {
+              val t = line.trim
+              t.startsWith(delim) && (t.length == delim.length || {
+                val ch = t.charAt(delim.length)
+                !ch.isLetterOrDigit && ch != '_'
+              })
+            } else if (flex) line.trim == delim
+            else line == delim
+          // a PHP closer line continues with LIVE code after the
+          // label (`EOT);`, `EOT . $x;`) — mask only through the
+          // label; everything else masks the whole line
+          val maskEnd =
+            if (php && isTerm)
+              j + line.indexOf(delim) + delim.length
+            else lineEnd
           var k = j
-          while (k < lineEnd) { mask(k) = false; k += 1 }
+          while (k < maskEnd) { mask(k) = false; k += 1 }
           if (isTerm) heredocs.dequeue()
           if (heredocs.nonEmpty && lineEnd < n) mask(lineEnd) = false
           j = lineEnd + 1
@@ -384,8 +406,33 @@ object CodeParsers {
                 i = end - 1
               }
             }
-          } else if (python && c == '#') {
+          } else if (c == '#' && (python ||
+              // PHP keeps # line comments, but `#[` opens an
+              // attribute (live code whose brackets must count)
+              (php && (i + 1 >= n || src.charAt(i + 1) != '[')))) {
             state = 1; mask(i) = false
+          } else if (php && c == '<' && i + 3 < n &&
+              src.charAt(i + 1) == '<' && src.charAt(i + 2) == '<') {
+            // PHP heredoc/nowdoc opener: `<<<LABEL`, `<<<"LABEL"`,
+            // `<<<'LABEL'` — body starts after this line's newline;
+            // unlike Ruby's `<<CONST` there is no operator ambiguity,
+            // so no terminator-existence check is needed
+            var j = i + 3
+            while (j < n && (src.charAt(j) == ' ' || src.charAt(j) == '\t'))
+              j += 1
+            var q = ' '
+            if (j < n && (src.charAt(j) == '\'' || src.charAt(j) == '"')) {
+              q = src.charAt(j); j += 1
+            }
+            val ls = j
+            while (j < n && (src.charAt(j).isLetterOrDigit ||
+                src.charAt(j) == '_')) j += 1
+            val okLabel = j > ls && !src.charAt(ls).isDigit
+            val okClose = q == ' ' || (j < n && src.charAt(j) == q)
+            if (okLabel && okClose) {
+              heredocs.enqueue((src.substring(ls, j), true))
+              i = if (q == ' ') j - 1 else j
+            }
           } else if (ruby && c == '<' && i + 1 < n &&
               src.charAt(i + 1) == '<' &&
               (i == 0 || src.charAt(i - 1) != '<')) {

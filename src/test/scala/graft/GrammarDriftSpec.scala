@@ -755,4 +755,73 @@ class GrammarDriftSpec extends AnyFunSuite {
         "typealias", "actor", "indirect"),
       Seq("@", "#if", "#endif"), fixtures)
   }
+
+  /** PHP — hazards: heredocs (`<<<EOT` bodies with braces, quotes,
+    * and FAKE column-0 declarations; PHP 7.3 flexible closers whose
+    * LINE continues with live code — `EOT);` must contribute its
+    * closing paren to bracket depth), nowdocs (`<<<'EOT'`), `#` line
+    * comments vs `#[Attr]` attributes, `$`-variables in strings.
+    * Reference semantics: code-chunker.ts:32-123 (tree-sitter-php). */
+  test("span-boundary drift over hand-labeled PHP sources") {
+    val fixtures = Seq(
+      ("gauge.php",
+        """use App\Support\Arr;
+          |
+          |const OPEN = '{';
+          |
+          |# hash comment with braces } {
+          |function render(string $name): string {
+          |    $tpl = <<<EOT
+          |function fake() { not real }
+          |class NotReal {
+          |    {"k": {"n": 1}} unbalanced {
+          |EOT;
+          |    return $tpl . $name;
+          |}
+          |
+          |function wrapped(): string {
+          |    return strtoupper(<<<HTML
+          |<div>{unbalanced {</div>
+          |HTML);
+          |}
+          |
+          |function raw(): string {
+          |    $q = <<<'SQL'
+          |SELECT '{' || col FROM t WHERE x = "}"
+          |SQL;
+          |    return $q;
+          |}
+          |
+          |// line comment with a stray }
+          |class Registry {
+          |    public array $items = [];
+          |}
+          |
+          |interface Shape {
+          |    public function area(): int;
+          |}
+          |
+          |trait Described {
+          |    public function describe(): string { return "desc } {"; }
+          |}
+          |
+          |enum Level {
+          |    case Low;
+          |    case High;
+          |}
+          |
+          |#[Attribute]
+          |final class Marker {
+          |}
+          |
+          |abstract class Base {
+          |    abstract public function run(): void;
+          |}
+          |""".stripMargin))
+    gaugeHandLabeled("php",
+      Set("use", "const", "function", "class", "interface", "trait",
+        "enum", "final", "abstract", "namespace", "require", "include",
+        "readonly", "global"),
+      Seq("#["), fixtures)
+  }
 }
