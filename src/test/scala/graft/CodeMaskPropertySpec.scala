@@ -107,4 +107,56 @@ class CodeMaskPropertySpec extends AnyFunSuite {
         s"function statement corrupted: $got")
     }
   }
+
+  test("C++ raw strings absorb any payload") {
+    forAll(soup.map(_.replace(")xq\"", ") xq"))) { payload =>
+      val code = s"""const char* a = R"xq($payload)xq";\nint y = 2;\n"""
+      val got = spans("cpp", code)
+      assert(got.length == 2, s"raw-string payload leaked: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "int y = 2;",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("C# verbatim strings absorb any payload (doubled-quote escape)") {
+    // a lone `"` closes the verbatim string; `""` is the escape — so
+    // double every quote in the payload to keep it interior
+    forAll(soup.map(_.replace("\"", "\"\""))) { payload =>
+      val code = s"""var a = @"$payload";\nvar y = 2;\n"""
+      val got = spans("csharp", code)
+      assert(got.length == 2, s"verbatim payload leaked: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "var y = 2;",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("Swift extended raw strings absorb any payload") {
+    forAll(soup.map(_.replace("\"#", "\" #").replace("\n", " "))) { payload =>
+      val code = s"""let a = #"$payload"#\nlet y = 2\n"""
+      val got = spans("swift", code)
+      assert(got.length == 2, s"swift raw payload leaked: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "let y = 2",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("PHP heredoc bodies absorb any payload; closer tail stays live") {
+    forAll(soup.map(_.replace("EOT", "ext"))) { payload =>
+      // the closer line continues with live code — its paren must
+      // still balance the opener's
+      val code = s"$$x = strtoupper(<<<EOT\n$payload\nEOT);\n$$y = 2;\n"
+      val got = spans("php", code)
+      assert(got.length == 2, s"heredoc payload leaked: $got\n$code")
+      assert(code.substring(got(1)._1, got(1)._2) == "$y = 2;",
+        s"trailing statement corrupted: $got")
+    }
+  }
+
+  test("C++ digit separators never open phantom char literals") {
+    val code = "int big = 1'000'000;\nint odd = 0xFF'F0;\n" +
+      "struct P {\n  int x;\n};\nint tail = 2;\n"
+    val got = spans("cpp", code)
+    assert(got.length == 4, s"digit separator derailed the lexer: $got")
+    assert(code.substring(got(3)._1, got(3)._2) == "int tail = 2;")
+  }
 }
