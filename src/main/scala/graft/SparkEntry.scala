@@ -130,6 +130,7 @@ object SparkEntry {
     "doc_jpeg_resize"     -> (DocPipeline.jpegResize _),
     "doc_jpeg_color"      -> (DocPipeline.jpegColorResize _),
     "doc_jpeg_prog"       -> (DocPipeline.jpegProgResize _),
+    "doc_bmp_resize"      -> (DocPipeline.bmpResize _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1488,6 +1489,32 @@ object SparkEntry {
                  (yv * 65536 + 116130 * (cb - 128) + 32768) // 65536))
              END AS val
            FROM ycc)
+         SELECT doc_id, src_w, src_h,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, src_w, src_h
+         ORDER BY doc_id""",
+    // real BMP decode replay: lossless like PNG, so DuckDB recomputes
+    // the resized-raster checksum straight from the pixel formula; a
+    // missed bottom-up flip, stride-phase error, or unswapped BGR on
+    // the Spark side shifts it
+    "doc_bmp_resize" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(5 + doc_id % 8 AS INTEGER) AS src_w,
+             CAST(4 + doc_id % 6 AS INTEGER) AS src_h
+           FROM documents),
+         px AS (
+           SELECT doc_id, src_w, src_h, t.i AS i,
+             (t.i // 15) AS ty,
+             (t.i % 15) // 3 AS tx,
+             t.i % 3 AS c
+           FROM d, unnest(range(0, 45)) AS t(i)),
+         v AS (
+           SELECT doc_id, src_w, src_h, i,
+             (doc_id * 17 + (tx * src_w // 5) * 11 +
+              (ty * src_h // 3) * 5 + c * 71) % 256 AS val
+           FROM px)
          SELECT doc_id, src_w, src_h,
            CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
          FROM v

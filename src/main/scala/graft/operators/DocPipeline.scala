@@ -619,6 +619,44 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL-BMP decode+resize as an oracle row: a 24-bit bottom-up
+    * BI_RGB BMP is synthesized per document (pixel (x,y,c) =
+    * (doc_id·17 + x·11 + y·5 + c·71) mod 256; width varied by id so
+    * the 4-byte row-stride padding takes every phase), encoded
+    * through [[Multimodal.bmpEncode24]] (padded BGR rows, bottom-up),
+    * decoded through the REAL stride+flip+swizzle path
+    * ([[Multimodal.decodeBmpPixels]]), resampled to 5×3, and
+    * checksummed; DuckDB replays the checksum from the pixel formula.
+    * BMP being lossless is what makes the formula replayable; a
+    * missed row flip, wrong stride phase, or unswapped BGR all shift
+    * it. Per-row kernel, no shuffle. */
+  def bmpResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val w = 5 + (id % 8).toInt // widths hit all stride paddings
+        val h = 4 + (id % 6).toInt
+        val rgb = Array.tabulate(w * h * 3) { j =>
+          val p = j / 3; val c = j % 3
+          val x = p % w; val y = p / w
+          ((id * 17 + x * 11 + y * 5 + c * 71) % 256).toByte
+        }
+        val bmp = Multimodal.bmpEncode24(w, h, rgb)
+        val img = Multimodal.decodeBmpPixels(bmp).getOrElse(
+          throw new IllegalStateException(s"undecodable bmp id=$id"))
+        val rs = Multimodal.resampleNearest(img, 5, 3)
+        var sum = 0L
+        var i = 0
+        while (i < rs.length) {
+          sum += (rs(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+        (id, w, h, sum)
+      }
+      .toDF("doc_id", "src_w", "src_h", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** REAL-GIF decode+resize as an oracle row, the GIF-LZW twin of
     * [[pngResize]]: a palette GIF is synthesized per document
     * (palette entry (p,c) = (id·7 + p·29 + c·47) mod 256, index (x,y)

@@ -14,7 +14,8 @@ import graft.functions.TextUtil
   * arbitrary blobs) fall back to a clearly-marked deterministic stub.
   * Pixel decode and resampling are REAL for PNG (zlib ships in the
   * JVM: IDAT inflate + per-row defilter), GIF (from-spec LZW +
-  * palette + interlace), and JPEG — baseline grayscale AND
+  * palette + interlace), BMP (BI_RGB stride + bottom-up flip +
+  * palette/BGR swizzle), and JPEG — baseline grayscale AND
   * 3-component YCbCr color with 1–2× sampling factors AND
   * progressive/SOF2 (canonical Huffman, DC prediction, spectral
   * selection + successive approximation, zigzag dequant, IDCT,
@@ -517,6 +518,104 @@ object Multimodal {
     out.write(0) // block terminator
     out.write(0x3b) // trailer
     out.toByteArray
+  }
+
+  // ── BMP pixel codec ──────────────────────────────────────────────────
+
+  /** Uncompressed BMP (BITMAPINFOHEADER family, BI_RGB) → raster.
+    * 8-bit palette rows expand through the BGRA color table to RGB;
+    * 24-bit BGR and 32-bit BGRA swap to the PNG-convention RGB(A)
+    * channel order the resampler expects. Bottom-up rows (positive
+    * height) flip; negative height is top-down. Rows pad to 4-byte
+    * stride. RLE/16-bit/1-bit/4-bit decline — right or absent. */
+  def decodeBmpPixels(b: Array[Byte]): Option[PngImage] =
+    try {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val dataOff = i32le(b, 10)
+      val dib = i32le(b, 14)
+      if (dib < 40) return None // BITMAPCOREHEADER: out of scope
+      val w = i32le(b, 18)
+      val rawH = i32le(b, 22)
+      val h = math.abs(rawH)
+      val topDown = rawH < 0
+      val bits = u16le(b, 28)
+      val compression = i32le(b, 30)
+      if (compression != 0) return None // BI_RGB only
+      if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+      val stride = ((bits * w + 31) / 32) * 4
+      if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
+        return None
+      val channels = bits match {
+        case 8 => 3 // palette-expanded
+        case 24 => 3
+        case 32 => 4
+        case _ => return None
+      }
+      // 8-bit: color table of RGBQUAD (B,G,R,reserved) after the DIB
+      // header; clrUsed 0 means the full 256 entries
+      val clrUsed = if (bits == 8) {
+        val n = i32le(b, 46)
+        if (n == 0) 256 else n
+      } else 0
+      val palOff = 14 + dib
+      if (bits == 8 && palOff + clrUsed * 4 > dataOff) return None
+      val out = new Array[Byte](w * h * channels)
+      var row = 0
+      while (row < h) {
+        val srcRow = if (topDown) row else h - 1 - row
+        val rowOff = dataOff + srcRow * stride
+        var x = 0
+        while (x < w) {
+          val o = (row * w + x) * channels
+          if (bits == 8) {
+            val idx = b(rowOff + x) & 0xff
+            if (idx >= clrUsed) return None
+            val p = palOff + idx * 4
+            out(o) = b(p + 2); out(o + 1) = b(p + 1); out(o + 2) = b(p)
+          } else {
+            val p = rowOff + x * (bits / 8)
+            out(o) = b(p + 2); out(o + 1) = b(p + 1); out(o + 2) = b(p)
+            if (channels == 4) out(o + 3) = b(p + 3)
+          }
+          x += 1
+        }
+        row += 1
+      }
+      Some(PngImage(w, h, channels, out))
+    } catch { case _: Exception => None }
+
+  /** 24-bit bottom-up BI_RGB BMP encoder (fixture-builder twin):
+    * pixels in RGB order, written as padded BGR rows — the stride
+    * padding and bottom-up flip are exactly what the decoder must
+    * invert, which is what makes the round-trip a real check. */
+  def bmpEncode24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3)
+    val stride = ((24 * w + 31) / 32) * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(i: Int, v: Int): Unit = {
+      put16(i, v & 0xffff); put16(i + 2, (v >> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, size); put32(10, 54)
+    put32(14, 40); put32(18, w); put32(22, h) // positive = bottom-up
+    put16(26, 1); put16(28, 24); put32(30, 0) // planes, bits, BI_RGB
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        val d = rowOff + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   // ── JPEG baseline decode (dependency-free) ───────────────────────────
@@ -1850,10 +1949,11 @@ object Multimodal {
     TextUtil.sha256Hex(s"$sha:${targetW}x$targetH:${bytes.length}")
 
   /** Image resize over a binary corpus: output keeps the original path
-    * plus target geometry and the resized payload hash. PNG, GIF and
-    * JPEG (baseline grayscale, YCbCr color, AND progressive) payloads
-    * are REALLY decoded (IDAT inflate + defilter / GIF-LZW + palette
-    * / Huffman + IDCT + fixed-point color conversion) and
+    * plus target geometry and the resized payload hash. PNG, GIF, BMP
+    * and JPEG (baseline grayscale, YCbCr color, AND progressive)
+    * payloads are REALLY decoded (IDAT inflate + defilter / GIF-LZW +
+    * palette / BI_RGB stride+flip / Huffman + IDCT + fixed-point
+    * color conversion) and
     * nearest-neighbor resampled — the hash is of the actual resized
     * raster bytes; unrecognized payloads fall back to the labeled
     * stub. A pure per-row map, zero shuffle — widening the real path
@@ -1866,6 +1966,7 @@ object Multimodal {
       .map { case (path, mime, bytes) =>
         val resizedSha =
           decodePngPixels(bytes).orElse(decodeGifPixels(bytes))
+            .orElse(decodeBmpPixels(bytes))
             .orElse(decodeJpegPixels(bytes)) match {
             case Some(img) => TextUtil.sha256HexBytes(
               resampleNearest(img, targetW, targetH))
@@ -1906,7 +2007,13 @@ object Multimodal {
 
   /** Binary corpus → typed metadata + feature vectors, batched per
     * partition (batch boundaries never cross partitions — same contract
-    * as mapInPandas batches). */
+    * as mapInPandas batches). Decodable images (PNG/GIF/BMP/JPEG) are
+    * REALLY decoded and the feature projection runs over the RASTER,
+    * making the features ENCODING-INVARIANT — the same image stored as
+    * PNG and BMP yields the identical vector, which no projection over
+    * container bytes can do (the projection itself remains the
+    * deterministic CNN stand-in). Undecodable payloads keep the
+    * byte-level stub path. */
   def extractFeatures(s: SparkSession,
       binaries: DataFrame /* (path, mime, content: binary) */): DataFrame = {
     import s.implicits._
@@ -1919,8 +2026,14 @@ object Multimodal {
           val sha = TextUtil.sha256HexBytes(bytes)
           val (w, h, c) = decodeImageHeader(bytes)
             .getOrElse(decodeStub(bytes, sha))
-          (path, mime, bytes.length.toLong, sha, w, h, c,
-            featuresStub(bytes))
+          val feat =
+            decodePngPixels(bytes).orElse(decodeGifPixels(bytes))
+              .orElse(decodeBmpPixels(bytes))
+              .orElse(decodeJpegPixels(bytes)) match {
+              case Some(img) => featuresStub(img.pixels)
+              case None => featuresStub(bytes)
+            }
+          (path, mime, bytes.length.toLong, sha, w, h, c, feat)
         }
       }
     }.toDF("path", "mime", "n_bytes", "sha", "width", "height",

@@ -334,6 +334,85 @@ class ImageHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP pixel codec: 24-bit round-trip across stride phases; " +
+      "ImageIO cross-validation both directions; decline paths") {
+    // every stride padding phase (w mod 4 = 0..3), exact round-trip
+    for (w <- 5 to 8; h = 4) {
+      val rgb = Array.tabulate(w * h * 3)(j =>
+        ((j * 37 + 11) % 256).toByte)
+      val bmp = Multimodal.bmpEncode24(w, h, rgb)
+      val img = Multimodal.decodeBmpPixels(bmp)
+        .getOrElse(fail(s"decode failed at w=$w"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      assert(img.pixels.sameElements(rgb), s"round-trip drift at w=$w")
+      // independent decoder agrees byte-for-byte (BMP is lossless)
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bmp))
+      assert(bi != null, "ImageIO rejected our BMP")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val rv = (bi.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        assert(rv == (img.pixels((y * w + x) * 3 + c) & 0xff),
+          s"ImageIO disagrees at ($x,$y,$c) w=$w")
+      }
+    }
+    // ImageIO-written BMP decodes through our path identically
+    val src = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      src.setRGB(x, y, (x * 40 << 16) | (y * 50 << 8) | (x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "bmp", out))
+    val img2 = Multimodal.decodeBmpPixels(out.toByteArray)
+      .getOrElse(fail("our decoder rejected an ImageIO BMP"))
+    for (y <- 0 until 5; x <- 0 until 7; c <- 0 until 3) {
+      val rv = (src.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      assert(rv == (img2.pixels((y * 7 + x) * 3 + c) & 0xff),
+        s"ImageIO-written BMP drift at ($x,$y,$c)")
+    }
+    // top-down (negative height): flip must NOT happen
+    val up = Multimodal.bmpEncode24(3, 2,
+      Array.tabulate(18)(j => j.toByte))
+    val down = up.clone()
+    // height at offset 22, little-endian: negate (two's complement)
+    val negH = -2
+    down(22) = (negH & 0xff).toByte; down(23) = ((negH >> 8) & 0xff).toByte
+    down(24) = ((negH >> 16) & 0xff).toByte
+    down(25) = ((negH >> 24) & 0xff).toByte
+    val upImg = Multimodal.decodeBmpPixels(up).get
+    val downImg = Multimodal.decodeBmpPixels(down).get
+    // same file bytes read top-down = vertically flipped raster
+    for (x <- 0 until 3; c <- 0 until 3) {
+      assert(upImg.pixels((0 * 3 + x) * 3 + c) ==
+        downImg.pixels((1 * 3 + x) * 3 + c), "top-down flip wrong")
+    }
+    // decline: RLE compression, 16-bit, truncated pixel data
+    val rle = up.clone(); rle(30) = 1
+    assert(Multimodal.decodeBmpPixels(rle).isEmpty)
+    val b16 = up.clone(); b16(28) = 16
+    assert(Multimodal.decodeBmpPixels(b16).isEmpty)
+    assert(Multimodal.decodeBmpPixels(up.take(up.length - 4)).isEmpty)
+  }
+
+  test("feature projection is encoding-invariant across lossless " +
+      "containers: the same raster as PNG and BMP yields one vector") {
+    val (w, h) = (9, 6) // width hits a non-trivial BMP stride phase
+    val rgb = Array.tabulate(w * h * 3)(j => ((j * 29 + 7) % 256).toByte)
+    val png = Multimodal.pngEncode(w, h, 3, rgb)
+    val bmp = Multimodal.bmpEncode24(w, h, rgb)
+    val viaPng = Multimodal.decodePngPixels(png).get
+    val viaBmp = Multimodal.decodeBmpPixels(bmp).get
+    assert(viaPng.pixels.sameElements(viaBmp.pixels),
+      "lossless decodes must agree byte-for-byte")
+    val fPng = Multimodal.featuresStub(viaPng.pixels)
+    val fBmp = Multimodal.featuresStub(viaBmp.pixels)
+    assert(fPng.sameElements(fBmp), "features must not depend on container")
+    // and the CONTAINER bytes would NOT have given the same vector —
+    // the invariance comes from decoding, not from luck
+    assert(!Multimodal.featuresStub(png)
+      .sameElements(Multimodal.featuresStub(bmp)),
+      "container-byte projections should differ (else the test is vacuous)")
+  }
+
   test("JPEG baseline decode: DC-only fixture decodes to exact flat " +
       "blocks; ImageIO agrees byte-for-byte") {
     val (bw, bh) = (4, 3)
