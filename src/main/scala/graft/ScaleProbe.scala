@@ -152,7 +152,7 @@ object ScaleProbe {
     // components; the progressive row re-walks the file once per
     // scan) — same linear/zero-shuffle contract as the other codec
     // rows
-    "doc_jpeg_color", "doc_jpeg_prog")
+    "doc_jpeg_color", "doc_jpeg_prog", "doc_bmp_resize")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -131,6 +131,7 @@ object SparkEntry {
     "doc_jpeg_color"      -> (DocPipeline.jpegColorResize _),
     "doc_jpeg_prog"       -> (DocPipeline.jpegProgResize _),
     "doc_bmp_resize"      -> (DocPipeline.bmpResize _),
+    "doc_avi_frames"      -> (DocPipeline.aviFrames _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1494,6 +1495,56 @@ object SparkEntry {
          FROM v
          GROUP BY doc_id, src_w, src_h
          ORDER BY doc_id""",
+    // real MJPEG-AVI video decode replay: one row per (doc, frame);
+    // ts replays the avih 40ms period, checksum the per-frame
+    // flat-block + fixed-point-RGB formulas (frames are 16x16 DC-only
+    // color JPEGs whose DC grids mix doc id and frame index, so a
+    // frame served from the wrong movi offset cannot hash-match)
+    "doc_avi_frames" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf
+           FROM documents),
+         fr AS (
+           SELECT doc_id, t.f AS frame_idx
+           FROM d, unnest(range(0, 4)) AS t(f)
+           WHERE t.f < nf),
+         px AS (
+           SELECT doc_id, frame_idx, t.i AS i,
+             ((t.i // 3) % 16) AS x,
+             (t.i // 48) AS y,
+             t.i % 3 AS c
+           FROM fr, unnest(range(0, 768)) AS t(i)),
+         blk AS (
+           SELECT doc_id, frame_idx, i, c,
+             (x // 8) AS bx, (y // 8) AS by
+           FROM px),
+         ycc AS (
+           SELECT doc_id, frame_idx, i, c,
+             128 + 2 * (((doc_id + frame_idx * 9 + bx * 3 + by * 7)
+                         % 50) - 25) AS yv,
+             128 + 2 * (((doc_id * 5 + frame_idx + bx * 11 + by * 2)
+                         % 40) - 20) AS cb,
+             128 + 2 * (((doc_id * 3 + frame_idx * 7 + bx * 5 + by * 13)
+                         % 40) - 20) AS cr
+           FROM blk),
+         v AS (
+           SELECT doc_id, frame_idx, i,
+             CASE c
+               WHEN 0 THEN least(255, greatest(0,
+                 (yv * 65536 + 91881 * (cr - 128) + 32768) // 65536))
+               WHEN 1 THEN least(255, greatest(0,
+                 (yv * 65536 - 22554 * (cb - 128)
+                  - 46802 * (cr - 128) + 32768) // 65536))
+               ELSE least(255, greatest(0,
+                 (yv * 65536 + 116130 * (cb - 128) + 32768) // 65536))
+             END AS val
+           FROM ycc)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+           CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, frame_idx
+         ORDER BY doc_id, frame_idx""",
     // real BMP decode replay: lossless like PNG, so DuckDB recomputes
     // the resized-raster checksum straight from the pixel formula; a
     // missed bottom-up flip, stride-phase error, or unswapped BGR on

@@ -619,6 +619,54 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL VIDEO-FRAME decode as an oracle row (MJPEG AVI): per
+    * document an AVI of 2–4 Motion-JPEG frames is synthesized (each
+    * frame a 16×16 DC-only color 4:4:4 JPEG whose per-component DC
+    * grids mix the doc id AND the frame index), then demuxed through
+    * the REAL RIFF walk ([[Multimodal.demuxAviFrames]]: hdrl/avih
+    * timing, movi '00dc' chunks, word alignment) and each frame
+    * decoded through the REAL JPEG path. One row per (doc, frame)
+    * with the container-derived timestamp and the raster checksum —
+    * DuckDB replays both from the avih period (40 ms) and the
+    * flat-block + fixed-point-RGB formulas. A mis-walked chunk, a
+    * frame served from the wrong offset, or a broken JPEG decode all
+    * shift it. Per-row kernel with a bounded fan-out, no shuffle. */
+  def aviFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val nf = 2 + (id % 3).toInt
+        val (bw, bh) = (2, 2) // 16x16 frames
+        def grid(f: Int, g: (Int, Int) => Long): Array[Int] =
+          Array.tabulate(bw * bh)(p => g(p % bw, p / bw).toInt)
+        val jpegs = (0 until nf).map { f =>
+          Multimodal.jpegEncodeColorDcOnly(16, 16,
+            grid(f, (bx, by) => ((id + f * 9 + bx * 3 + by * 7) % 50) - 25),
+            grid(f, (bx, by) => ((id * 5 + f + bx * 11 + by * 2) % 40) - 20),
+            grid(f, (bx, by) => ((id * 3 + f * 7 + bx * 5 + by * 13) % 40) - 20))
+        }
+        val avi = Multimodal.aviEncodeMjpeg(16, 16, 40000, jpegs)
+        val frames = Multimodal.demuxAviFrames(avi).getOrElse(
+          throw new IllegalStateException(s"undemuxable avi id=$id"))
+        require(frames.length == nf, s"frame count drift id=$id")
+        frames.iterator.map { fr =>
+          val jpg = java.util.Arrays.copyOfRange(avi, fr.offset.toInt,
+            (fr.offset + fr.size).toInt)
+          val img = Multimodal.decodeJpegPixels(jpg).getOrElse(
+            throw new IllegalStateException(s"undecodable frame id=$id"))
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            sum += (img.pixels(i) & 0xff).toLong * (1 + i % 97)
+            i += 1
+          }
+          (id, fr.idx.toLong, fr.tsMs, sum)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "ts_ms", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL-BMP decode+resize as an oracle row: a 24-bit bottom-up
     * BI_RGB BMP is synthesized per document (pixel (x,y,c) =
     * (doc_id·17 + x·11 + y·5 + c·71) mod 256; width varied by id so

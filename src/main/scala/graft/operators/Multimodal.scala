@@ -20,12 +20,14 @@ import graft.functions.TextUtil
   * progressive/SOF2 (canonical Huffman, DC prediction, spectral
   * selection + successive approximation, zigzag dequant, IDCT,
   * fixed-point color conversion) — then integer nearest-neighbor
-  * resampled. Only video frame-byte decode (H.264 etc.) remains a
-  * codec-bound stub, with the Spark-side plumbing — binary schema,
-  * partition-local batching (the JVM analog of a Pandas-UDF batch),
-  * deterministic feature extraction, metadata projection — identical
-  * on both paths. Swapping that stub for a real codec (javacv behind
-  * mapInPandas on PySpark) changes no plan shape.
+  * resampled. VIDEO frame pixels decode for real when the codec is
+  * MJPEG (AVI RIFF demux + the JPEG path per frame); only
+  * inter-frame codecs (H.264 etc.) remain a codec-bound stub, with
+  * the Spark-side plumbing — binary schema, partition-local batching
+  * (the JVM analog of a Pandas-UDF batch), deterministic feature
+  * extraction, metadata projection — identical on both paths.
+  * Swapping that stub for a real codec (javacv behind mapInPandas on
+  * PySpark) changes no plan shape.
   */
 object Multimodal {
 
@@ -1870,6 +1872,132 @@ object Multimodal {
     ftyp ++ mdat ++ moov
   }
 
+  // ── AVI / MJPEG: real video FRAME decode ─────────────────────────────
+  // Motion-JPEG needs no inter-frame codec — every '00dc' chunk in the
+  // RIFF 'movi' list IS a complete JPEG, so the from-spec RIFF walk
+  // (the same container family as WAV) plus [[decodeJpegPixels]]
+  // yields REAL video pixel decode with zero dependencies. H.264 etc.
+  // remain codec-bound; MJPEG is the codec a dependency-free engine
+  // CAN own, and it is a real archival/capture format.
+
+  /** One demuxed AVI video frame: index, absolute byte offset into
+    * the file, size in bytes, presentation time in ms. */
+  final case class AviFrame(idx: Int, offset: Long, size: Long,
+      tsMs: Long)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "ISO-8859-1")
+
+  /** REAL AVI (RIFF) demux: walks LIST 'hdrl' for the `avih` frame
+    * period (µs/frame) and LIST 'movi' for the stream-0 video chunks
+    * ('00dc'/'00db'), honoring RIFF word alignment. Returns frame
+    * (offset, size, ts) — None when the container isn't an AVI or
+    * holds no video chunks. */
+  def demuxAviFrames(b: Array[Byte]): Option[Seq[AviFrame]] =
+    try {
+      if (b.length < 24 || fourcc(b, 0) != "RIFF" ||
+        fourcc(b, 8) != "AVI ") return None
+      var usPerFrame = 0L
+      val frames = Vector.newBuilder[(Long, Long)]
+      def walkChunks(from: Int, to: Int): Unit = {
+        var i = from
+        var ok = true
+        while (ok && i + 8 <= to) {
+          val id = fourcc(b, i)
+          val size = i32le(b, i + 4).toLong & 0xffffffffL
+          val body = i + 8
+          if (body + size > to) ok = false
+          else {
+            if (id == "LIST" && size >= 4) {
+              val ltype = fourcc(b, body)
+              if (ltype == "hdrl" || ltype == "movi" || ltype == "strl" ||
+                ltype == "rec ")
+                walkChunks(body + 4, body + size.toInt)
+            } else if (id == "avih" && size >= 4) {
+              usPerFrame = i32le(b, body).toLong & 0xffffffffL
+            } else if (id.startsWith("00") &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += ((body.toLong, size))
+            }
+            i = body + size.toInt + (size.toInt & 1) // word alignment
+          }
+        }
+      }
+      walkChunks(12, b.length)
+      val fs = frames.result()
+      if (fs.isEmpty) None
+      else Some(fs.zipWithIndex.map { case ((off, sz), k) =>
+        AviFrame(k, off, sz, k * usPerFrame / 1000L)
+      })
+    } catch { case _: Exception => None }
+
+  /** REAL video frame PIXEL decode for MJPEG AVIs: demux + the full
+    * JPEG path per frame. All-or-nothing — a frame that fails to
+    * decode declines the whole payload (right or absent). */
+  def decodeMjpegFrames(b: Array[Byte]): Option[Seq[PngImage]] =
+    demuxAviFrames(b).flatMap { frames =>
+      val imgs = frames.map { f =>
+        if (f.offset + f.size > b.length || f.size <= 0) None
+        else decodeJpegPixels(java.util.Arrays.copyOfRange(b,
+          f.offset.toInt, (f.offset + f.size).toInt))
+      }
+      if (imgs.nonEmpty && imgs.forall(_.isDefined)) Some(imgs.map(_.get))
+      else None
+    }
+
+  /** Minimal MJPEG AVI encoder (fixture-builder twin): RIFF('AVI ')
+    * with LIST hdrl (avih carrying µs/frame and geometry; strl with a
+    * 'vids'/'MJPG' strh and a BITMAPINFOHEADER strf) and LIST movi of
+    * '00dc' JPEG chunks, word-aligned. Enough structure that any
+    * spec-conforming demuxer — ours included — resolves the frames. */
+  def aviEncodeMjpeg(w: Int, h: Int, usPerFrame: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("ISO-8859-1"))
+      val sz = body.length
+      o.write(sz & 0xff); o.write((sz >> 8) & 0xff)
+      o.write((sz >> 16) & 0xff); o.write((sz >> 24) & 0xff)
+      o.write(body)
+      if ((sz & 1) == 1) o.write(0) // word alignment
+      o.toByteArray
+    }
+    def list(ltype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", ltype.getBytes("ISO-8859-1") ++ body)
+    def le32(vs: Long*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      vs.foreach { v =>
+        o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+        o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 24) & 0xff).toInt)
+      }
+      o.toByteArray
+    }
+    val n = jpegFrames.length
+    val maxSz = if (n == 0) 0 else jpegFrames.map(_.length).max
+    val avih = chunk("avih", le32(usPerFrame, 0, 0, 0x10, n, 0, 1,
+      maxSz, w, h, 0, 0, 0, 0))
+    val strh = chunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+        le32(0, 0, 0, 1000000L / math.max(1, usPerFrame), /* rate/scale */
+          0, n, maxSz, -1L & 0xffffffffL, 0, 0) ++ le32(0))
+    val strf = chunk("strf", le32(40, w, h, (24 << 16) | 1,
+      0x47504A4DL /* 'MJPG' */, w.toLong * h * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    tag("RIFF"); u32(body.length.toLong); out.write(body)
+    out.toByteArray
+  }
+
   /** Binary corpus → one typed-metadata row per payload, dispatching on
     * the real container headers: images get dimensions, WAV audio gets
     * channel/rate/duration, MP4 video gets duration; unrecognized
@@ -1979,22 +2107,26 @@ object Multimodal {
 
   /** Video frame sampling: one output row per sampled frame. MP4
     * payloads are REALLY demuxed — [[demuxMp4Samples]] resolves each
-    * sample's timestamp from the stbl tables, so the sampled rows
-    * carry true container timing; payloads without a parseable sample
-    * table use the labeled stub count (size/`bytesPerFrame` at `fps`).
-    * The one-to-many explode is the shape that matters — at scale each
-    * video row fans out to its sampled frames with no shuffle, and
-    * downstream feature extraction batches them. */
+    * sample's timestamp from the stbl tables — and AVI payloads walk
+    * the RIFF movi list ([[demuxAviFrames]]), so the sampled rows
+    * carry true container timing; payloads without a parseable
+    * container use the labeled stub count (size/`bytesPerFrame` at
+    * `fps`). The one-to-many explode is the shape that matters — at
+    * scale each video row fans out to its sampled frames with no
+    * shuffle, and downstream feature extraction batches them. */
   def sampleFrames(s: SparkSession, binaries: DataFrame,
       everyN: Int = 30, fps: Int = 30, bytesPerFrame: Int = 256): DataFrame = {
     import s.implicits._
     binaries.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        demuxMp4Samples(bytes) match {
-          case Some(samples) =>
-            samples.iterator.filter(_.idx % everyN == 0)
-              .map(sm => (path, sm.idx.toLong, sm.tsMs))
+        demuxMp4Samples(bytes)
+          .map(_.iterator.map(sm => (sm.idx, sm.tsMs)))
+          .orElse(demuxAviFrames(bytes)
+            .map(_.iterator.map(f => (f.idx, f.tsMs)))) match {
+          case Some(frames) =>
+            frames.filter(_._1 % everyN == 0)
+              .map { case (idx, ts) => (path, idx.toLong, ts) }
           case None =>
             val nFrames = math.max(1, bytes.length / bytesPerFrame) // STUB
             (0 until nFrames by everyN).iterator.map { f =>

@@ -687,6 +687,60 @@ class ImageHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG AVI: RIFF demux resolves frames and timing; every frame " +
+      "decodes through the real JPEG path; declines non-AVI RIFF") {
+    val (bw, bh) = (2, 2)
+    def frame(f: Int): Array[Byte] = {
+      val jpg = Multimodal.jpegEncodeColorDcOnly(16, 16,
+        Array.tabulate(bw * bh)(p => ((p * 11 + f * 9) % 50) - 25),
+        Array.tabulate(bw * bh)(p => ((p * 7 + f) % 40) - 20),
+        Array.tabulate(bw * bh)(p => ((p * 13 + f * 7) % 40) - 20))
+      // odd length on frame 1 exercises RIFF word alignment (trailing
+      // bytes after EOI are ignored by the JPEG marker walk)
+      if (f == 1 && jpg.length % 2 == 0) jpg :+ 0x00.toByte else jpg
+    }
+    val frames = (0 until 3).map(frame)
+    val avi = Multimodal.aviEncodeMjpeg(16, 16, 40000, frames)
+    val demuxed = Multimodal.demuxAviFrames(avi)
+      .getOrElse(fail("demux failed"))
+    assert(demuxed.length == 3)
+    demuxed.zipWithIndex.foreach { case (fr, k) =>
+      assert(fr.idx == k && fr.tsMs == k * 40L,
+        s"timing drift at frame $k: ${fr.tsMs}")
+      val body = java.util.Arrays.copyOfRange(avi, fr.offset.toInt,
+        (fr.offset + fr.size).toInt)
+      assert(body.sameElements(frames(k)), s"frame $k bytes drifted")
+    }
+    val imgs = Multimodal.decodeMjpegFrames(avi)
+      .getOrElse(fail("mjpeg decode failed"))
+    assert(imgs.length == 3)
+    imgs.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width == 16 && img.height == 16 && img.channels == 3)
+      // flat-block exactness per frame, same contract as the stills
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val p = (y / 8) * bw + (x / 8)
+        val (er, eg, eb) = Multimodal.ycbcrToRgb(
+          128 + (((p * 11 + f * 9) % 50) - 25) * 2,
+          128 + (((p * 7 + f) % 40) - 20) * 2,
+          128 + (((p * 13 + f * 7) % 40) - 20) * 2)
+        val o = (y * 16 + x) * 3
+        assert((img.pixels(o) & 0xff) == er &&
+          (img.pixels(o + 1) & 0xff) == eg &&
+          (img.pixels(o + 2) & 0xff) == eb,
+          s"frame $f pixel drift at ($x,$y)")
+      }
+    }
+    // declines: a WAV (RIFF but not AVI), a truncated AVI, an AVI
+    // whose video chunk is not a decodable JPEG
+    val wav = Multimodal.encodeWavPcm16(Array(1, 2, 3), 8000)
+    assert(Multimodal.demuxAviFrames(wav).isEmpty)
+    assert(Multimodal.decodeMjpegFrames(avi.take(40)).isEmpty)
+    val junk = Multimodal.aviEncodeMjpeg(16, 16, 40000,
+      Seq(Array[Byte](1, 2, 3, 4)))
+    assert(Multimodal.demuxAviFrames(junk).isDefined) // demux is fine
+    assert(Multimodal.decodeMjpegFrames(junk).isEmpty) // decode declines
+  }
+
   test("MP4 sample-table demux: offsets, sizes and stts timing from " +
       "the fixture layout") {
     val sizes = Seq(10L, 25L, 40L, 15L)

@@ -36,6 +36,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the media codec rows are per-row kernels: no mid-plan shuffle") {
+    // same contract as the PDF rows: encode + REAL decode (PNG/GIF/
+    // BMP/baseline/color/progressive JPEG) + resample stay a map over
+    // the documents scan; the only allowed Exchange is the final
+    // orderBy's range partitioning
+    Seq("doc_png_resize", "doc_gif_resize", "doc_bmp_resize",
+      "doc_jpeg_resize", "doc_jpeg_color", "doc_jpeg_prog",
+      "doc_mp4_demux").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("dedup_minhash_delta broadcasts the batch, never shuffles the store") {
     // the incremental-dedup scale contract: the corpus-side triples
     // stream map-side through a BroadcastHashJoin (the batch delta is
