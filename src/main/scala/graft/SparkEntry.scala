@@ -132,6 +132,7 @@ object SparkEntry {
     "doc_jpeg_prog"       -> (DocPipeline.jpegProgResize _),
     "doc_bmp_resize"      -> (DocPipeline.bmpResize _),
     "doc_avi_frames"      -> (DocPipeline.aviFrames _),
+    "doc_audio_resample"  -> (DocPipeline.audioResample _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1494,6 +1495,41 @@ object SparkEntry {
            CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
          FROM v
          GROUP BY doc_id, src_w, src_h
+         ORDER BY doc_id""",
+    // real audio resample replay: DuckDB recomputes the integer
+    // linear interpolation (pos/frac via //-division and mod on
+    // non-negative fixture samples, last-sample clamp via least) and
+    // the output length — floor-vs-truncate or off-by-one drift on
+    // the Spark side shifts the checksum or the n_out column
+    "doc_audio_resample" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(40 + doc_id % 17 AS BIGINT) AS n_in,
+             CAST(16000 - (doc_id % 5) * 1600 AS INTEGER) AS dst_rate
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_in, dst_rate,
+             CAST((n_in * dst_rate) // 8000 AS BIGINT) AS n_out
+           FROM d),
+         jj AS (
+           SELECT doc_id, n_in, dst_rate, n_out, t.j AS j
+           FROM o, unnest(range(0, 120)) AS t(j)
+           WHERE t.j < n_out),
+         p AS (
+           SELECT doc_id, n_in, dst_rate, n_out, j,
+             (j * 8000) // dst_rate AS pos,
+             (j * 8000) % dst_rate AS frac
+           FROM jj),
+         v AS (
+           SELECT doc_id, n_in, dst_rate, n_out, j,
+             (((doc_id * 13 + pos * 7) % 2048) * (dst_rate - frac)
+              + ((doc_id * 13 + least(pos + 1, n_in - 1) * 7) % 2048)
+                * frac) // dst_rate AS val
+           FROM p)
+         SELECT doc_id, n_in, dst_rate, n_out,
+           CAST(sum(val * (1 + j % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, n_in, dst_rate, n_out
          ORDER BY doc_id""",
     // real MJPEG-AVI video decode replay: one row per (doc, frame);
     // ts replays the avih 40ms period, checksum the per-frame

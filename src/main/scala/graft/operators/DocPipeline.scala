@@ -807,4 +807,39 @@ object DocPipeline {
       .select("doc_id", "n_samples", "peak", "sum_abs", "n_clip")
       .orderBy("doc_id")
   }
+
+  /** REAL audio sample-rate conversion as an oracle row: per document
+    * a mono 16-bit PCM WAV is synthesized (sample i = (id·13 + i·7)
+    * mod 2048 at 8 kHz — non-negative so every SQL `//` is plain
+    * floor), decoded through the REAL RIFF/fmt/data walk
+    * ([[Multimodal.decodePcmSamples]]), rate-converted through the
+    * integer-exact linear interpolator
+    * ([[Multimodal.resamplePcmLinear]]) to an id-varied target rate
+    * (16/14.4/12.8/11.2/9.6 kHz — non-integer ratios included), and
+    * checksummed. DuckDB replays pos/frac/interpolation exactly — a
+    * drifted clamp, a truncation-vs-floor mismatch, or an off-by-one
+    * output length all shift it. Per-row kernel, no shuffle. */
+  def audioResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val n = (40 + id % 17).toInt
+        val samples = Array.tabulate(n)(i => ((id * 13 + i * 7) % 2048).toInt)
+        val dst = 16000 - (id % 5).toInt * 1600
+        val wav = Multimodal.encodeWavPcm16(samples, 8000)
+        val (rate, decoded) = Multimodal.decodePcmSamples(wav).getOrElse(
+          throw new IllegalStateException(s"undecodable wav id=$id"))
+        require(rate == 8000 && decoded.length == n, s"wav drift id=$id")
+        val rs = Multimodal.resamplePcmLinear(decoded, rate, dst)
+        var sum = 0L
+        var j = 0
+        while (j < rs.length) {
+          sum += rs(j).toLong * (1 + j % 97)
+          j += 1
+        }
+        (id, n.toLong, dst, rs.length.toLong, sum)
+      }
+      .toDF("doc_id", "n_in", "dst_rate", "n_out", "checksum")
+      .orderBy("doc_id")
+  }
 }

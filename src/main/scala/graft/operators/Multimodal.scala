@@ -2278,6 +2278,96 @@ object Multimodal {
     Some((n, peak, sumAbs, clip))
   }
 
+  /** (sampleRate, samples) from a mono 16-bit PCM WAV — the same
+    * chunk walk as [[decodePcmLevels]] but returning the decoded
+    * sample array (sign-extended) and the declared rate, for
+    * operators that transform audio rather than audit it. None for
+    * non-PCM / non-16-bit / truncated payloads. */
+  def decodePcmSamples(b: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var i = 12L
+    var fmtSeen = false
+    var fmtOk = false
+    var rate = 0
+    var dataOff = -1L
+    var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val o = i.toInt
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = i32le(b, o + 4).toLong & 0xffffffffL
+      if (id == "fmt " && !fmtSeen && size >= 16 && i + 24 <= b.length) {
+        fmtSeen = true
+        fmtOk = u16le(b, o + 8) == 1 && u16le(b, o + 10) == 1 &&
+          u16le(b, o + 22) == 16
+        rate = i32le(b, o + 12)
+      }
+      if (id == "data" && dataOff < 0) { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    if (!fmtOk || rate <= 0 || dataOff < 0 ||
+      dataOff + dataLen > b.length || dataLen % 2 != 0) return None
+    val n = (dataLen / 2).toInt
+    val out = new Array[Int](n)
+    var k = 0
+    var p = dataOff.toInt
+    while (k < n) {
+      out(k) = (u16le(b, p) << 16) >> 16 // sign-extend
+      k += 1; p += 2
+    }
+    Some((rate, out))
+  }
+
+  /** Linear-interpolation sample-rate conversion, INTEGER EXACT (and
+    * therefore SQL-replayable): output sample j sits at source
+    * position j·src/dst — pos = ⌊j·src/dst⌋, frac = j·src mod dst —
+    * and interpolates ⌊(s[pos]·(dst−frac) + s[pos+1]·frac) / dst⌋
+    * (floor division; the last source sample clamps). The standard
+    * training-pipeline normalization (everything to 16 kHz mono)
+    * without a float resampler's platform-dependent rounding. */
+  def resamplePcmLinear(samples: Array[Int], srcRate: Int,
+      dstRate: Int): Array[Int] = {
+    require(srcRate > 0 && dstRate > 0)
+    if (samples.isEmpty) return Array.empty
+    val outLen = (samples.length.toLong * dstRate / srcRate).toInt
+    val out = new Array[Int](outLen)
+    var j = 0
+    while (j < outLen) {
+      val num = j.toLong * srcRate
+      val pos = (num / dstRate).toInt
+      val frac = (num % dstRate).toInt
+      val s0 = samples(pos).toLong
+      val s1 = samples(math.min(pos + 1, samples.length - 1)).toLong
+      out(j) = Math.floorDiv(s0 * (dstRate - frac) + s1 * frac,
+        dstRate.toLong).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** Audio resample over a binary corpus: mono 16-bit PCM WAVs are
+    * REALLY decoded ([[decodePcmSamples]]) and rate-converted through
+    * the integer-exact [[resamplePcmLinear]]; undecodable payloads
+    * surface with src_rate = -1 (quarantined, never fabricated). Pure
+    * per-row kernel, zero shuffle. */
+  def resampleAudio(s: SparkSession, binaries: DataFrame,
+      dstRate: Int = 16000): DataFrame = {
+    import s.implicits._
+    binaries.select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        decodePcmSamples(bytes) match {
+          case Some((rate, samples)) =>
+            val rs = resamplePcmLinear(samples, rate, dstRate)
+            val sha = TextUtil.sha256Hex(rs.mkString(","))
+            (path, rate, samples.length.toLong, rs.length.toLong, sha)
+          case None => (path, -1, 0L, 0L, "")
+        }
+      }
+      .toDF("path", "src_rate", "n_in", "n_out", "resampled_sha")
+  }
+
   /** Per-payload PCM level report over an audio binary corpus: decode
     * is a pure per-row kernel (zero shuffle); payloads the decoder
     * rejects surface with n_samples = -1 (quarantined, never dropped

@@ -166,6 +166,34 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(clip == 3L, "32767, -32768 and 32700 sit at/above NearClipAbs")
   }
 
+  test("PCM linear resample: integer-exact up/down conversion, clamp, " +
+      "identity, WAV round-trip through the real container walk") {
+    val s = Array(100, 200, -300, 400, 500)
+    // identity ratio copies
+    assert(Multimodal.resamplePcmLinear(s, 8000, 8000).sameElements(s))
+    // exact 2x upsample: even outputs hit sources, odd outputs are
+    // the floor midpoint ((s0+s1) with frac = dst/2)
+    val up = Multimodal.resamplePcmLinear(s, 8000, 16000)
+    assert(up.length == 10)
+    for (k <- s.indices) assert(up(2 * k) == s(k), s"up($k)")
+    assert(up(1) == 150 && up(3) == -50 && up(5) == 50 && up(7) == 450)
+    // last-sample clamp (the final odd output interpolates s4 with s4)
+    assert(up(9) == 500)
+    // floor (not truncate) on negative interpolants: between 0 and
+    // -1 at frac 1/2 the floor midpoint is -1, truncation's 0 would
+    // be wrong
+    assert(Multimodal.resamplePcmLinear(Array(0, -1), 1, 2)(1) == -1)
+    // 2x downsample picks every other source; output length is
+    // floor(n·dst/src) = 2 (duration-preserving floor)
+    val down = Multimodal.resamplePcmLinear(s, 16000, 8000)
+    assert(down.sameElements(Array(100, -300)))
+    // real container walk: rate and samples survive the WAV
+    val wav = Multimodal.encodeWavPcm16(s, 12345)
+    val (rate, decoded) = Multimodal.decodePcmSamples(wav).get
+    assert(rate == 12345 && decoded.sameElements(s))
+    assert(Multimodal.decodePcmSamples(wav.take(30)).isEmpty)
+  }
+
   test("PCM decode rejects what it cannot audit") {
     // non-PCM format tag
     val b = Multimodal.encodeWavPcm16(Array(1, 2, 3), 8000)
