@@ -152,7 +152,10 @@ object ScaleProbe {
     // components; the progressive row re-walks the file once per
     // scan) — same linear/zero-shuffle contract as the other codec
     // rows
-    "doc_jpeg_color", "doc_jpeg_prog", "doc_bmp_resize")
+    "doc_jpeg_color", "doc_jpeg_prog", "doc_bmp_resize",
+    // and the MJPEG-AVI video row (bounded 2-4x frame fan-out, still
+    // per-row) and the audio resampler (linear in samples)
+    "doc_avi_frames", "doc_audio_resample")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =
