@@ -133,6 +133,7 @@ object SparkEntry {
     "doc_bmp_resize"      -> (DocPipeline.bmpResize _),
     "doc_avi_frames"      -> (DocPipeline.aviFrames _),
     "doc_audio_resample"  -> (DocPipeline.audioResample _),
+    "src_scan_warc"       -> (DocPipeline.warcScan _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1496,6 +1497,46 @@ object SparkEntry {
          FROM v
          GROUP BY doc_id, src_w, src_h
          ORDER BY doc_id""",
+    // real WARC parse replay: DuckDB rebuilds both records' bodies
+    // from the fixture formulas (warcinfo constant; response html/404
+    // by id) and replays length + weighted byte checksum; odd ids are
+    // gzipped on the Spark side, so a broken gunzip fails half the
+    // corpus while the oracle stays compression-blind
+    "src_scan_warc" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         r1 AS (
+           SELECT doc_id, 0 AS record_idx, 'warcinfo' AS warc_type,
+             -1 AS http_status,
+             'software: graft' || chr(13) || chr(10) AS body
+           FROM d),
+         r2 AS (
+           SELECT doc_id, 1 AS record_idx, 'response' AS warc_type,
+             CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+               AS http_status,
+             CASE WHEN doc_id % 13 = 0 THEN 'Not Found'
+               ELSE '<html><body><h1>Doc ' || doc_id || '</h1><p>' ||
+                    repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) ||
+                    '</p></body></html>'
+             END AS body
+           FROM d),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+         px AS (
+           SELECT doc_id, record_idx, warc_type, http_status, body,
+             t.i AS i
+           FROM u, unnest(range(0, 200)) AS t(i)
+           WHERE t.i < length(body)),
+         v AS (
+           SELECT doc_id, record_idx, warc_type, http_status,
+             CAST(length(body) AS BIGINT) AS n_body_bytes,
+             ord(substr(body, CAST(i + 1 AS INTEGER), 1))
+               * (1 + i % 97) AS term
+           FROM px)
+         SELECT doc_id, record_idx, warc_type, http_status,
+           n_body_bytes, CAST(sum(term) AS BIGINT) AS body_checksum
+         FROM v
+         GROUP BY doc_id, record_idx, warc_type, http_status,
+           n_body_bytes
+         ORDER BY doc_id, record_idx""",
     // real audio resample replay: DuckDB recomputes the integer
     // linear interpolation (pos/frac via //-division and mod on
     // non-negative fixture samples, last-sample clamp via least) and

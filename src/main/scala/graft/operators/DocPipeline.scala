@@ -808,6 +808,29 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** WARC archive scan as an oracle row: per document a
+    * spec-conforming WARC is synthesized ([[graft.sources.Warc
+    * .fixtureWarc]]: a warcinfo record plus one HTTP response — 200
+    * text/html, or 404 every 13th id — GZIPPED for odd ids), parsed
+    * through the REAL record walk (version line, Content-Length
+    * framing, HTTP status/header split, transparent multi-member
+    * gunzip), and emitted one row per record with the body length and
+    * checksum. DuckDB reconstructs both records' bodies from the
+    * fixture formulas and replays the checksums — the odd/even gzip
+    * split means a broken gunzip path fails half the corpus. Per-row
+    * flatMap, no shuffle. */
+  def warcScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map(id => ("warc://" + id, graft.sources.Warc.fixtureWarc(id)))
+      .toDF("path", "content")
+    graft.sources.Warc.warcRecords(s, warcs)
+      .withColumn("doc_id", expr("CAST(substring(path, 8) AS BIGINT)"))
+      .select("doc_id", "record_idx", "warc_type", "http_status",
+        "n_body_bytes", "body_checksum")
+      .orderBy("doc_id", "record_idx")
+  }
+
   /** REAL audio sample-rate conversion as an oracle row: per document
     * a mono 16-bit PCM WAV is synthesized (sample i = (id·13 + i·7)
     * mod 2048 at 8 kHz — non-negative so every SQL `//` is plain

@@ -756,6 +756,95 @@ class GrammarDriftSpec extends AnyFunSuite {
       Seq("@", "#if", "#endif"), fixtures)
   }
 
+  /** Ruby — the END-DELIMITED parser family's gauge (TS/brace and
+    * Python/indent families are gauged above; Ruby's do/end suite
+    * parser was the last family with no drift number). Hazards:
+    * heredocs (`<<~EOF` bodies holding braces, `end` keywords, and
+    * FAKE column-0 definitions), the `<<CONST` append/shift
+    * ambiguity (a phantom heredoc would swallow the file), string/
+    * comment content with `end`, and multi-line do/end + class/def
+    * nesting. Same contract: every live column-0 line starting with
+    * a top-level definition keyword must begin a top-level span. */
+  test("span-boundary drift over hand-labeled Ruby sources") {
+    val fixtures = Seq(
+      ("gauge.rb",
+        """require 'json'
+          |
+          |OPEN_BRACE = '{'
+          |
+          |TEMPLATE = <<~EOF
+          |  def fake_method
+          |    not real code {
+          |  end
+          |  class NotReal
+          |EOF
+          |
+          |# comment with end and braces } {
+          |module Gauge
+          |  WIDTH = 1 <<DEFAULT_SHIFT rescue 8
+          |end
+          |
+          |class Registry
+          |  def initialize
+          |    @items = {}
+          |  end
+          |
+          |  def add(key, value)
+          |    @items[key] = value
+          |  end
+          |end
+          |
+          |def render(name)
+          |  body = "literal end } brace {"
+          |  [TEMPLATE, name, body].join(' ')
+          |end
+          |
+          |module Level
+          |  LOW = 1
+          |  HIGH = 2
+          |end
+          |
+          |SQL = <<~'RAWDOC'
+          |  SELECT '{' FROM t -- no interpolation, end inside
+          |RAWDOC
+          |
+          |def tail
+          |  :done
+          |end
+          |""".stripMargin))
+    fixtures.foreach { case (name, src) =>
+      val tree = CodeParsers.parse("ruby", src)
+      assert(tree.isDefined, s"parse failed on $name")
+      val spanStarts = tree.get.children.map(_.start).toSet
+      val mask = CodeParsers.codeMask(src, python = true, ruby = true)
+      val starters = Set("require", "class", "module", "def")
+      var missed = List.empty[String]
+      var expected = 0
+      var lineStart = 0
+      while (lineStart < src.length) {
+        var lineEnd = src.indexOf('\n', lineStart)
+        if (lineEnd < 0) lineEnd = src.length
+        if (lineStart < lineEnd && mask(lineStart) &&
+            !src.charAt(lineStart).isWhitespace) {
+          var e = lineStart
+          while (e < lineEnd && src.charAt(e).isLetter) e += 1
+          val word = src.substring(lineStart, e)
+          if (starters.contains(word) &&
+              (e >= lineEnd || !src.charAt(e).isLetterOrDigit)) {
+            expected += 1
+            if (!spanStarts.contains(lineStart))
+              missed ::= src.substring(lineStart, lineEnd).take(60)
+          }
+        }
+        lineStart = lineEnd + 1
+      }
+      assert(expected >= 6, s"$name: degenerate fixture ($expected)")
+      assert(missed.isEmpty,
+        s"$name drifted on ${missed.size}/$expected boundaries:\n" +
+          missed.mkString("\n"))
+    }
+  }
+
   /** PHP — hazards: heredocs (`<<<EOT` bodies with braces, quotes,
     * and FAKE column-0 declarations; PHP 7.3 flexible closers whose
     * LINE continues with live code — `EOT);` must contribute its
