@@ -155,7 +155,10 @@ object ScaleProbe {
     "doc_jpeg_color", "doc_jpeg_prog", "doc_bmp_resize",
     // and the MJPEG-AVI video row (bounded 2-4x frame fan-out, still
     // per-row) and the audio resampler (linear in samples)
-    "doc_avi_frames", "doc_audio_resample")
+    "doc_avi_frames", "doc_audio_resample",
+    // and the WARC walk (gunzip + record framing, linear in archive
+    // bytes) through its e2e ingest composition
+    "src_scan_warc", "ingest_warc_e2e")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -134,6 +134,7 @@ object SparkEntry {
     "doc_avi_frames"      -> (DocPipeline.aviFrames _),
     "doc_audio_resample"  -> (DocPipeline.audioResample _),
     "src_scan_warc"       -> (DocPipeline.warcScan _),
+    "ingest_warc_e2e"     -> (DocPipeline.warcIngest _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1537,6 +1538,17 @@ object SparkEntry {
          GROUP BY doc_id, record_idx, warc_type, http_status,
            n_body_bytes
          ORDER BY doc_id, record_idx""",
+    // WARC -> markdown end-to-end: the 404 fixtures drop at the
+    // 200/text-html filter; the survivors' markdown is the real
+    // converter's output, rebuilt verbatim by DuckDB
+    "ingest_warc_e2e" ->
+      """SELECT doc_id,
+           'https://archive.example.com/doc/' || doc_id AS url,
+           '# Doc ' || doc_id || chr(10) || chr(10) ||
+             repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) AS markdown
+         FROM documents
+         WHERE doc_id % 13 != 0
+         ORDER BY doc_id""",
     // real audio resample replay: DuckDB recomputes the integer
     // linear interpolation (pos/frac via //-division and mod on
     // non-negative fixture samples, last-sample clamp via least) and

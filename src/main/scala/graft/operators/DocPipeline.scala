@@ -831,6 +831,30 @@ object DocPipeline {
       .orderBy("doc_id", "record_idx")
   }
 
+  /** WARC → ingest pipeline END-TO-END as an oracle row: the fixture
+    * archives flow through [[graft.sources.Warc.warcHtmlBodies]]
+    * (gunzip + record walk + the 200/text-html filter — the 404 docs
+    * drop here, exactly as a crawler's error pages would) into the
+    * REAL page-extraction path ([[graft.functions.HtmlToMarkdown
+    * .processPage]]), proving archives and live crawls share one
+    * pipeline. DuckDB rebuilds the markdown (`# Doc N` + the
+    * paragraph) directly. Per-row flatMap + map, no shuffle. */
+  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map(id => ("warc://" + id, graft.sources.Warc.fixtureWarc(id)))
+      .toDF("path", "content")
+    val prefix = "https://archive.example.com/doc/"
+    graft.sources.Warc.warcHtmlBodies(s, warcs)
+      .as[(String, String)]
+      .map { case (url, html) =>
+        val (md, _) = graft.functions.HtmlToMarkdown.processPage(html)
+        (url.substring(prefix.length).toLong, url, md)
+      }
+      .toDF("doc_id", "url", "markdown")
+      .orderBy("doc_id")
+  }
+
   /** REAL audio sample-rate conversion as an oracle row: per document
     * a mono 16-bit PCM WAV is synthesized (sample i = (id·13 + i·7)
     * mod 2048 at 8 kHz — non-negative so every SQL `//` is plain
