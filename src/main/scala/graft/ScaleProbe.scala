@@ -158,7 +158,16 @@ object ScaleProbe {
     "doc_avi_frames", "doc_audio_resample",
     // and the WARC walk (gunzip + record framing, linear in archive
     // bytes) through its e2e ingest composition
-    "src_scan_warc", "ingest_warc_e2e")
+    "src_scan_warc", "ingest_warc_e2e",
+    // r19 additions: the streaming-parser quarantine surface (same
+    // linear walk plus the corrupt route), the CDX-pruned record
+    // fetch (index build linear; the fetch itself is selection-sized
+    // — growth must track matched records, not archives), the
+    // revisit reconciliation (two archive walks + a url equi-join,
+    // linear in records), and the DIB/RLE8 video decode (per-row,
+    // bounded 2-frame fan-out)
+    "src_warc_quarantine", "layout_warc_cdx", "sync_warc_revisit",
+    "doc_avi_rgb")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

@@ -132,9 +132,13 @@ object SparkEntry {
     "doc_jpeg_prog"       -> (DocPipeline.jpegProgResize _),
     "doc_bmp_resize"      -> (DocPipeline.bmpResize _),
     "doc_avi_frames"      -> (DocPipeline.aviFrames _),
+    "doc_avi_rgb"         -> (DocPipeline.aviRgbFrames _),
     "doc_audio_resample"  -> (DocPipeline.audioResample _),
     "src_scan_warc"       -> (DocPipeline.warcScan _),
     "ingest_warc_e2e"     -> (DocPipeline.warcIngest _),
+    "src_warc_quarantine" -> (DocPipeline.warcQuarantineScan _),
+    "layout_warc_cdx"     -> (DocPipeline.warcCdxPruned _),
+    "sync_warc_revisit"   -> (DocPipeline.warcRevisitSync _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
     "doc_pdf_lines"       -> (DocPipeline.pdfLines _),
@@ -1549,6 +1553,91 @@ object SparkEntry {
          FROM documents
          WHERE doc_id % 13 != 0
          ORDER BY doc_id""",
+    // quarantine surface replay: every 17th archive truncates
+    // mid-header -> (0 records, 'truncated' at record 0); everyone
+    // else parses both records cleanly with no error
+    "src_warc_quarantine" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 2 END AS n_records,
+           CASE WHEN doc_id % 17 = 0 THEN 'truncated' ELSE '' END
+             AS err_kind,
+           CASE WHEN doc_id % 17 = 0 THEN 0 ELSE -1 END AS err_at
+         FROM documents
+         ORDER BY doc_id""",
+    // CDX replay: DuckDB reconstructs each response record's byte
+    // offset and framed length from the encoder's exact header lines
+    // (every line length + CRLF + the Content-Length arithmetic) and
+    // replays the payload checksum — a one-CRLF drift in the
+    // parser's byte count fails every row
+    "layout_warc_cdx" ->
+      """WITH d AS (SELECT doc_id FROM documents
+                    WHERE CAST(doc_id AS VARCHAR) LIKE '1%'),
+         b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'Not Found'
+               ELSE '<html><body><h1>Doc ' || doc_id || '</h1><p>' ||
+                    repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) ||
+                    '</p></body></html>' END AS body,
+             CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+               AS http_status,
+             CASE WHEN doc_id % 13 = 0
+               THEN 'HTTP/1.1 404 Not Found' || chr(13) || chr(10) ||
+                    'Content-Type: text/plain'
+               ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                    'Content-Type: text/html' END AS http_head
+           FROM d),
+         n AS (
+           SELECT doc_id, body, http_status,
+             length(http_head) + 4 + length(body) AS content_length
+           FROM b),
+         h AS (
+           SELECT doc_id, body, http_status, content_length,
+             length('WARC/1.0') + 2 + length('WARC-Type: warcinfo') + 2
+             + length('WARC-Record-ID: <urn:uuid:rec-0>') + 2
+             + length('WARC-Date: 2026-01-01T00:00:00Z') + 2
+             + length('Content-Length: 17') + 2 + 2
+             + length('software: graft') + 2 + 4 AS rec_offset,
+             length('WARC/1.0') + 2 + length('WARC-Type: response') + 2
+             + length('WARC-Record-ID: <urn:uuid:rec-1>') + 2
+             + length('WARC-Date: 2026-01-01T00:00:00Z') + 2
+             + length('WARC-Target-URI: https://archive.example.com/doc/'
+                      || doc_id) + 2
+             + length('Content-Type: application/http; msgtype=response')
+             + 2
+             + length('Content-Length: ' || content_length) + 2 + 2
+             + content_length AS rec_bytes
+           FROM n),
+         px AS (
+           SELECT doc_id, http_status, rec_offset, rec_bytes,
+             CAST(length(body) AS BIGINT) AS n_body_bytes, body, t.i AS i
+           FROM h, unnest(range(0, 200)) AS t(i)
+           WHERE t.i < length(body))
+         SELECT doc_id, http_status,
+           CAST(rec_offset AS BIGINT) AS rec_offset,
+           CAST(rec_bytes AS BIGINT) AS rec_bytes, n_body_bytes,
+           CAST(sum(ord(substr(body, CAST(i + 1 AS INTEGER), 1))
+                    * (1 + i % 97)) AS BIGINT) AS body_checksum
+         FROM px
+         GROUP BY doc_id, http_status, rec_offset, rec_bytes,
+           n_body_bytes
+         ORDER BY doc_id""",
+    // revisit reconciliation replay: record type from the fixture
+    // formula (404 every 13th, changed response every 3rd, revisit
+    // otherwise), then store gap (every 11th dropped) and digest
+    // corruption (every 7th) — same precedence as the engine's CASE
+    "sync_warc_revisit" ->
+      """WITH dec AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'error_page'
+                  WHEN doc_id % 3 = 0 THEN 'ingest_response'
+                  WHEN doc_id % 11 = 0 THEN 'fetch_store_gap'
+                  WHEN doc_id % 7 = 0 THEN 'fetch_digest_gap'
+                  ELSE 'skip_revisit' END AS decision
+           FROM documents)
+         SELECT decision, count(*) AS n
+         FROM dec
+         GROUP BY decision
+         ORDER BY decision""",
     // real audio resample replay: DuckDB recomputes the integer
     // linear interpolation (pos/frac via //-division and mod on
     // non-negative fixture samples, last-sample clamp via least) and
@@ -1633,6 +1722,33 @@ object SparkEntry {
            CAST(sum(val * (1 + i % 97)) AS BIGINT) AS checksum
          FROM v
          GROUP BY doc_id, frame_idx
+         ORDER BY doc_id, frame_idx""",
+    // DIB-video replay: lossless codecs (BI_RGB / BI_RLE8), so DuckDB
+    // recomputes the decoded raster checksum straight from the pixel
+    // formulas — every 3rd id is RLE8 (gray palette: all channels =
+    // the index), every 5th declares audio first (video as '01db'),
+    // so a stream-0-only demuxer or a broken RLE walk fails whole
+    // residue classes
+    "doc_avi_rgb" ->
+      """WITH d AS (
+           SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, t.f AS frame_idx
+           FROM d, unnest(range(0, 2)) AS t(f)),
+         px AS (
+           SELECT doc_id, w, h, frame_idx, t.j AS j,
+             CASE WHEN doc_id % 3 = 0
+               THEN (doc_id * 11 + frame_idx * 17 + (t.j // 3) * 5) % 256
+               ELSE (doc_id * 7 + frame_idx * 13 + t.j * 3) % 256
+             END AS val
+           FROM f, unnest(range(0, 90)) AS t(j)
+           WHERE t.j < w * h * 3)
+         SELECT doc_id, frame_idx, CAST(w AS BIGINT) AS w,
+           CAST(h AS BIGINT) AS h,
+           CAST(sum(val * (1 + j % 97)) AS BIGINT) AS checksum
+         FROM px
+         GROUP BY doc_id, frame_idx, w, h
          ORDER BY doc_id, frame_idx""",
     // real BMP decode replay: lossless like PNG, so DuckDB recomputes
     // the resized-raster checksum straight from the pixel formula; a

@@ -667,6 +667,60 @@ object DocPipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL DIB-video decode as an oracle row (the second inter-frame-
+    * free codec family next to MJPEG): per document a 2-frame AVI is
+    * synthesized — BI_RGB 24-bit for most ids, BI_RLE8 with a gray
+    * palette every 3rd — and every 5th id declares an AUDIO stream
+    * FIRST, so the video chunks are '01db'/'01dc' and only a demuxer
+    * that resolves the stream index from strh declaration order
+    * ([[Multimodal.demuxAvi]]) finds them at all. Frames decode
+    * through [[Multimodal.decodeDibPixels]] (bottom-up flip, BGR
+    * swap, stride padding, RLE8 run/EOL/EOB walk) back to the
+    * top-down raster the pixel formula generated; DuckDB replays the
+    * formula and the weighted checksum directly. Per-row kernel with
+    * a bounded fan-out, no shuffle. */
+  def aviRgbFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val w = (4 + id % 3).toInt
+        val h = (3 + id % 2).toInt
+        val audioFirst = id % 5 == 0
+        val rle = id % 3 == 0
+        val frames = (0 until 2).map { f =>
+          if (rle) {
+            val idx = Array.tabulate(w * h)(p =>
+              ((id * 11 + f * 17 + p * 5) % 256).toByte)
+            Multimodal.rle8FromIndices(w, h, idx)
+          } else {
+            val rgb = Array.tabulate(w * h * 3)(j =>
+              ((id * 7 + f * 13 + j * 3) % 256).toByte)
+            Multimodal.dibFromRgb24(w, h, rgb)
+          }
+        }
+        val palette = Array.tabulate(256 * 4)(i =>
+          if (i % 4 == 3) 0.toByte else (i / 4).toByte)
+        val avi =
+          if (rle) Multimodal.aviEncodeDib(w, h, 40000, frames, 8, 1,
+            palette, audioFirst)
+          else Multimodal.aviEncodeDib(w, h, 40000, frames, 24, 0,
+            Array.emptyByteArray, audioFirst)
+        val imgs = Multimodal.decodeAviVideoFrames(avi).getOrElse(
+          throw new IllegalStateException(s"undecodable DIB avi id=$id"))
+        imgs.iterator.zipWithIndex.map { case (img, f) =>
+          var sum = 0L
+          var j = 0
+          while (j < img.pixels.length) {
+            sum += (img.pixels(j) & 0xff).toLong * (1 + j % 97)
+            j += 1
+          }
+          (id, f.toLong, img.width.toLong, img.height.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "w", "h", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL-BMP decode+resize as an oracle row: a 24-bit bottom-up
     * BI_RGB BMP is synthesized per document (pixel (x,y,c) =
     * (doc_id·17 + x·11 + y·5 + c·71) mod 256; width varied by id so
@@ -853,6 +907,90 @@ object DocPipeline {
       }
       .toDF("doc_id", "url", "markdown")
       .orderBy("doc_id")
+  }
+
+  /** WARC quarantine surface as an oracle row: every 17th doc's
+    * archive is TRUNCATED mid-header (odd ids additionally gzip the
+    * truncated payload — a valid gzip stream of a broken archive, so
+    * the error must come from WARC framing, not the gunzip). The
+    * streaming parser reports (records parsed, error kind, error
+    * index) per file instead of silently yielding zero rows — the
+    * signal a 100 TB ingest needs to route bad archives to a
+    * quarantine bucket rather than absorb them. DuckDB replays the
+    * expected surface from the id arithmetic. */
+  def warcQuarantineScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map { id =>
+        val bytes = if (id % 17 == 0) graft.sources.Warc.fixtureWarcCorrupt(id)
+          else graft.sources.Warc.fixtureWarc(id)
+        ("warc://" + id, bytes)
+      }.toDF("path", "content")
+    graft.sources.Warc.warcQuarantine(s, warcs)
+      .withColumn("doc_id", expr("CAST(substring(path, 8) AS BIGINT)"))
+      .select("doc_id", "n_records", "err_kind", "err_at")
+      .orderBy("doc_id")
+  }
+
+  /** CDX-pruned record access as an oracle row (the archive analog of
+    * the z-order/Hilbert pruning rows): the CDX index built by the
+    * REAL streaming parser (offsets from its own byte count) is
+    * filtered by a url prefix, and ONLY matching records are read —
+    * each as a bounded (offset, rec_bytes) slice re-parsed standalone
+    * ([[graft.sources.Warc.warcFetchSlices]], broadcast pinned on the
+    * k-row index side). DuckDB independently reconstructs each
+    * record's offset and length from the encoder's framing (header
+    * line lengths + Content-Length) and replays the payload checksum —
+    * a parser whose byte count drifts by even one CRLF fails every
+    * row. */
+  def warcCdxPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map(id => ("warc://" + id, graft.sources.Warc.fixtureWarc(id)))
+      .toDF("path", "content")
+    val cdx = graft.sources.Warc.warcCdxIndex(s, warcs)
+      .filter(col("warc_type") === "response" &&
+        col("url").like("https://archive.example.com/doc/1%"))
+    graft.sources.Warc.warcFetchSlices(s, warcs, cdx)
+      .withColumn("doc_id", expr("CAST(substring(path, 8) AS BIGINT)"))
+      .select(col("doc_id"), col("http_status"),
+        col("offset").as("rec_offset"), col("rec_bytes"),
+        col("n_body_bytes"), col("body_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** WARC `revisit` records → skip cascade as an oracle row (ISO 28500
+    * §6.7.2; Common Crawl emits revisits for unchanged re-fetches —
+    * the archive analog of the reference's ETag/lastmod skip layers,
+    * content-processor.ts:579-742). A REAL first crawl builds the
+    * digest store (parse → 200 html payloads → sha1:BASE32); the store
+    * drops every 11th url (gap → re-fetch) and corrupts every 7th
+    * digest (mismatch → re-fetch); the second crawl's revisit records
+    * carry the spec-shaped payload digest, and the reconciliation
+    * joins the two — digest equality is computed by two INDEPENDENT
+    * sha1 paths meeting in the join, so a digest drift on either side
+    * flips counters. DuckDB replays the decisions from the id
+    * arithmetic alone. */
+  def warcRevisitSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+    val first = ids
+      .map(id => ("warc://" + id, graft.sources.Warc.fixtureWarc(id)))
+      .toDF("path", "content")
+    val second = ids
+      .map(id =>
+        ("warc2://" + id, graft.sources.Warc.fixtureWarcSecondCrawl(id)))
+      .toDF("path", "content")
+    val store = graft.sources.Warc.warcDigestStore(s, first)
+      .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
+      .filter(col("doc_id") % 11 =!= 0)
+      .withColumn("payload_digest",
+        when(col("doc_id") % 7 === 0, lit("sha1:STALE"))
+          .otherwise(col("payload_digest")))
+      .select("url", "payload_digest")
+    graft.sources.Warc.warcRevisitDecisions(s, second, store)
+      .groupBy("decision").agg(count(lit(1)).as("n"))
+      .orderBy("decision")
   }
 
   /** REAL audio sample-rate conversion as an oracle row: per document

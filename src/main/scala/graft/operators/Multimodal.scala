@@ -1888,17 +1888,42 @@ object Multimodal {
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "ISO-8859-1")
 
+  /** Parsed AVI video stream: frame period, geometry, codec identity
+    * (strh fccHandler + strf biCompression/biBitCount), the strf
+    * palette (BGRA quads, 8-bit streams), and the demuxed frame
+    * locations. `vidStream` is the RESOLVED video stream index — the
+    * position of the 'vids' strh in strl declaration order, NOT an
+    * assumed stream 0 (an AVI that declares audio first carries its
+    * video as '01dc'/'01db'). */
+  final case class AviVideo(usPerFrame: Long, w: Int, h: Int,
+      vidStream: Int, handler: String, bitCount: Int, compression: Int,
+      palette: Array[Byte], frames: Seq[AviFrame])
+
   /** REAL AVI (RIFF) demux: walks LIST 'hdrl' for the `avih` frame
-    * period (µs/frame) and LIST 'movi' for the stream-0 video chunks
-    * ('00dc'/'00db'), honoring RIFF word alignment. Returns frame
-    * (offset, size, ts) — None when the container isn't an AVI or
-    * holds no video chunks. */
-  def demuxAviFrames(b: Array[Byte]): Option[Seq[AviFrame]] =
+    * period and the strl sequence (strh 'vids' resolves WHICH stream
+    * index is video; its strf BITMAPINFOHEADER gives geometry, bit
+    * depth, biCompression, and the palette), then LIST 'movi' for
+    * that stream's 'NNdc'/'NNdb' chunks, honoring RIFF word
+    * alignment. Returns None when the container isn't an AVI or holds
+    * no video chunks. Files with no hdrl at all fall back to stream
+    * 00 — demux-tolerant, decode still declines. */
+  def demuxAvi(b: Array[Byte]): Option[AviVideo] =
     try {
       if (b.length < 24 || fourcc(b, 0) != "RIFF" ||
         fourcc(b, 8) != "AVI ") return None
       var usPerFrame = 0L
+      var streamCount = 0
+      var vidStream = -1
+      var handler = ""
+      var captureStrf = false
+      var w = 0
+      var h = 0
+      var bitCount = 0
+      var compression = -1
+      var palette: Array[Byte] = Array.emptyByteArray
       val frames = Vector.newBuilder[(Long, Long)]
+      def framePrefix: String =
+        if (vidStream < 0) "00" else f"$vidStream%02d"
       def walkChunks(from: Int, to: Int): Unit = {
         var i = from
         var ok = true
@@ -1915,7 +1940,32 @@ object Multimodal {
                 walkChunks(body + 4, body + size.toInt)
             } else if (id == "avih" && size >= 4) {
               usPerFrame = i32le(b, body).toLong & 0xffffffffL
-            } else if (id.startsWith("00") &&
+            } else if (id == "strh" && size >= 8) {
+              val isVids = fourcc(b, body) == "vids" && vidStream < 0
+              if (isVids) {
+                vidStream = streamCount
+                handler = fourcc(b, body + 4)
+              }
+              captureStrf = isVids
+              streamCount += 1
+            } else if (id == "strf" && captureStrf && size >= 20) {
+              val biSize = i32le(b, body)
+              w = i32le(b, body + 4)
+              h = math.abs(i32le(b, body + 8))
+              bitCount = u16le(b, body + 14)
+              compression = i32le(b, body + 16)
+              if (bitCount == 8 && biSize >= 36 && size > biSize) {
+                val clrUsed = {
+                  val n = i32le(b, body + 32)
+                  if (n == 0) 256 else n
+                }
+                val palLen = math.min(clrUsed * 4L,
+                  size - biSize).toInt
+                palette = java.util.Arrays.copyOfRange(b, body + biSize,
+                  body + biSize + palLen)
+              }
+              captureStrf = false
+            } else if (id.length == 4 && id.startsWith(framePrefix) &&
               (id.endsWith("dc") || id.endsWith("db"))) {
               frames += ((body.toLong, size))
             }
@@ -1926,24 +1976,149 @@ object Multimodal {
       walkChunks(12, b.length)
       val fs = frames.result()
       if (fs.isEmpty) None
-      else Some(fs.zipWithIndex.map { case ((off, sz), k) =>
-        AviFrame(k, off, sz, k * usPerFrame / 1000L)
-      })
+      else Some(AviVideo(usPerFrame, w, h, math.max(0, vidStream),
+        handler, bitCount, compression, palette,
+        fs.zipWithIndex.map { case ((off, sz), k) =>
+          AviFrame(k, off, sz, k * usPerFrame / 1000L)
+        }))
     } catch { case _: Exception => None }
 
-  /** REAL video frame PIXEL decode for MJPEG AVIs: demux + the full
-    * JPEG path per frame. All-or-nothing — a frame that fails to
-    * decode declines the whole payload (right or absent). */
-  def decodeMjpegFrames(b: Array[Byte]): Option[Seq[PngImage]] =
-    demuxAviFrames(b).flatMap { frames =>
-      val imgs = frames.map { f =>
+  /** Frame-location compat view of [[demuxAvi]]. */
+  def demuxAviFrames(b: Array[Byte]): Option[Seq[AviFrame]] =
+    demuxAvi(b).map(_.frames)
+
+  /** Raw DIB frame (the pixel block of a BMP without its file
+    * header, as AVI '00db'/'00dc' chunks carry for BI_RGB/BI_RLE8
+    * streams) → raster. 24-bit BGR bottom-up padded rows; 8-bit
+    * palette rows; RLE8 run decoding (end-of-line / end-of-bitmap /
+    * delta escapes per the public BMP spec). Anything else declines —
+    * right or absent. */
+  def decodeDibPixels(w: Int, h: Int, bitCount: Int, compression: Int,
+      palette: Array[Byte], data: Array[Byte]): Option[PngImage] =
+    try {
+      if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+      def palRgb(out: Array[Byte], o: Int, idx: Int): Boolean = {
+        val p = idx * 4
+        if (p + 3 > palette.length) return false
+        out(o) = palette(p + 2); out(o + 1) = palette(p + 1)
+        out(o + 2) = palette(p)
+        true
+      }
+      if (compression == 0 && bitCount == 24) {
+        val stride = ((24 * w + 31) / 32) * 4
+        if (stride.toLong * h > data.length) return None
+        val out = new Array[Byte](w * h * 3)
+        var row = 0
+        while (row < h) {
+          val rowOff = (h - 1 - row) * stride // bottom-up
+          var x = 0
+          while (x < w) {
+            val o = (row * w + x) * 3
+            val p = rowOff + x * 3
+            out(o) = data(p + 2); out(o + 1) = data(p + 1)
+            out(o + 2) = data(p)
+            x += 1
+          }
+          row += 1
+        }
+        Some(PngImage(w, h, 3, out))
+      } else if (compression == 0 && bitCount == 8) {
+        val stride = ((8 * w + 31) / 32) * 4
+        if (stride.toLong * h > data.length) return None
+        val out = new Array[Byte](w * h * 3)
+        var row = 0
+        while (row < h) {
+          val rowOff = (h - 1 - row) * stride
+          var x = 0
+          while (x < w) {
+            if (!palRgb(out, (row * w + x) * 3, data(rowOff + x) & 0xff))
+              return None
+            x += 1
+          }
+          row += 1
+        }
+        Some(PngImage(w, h, 3, out))
+      } else if (compression == 1 && bitCount == 8) { // BI_RLE8
+        val idxRaster = new Array[Int](w * h)
+        java.util.Arrays.fill(idxRaster, -1)
+        var x = 0
+        var y = 0 // bottom-up row cursor
+        var i = 0
+        var eob = false
+        def put(v: Int): Boolean = {
+          if (y >= h || x >= w) return false
+          idxRaster((h - 1 - y) * w + x) = v // flip to top-down
+          x += 1
+          true
+        }
+        while (!eob && i + 1 < data.length) {
+          val n = data(i) & 0xff
+          val v = data(i + 1) & 0xff
+          i += 2
+          if (n > 0) { // run
+            var k = 0
+            while (k < n) { if (!put(v)) return None; k += 1 }
+          } else v match {
+            case 0 => x = 0; y += 1 // end of line
+            case 1 => eob = true // end of bitmap
+            case 2 => // delta
+              if (i + 1 >= data.length) return None
+              x += data(i) & 0xff; y += data(i + 1) & 0xff
+              i += 2
+            case m => // absolute mode, word-aligned
+              var k = 0
+              while (k < m) {
+                if (i >= data.length || !put(data(i) & 0xff)) return None
+                i += 1; k += 1
+              }
+              if ((m & 1) == 1) i += 1
+          }
+        }
+        if (!eob) return None
+        val out = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < idxRaster.length) {
+          val v = idxRaster(j)
+          if (v >= 0 && !palRgb(out, j * 3, v)) return None
+          j += 1
+        }
+        Some(PngImage(w, h, 3, out))
+      } else None
+    } catch { case _: Exception => None }
+
+  /** REAL video frame PIXEL decode across the AVI codecs a
+    * dependency-free engine can own: MJPEG ('MJPG' chunks are whole
+    * JPEGs → the full JPEG path) and DIB streams (BI_RGB 24/8-bit,
+    * BI_RLE8 → [[decodeDibPixels]] through the strf geometry and
+    * palette). All-or-nothing — a frame that fails to decode declines
+    * the whole payload (right or absent). */
+  def decodeAviVideoFrames(b: Array[Byte]): Option[Seq[PngImage]] =
+    demuxAvi(b).flatMap { v =>
+      val imgs = v.frames.map { f =>
         if (f.offset + f.size > b.length || f.size <= 0) None
-        else decodeJpegPixels(java.util.Arrays.copyOfRange(b,
-          f.offset.toInt, (f.offset + f.size).toInt))
+        else {
+          val chunk = java.util.Arrays.copyOfRange(b, f.offset.toInt,
+            (f.offset + f.size).toInt)
+          // strf metadata decides the codec; the JPEG-magic sniff is
+          // only for header-less containers (a DIB frame's first two
+          // bytes can collide with the JPEG SOI by chance)
+          if (v.handler == "MJPG") decodeJpegPixels(chunk)
+          else if (v.compression == 0 || v.compression == 1)
+            decodeDibPixels(v.w, v.h, v.bitCount, v.compression,
+              v.palette, chunk)
+          else if (chunk.length >= 2 && (chunk(0) & 0xff) == 0xff &&
+            (chunk(1) & 0xff) == 0xd8) decodeJpegPixels(chunk)
+          else None
+        }
       }
       if (imgs.nonEmpty && imgs.forall(_.isDefined)) Some(imgs.map(_.get))
       else None
     }
+
+  /** MJPEG compat view of [[decodeAviVideoFrames]] (same decline
+    * contract; DIB streams now also decode rather than declining). */
+  def decodeMjpegFrames(b: Array[Byte]): Option[Seq[PngImage]] =
+    decodeAviVideoFrames(b)
 
   /** Minimal MJPEG AVI encoder (fixture-builder twin): RIFF('AVI ')
     * with LIST hdrl (avih carrying µs/frame and geometry; strl with a
@@ -1993,6 +2168,119 @@ object Multimodal {
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val movi = list("movi",
       jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    tag("RIFF"); u32(body.length.toLong); out.write(body)
+    out.toByteArray
+  }
+
+  /** Top-down RGB raster → raw DIB frame bytes (bottom-up padded BGR
+    * rows) — the inverse of [[decodeDibPixels]]'s 24-bit path, which
+    * is what makes the round-trip a real check. */
+  def dibFromRgb24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3)
+    val stride = ((24 * w + 31) / 32) * 4
+    val out = new Array[Byte](stride * h)
+    var row = 0
+    while (row < h) {
+      val dstOff = (h - 1 - row) * stride
+      var x = 0
+      while (x < w) {
+        val s = (row * w + x) * 3
+        val d = dstOff + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Top-down palette-index raster → BI_RLE8 frame bytes: per
+    * bottom-up row, maximal runs as (count, index) pairs, an
+    * end-of-line escape after each row, end-of-bitmap at the end. */
+  def rle8FromIndices(w: Int, h: Int, idx: Array[Byte]): Array[Byte] = {
+    require(idx.length == w * h)
+    val out = new java.io.ByteArrayOutputStream()
+    var row = h - 1 // bottom-up emission order
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = idx(row * w + x) & 0xff
+        var run = 1
+        while (x + run < w && run < 255 &&
+          (idx(row * w + x + run) & 0xff) == v) run += 1
+        out.write(run); out.write(v)
+        x += run
+      }
+      out.write(0); out.write(0) // end of line
+      row -= 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
+  }
+
+  /** DIB-stream AVI encoder (fixture-builder twin of
+    * [[aviEncodeMjpeg]] for the uncompressed/RLE8 codecs): RIFF
+    * ('AVI ') with avih + one strl per stream — and, when
+    * `audioFirst`, a minimal 'auds' strl DECLARED BEFORE the video
+    * one, so the video chunks are '01db'/'01dc' and only a demuxer
+    * that resolves the stream index from strh order finds them. strf
+    * is a real BITMAPINFOHEADER (biBitCount/biCompression/biClrUsed +
+    * appended BGRA palette for 8-bit). `frameData` are raw DIB frame
+    * bytes ([[dibFromRgb24]] / [[rle8FromIndices]] output). */
+  def aviEncodeDib(w: Int, h: Int, usPerFrame: Int,
+      frameData: Seq[Array[Byte]], bitCount: Int, compression: Int,
+      palette: Array[Byte] = Array.emptyByteArray,
+      audioFirst: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("ISO-8859-1"))
+      val sz = body.length
+      o.write(sz & 0xff); o.write((sz >> 8) & 0xff)
+      o.write((sz >> 16) & 0xff); o.write((sz >> 24) & 0xff)
+      o.write(body)
+      if ((sz & 1) == 1) o.write(0)
+      o.toByteArray
+    }
+    def list(ltype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", ltype.getBytes("ISO-8859-1") ++ body)
+    def le32(vs: Long*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      vs.foreach { v =>
+        o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+        o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 24) & 0xff).toInt)
+      }
+      o.toByteArray
+    }
+    val n = frameData.length
+    val maxSz = if (n == 0) 0 else frameData.map(_.length).max
+    val avih = chunk("avih", le32(usPerFrame, 0, 0, 0x10, n, 0,
+      if (audioFirst) 2 else 1, maxSz, w, h, 0, 0, 0, 0))
+    val audioStrl = list("strl",
+      chunk("strh", "auds".getBytes("ISO-8859-1") ++ le32(0) ++
+        le32(0, 0, 0, 8000, 0, 0, 0, 0, 0) ++ le32(0)) ++
+        chunk("strf", le32(1 | (1L << 16), 8000, 8000, 1 | (8L << 16))))
+    val videoStrl = list("strl",
+      chunk("strh",
+        "vids".getBytes("ISO-8859-1") ++ "DIB ".getBytes("ISO-8859-1") ++
+          le32(0, 0, 0, 1000000L / math.max(1, usPerFrame),
+            0, n, maxSz, -1L & 0xffffffffL, 0, 0) ++ le32(0)) ++
+        chunk("strf", le32(40, w, h, (bitCount.toLong << 16) | 1,
+          compression, 0, 0, 0, palette.length / 4, 0) ++ palette))
+    val hdrl = list("hdrl", avih ++
+      (if (audioFirst) audioStrl ++ videoStrl else videoStrl))
+    val prefix = if (audioFirst) "01" else "00"
+    val fid = prefix + (if (compression == 1) "dc" else "db")
+    val movi = list("movi",
+      frameData.flatMap(f => chunk(fid, f)).toArray)
     val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
     tag("RIFF"); u32(body.length.toLong); out.write(body)
     out.toByteArray

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** WARC (Web ARChive, ISO 28500) source — the container Common Crawl
   * and every serious web-scale training corpus ships in, and the one
@@ -18,22 +19,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * JDK's GZIPInputStream reads multi-member streams natively, so the
   * gunzip path is dependency-free too.
   *
-  * Scale shape: one input row per WARC file (or file split), one
-  * output row per record — a pure per-row flatMap, zero shuffle; the
-  * downstream markdown/chunk stages batch per partition exactly as
-  * they do for crawled pages.
+  * Scale shape: records are parsed STREAMINGLY off a bounded
+  * InputStream — one record's body is the only thing ever resident
+  * (a real ~1 GiB Common Crawl `.warc.gz` decompresses past the JVM's
+  * 2 GiB array cap, so whole-archive buffering is not a slow path, it
+  * is a thrown exception). One output row per record — a pure per-row
+  * flatMap, zero shuffle; the downstream markdown/chunk stages batch
+  * per partition exactly as they do for crawled pages. Parse failures
+  * surface as typed [[WarcError]] events (→ the quarantine surface),
+  * never as a silent empty result.
   */
 object Warc {
 
   /** One parsed WARC record. `httpStatus`/`httpContentType` are -1/""
     * for non-response records; `body` is the HTTP payload for
-    * response records and the raw block otherwise. */
+    * response records and the raw block otherwise. `offset`/`recBytes`
+    * locate the record in the UNCOMPRESSED stream (header start to
+    * block end, excluding the inter-record CRLFCRLF) — the CDX
+    * coordinates [[warcCdxIndex]] persists. `refersTo`/`payloadDigest`
+    * carry the `revisit`-record headers (ISO 28500 §6.7.2) the
+    * incremental-sync integration consumes. */
   final case class WarcRecord(idx: Int, warcType: String,
       targetUri: String, date: String, recordId: String,
-      httpStatus: Int, httpContentType: String, body: Array[Byte])
+      httpStatus: Int, httpContentType: String, body: Array[Byte],
+      offset: Long, recBytes: Long, refersTo: String,
+      payloadDigest: String)
+
+  /** A typed parse failure: `kind` is one of `bad_magic`,
+    * `bad_content_length`, `truncated`, `oversized`, `io`; `atRecord`
+    * is how many records parsed cleanly before it. Every kind except
+    * `oversized` ends the walk (the parser never guesses at record
+    * boundaries); an oversized record is skipped streamingly and the
+    * walk continues. */
+  final case class WarcError(kind: String, atRecord: Int)
+
+  /** Records larger than this are skipped (streamed past, surfaced as
+    * an `oversized` [[WarcError]]) rather than buffered — the per-task
+    * residency bound. Generous for web pages; far below task heap. */
+  val DefaultMaxRecordBytes: Long = 256L << 20
 
   /** Transparently gunzip a (possibly multi-member) gzip buffer;
-    * plain buffers pass through. */
+    * plain buffers pass through. FIXTURE-SCALE ONLY — the distributed
+    * paths stream via [[parseWarcEvents]] and never call this. */
   def gunzipIfNeeded(b: Array[Byte]): Array[Byte] =
     if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
       val in = new java.util.zip.GZIPInputStream(
@@ -48,22 +75,6 @@ object Warc {
       out.toByteArray
     } else b
 
-  private def ascii(b: Array[Byte], from: Int, until: Int): String =
-    new String(b, from, until - from,
-      java.nio.charset.StandardCharsets.ISO_8859_1)
-
-  /** Index of the CRLFCRLF terminator starting the search at `from`,
-    * or -1. */
-  private def headerEnd(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 3 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
-        b(i + 3) == '\n') return i
-      i += 1
-    }
-    -1
-  }
-
   private def parseHeaders(s: String): Map[String, String] =
     s.split("\r\n").iterator.drop(1).flatMap { line =>
       val c = line.indexOf(':')
@@ -72,86 +83,211 @@ object Warc {
         line.substring(c + 1).trim)
     }.toMap
 
-  /** Parse every record of a WARC buffer (gunzipped transparently).
-    * Tolerant of trailing garbage; a record with a missing or
-    * unparsable Content-Length ends the walk (never guesses at
-    * record boundaries). */
-  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val b = try gunzipIfNeeded(bytes) catch {
-      case _: Exception => return Seq.empty
+  /** Byte reader over the (transparently gunzipped) stream with a
+    * one-byte pushback and a running count of UNCOMPRESSED bytes
+    * consumed — the count is what CDX offsets are made of. */
+  private final class RecordReader(in0: java.io.InputStream) {
+    private val raw = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 64 << 10), 2)
+    private val in: java.io.InputStream = {
+      val b0 = raw.read()
+      val b1 = if (b0 < 0) -1 else raw.read()
+      if (b1 >= 0) raw.unread(b1)
+      if (b0 >= 0) raw.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.util.zip.GZIPInputStream(raw, 64 << 10)
+      else raw
     }
-    val out = Vector.newBuilder[WarcRecord]
+    var pos: Long = 0L
+    private var pushed: Int = -2
+    def read(): Int =
+      if (pushed != -2) { val v = pushed; pushed = -2; pos += 1; v }
+      else { val v = in.read(); if (v >= 0) pos += 1; v }
+    def unread(b: Int): Unit = { pushed = b; pos -= 1 }
+    /** Read exactly n bytes; returns null on EOF short of n. */
+    def readFully(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      if (n > 0 && pushed != -2) {
+        out(0) = pushed.toByte; pushed = -2; off = 1; pos += 1
+      }
+      while (off < n) {
+        val r = in.read(out, off, n - off)
+        if (r < 0) return null
+        off += r; pos += r
+      }
+      out
+    }
+    /** Stream past n bytes without retaining them; false on EOF. */
+    def skipFully(n: Long): Boolean = {
+      var left = n
+      if (left > 0 && pushed != -2) { pushed = -2; pos += 1; left -= 1 }
+      val scratch = new Array[Byte](64 << 10)
+      while (left > 0) {
+        val r = in.read(scratch, 0, math.min(left, scratch.length).toInt)
+        if (r < 0) return false
+        left -= r; pos += r
+      }
+      true
+    }
+  }
+
+  /** Split a response record's block into (status, content-type,
+    * payload). Declines (status -1) when the block has no CRLFCRLF-
+    * terminated HTTP head. */
+  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
     var i = 0
-    var idx = 0
-    var ok = true
-    while (ok && i + 8 < b.length) {
-      // seek the next version line (skips inter-record CRLFs)
-      while (i < b.length && (b(i) == '\r' || b(i) == '\n')) i += 1
-      if (i + 8 >= b.length || ascii(b, i, i + 5) != "WARC/") ok = false
-      else {
-        val he = headerEnd(b, i)
-        if (he < 0) ok = false
-        else {
-          val headers = parseHeaders(ascii(b, i, he))
+    var he = -1
+    while (he < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' && block(i + 2) == '\r'
+        && block(i + 3) == '\n') he = i
+      i += 1
+    }
+    if (he < 0) return (-1, "", block)
+    val head = new String(block, 0, he,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val statusLine = head.takeWhile(_ != '\r')
+    val status = statusLine.split(" ") match {
+      case a if a.length >= 2 => scala.util.Try(a(1).toInt).getOrElse(-1)
+      case _ => -1
+    }
+    val hh = parseHeaders("x\r\n" +
+      head.split("\r\n").drop(1).mkString("\r\n"))
+    (status, hh.getOrElse("content-type", ""),
+      java.util.Arrays.copyOfRange(block, he + 4, block.length))
+  }
+
+  /** STREAMING record walk: one [[WarcRecord]] or [[WarcError]] at a
+    * time off a bounded InputStream — never materializes the archive
+    * (max residency ≈ one record body, and records past
+    * `maxRecordBytes` are streamed over, not buffered). Gzip — single
+    * member or Common Crawl's member-per-record concatenation — is
+    * detected and unwrapped incrementally. Malformed framing emits one
+    * typed error and ends the walk (never guesses at boundaries). */
+  def parseWarcEvents(in0: java.io.InputStream,
+      maxRecordBytes: Long = DefaultMaxRecordBytes)
+      : Iterator[Either[WarcError, WarcRecord]] =
+    new scala.collection.AbstractIterator[Either[WarcError, WarcRecord]] {
+      private var rd: RecordReader = null
+      private var initErr: WarcError = null
+      try rd = new RecordReader(in0) catch {
+        case _: Exception => initErr = WarcError("io", 0)
+      }
+      private var idx = 0
+      private var done = false
+      private var pending: Either[WarcError, WarcRecord] = null
+
+      private def fail(kind: String): Unit = {
+        pending = Left(WarcError(kind, idx)); done = true
+      }
+
+      private def advance(): Unit = {
+        if (initErr != null) {
+          pending = Left(initErr); done = true; initErr = null; return
+        }
+        try {
+          // skip inter-record CRLFs; clean EOF here ends the walk
+          var b = rd.read()
+          while (b == '\r' || b == '\n') b = rd.read()
+          if (b < 0) { done = true; return }
+          rd.unread(b)
+          val offset = rd.pos
+          // header region up to CRLFCRLF, bounded at 1 MiB
+          val head = new java.io.ByteArrayOutputStream(512)
+          var state = 0 // matched prefix of \r\n\r\n
+          var over = false
+          while (state != 4 && !over) {
+            val c = rd.read()
+            if (c < 0) { fail("truncated"); return }
+            head.write(c)
+            state =
+              if (c == '\r') { if (state == 2) 3 else 1 }
+              else if (c == '\n') {
+                if (state == 1) 2 else if (state == 3) 4 else 0
+              } else 0
+            if (head.size > (1 << 20)) over = true
+          }
+          if (over) { fail("bad_magic"); return }
+          val headText = new String(head.toByteArray, 0, head.size - 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (!headText.startsWith("WARC/")) { fail("bad_magic"); return }
+          val headers = parseHeaders(headText)
           val len = headers.get("content-length")
             .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
-          val blockStart = he + 4
-          if (len < 0 || blockStart + len > b.length) ok = false
-          else {
-            val blockEnd = (blockStart + len).toInt
-            val wtype = headers.getOrElse("warc-type", "")
-            val uri = headers.getOrElse("warc-target-uri", "")
-            val date = headers.getOrElse("warc-date", "")
-            val rid = headers.getOrElse("warc-record-id", "")
-            val isHttp = wtype == "response" &&
-              headers.getOrElse("content-type", "")
-                .startsWith("application/http")
-            if (isHttp) {
-              val hhe = headerEnd(b, blockStart)
-              if (hhe >= 0 && hhe + 4 <= blockEnd) {
-                val httpHead = ascii(b, blockStart, hhe)
-                val statusLine = httpHead.takeWhile(_ != '\r')
-                val status = statusLine.split(" ") match {
-                  case a if a.length >= 2 =>
-                    scala.util.Try(a(1).toInt).getOrElse(-1)
-                  case _ => -1
-                }
-                val hh = parseHeaders("x\r\n" + httpHead
-                  .split("\r\n").drop(1).mkString("\r\n"))
-                out += WarcRecord(idx, wtype, uri, date, rid, status,
-                  hh.getOrElse("content-type", ""),
-                  java.util.Arrays.copyOfRange(b, hhe + 4, blockEnd))
-              } else {
-                out += WarcRecord(idx, wtype, uri, date, rid, -1, "",
-                  java.util.Arrays.copyOfRange(b, blockStart, blockEnd))
-              }
-            } else {
-              out += WarcRecord(idx, wtype, uri, date, rid, -1, "",
-                java.util.Arrays.copyOfRange(b, blockStart, blockEnd))
-            }
-            idx += 1
-            i = blockEnd
+          if (len < 0) { fail("bad_content_length"); return }
+          if (len > maxRecordBytes) {
+            // stream past the block; the walk continues on sound framing
+            if (!rd.skipFully(len)) { fail("truncated"); return }
+            pending = Left(WarcError("oversized", idx))
+            return
           }
+          val block = rd.readFully(len.toInt)
+          if (block == null) { fail("truncated"); return }
+          val recBytes = rd.pos - offset
+          val wtype = headers.getOrElse("warc-type", "")
+          val uri = headers.getOrElse("warc-target-uri", "")
+          val date = headers.getOrElse("warc-date", "")
+          val rid = headers.getOrElse("warc-record-id", "")
+          val refersTo = headers.getOrElse("warc-refers-to", "")
+          val digest = headers.getOrElse("warc-payload-digest", "")
+          val isHttp = wtype == "response" &&
+            headers.getOrElse("content-type", "")
+              .startsWith("application/http")
+          val rec =
+            if (isHttp) {
+              val (status, ctype, payload) = splitHttp(block)
+              if (status >= 0)
+                WarcRecord(idx, wtype, uri, date, rid, status, ctype,
+                  payload, offset, recBytes, refersTo, digest)
+              else
+                WarcRecord(idx, wtype, uri, date, rid, -1, "", block,
+                  offset, recBytes, refersTo, digest)
+            } else
+              WarcRecord(idx, wtype, uri, date, rid, -1, "", block,
+                offset, recBytes, refersTo, digest)
+          idx += 1
+          pending = Right(rec)
+        } catch {
+          // mid-stream gzip corruption / IO failure
+          case _: Exception => fail("io")
         }
       }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
+      }
+      override def next(): Either[WarcError, WarcRecord] = {
+        if (!hasNext) throw new NoSuchElementException
+        val v = pending; pending = null; v
+      }
     }
-    out.result()
-  }
+
+  /** Whole-buffer convenience walk (fixtures, specs, single sliced
+    * records): the streaming parser over a ByteArrayInputStream,
+    * errors dropped. Distributed paths use [[parseWarcEvents]]. */
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+      .collect { case Right(r) => r }.toVector
 
   /** WARC ENCODER (fixture-builder twin): writes spec-conforming
     * records — version line, WARC headers with exact Content-Length,
     * CRLFCRLF framing — so the parser is exercised against real
-    * framing, not a round-trip of its own assumptions. */
-  def warcEncode(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
-    // records: (warcType, targetUri, block)
+    * framing, not a round-trip of its own assumptions. `extra` holds
+    * per-record additional WARC headers (revisit profile / refers-to /
+    * payload digest). */
+  def warcEncodeFull(
+      records: Seq[(String, String, Seq[(String, String)], Array[Byte])])
+      : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.zipWithIndex.foreach { case ((wtype, uri, block), k) =>
+    records.zipWithIndex.foreach { case ((wtype, uri, extra, block), k) =>
       val head = new StringBuilder()
       head.append("WARC/1.0\r\n")
       head.append(s"WARC-Type: $wtype\r\n")
       head.append(s"WARC-Record-ID: <urn:uuid:rec-$k>\r\n")
       head.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
       if (uri.nonEmpty) head.append(s"WARC-Target-URI: $uri\r\n")
+      extra.foreach { case (k2, v) => head.append(s"$k2: $v\r\n") }
       if (wtype == "response")
         head.append("Content-Type: application/http; msgtype=response\r\n")
       head.append(s"Content-Length: ${block.length}\r\n\r\n")
@@ -164,6 +300,9 @@ object Warc {
     out.toByteArray
   }
 
+  def warcEncode(records: Seq[(String, String, Array[Byte])]): Array[Byte] =
+    warcEncodeFull(records.map { case (t, u, b) => (t, u, Nil, b) })
+
   /** Gzip a buffer as ONE member (Common Crawl uses one member per
     * record; the multi-member read path is exercised by
     * concatenating these). */
@@ -174,16 +313,125 @@ object Warc {
     out.toByteArray
   }
 
-  /** WARC corpus → one row per record: a pure per-row flatMap (zero
-    * shuffle); gzip is transparent. The body surfaces as a checksum +
-    * length rather than raw bytes so the row stays narrow — the
-    * markdown pipeline consumes bodies via [[warcHtmlBodies]]. */
+  /** `sha1:BASE32` payload digest in the exact form Common Crawl's
+    * revisit records carry (RFC 4648 base32 of the SHA-1, 32 chars,
+    * no padding for 160 bits). */
+  def sha1Base32(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    while (i < d.length) {
+      acc = (acc << 8) | (d(i) & 0xffL); bits += 8
+      while (bits >= 5) {
+        sb.append(alpha(((acc >> (bits - 5)) & 31).toInt)); bits -= 5
+      }
+      i += 1
+    }
+    "sha1:" + sb.toString
+  }
+
+  /** Charset of an HTML payload: the Content-Type `charset` parameter
+    * when declared, else a bounded `<meta charset>` /
+    * `http-equiv` sniff of the first KB, else strict-UTF-8 probe with
+    * ISO-8859-1 as the terminal fallback (legacy-encoded pages —
+    * ISO-8859-1, Shift_JIS, GBK — are common in web archives; decoding
+    * them as UTF-8 produced mojibake/replacement characters). */
+  private[sources] def htmlCharset(contentType: String,
+      body: Array[Byte]): java.nio.charset.Charset = {
+    def lookup(name: String): Option[java.nio.charset.Charset] =
+      scala.util.Try(java.nio.charset.Charset.forName(
+        name.trim.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("'").stripSuffix("'"))).toOption
+    val fromCt = "charset=([^;\\s]+)".r
+      .findFirstMatchIn(contentType.toLowerCase)
+      .flatMap(m => lookup(m.group(1)))
+    fromCt.orElse {
+      val probe = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+      ("<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_.:-]+)".r
+        .findFirstMatchIn(probe).map(_.group(1)))
+        .flatMap(lookup)
+    }.getOrElse {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      if (scala.util.Try(dec.decode(java.nio.ByteBuffer.wrap(body)))
+        .isSuccess) java.nio.charset.StandardCharsets.UTF_8
+      else java.nio.charset.StandardCharsets.ISO_8859_1
+    }
+  }
+
+  /** Decode an HTML payload with [[htmlCharset]] resolution. */
+  def decodeHtml(contentType: String, body: Array[Byte]): String =
+    new String(body, htmlCharset(contentType, body))
+
+  /** WARC corpus → one row per record: a streaming per-row flatMap
+    * (zero shuffle, max residency one record); gzip is transparent.
+    * The body surfaces as a checksum + length rather than raw bytes so
+    * the row stays narrow — the markdown pipeline consumes bodies via
+    * [[warcHtmlBodies]]. Parse errors are dropped here (schema parity
+    * with the oracle row); [[warcQuarantine]] is the error surface. */
   def warcRecords(s: SparkSession, warcs: DataFrame): DataFrame = {
     import s.implicits._
     warcs.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        parseWarc(bytes).iterator.map { r =>
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .collect { case Right(r) =>
+            var sum = 0L
+            var i = 0
+            while (i < r.body.length) {
+              sum += (r.body(i) & 0xff).toLong * (1 + i % 97)
+              i += 1
+            }
+            (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
+              r.httpContentType, r.body.length.toLong, sum)
+          }
+      }
+      .toDF("path", "record_idx", "warc_type", "url", "http_status",
+        "content_type", "n_body_bytes", "body_checksum")
+  }
+
+  /** Per-archive health surface (the quarantine signal a silent
+    * Seq.empty never gave): one row per file — records parsed, error
+    * kind ('' when the walk ended cleanly at EOF), and the record
+    * index the error struck at (-1 when clean). Corrupt or truncated
+    * archives are COUNTED, not silently absorbed. */
+  def warcQuarantine(s: SparkSession, warcs: DataFrame): DataFrame = {
+    import s.implicits._
+    warcs.select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        var n = 0
+        var errKind = ""
+        var errAt = -1
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .foreach {
+            case Right(_) => n += 1
+            case Left(WarcError(kind, at)) =>
+              if (errKind.isEmpty) { errKind = kind; errAt = at }
+          }
+        (path, n, errKind, errAt)
+      }
+      .toDF("path", "n_records", "err_kind", "err_at")
+  }
+
+  /** WARC files on disk → records, streaming end-to-end:
+    * `binaryFiles`' PortableDataStream opens on demand inside the
+    * task, the parser walks it record-at-a-time, and nothing ever
+    * holds the archive — THE production entry for real `.warc.gz`
+    * sizes. One partition per file (archives are splittable only at
+    * gzip-member boundaries, which a CDX index — [[warcCdxIndex]] —
+    * restores record-level parallelism for). */
+  def warcRecordsFromFiles(s: SparkSession, pathGlob: String): DataFrame = {
+    import s.implicits._
+    s.sparkContext.binaryFiles(pathGlob)
+      .flatMap { case (path, pds) =>
+        val in = pds.open()
+        val it = parseWarcEvents(in).collect { case Right(r) =>
           var sum = 0L
           var i = 0
           while (i < r.body.length) {
@@ -193,6 +441,16 @@ object Warc {
           (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
             r.httpContentType, r.body.length.toLong, sum)
         }
+        // close the task's file handle when the walk exhausts
+        new scala.collection.AbstractIterator[
+            (String, Int, String, String, Int, String, Long, Long)] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) scala.util.Try(in.close())
+            h
+          }
+          override def next() = it.next()
+        }
       }
       .toDF("path", "record_idx", "warc_type", "url", "http_status",
         "content_type", "n_body_bytes", "body_checksum")
@@ -201,28 +459,162 @@ object Warc {
   /** The ingest hookup: 200-status text/html response records as
     * (url, html) rows — exactly the shape the crawler hands to
     * HtmlToMarkdown, so archives and live crawls share one pipeline
-    * from here down. */
+    * from here down. Charset-aware ([[htmlCharset]]): declared
+    * charset, meta sniff, UTF-8 probe, ISO-8859-1 fallback. */
   def warcHtmlBodies(s: SparkSession, warcs: DataFrame): DataFrame = {
     import s.implicits._
     warcs.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
-        parseWarc(bytes).iterator
-          .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
-            r.httpContentType.startsWith("text/html"))
-          .map(r => (r.targetUri, new String(r.body,
-            java.nio.charset.StandardCharsets.UTF_8)))
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .collect {
+            case Right(r) if r.warcType == "response" &&
+              r.httpStatus == 200 &&
+              r.httpContentType.startsWith("text/html") =>
+              (r.targetUri, decodeHtml(r.httpContentType, r.body))
+          }
       }
       .toDF("url", "html")
   }
+
+  // ── CDX index + record-level sliced access ─────────────────────────
+
+  /** CDX-style archive index: (path, record_idx, warc_type, url,
+    * http_status, offset, rec_bytes) per record — offsets in the
+    * UNCOMPRESSED stream from the parser's own byte count. The archive
+    * analog of the z-order/Hilbert layout rows: a url-predicate query
+    * consults this small index and then reads ONLY the matching
+    * (file, offset, length) slices instead of re-walking every
+    * archive. (Production Common Crawl stores one gzip member per
+    * record and indexes member offsets for compressed seeks; with
+    * whole-stream gzip the slice read decompresses forward to the
+    * offset — bounded memory either way.) */
+  def warcCdxIndex(s: SparkSession, warcs: DataFrame): DataFrame = {
+    import s.implicits._
+    warcs.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .collect { case Right(r) =>
+            (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
+              r.offset, r.recBytes)
+          }
+      }
+      .toDF("path", "record_idx", "warc_type", "url", "http_status",
+        "offset", "rec_bytes")
+  }
+
+  /** Read ONE record as a bounded slice: stream (gunzipping forward)
+    * to `offset`, read `recBytes`, parse the single record. Max
+    * residency = one record, regardless of archive size. */
+  def readRecordSlice(bytes: Array[Byte], offset: Long,
+      recBytes: Long): Option[WarcRecord] = {
+    val rd = new RecordReader(new java.io.ByteArrayInputStream(bytes))
+    if (!rd.skipFully(offset)) return None
+    val slice = rd.readFully(recBytes.toInt)
+    if (slice == null) None
+    else parseWarcEvents(new java.io.ByteArrayInputStream(slice))
+      .collectFirst { case Right(r) => r }
+  }
+
+  /** Record-level pruned access: a (typically url-filtered, small) CDX
+    * selection broadcast-joined to the archives, each matched record
+    * read as a slice — archives with no matching CDX entry are never
+    * parsed at all, and matched archives decode only the listed
+    * records. Broadcast is pinned on the index side: the CDX
+    * selection is k-row metadata next to the archive bytes. */
+  def warcFetchSlices(s: SparkSession, warcs: DataFrame,
+      cdx: DataFrame): DataFrame = {
+    import s.implicits._
+    warcs.select("path", "content")
+      .join(broadcast(cdx.select("path", "record_idx", "offset",
+        "rec_bytes")), Seq("path"))
+      .select("path", "record_idx", "content", "offset", "rec_bytes")
+      .as[(String, Int, Array[Byte], Long, Long)]
+      .flatMap { case (path, ri, bytes, off, len) =>
+        readRecordSlice(bytes, off, len).map { r =>
+          var sum = 0L
+          var i = 0
+          while (i < r.body.length) {
+            sum += (r.body(i) & 0xff).toLong * (1 + i % 97)
+            i += 1
+          }
+          (path, ri, r.warcType, r.targetUri, r.httpStatus, off, len,
+            r.body.length.toLong, sum)
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "url", "http_status",
+        "offset", "rec_bytes", "n_body_bytes", "body_checksum")
+  }
+
+  // ── Revisit records → incremental-sync integration ────────────────
+
+  /** Digest store from a first crawl: (url, payload_digest) for every
+    * 200 text/html response — what a second crawl's `revisit` records
+    * are reconciled against (the archive analog of the reference's
+    * ETag/lastmod stores, content-processor.ts:579-742). */
+  def warcDigestStore(s: SparkSession, warcs: DataFrame): DataFrame = {
+    import s.implicits._
+    warcs.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .collect {
+            case Right(r) if r.warcType == "response" &&
+              r.httpStatus == 200 &&
+              r.httpContentType.startsWith("text/html") =>
+              (r.targetUri, sha1Base32(r.body))
+          }
+      }
+      .toDF("url", "payload_digest")
+  }
+
+  /** Second-crawl reconciliation: ISO 28500 §6.7.2 `revisit` records
+    * (Common Crawl emits these for unchanged re-fetches) route into
+    * the same skip cascade live crawls use — a revisit whose digest
+    * matches the store skips; a store gap or digest mismatch
+    * re-fetches; full responses ingest (or land as error pages).
+    * Per-url decisions; equi-join on url (shuffle-partitioned at
+    * scale, no broadcast assumption on either side). */
+  def warcRevisitDecisions(s: SparkSession, secondCrawl: DataFrame,
+      store: DataFrame): DataFrame = {
+    import s.implicits._
+    val recs = secondCrawl.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .collect {
+            case Right(r) if r.warcType == "revisit" ||
+              r.warcType == "response" =>
+              (r.targetUri, r.warcType, r.httpStatus, r.payloadDigest)
+          }
+      }
+      .toDF("url", "warc_type", "http_status", "revisit_digest")
+    recs.join(store.withColumnRenamed("payload_digest", "stored_digest"),
+        Seq("url"), "left")
+      .withColumn("decision",
+        when(col("warc_type") === "revisit",
+          when(col("stored_digest").isNull, lit("fetch_store_gap"))
+            .when(col("stored_digest") === col("revisit_digest"),
+              lit("skip_revisit"))
+            .otherwise(lit("fetch_digest_gap")))
+          .when(col("http_status") === 200, lit("ingest_response"))
+          .otherwise(lit("error_page")))
+      .select("url", "warc_type", "decision")
+  }
+
+  // ── Fixtures ───────────────────────────────────────────────────────
+
+  private[sources] def fixtureHtml(id: Long): String =
+    s"<html><body><h1>Doc $id</h1><p>" +
+      ("ab" * (5 + (id % 7)).toInt) + "</p></body></html>"
 
   /** Deterministic per-doc WARC fixture: a `warcinfo` record plus one
     * HTTP response (200 text/html, or 404 text/plain every 13th id),
     * gzipped for odd ids — the compression must be invisible in the
     * output, which the oracle checks by construction. */
   def fixtureWarc(id: Long): Array[Byte] = {
-    val html = s"<html><body><h1>Doc $id</h1><p>" +
-      ("ab" * (5 + (id % 7)).toInt) + "</p></body></html>"
+    val html = fixtureHtml(id)
     val notFound = "Not Found"
     val is404 = id % 13 == 0
     val body = if (is404) notFound else html
@@ -234,6 +626,58 @@ object Warc {
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
       ("response", s"https://archive.example.com/doc/$id",
         http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
+    if (id % 2 == 1) gzip(raw) else raw
+  }
+
+  /** Corrupt-archive fixture twin: every id truncates mid-header (100
+    * bytes lands inside the warcinfo record's header block), so the
+    * quarantine surface must report `truncated` at record 0 — and a
+    * parser that guessed at boundaries would fabricate records
+    * instead. Odd ids gzip the truncated payload (a VALID gzip stream
+    * of a broken archive — the error must come from WARC framing, not
+    * the gunzip). */
+  def fixtureWarcCorrupt(id: Long): Array[Byte] = {
+    val raw = warcEncode(Seq(
+      ("warcinfo", "", "software: graft\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      ("response", s"https://archive.example.com/doc/$id",
+        s"HTTP/1.1 200 OK\r\n\r\n${fixtureHtml(id)}"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
+    val cut = java.util.Arrays.copyOfRange(raw, 0, 100)
+    if (id % 2 == 1) gzip(cut) else cut
+  }
+
+  /** Second-crawl fixture twin for the revisit path: 404 ids re-fetch
+    * their error page; every 3rd id changed (full response, updated
+    * body); everyone else is UNCHANGED and emits a spec-shaped
+    * `revisit` record carrying the first crawl's payload digest —
+    * exactly what Common Crawl produces for a stable page. Same
+    * odd-id gzip parity as [[fixtureWarc]]. */
+  def fixtureWarcSecondCrawl(id: Long): Array[Byte] = {
+    val uri = s"https://archive.example.com/doc/$id"
+    val raw =
+      if (id % 13 == 0) {
+        val http = "HTTP/1.1 404 Not Found\r\n" +
+          "Content-Type: text/plain\r\n\r\nNot Found"
+        warcEncode(Seq(("response", uri,
+          http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
+      } else if (id % 3 == 0) {
+        val html = s"<html><body><h1>Doc $id</h1><p>updated " +
+          ("cd" * (5 + (id % 7)).toInt) + "</p></body></html>"
+        val http = "HTTP/1.1 200 OK\r\n" +
+          s"Content-Type: text/html\r\n\r\n$html"
+        warcEncode(Seq(("response", uri,
+          http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
+      } else {
+        val digest = sha1Base32(fixtureHtml(id)
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        warcEncodeFull(Seq(("revisit", uri, Seq(
+          "WARC-Refers-To" -> s"<urn:uuid:first-$id>",
+          "WARC-Payload-Digest" -> digest,
+          "WARC-Profile" ->
+            "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+          Array.emptyByteArray)))
+      }
     if (id % 2 == 1) gzip(raw) else raw
   }
 }

@@ -769,6 +769,58 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(Multimodal.decodeMjpegFrames(junk).isEmpty) // decode declines
   }
 
+  test("DIB AVI: BI_RGB and RLE8 frames round-trip through the raw-" +
+      "frame decode; audio-declared-first resolves the video stream") {
+    val (w, h) = (5, 4)
+    val rgb = Array.tabulate(w * h * 3)(j => ((j * 7 + 3) % 256).toByte)
+    // 24-bit BI_RGB, video as stream 0
+    val avi24 = Multimodal.aviEncodeDib(w, h, 40000,
+      Seq(Multimodal.dibFromRgb24(w, h, rgb)), 24, 0)
+    val v24 = Multimodal.demuxAvi(avi24).getOrElse(fail("demux 24"))
+    assert(v24.vidStream == 0 && v24.bitCount == 24 &&
+      v24.compression == 0 && v24.w == w && v24.h == h)
+    val img24 = Multimodal.decodeAviVideoFrames(avi24)
+      .getOrElse(fail("decode 24")).head
+    assert(img24.pixels.sameElements(rgb), "BI_RGB raster drift")
+    // RLE8 with gray palette, AUDIO STREAM DECLARED FIRST: chunks are
+    // '01dc' — a stream-0-only walk finds no frames at all
+    val idx = Array.tabulate(w * h)(p => ((p * 11 + 5) % 256).toByte)
+    val pal = Array.tabulate(256 * 4)(i =>
+      if (i % 4 == 3) 0.toByte else (i / 4).toByte)
+    val aviRle = Multimodal.aviEncodeDib(w, h, 40000,
+      Seq(Multimodal.rle8FromIndices(w, h, idx)), 8, 1, pal,
+      audioFirst = true)
+    val vRle = Multimodal.demuxAvi(aviRle).getOrElse(fail("demux rle"))
+    assert(vRle.vidStream == 1, s"video stream ${vRle.vidStream}")
+    assert(vRle.compression == 1 && vRle.bitCount == 8)
+    val imgRle = Multimodal.decodeAviVideoFrames(aviRle)
+      .getOrElse(fail("decode rle")).head
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert((imgRle.pixels(p * 3 + c) & 0xff) == (idx(p) & 0xff),
+        s"RLE8 raster drift at pixel $p channel $c")
+    // RLE escapes beyond what the encoder emits: delta + absolute mode
+    val manual = Array[Byte](
+      2, 9, // run: 2 px of index 9 at (0,0)-(1,0), bottom row
+      0, 3, 7, 8, 6, 0, // absolute: 3 px (7,8,6), padded to word
+      0, 0, // EOL -> (0,1)
+      0, 2, 2, 0, // delta: dx=2 dy=0 -> (2,1); skipped px stay black
+      1, 4, // run: 1 px of index 4 at (2,1)
+      0, 0, // EOL
+      0, 1) // EOB
+    val img = Multimodal.decodeDibPixels(5, 2, 8, 1, pal, manual)
+      .getOrElse(fail("manual RLE decode"))
+    // bottom RLE row (y=0) is raster row 1; delta-skipped px are black
+    val row1 = (0 until 5).map(x => img.pixels((1 * 5 + x) * 3) & 0xff)
+    val row0 = (0 until 5).map(x => img.pixels(x * 3) & 0xff)
+    assert(row1 == Seq(9, 9, 7, 8, 6), s"manual RLE bottom row $row1")
+    assert(row0 == Seq(0, 0, 4, 0, 0), s"manual RLE top row $row0")
+    // declines: RLE stream without EOB, oversized run
+    assert(Multimodal.decodeDibPixels(5, 2, 8, 1, pal,
+      Array[Byte](2, 9)).isEmpty)
+    assert(Multimodal.decodeDibPixels(5, 2, 8, 1, pal,
+      Array[Byte](99, 9, 0, 1)).isEmpty)
+  }
+
   test("MP4 sample-table demux: offsets, sizes and stts timing from " +
       "the fixture layout") {
     val sizes = Seq(10L, 25L, 40L, 15L)

@@ -43,12 +43,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orderBy's range partitioning
     Seq("doc_png_resize", "doc_gif_resize", "doc_bmp_resize",
       "doc_jpeg_resize", "doc_jpeg_color", "doc_jpeg_prog",
-      "doc_mp4_demux", "doc_avi_frames", "doc_audio_resample",
-      "src_scan_warc", "ingest_warc_e2e")
+      "doc_mp4_demux", "doc_avi_frames", "doc_avi_rgb",
+      "doc_audio_resample", "src_scan_warc", "ingest_warc_e2e",
+      "src_warc_quarantine")
       .foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(3000)}")
     }
+  }
+
+  test("layout_warc_cdx pins broadcast on the CDX-index side and " +
+      "never shuffles the archives") {
+    // record-level pruned access: the url-filtered CDX selection is
+    // k-row metadata and must broadcast onto the archive rows — a
+    // SortMergeJoin here would shuffle every archive's bytes to pair
+    // them with their own index entries
+    val df = SparkEntry.queries("layout_warc_cdx")(spark, dir)
+    df.collect() // judge the AQE-final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("sync_warc_revisit joins revisit records to the digest store " +
+      "hash-to-hash, no cartesian") {
+    val p = planOf("sync_warc_revisit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
   test("dedup_minhash_delta broadcasts the batch, never shuffles the store") {

@@ -79,4 +79,119 @@ class WarcSpec extends AnyFunSuite {
       .map(r => new String(r.body, "UTF-8")) ==
       r2.map(r => new String(r.body, "UTF-8")))
   }
+
+  test("STREAMING: a >2 GiB logical archive walks record-at-a-time — " +
+      "impossible for any whole-buffer path (JVM array cap)") {
+    val body = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(body, 'x'.toByte)
+    val n = 2100 // 2100 MiB of bodies > 2^31 bytes total
+    val en = new java.util.Enumeration[java.io.InputStream] {
+      private var k = 0
+      override def hasMoreElements: Boolean = k < n
+      override def nextElement(): java.io.InputStream = {
+        val rec = Warc.warcEncode(Seq(("resource", s"https://x/$k", body)))
+        k += 1
+        new java.io.ByteArrayInputStream(rec)
+      }
+    }
+    var count = 0L
+    var bytes = 0L
+    Warc.parseWarcEvents(new java.io.SequenceInputStream(en)).foreach {
+      case Right(r) => count += 1; bytes += r.body.length
+      case Left(e) => fail(s"unexpected parse error: $e")
+    }
+    assert(count == n && bytes == n.toLong * (1 << 20))
+    assert(bytes > Int.MaxValue.toLong)
+  }
+
+  test("oversized records are streamed past, not buffered, and the " +
+      "walk continues on sound framing") {
+    val big = iso("0123456789ABCDEFX") // 17 bytes
+    val small = iso("abc")
+    val warc = Warc.warcEncode(Seq(
+      ("resource", "https://x/big", big),
+      ("resource", "https://x/small", small)))
+    val events = Warc.parseWarcEvents(
+      new java.io.ByteArrayInputStream(warc), maxRecordBytes = 16).toList
+    assert(events.length == 2)
+    assert(events(0) == Left(Warc.WarcError("oversized", 0)))
+    val r = events(1).toOption.get
+    assert(r.targetUri == "https://x/small" &&
+      new String(r.body, "UTF-8") == "abc")
+  }
+
+  test("quarantine surface: truncated fixtures report kind+index " +
+      "instead of a silent empty result (plain AND gzipped)") {
+    for (id <- Seq(4L, 5L)) { // even=plain, odd=gzip of the truncation
+      val events = Warc.parseWarcEvents(new java.io.ByteArrayInputStream(
+        Warc.fixtureWarcCorrupt(id))).toList
+      assert(events == List(Left(Warc.WarcError("truncated", 0))),
+        s"id=$id got $events")
+    }
+    // corrupt content-length is its own kind
+    val good = Warc.warcEncode(Seq(("response", "https://x/1",
+      iso("HTTP/1.1 200 OK\r\n\r\nabc"))))
+    val bad = iso(new String(good, "ISO-8859-1")
+      .replace("Content-Length: ", "Content-Length: x"))
+    assert(Warc.parseWarcEvents(new java.io.ByteArrayInputStream(bad))
+      .toList == List(Left(Warc.WarcError("bad_content_length", 0))))
+  }
+
+  test("charset resolution: declared > meta sniff > UTF-8 probe > " +
+      "ISO-8859-1 fallback") {
+    // declared in Content-Type wins
+    assert(Warc.decodeHtml("text/html; charset=ISO-8859-1",
+      "café".getBytes("ISO-8859-1")) == "café")
+    // meta tag sniff for undeclared legacy encodings
+    val sjis = "<html><head><meta charset=\"shift_jis\"></head>" +
+      "<body>こんにちは</body></html>"
+    assert(Warc.decodeHtml("text/html", sjis.getBytes("Shift_JIS")) == sjis)
+    // valid UTF-8 without declaration decodes as UTF-8
+    assert(Warc.decodeHtml("text/html",
+      "héllo ☃".getBytes("UTF-8")) == "héllo ☃")
+    // invalid UTF-8 without declaration falls back to ISO-8859-1,
+    // never replacement characters
+    val latin = "café".getBytes("ISO-8859-1")
+    assert(Warc.decodeHtml("text/html", latin) == "café")
+  }
+
+  test("sha1Base32 matches the Common Crawl digest form (RFC 4648 " +
+      "base32 of SHA-1, 32 chars)") {
+    // SHA-1("") = da39a3ee...; its base32 is the canonical empty-digest
+    val d = Warc.sha1Base32(Array.emptyByteArray)
+    assert(d == "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    assert(d.length == "sha1:".length + 32)
+  }
+
+  test("CDX coordinates: parser offsets slice back to the identical " +
+      "record, plain and gzipped, and the oracle's offset constant " +
+      "holds") {
+    for (id <- Seq(2L, 1L)) { // even=plain, odd=gzip
+      val bytes = Warc.fixtureWarc(id)
+      val rs = Warc.parseWarc(bytes)
+      assert(rs.length == 2)
+      assert(rs(0).offset == 0)
+      assert(rs(1).offset == 141, // pinned by the layout_warc_cdx SQL
+        s"response record offset ${rs(1).offset}")
+      val sliced = Warc.readRecordSlice(bytes, rs(1).offset,
+        rs(1).recBytes).get
+      assert(sliced.targetUri == rs(1).targetUri &&
+        sliced.httpStatus == rs(1).httpStatus &&
+        java.util.Arrays.equals(sliced.body, rs(1).body))
+    }
+  }
+
+  test("revisit fixture: spec-shaped record whose payload digest " +
+      "matches the REAL first-crawl payload's sha1") {
+    val firstBody = Warc.parseWarc(Warc.fixtureWarc(2))(1).body
+    val rs = Warc.parseWarc(Warc.fixtureWarcSecondCrawl(2))
+    assert(rs.length == 1 && rs(0).warcType == "revisit")
+    assert(rs(0).payloadDigest == Warc.sha1Base32(firstBody))
+    assert(rs(0).refersTo == "<urn:uuid:first-2>")
+    // changed ids carry a full response instead
+    val changed = Warc.parseWarc(Warc.fixtureWarcSecondCrawl(6))
+    assert(changed.length == 1 && changed(0).warcType == "response" &&
+      changed(0).httpStatus == 200 &&
+      new String(changed(0).body, "UTF-8").contains("updated"))
+  }
 }
