@@ -167,7 +167,9 @@ object ScaleProbe {
     // linear in records), and the DIB/RLE8 video decode (per-row,
     // bounded 2-frame fan-out)
     "src_warc_quarantine", "layout_warc_cdx", "sync_warc_revisit",
-    "doc_avi_rgb")
+    "doc_avi_rgb",
+    // and the WET extracted-text scan (same linear record walk)
+    "src_scan_wet")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

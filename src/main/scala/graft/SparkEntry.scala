@@ -137,6 +137,7 @@ object SparkEntry {
     "src_scan_warc"       -> (DocPipeline.warcScan _),
     "ingest_warc_e2e"     -> (DocPipeline.warcIngest _),
     "src_warc_quarantine" -> (DocPipeline.warcQuarantineScan _),
+    "src_scan_wet"        -> (DocPipeline.wetScan _),
     "layout_warc_cdx"     -> (DocPipeline.warcCdxPruned _),
     "sync_warc_revisit"   -> (DocPipeline.warcRevisitSync _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
@@ -1552,6 +1553,18 @@ object SparkEntry {
              repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) AS markdown
          FROM documents
          WHERE doc_id % 13 != 0
+         ORDER BY doc_id""",
+    // WET replay: DuckDB rebuilds the conversion record's extracted
+    // text verbatim (odd ids gzip on the Spark side — compression
+    // must stay invisible, exactly as in src_scan_warc)
+    "src_scan_wet" ->
+      """WITH t AS (
+           SELECT doc_id,
+             'Doc ' || doc_id || chr(10) ||
+               repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) AS text
+           FROM documents)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text
+         FROM t
          ORDER BY doc_id""",
     // quarantine surface replay: every 17th archive truncates
     // mid-header -> (0 records, 'truncated' at record 0); everyone

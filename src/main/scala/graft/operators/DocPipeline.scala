@@ -959,6 +959,23 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** WET (extracted-text WARC) scan as an oracle row: the per-doc
+    * fixture is a warcinfo plus one `conversion` record carrying the
+    * extracted text of the HTML fixture (gzipped for odd ids), parsed
+    * through the same streaming record walk and surfaced as
+    * (url, text) — the Common Crawl distribution that skips HTML
+    * entirely. DuckDB rebuilds the text verbatim. */
+  def wetScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wets = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map(id => ("wet://" + id, graft.sources.Warc.fixtureWet(id)))
+      .toDF("path", "content")
+    graft.sources.Warc.warcWetText(s, wets)
+      .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
+      .select("doc_id", "n_chars", "text")
+      .orderBy("doc_id")
+  }
+
   /** WARC `revisit` records → skip cascade as an oracle row (ISO 28500
     * §6.7.2; Common Crawl emits revisits for unchanged re-fetches —
     * the archive analog of the reference's ETag/lastmod skip layers,

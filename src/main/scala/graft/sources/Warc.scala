@@ -477,6 +477,28 @@ object Warc {
       .toDF("url", "html")
   }
 
+  /** WET sibling format (Common Crawl's extracted-text distribution):
+    * the same ISO 28500 framing, but records are `conversion`s whose
+    * block is the page's extracted plain text (UTF-8 by the WET
+    * convention). One (url, text, n_chars) row per conversion record —
+    * the entry point for corpora that skip HTML entirely. Same
+    * streaming per-row flatMap as [[warcRecords]], zero shuffle. */
+  def warcWetText(s: SparkSession, warcs: DataFrame): DataFrame = {
+    import s.implicits._
+    warcs.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+          .collect {
+            case Right(r) if r.warcType == "conversion" =>
+              val text = new String(r.body,
+                java.nio.charset.StandardCharsets.UTF_8)
+              (r.targetUri, text, text.length.toLong)
+          }
+      }
+      .toDF("url", "text", "n_chars")
+  }
+
   // ── CDX index + record-level sliced access ─────────────────────────
 
   /** CDX-style archive index: (path, record_idx, warc_type, url,
@@ -645,6 +667,21 @@ object Warc {
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
     val cut = java.util.Arrays.copyOfRange(raw, 0, 100)
     if (id % 2 == 1) gzip(cut) else cut
+  }
+
+  /** WET fixture twin: a `warcinfo` plus one `conversion` record whose
+    * block is the extracted text of [[fixtureHtml]] — the exact text
+    * the HTML pipeline's markdown carries, so the two distributions
+    * stay consistent. Gzipped for odd ids like [[fixtureWarc]]. */
+  def fixtureWet(id: Long): Array[Byte] = {
+    val text = s"Doc $id\n" + ("ab" * (5 + (id % 7)).toInt)
+    val raw = warcEncodeFull(Seq(
+      ("warcinfo", "", Nil, "software: graft\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      ("conversion", s"https://archive.example.com/doc/$id",
+        Seq("Content-Type" -> "text/plain"),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    if (id % 2 == 1) gzip(raw) else raw
   }
 
   /** Second-crawl fixture twin for the revisit path: 404 ids re-fetch

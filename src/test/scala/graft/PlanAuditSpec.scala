@@ -45,7 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_jpeg_resize", "doc_jpeg_color", "doc_jpeg_prog",
       "doc_mp4_demux", "doc_avi_frames", "doc_avi_rgb",
       "doc_audio_resample", "src_scan_warc", "ingest_warc_e2e",
-      "src_warc_quarantine")
+      "src_warc_quarantine", "src_scan_wet")
       .foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(3000)}")

@@ -466,6 +466,33 @@ class SparkE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fed.toSeq == report.toSeq)
   }
 
+  test("warcRecordsFromFiles streams archives from disk and matches " +
+      "the column path record-for-record") {
+    import graft.sources.Warc
+    val tmp = java.nio.file.Files.createTempDirectory("warcsrc")
+    val ids = 0L until 20L
+    ids.foreach { id =>
+      java.nio.file.Files.write(tmp.resolve(f"doc$id%03d.warc"),
+        Warc.fixtureWarc(id))
+    }
+    import spark.implicits._
+    val fromFiles = Warc.warcRecordsFromFiles(spark, tmp + "/*.warc")
+      .withColumn("doc_id",
+        expr("CAST(regexp_extract(path, 'doc(\\\\d+)', 1) AS BIGINT)"))
+      .select("doc_id", "record_idx", "warc_type", "http_status",
+        "n_body_bytes", "body_checksum")
+      .as[(Long, Int, String, Int, Long, Long)].collect().sorted.toSeq
+    val cols = ids.map(id => ("warc://" + id, Warc.fixtureWarc(id)))
+      .toDF("path", "content")
+    val fromCols = Warc.warcRecords(spark, cols)
+      .withColumn("doc_id", expr("CAST(substring(path, 8) AS BIGINT)"))
+      .select("doc_id", "record_idx", "warc_type", "http_status",
+        "n_body_bytes", "body_checksum")
+      .as[(Long, Int, String, Int, Long, Long)].collect().sorted.toSeq
+    assert(fromFiles.nonEmpty && fromFiles == fromCols,
+      s"disk-streamed records diverged from the column path")
+  }
+
   test("persisted MLlib LSH model: probe after reload matches the inline path") {
     val dir = "/root/testdata/sf0.001"
     val modelDir = java.nio.file.Files

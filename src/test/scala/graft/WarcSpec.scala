@@ -181,6 +181,17 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("WET fixture: the conversion record's extracted text matches " +
+      "the HTML fixture's content, gzip-invariant") {
+    for (id <- Seq(2L, 3L)) { // even=plain, odd=gzip
+      val rs = Warc.parseWarc(Warc.fixtureWet(id))
+      assert(rs.length == 2 && rs(1).warcType == "conversion")
+      val text = new String(rs(1).body, "UTF-8")
+      assert(text == s"Doc $id\n" + ("ab" * (5 + (id % 7)).toInt))
+      assert(rs(1).targetUri == s"https://archive.example.com/doc/$id")
+    }
+  }
+
   test("revisit fixture: spec-shaped record whose payload digest " +
       "matches the REAL first-crawl payload's sha1") {
     val firstBody = Warc.parseWarc(Warc.fixtureWarc(2))(1).body
