@@ -168,8 +168,10 @@ object ScaleProbe {
     // bounded 2-frame fan-out)
     "src_warc_quarantine", "layout_warc_cdx", "sync_warc_revisit",
     "doc_avi_rgb",
-    // and the WET extracted-text scan (same linear record walk)
-    "src_scan_wet")
+    // and the WET extracted-text scan (same linear record walk) and
+    // the compressed-seek CDX (member scan linear, fetch
+    // selection-sized — the real Common Crawl access pattern)
+    "src_scan_wet", "layout_warc_cdx_gz")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

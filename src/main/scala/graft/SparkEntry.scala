@@ -139,6 +139,7 @@ object SparkEntry {
     "src_warc_quarantine" -> (DocPipeline.warcQuarantineScan _),
     "src_scan_wet"        -> (DocPipeline.wetScan _),
     "layout_warc_cdx"     -> (DocPipeline.warcCdxPruned _),
+    "layout_warc_cdx_gz"  -> (DocPipeline.warcCdxGzPruned _),
     "sync_warc_revisit"   -> (DocPipeline.warcRevisitSync _),
     "doc_frame_sample"    -> (DocPipeline.frameSample _),
     "doc_media_features"  -> (DocPipeline.mediaFeatures _),
@@ -1633,6 +1634,33 @@ object SparkEntry {
          FROM px
          GROUP BY doc_id, http_status, rec_offset, rec_bytes,
            n_body_bytes
+         ORDER BY doc_id""",
+    // compressed-seek CDX replay: member offsets are deflate-output-
+    // dependent, so the oracle replays the FETCHED record content —
+    // the url-prefix selection's status/length/checksum — which only
+    // match if the member boundaries and seeks were right
+    "layout_warc_cdx_gz" ->
+      """WITH d AS (SELECT doc_id FROM documents
+                    WHERE CAST(doc_id AS VARCHAR) LIKE '1%'),
+         b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'Not Found'
+               ELSE '<html><body><h1>Doc ' || doc_id || '</h1><p>' ||
+                    repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) ||
+                    '</p></body></html>' END AS body,
+             CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+               AS http_status
+           FROM d),
+         px AS (
+           SELECT doc_id, http_status,
+             CAST(length(body) AS BIGINT) AS n_body_bytes, body, t.i AS i
+           FROM b, unnest(range(0, 200)) AS t(i)
+           WHERE t.i < length(body))
+         SELECT doc_id, http_status, n_body_bytes,
+           CAST(sum(ord(substr(body, CAST(i + 1 AS INTEGER), 1))
+                    * (1 + i % 97)) AS BIGINT) AS body_checksum
+         FROM px
+         GROUP BY doc_id, http_status, n_body_bytes
          ORDER BY doc_id""",
     // revisit reconciliation replay: record type from the fixture
     // formula (404 every 13th, changed response every 3rd, revisit

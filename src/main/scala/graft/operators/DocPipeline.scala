@@ -976,6 +976,33 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** Compressed-seek CDX as an oracle row — the REAL Common Crawl
+    * access pattern: fixtures in the member-per-record `.warc.gz`
+    * layout, the CDX built from [[graft.sources.Warc.gzipMembers]]'
+    * RFC 1952 member extents (each member verified by parsing its one
+    * record), a url-prefix selection, and each matched record fetched
+    * as a compressed SEEK (slice the member, gunzip just it — zero
+    * forward decompression). Offsets are deflate-output-dependent so
+    * DuckDB can't replay them; it replays the fetched CONTENT
+    * (status, length, checksum) instead — a wrong member boundary or
+    * mis-seek yields no row or a wrong checksum, never a silent
+    * pass. */
+  def warcCdxGzPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
+      .map(id =>
+        ("warc://" + id, graft.sources.Warc.fixtureWarcMemberGz(id)))
+      .toDF("path", "content")
+    val cdx = graft.sources.Warc.warcCdxIndexCompressed(s, warcs)
+      .filter(col("warc_type") === "response" &&
+        col("url").like("https://archive.example.com/doc/1%"))
+    graft.sources.Warc
+      .warcFetchSlices(s, warcs, cdx, compressedCoords = true)
+      .withColumn("doc_id", expr("CAST(substring(path, 8) AS BIGINT)"))
+      .select("doc_id", "http_status", "n_body_bytes", "body_checksum")
+      .orderBy("doc_id")
+  }
+
   /** WARC `revisit` records → skip cascade as an oracle row (ISO 28500
     * §6.7.2; Common Crawl emits revisits for unchanged re-fetches —
     * the archive analog of the reference's ETag/lastmod skip layers,

@@ -526,17 +526,105 @@ object Warc {
         "offset", "rec_bytes")
   }
 
-  /** Read ONE record as a bounded slice: stream (gunzipping forward)
-    * to `offset`, read `recBytes`, parse the single record. Max
-    * residency = one record, regardless of archive size. */
+  /** Read ONE record as a bounded slice. Uncompressed coordinates
+    * (`compressedCoords = false`): stream (gunzipping forward) to
+    * `offset`, read `recBytes`, parse the single record — linear but
+    * bounded-memory. Compressed coordinates (`true`, the Common Crawl
+    * CDX convention over member-per-record `.warc.gz`): slice the RAW
+    * bytes and let the parser unwrap the one gzip member — a TRUE
+    * seek, no forward decompression at all. Max residency = one
+    * record either way. */
   def readRecordSlice(bytes: Array[Byte], offset: Long,
-      recBytes: Long): Option[WarcRecord] = {
-    val rd = new RecordReader(new java.io.ByteArrayInputStream(bytes))
-    if (!rd.skipFully(offset)) return None
-    val slice = rd.readFully(recBytes.toInt)
-    if (slice == null) None
-    else parseWarcEvents(new java.io.ByteArrayInputStream(slice))
-      .collectFirst { case Right(r) => r }
+      recBytes: Long, compressedCoords: Boolean = false)
+      : Option[WarcRecord] = {
+    if (compressedCoords) {
+      if (offset < 0 || offset + recBytes > bytes.length) return None
+      val slice = java.util.Arrays.copyOfRange(bytes, offset.toInt,
+        (offset + recBytes).toInt)
+      parseWarcEvents(new java.io.ByteArrayInputStream(slice))
+        .collectFirst { case Right(r) => r }
+    } else {
+      val rd = new RecordReader(new java.io.ByteArrayInputStream(bytes))
+      if (!rd.skipFully(offset)) return None
+      val slice = rd.readFully(recBytes.toInt)
+      if (slice == null) None
+      else parseWarcEvents(new java.io.ByteArrayInputStream(slice))
+        .collectFirst { case Right(r) => r }
+    }
+  }
+
+  /** Gzip member boundaries of a concatenated `.gz` buffer —
+    * [(offset, compressedLength)] per member, from the RFC 1952
+    * framing: per member, the 10-byte fixed header plus the optional
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields, then the raw-deflate stream
+    * measured with `Inflater(nowrap).getBytesRead`, then the 8-byte
+    * CRC32+ISIZE trailer. These are the coordinates Common Crawl's
+    * CDX indexes store (one member per record), enabling compressed
+    * SEEKS into archives. Malformed framing ends the scan at the last
+    * sound boundary. */
+  def gzipMembers(b: Array[Byte]): Seq[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var off = 0L
+    try {
+      while (off + 10 <= b.length &&
+        (b(off.toInt) & 0xff) == 0x1f && (b(off.toInt + 1) & 0xff) == 0x8b) {
+        val start = off
+        val flg = b(off.toInt + 3) & 0xff
+        var i = off.toInt + 10
+        if ((flg & 0x04) != 0) { // FEXTRA
+          val xlen = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+          i += 2 + xlen
+        }
+        if ((flg & 0x08) != 0) { while (b(i) != 0) i += 1; i += 1 } // FNAME
+        if ((flg & 0x10) != 0) { while (b(i) != 0) i += 1; i += 1 } // FCOMMENT
+        if ((flg & 0x02) != 0) i += 2 // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(b, i, b.length - i)
+        val scratch = new Array[Byte](64 << 10)
+        while (!inf.finished() && !inf.needsInput())
+          inf.inflate(scratch)
+        if (!inf.finished()) { inf.end(); return out.result() }
+        val compLen = (i - start) + inf.getBytesRead + 8
+        inf.end()
+        if (start + compLen > b.length) return out.result()
+        out += ((start, compLen))
+        off = start + compLen
+      }
+    } catch { case _: Exception => }
+    out.result()
+  }
+
+  /** CDX over Common Crawl's member-per-record `.warc.gz` layout:
+    * one gzip member per record, coordinates = COMPRESSED (offset,
+    * length) from [[gzipMembers]] — the convention real CC CDX files
+    * use, because it turns record access into a compressed SEEK (read
+    * the member, gunzip just it) instead of decompress-forward. Plain
+    * (non-gzip) archives keep uncompressed parser coordinates; the
+    * `compressed` column records which system each row is in. */
+  def warcCdxIndexCompressed(s: SparkSession, warcs: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    warcs.select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b) {
+          gzipMembers(bytes).iterator.zipWithIndex.flatMap {
+            case ((off, len), k) =>
+              readRecordSlice(bytes, off, len, compressedCoords = true)
+                .map(r => (path, k, r.warcType, r.targetUri,
+                  r.httpStatus, off, len, true))
+          }
+        } else {
+          parseWarcEvents(new java.io.ByteArrayInputStream(bytes))
+            .collect { case Right(r) =>
+              (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
+                r.offset, r.recBytes, false)
+            }
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "url", "http_status",
+        "offset", "rec_bytes", "compressed")
   }
 
   /** Record-level pruned access: a (typically url-filtered, small) CDX
@@ -544,9 +632,12 @@ object Warc {
     * read as a slice — archives with no matching CDX entry are never
     * parsed at all, and matched archives decode only the listed
     * records. Broadcast is pinned on the index side: the CDX
-    * selection is k-row metadata next to the archive bytes. */
+    * selection is k-row metadata next to the archive bytes.
+    * `compressedCoords` selects the coordinate system
+    * ([[readRecordSlice]]): compressed member seeks for CC-layout
+    * `.warc.gz`, forward-bounded reads otherwise. */
   def warcFetchSlices(s: SparkSession, warcs: DataFrame,
-      cdx: DataFrame): DataFrame = {
+      cdx: DataFrame, compressedCoords: Boolean = false): DataFrame = {
     import s.implicits._
     warcs.select("path", "content")
       .join(broadcast(cdx.select("path", "record_idx", "offset",
@@ -554,7 +645,7 @@ object Warc {
       .select("path", "record_idx", "content", "offset", "rec_bytes")
       .as[(String, Int, Array[Byte], Long, Long)]
       .flatMap { case (path, ri, bytes, off, len) =>
-        readRecordSlice(bytes, off, len).map { r =>
+        readRecordSlice(bytes, off, len, compressedCoords).map { r =>
           var sum = 0L
           var i = 0
           while (i < r.body.length) {
@@ -667,6 +758,24 @@ object Warc {
           .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
     val cut = java.util.Arrays.copyOfRange(raw, 0, 100)
     if (id % 2 == 1) gzip(cut) else cut
+  }
+
+  /** Common Crawl-layout fixture twin: the SAME two records as
+    * [[fixtureWarc]], but each in its OWN gzip member (the real CC
+    * `.warc.gz` layout) — what makes compressed member seeks
+    * possible. Every id is member-gzipped (the layout is the point). */
+  def fixtureWarcMemberGz(id: Long): Array[Byte] = {
+    val html = fixtureHtml(id)
+    val is404 = id % 13 == 0
+    val body = if (is404) "Not Found" else html
+    val ctype = if (is404) "text/plain" else "text/html"
+    val status = if (is404) "404 Not Found" else "200 OK"
+    val http = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n$body"
+    gzip(warcEncode(Seq(("warcinfo", "", "software: graft\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))) ++
+      gzip(warcEncode(Seq(("response",
+        s"https://archive.example.com/doc/$id",
+        http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))))
   }
 
   /** WET fixture twin: a `warcinfo` plus one `conversion` record whose

@@ -58,12 +58,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // k-row metadata and must broadcast onto the archive rows — a
     // SortMergeJoin here would shuffle every archive's bytes to pair
     // them with their own index entries
-    val df = SparkEntry.queries("layout_warc_cdx")(spark, dir)
-    df.collect() // judge the AQE-final plan
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(!p.contains("SortMergeJoin"), p.take(3000))
-    assert(!p.contains("CartesianProduct"), p.take(3000))
+    Seq("layout_warc_cdx", "layout_warc_cdx_gz").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // judge the AQE-final plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+    }
   }
 
   test("sync_warc_revisit joins revisit records to the digest store " +

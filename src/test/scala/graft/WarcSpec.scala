@@ -181,6 +181,30 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip member scan: RFC 1952 boundaries over member-per-record " +
+      "archives enable compressed seeks (no forward decompression)") {
+    val bytes = Warc.fixtureWarcMemberGz(2)
+    val members = Warc.gzipMembers(bytes)
+    assert(members.length == 2, s"expected 2 members, got $members")
+    assert(members(0)._1 == 0 &&
+      members(1)._1 == members(0)._2 &&
+      members(1)._1 + members(1)._2 == bytes.length,
+      s"member extents don't tile the file: $members")
+    // compressed-coordinate slice = seek + single-member gunzip
+    val (off, len) = members(1)
+    val r = Warc.readRecordSlice(bytes, off, len,
+      compressedCoords = true).get
+    assert(r.warcType == "response" && r.httpStatus == 200 &&
+      r.targetUri == "https://archive.example.com/doc/2")
+    // the member scan tolerates FNAME'd headers and truncation
+    assert(Warc.gzipMembers(bytes.take(bytes.length - 4)).length == 1)
+    assert(Warc.gzipMembers(Array[Byte](1, 2, 3)).isEmpty)
+    // a member list over a WET-style concatenation parses every record
+    val all = members.flatMap { case (o, l) =>
+      Warc.readRecordSlice(bytes, o, l, compressedCoords = true) }
+    assert(all.map(_.warcType) == Seq("warcinfo", "response"))
+  }
+
   test("WET fixture: the conversion record's extracted text matches " +
       "the HTML fixture's content, gzip-invariant") {
     for (id <- Seq(2L, 3L)) { // even=plain, odd=gzip
