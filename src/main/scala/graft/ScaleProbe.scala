@@ -171,7 +171,10 @@ object ScaleProbe {
     // and the WET extracted-text scan (same linear record walk) and
     // the compressed-seek CDX (member scan linear, fetch
     // selection-sized — the real Common Crawl access pattern)
-    "src_scan_wet", "layout_warc_cdx_gz")
+    "src_scan_wet", "layout_warc_cdx_gz",
+    // and the V2 connector scan (streams per-file partitions; growth
+    // tracks archive bytes, parallelism tracks the file listing)
+    "src_scan_warc_v2")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

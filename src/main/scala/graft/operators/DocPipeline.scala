@@ -959,6 +959,40 @@ object DocPipeline {
       .orderBy("doc_id")
   }
 
+  /** DataSource V2 WARC connector as an oracle row: the corpus is
+    * staged as bucketed multi-record archives (100 docs per file —
+    * the per-FILE work-unit shape of a real archive set), read back
+    * through `format("graft.sources.v2.WarcSource")` — whose
+    * partition reader STREAMS each file off the filesystem with no
+    * content column — with the `warc_type = 'response'` equality
+    * PUSHED INTO the record walk (warcinfo records are skipped before
+    * any row is built; plan shows `pushedTypes=response`). DuckDB
+    * replays the response rows exactly as in src_scan_warc. Staging is
+    * fixture construction (driver writes |docs|/100 small files);
+    * the measured path is the connector scan. */
+  def warcV2Scan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+      .collect().sorted // fixture staging only; |docs| ids on the driver
+    val base = java.nio.file.Files.createTempDirectory("warcv2")
+    try {
+      ids.grouped(100).zipWithIndex.foreach { case (bucket, k) =>
+        val out = new java.io.ByteArrayOutputStream()
+        bucket.foreach(id =>
+          out.write(graft.sources.Warc.fixtureWarcRaw(id)))
+        java.nio.file.Files.write(
+          base.resolve(f"bucket$k%05d.warc"), out.toByteArray)
+      }
+      s.read.format("graft.sources.v2.WarcSource").load(base.toString)
+        .filter(col("warc_type") === "response")
+        .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
+        .select("doc_id", "warc_type", "http_status", "n_body_bytes",
+          "body_checksum")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally graft.operators.Sync.deleteTree(base.toFile)
+  }
+
   /** WET (extracted-text WARC) scan as an oracle row: the per-doc
     * fixture is a warcinfo plus one `conversion` record carrying the
     * extracted text of the HTML fixture (gzipped for odd ids), parsed

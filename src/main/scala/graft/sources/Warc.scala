@@ -722,11 +722,10 @@ object Warc {
     s"<html><body><h1>Doc $id</h1><p>" +
       ("ab" * (5 + (id % 7)).toInt) + "</p></body></html>"
 
-  /** Deterministic per-doc WARC fixture: a `warcinfo` record plus one
-    * HTTP response (200 text/html, or 404 text/plain every 13th id),
-    * gzipped for odd ids — the compression must be invisible in the
-    * output, which the oracle checks by construction. */
-  def fixtureWarc(id: Long): Array[Byte] = {
+  /** The raw (never-gzipped) per-doc fixture: a `warcinfo` record plus
+    * one HTTP response (200 text/html, or 404 text/plain every 13th
+    * id). Concatenation-safe — the V2-source buckets splice these. */
+  def fixtureWarcRaw(id: Long): Array[Byte] = {
     val html = fixtureHtml(id)
     val notFound = "Not Found"
     val is404 = id % 13 == 0
@@ -734,11 +733,18 @@ object Warc {
     val ctype = if (is404) "text/plain" else "text/html"
     val status = if (is404) "404 Not Found" else "200 OK"
     val http = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n$body"
-    val raw = warcEncode(Seq(
+    warcEncode(Seq(
       ("warcinfo", "", "software: graft\r\n"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
       ("response", s"https://archive.example.com/doc/$id",
         http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
+  }
+
+  /** Deterministic per-doc WARC fixture: [[fixtureWarcRaw]], gzipped
+    * for odd ids — the compression must be invisible in the output,
+    * which the oracle checks by construction. */
+  def fixtureWarc(id: Long): Array[Byte] = {
+    val raw = fixtureWarcRaw(id)
     if (id % 2 == 1) gzip(raw) else raw
   }
 
