@@ -173,8 +173,11 @@ object ScaleProbe {
     // selection-sized — the real Common Crawl access pattern)
     "src_scan_wet", "layout_warc_cdx_gz",
     // and the V2 connector scan (streams per-file partitions; growth
-    // tracks archive bytes, parallelism tracks the file listing)
-    "src_scan_warc_v2")
+    // tracks archive bytes, parallelism tracks the file listing) plus
+    // its micro-batch stream parity (two checkpointed AvailableNow
+    // drains — the commit-protocol constant dominates at fixture
+    // scale, the scan term is the same linear walk)
+    "src_scan_warc_v2", "stream_warc_parity")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

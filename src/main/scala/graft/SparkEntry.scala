@@ -139,6 +139,7 @@ object SparkEntry {
     "src_warc_quarantine" -> (DocPipeline.warcQuarantineScan _),
     "src_scan_wet"        -> (DocPipeline.wetScan _),
     "src_scan_warc_v2"    -> (DocPipeline.warcV2Scan _),
+    "stream_warc_parity"  -> (DocPipeline.warcStreamParity _),
     "layout_warc_cdx"     -> (DocPipeline.warcCdxPruned _),
     "layout_warc_cdx_gz"  -> (DocPipeline.warcCdxGzPruned _),
     "sync_warc_revisit"   -> (DocPipeline.warcRevisitSync _),
@@ -1555,6 +1556,37 @@ object SparkEntry {
              repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) AS markdown
          FROM documents
          WHERE doc_id % 13 != 0
+         ORDER BY doc_id""",
+    // archive-stream parity: two landing waves through the
+    // checkpointed micro-batch stream must union to exactly the batch
+    // connector's response rows — a re-read or skipped file breaks
+    // the count or a checksum
+    "stream_warc_parity" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         r2 AS (
+           SELECT doc_id, 'response' AS warc_type,
+             CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+               AS http_status,
+             CASE WHEN doc_id % 13 = 0 THEN 'Not Found'
+               ELSE '<html><body><h1>Doc ' || doc_id || '</h1><p>' ||
+                    repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) ||
+                    '</p></body></html>'
+             END AS body
+           FROM d),
+         px AS (
+           SELECT doc_id, warc_type, http_status, body, t.i AS i
+           FROM r2, unnest(range(0, 200)) AS t(i)
+           WHERE t.i < length(body)),
+         v AS (
+           SELECT doc_id, warc_type, http_status,
+             CAST(length(body) AS BIGINT) AS n_body_bytes,
+             ord(substr(body, CAST(i + 1 AS INTEGER), 1))
+               * (1 + i % 97) AS term
+           FROM px)
+         SELECT doc_id, warc_type, http_status, n_body_bytes,
+           CAST(sum(term) AS BIGINT) AS body_checksum
+         FROM v
+         GROUP BY doc_id, warc_type, http_status, n_body_bytes
          ORDER BY doc_id""",
     // V2-connector replay: the response rows of src_scan_warc (the
     // warcinfo rows drop at the pushed warc_type filter)

@@ -993,6 +993,63 @@ object DocPipeline {
     } finally graft.operators.Sync.deleteTree(base.toFile)
   }
 
+  /** Archive STREAM ingestion as an oracle row — the Common Crawl
+    * delivery shape: immutable archive files LAND in a directory in
+    * waves, and a Structured Streaming query over the V2 connector's
+    * micro-batch stream ([[graft.sources.v2.WarcMicroBatchStream]])
+    * drains each wave exactly once. The fixture stages half the
+    * bucketed corpus, runs a Trigger.AvailableNow pass into a
+    * checkpointed parquet sink, stages the second wave, and RESTARTS
+    * from the checkpoint — the offset (a prefix of the name-sorted
+    * listing) must resume past wave 1 without re-reading a byte, so a
+    * duplicated or skipped file breaks the row count or a checksum.
+    * Result = the same response rows as the batch connector scan. */
+  def warcStreamParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+      .collect().sorted // fixture staging only
+    val base = java.nio.file.Files.createTempDirectory("warcstream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warcstreamckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("warcstreamout")
+    try {
+      val buckets = ids.grouped(100).toArray
+      def writeWave(range: Range): Unit = range.foreach { k =>
+        val out = new java.io.ByteArrayOutputStream()
+        buckets(k).foreach(id =>
+          out.write(graft.sources.Warc.fixtureWarcRaw(id)))
+        java.nio.file.Files.write(
+          base.resolve(f"bucket$k%05d.warc"), out.toByteArray)
+      }
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.v2.WarcSource")
+          .load(base.toString)
+          .filter(col("warc_type") === "response")
+          .withColumn("doc_id",
+            expr("CAST(substring(url, 33) AS BIGINT)"))
+          .select("doc_id", "warc_type", "http_status", "n_body_bytes",
+            "body_checksum")
+          .writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val half = (buckets.length + 1) / 2
+      writeWave(0 until half)
+      drainOnce()
+      writeWave(half until buckets.length)
+      drainOnce() // restart from the checkpoint: wave 2 only
+      s.read.parquet(outDir.toString)
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      Sync.deleteTree(base.toFile)
+      Sync.deleteTree(ckpt.toFile)
+      Sync.deleteTree(outDir.toFile)
+    }
+  }
+
   /** WET (extracted-text WARC) scan as an oracle row: the per-doc
     * fixture is a warcinfo plus one `conversion` record carrying the
     * extracted text of the HTML fixture (gzipped for odd ids), parsed

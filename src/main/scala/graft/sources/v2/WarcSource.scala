@@ -53,7 +53,8 @@ class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warcs(`$path`)"
   override def schema(): StructType = WarcSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
@@ -97,6 +98,71 @@ class WarcScan(path: String, typeFilters: Seq[String])
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory
+
+  /** STREAMING read: the Common Crawl delivery model — immutable
+    * archive files LAND in a directory over time; each file is one
+    * exactly-once work unit. The offset is a prefix length of the
+    * name-sorted file listing (archive names are monotonic in every
+    * real crawl layout — CC segments, datestamped dumps), so a
+    * micro-batch is "the files that appeared since the last offset",
+    * the checkpoint is one integer, and restart resumes without
+    * re-reading a byte. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, typeFilters)
+}
+
+class WarcMicroBatchStream(path: String, typeFilters: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def listing(): Array[String] = {
+    val hadoopPath = new Path(path)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val fs = hadoopPath.getFileSystem(conf)
+    fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath.toString)
+      .sorted
+  }
+
+  // Trigger.AvailableNow freezes the listing at query start so the
+  // run drains exactly the files present then and terminates
+  private var frozen: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozen = Some(listing().length)
+
+  private def latest(): Offset =
+    WarcStreamOffset(frozen.getOrElse(listing().length))
+  override def initialOffset(): Offset = WarcStreamOffset(0)
+  override def latestOffset(): Offset = latest()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latest()
+  override def deserializeOffset(json: String): Offset =
+    WarcStreamOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcStreamOffset].n
+    val e = end.asInstanceOf[WarcStreamOffset].n
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    listing().slice(s, e)
+      .map(f => WarcInputPartition(f, typeFilters, serConf): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory
+}
+
+/** Prefix length of the name-sorted archive listing. */
+case class WarcStreamOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 case class WarcInputPartition(file: String, typeFilters: Seq[String],

@@ -76,4 +76,42 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_._1).toSeq
     assert(viaV2 == viaColumns)
   }
+
+  test("micro-batch stream: archive waves drain exactly once across a " +
+      "checkpointed restart") {
+    val land = Files.createTempDirectory("warcland")
+    val ckpt = Files.createTempDirectory("warcckpt").toString
+    val out = Files.createTempDirectory("warcout").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.WarcSource")
+        .load(land.toString)
+        .filter(col("warc_type") === "response")
+        .select("url", "http_status", "body_checksum")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // wave 1 lands two archives
+    Files.write(land.resolve("w000.warc"),
+      Warc.fixtureWarcRaw(2) ++ Warc.fixtureWarcRaw(4))
+    Files.write(land.resolve("w001.warc"), Warc.fixtureWarcRaw(6))
+    drain()
+    val afterWave1 = spark.read.parquet(out).count()
+    assert(afterWave1 == 3, s"wave 1 rows: $afterWave1")
+    // wave 2 lands one more (name sorts after — the landing contract);
+    // the restarted query resumes from the checkpoint offset
+    Files.write(land.resolve("w002.warc"), Warc.fixtureWarcRaw(8))
+    drain()
+    val urls = spark.read.parquet(out).select("url").collect()
+      .map(_.getString(0)).sorted.toSeq
+    // exactly once: 4 responses, no wave-1 re-reads
+    assert(urls == Seq(2, 4, 6, 8)
+      .map(i => s"https://archive.example.com/doc/$i"), urls.toString)
+    // a third drain with nothing new is a no-op
+    drain()
+    assert(spark.read.parquet(out).count() == 4)
+  }
 }
