@@ -359,7 +359,8 @@ object Bench {
       "stream_outer_join_parity", "stream_full_outer_join_parity",
       "stream_session_parity", "stream_state_parity",
       "stream_curate_parity", "stream_ivf_parity",
-      "stream_substr_parity", "stream_mv_parity", "sync_run_e2e",
+      "stream_substr_parity", "stream_mv_parity", "stream_warc_parity",
+      "sync_run_e2e",
       "ingest_issues_e2e", "ingest_tickets_e2e", "ingest_articles_e2e")
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinel()
