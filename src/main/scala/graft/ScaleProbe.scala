@@ -177,7 +177,11 @@ object ScaleProbe {
     // its micro-batch stream parity (two checkpointed AvailableNow
     // drains — the commit-protocol constant dominates at fixture
     // scale, the scan term is the same linear walk)
-    "src_scan_warc_v2", "stream_warc_parity")
+    "src_scan_warc_v2", "stream_warc_parity",
+    // and the Microsoft-RLE inter-frame row (persistent canvas is
+    // per-VIDEO state inside one row's kernel — per-row, bounded
+    // 3-frame fan-out, zero shuffle)
+    "doc_avi_delta")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

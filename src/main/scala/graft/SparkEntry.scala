@@ -133,6 +133,7 @@ object SparkEntry {
     "doc_bmp_resize"      -> (DocPipeline.bmpResize _),
     "doc_avi_frames"      -> (DocPipeline.aviFrames _),
     "doc_avi_rgb"         -> (DocPipeline.aviRgbFrames _),
+    "doc_avi_delta"       -> (DocPipeline.aviDeltaFrames _),
     "doc_audio_resample"  -> (DocPipeline.audioResample _),
     "src_scan_warc"       -> (DocPipeline.warcScan _),
     "ingest_warc_e2e"     -> (DocPipeline.warcIngest _),
@@ -1852,6 +1853,36 @@ object SparkEntry {
            CAST(sum(val * (1 + j % 97)) AS BIGINT) AS checksum
          FROM px
          GROUP BY doc_id, frame_idx, w, h
+         ORDER BY doc_id, frame_idx""",
+    // inter-frame (Microsoft RLE) replay: canvas evolution as a
+    // latest-update-wins CASE over the three pixel formulas — a
+    // canvas reset between frames or a mis-walked delta jump shifts
+    // every delta frame's checksum
+    "doc_avi_delta" ->
+      """WITH d AS (
+           SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, t.f AS frame_idx
+           FROM d, unnest(range(0, 3)) AS t(f)),
+         px AS (
+           SELECT doc_id, frame_idx, t.j AS j, (t.j // 3) AS p
+           FROM f, unnest(range(0, 90)) AS t(j)
+           WHERE t.j < w * h * 3),
+         v AS (
+           SELECT doc_id, frame_idx, j,
+             CASE
+               WHEN frame_idx >= 2 AND (p + doc_id) % 5 = 0
+                 THEN (doc_id * 9 + p * 13) % 256
+               WHEN frame_idx >= 1 AND (p + doc_id) % 4 = 0
+                 THEN (doc_id * 5 + p * 11) % 256
+               ELSE (doc_id * 3 + p * 7) % 256
+             END AS val
+           FROM px)
+         SELECT doc_id, frame_idx,
+           CAST(sum(val * (1 + j % 97)) AS BIGINT) AS checksum
+         FROM v
+         GROUP BY doc_id, frame_idx
          ORDER BY doc_id, frame_idx""",
     // real BMP decode replay: lossless like PNG, so DuckDB recomputes
     // the resized-raster checksum straight from the pixel formula; a

@@ -721,6 +721,54 @@ object DocPipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL INTER-FRAME video decode as an oracle row (Microsoft RLE —
+    * the RLE8 codec's delta mode): per document a 3-frame AVI where
+    * frame 0 paints the full canvas and frames 1–2 are SPARSE deltas
+    * ([[Multimodal.rle8DeltaFrame]]: EOL/delta cursor jumps + runs
+    * touching only their residue class of pixels) — every untouched
+    * pixel must inherit the PREVIOUS frame's value through the
+    * persistent canvas in [[Multimodal.decodeAviVideoFrames]]. DuckDB
+    * replays the canvas evolution (latest-update-wins CASE over the
+    * three pixel formulas) and the per-frame raster checksums — a
+    * decoder that resets the canvas between frames (black
+    * backgrounds) or mis-walks a delta jump shifts every delta
+    * frame's checksum. Per-row kernel, bounded 3-frame fan-out, no
+    * shuffle. */
+  def aviDeltaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long]
+      .flatMap { id =>
+        val w = (4 + id % 3).toInt
+        val h = (3 + id % 2).toInt
+        val n = w * h
+        val f0 = Multimodal.rle8FromIndices(w, h,
+          Array.tabulate(n)(p => ((id * 3 + p * 7) % 256).toByte))
+        val f1 = Multimodal.rle8DeltaFrame(w, h,
+          (0 until n).filter(p => (p + id) % 4 == 0)
+            .map(p => p -> ((id * 5 + p * 11) % 256).toInt))
+        val f2 = Multimodal.rle8DeltaFrame(w, h,
+          (0 until n).filter(p => (p + id) % 5 == 0)
+            .map(p => p -> ((id * 9 + p * 13) % 256).toInt))
+        val palette = Array.tabulate(256 * 4)(i =>
+          if (i % 4 == 3) 0.toByte else (i / 4).toByte)
+        val avi = Multimodal.aviEncodeDib(w, h, 40000, Seq(f0, f1, f2),
+          8, 1, palette)
+        val imgs = Multimodal.decodeAviVideoFrames(avi).getOrElse(
+          throw new IllegalStateException(s"undecodable delta avi id=$id"))
+        imgs.iterator.zipWithIndex.map { case (img, f) =>
+          var sum = 0L
+          var j = 0
+          while (j < img.pixels.length) {
+            sum += (img.pixels(j) & 0xff).toLong * (1 + j % 97)
+            j += 1
+          }
+          (id, f.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL-BMP decode+resize as an oracle row: a 24-bit bottom-up
     * BI_RGB BMP is synthesized per document (pixel (x,y,c) =
     * (doc_id·17 + x·11 + y·5 + c·71) mod 256; width varied by id so

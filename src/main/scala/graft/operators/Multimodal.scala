@@ -2044,40 +2044,7 @@ object Multimodal {
       } else if (compression == 1 && bitCount == 8) { // BI_RLE8
         val idxRaster = new Array[Int](w * h)
         java.util.Arrays.fill(idxRaster, -1)
-        var x = 0
-        var y = 0 // bottom-up row cursor
-        var i = 0
-        var eob = false
-        def put(v: Int): Boolean = {
-          if (y >= h || x >= w) return false
-          idxRaster((h - 1 - y) * w + x) = v // flip to top-down
-          x += 1
-          true
-        }
-        while (!eob && i + 1 < data.length) {
-          val n = data(i) & 0xff
-          val v = data(i + 1) & 0xff
-          i += 2
-          if (n > 0) { // run
-            var k = 0
-            while (k < n) { if (!put(v)) return None; k += 1 }
-          } else v match {
-            case 0 => x = 0; y += 1 // end of line
-            case 1 => eob = true // end of bitmap
-            case 2 => // delta
-              if (i + 1 >= data.length) return None
-              x += data(i) & 0xff; y += data(i + 1) & 0xff
-              i += 2
-            case m => // absolute mode, word-aligned
-              var k = 0
-              while (k < m) {
-                if (i >= data.length || !put(data(i) & 0xff)) return None
-                i += 1; k += 1
-              }
-              if ((m & 1) == 1) i += 1
-          }
-        }
-        if (!eob) return None
+        if (!decodeRle8Into(idxRaster, w, h, data)) return None
         val out = new Array[Byte](w * h * 3)
         var j = 0
         while (j < idxRaster.length) {
@@ -2089,14 +2056,87 @@ object Multimodal {
       } else None
     } catch { case _: Exception => None }
 
+  /** One RLE8 frame decoded ONTO an existing index canvas (top-down
+    * row-major, -1 = never painted). Pixels the frame's runs and
+    * escapes never touch KEEP their canvas value — which is exactly
+    * what makes RLE8 an INTER-FRAME codec (Microsoft RLE): a delta
+    * frame encodes only the changed pixels via delta-jumps + runs and
+    * inherits the rest from the previous frame. False on malformed
+    * framing (cursor overrun, missing end-of-bitmap). */
+  private def decodeRle8Into(canvas: Array[Int], w: Int, h: Int,
+      data: Array[Byte]): Boolean = {
+    var x = 0
+    var y = 0 // bottom-up row cursor
+    var i = 0
+    var eob = false
+    def put(v: Int): Boolean = {
+      if (y >= h || x >= w) return false
+      canvas((h - 1 - y) * w + x) = v // flip to top-down
+      x += 1
+      true
+    }
+    while (!eob && i + 1 < data.length) {
+      val n = data(i) & 0xff
+      val v = data(i + 1) & 0xff
+      i += 2
+      if (n > 0) { // run
+        var k = 0
+        while (k < n) { if (!put(v)) return false; k += 1 }
+      } else v match {
+        case 0 => x = 0; y += 1 // end of line
+        case 1 => eob = true // end of bitmap
+        case 2 => // delta: cursor jump, underlying pixels untouched
+          if (i + 1 >= data.length) return false
+          x += data(i) & 0xff; y += data(i + 1) & 0xff
+          i += 2
+        case m => // absolute mode, word-aligned
+          var k = 0
+          while (k < m) {
+            if (i >= data.length || !put(data(i) & 0xff)) return false
+            i += 1; k += 1
+          }
+          if ((m & 1) == 1) i += 1
+      }
+    }
+    eob
+  }
+
   /** REAL video frame PIXEL decode across the AVI codecs a
     * dependency-free engine can own: MJPEG ('MJPG' chunks are whole
-    * JPEGs → the full JPEG path) and DIB streams (BI_RGB 24/8-bit,
-    * BI_RLE8 → [[decodeDibPixels]] through the strf geometry and
-    * palette). All-or-nothing — a frame that fails to decode declines
-    * the whole payload (right or absent). */
+    * JPEGs → the full JPEG path), BI_RGB 24/8-bit DIB frames, and
+    * BI_RLE8 — decoded as the INTER-FRAME codec it is (Microsoft
+    * RLE): one index canvas persists across the stream, each frame's
+    * runs paint onto it, and delta frames that encode only changed
+    * pixels inherit everything else from the previous frame. Frames
+    * must therefore decode in stream order. All-or-nothing — a frame
+    * that fails to decode declines the whole payload (right or
+    * absent). */
   def decodeAviVideoFrames(b: Array[Byte]): Option[Seq[PngImage]] =
     demuxAvi(b).flatMap { v =>
+      // persistent canvas for the RLE8 inter-frame path
+      val canvas =
+        if (v.compression == 1 && v.bitCount == 8 && v.w > 0 && v.h > 0 &&
+          v.w.toLong * v.h <= (1 << 26)) {
+          val c = new Array[Int](v.w * v.h)
+          java.util.Arrays.fill(c, -1)
+          c
+        } else null
+      def canvasSnapshot(): Option[PngImage] = {
+        val out = new Array[Byte](v.w * v.h * 3)
+        var j = 0
+        while (j < canvas.length) {
+          val idx = canvas(j)
+          if (idx >= 0) {
+            val p = idx * 4
+            if (p + 3 > v.palette.length) return None
+            out(j * 3) = v.palette(p + 2)
+            out(j * 3 + 1) = v.palette(p + 1)
+            out(j * 3 + 2) = v.palette(p)
+          }
+          j += 1
+        }
+        Some(PngImage(v.w, v.h, 3, out))
+      }
       val imgs = v.frames.map { f =>
         if (f.offset + f.size > b.length || f.size <= 0) None
         else {
@@ -2106,7 +2146,10 @@ object Multimodal {
           // only for header-less containers (a DIB frame's first two
           // bytes can collide with the JPEG SOI by chance)
           if (v.handler == "MJPG") decodeJpegPixels(chunk)
-          else if (v.compression == 0 || v.compression == 1)
+          else if (canvas != null) {
+            if (decodeRle8Into(canvas, v.w, v.h, chunk)) canvasSnapshot()
+            else None
+          } else if (v.compression == 0)
             decodeDibPixels(v.w, v.h, v.bitCount, v.compression,
               v.palette, chunk)
           else if (chunk.length >= 2 && (chunk(0) & 0xff) == 0xff &&
@@ -2217,6 +2260,33 @@ object Multimodal {
       }
       out.write(0); out.write(0) // end of line
       row -= 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
+  }
+
+  /** Sparse RLE8 DELTA frame (fixture-builder twin of the Microsoft
+    * RLE inter-frame form): encodes ONLY `updates` — (top-down pixel
+    * index → palette index) — via EOL/delta cursor jumps plus
+    * single-pixel runs, so every untouched pixel inherits the
+    * previous frame's canvas. */
+  def rle8DeltaFrame(w: Int, h: Int,
+      updates: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // bottom-up row order, ascending column — the only direction the
+    // cursor escapes can move
+    val ordered = updates.map { case (p, v) =>
+      (h - 1 - p / w, p % w, v)
+    }.sortBy(t => (t._1, t._2))
+    var cy = 0
+    var cx = 0
+    ordered.foreach { case (y, c, v) =>
+      while (cy < y) { out.write(0); out.write(0); cy += 1; cx = 0 } // EOL
+      if (c > cx) { // delta: jump right, pixels underneath untouched
+        out.write(0); out.write(2); out.write(c - cx); out.write(0)
+      }
+      out.write(1); out.write(v) // single-pixel run
+      cx = c + 1
     }
     out.write(0); out.write(1) // end of bitmap
     out.toByteArray

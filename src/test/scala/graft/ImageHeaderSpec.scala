@@ -821,6 +821,38 @@ class ImageHeaderSpec extends AnyFunSuite {
       Array[Byte](99, 9, 0, 1)).isEmpty)
   }
 
+  test("Microsoft RLE inter-frame: delta frames inherit the previous " +
+      "canvas; standalone decode of the same delta is black-backed") {
+    val (w, h) = (4, 3)
+    val pal = Array.tabulate(256 * 4)(i =>
+      if (i % 4 == 3) 0.toByte else (i / 4).toByte)
+    val full = Multimodal.rle8FromIndices(w, h,
+      Array.tabulate(w * h)(p => ((p * 3 + 10) % 256).toByte))
+    // delta touches exactly two pixels: top-left-ish p=1 and p=9
+    val delta = Multimodal.rle8DeltaFrame(w, h, Seq(1 -> 200, 9 -> 201))
+    val avi = Multimodal.aviEncodeDib(w, h, 40000, Seq(full, delta),
+      8, 1, pal)
+    val imgs = Multimodal.decodeAviVideoFrames(avi)
+      .getOrElse(fail("delta avi decode"))
+    assert(imgs.length == 2)
+    for (p <- 0 until w * h) {
+      val expect0 = (p * 3 + 10) % 256
+      assert((imgs(0).pixels(p * 3) & 0xff) == expect0, s"f0 px $p")
+      val expect1 =
+        if (p == 1) 200 else if (p == 9) 201 else expect0 // INHERITED
+      assert((imgs(1).pixels(p * 3) & 0xff) == expect1, s"f1 px $p")
+    }
+    // the SAME delta frame decoded standalone has no canvas to
+    // inherit: untouched pixels are black — the two semantics differ,
+    // which is what makes the inter-frame path a real decoder and not
+    // a re-label
+    val alone = Multimodal.decodeDibPixels(w, h, 8, 1, pal, delta).get
+    assert((alone.pixels(1 * 3) & 0xff) == 200 &&
+      (alone.pixels(9 * 3) & 0xff) == 201)
+    assert((alone.pixels(0) & 0xff) == 0 &&
+      (alone.pixels(5 * 3) & 0xff) == 0)
+  }
+
   test("MP4 sample-table demux: offsets, sizes and stts timing from " +
       "the fixture layout") {
     val sizes = Seq(10L, 25L, 40L, 15L)

@@ -43,7 +43,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orderBy's range partitioning
     Seq("doc_png_resize", "doc_gif_resize", "doc_bmp_resize",
       "doc_jpeg_resize", "doc_jpeg_color", "doc_jpeg_prog",
-      "doc_mp4_demux", "doc_avi_frames", "doc_avi_rgb",
+      "doc_mp4_demux", "doc_avi_frames", "doc_avi_rgb", "doc_avi_delta",
       "doc_audio_resample", "src_scan_warc", "ingest_warc_e2e",
       "src_warc_quarantine", "src_scan_wet")
       .foreach { q =>
