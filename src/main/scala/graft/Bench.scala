@@ -360,7 +360,7 @@ object Bench {
       "stream_session_parity", "stream_state_parity",
       "stream_curate_parity", "stream_ivf_parity",
       "stream_substr_parity", "stream_mv_parity", "stream_warc_parity",
-      "sync_run_e2e",
+      "stream_warc_ingest", "sync_run_e2e",
       "ingest_issues_e2e", "ingest_tickets_e2e", "ingest_articles_e2e")
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     sentinels += sentinel()

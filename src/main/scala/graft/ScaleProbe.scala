@@ -181,7 +181,11 @@ object ScaleProbe {
     // and the Microsoft-RLE inter-frame row (persistent canvas is
     // per-VIDEO state inside one row's kernel — per-row, bounded
     // 3-frame fan-out, zero shuffle)
-    "doc_avi_delta")
+    "doc_avi_delta",
+    // and the streaming archive→markdown composition (same commit
+    // protocol constant as stream_warc_parity + the linear page
+    // extraction term)
+    "stream_warc_ingest")
 
   private def domainOffsets(s: SparkSession, base: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =

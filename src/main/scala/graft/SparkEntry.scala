@@ -141,6 +141,7 @@ object SparkEntry {
     "src_scan_wet"        -> (DocPipeline.wetScan _),
     "src_scan_warc_v2"    -> (DocPipeline.warcV2Scan _),
     "stream_warc_parity"  -> (DocPipeline.warcStreamParity _),
+    "stream_warc_ingest"  -> (DocPipeline.warcStreamIngest _),
     "layout_warc_cdx"     -> (DocPipeline.warcCdxPruned _),
     "layout_warc_cdx_gz"  -> (DocPipeline.warcCdxGzPruned _),
     "sync_warc_revisit"   -> (DocPipeline.warcRevisitSync _),
@@ -1551,6 +1552,18 @@ object SparkEntry {
     // 200/text-html filter; the survivors' markdown is the real
     // converter's output, rebuilt verbatim by DuckDB
     "ingest_warc_e2e" ->
+      """SELECT doc_id,
+           'https://archive.example.com/doc/' || doc_id AS url,
+           '# Doc ' || doc_id || chr(10) || chr(10) ||
+             repeat('ab', CAST(5 + doc_id % 7 AS INTEGER)) AS markdown
+         FROM documents
+         WHERE doc_id % 13 != 0
+         ORDER BY doc_id""",
+    // archive-stream INGEST parity: the streaming markdown derivation
+    // over two landing waves equals the batch ingest_warc_e2e rows —
+    // the 404s drop at the status filter, the markdown is the real
+    // converter's output rebuilt verbatim
+    "stream_warc_ingest" ->
       """SELECT doc_id,
            'https://archive.example.com/doc/' || doc_id AS url,
            '# Doc ' || doc_id || chr(10) || chr(10) ||

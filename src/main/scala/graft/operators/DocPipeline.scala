@@ -1098,6 +1098,69 @@ object DocPipeline {
     }
   }
 
+  /** Archive stream → MARKDOWN ingest as an oracle row — the full
+    * composition: archive files land in waves, the V2 micro-batch
+    * stream surfaces their (charset-decoded) HTML payloads through
+    * the pruned `body` column, and the REAL page-extraction path
+    * ([[graft.functions.HtmlToMarkdown.processPage]]) runs INSIDE the
+    * streaming query — proving a landing Common Crawl directory feeds
+    * the same markdown pipeline as live crawls, incrementally and
+    * exactly once (the second wave resumes from the checkpoint).
+    * Result must equal the batch `ingest_warc_e2e` derivation
+    * row-for-row; DuckDB rebuilds the markdown verbatim. */
+  def warcStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+      .collect().sorted // fixture staging only
+    val base = java.nio.file.Files.createTempDirectory("warcsi")
+    val ckpt = java.nio.file.Files.createTempDirectory("warcsickpt")
+    val outDir = java.nio.file.Files.createTempDirectory("warcsiout")
+    try {
+      val buckets = ids.grouped(100).toArray
+      def writeWave(range: Range): Unit = range.foreach { k =>
+        val out = new java.io.ByteArrayOutputStream()
+        buckets(k).foreach(id =>
+          out.write(graft.sources.Warc.fixtureWarcRaw(id)))
+        java.nio.file.Files.write(
+          base.resolve(f"bucket$k%05d.warc"), out.toByteArray)
+      }
+      val prefix = "https://archive.example.com/doc/"
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.v2.WarcSource")
+          .load(base.toString)
+          .filter(col("warc_type") === "response" &&
+            col("http_status") === 200 &&
+            col("content_type").startsWith("text/html"))
+          .select("url", "content_type", "body")
+          .as[(String, String, Array[Byte])]
+          .map { case (url, ct, body) =>
+            val html = graft.sources.Warc.decodeHtml(ct, body)
+            val (md, _) = graft.functions.HtmlToMarkdown.processPage(html)
+            (url.substring(prefix.length).toLong, url, md)
+          }
+          .toDF("doc_id", "url", "markdown")
+          .writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val half = (buckets.length + 1) / 2
+      writeWave(0 until half)
+      drainOnce()
+      writeWave(half until buckets.length)
+      drainOnce()
+      s.read.parquet(outDir.toString)
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      Sync.deleteTree(base.toFile)
+      Sync.deleteTree(ckpt.toFile)
+      Sync.deleteTree(outDir.toFile)
+    }
+  }
+
   /** WET (extracted-text WARC) scan as an oracle row: the per-doc
     * fixture is a warcinfo plus one `conversion` record carrying the
     * extracted text of the HTML fixture (gzipped for odd ids), parsed

@@ -20,17 +20,19 @@ import graft.functions.TextUtil
   * progressive/SOF2 (canonical Huffman, DC prediction, spectral
   * selection + successive approximation, zigzag dequant, IDCT,
   * fixed-point color conversion) — then integer nearest-neighbor
-  * resampled. VIDEO frame pixels decode for real for every
-  * inter-frame-free codec family: MJPEG (AVI RIFF demux with the
-  * video stream index resolved from strh order + the JPEG path per
-  * frame) and DIB streams (BI_RGB 24/8-bit and BI_RLE8 raw frames
-  * through [[decodeDibPixels]]); only inter-frame codecs (H.264
-  * etc.) remain a codec-bound stub, with the Spark-side plumbing —
-  * binary schema, partition-local batching (the JVM analog of a
-  * Pandas-UDF batch), deterministic feature extraction, metadata
-  * projection — identical on both paths. Swapping that stub for a
-  * real codec (javacv behind mapInPandas on PySpark) changes no plan
-  * shape.
+  * resampled. VIDEO frame pixels decode for real across three codec
+  * families: MJPEG (AVI RIFF demux with the video stream index
+  * resolved from strh order + the JPEG path per frame), DIB streams
+  * (BI_RGB 24/8-bit through [[decodeDibPixels]]), and Microsoft RLE
+  * — a real INTER-FRAME codec: delta frames paint onto a canvas
+  * persisted across the stream and inherit every untouched pixel
+  * from the previous frame. Only motion-compensated codecs (H.264
+  * etc., patent/complexity-bound) remain a codec-bound stub, with
+  * the Spark-side plumbing — binary schema, partition-local batching
+  * (the JVM analog of a Pandas-UDF batch), deterministic feature
+  * extraction, metadata projection — identical on both paths.
+  * Swapping that stub for a real codec (javacv behind mapInPandas on
+  * PySpark) changes no plan shape.
   */
 object Multimodal {
 

@@ -46,7 +46,8 @@ object WarcSource {
     StructField("http_status", IntegerType, nullable = false),
     StructField("content_type", StringType, nullable = false),
     StructField("n_body_bytes", LongType, nullable = false),
-    StructField("body_checksum", LongType, nullable = false)))
+    StructField("body_checksum", LongType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
 }
 
 class WarcTable(path: String) extends Table with SupportsRead {
@@ -61,8 +62,10 @@ class WarcTable(path: String) extends Table with SupportsRead {
 }
 
 class WarcScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var typeFilters: Seq[String] = Seq.empty
+  private var required: StructType = WarcSource.schema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (pushed, rest) = filters.partition {
       case EqualTo("warc_type", _: String) => true
@@ -75,15 +78,21 @@ class WarcScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] =
     typeFilters.map(v => EqualTo("warc_type", v)).toArray
-  override def build(): Scan = new WarcScan(path, typeFilters)
+  // column pruning: a query that never reads `body` (or the checksum)
+  // must not pay for materializing it — the reader builds exactly the
+  // pruned row
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(path, typeFilters, required)
 }
 
-class WarcScan(path: String, typeFilters: Seq[String])
-    extends Scan with Batch {
-  override def readSchema(): StructType = WarcSource.schema
+class WarcScan(path: String, typeFilters: Seq[String],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WarcScan(path=$path, pushedTypes=${typeFilters.mkString(",")})"
+    s"WarcScan(path=$path, pushedTypes=${typeFilters.mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hadoopPath = new Path(path)
@@ -93,8 +102,8 @@ class WarcScan(path: String, typeFilters: Seq[String])
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath)
       .sortBy(_.toString)
-      .map(p =>
-        WarcInputPartition(p.toString, typeFilters, serConf): InputPartition)
+      .map(p => WarcInputPartition(p.toString, typeFilters,
+        required.fieldNames, serConf): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory
@@ -110,10 +119,11 @@ class WarcScan(path: String, typeFilters: Seq[String])
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, typeFilters)
+    new WarcMicroBatchStream(path, typeFilters, required)
 }
 
-class WarcMicroBatchStream(path: String, typeFilters: Seq[String])
+class WarcMicroBatchStream(path: String, typeFilters: Seq[String],
+    required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -153,7 +163,8 @@ class WarcMicroBatchStream(path: String, typeFilters: Seq[String])
       .sessionState.newHadoopConf()
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     listing().slice(s, e)
-      .map(f => WarcInputPartition(f, typeFilters, serConf): InputPartition)
+      .map(f => WarcInputPartition(f, typeFilters,
+        required.fieldNames, serConf): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory
@@ -166,6 +177,7 @@ case class WarcStreamOffset(n: Int)
 }
 
 case class WarcInputPartition(file: String, typeFilters: Seq[String],
+    columns: Array[String],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends InputPartition
 
@@ -173,36 +185,48 @@ class WarcReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcInputPartition]
-    new WarcPartitionReader(p.file, p.typeFilters, p.conf)
+    new WarcPartitionReader(p.file, p.typeFilters, p.columns, p.conf)
   }
 }
 
 class WarcPartitionReader(file: String, typeFilters: Seq[String],
+    columns: Array[String],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   // the filesystem stream feeds the record walk DIRECTLY — the archive
   // is never materialized (contrast the binaryFile format's content
   // column); the pushed warc_type conjunction drops records before row
-  // construction
+  // construction, and only the PRUNED columns are built (the checksum
+  // loop only runs when a query actually reads it)
   private val in = {
     val p = new Path(file)
     p.getFileSystem(conf.value).open(p)
   }
   private val fileUtf8 = UTF8String.fromString(file)
+  private def field(name: String, r: Warc.WarcRecord): Any = name match {
+    case "path" => fileUtf8
+    case "record_idx" => r.idx
+    case "warc_type" => UTF8String.fromString(r.warcType)
+    case "url" => UTF8String.fromString(r.targetUri)
+    case "http_status" => r.httpStatus
+    case "content_type" => UTF8String.fromString(r.httpContentType)
+    case "n_body_bytes" => r.body.length.toLong
+    case "body_checksum" =>
+      var sum = 0L
+      var i = 0
+      while (i < r.body.length) {
+        sum += (r.body(i) & 0xff).toLong * (1 + i % 97)
+        i += 1
+      }
+      sum
+    case "body" => r.body
+    case other =>
+      throw new IllegalArgumentException(s"unknown WARC column $other")
+  }
   private val rows: Iterator[InternalRow] =
     Warc.parseWarcEvents(in).collect {
       case Right(r) if typeFilters.forall(_ == r.warcType) =>
-        var sum = 0L
-        var i = 0
-        while (i < r.body.length) {
-          sum += (r.body(i) & 0xff).toLong * (1 + i % 97)
-          i += 1
-        }
-        InternalRow(fileUtf8, r.idx,
-          UTF8String.fromString(r.warcType),
-          UTF8String.fromString(r.targetUri), r.httpStatus,
-          UTF8String.fromString(r.httpContentType),
-          r.body.length.toLong, sum)
+        InternalRow.fromSeq(columns.toIndexedSeq.map(c => field(c, r)))
     }
   private var current: InternalRow = _
   override def next(): Boolean =

@@ -41,7 +41,7 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val df = read()
     assert(df.schema.fieldNames.toSeq == Seq("path", "record_idx",
       "warc_type", "url", "http_status", "content_type",
-      "n_body_bytes", "body_checksum"))
+      "n_body_bytes", "body_checksum", "body"))
     // 4 docs x (warcinfo + response)
     assert(df.count() == 8)
     val urls = df.filter(col("warc_type") === "response")
@@ -52,6 +52,20 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("one input partition per archive file") {
     assert(read().rdd.getNumPartitions == 3)
+  }
+
+  test("column pruning reaches the reader: a body-free projection " +
+      "scans without the body or checksum columns") {
+    val slim = read().select("url", "http_status")
+    val plan = slim.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=url,http_status"), plan.take(1500))
+    assert(!plan.contains("body"), plan.take(1500))
+    assert(slim.count() == 8)
+    // and the body column carries the real payload when asked for
+    val body = read().filter(col("warc_type") === "response")
+      .filter(col("url").endsWith("/2"))
+      .select("body").head().getAs[Array[Byte]](0)
+    assert(new String(body, "ISO-8859-1").contains("<h1>Doc 2</h1>"))
   }
 
   test("warc_type equality pushes into the record walk") {
