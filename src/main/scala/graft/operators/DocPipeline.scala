@@ -943,19 +943,69 @@ object DocPipeline {
     * paragraph) directly. Per-row flatMap + map, no shuffle. */
   def warcIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
-      .map(id => ("warc://" + id, graft.sources.Warc.fixtureWarc(id)))
-      .toDF("path", "content")
+    // r20 (r19 verdict task 3): the batch composition consumes `body`
+    // from the V2 connector — which STREAMS each archive off the
+    // filesystem with column pruning and the warc_type pushdown —
+    // instead of warcHtmlBodies' whole-archive content column. The
+    // scale probe showed the connector composition 2.2× faster at 10x
+    // (extraction parallelizes across the file listing), and it
+    // removes a content-fed entry point. Output rows are IDENTICAL:
+    // same records, same 200/text-html filter, same charset-aware
+    // decode, same page extraction.
+    val base = stagedWarcBuckets(s, dir)
     val prefix = "https://archive.example.com/doc/"
-    graft.sources.Warc.warcHtmlBodies(s, warcs)
-      .as[(String, String)]
-      .map { case (url, html) =>
+    s.read.format("graft.sources.v2.WarcSource").load(base.toString)
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("content_type").startsWith("text/html"))
+      .select("url", "content_type", "body")
+      .as[(String, String, Array[Byte])]
+      .map { case (url, ct, body) =>
+        val html = graft.sources.Warc.decodeHtml(ct, body)
         val (md, _) = graft.functions.HtmlToMarkdown.processPage(html)
         (url.substring(prefix.length).toLong, url, md)
       }
       .toDF("doc_id", "url", "markdown")
       .orderBy("doc_id")
   }
+
+  /** Fixture staging shared by the batch V2-connector rows: the corpus
+    * as bucketed multi-record archives (100 docs per file — the
+    * per-FILE work-unit shape of a real archive set), built once per
+    * (corpus, session) under the bench's StageCache and per-run
+    * otherwise. Uncached dirs are cleaned at JVM exit (not eagerly):
+    * the returned query plans READ the staged files lazily, and
+    * deferring the delete keeps the composition un-checkpointed — so
+    * its physical plan (WarcScan, pushdown, pruning) stays auditable
+    * by Explain/PlanAuditSpec. */
+  private def stagedWarcBuckets(s: SparkSession,
+      dir: String): java.nio.file.Path =
+    stagedArchiveDir(s, dir, "warcv2",
+      graft.sources.Warc.fixtureWarcRaw, ".warc")
+
+  private def stagedArchiveDir(s: SparkSession, dir: String, tag: String,
+      fixture: Long => Array[Byte], ext: String): java.nio.file.Path = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+      .collect().sorted // fixture staging only; |docs| ids on the driver
+    val (base, cached) = graft.streaming.StageCache.resolve(
+      s"${tag}_${graft.streaming.StageCache.dirKey(dir)}") { base =>
+      ids.grouped(100).zipWithIndex.foreach { case (bucket, k) =>
+        val out = new java.io.ByteArrayOutputStream()
+        bucket.foreach(id => out.write(fixture(id)))
+        java.nio.file.Files.write(
+          base.resolve(f"bucket$k%05d$ext"), out.toByteArray)
+      }
+    }
+    if (!cached) deleteAtExit(base)
+    base
+  }
+
+  /** JVM-exit cleanup for uncached fixture staging (the StageCache'd
+    * bench path is cleaned by the bench's own cache-root hook). */
+  private def deleteAtExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.operators.Sync.deleteTree(p.toFile)))
 
   /** WARC quarantine surface as an oracle row: every 17th doc's
     * archive is TRUNCATED mid-header (odd ids additionally gzip the
@@ -1019,26 +1069,13 @@ object DocPipeline {
     * fixture construction (driver writes |docs|/100 small files);
     * the measured path is the connector scan. */
   def warcV2Scan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ids = Tables.documents(s, dir).select("doc_id").as[Long]
-      .collect().sorted // fixture staging only; |docs| ids on the driver
-    val base = java.nio.file.Files.createTempDirectory("warcv2")
-    try {
-      ids.grouped(100).zipWithIndex.foreach { case (bucket, k) =>
-        val out = new java.io.ByteArrayOutputStream()
-        bucket.foreach(id =>
-          out.write(graft.sources.Warc.fixtureWarcRaw(id)))
-        java.nio.file.Files.write(
-          base.resolve(f"bucket$k%05d.warc"), out.toByteArray)
-      }
-      s.read.format("graft.sources.v2.WarcSource").load(base.toString)
-        .filter(col("warc_type") === "response")
-        .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
-        .select("doc_id", "warc_type", "http_status", "n_body_bytes",
-          "body_checksum")
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally graft.operators.Sync.deleteTree(base.toFile)
+    val base = stagedWarcBuckets(s, dir)
+    s.read.format("graft.sources.v2.WarcSource").load(base.toString)
+      .filter(col("warc_type") === "response")
+      .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
+      .select("doc_id", "warc_type", "http_status", "n_body_bytes",
+        "body_checksum")
+      .orderBy("doc_id")
   }
 
   /** Archive STREAM ingestion as an oracle row — the Common Crawl
@@ -1169,10 +1206,23 @@ object DocPipeline {
     * entirely. DuckDB rebuilds the text verbatim. */
   def wetScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wets = Tables.documents(s, dir).select("doc_id").as[Long]
-      .map(id => ("wet://" + id, graft.sources.Warc.fixtureWet(id)))
-      .toDF("path", "content")
-    graft.sources.Warc.warcWetText(s, wets)
+    // r20 (r19 verdict task 3): WET through the V2 connector too —
+    // conversion records' text consumed from the pruned `body` column
+    // off bucketed multi-doc WET files, no content column. Same rows:
+    // the WET convention is UTF-8 text, decoded exactly as
+    // warcWetText does.
+    val base = stagedArchiveDir(s, dir, "wetv2",
+      graft.sources.Warc.fixtureWetRaw, ".warc.wet")
+    s.read.format("graft.sources.v2.WarcSource").load(base.toString)
+      .filter(col("warc_type") === "conversion")
+      .select("url", "body")
+      .as[(String, Array[Byte])]
+      .map { case (url, body) =>
+        val text = new String(body,
+          java.nio.charset.StandardCharsets.UTF_8)
+        (url, text, text.length.toLong)
+      }
+      .toDF("url", "text", "n_chars")
       .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
       .select("doc_id", "n_chars", "text")
       .orderBy("doc_id")
@@ -1191,16 +1241,25 @@ object DocPipeline {
     * pass. */
   def warcCdxGzPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val warcs = Tables.documents(s, dir).select("doc_id").as[Long]
-      .map(id =>
-        ("warc://" + id, graft.sources.Warc.fixtureWarcMemberGz(id)))
-      .toDF("path", "content")
-    val cdx = graft.sources.Warc.warcCdxIndexCompressed(s, warcs)
+    // r20: the whole path is FILE-NATIVE now — fixtures staged as
+    // bucketed member-per-record `.warc.gz` files (100 docs per file,
+    // the CC per-file work-unit shape), the CDX built by the STREAMING
+    // member walk off the filesystem, and each matched record fetched
+    // as a true `FileSystem.open` + `seek(offset)` + single-member
+    // gunzip ([[graft.sources.Warc.warcFetchSlicesFromFiles]]) — no
+    // content column anywhere, so the 2 GiB binaryFile cap is gone
+    // from record-pruned access (the r19 verdict's last capped path).
+    // Output values are IDENTICAL to the column-path derivation: same
+    // records, same selection, doc_id from the record url.
+    val base = stagedArchiveDir(s, dir, "warccdxgz",
+      graft.sources.Warc.fixtureWarcMemberGz, ".warc.gz")
+    val cdx = graft.sources.Warc
+      .warcCdxIndexCompressedFromFiles(s, base.toString)
       .filter(col("warc_type") === "response" &&
         col("url").like("https://archive.example.com/doc/1%"))
     graft.sources.Warc
-      .warcFetchSlices(s, warcs, cdx, compressedCoords = true)
-      .withColumn("doc_id", expr("CAST(substring(path, 8) AS BIGINT)"))
+      .warcFetchSlicesFromFiles(s, cdx, compressedCoords = true)
+      .withColumn("doc_id", expr("CAST(substring(url, 33) AS BIGINT)"))
       .select("doc_id", "http_status", "n_body_bytes", "body_checksum")
       .orderBy("doc_id")
   }

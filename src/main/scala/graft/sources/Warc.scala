@@ -339,8 +339,11 @@ object Warc {
     * ISO-8859-1 as the terminal fallback (legacy-encoded pages —
     * ISO-8859-1, Shift_JIS, GBK — are common in web archives; decoding
     * them as UTF-8 produced mojibake/replacement characters). */
-  private[sources] def htmlCharset(contentType: String,
-      body: Array[Byte]): java.nio.charset.Charset = {
+  /** Charset DECLARED by the payload (Content-Type parameter or a
+    * bounded `<meta charset>` sniff of the first KB) — the two
+    * resolution layers that need no trial decode. */
+  private def declaredCharset(contentType: String,
+      body: Array[Byte]): Option[java.nio.charset.Charset] = {
     def lookup(name: String): Option[java.nio.charset.Charset] =
       scala.util.Try(java.nio.charset.Charset.forName(
         name.trim.stripPrefix("\"").stripSuffix("\"")
@@ -354,7 +357,12 @@ object Warc {
       ("<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_.:-]+)".r
         .findFirstMatchIn(probe).map(_.group(1)))
         .flatMap(lookup)
-    }.getOrElse {
+    }
+  }
+
+  private[sources] def htmlCharset(contentType: String,
+      body: Array[Byte]): java.nio.charset.Charset =
+    declaredCharset(contentType, body).getOrElse {
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
@@ -362,11 +370,24 @@ object Warc {
         .isSuccess) java.nio.charset.StandardCharsets.UTF_8
       else java.nio.charset.StandardCharsets.ISO_8859_1
     }
-  }
 
-  /** Decode an HTML payload with [[htmlCharset]] resolution. */
+  /** Decode an HTML payload with the [[htmlCharset]] resolution order,
+    * decoding ONCE: the undeclared-charset path's strict-UTF-8 probe
+    * IS the decode when it succeeds (the old shape strict-decoded the
+    * whole body in the probe and then decoded it a second time — two
+    * full passes per HTML record on the hot ingest path). */
   def decodeHtml(contentType: String, body: Array[Byte]): String =
-    new String(body, htmlCharset(contentType, body))
+    declaredCharset(contentType, body) match {
+      case Some(cs) => new String(body, cs)
+      case None =>
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+        catch { case _: java.nio.charset.CharacterCodingException =>
+          new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+    }
 
   /** WARC corpus → one row per record: a streaming per-row flatMap
     * (zero shuffle, max residency one record); gzip is transparent.
@@ -431,7 +452,14 @@ object Warc {
     s.sparkContext.binaryFiles(pathGlob)
       .flatMap { case (path, pds) =>
         val in = pds.open()
-        val it = parseWarcEvents(in).collect { case Right(r) =>
+        // close on task END, not on iterator exhaustion: a downstream
+        // limit/take or task failure that stops iterating early would
+        // otherwise leak the filesystem handle for the executor's
+        // lifetime (r19 ADVICE)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            scala.util.Try(in.close())))
+        parseWarcEvents(in).collect { case Right(r) =>
           var sum = 0L
           var i = 0
           while (i < r.body.length) {
@@ -440,16 +468,6 @@ object Warc {
           }
           (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
             r.httpContentType, r.body.length.toLong, sum)
-        }
-        // close the task's file handle when the walk exhausts
-        new scala.collection.AbstractIterator[
-            (String, Int, String, String, Int, String, Long, Long)] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) scala.util.Try(in.close())
-            h
-          }
-          override def next() = it.next()
         }
       }
       .toDF("path", "record_idx", "warc_type", "url", "http_status",
@@ -594,6 +612,115 @@ object Warc {
     out.result()
   }
 
+  /** STREAMING walk of a concatenated member-per-record `.gz`: per
+    * member, (offset, compressedLength, decompressed bytes) — the
+    * incremental twin of [[gzipMembers]] for archives too large to
+    * buffer. Max residency is ONE member (= one record in the CC
+    * layout, the same bound the record parser keeps). Header fields
+    * per RFC 1952; the deflate stream is measured with
+    * `Inflater(nowrap).getBytesRead`; unconsumed lookahead is pushed
+    * back so the next member starts clean. Malformed framing ends the
+    * walk at the last sound boundary. */
+  private[graft] def memberWalk(in0: java.io.InputStream)
+      : Iterator[(Long, Long, Array[Byte])] =
+    new scala.collection.AbstractIterator[(Long, Long, Array[Byte])] {
+      private val ChunkSize = 64 << 10
+      private val in = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(in0, ChunkSize), ChunkSize)
+      private var off = 0L
+      private var pending: (Long, Long, Array[Byte]) = null
+      private var done = false
+
+      private def readByte(): Int = in.read()
+
+      private def advance(): Unit = try {
+        val b0 = readByte()
+        if (b0 < 0) { done = true; return }
+        val b1 = readByte()
+        if (b0 != 0x1f || b1 != 0x8b) { done = true; return }
+        var headerLen = 2L
+        // CM, FLG, MTIME(4), XFL, OS
+        val fixed = new Array[Byte](8)
+        var got = 0
+        while (got < 8) {
+          val r = in.read(fixed, got, 8 - got)
+          if (r < 0) { done = true; return }
+          got += r
+        }
+        headerLen += 8
+        val flg = fixed(1) & 0xff
+        if ((flg & 0x04) != 0) { // FEXTRA
+          val x0 = readByte(); val x1 = readByte()
+          if (x1 < 0) { done = true; return }
+          val xlen = (x0 & 0xff) | ((x1 & 0xff) << 8)
+          var left = xlen
+          while (left > 0) {
+            if (readByte() < 0) { done = true; return }
+            left -= 1
+          }
+          headerLen += 2 + xlen
+        }
+        if ((flg & 0x08) != 0) { // FNAME
+          var c = readByte()
+          headerLen += 1
+          while (c > 0) { c = readByte(); headerLen += 1 }
+          if (c < 0) { done = true; return }
+        }
+        if ((flg & 0x10) != 0) { // FCOMMENT
+          var c = readByte()
+          headerLen += 1
+          while (c > 0) { c = readByte(); headerLen += 1 }
+          if (c < 0) { done = true; return }
+        }
+        if ((flg & 0x02) != 0) { // FHCRC
+          if (readByte() < 0 || readByte() < 0) { done = true; return }
+          headerLen += 2
+        }
+        // raw-deflate body: feed chunks, inflate, track consumption
+        val inf = new java.util.zip.Inflater(true)
+        val outBuf = new java.io.ByteArrayOutputStream(ChunkSize)
+        val scratchIn = new Array[Byte](ChunkSize)
+        val scratchOut = new Array[Byte](ChunkSize)
+        var eof = false
+        var lastFill = 0 // size of the most recent setInput fill
+        while (!inf.finished() && !eof) {
+          if (inf.needsInput()) {
+            val r = in.read(scratchIn, 0, ChunkSize)
+            if (r < 0) eof = true
+            else { lastFill = r; inf.setInput(scratchIn, 0, r) }
+          }
+          if (!eof && !inf.finished()) {
+            val n = inf.inflate(scratchOut)
+            if (n > 0) outBuf.write(scratchOut, 0, n)
+          }
+        }
+        if (!inf.finished()) { inf.end(); done = true; return }
+        val deflateLen = inf.getBytesRead
+        val leftover = inf.getRemaining
+        inf.end()
+        // unconsumed lookahead belongs to the trailer + next member:
+        // input was always set as (scratchIn, 0, lastFill), so the
+        // unconsumed tail is scratchIn[lastFill-leftover, lastFill)
+        if (leftover > 0)
+          in.unread(scratchIn, lastFill - leftover, leftover)
+        // 8-byte CRC32 + ISIZE trailer
+        var t = 0
+        while (t < 8) { if (readByte() < 0) { done = true; return }; t += 1 }
+        val compLen = headerLen + deflateLen + 8
+        pending = (off, compLen, outBuf.toByteArray)
+        off += compLen
+      } catch { case _: Exception => done = true }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
+      }
+      override def next(): (Long, Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val v = pending; pending = null; v
+      }
+    }
+
   /** CDX over Common Crawl's member-per-record `.warc.gz` layout:
     * one gzip member per record, coordinates = COMPRESSED (offset,
     * length) from [[gzipMembers]] — the convention real CC CDX files
@@ -627,6 +754,47 @@ object Warc {
         "offset", "rec_bytes", "compressed")
   }
 
+  /** [[warcCdxIndexCompressed]] straight off the FILESYSTEM — the
+    * index-build twin of [[warcFetchSlicesFromFiles]], with no content
+    * column anywhere: gzip archives walk member-at-a-time through the
+    * STREAMING [[memberWalk]] (max residency one member = one record
+    * in the CC layout), plain archives through the streaming record
+    * walk — so building a CDX over archives far past the 2 GiB cap is
+    * bounded-memory end to end. One partition per file, exactly like
+    * [[warcRecordsFromFiles]]. */
+  def warcCdxIndexCompressedFromFiles(s: SparkSession,
+      pathGlob: String): DataFrame = {
+    import s.implicits._
+    s.sparkContext.binaryFiles(pathGlob)
+      .flatMap { case (path, pds) =>
+        val in = new java.io.PushbackInputStream(pds.open(), 2)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            scala.util.Try(in.close())))
+        val b0 = in.read(); val b1 = in.read()
+        if (b1 >= 0) in.unread(b1)
+        if (b0 >= 0) in.unread(b0)
+        if (b0 == 0x1f && b1 == 0x8b) {
+          memberWalk(in).zipWithIndex.flatMap {
+            case ((off, len, decompressed), k) =>
+              parseWarcEvents(
+                new java.io.ByteArrayInputStream(decompressed))
+                .collectFirst { case Right(r) =>
+                  (path, k, r.warcType, r.targetUri, r.httpStatus,
+                    off, len, true)
+                }
+          }
+        } else {
+          parseWarcEvents(in).collect { case Right(r) =>
+            (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
+              r.offset, r.recBytes, false)
+          }
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "url", "http_status",
+        "offset", "rec_bytes", "compressed")
+  }
+
   /** Record-level pruned access: a (typically url-filtered, small) CDX
     * selection broadcast-joined to the archives, each matched record
     * read as a slice — archives with no matching CDX entry are never
@@ -654,6 +822,83 @@ object Warc {
           }
           (path, ri, r.warcType, r.targetUri, r.httpStatus, off, len,
             r.body.length.toLong, sum)
+        }
+      }
+      .toDF("path", "record_idx", "warc_type", "url", "http_status",
+        "offset", "rec_bytes", "n_body_bytes", "body_checksum")
+  }
+
+  /** Record-level pruned access straight off the FILESYSTEM — the
+    * access pattern Common Crawl CDX indexes exist for, with no
+    * content column anywhere: the k-row CDX selection (whose `path`
+    * is a real file path) maps to `FileSystem.open` + `seek(offset)` +
+    * `read(rec_bytes)` + a single-record parse. Nothing ever holds an
+    * archive, so record-pruned access works on archives FAR past the
+    * JVM 2 GiB array cap that any content-column feed re-inherits
+    * (the r19 verdict's one remaining capped path).
+    *
+    * Coordinates: compressed member (offset, length) — the CC CDX
+    * convention — is a TRUE seek + single-member gunzip. Uncompressed
+    * parser coordinates get a true seek too when the archive is plain
+    * (`.warc`); a whole-stream-gzipped archive must gunzip forward to
+    * the offset (bounded memory — the RecordReader streams), which is
+    * exactly why real CDX stores member coordinates. */
+  def warcFetchSlicesFromFiles(s: SparkSession, cdx: DataFrame,
+      compressedCoords: Boolean = false): DataFrame = {
+    import s.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    cdx.select("path", "record_idx", "offset", "rec_bytes")
+      .as[(String, Int, Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (path, ri, off, len) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(serConf.value)
+          val in = fs.open(p)
+          try {
+            val rec: Option[WarcRecord] =
+              if (compressedCoords) {
+                // CC layout: one gzip member per record — seek, read
+                // the member, parse just it (gunzip is transparent)
+                in.seek(off)
+                val buf = new Array[Byte](len.toInt)
+                in.readFully(buf)
+                parseWarcEvents(new java.io.ByteArrayInputStream(buf))
+                  .collectFirst { case Right(r) => r }
+              } else {
+                // uncompressed parser coordinates: true seek on plain
+                // archives; forward (streaming) gunzip on .gz
+                val b0 = in.read(); val b1 = in.read()
+                if (b0 == 0x1f && b1 == 0x8b) {
+                  in.seek(0)
+                  val rd = new RecordReader(in)
+                  if (!rd.skipFully(off)) None
+                  else {
+                    val slice = rd.readFully(len.toInt)
+                    if (slice == null) None
+                    else parseWarcEvents(
+                      new java.io.ByteArrayInputStream(slice))
+                      .collectFirst { case Right(r) => r }
+                  }
+                } else {
+                  in.seek(off)
+                  val buf = new Array[Byte](len.toInt)
+                  in.readFully(buf)
+                  parseWarcEvents(new java.io.ByteArrayInputStream(buf))
+                    .collectFirst { case Right(r) => r }
+                }
+              }
+            rec.map { r =>
+              var sum = 0L
+              var i = 0
+              while (i < r.body.length) {
+                sum += (r.body(i) & 0xff).toLong * (1 + i % 97)
+                i += 1
+              }
+              (path, ri, r.warcType, r.targetUri, r.httpStatus, off,
+                len, r.body.length.toLong, sum)
+            }
+          } finally scala.util.Try(in.close())
         }
       }
       .toDF("path", "record_idx", "warc_type", "url", "http_status",
@@ -789,14 +1034,21 @@ object Warc {
     * the HTML pipeline's markdown carries, so the two distributions
     * stay consistent. Gzipped for odd ids like [[fixtureWarc]]. */
   def fixtureWet(id: Long): Array[Byte] = {
+    val raw = fixtureWetRaw(id)
+    if (id % 2 == 1) gzip(raw) else raw
+  }
+
+  /** Uncompressed [[fixtureWet]] — the form bucketed multi-doc WET
+    * files are concatenated from (a gzip blob mid-way through a plain
+    * stream would break framing; per-file encoding must be uniform). */
+  def fixtureWetRaw(id: Long): Array[Byte] = {
     val text = s"Doc $id\n" + ("ab" * (5 + (id % 7)).toInt)
-    val raw = warcEncodeFull(Seq(
+    warcEncodeFull(Seq(
       ("warcinfo", "", Nil, "software: graft\r\n"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
       ("conversion", s"https://archive.example.com/doc/$id",
         Seq("Content-Type" -> "text/plain"),
         text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-    if (id % 2 == 1) gzip(raw) else raw
   }
 
   /** Second-crawl fixture twin for the revisit path: 404 ids re-fetch

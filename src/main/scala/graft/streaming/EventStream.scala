@@ -647,6 +647,21 @@ object EventStream {
     if (!noDataBatches)
       child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         "false")
+    // dev-only instrumentation (-Dgraft.stream.progress=true): dump
+    // every micro-batch's durationMs/state metrics to stderr so the
+    // per-trigger cost profile of a parity row is measurable (guide
+    // §1: decide whether time goes to addBatch, walCommit, state
+    // commit, or query planning before touching anything)
+    if (sys.props.get("graft.stream.progress").contains("true"))
+      child.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            System.err.println("[stream-progress] " + e.progress.json)
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            ()
+        })
     child
   }
 

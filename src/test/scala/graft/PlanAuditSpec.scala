@@ -58,14 +58,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // k-row metadata and must broadcast onto the archive rows — a
     // SortMergeJoin here would shuffle every archive's bytes to pair
     // them with their own index entries
-    Seq("layout_warc_cdx", "layout_warc_cdx_gz").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, dir)
-      df.collect() // judge the AQE-final plan
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
-      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(3000)}")
-      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
-    }
+    val df = SparkEntry.queries("layout_warc_cdx")(spark, dir)
+    df.collect() // judge the AQE-final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("layout_warc_cdx_gz is file-native: seek fetch over the k-row " +
+      "CDX selection, no join, no content column") {
+    // r20: the compressed-seek row reads archives off the FILESYSTEM —
+    // the CDX selection maps straight to open+seek+read, so there is
+    // no archive-bytes join side at all (the r19 shape broadcast the
+    // index onto a whole-archive content column, re-inheriting the
+    // 2 GiB binaryFile cap)
+    val df = SparkEntry.queries("layout_warc_cdx_gz")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MapPartitions"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("content"), p.take(3000))
+  }
+
+  test("the batch archive compositions route through the V2 connector " +
+      "with type pushdown and body-column pruning") {
+    // r19 verdict task 3: ingest_warc_e2e and src_scan_wet must plan a
+    // WarcScan (the streaming, content-column-free entry), with the
+    // warc_type equality pushed into the record walk and the checksum
+    // columns pruned away (the body IS consumed, the checksum is not)
+    val ingest = SparkEntry.queries("ingest_warc_e2e")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ingest.contains("WarcScan"), ingest.take(3000))
+    assert(ingest.contains("pushedTypes=response"), ingest.take(3000))
+    assert(!ingest.contains("body_checksum"), ingest.take(3000))
+    val wet = SparkEntry.queries("src_scan_wet")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(wet.contains("WarcScan"), wet.take(3000))
+    assert(wet.contains("pushedTypes=conversion"), wet.take(3000))
+    assert(!wet.contains("body_checksum"), wet.take(3000))
   }
 
   test("sync_warc_revisit joins revisit records to the digest store " +

@@ -128,4 +128,114 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     drain()
     assert(spark.read.parquet(out).count() == 4)
   }
+
+  test("a large member-per-record .warc.gz splits into record-range " +
+      "partitions with byte-identical results") {
+    val d = Files.createTempDirectory("warcsplit")
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 100).foreach(i => out.write(Warc.fixtureWarcMemberGz(i)))
+    Files.write(d.resolve("big.warc.gz"), out.toByteArray)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "4096")
+    try {
+      def readD() =
+        spark.read.format("graft.sources.v2.WarcSource").load(d.toString)
+      val cols = Seq("warc_type", "url", "http_status", "n_body_bytes",
+        "body_checksum")
+      val split = readD().select(cols.head, cols.tail: _*)
+      assert(split.rdd.getNumPartitions > 1,
+        s"expected range splits, got ${split.rdd.getNumPartitions}")
+      // record_idx requires the single-partition walk (a range task
+      // cannot know how many records precede it)
+      val idxCols = "record_idx" +: cols
+      val withIdx = readD().select(idxCols.head, idxCols.tail: _*)
+      assert(withIdx.rdd.getNumPartitions == 1)
+      val a = split.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val b = withIdx.drop("record_idx").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(a == b, s"split read differs: ${a.take(3)} vs ${b.take(3)}")
+      assert(a.length == 200) // 2 records per doc
+    } finally {
+      spark.conf.set(key, old)
+      graft.operators.Sync.deleteTree(d.toFile)
+    }
+  }
+
+  test("a file landing BEFORE the committed watermark fails loudly " +
+      "instead of silently re-reading / skipping") {
+    val land = Files.createTempDirectory("warcv2order")
+    val ckpt = Files.createTempDirectory("warcv2orderckpt").toString
+    val out = Files.createTempDirectory("warcv2orderout").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.WarcSource")
+        .load(land.toString)
+        .select("url")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(land.resolve("m001.warc"), Warc.fixtureWarcRaw(2))
+    drain()
+    // an out-of-order landing: sorts BEFORE the committed prefix
+    Files.write(land.resolve("a000.warc"), Warc.fixtureWarcRaw(4))
+    val ex = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException](drain())
+    assert(ex.getMessage.contains("out of name order") ||
+      String.valueOf(ex.getCause).contains("out of name order"),
+      ex.toString)
+  }
+
+  test("FS-seek CDX fetch: record-pruned access off an archive " +
+      "larger than any configured buffer, no content column") {
+    // 300 members x ~1 MiB incompressible bodies ≈ 300 MiB on disk —
+    // bigger than DefaultMaxRecordBytes (the largest configured
+    // buffer anywhere in the WARC path), far past anything a
+    // content-column feed could stage per row at this member count.
+    // The fetch must read ONLY the (offset, rec_bytes) extents.
+    val f = Files.createTempDirectory("warcseek").resolve("big.warc.gz")
+    val rnd = new java.util.Random(7)
+    val extents = Vector.newBuilder[(Int, Long, Long, Long)]
+    val outS = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(f), 1 << 20)
+    var off = 0L
+    var checksum42 = 0L
+    (0 until 300).foreach { k =>
+      val body = new Array[Byte](1 << 20)
+      rnd.nextBytes(body)
+      if (k == 42) {
+        var i = 0
+        while (i < body.length) {
+          checksum42 += (body(i) & 0xff).toLong * (1 + i % 97)
+          i += 1
+        }
+      }
+      val member = Warc.gzip(Warc.warcEncode(
+        Seq(("resource", s"u://rec$k", body))))
+      outS.write(member)
+      extents += ((k, off, member.length.toLong, body.length.toLong))
+      off += member.length
+    }
+    outS.close()
+    assert(off > Warc.DefaultMaxRecordBytes,
+      s"fixture too small: $off bytes")
+    import spark.implicits._
+    val all = extents.result()
+    val cdx = Seq(all(0), all(42), all(299))
+      .map { case (k, o, l, _) => (f.toString, k, o, l) }
+      .toDF("path", "record_idx", "offset", "rec_bytes")
+    val got = Warc.warcFetchSlicesFromFiles(spark, cdx,
+      compressedCoords = true)
+      .select("record_idx", "url", "n_body_bytes", "body_checksum")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(0, 42, 299), got.toString)
+    assert(got.forall(_._3 == (1 << 20).toLong), got.toString)
+    assert(got(1)._2 == "u://rec42" && got(1)._4 == checksum42,
+      s"seek fetch decoded the wrong record: ${got(1)}")
+    graft.operators.Sync.deleteTree(f.getParent.toFile)
+  }
 }

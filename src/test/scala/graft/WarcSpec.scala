@@ -205,6 +205,37 @@ class WarcSpec extends AnyFunSuite {
     assert(all.map(_.warcType) == Seq("warcinfo", "response"))
   }
 
+  test("memberWalk: the STREAMING member scan matches gzipMembers' " +
+      "extents and content, across members larger than its chunk") {
+    // one member whose deflate stream spans several 64 KiB chunk
+    // fills (exercises the unconsumed-lookahead pushback) plus the
+    // standard two-member fixture
+    val rnd = new java.util.Random(42)
+    val big = new Array[Byte](200 << 10)
+    rnd.nextBytes(big)
+    val bytes = Warc.gzip(Warc.warcEncode(
+      Seq(("resource", "u://big", big)))) ++ Warc.fixtureWarcMemberGz(7)
+    val extents = Warc.gzipMembers(bytes)
+    val walked = Warc.memberWalk(
+      new java.io.ByteArrayInputStream(bytes)).toVector
+    assert(walked.map(t => (t._1, t._2)) == extents,
+      s"streaming extents ${walked.map(t => (t._1, t._2))} != $extents")
+    // each member's decompressed bytes parse to the same record the
+    // buffer-based compressed slice yields
+    walked.foreach { case (off, len, dec) =>
+      val viaSlice = Warc.readRecordSlice(bytes, off, len,
+        compressedCoords = true).get
+      val viaWalk = Warc.parseWarc(dec).head
+      assert(viaWalk.warcType == viaSlice.warcType &&
+        viaWalk.targetUri == viaSlice.targetUri &&
+        java.util.Arrays.equals(viaWalk.body, viaSlice.body),
+        s"member at $off differs")
+    }
+    // malformed framing ends the walk at the last sound boundary
+    assert(Warc.memberWalk(new java.io.ByteArrayInputStream(
+      bytes.take(bytes.length - 4))).length == extents.length - 1)
+  }
+
   test("WET fixture: the conversion record's extracted text matches " +
       "the HTML fixture's content, gzip-invariant") {
     for (id <- Seq(2L, 3L)) { // even=plain, odd=gzip
