@@ -33,11 +33,24 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local file:// IO without client-side CRC sidecars: every tiny
+      // checkpoint/state/commit-log file otherwise writes twice (data
+      // + .crc) and re-verifies on read — measured ~30-50% of the
+      // streaming parity rows' wall clock (OPTIMIZATION_r20.md). The
+      // FileContext route (checkpoint manager) goes raw here; the
+      // FileSystem route keeps LocalFileSystem (RocksDB's
+      // copyFromLocalFile casts to it) with checksums turned off via
+      // LocalFsTuning below. At cluster scale checkpoints live on
+      // HDFS/S3 where this knob is moot; recoverability rides rename
+      // atomicity, not client CRC.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LocalFsTuning.disableLocalCrc(spark)
     LogHygiene.quietStreamingProbes()
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
