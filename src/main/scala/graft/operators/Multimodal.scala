@@ -1902,7 +1902,8 @@ object Multimodal {
     * video as '01dc'/'01db'). */
   final case class AviVideo(usPerFrame: Long, w: Int, h: Int,
       vidStream: Int, handler: String, bitCount: Int, compression: Int,
-      palette: Array[Byte], frames: Seq[AviFrame])
+      palette: Array[Byte], frames: Seq[AviFrame],
+      topDown: Boolean = false)
 
   /** REAL AVI (RIFF) demux: walks LIST 'hdrl' for the `avih` frame
     * period and the strl sequence (strh 'vids' resolves WHICH stream
@@ -1923,6 +1924,7 @@ object Multimodal {
       var captureStrf = false
       var w = 0
       var h = 0
+      var topDown = false
       var bitCount = 0
       var compression = -1
       var palette: Array[Byte] = Array.emptyByteArray
@@ -1956,7 +1958,12 @@ object Multimodal {
             } else if (id == "strf" && captureStrf && size >= 20) {
               val biSize = i32le(b, body)
               w = i32le(b, body + 4)
-              h = math.abs(i32le(b, body + 8))
+              val rawH = i32le(b, body + 8)
+              // negative biHeight = TOP-DOWN DIB (legal for BI_RGB per
+              // BITMAPINFOHEADER); the row flip must be skipped or the
+              // stream decodes vertically mirrored (r19 ADVICE)
+              h = math.abs(rawH)
+              topDown = rawH < 0
               bitCount = u16le(b, body + 14)
               compression = i32le(b, body + 16)
               if (bitCount == 8 && biSize >= 36 && size > biSize) {
@@ -1982,7 +1989,8 @@ object Multimodal {
       val fs = frames.result()
       if (fs.isEmpty) None
       else Some(AviVideo(usPerFrame, w, h, math.max(0, vidStream),
-        handler, bitCount, compression, palette,
+        handler, bitCount, compression, palette, topDown = topDown,
+        frames =
         fs.zipWithIndex.map { case ((off, sz), k) =>
           AviFrame(k, off, sz, k * usPerFrame / 1000L)
         }))
@@ -1999,9 +2007,13 @@ object Multimodal {
     * delta escapes per the public BMP spec). Anything else declines —
     * right or absent. */
   def decodeDibPixels(w: Int, h: Int, bitCount: Int, compression: Int,
-      palette: Array[Byte], data: Array[Byte]): Option[PngImage] =
+      palette: Array[Byte], data: Array[Byte],
+      topDown: Boolean = false): Option[PngImage] =
     try {
       if (w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+      // top-down (negative biHeight) is legal ONLY for uncompressed
+      // DIBs per the BMP spec; a top-down RLE8 stream is malformed
+      if (topDown && compression != 0) return None
       def palRgb(out: Array[Byte], o: Int, idx: Int): Boolean = {
         val p = idx * 4
         if (p + 3 > palette.length) return false
@@ -2015,7 +2027,8 @@ object Multimodal {
         val out = new Array[Byte](w * h * 3)
         var row = 0
         while (row < h) {
-          val rowOff = (h - 1 - row) * stride // bottom-up
+          val rowOff =
+            (if (topDown) row else h - 1 - row) * stride
           var x = 0
           while (x < w) {
             val o = (row * w + x) * 3
@@ -2033,7 +2046,8 @@ object Multimodal {
         val out = new Array[Byte](w * h * 3)
         var row = 0
         while (row < h) {
-          val rowOff = (h - 1 - row) * stride
+          val rowOff =
+            (if (topDown) row else h - 1 - row) * stride
           var x = 0
           while (x < w) {
             if (!palRgb(out, (row * w + x) * 3, data(rowOff + x) & 0xff))
@@ -2117,7 +2131,10 @@ object Multimodal {
     demuxAvi(b).flatMap { v =>
       // persistent canvas for the RLE8 inter-frame path
       val canvas =
-        if (v.compression == 1 && v.bitCount == 8 && v.w > 0 && v.h > 0 &&
+        // top-down RLE8 is out-of-spec (negative biHeight is legal
+        // only for uncompressed DIBs) — decline rather than mirror
+        if (v.compression == 1 && v.bitCount == 8 && !v.topDown &&
+          v.w > 0 && v.h > 0 &&
           v.w.toLong * v.h <= (1 << 26)) {
           val c = new Array[Int](v.w * v.h)
           java.util.Arrays.fill(c, -1)
@@ -2153,7 +2170,7 @@ object Multimodal {
             else None
           } else if (v.compression == 0)
             decodeDibPixels(v.w, v.h, v.bitCount, v.compression,
-              v.palette, chunk)
+              v.palette, chunk, v.topDown)
           else if (chunk.length >= 2 && (chunk(0) & 0xff) == 0xff &&
             (chunk(1) & 0xff) == 0xd8) decodeJpegPixels(chunk)
           else None

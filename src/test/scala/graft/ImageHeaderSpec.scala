@@ -821,6 +821,38 @@ class ImageHeaderSpec extends AnyFunSuite {
       Array[Byte](99, 9, 0, 1)).isEmpty)
   }
 
+  test("top-down DIB (negative biHeight): BI_RGB skips the bottom-up " +
+      "row flip; top-down RLE8 declines (out-of-spec)") {
+    // 2x2 24-bit BGR, stride 8 (2*3 padded to 4): rows in STORAGE
+    // order are [A B] then [C D]
+    val data = Array[Byte](
+      1, 2, 3, 4, 5, 6, 0, 0, // storage row 0: A=BGR(1,2,3) B=(4,5,6)
+      7, 8, 9, 10, 11, 12, 0, 0) // storage row 1: C, D
+    val up = Multimodal.decodeDibPixels(2, 2, 24, 0,
+      Array.emptyByteArray, data).getOrElse(fail("bottom-up"))
+    val down = Multimodal.decodeDibPixels(2, 2, 24, 0,
+      Array.emptyByteArray, data, topDown = true)
+      .getOrElse(fail("top-down"))
+    // bottom-up: storage row 0 is the BOTTOM raster row; top-down:
+    // storage row 0 is the TOP raster row — the two decodes are
+    // vertical mirrors
+    for (x <- 0 until 2; c <- 0 until 3) {
+      assert(up.pixels((0 * 2 + x) * 3 + c) ==
+        down.pixels((1 * 2 + x) * 3 + c), s"mirror x=$x c=$c")
+      assert(up.pixels((1 * 2 + x) * 3 + c) ==
+        down.pixels((0 * 2 + x) * 3 + c), s"mirror x=$x c=$c")
+    }
+    // RGB order: raster top row of the top-down decode is storage row
+    // 0 = pixels A,B with BGR->RGB swap
+    assert((down.pixels(0) & 0xff) == 3 && (down.pixels(1) & 0xff) == 2 &&
+      (down.pixels(2) & 0xff) == 1)
+    // top-down + RLE8 declines instead of mirroring
+    val pal = Array.tabulate(256 * 4)(i =>
+      if (i % 4 == 3) 0.toByte else (i / 4).toByte)
+    assert(Multimodal.decodeDibPixels(5, 2, 8, 1, pal,
+      Array[Byte](2, 9, 0, 1), topDown = true).isEmpty)
+  }
+
   test("Microsoft RLE inter-frame: delta frames inherit the previous " +
       "canvas; standalone decode of the same delta is black-backed") {
     val (w, h) = (4, 3)
