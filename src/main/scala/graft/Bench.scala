@@ -389,6 +389,13 @@ object Bench {
     // 0 < failed reps < nReps: the reading is real but partial — named
     // here so a flaky query can't hide behind its surviving reps
     val flaky = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // rows that actually ran ONE timed rep this run (median==min by
+    // construction) — the artifact's single_rep list names them so a
+    // reader never applies min-vs-median load triage to a reading that
+    // had no median
+    val singleRepRows = scala.collection.mutable.LinkedHashSet[String]()
+    // protocol rows that ran 2 reps and publish the MIN (see below)
+    val minOf2Rows = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), qi) =>
         if (qi > 0 && qi % segmentSize == 0) sentinels += sentinel()
@@ -397,8 +404,25 @@ object Bench {
         // before them changed what was in the OS page cache / JIT when
         // their turn came. Warming the query itself right before its
         // timed reps decouples each measurement from name order.
+        val warmT0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val nReps = if (protocolRows.contains(name)) 1 else reps
+        val warmupSec = (System.nanoTime() - warmT0) / 1e9
+        // Protocol rows: single-rep readings of sub-5 s pipelines
+        // wobbled up to 2x run-to-run and dominated phantom-regression
+        // triage (r20 verdict #4) — they now run TWO reps and publish
+        // the MIN (a burst or a cold JIT path only inflates, so min is
+        // always the truer quiet reading; both artifact fields carry
+        // it, exactly as single-rep rows always had median==min by
+        // construction). Rows whose warmup ran >= 5 s stay single-rep:
+        // a second rep of a long pipeline costs its full wall clock
+        // for little extra signal. Additive methodology change,
+        // documented in OPTIMIZATION_r21.md; the env/JSON contract is
+        // unchanged.
+        val isProtocol = protocolRows.contains(name)
+        val nReps =
+          if (isProtocol) { if (warmupSec < 5.0) 2 else 1 } else reps
+        if (isProtocol && nReps == 2) minOf2Rows += name
+        if (nReps == 1) singleRepRows += name
         // median for the headline (robust to one bad rep), min for
         // triage: a load spike inflates median and min differently —
         // a REAL regression moves both, a loaded box moves only the
@@ -410,7 +434,7 @@ object Bench {
               System.err.println(
                 s"[bench] FLAKY $name: $failedReps/$nReps reps threw")
             }
-            name -> reading
+            name -> (if (isProtocol) (reading._2, reading._2) else reading)
           case Left(e) =>
             errored(name) = e
             System.err.println(s"[bench] ERRORED $name: $e")
@@ -602,7 +626,7 @@ object Bench {
       val qs = keep.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${protocolRows.size},"omitted":$omitted,"error_n":${errored.size},"errored":$erroredNamesJson,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"queries_are_mins":$envInvalid,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"drift_n":${driftReport.length},"flaky_n":${flaky.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"single_rep_n":${singleRepRows.size},"min_of_2_n":${minOf2Rows.size},"omitted":$omitted,"error_n":${errored.size},"errored":$erroredNamesJson,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"queries_are_mins":$envInvalid,"retimed_n":${retimedNames.length},"retime_failed_n":${retimeFailed.length},"drift_n":${driftReport.length},"flaky_n":${flaky.size},"sf":"$sfDir"}"""
     }
     // Full per-query map (nothing omitted, µs precision) goes to a
     // committed artifact — the tail-window line below keeps only the
@@ -625,8 +649,13 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // single-rep rows have median==min BY CONSTRUCTION — without this
     // list a reader would apply the min-vs-median load-triage rule to
-    // readings that never had a median, and "reps":3 would overclaim
-    val singleRepJson = protocolRows.toSeq.sorted
+    // readings that never had a median, and "reps":3 would overclaim.
+    // Since r21 this lists the rows that ACTUALLY ran one rep (long
+    // protocol pipelines); sub-5 s protocol rows run 2 reps and
+    // publish the min — named separately under min_of_2.
+    val singleRepJson = singleRepRows.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val minOf2Json = minOf2Rows.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimeFailedJson = retimeFailed.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -641,7 +670,7 @@ object Bench {
     val flakyJson = flaky.toSeq.sortBy(_._1)
       .map { case (n, k) => jstr(n) + ":" + k }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"sentinel_floor":${fmt6(runFloor)},"baseline_floor":$baselineJson,"baseline_reseeded":$reseeded,"invalid_streak":$persistStreak,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"drift_factor":2.5,"drift_suspects":$driftJson,"flaky":$flakyJson,"errored":$erroredJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${detailMap(_._1)},"queries_min":${detailMap(_._2)},"reps":$reps,"single_rep":$singleRepJson,"min_of_2":$minOf2Json,"omitted":0,"sentinel_start":${fmt6(sentinelStart)},"sentinel_end":${fmt6(sentinelEnd)},"sentinels":$sentinelsJson,"sentinel_segment_queries":$segmentSize,"sentinel_ratio":${fmt(sentinelRatio)},"load_flagged":$loadFlagged,"environment_invalid":$envInvalid,"sentinel_floor":${fmt6(runFloor)},"baseline_floor":$baselineJson,"baseline_reseeded":$reseeded,"invalid_streak":$persistStreak,"retimed":$retimedJson,"retime_failed":$retimeFailedJson,"drift_factor":2.5,"drift_suspects":$driftJson,"flaky":$flakyJson,"errored":$erroredJson,"sf":"$sfDir"}"""
     val defaultDetail =
       java.nio.file.Paths.get(f"BENCH_DETAIL_r$roundN%02d.json")
     val existingClean = java.nio.file.Files.exists(defaultDetail) &&

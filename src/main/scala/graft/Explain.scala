@@ -39,6 +39,21 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // the registered indexed-BM25 row returns a checkpoint-pinned
+      // frame (an ExistingRDD scan) — additionally dump the inner
+      // query-time plan so the In(term) pushdown on the postings scan
+      // is auditable (r20 verdict #7)
+      if (n == "q_search_bm25_indexed") {
+        println("---------- inner scoring plan over the persisted " +
+          "index ----------")
+        val base = java.nio.file.Files.createTempDirectory("lexidxplan")
+        try {
+          graft.operators.Retrieval.buildLexicalIndex(
+            spark, sfDir, base.toString)
+          graft.operators.Retrieval
+            .bm25IndexedScoring(spark, base.toString).explain("formatted")
+        } finally graft.operators.Sync.deleteTree(base.toFile)
+      }
     }
     spark.stop()
   }

@@ -283,14 +283,31 @@ object Sync {
         .dropDuplicates("chunk_id"), Seq("chunk_id"), "left")
       .select(col("url"), col("chunk_index"), col("total_chunks"),
         col("chunk_id"), col("content"), col("embedding"))
-    val chunksEmbedded = prepared.filter(col("embedding").isNull).count()
-    val newRows = prepared
+    // ONE pass over `prepared` (guide §1.2 driver round-trips): the
+    // embed map rides a `was_embedded` flag through the checkpoint, so
+    // both counters read from the PINNED rows in one cheap aggregate —
+    // previously chunksEmbedded ran the semi+reuse joins once and the
+    // newRows checkpoint ran them again, a second full pass per run.
+    // Counter semantics unchanged: was_embedded marks exactly the
+    // rows whose stored embedding was null, and urls_processed equals
+    // countDistinct(url) because processUrls is always a subset of
+    // inChunks' urls (both branches derive it from inChunks), so the
+    // semi-join drops none of them.
+    val newRowsFlagged = prepared
       .as[(String, Int, Int, String, String, Option[Array[Float]])]
       .map { case (u, i, t, id, c, e) =>
-        StoredChunk(u, i, t, id, c,
-          e.getOrElse(graft.functions.Embedder.embed(c)))
-      }.toDF().localCheckpoint(true)
-    val urlsProcessed = processUrls.count()
+        (u, i, t, id, c,
+          e.getOrElse(graft.functions.Embedder.embed(c)), e.isEmpty)
+      }
+      .toDF("url", "chunk_index", "total_chunks", "chunk_id", "content",
+        "embedding", "was_embedded")
+      .localCheckpoint(true)
+    val counterRow = newRowsFlagged.agg(
+      coalesce(sum(col("was_embedded").cast("long")), lit(0L)),
+      countDistinct(col("url"))).head()
+    val chunksEmbedded = counterRow.getLong(0)
+    val urlsProcessed = counterRow.getLong(1)
+    val newRows = newRowsFlagged.drop("was_embedded")
 
     val merged = ChunkStore.upsertByUrl(storedChunks, newRows)
     val cleaned = ChunkStore.cleanupObsolete(merged,

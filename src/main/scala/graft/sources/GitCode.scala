@@ -150,11 +150,14 @@ object GitCode {
         set.toSeq.toDF("path"))
       case None => files
     }
-    // per-file URL through the real kernel (typed map: pure function)
+    // per-file URL through the real kernel (typed map: pure function).
+    // PINNED once: docs previously re-derived the tree scan + allowed
+    // semi-join three times (chunking, files_processed count, full-mode
+    // cleanup) — one pass, two cheap reads (guide §1.2).
     val docs = processFiles.as[(String, String)]
       .map { case (p, t) =>
         (codeFileUrl(p, repoPath, None, Some(urlPrefix)), t)
-      }.toDF("url", "text")
+      }.toDF("url", "text").localCheckpoint(true)
 
     val inChunks = Sync.chunksOfUrls(docs, 128).localCheckpoint(true)
     val storedChunks = ChunkStore.readLatest(s, storeRoot)
@@ -164,13 +167,23 @@ object GitCode {
         .dropDuplicates("chunk_id"), Seq("chunk_id"), "left")
       .select(col("url"), col("chunk_index"), col("total_chunks"),
         col("chunk_id"), col("content"), col("embedding"))
-    val chunksEmbedded = prepared.filter(col("embedding").isNull).count()
-    val newRows = prepared
+    // ONE pass over `prepared` (guide §1.2): the embed map carries a
+    // was_embedded flag through the checkpoint so the counter reads
+    // from pinned rows — previously the chunks_embedded count ran the
+    // reuse join once and the newRows checkpoint ran it again.
+    val newRowsFlagged = prepared
       .as[(String, Int, Int, String, String, Option[Array[Float]])]
       .map { case (u, i, t, id, c, e) =>
-        StoredChunk(u, i, t, id, c,
-          e.getOrElse(graft.functions.Embedder.embed(c)))
-      }.toDF().localCheckpoint(true)
+        (u, i, t, id, c,
+          e.getOrElse(graft.functions.Embedder.embed(c)), e.isEmpty)
+      }
+      .toDF("url", "chunk_index", "total_chunks", "chunk_id", "content",
+        "embedding", "was_embedded")
+      .localCheckpoint(true)
+    val chunksEmbedded = newRowsFlagged
+      .agg(coalesce(sum(col("was_embedded").cast("long")), lit(0L)))
+      .head().getLong(0)
+    val newRows = newRowsFlagged.drop("was_embedded")
     val filesProcessed = docs.count()
 
     val merged = ChunkStore.upsertByUrl(storedChunks, newRows)
@@ -274,10 +287,11 @@ object GitCode {
 
     // run 2's staged `git diff --name-status sha1..sha2` stdout —
     // driver-sized in production too (it's a shell-out's output)
-    val s1Ids = docs.filter(col("doc_id") < 120)
+    // one scan for both id slices (they partition id < 135)
+    val ids135 = docs.filter(col("doc_id") < 135)
       .select("doc_id").as[Long].collect().sorted
-    val adds2Ids = docs.filter(col("doc_id") >= 120 && col("doc_id") < 135)
-      .select("doc_id").as[Long].collect().sorted
+    val s1Ids = ids135.filter(_ < 120)
+    val adds2Ids = ids135.filter(_ >= 120)
     val diff2 = (
       adds2Ids.map(id => s"A\tsrc/f$id.py") ++
         s1Ids.filter(_ % 10 == 1).map(id => s"M\tsrc/f$id.py") ++

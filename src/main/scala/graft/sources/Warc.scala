@@ -447,6 +447,24 @@ object Warc {
     * sizes. One partition per file (archives are splittable only at
     * gzip-member boundaries, which a CDX index — [[warcCdxIndex]] —
     * restores record-level parallelism for). */
+  /** Close `c` the first time the iterator observes exhaustion:
+    * binaryFiles COMBINES many small archives into one partition, so a
+    * drained file's stream should release promptly rather than pile up
+    * until task end (r20 ADVICE); the caller's task-completion
+    * listener remains the early-termination (limit/take/failure)
+    * safety net. */
+  private def closeOnExhaust[T](it: Iterator[T],
+      c: java.io.Closeable): Iterator[T] =
+    new scala.collection.AbstractIterator[T] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; scala.util.Try(c.close()) }
+        h
+      }
+      override def next(): T = it.next()
+    }
+
   def warcRecordsFromFiles(s: SparkSession, pathGlob: String): DataFrame = {
     import s.implicits._
     // minPartitions = defaultParallelism: binaryFiles COMBINES small
@@ -457,14 +475,13 @@ object Warc {
       s.sparkContext.defaultParallelism)
       .flatMap { case (path, pds) =>
         val in = pds.open()
-        // close on task END, not on iterator exhaustion: a downstream
-        // limit/take or task failure that stops iterating early would
-        // otherwise leak the filesystem handle for the executor's
-        // lifetime (r19 ADVICE)
+        // close on exhaustion (closeOnExhaust) for the common drained
+        // case, and on task END for a downstream limit/take or task
+        // failure that stops iterating early (r19 ADVICE)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             scala.util.Try(in.close())))
-        parseWarcEvents(in).collect { case Right(r) =>
+        closeOnExhaust(parseWarcEvents(in), in).collect { case Right(r) =>
           var sum = 0L
           var i = 0
           while (i < r.body.length) {
@@ -625,8 +642,13 @@ object Warc {
     * per RFC 1952; the deflate stream is measured with
     * `Inflater(nowrap).getBytesRead`; unconsumed lookahead is pushed
     * back so the next member starts clean. Malformed framing ends the
-    * walk at the last sound boundary. */
-  private[graft] def memberWalk(in0: java.io.InputStream)
+    * walk at the last sound boundary. `maxRecordBytes` bounds ONE
+    * member's decompressed size (default = the record parser's cap on
+    * the same untrusted input): a gzip-bomb member ends the walk at
+    * the last sound boundary instead of inflating an unbounded buffer
+    * on the executor (r20 ADVICE). */
+  private[graft] def memberWalk(in0: java.io.InputStream,
+      maxRecordBytes: Long = DefaultMaxRecordBytes)
       : Iterator[(Long, Long, Array[Byte])] =
     new scala.collection.AbstractIterator[(Long, Long, Array[Byte])] {
       private val ChunkSize = 64 << 10
@@ -697,6 +719,12 @@ object Warc {
           if (!eof && !inf.finished()) {
             val n = inf.inflate(scratchOut)
             if (n > 0) outBuf.write(scratchOut, 0, n)
+            if (outBuf.size() > maxRecordBytes) {
+              // decompressed-size bound exceeded: abort the walk (the
+              // same archive fed to parseWarcEvents enforces the same
+              // cap) rather than OOM the executor
+              inf.end(); done = true; return
+            }
           }
         }
         if (!inf.finished()) { inf.end(); done = true; return }
@@ -785,7 +813,7 @@ object Warc {
         if (b1 >= 0) in.unread(b1)
         if (b0 >= 0) in.unread(b0)
         if (b0 == 0x1f && b1 == 0x8b) {
-          memberWalk(in).zipWithIndex.flatMap {
+          closeOnExhaust(memberWalk(in), in).zipWithIndex.flatMap {
             case ((off, len, decompressed), k) =>
               parseWarcEvents(
                 new java.io.ByteArrayInputStream(decompressed))
@@ -795,9 +823,10 @@ object Warc {
                 }
           }
         } else {
-          parseWarcEvents(in).collect { case Right(r) =>
-            (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
-              r.offset, r.recBytes, false)
+          closeOnExhaust(parseWarcEvents(in), in).collect {
+            case Right(r) =>
+              (path, r.idx, r.warcType, r.targetUri, r.httpStatus,
+                r.offset, r.recBytes, false)
           }
         }
       }
@@ -853,6 +882,74 @@ object Warc {
     * (`.warc`); a whole-stream-gzipped archive must gunzip forward to
     * the offset (bounded memory — the RecordReader streams), which is
     * exactly why real CDX stores member coordinates. */
+  /** Cap on one coalesced fetch run ([[warcFetchSlicesFromFiles]]):
+    * adjacent CDX members merge into a single read only while the run
+    * stays under this, bounding task residency; a single record larger
+    * than the cap still reads alone, exactly as before. */
+  private[graft] val FetchRunMaxBytes: Long = 8L << 20
+
+  /** Per-(task, file) fetch state for [[warcFetchSlicesFromFiles]] —
+    * the gzip sniff runs ONCE per file (it ran once per ROW in r20),
+    * and uncompressed coordinates on a whole-stream `.gz` resume ONE
+    * forward-walking reader across the ascending offsets instead of
+    * re-gunzipping from byte 0 per row (the r20 verdict's quadratic
+    * fallback: O(k·offset) forward inflate per file). `gzRestarts` /
+    * `gzBytesAdvanced` exist so a spec can assert LINEAR behavior by
+    * work counters, not wall clock. */
+  private[graft] final class ArchiveSliceFetcher(
+      in: org.apache.hadoop.fs.FSDataInputStream) {
+    private val isGzip = {
+      in.seek(0L)
+      val b0 = in.read(); val b1 = in.read()
+      b0 == 0x1f && b1 == 0x8b
+    }
+    private var fwd: RecordReader = null
+    private var fwdPos: Long = 0L
+    // first uncompressed offset the stream proved unreachable (EOF):
+    // later (sorted, larger) offsets must not trigger a fresh
+    // re-gunzip that would fail identically
+    private var deadFrom: Long = Long.MaxValue
+    private[graft] var gzRestarts: Long = 0L
+    private[graft] var gzBytesAdvanced: Long = 0L
+
+    /** Raw bytes [off, off+len) — a true seek (compressed member
+      * coordinates, or any plain-archive range). */
+    def readRange(off: Long, len: Long): Array[Byte] = {
+      in.seek(off)
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(buf)
+      buf
+    }
+
+    /** Record slice at UNCOMPRESSED coordinates: true seek on plain
+      * archives; resumed forward gunzip on `.gz`. */
+    def readUncompressed(off: Long, len: Long): Option[Array[Byte]] =
+      if (!isGzip) Some(readRange(off, len))
+      else if (off >= deadFrom) None
+      else {
+        if (fwd == null || off < fwdPos) {
+          in.seek(0L)
+          fwd = new RecordReader(new java.io.FilterInputStream(in) {
+            override def close(): Unit = () // handle reused
+          })
+          fwdPos = 0L
+          gzRestarts += 1
+        }
+        if (off > fwdPos && !fwd.skipFully(off - fwdPos)) {
+          deadFrom = off; None
+        } else {
+          gzBytesAdvanced += off - fwdPos
+          fwdPos = off
+          val slice = fwd.readFully(len.toInt)
+          if (slice == null) { deadFrom = off; None }
+          else {
+            fwdPos += len; gzBytesAdvanced += len
+            Some(slice)
+          }
+        }
+      }
+  }
+
   def warcFetchSlicesFromFiles(s: SparkSession, cdx: DataFrame,
       compressedCoords: Boolean = false): DataFrame = {
     import s.implicits._
@@ -863,65 +960,77 @@ object Warc {
     // scale the per-row open dominated the fetch (bench r20: the naive
     // form read 60% slower than the column path it replaced); at
     // archive scale it is the difference between k opens and
-    // k-per-file opens against an object store
+    // k-per-file opens against an object store. On the sorted rows,
+    // ADJACENT compressed members additionally coalesce into one read
+    // per contiguous run (guide §6 — fewer I/O ops, identical bytes):
+    // a url-prefix CDX selection over a member-per-record archive is
+    // mostly contiguous, so the k seek+read pairs collapse to a few
+    // ranged reads per file.
     cdx.select("path", "record_idx", "offset", "rec_bytes")
       .sortWithinPartitions("path", "offset")
       .as[(String, Int, Long, Long)]
-      .mapPartitions { it =>
+      .mapPartitions { it0 =>
+        val it = it0.buffered
         var openPath: String = null
         var openIn: org.apache.hadoop.fs.FSDataInputStream = null
-        def handleFor(path: String) = {
+        var fetcher: ArchiveSliceFetcher = null
+        def fetcherFor(path: String) = {
           if (path != openPath) {
             if (openIn != null) scala.util.Try(openIn.close())
             val p = new org.apache.hadoop.fs.Path(path)
             openIn = p.getFileSystem(serConf.value).open(p)
+            fetcher = new ArchiveSliceFetcher(openIn)
             openPath = path
           }
-          openIn
+          fetcher
         }
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             if (openIn != null) scala.util.Try(openIn.close())))
-        it.flatMap { case (path, ri, off, len) =>
-          val in = handleFor(path)
-          locally {
-            val rec: Option[WarcRecord] =
-              if (compressedCoords) {
-                // CC layout: one gzip member per record — seek, read
-                // the member, parse just it (gunzip is transparent)
-                in.seek(off)
-                val buf = new Array[Byte](len.toInt)
-                in.readFully(buf)
-                parseWarcEvents(new java.io.ByteArrayInputStream(buf))
-                  .collectFirst { case Right(r) => r }
-              } else {
-                // uncompressed parser coordinates: true seek on plain
-                // archives; forward (streaming) gunzip on .gz (the
-                // reused handle seeks explicitly before every read)
-                in.seek(0L)
-                val b0 = in.read(); val b1 = in.read()
-                if (b0 == 0x1f && b1 == 0x8b) {
-                  in.seek(0)
-                  val rd = new RecordReader(
-                    new java.io.FilterInputStream(in) {
-                      override def close(): Unit = () // handle reused
-                    })
-                  if (!rd.skipFully(off)) None
-                  else {
-                    val slice = rd.readFully(len.toInt)
-                    if (slice == null) None
-                    else parseWarcEvents(
-                      new java.io.ByteArrayInputStream(slice))
-                      .collectFirst { case Right(r) => r }
-                  }
-                } else {
-                  in.seek(off)
-                  val buf = new Array[Byte](len.toInt)
-                  in.readFully(buf)
-                  parseWarcEvents(new java.io.ByteArrayInputStream(buf))
-                    .collectFirst { case Right(r) => r }
-                }
+        // one coalesced run of input rows at a time: same path,
+        // byte-contiguous, bounded by FetchRunMaxBytes (compressed
+        // coordinates only — uncompressed rows pass through 1:1 and
+        // ride the resumed forward reader instead)
+        val runs = new scala.collection.AbstractIterator[
+            Vector[(String, Int, Long, Long)]] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): Vector[(String, Int, Long, Long)] = {
+            val head = it.next()
+            if (!compressedCoords) Vector(head)
+            else {
+              val buf = Vector.newBuilder[(String, Int, Long, Long)]
+              buf += head
+              var end = head._3 + head._4
+              var total = head._4
+              while (it.hasNext && it.head._1 == head._1 &&
+                  it.head._3 == end &&
+                  total + it.head._4 <= FetchRunMaxBytes) {
+                val n = it.next()
+                buf += n; end += n._4; total += n._4
               }
+              buf.result()
+            }
+          }
+        }
+        runs.flatMap { run =>
+          val f = fetcherFor(run.head._1)
+          val runBytes: Array[Byte] =
+            if (compressedCoords)
+              f.readRange(run.head._3, run.iterator.map(_._4).sum)
+            else null
+          run.flatMap { case (path, ri, off, len) =>
+            val rec: Option[WarcRecord] =
+              if (compressedCoords)
+                // CC layout: one gzip member per record — parse the
+                // member's slice of the coalesced run buffer
+                parseWarcEvents(new java.io.ByteArrayInputStream(
+                  runBytes, (off - run.head._3).toInt, len.toInt))
+                  .collectFirst { case Right(r) => r }
+              else
+                f.readUncompressed(off, len).flatMap(slice =>
+                  parseWarcEvents(
+                    new java.io.ByteArrayInputStream(slice))
+                    .collectFirst { case Right(r) => r })
             rec.map { r =>
               var sum = 0L
               var i = 0

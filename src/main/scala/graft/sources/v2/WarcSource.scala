@@ -38,6 +38,14 @@ class WarcSource extends TableProvider {
 }
 
 object WarcSource {
+  /** Hadoop's hidden-file convention: `_`-prefixed (e.g. a StageCache
+    * `_STAGED` marker, `_SUCCESS`) and `.`-prefixed names are metadata,
+    * not archives — binaryFiles skips them via the default PathFilter;
+    * the V2 listing must too (r20 ADVICE: the marker was scanned as a
+    * WARC and logged a parse warning on every scan). */
+  private[v2] def visibleName(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("record_idx", IntegerType, nullable = false),
@@ -112,11 +120,35 @@ class WarcScan(path: String, typeFilters: Seq[String],
     // fabricating indexes would corrupt the column.
     val splitBytes = session.sessionState.conf.filesMaxPartitionBytes
     val canSplit = !required.fieldNames.contains("record_idx")
-    fs.listStatus(hadoopPath).filter(_.isFile)
+    // Split only genuinely member-per-record archives (r20 ADVICE): a
+    // large WHOLE-STREAM-gzipped archive has one member spanning the
+    // file — fanning it out would inflate that member into one huge
+    // buffer in partition 0 and leave every other partition scanning
+    // its whole range for a boundary that does not exist. The probe
+    // reads the FIRST member (driver-side, one open; record-sized for
+    // the CC layout, and bounded by memberWalk's decompressed cap
+    // otherwise) and requires it to end before EOF and decode to a
+    // `WARC/` version line.
+    def memberPerRecord(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val in = fs.open(st.getPath)
+      try {
+        val it = Warc.memberWalk(in)
+        it.hasNext && {
+          val (_, len, dec) = it.next()
+          len < st.getLen && dec.length >= 5 &&
+            dec(0) == 'W' && dec(1) == 'A' && dec(2) == 'R' &&
+            dec(3) == 'C' && dec(4) == '/'
+        }
+      } catch { case _: Exception => false }
+      finally scala.util.Try(in.close())
+    }
+    fs.listStatus(hadoopPath).filter(st => st.isFile &&
+        WarcSource.visibleName(st.getPath.getName))
       .sortBy(_.getPath.toString)
       .flatMap { st =>
         val p = st.getPath.toString
-        if (canSplit && p.endsWith(".gz") && st.getLen > splitBytes) {
+        if (canSplit && p.endsWith(".gz") && st.getLen > splitBytes &&
+            memberPerRecord(st)) {
           val n = ((st.getLen + splitBytes - 1) / splitBytes).toInt
           (0 until n).map { k =>
             val s = k * splitBytes
@@ -158,7 +190,9 @@ class WarcMicroBatchStream(path: String, typeFilters: Seq[String],
     val conf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
     val fs = hadoopPath.getFileSystem(conf)
-    fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath.toString)
+    fs.listStatus(hadoopPath)
+      .filter(st => st.isFile && WarcSource.visibleName(st.getPath.getName))
+      .map(_.getPath.toString)
       .sorted
   }
 

@@ -651,8 +651,14 @@ object EventStream {
     // every micro-batch's durationMs/state metrics to stderr so the
     // per-trigger cost profile of a parity row is measurable (guide
     // §1: decide whether time goes to addBatch, walCommit, state
-    // commit, or query planning before touching anything)
-    if (sys.props.get("graft.stream.progress").contains("true"))
+    // commit, or query planning before touching anything). Registered
+    // ONCE per underlying StreamingQueryManager — child sessions share
+    // the manager, so a per-makeChild registration accumulated
+    // duplicate listeners and printed each progress line once per
+    // prior row (r20 ADVICE).
+    if (sys.props.get("graft.stream.progress").contains("true") &&
+        progressListenerManagers.putIfAbsent(child.streams,
+          java.lang.Boolean.TRUE) == null)
       child.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -664,6 +670,14 @@ object EventStream {
         })
     child
   }
+
+  /** Managers that already carry the dev progress listener (see
+    * [[protocolSession]] — dedup across child sessions sharing one
+    * StreamingQueryManager). */
+  private val progressListenerManagers = new java.util.concurrent
+    .ConcurrentHashMap[
+      org.apache.spark.sql.streaming.StreamingQueryManager,
+      java.lang.Boolean]()
 
   /** Stream-stream join parity as an ORACLE row: [[clickErrorJoin]]
     * (watermarked interval self-join — each click joins the same
@@ -761,18 +775,27 @@ object EventStream {
             StructField("click_ts_us", LongType),
             StructField("err_ts_us", LongType),
             StructField("err_value", DoubleType))))
-    // the outer row stages its own replay with a 3rd sentinel (see
-    // stageReplay: null emission rides eviction, which runs one batch
-    // behind under the lagged watermark); the inner row keeps the
-    // shared 2-sentinel staging
+    // Sentinel count is per-JOIN-MODE (r21, guide §1.2 — the per-batch
+    // fixed cost of these protocol rows IS the row, so batches that
+    // buy no evidence are pure overhead):
+    //   - inner and left_semi emission is MATCH-driven: a click
+    //     surfaces when its match arrives (both sides replay in ts
+    //     order, and err_ts < click_ts puts every match in the click's
+    //     own batch or earlier), never on state eviction — so the
+    //     final-watermark flush batches contribute NOTHING to the
+    //     output, exactly like the stateless enrich row, and the two
+    //     modes take 0 sentinels (4 micro-batches, not 6/7). A stalled
+    //     final watermark only RETAINS state longer — it can never
+    //     drop an emission. Oracle re-proven (same hash) at both gate
+    //     SFs after the change.
+    //   - the outer rows' null emission DOES ride state eviction, and
+    //     under the lagged multi-stateful-operator watermark the
+    //     eviction pass of sentinel batch k runs with batch k-1's
+    //     watermark — they keep the 3 typed sentinels.
     val (inBase, cached) =
-      if (joinType == "inner")
-        stageReplay(s, real, s"replay_join_${StageCache.dirKey(dir)}")
-      // left/full outer and left semi share one staged replay:
-      // identical corpus, sentinel count, and sentinel types (semi
-      // emission is match-driven like inner, but the typed sentinels
-      // cost nothing when the staging is shared and keep the row
-      // correct even where an emission ends up riding eviction)
+      if (joinType == "inner" || joinType == "left_semi")
+        stageReplay(s, real, s"replay_join_${StageCache.dirKey(dir)}",
+          nSentinels = 0)
       else stageReplay(s, real,
         s"replay_ojoin_${StageCache.dirKey(dir)}", nSentinels = 3,
         sentinelTypes = Seq("click", "error"))

@@ -162,6 +162,55 @@ class WarcSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a large WHOLE-STREAM-gzipped archive is NOT range-split: one " +
+      "partition, streaming one-member-residency parse (r20 ADVICE)") {
+    val d = Files.createTempDirectory("warcnosplit")
+    // one gzip member spanning the whole file — range tasks would scan
+    // for boundaries that don't exist and partition 0 would buffer the
+    // whole decompressed stream
+    val raw = new java.io.ByteArrayOutputStream()
+    (0 until 50).foreach(i => raw.write(Warc.fixtureWarcRaw(i)))
+    Files.write(d.resolve("whole.warc.gz"), Warc.gzip(raw.toByteArray))
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "4096")
+    try {
+      val df = spark.read.format("graft.sources.v2.WarcSource")
+        .load(d.toString).select("warc_type", "url", "body_checksum")
+      assert(df.rdd.getNumPartitions == 1,
+        s"whole-stream gz fanned out: ${df.rdd.getNumPartitions}")
+      assert(df.count() == 100) // 50 docs x (warcinfo + response)
+    } finally {
+      spark.conf.set(key, old)
+      graft.operators.Sync.deleteTree(d.toFile)
+    }
+  }
+
+  test("hidden files (_ and . prefixed) are excluded from batch and " +
+      "stream listings (r20 ADVICE: the StageCache _STAGED marker)") {
+    val d = Files.createTempDirectory("warchidden")
+    Files.write(d.resolve("a.warc"), Warc.fixtureWarcRaw(2))
+    Files.write(d.resolve("_STAGED"), "marker".getBytes("UTF-8"))
+    Files.write(d.resolve(".hidden"), "x".getBytes("UTF-8"))
+    try {
+      val df = spark.read.format("graft.sources.v2.WarcSource")
+        .load(d.toString)
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == 2) // warcinfo + response; no marker scan
+      // streaming listing skips them too
+      val ckpt = Files.createTempDirectory("warchiddenckpt").toString
+      val out = Files.createTempDirectory("warchiddenout").toString
+      val q = spark.readStream.format("graft.sources.v2.WarcSource")
+        .load(d.toString).select("url")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.read.parquet(out).count() == 2)
+    } finally graft.operators.Sync.deleteTree(d.toFile)
+  }
+
   test("a file landing BEFORE the committed watermark fails loudly " +
       "instead of silently re-reading / skipping") {
     val land = Files.createTempDirectory("warcv2order")

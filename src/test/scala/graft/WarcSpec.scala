@@ -236,6 +236,80 @@ class WarcSpec extends AnyFunSuite {
       bytes.take(bytes.length - 4))).length == extents.length - 1)
   }
 
+  test("memberWalk: a member decompressing past maxRecordBytes ends " +
+      "the walk at the last sound boundary (gzip-bomb bound)") {
+    val small = Warc.gzip(Warc.warcEncode(
+      Seq(("resource", "u://a", Array.fill[Byte](100)(1)))))
+    // zeros compress to almost nothing: a classic bomb shape — tiny
+    // compressed member, 600 KiB decompressed
+    val bomb = Warc.gzip(Warc.warcEncode(
+      Seq(("resource", "u://bomb", new Array[Byte](600 << 10)))))
+    val bytes = small ++ bomb ++ small
+    val capped = Warc.memberWalk(new java.io.ByteArrayInputStream(bytes),
+      maxRecordBytes = 256L << 10).toVector
+    assert(capped.length == 1 && capped.head._1 == 0L,
+      s"walk should stop AT the bomb: ${capped.map(t => (t._1, t._2))}")
+    // the default cap (256 MiB, the record parser's bound) passes it
+    assert(Warc.memberWalk(
+      new java.io.ByteArrayInputStream(bytes)).length == 3)
+  }
+
+  test("ArchiveSliceFetcher: uncompressed coordinates on a whole-" +
+      "stream .gz resume ONE forward reader across sorted offsets — " +
+      "linear by work counters, not wall clock (r20 quadratic fallback)") {
+    // whole-stream gzip of 40 records; coordinates in UNCOMPRESSED
+    // space from the parser's own byte count
+    val raw = Warc.warcEncode((0 until 40).map { i =>
+      val body = new Array[Byte](1000)
+      java.util.Arrays.fill(body, (i % 31).toByte)
+      ("resource", s"u://rec$i", body)
+    })
+    val recs = Warc.parseWarc(raw)
+    val dir = java.nio.file.Files.createTempDirectory("slicefetch")
+    val file = dir.resolve("whole.warc.gz")
+    java.nio.file.Files.write(file, Warc.gzip(raw))
+    val p = new org.apache.hadoop.fs.Path(file.toString)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .open(p)
+    try {
+      val fetcher = new Warc.ArchiveSliceFetcher(in)
+      // every 3rd record, ascending — the sorted-selection shape
+      // warcFetchSlicesFromFiles feeds per (task, file)
+      val picks = recs.zipWithIndex.collect {
+        case (r, i) if i % 3 == 0 => r }
+      picks.foreach { r =>
+        val slice = fetcher.readUncompressed(r.offset, r.recBytes).get
+        val rec = Warc.parseWarc(slice).head
+        assert(rec.targetUri == r.targetUri &&
+          java.util.Arrays.equals(rec.body, r.body),
+          s"slice at ${r.offset} decoded wrong record ${rec.targetUri}")
+      }
+      // LINEAR: one reader start, total forward work bounded by one
+      // pass over the uncompressed stream. The r20 fallback restarted
+      // per row (restarts == picks.length) and advanced
+      // sum-of-offsets ≈ O(k·file) bytes.
+      assert(fetcher.gzRestarts == 1,
+        s"expected 1 reader start, got ${fetcher.gzRestarts}")
+      assert(fetcher.gzBytesAdvanced <= raw.length,
+        s"forward work ${fetcher.gzBytesAdvanced} exceeds one pass " +
+          s"over ${raw.length} uncompressed bytes")
+      val quadraticFloor = picks.map(_.offset).sum
+      assert(fetcher.gzBytesAdvanced < quadraticFloor,
+        s"forward work ${fetcher.gzBytesAdvanced} is not sub-quadratic " +
+          s"(per-row restart floor $quadraticFloor)")
+      // an out-of-order (smaller) offset still answers correctly via
+      // one documented restart
+      val first = recs.head
+      val slice0 = fetcher.readUncompressed(first.offset,
+        first.recBytes).get
+      assert(Warc.parseWarc(slice0).head.targetUri == first.targetUri)
+      assert(fetcher.gzRestarts == 2)
+    } finally {
+      scala.util.Try(in.close())
+      graft.operators.Sync.deleteTree(dir.toFile)
+    }
+  }
+
   test("WET fixture: the conversion record's extracted text matches " +
       "the HTML fixture's content, gzip-invariant") {
     for (id <- Seq(2L, 3L)) { // even=plain, odd=gzip
