@@ -893,9 +893,16 @@ object EventStream {
           StructField("user_id", LongType),
           StructField("n_events", LongType),
           StructField("total_value", DoubleType))))
-    // same corpus shape as the agg rows → shares their staged replay
+    // 0 sentinels (r21): neither flatMapGroupsWithState(NoTimeout) nor
+    // transformWithState(TimeMode.None) carries a WATERMARK node —
+    // emission is one cumulative update per touched key per DATA batch,
+    // and the read-back takes the max per user — so the agg rows' two
+    // far-future sentinel batches processed one user(-1) row each and
+    // emitted nothing that survives the filter: two pure-overhead
+    // triggers (~0.5 s each) per invocation. Own staging key (the agg
+    // rows still need their 2-sentinel replay for window close).
     val (inBase, cached) = stageReplay(s, real,
-      s"replay_agg_${StageCache.dirKey(dir)}")
+      s"replay_state_${StageCache.dirKey(dir)}", nSentinels = 0)
     val work = java.nio.file.Files.createTempDirectory("statework")
     val outDir = work.resolve("out").toString
     val sess = protocolSession(s, noDataBatches = false, rocksdb = tws)
