@@ -226,6 +226,20 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.parseQueriesMap("{\"queries\":{").isEmpty)
   }
 
+  test("protocol rep policy: sub-5s protocol rows run 2 reps (min-of), " +
+      "long protocol rows stay single-rep, others keep median-of-reps") {
+    // r20 verdict #4: single-rep readings of sub-5 s protocol pipelines
+    // wobbled up to 2x; two reps publishing the min de-noises them,
+    // while a >=5 s pipeline's second rep costs its wall clock for
+    // little signal
+    assert(Bench.repsFor(isProtocol = true, warmupSec = 2.3, reps = 3) == 2)
+    assert(Bench.repsFor(isProtocol = true, warmupSec = 4.99, reps = 3) == 2)
+    assert(Bench.repsFor(isProtocol = true, warmupSec = 5.0, reps = 3) == 1)
+    assert(Bench.repsFor(isProtocol = true, warmupSec = 11.0, reps = 3) == 1)
+    assert(Bench.repsFor(isProtocol = false, warmupSec = 0.1, reps = 3) == 3)
+    assert(Bench.repsFor(isProtocol = false, warmupSec = 99.0, reps = 5) == 5)
+  }
+
   test("verify's gate names throwing and never-executed queries, nonzero") {
     // round-14 #2a: the gate must catch BOTH a query that threw and a
     // registered query the run loop somehow skipped
